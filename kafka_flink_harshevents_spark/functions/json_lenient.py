@@ -1,0 +1,75 @@
+"""Lenient JSON ingestion (operator P11 / F1 in SURVEY.md §2.3-2.4).
+
+The reference tolerates two wire pathologies at every stage and we must
+reproduce both, JVM-side (no Python UDF in the hot ingest path):
+
+1. **Double-encoded JSON** — the whole payload arrives as an escaped JSON
+   *string* (``"\\"{...}\\""``). All three reference parsers strip the outer
+   quotes and unescape ``\\"`` / ``\\\\`` before parsing
+   (``TelematicsViolationDeriverJob.java:192-196``, ``kafkaConsumer.js:61-66``,
+   ``mqttToKafka.js:47-52``).
+2. **Malformed JSON is dropped**, never dead-lettered
+   (``TelematicsViolationDeriverJob.java:111-114``).
+
+Both are expressed as column transforms so Catalyst keeps them inside
+WholeStageCodegen and the parse survives a 1000-executor scale-out with
+zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_flink_harshevents_spark import schemas
+
+
+def unwrap_double_encoded(value: Column) -> Column:
+    """Undo one level of JSON string-encoding when present.
+
+    Matches the reference's unwrap rule exactly: only when the trimmed
+    payload both starts and ends with a double-quote, strip the outer
+    quotes and unescape ``\\"`` → ``"`` and ``\\\\`` → ``\\``
+    (``TelematicsViolationDeriverJob.java:192-196``).
+    """
+    trimmed = F.trim(value)
+    wrapped = trimmed.startswith('"') & trimmed.endswith('"') & (F.length(trimmed) >= F.lit(2))
+    inner = F.substring(trimmed, 2, F.length(trimmed) - F.lit(2))
+    # Unescape in one regexp pass: a backslash followed by a quote or a
+    # backslash becomes the escaped character itself.
+    unescaped = F.regexp_replace(inner, r'\\(["\\])', r"$1")
+    return F.when(wrapped, unescaped).otherwise(value)
+
+
+def parse_telemetry(
+    df,
+    value_col: str = "value",
+    schema: T.StructType = schemas.TELEMETRY,
+    drop_malformed: bool = True,
+):
+    """``Kafka value string -> telemetry columns`` (P11 + F1).
+
+    PERMISSIVE ``from_json`` with a corrupt-record column: unparseable
+    input lands in ``_corrupt_record`` and is filtered out, reproducing
+    the reference's drop-malformed policy. Works identically on batch and
+    streaming DataFrames.
+    """
+    raw = unwrap_double_encoded(F.col(value_col).cast("string"))
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = df.withColumn(
+        "parsed",
+        F.from_json(
+            raw,
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    if drop_malformed:
+        parsed = parsed.filter(
+            F.col("parsed").isNotNull() & F.col("parsed._corrupt_record").isNull()
+        )
+    keep = [c for c in df.columns if c != value_col]
+    return parsed.select(*keep, "parsed.*").drop("_corrupt_record")

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]`` in a single JVM; the same configs are the
+right defaults on a real cluster (AQE re-plans shuffles at runtime,
+UTC session timezone keeps timestamps oracle-comparable, Arrow speeds
+every pandas exchange). Scale-sensitive knobs are centralized here so a
+100 TB deployment changes one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka-flink-harshevents-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults honor the driver contract: ``local[$SPARK_GRAFT_CPUS]``
+    (fallback ``local[*]``) with shuffle parallelism matched to cores
+    rather than Spark's legacy 200 — on a real cluster, pass
+    ``shuffle_partitions`` sized so post-shuffle partitions are
+    ~128-256 MB at the target data scale, and let AQE coalesce down.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime shuffle re-planning — coalesce small partitions,
+        # convert to broadcast when a side turns out small, split skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # DuckDB's timestamps are UTC-naive; pin the session so oracle
+        # comparisons and epoch math are deterministic.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / applyInPandas / toPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
