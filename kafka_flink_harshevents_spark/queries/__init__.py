@@ -1,0 +1,43 @@
+"""Query catalog: every operator from SURVEY.md §2 plus the
+training-data-pipeline extensions, each as a ``(spark, sf_dir) ->
+DataFrame`` callable paired (where SQL-expressible) with a DuckDB oracle.
+
+Cross-engine comparability conventions (the driver hash-compares values):
+- integer outputs are always 64-bit (`cast("long")` / ``CAST(... AS BIGINT)``);
+- float aggregates are rounded (sums 2dp, ratios/avgs 4dp, cosines 6dp) in
+  BOTH engines so summation-order ULP noise can't flip the hash;
+- timestamps leave the engine as epoch-ms longs or formatted strings,
+  never raw timestamp columns;
+- every top-k has a total-order tie-break on a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_flink_harshevents_spark.queries import (
+    documents,
+    embeddings,
+    events,
+    relational,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (relational, events, documents, embeddings)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

@@ -1,0 +1,452 @@
+"""Training-data-pipeline operators over the ``documents`` table.
+
+These extend the reference's surface (SURVEY.md §7.8) with the document
+processing a 100 TB LLM-data pipeline needs: exact dedup, two near-dup
+families (all-pairs n-gram Jaccard for exactness, MinHash+LSH banding for
+scale), SimHash fingerprints, token statistics, quality scoring, and
+language-ID heuristics.
+
+Portability across the DuckDB oracle is engineered in:
+- the MinHash hash family is the lexicographic MIN of ``md5(seed || '|' ||
+  shingle)`` hex strings — md5 is identical in every engine and hex-string
+  ordering is plain byte ordering, so signatures match bit-for-bit;
+- SimHash uses the first 4 md5 nibbles per token (16-bit fingerprint),
+  decoded with pure arithmetic (ascii/floor/mod), no engine bit intrinsics.
+
+Scale notes: all-pairs Jaccard is O(docs²) in the worst case and exists as
+the exactness baseline; MinHash-LSH is the 100 TB path — candidate
+generation is an equi-join on (band, band_hash), i.e. one shuffle whose
+width is the number of *colliding* docs, not all pairs. SimHash gives a
+64-bit-style fingerprint for sort-based near-dup blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.queries._util import load
+
+# Stopword list for ratio features + language-ID (subset present in the
+# synthetic vocabulary; real deployments swap in per-language lists).
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+MINHASH_PERMS = 12
+LSH_BANDS = 4  # 12 signatures / 4 bands = 3 rows per band
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+LSH_VERIFY_THRESHOLD = 0.3
+
+_SQL_STOPSET = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _words(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.split("text", " ").alias("ws"))
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """Distinct word-bigram shingles per doc (explode → narrow)."""
+    return (
+        _words(df)
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
+                )
+            ).alias("s"),
+        )
+    )
+
+
+# DuckDB twin of _shingles, shared by the near-dup oracles.
+_SQL_SHINGLES = """
+        w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE len(string_split(text, ' ')) >= 2
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+                   )) AS s
+            FROM w
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + distinct/length/stopword features —
+    pure higher-order array functions, zero shuffle, scan-local."""
+    d = _words(load(spark, sf_dir, "documents"))
+    n_tokens = F.size("ws").cast("long")
+    sum_len = F.aggregate("ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    n_stop = F.size(F.filter("ws", lambda w: w.isin(*STOPWORDS))).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_unique"),
+        F.round(sum_len / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stop_ratio"),
+    )
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation + lexical diversity + stopword
+    balance, bucketed. The score expression tree is identical in both
+    engines so the doubles match bit-for-bit before rounding."""
+    d = _words(load(spark, sf_dir, "documents"))
+    n_tokens = F.size("ws").cast("long")
+    n_unique = F.size(F.array_distinct("ws")).cast("long")
+    n_stop = F.size(F.filter("ws", lambda w: w.isin(*STOPWORDS))).cast("long")
+    score = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (n_unique / n_tokens)
+        + F.lit(0.3) * (F.lit(1.0) - n_stop / n_tokens)
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        F.when(score >= 0.75, F.lit("high"))
+        .when(score >= 0.5, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("quality_bucket"),
+    )
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic. The synthetic corpus shares
+    one vocabulary across its ``lang`` labels, so this demonstrates the
+    operator shape (per-doc n-gram evidence → argmax label), not label
+    recovery."""
+    d = _words(load(spark, sf_dir, "documents"))
+    n_tokens = F.size("ws").cast("long")
+    n_stop = F.size(F.filter("ws", lambda w: w.isin(*STOPWORDS))).cast("long")
+    ratio = n_stop / n_tokens
+    return d.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.04, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; canonical = min doc_id.
+    One shuffle on the 128-bit hash — uniformly distributed, skew-free."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint + BPE-ish regex token count (JVM regex, no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("fingerprint"),
+        F.expr(r"regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')")
+        .cast("long")
+        .alias("n_regex_tokens"),
+        F.col("n_chars"),
+    )
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs bigram-shingle Jaccard ≥ t, PPJoin-style.
+
+    A naive shingle self-join is Σ df² pair rows — quadratic when the
+    vocabulary is small. This is the published exact pruning instead:
+
+    1. global shingle order, rarest first (df asc);
+    2. each doc emits only its PREFIX — the first n−⌈t·n⌉+1 shingles in
+       that order. Two sets with Jaccard ≥ t MUST collide inside their
+       prefixes, so no exact pair is lost;
+    3. length filter |A|·t ≤ |B| ≤ |A|/t applied on the candidate join;
+    4. verification via array_intersect on the collected (distinct)
+       shingle arrays — per-pair linear merge, no second explode/shuffle.
+    """
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    # Global rarest-first order as a dense index (ties broken by value).
+    order = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "s",
+            F.row_number()
+            .over(Window.orderBy("df", "s"))
+            .alias("sidx"),
+        )
+    )
+    indexed = sh.join(order, "s").select("doc_id", "sidx")
+    docs = indexed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sidx")).alias("sset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1).cast("int")
+    prefixes = docs.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("sset", 1, prefix_len)).alias("sidx"),
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.sidx") == F.col("b.sidx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.col("a.n") * F.lit(JACCARD_THRESHOLD))
+            & (F.col("b.n") <= F.col("a.n") / F.lit(JACCARD_THRESHOLD)),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    # Verify WITHOUT deduplicating candidates first: a distinct() here
+    # shuffles the full candidate stream (the widest intermediate), while
+    # the per-doc array table is tiny at any corpus size that fits this
+    # all-pairs baseline — broadcast it twice and verify in the map, then
+    # dedupe only the (small) surviving pair set.
+    full = F.broadcast(docs.select("doc_id", "sset", "n"))
+    inter = F.size(F.array_intersect(F.col("ca.sset"), F.col("cb.sset"))).cast("long")
+    jac = inter / (F.col("ca.n") + F.col("cb.n") - inter)
+    return (
+        cand.join(full.alias("ca"), F.col("da") == F.col("ca.doc_id"))
+        .join(full.alias("cb"), F.col("db") == F.col("cb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+        .distinct()
+    )
+
+
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup — the 100 TB scale path.
+
+    12 min-hashes (lexicographic min of seeded md5 hex — portable across
+    engines), banded 4×3; candidate pairs share at least one band hash,
+    then get verified with the exact Jaccard. Candidate generation is an
+    equi-join on (band, band_hash): shuffle width ∝ colliding docs only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+
+    sig_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*sig_cols)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])).alias("bv"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.bv").alias("bv")
+    )
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+    # Verify candidates with a per-pair linear merge on collected shingle
+    # arrays — no re-explode, no second wide shuffle.
+    full = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("sset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    inter = F.size(F.array_intersect(F.col("ca.sset"), F.col("cb.sset"))).cast("long")
+    jac = inter / (F.col("ca.n") + F.col("cb.n") - inter)
+    return (
+        cand.join(full.alias("ca"), F.col("da") == F.col("ca.doc_id"))
+        .join(full.alias("cb"), F.col("db") == F.col("cb.doc_id"))
+        .filter(jac >= LSH_VERIFY_THRESHOLD)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _nibble_val(ch: Column) -> Column:
+    """Hex char → 0..15 with pure arithmetic (md5 output is lowercase)."""
+    a = F.ascii(ch)
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the token multiset: per-token md5 nibbles →
+    ±1 votes per bit → sign → fingerprint. Explode + one groupBy on
+    doc_id (co-partitioned with the source) — linear in corpus size."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    h = F.md5("t")
+    vote_cols = []
+    for j in range(16):
+        c, b = j // 4, 3 - (j % 4)  # char index 0..3, bit within nibble
+        v = _nibble_val(F.substring(h, c + 1, 1))
+        bit = F.floor(v / (2**b)).cast("long") % 2
+        vote_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    votes = tok.groupBy("doc_id").agg(*vote_cols)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** (15 - j))).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_score": doc_quality_score,
+    "doc_lang_id": doc_lang_id,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_simhash": doc_simhash,
+}
+
+
+def _simhash_sql() -> str:
+    vote_exprs = []
+    for j in range(16):
+        c, b = j // 4, 3 - (j % 4)
+        v = (
+            f"(CASE WHEN ascii(substr(md5(t), {c + 1}, 1)) <= 57 "
+            f"THEN ascii(substr(md5(t), {c + 1}, 1)) - 48 "
+            f"ELSE ascii(substr(md5(t), {c + 1}, 1)) - 87 END)"
+        )
+        bit = f"(CAST(floor({v} / {2 ** b}.0) AS BIGINT) % 2)"
+        vote_exprs.append(f"CAST(sum({bit} * 2 - 1) AS BIGINT) AS s{j}")
+    fp_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** (15 - j)} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, {", ".join(vote_exprs)} FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || s)) AS m{i}" for i in range(MINHASH_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bv FROM sig".format(
+            b=b,
+            concat=" || ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH {_SQL_SHINGLES},
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.da, c.db, count(*) AS i
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.da
+            JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+            GROUP BY c.da, c.db
+        )
+        SELECT da, db, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN cnt ca ON da = ca.doc_id
+        JOIN cnt cb ON db = cb.doc_id
+        WHERE i * 1.0 / (ca.n + cb.n - i) >= {LSH_VERIFY_THRESHOLD}
+    """
+
+
+ORACLES = {
+    "doc_token_stats": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique,
+               round(list_sum(list_transform(ws, x -> len(x))) * 1.0 / len(ws), 4) AS avg_token_len,
+               round(len(list_filter(ws, x -> x IN ({_SQL_STOPSET}))) * 1.0 / len(ws), 4) AS stop_ratio
+        FROM w
+    """,
+    "doc_quality_score": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SQL_STOPSET}))) AS BIGINT) AS n_stop
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.3 * (n_unique * 1.0 / n_tokens)
+                   + 0.3 * (1.0 - n_stop * 1.0 / n_tokens) AS score
+            FROM w
+        )
+        SELECT doc_id, round(score, 4) AS quality_score,
+               CASE WHEN score >= 0.75 THEN 'high'
+                    WHEN score >= 0.5 THEN 'medium'
+                    ELSE 'low' END AS quality_bucket
+        FROM s
+    """,
+    "doc_lang_id": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SQL_STOPSET}))) AS BIGINT) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+               CASE WHEN n_stop * 1.0 / n_tokens >= 0.04 THEN 'en' ELSE 'und' END AS pred_lang
+        FROM w
+    """,
+    "doc_exact_dedup": """
+        SELECT md5(text) AS text_hash,
+               count(*) AS n_copies,
+               min(doc_id) AS canonical_doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(lower(text)) AS fingerprint,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+               n_chars
+        FROM documents
+    """,
+    "doc_ngram_jaccard_pairs": f"""
+        WITH {_SQL_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT da, db, round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON da = ca.doc_id
+        JOIN cnt cb ON db = cb.doc_id
+        WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
+    """,
+    "doc_minhash_lsh_pairs": _minhash_sql(),
+    "doc_simhash": _simhash_sql(),
+}

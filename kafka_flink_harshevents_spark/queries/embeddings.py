@@ -1,0 +1,185 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- emb_knn_brute     — exact brute-force cosine top-k: the correctness
+                      baseline. Queries are broadcast; candidates stream
+                      through a narrow map, so the plan is embarrassingly
+                      parallel (no shuffle until the tiny per-query top-k).
+- emb_centroids     — per-label element-wise mean (posexplode + groupBy):
+                      the building block for IVF coarse quantization.
+- emb_knn_lsh       — random-hyperplane LSH bucketing: the scale path.
+                      Approximate by construction → no SQL oracle (driver
+                      records the rows-only check); correctness is covered
+                      by the recall test in tests/test_embeddings.py.
+
+All arithmetic is done in float64 (cast from the stored float32) with the
+same left-to-right fold in both engines, and similarities are rounded to
+6 dp before ranking so ULP noise can't reorder the top-k; ties break on
+vec_id.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.queries._util import load
+
+N_QUERY_VECS = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+LSH_TABLES = 4  # OR-amplification: candidate if ANY table's signature matches
+LSH_BITS = 4  # bits (hyperplanes) per table — 16 buckets/table
+EMB_DIM = 64  # driver-generated embeddings are 64-dim at every sf
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    sim = F.round(_dot("qemb", "emb") / (_norm("qemb") * _norm("emb")), 6)
+    ranked = pairs.select("qid", "vec_id", sim.alias("sim")).withColumn(
+        "knn_rank",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("knn_rank") <= TOP_K)
+
+
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+    )
+
+
+def _lsh_planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without numpy at runtime:
+    a seeded LCG → Box-Muller, stable across machines."""
+    state = 42
+
+    def _next() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return ((state >> 11) + 1) / float((1 << 53) + 1)  # (0, 1)
+
+    planes = []
+    for _ in range(LSH_TABLES * LSH_BITS):
+        row = []
+        while len(row) < EMB_DIM:
+            u1, u2 = _next(), _next()
+            r = math.sqrt(-2.0 * math.log(u1))
+            row.append(r * math.cos(2.0 * math.pi * u2))
+            if len(row) < EMB_DIM:
+                row.append(r * math.sin(2.0 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    LSH_TABLES independent signatures of LSH_BITS sign-bits each; a vector
+    is a candidate when ANY table's signature matches the query's
+    (OR-amplification — raises recall exponentially in the table count).
+    At 100 TB the (table, signature) equi-join replaces the all-pairs
+    scan: the shuffle is keyed by signature, ~N/2^bits vectors per bucket,
+    never a cross join."""
+    planes = _lsh_planes()
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    table_sigs = []
+    for t in range(LSH_TABLES):
+        sig = None
+        for b in range(LSH_BITS):
+            plane = planes[t * LSH_BITS + b]
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            bit = (_dot(F.col("emb"), plane_col) > 0).cast("long") * (2**b)
+            sig = bit if sig is None else sig + bit
+        table_sigs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+    eb = e.select(
+        "vec_id", "emb", F.explode(F.array(*table_sigs)).alias("h")
+    ).select("vec_id", "emb", F.col("h.tbl").alias("tbl"), F.col("h.sig").alias("sig"))
+    q = eb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("tbl").alias("qtbl"),
+        F.col("sig").alias("qsig"),
+    )
+    cands = (
+        eb.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "qemb", "vec_id", "emb")
+        .distinct()
+    )
+    sim = F.round(_dot("qemb", "emb") / (_norm("qemb") * _norm("emb")), 6)
+    ranked = cands.select("qid", "vec_id", sim.alias("sim")).withColumn(
+        "knn_rank",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("knn_rank") <= TOP_K)
+
+
+QUERIES = {
+    "emb_knn_brute": emb_knn_brute,
+    "emb_centroids": emb_centroids,
+    "emb_knn_lsh": emb_knn_lsh,
+}
+
+_COS = """
+            round(
+                list_sum(list_transform(range(1, len(emb) + 1), i -> qemb[i] * emb[i]))
+                / (sqrt(list_sum(list_transform(range(1, len(qemb) + 1), i -> qemb[i] * qemb[i])))
+                 * sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])))),
+            6)
+"""
+
+ORACLES = {
+    "emb_knn_brute": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERY_VECS}),
+        p AS (
+            SELECT qid, vec_id, {_COS} AS sim
+            FROM q, e WHERE vec_id <> qid
+        ),
+        r AS (
+            SELECT qid, vec_id, sim,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS knn_rank
+            FROM p
+        )
+        SELECT qid, vec_id, sim, knn_rank FROM r WHERE knn_rank <= {TOP_K}
+    """,
+    "emb_centroids": f"""
+        WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        SELECT label, CAST(i - 1 AS BIGINT) AS pos, round(avg(emb[i]), 6) AS avg_val
+        FROM e, range(1, {EMB_DIM + 1}) t(i)
+        GROUP BY label, i - 1
+    """,
+    # emb_knn_lsh: intentionally no oracle — approximate result set; the
+    # driver's rows-only check applies and tests/ cover recall ≥ floor.
+}

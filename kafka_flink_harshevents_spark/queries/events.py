@@ -1,0 +1,283 @@
+"""Reference-parity analytics on the ``events`` stream table.
+
+Each query is the batch twin of a streaming operator from SURVEY.md §2,
+re-targeted at the driver's `events` table (event_id, ts, user_id,
+event_type, value, props):
+
+- ev_type_counts       — A1 grouped counter (kafkaConsumer.js:229-233)
+- ev_sessionize_300s   — O9 session consolidation, 300 s inactivity gap
+                         (kafkaConsumer.js:43,278-347), lag/gap/cumsum form
+- ev_hourly_tumbling   — T2 tumbling-window aggregation
+- ev_percentile_stats  — A2 order statistics with the reference's exact
+                         inverse-CDF percentile sorted[floor(n*q)]
+                         (mqtt_publish.js:84-97)
+- ev_histogram         — A3 histogram binning (visualization.py:36)
+- ev_props_extract     — P11 JSON field extraction, JVM-side
+- ev_threshold_classify— F10 threshold-derivation rule
+                         (mqtt_publish.js:193-208) generalized
+- ev_user_topk         — top-k limit (README.md:108 find().limit shape)
+
+Scale notes: sessionization and the percentile query are the only wide
+ops; both shuffle ONCE on their natural key (user_id / global sort for
+the exact percentile). At 100 TB the exact-percentile query would switch
+to ``percentile_approx`` — kept exact here to match the reference's
+definition bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.queries._util import load, ts_millis
+
+SESSION_GAP_MS = 300_000  # SESSION_TTL 300 s, kafkaConsumer.js:43
+
+
+def ev_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def _sessionize(spark: SparkSession, sf_dir: str, gap_ms: int) -> DataFrame:
+    """Batch-SQL twin of the O9 session operator (SURVEY.md §2.10):
+    gap > gap_ms starts a new session; emit one row per session with
+    start/end and event count. One shuffle on user_id; both window
+    functions and the final groupBy reuse that partitioning."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_millis("ts").alias("e")
+    )
+    by_user = Window.partitionBy("user_id").orderBy("e", "event_id")
+    gapped = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("e").over(by_user).isNull()
+            | ((F.col("e") - F.lag("e").over(by_user)) > gap_ms),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessioned = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.min("e").alias("start_ms"),
+        F.max("e").alias("end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def ev_sessionize_300s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity gap (300 s — kafkaConsumer.js:43). The synthetic
+    events table has multi-minute inter-event gaps, so most sessions are
+    singletons; ev_sessionize_2h shows real consolidation."""
+    return _sessionize(spark, sf_dir, SESSION_GAP_MS)
+
+
+def ev_sessionize_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operator, 2-hour inactivity gap — consolidating variant."""
+    return _sessionize(spark, sf_dir, 7_200_000)
+
+
+def ev_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts").cast("timestamp")), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def ev_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact percentile definition: sort ascending, take
+    element floor(n*q) (0-indexed) — mqtt_publish.js:84-97. Implemented
+    as row_number against the total count, so both engines pick the
+    identical element (tie-break on event_id)."""
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    w = Window.orderBy("value", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    picks = ranked.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.5) + 1), F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.95) + 1), F.col("value"))).alias("p95"),
+        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.99) + 1), F.col("value"))).alias("p99"),
+    )
+    return picks
+
+
+def ev_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction stays JVM-side (get_json_object), then a
+    grouped aggregate on the derived key — the P11 parse promoted to a
+    first-class projection."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select(F.floor(k / 10).cast("long").alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def ev_threshold_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 generalized: classify rows crossing value thresholds and emit
+    derived events — project+filter only, no shuffle (the same narrow
+    shape as the reference's violation derivation)."""
+    e = load(spark, sf_dir, "events")
+    cls = (
+        F.when(F.col("value") >= 450.0, F.lit("extreme_high"))
+        .when(F.col("value") <= 5.0, F.lit("extreme_low"))
+    )
+    return (
+        e.withColumn("violation_type", cls)
+        .filter(F.col("violation_type").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            "violation_type",
+            ts_millis("ts").alias("ts_ms"),
+        )
+    )
+
+
+def ev_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "ev_type_counts": ev_type_counts,
+    "ev_sessionize_300s": ev_sessionize_300s,
+    "ev_sessionize_2h": ev_sessionize_2h,
+    "ev_hourly_tumbling": ev_hourly_tumbling,
+    "ev_percentile_stats": ev_percentile_stats,
+    "ev_histogram": ev_histogram,
+    "ev_props_extract": ev_props_extract,
+    "ev_threshold_classify": ev_threshold_classify,
+    "ev_user_topk": ev_user_topk,
+}
+
+ORACLES = {
+    "ev_type_counts": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    "ev_sessionize_300s": """
+        WITH t AS (
+            SELECT user_id, event_id, epoch_ms(ts) AS e,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS pe
+            FROM events
+        ), s AS (
+            SELECT user_id, e,
+                   CAST(sum(CASE WHEN pe IS NULL OR e - pe > 300000 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY e, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM t
+        )
+        SELECT user_id, session_id,
+               min(e) AS start_ms, max(e) AS end_ms, count(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    "ev_sessionize_2h": """
+        WITH t AS (
+            SELECT user_id, event_id, epoch_ms(ts) AS e,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS pe
+            FROM events
+        ), s AS (
+            SELECT user_id, e,
+                   CAST(sum(CASE WHEN pe IS NULL OR e - pe > 7200000 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY e, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM t
+        )
+        SELECT user_id, session_id,
+               min(e) AS start_ms, max(e) AS end_ms, count(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    "ev_hourly_tumbling": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+               event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "ev_percentile_stats": """
+        WITH s AS (
+            SELECT value,
+                   row_number() OVER (ORDER BY value, event_id) AS rn,
+                   count(*) OVER () AS n
+            FROM events
+        )
+        SELECT count(*) AS cnt,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               round(avg(value), 4) AS avg_value,
+               max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
+               max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
+               max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
+        FROM s
+    """,
+    "ev_histogram": """
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+               count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1
+    """,
+    "ev_props_extract": """
+        WITH t AS (
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+        )
+        SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_bucket,
+               count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        FROM t GROUP BY 1
+    """,
+    "ev_threshold_classify": """
+        SELECT event_id, user_id, event_type, value,
+               CASE WHEN value >= 450.0 THEN 'extreme_high'
+                    WHEN value <= 5.0   THEN 'extreme_low' END AS violation_type,
+               epoch_ms(ts) AS ts_ms
+        FROM events
+        WHERE value >= 450.0 OR value <= 5.0
+    """,
+    "ev_user_topk": """
+        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id
+        LIMIT 10
+    """,
+}

