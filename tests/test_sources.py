@@ -1,0 +1,130 @@
+"""Sources: synthetic generator distributions/invariants (S5), Kafka wire
+serialization round-trip (K1/K2 ⇄ P11), file sources (S4)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.functions.json_lenient import parse_telemetry
+from kafka_flink_harshevents_spark.operators.violations import (
+    violations_from_telemetry,
+)
+from kafka_flink_harshevents_spark.sources.files import (
+    read_latency_log,
+    read_telemetry_jsonl,
+)
+from kafka_flink_harshevents_spark.sources.kafka import records_for_kafka
+from kafka_flink_harshevents_spark.sources.synthetic import synthetic_telemetry
+
+N = 20_000
+
+
+@pytest.fixture(scope="module")
+def telemetry(spark):
+    return synthetic_telemetry(spark, N, n_devices=7, seed=42).cache()
+
+
+def test_deterministic_under_seed(spark, telemetry):
+    again = synthetic_telemetry(spark, N, n_devices=7, seed=42)
+    h = lambda df: df.select(F.bit_xor(F.xxhash64(F.to_json(F.struct("*"))))).first()[0]
+    h1, h2 = h(telemetry), h(again)
+    assert h1 == h2
+    different = synthetic_telemetry(spark, N, n_devices=7, seed=43)
+    assert h1 != h(different)
+
+
+def test_distribution_rates(telemetry):
+    """Violation p=0.65, battery p=0.15, accel_y spike p=0.25 within
+    binomial tolerance at n=20k (±4σ)."""
+    row = telemetry.select(
+        F.avg((F.size("violations") > 0).cast("double")).alias("viol"),
+        F.avg(
+            (F.col("dashcam_power_source") == "battery").cast("double")
+        ).alias("batt"),
+        F.avg((F.abs("accel_y") >= 2.7).cast("double")).alias("spike"),
+    ).first()
+    assert row["viol"] == pytest.approx(0.65, abs=0.02)
+    assert row["batt"] == pytest.approx(0.15, abs=0.015)
+    # spikes are 25% of rows; threshold 2.7 < spike floor 2.8 so all count
+    assert row["spike"] == pytest.approx(0.25, abs=0.02)
+
+
+def test_value_ranges_and_invariants(telemetry):
+    row = telemetry.select(
+        F.min("speed_kph").alias("minspeed"),
+        F.max("speed_kph").alias("maxspeed"),
+        F.min(F.element_at("location.coordinates", 1)).alias("minlon"),
+        F.max(F.element_at("location.coordinates", 1)).alias("maxlon"),
+        F.min(F.element_at("location.coordinates", 2)).alias("minlat"),
+        F.max(F.element_at("location.coordinates", 2)).alias("maxlat"),
+        F.max(F.abs(F.col("speed_mph") - F.round(F.col("speed_kph") * 0.621371, 6))).alias(
+            "mph_err"
+        ),
+    ).first()
+    assert 0 <= row["minspeed"] and row["maxspeed"] <= 90
+    assert 72.0 <= row["minlon"] and row["maxlon"] <= 73.5
+    assert 21.0 <= row["minlat"] and row["maxlat"] <= 23.5
+    assert row["mph_err"] < 1e-9
+
+
+def test_violation_elements_respect_thresholds(telemetry):
+    """Every emitted element: type matches the sign of its own accel_y and
+    |accel_y| ≥ 2.7 (generator rule F10, incl. the forced branch)."""
+    elems = telemetry.select(F.explode("violations").alias("v"))
+    bad = elems.filter(
+        ~(
+            ((F.col("v.type") == "harsh_brake") & (F.col("v.accel_y") <= -2.7))
+            | ((F.col("v.type") == "harsh_accel") & (F.col("v.accel_y") >= 2.7))
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_kafka_wire_roundtrip(spark, telemetry):
+    """records_for_kafka → parse_telemetry is lossless for the violation
+    pipeline: deriving violations before or after the wire hop agrees."""
+    sample = telemetry.limit(500)
+    wire = records_for_kafka(sample, key_col="device_uuid")
+    assert wire.columns == ["key", "value"]
+    back = parse_telemetry(wire, value_col="value").drop("key")
+    v_direct = violations_from_telemetry(sample)
+    v_rt = violations_from_telemetry(back)
+    h = lambda df: sorted(
+        r[0] for r in df.select(F.xxhash64(F.to_json(F.struct("*")))).collect()
+    )
+    assert h(v_direct) == h(v_rt)
+
+
+def test_kafka_key_defaulting(spark):
+    """Blank/absent device_uuid keys default to unknown-device (P7)."""
+    df = spark.createDataFrame(
+        [("  d-1  ", 1), (None, 2), ("   ", 3)], ["device_uuid", "x"]
+    )
+    keys = [r["key"] for r in records_for_kafka(df).collect()]
+    assert sorted(keys) == ["d-1", "unknown-device", "unknown-device"]
+
+
+def test_file_sources(spark, tmp_path):
+    recs = [
+        {
+            "topic": "violations.events",
+            "device_uuid": "d-1",
+            "mqtt_sent_at_ms": 1000,
+            "kafka_received_at_ms": 1010,
+            "latency_ms": 10,
+            "timestamp": "2026-02-12T10:20:11.000Z",
+        }
+    ]
+    p = tmp_path / "latencies.json"
+    p.write_text(json.dumps(recs, indent=2))
+    lat = read_latency_log(spark, str(p))
+    assert lat.count() == 1 and lat.first()["latency_ms"] == 10
+
+    doc = {"device_uuid": "d-2", "timestamp": 5, "violations": []}
+    jl = tmp_path / "telemetry.jsonl"
+    jl.write_text(json.dumps(doc) + "\n" + json.dumps(json.dumps(doc)) + "\nnope\n")
+    tel = read_telemetry_jsonl(spark, str(jl))
+    assert tel.count() == 2  # double-encoded unwrapped, malformed dropped
