@@ -43,30 +43,22 @@ def ev_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sessionize(spark: SparkSession, sf_dir: str, gap_ms: int) -> DataFrame:
-    """Batch-SQL twin of the O9 session operator (SURVEY.md §2.10):
-    gap > gap_ms starts a new session; emit one row per session with
-    start/end and event count. One shuffle on user_id; both window
-    functions and the final groupBy reuse that partitioning."""
+    """Batch-SQL twin of the O9 session operator (SURVEY.md §2.10),
+    delegated to the shared ``sessionize_batch`` operator (lag/gap/cumsum;
+    one shuffle on user_id reused by both window passes and the groupBy)."""
+    from kafka_flink_harshevents_spark.operators.sessions import sessionize_batch
+
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_id", ts_millis("ts").alias("e")
     )
-    by_user = Window.partitionBy("user_id").orderBy("e", "event_id")
-    gapped = e.withColumn(
-        "new_session",
-        F.when(
-            F.lag("e").over(by_user).isNull()
-            | ((F.col("e") - F.lag("e").over(by_user)) > gap_ms),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    sessioned = gapped.withColumn(
+    return sessionize_batch(
+        e, key_col="user_id", ts_col="e", gap=gap_ms, order_cols=("event_id",)
+    ).select(
+        "user_id",
         "session_id",
-        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return sessioned.groupBy("user_id", "session_id").agg(
-        F.min("e").alias("start_ms"),
-        F.max("e").alias("end_ms"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.col("start_timestamp").alias("start_ms"),
+        F.col("end_timestamp").alias("end_ms"),
+        F.col("n_touches").alias("n_events"),
     )
 
 

@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every pandas_udf / applyInPandas / toPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4.1's ChecksumCheckpointFileManager fails to create
+        # StateStore delta files on plain local filesystems (state dir
+        # never materializes -> stateful queries retry forever). Checkpoint
+        # checksums only pay off on eventually-consistent object stores;
+        # re-enable there.
+        .config("spark.sql.streaming.checkpoint.checksumEnabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -1,0 +1,128 @@
+"""O9 — stateful session consolidation (the reference's one true
+stateful operator; SURVEY.md §2.10).
+
+Semantics ported from ``kafkaConsumer.js:278-347`` (Redis pointer with
+``EX 300`` + Mongo doc update-in-place):
+
+- ``action="touch"``: active session → extend ``end_timestamp`` and
+  refresh the 300 s TTL (kafkaConsumer.js:304-312); none → open a session
+  with ``start = end = ts`` (kafkaConsumer.js:322-335).
+- ``action="clear"``: the Redis pointer is deleted and the doc keeps its
+  last ``end_timestamp`` (kafkaConsumer.js:340-347) — here the session is
+  finalized and emitted.
+- TTL expiry (Redis ``EX``): session ends by inactivity — here a
+  processing-time timeout fires and emits the final row.
+- unknown actions are ignored (F8, kafkaConsumer.js:349).
+
+State lives in Spark's StateStore keyed by ``device_uuid`` (RocksDB
+provider at scale) instead of an external Redis — the state shuffle on
+``device_uuid`` is the only wide operation in the pipeline. The batch
+twin with identical output is
+``operators.sessions.sessionize_batch`` (lag/gap/cumsum), which the
+DuckDB oracle can run.
+
+Operational note: with ``ProcessingTimeTimeout`` the micro-batch engine
+continuously schedules timer-evaluation batches even when the source is
+idle (that is how TTLs fire without new data). Consequently
+``StreamingQuery.processAllAvailable()`` never settles on queries built
+from this operator — callers should poll ``lastProgress`` instead (see
+tests/test_streaming.py::_drain).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_flink_harshevents_spark import schemas
+from kafka_flink_harshevents_spark.operators.sessions import SESSION_TTL_SECONDS
+
+_OUT_COLS = [f.name for f in schemas.SESSION_ROW.fields]
+_STATE_SCHEMA = "start_timestamp LONG, end_timestamp LONG, n_touches LONG"
+
+
+def _final_row(device: str, start: int, end: int, n: int) -> dict[str, Any]:
+    return {
+        "event_type": "device_status_session",
+        "status_type": "cable-unplugged",
+        "device_uuid": device,
+        "start_timestamp": start,
+        "end_timestamp": end,
+        # the reference also bumps the doc's `timestamp` to the last touch
+        # (kafkaConsumer.js:304-307)
+        "timestamp": end,
+        "n_touches": n,
+    }
+
+
+def _make_session_fn(ttl_ms: int):
+    def fn(
+        key: tuple[str],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        device = key[0]
+        out: list[dict[str, Any]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, end, n = state.get
+                state.remove()
+                out.append(_final_row(device, start, end, n))
+            yield pd.DataFrame(out, columns=_OUT_COLS)
+            return
+
+        events = pd.concat(list(pdf_iter), ignore_index=True)
+        events = events.sort_values("timestamp", kind="stable")
+
+        start, end, n = state.get if state.exists else (None, None, 0)
+        for action, ts in zip(events["action"], events["timestamp"]):
+            if action == "touch":
+                ts = int(ts)
+                if start is None:
+                    start = end = ts
+                    n = 1
+                else:
+                    end = max(end, ts)
+                    n += 1
+            elif action == "clear" and start is not None:
+                out.append(_final_row(device, start, end, n))
+                start, end, n = None, None, 0
+            # unknown action: log-and-ignore in the reference (F8)
+
+        if start is not None:
+            state.update((int(start), int(end), int(n)))
+            state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    return fn
+
+
+def consolidate_status_sessions(
+    status_events: DataFrame,
+    ttl_seconds: int = SESSION_TTL_SECONDS,
+) -> DataFrame:
+    """Streaming session consolidation keyed by ``device_uuid``.
+
+    Input: validated device-status events (``route_device_status``
+    shape). Output: one finalized session row per session, emitted on
+    ``clear`` or on TTL expiry. Only ``cable-unplugged`` is consolidated
+    (F7, kafkaConsumer.js:273-276).
+    """
+    touches = status_events.filter(
+        F.col("status_type") == "cable-unplugged"
+    ).select("device_uuid", "action", "timestamp")
+    return touches.groupBy("device_uuid").applyInPandasWithState(
+        _make_session_fn(ttl_seconds * 1000),
+        outputStructType=schemas.SESSION_ROW,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

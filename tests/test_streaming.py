@@ -1,0 +1,255 @@
+"""Streaming stage: O3 routing, F5-F7 validation, P5 latency, A1 counters,
+O9 stateful sessions (touch/extend/clear/TTL) — driven through file-source
+micro-batches into memory sinks, the no-broker equivalent of the Kafka
+topology."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.sources.kafka import (
+    DEVICE_STATUS_TOPIC,
+    VIOLATIONS_TOPIC,
+)
+from kafka_flink_harshevents_spark.streaming.consumer import (
+    latency_records,
+    route_device_status,
+    route_violations,
+    violation_type_counts,
+)
+from kafka_flink_harshevents_spark.streaming.sessions import (
+    consolidate_status_sessions,
+)
+
+
+def _event_rows():
+    v = {
+        "event_type": "violation",
+        "violation_type": "harsh_brake",
+        "device_uuid": "d-1",
+        "timestamp": 100,
+        "mqtt_sent_at_ms": 100_000,
+    }
+    v_invalid = {"event_type": "violation", "device_uuid": "d-1"}  # no type/ts
+    s = {
+        "event_type": "device_status",
+        "status_type": "cable-unplugged",
+        "action": "touch",
+        "device_uuid": "d-2",
+        "timestamp": 200,
+    }
+    s_invalid = {"event_type": "device_status", "device_uuid": "d-2"}
+    return [
+        (VIOLATIONS_TOPIC, json.dumps(v), 100_025),
+        (VIOLATIONS_TOPIC, json.dumps(json.dumps(v)), 100_031),  # double-encoded
+        (VIOLATIONS_TOPIC, json.dumps(v_invalid), 100_040),
+        (VIOLATIONS_TOPIC, "garbage{", 100_050),
+        (DEVICE_STATUS_TOPIC, json.dumps(s), 200_010),
+        (DEVICE_STATUS_TOPIC, json.dumps(s_invalid), 200_020),
+    ]
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame(
+        _event_rows(), ["topic", "value", "kafka_received_at_ms"]
+    )
+
+
+def test_routing_and_validation(events):
+    v = route_violations(events)
+    assert v.count() == 2  # valid + double-encoded copy; invalid+garbage dropped
+    assert {r["violation_type"] for r in v.collect()} == {"harsh_brake"}
+    s = route_device_status(events)
+    assert s.count() == 1
+    assert s.first()["action"] == "touch"
+
+
+def test_latency_derivation(events):
+    lat = latency_records(route_violations(events))
+    rows = {r["kafka_received_at_ms"]: r for r in lat.collect()}
+    assert rows[100_025]["latency_ms"] == 25
+    assert rows[100_031]["latency_ms"] == 31
+    assert rows[100_025]["timestamp"] == "1970-01-01T00:01:40.025Z"
+
+
+def test_violation_type_counts(events):
+    counts = violation_type_counts(route_violations(events))
+    assert counts.collect()[0].asDict() == {"violation_type": "harsh_brake", "n": 2}
+
+
+def _write_status_batch(spark, path, rows):
+    """Append one file = one micro-batch for the file stream source.
+    Write-then-rename so the file appears atomically to the source's
+    directory listing."""
+    lines = [
+        json.dumps(
+            {
+                "event_type": "device_status",
+                "status_type": st,
+                "action": action,
+                "device_uuid": device,
+                "timestamp": ts,
+            }
+        )
+        for device, action, ts, st in rows
+    ]
+    import os
+
+    fname = f"{path}/{uuid.uuid4().hex}.json"
+    with open(fname + ".tmp", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(fname + ".tmp", fname)
+
+
+def _drain(q, timeout=120):
+    """Wait until the source is drained. processAllAvailable() livelocks
+    under ProcessingTimeTimeout (the engine continuously schedules
+    timer-evaluation batches, so the no-new-data latch never settles);
+    instead, wait for a zero-input batch that STARTED after this call —
+    its directory listing saw every file written before the call."""
+    import datetime
+
+    start = datetime.datetime.now(datetime.timezone.utc)
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(f"query failed: {q.exception()}")
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] == 0:
+            bts = datetime.datetime.fromisoformat(
+                p["timestamp"].replace("Z", "+00:00")
+            )
+            if bts > start:
+                return
+        time.sleep(0.5)
+    raise TimeoutError("stream did not drain in time")
+
+
+def test_session_consolidation(spark, tmp_path):
+    """touch/extend within TTL → one session; clear finalizes; a later
+    touch opens a new session (kafkaConsumer.js:278-347 state machine)."""
+    src = tmp_path / "status"
+    src.mkdir()
+    _write_status_batch(
+        spark,
+        str(src),
+        [
+            ("d-1", "touch", 1000, "cable-unplugged"),
+            ("d-1", "touch", 1030, "cable-unplugged"),
+            ("d-2", "touch", 1010, "cable-unplugged"),
+            ("d-3", "touch", 1040, "other-status"),  # F7: not consolidated
+            ("d-1", "poke", 1050, "cable-unplugged"),  # F8: unknown action
+        ],
+    )
+    from kafka_flink_harshevents_spark.functions.json_lenient import parse_telemetry
+    from kafka_flink_harshevents_spark import schemas
+
+    stream = parse_telemetry(
+        spark.readStream.schema(
+            "value STRING"
+        ).text(str(src)),
+        value_col="value",
+        schema=schemas.DEVICE_STATUS_EVENT,
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        consolidate_status_sessions(stream, ttl_seconds=300)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _drain(q)
+        # nothing finalized yet — sessions still open
+        assert spark.table(name).count() == 0
+
+        # batch 2: clear d-1 (finalize), extend d-2
+        _write_status_batch(
+            spark,
+            str(src),
+            [
+                ("d-1", "clear", 1100, "cable-unplugged"),
+                ("d-2", "touch", 1110, "cable-unplugged"),
+            ],
+        )
+        _drain(q)
+        rows = {r["device_uuid"]: r for r in spark.table(name).collect()}
+        assert set(rows) == {"d-1"}
+        d1 = rows["d-1"]
+        assert (d1["start_timestamp"], d1["end_timestamp"], d1["n_touches"]) == (
+            1000,
+            1030,
+            2,
+        )
+        assert d1["timestamp"] == 1030  # doc timestamp = last touch
+
+        # batch 3: d-1 touches again → NEW session, finalized by clear
+        _write_status_batch(
+            spark,
+            str(src),
+            [
+                ("d-1", "touch", 2000, "cable-unplugged"),
+                ("d-1", "clear", 2005, "cable-unplugged"),
+            ],
+        )
+        _drain(q)
+        d1_sessions = [
+            r for r in spark.table(name).collect() if r["device_uuid"] == "d-1"
+        ]
+        assert len(d1_sessions) == 2
+        assert {(r["start_timestamp"], r["end_timestamp"]) for r in d1_sessions} == {
+            (1000, 1030),
+            (2000, 2000),
+        }
+    finally:
+        q.stop()
+
+
+def test_session_ttl_timeout(spark, tmp_path):
+    """No clear ever arrives (the Flink job never emits one) — the
+    processing-time TTL finalizes the session, like Redis EX expiry."""
+    src = tmp_path / "status_ttl"
+    src.mkdir()
+    _write_status_batch(spark, str(src), [("d-9", "touch", 1000, "cable-unplugged")])
+
+    from kafka_flink_harshevents_spark.functions.json_lenient import parse_telemetry
+    from kafka_flink_harshevents_spark import schemas
+
+    stream = parse_telemetry(
+        spark.readStream.schema("value STRING").text(str(src)),
+        value_col="value",
+        schema=schemas.DEVICE_STATUS_EVENT,
+    )
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        consolidate_status_sessions(stream, ttl_seconds=1)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _drain(q)
+        # the 1 s TTL lapses and the engine's continuous timer batches fire
+        # the expiry on their own — no further input needed (Redis EX-like)
+        deadline = time.time() + 60
+        while spark.table(name).count() == 0 and time.time() < deadline:
+            time.sleep(0.5)
+        rows = spark.table(name).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["device_uuid"], r["start_timestamp"], r["end_timestamp"]) == (
+            "d-9",
+            1000,
+            1000,
+        )
+        assert r["n_touches"] == 1
+    finally:
+        q.stop()
