@@ -21,12 +21,13 @@ from kafka_flink_harshevents_spark.queries import (
     documents,
     embeddings,
     events,
+    multimodal,
     relational,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (relational, events, documents, embeddings)
+_MODULES = (relational, events, documents, embeddings, multimodal)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,69 @@
+"""Multimodal plumbing: binary construction, Arrow-batched decode,
+resize stub, frame sampling (flatMap shape), and oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.multimodal.media import (
+    FRAME_SIZE,
+    decode_media,
+    media_from_documents,
+    resize_media,
+    sample_frames,
+)
+from kafka_flink_harshevents_spark.queries._util import load
+
+from tests.conftest import SF_DIR
+
+
+def test_media_construction(spark):
+    m = media_from_documents(load(spark, SF_DIR, "documents"))
+    row = m.filter(F.col("doc_id") == 0).first()
+    assert bytes(row["media"])[:4] == b"\x89PNG"  # doc 0 -> png
+    assert row["media_meta"]["format"] == "png"
+    assert row["media_meta"]["n_bytes"] == len(bytes(row["media"]))
+    assert m.schema["media"].dataType.typeName() == "binary"
+
+
+def test_decode_matches_python(spark):
+    """The mapInPandas decode equals a driver-side recompute on a sample."""
+    m = media_from_documents(load(spark, SF_DIR, "documents")).limit(20)
+    decoded = {r["doc_id"]: r for r in decode_media(m).collect()}
+    import numpy as np
+
+    for r in m.collect():
+        meta = r["media_meta"]
+        magic_len = 4
+        px = np.frombuffer(bytes(r["media"])[magic_len:], dtype=np.uint8)
+        d = decoded[r["doc_id"]]
+        assert d["n_pixels"] == len(px)
+        assert d["mean_intensity"] == float(px.mean())
+        assert (d["min_byte"], d["max_byte"]) == (int(px.min()), int(px.max()))
+
+
+def test_resize_stub(spark):
+    m = media_from_documents(load(spark, SF_DIR, "documents")).limit(5)
+    out = resize_media(m, 32, 16).collect()
+    assert all(r["n_bytes_out"] == 32 * 16 * 3 for r in out)
+    assert len(out) == 5
+
+
+def test_frame_sampling_flatmap(spark):
+    """1 row -> N rows; every 3rd 64-byte frame; all frames full-size."""
+    m = media_from_documents(load(spark, SF_DIR, "documents"))
+    frames = sample_frames(m, every_k=3)
+    agg = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.octet_length("frame_bytes")).alias("minlen"),
+        F.max("frame_idx").alias("maxidx"),
+    )
+    joined = agg.join(
+        m.select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes")), "doc_id"
+    )
+    for r in joined.collect():
+        n_frames = (r["n_bytes"] - 4) // FRAME_SIZE
+        expect = (n_frames + 2) // 3
+        assert r["n"] == expect, r
+        assert r["minlen"] == FRAME_SIZE
+        assert r["maxidx"] % 3 == 0
