@@ -145,10 +145,89 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("knn_rank") <= TOP_K)
 
 
+NEARDUP_COS = 0.4  # synthetic embeddings are near-orthogonal (max ~0.51)
+IVF_NPROBE = 3  # probe the 3 nearest of the 10 label-centroids
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): unordered
+    pairs with cosine ≥ NEARDUP_COS. Exact all-pairs here (the oracle can
+    check it); the 100 TB path blocks candidates through the same
+    signature scheme as emb_knn_lsh so the join is equi-keyed, never a
+    cross product."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+    cos = F.round(_dot("ea", "eb") / (_norm("ea") * _norm("eb")), 6)
+    return pairs.select("va", "vb", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= NEARDUP_COS
+    )
+
+
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize by label centroid, probe
+    the IVF_NPROBE nearest lists, exact search within them.
+
+    Deterministic algorithm → exact SQL oracle (unlike LSH, whose planes
+    are engine-side constants). At scale the candidate join is an
+    equi-join on ``label``: each query touches ~nprobe/nlists of the
+    data instead of all of it."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    # centroids: avg per (label, dim) → array ordered by dim
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("avgv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                lambda s: s["avgv"],
+            ).alias("cemb")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    qc = q.join(F.broadcast(cent))
+    csim = F.round(_dot("qemb", "cemb") / (_norm("qemb") * _norm("cemb")), 6)
+    probe = (
+        qc.select("qid", "qemb", "label", csim.alias("csim"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("label"))
+            ),
+        )
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("qid", "qemb", "label")
+    )
+    cands = e.join(F.broadcast(probe), on="label").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sim = F.round(_dot("qemb", "emb") / (_norm("qemb") * _norm("emb")), 6)
+    ranked = cands.select("qid", "vec_id", sim.alias("sim")).withColumn(
+        "knn_rank",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .cast("long"),
+    )
+    return ranked.filter(F.col("knn_rank") <= TOP_K)
+
+
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
     "emb_centroids": emb_centroids,
     "emb_knn_lsh": emb_knn_lsh,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_knn_ivf": emb_knn_ivf,
 }
 
 _COS = """
@@ -182,4 +261,65 @@ ORACLES = {
     """,
     # emb_knn_lsh: intentionally no oracle — approximate result set; the
     # driver's rows-only check applies and tests/ cover recall ≥ floor.
+    "emb_neardup_pairs": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        p AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   round(
+                       list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i])))
+                        * sqrt(list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i])))),
+                   6) AS cos_sim
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT va, vb, cos_sim FROM p WHERE cos_sim >= {NEARDUP_COS}
+    """,
+    "emb_knn_ivf": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        cd AS (
+            SELECT label, i, avg(emb[i]) AS avgv
+            FROM e, range(1, {EMB_DIM + 1}) t(i)
+            GROUP BY label, i
+        ),
+        c AS (
+            SELECT label, array_agg(avgv ORDER BY i) AS cemb FROM cd GROUP BY label
+        ),
+        q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERY_VECS}),
+        qc AS (
+            SELECT qid, qemb, label,
+                   round(
+                       list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qemb[i] * cemb[i]))
+                       / (sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qemb[i] * qemb[i])))
+                        * sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> cemb[i] * cemb[i])))),
+                   6) AS csim
+            FROM q, c
+        ),
+        probe AS (
+            SELECT qid, qemb, label
+            FROM (
+                SELECT qid, qemb, label,
+                       row_number() OVER (PARTITION BY qid ORDER BY csim DESC, label) AS pr
+                FROM qc
+            ) WHERE pr <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.qid, p.qemb, e.vec_id, e.emb
+            FROM probe p JOIN e ON e.label = p.label
+            WHERE e.vec_id <> p.qid
+        ),
+        r AS (
+            SELECT qid, vec_id, {_COS} AS sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY {_COS} DESC, vec_id
+                   ) AS BIGINT) AS knn_rank
+            FROM cand
+        )
+        SELECT qid, vec_id, sim, knn_rank FROM r WHERE knn_rank <= {TOP_K}
+    """,
 }

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import load
+from kafka_flink_harshevents_spark.queries._util import load, ts_millis
 
 # Revenue expression used across TPC-H-style queries (built lazily:
 # Column construction needs an active SparkContext in classic PySpark).
@@ -152,11 +152,43 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join."""
+    """NOT EXISTS → left-anti join: customers with no large order
+    (> 400k; every synthetic customer has SOME order, so the unfiltered
+    anti-join would be trivially empty). The filter lands on the orders
+    scan before the join."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000)
     return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select(
         "c_custkey", "c_name"
+    )
+
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event enriched with the user's most recent order
+    at-or-before the event time (operators.joins.asof_join — union-sort,
+    one shuffle, no range-join blowup)."""
+    from kafka_flink_harshevents_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_millis("ts").alias("ts_ms")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        ts_millis("o_orderdate").alias("odate_ms"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        e,
+        o,
+        on="user_id",
+        left_ts="ts_ms",
+        right_ts="odate_ms",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_ms", "o_orderkey", "o_totalprice"
     )
 
 
@@ -197,6 +229,7 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_customers_without_orders": q_customers_without_orders,
+    "q_asof_latest_order": q_asof_latest_order,
     "q_revenue_rollup": q_revenue_rollup,
 }
 
@@ -271,7 +304,25 @@ ORACLES = {
     "q_customers_without_orders": """
         SELECT c_custkey, c_name
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000
+        )
+    """,
+    "q_asof_latest_order": """
+        WITH o AS (
+            SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS odate_ms,
+                   o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC
+                   ) AS rd
+            FROM orders
+        ), od AS (SELECT * FROM o WHERE rd = 1),
+        e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
+        SELECT e.event_id, e.user_id, e.ts_ms, od.o_orderkey, od.o_totalprice
+        FROM e ASOF LEFT JOIN od
+          ON e.user_id = od.user_id AND od.odate_ms <= e.ts_ms
     """,
     "q_revenue_rollup": """
         SELECT coalesce(r_name, 'ALL') AS region_name,
