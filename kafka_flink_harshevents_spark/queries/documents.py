@@ -185,16 +185,50 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sidx"),
         )
     )
+    # Bitmap width: the distinct-shingle count is a tiny aggregate (the
+    # `order` table), cheap to evaluate eagerly; at any corpus size where
+    # all-pairs exact Jaccard is even attempted, the vocabulary fits a
+    # per-doc bitmap (else MinHash-LSH is the right operator).
+    n_vocab = order.count()
+    n_words = (n_vocab + 63) // 64 + 1
     indexed = sh.join(order, "s").select("doc_id", "sidx")
     docs = indexed.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("sidx")).alias("sset"),
         F.count(F.lit(1)).alias("n"),
     )
+    # shingle-set bitmap: sidx s sets bit s%64 of word s/64 —
+    # intersection size becomes ~n_words bit_count ops per pair instead
+    # of an array merge (the verify step dominates this query's runtime).
+    docs = docs.withColumn(
+        "bits",
+        F.expr(
+            f"""aggregate(
+                sset,
+                array_repeat(CAST(0 AS BIGINT), {n_words}),
+                (acc, s) -> transform(
+                    acc,
+                    (w, i) -> CASE WHEN CAST(s / 64 AS INT) = i
+                                   THEN w | shiftleft(CAST(1 AS BIGINT), CAST(s % 64 AS INT))
+                                   ELSE w END)
+            )"""
+        ),
+    )
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1).cast("int")
     prefixes = docs.select(
         "doc_id",
         "n",
-        F.explode(F.slice("sset", 1, prefix_len)).alias("sidx"),
+        F.posexplode(F.slice("sset", 1, prefix_len)).alias("pos", "sidx"),
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based position in the set
+    # PPJoin positional filter: the overlap still reachable from this
+    # collision is 1 + min(n_a - pos_a, n_b - pos_b); Jaccard ≥ t needs
+    # overlap ≥ ceil(t/(1+t) · (n_a+n_b)). Prunes inside the join, before
+    # any candidate row reaches the verify stage.
+    min_overlap = F.ceil(
+        F.lit(JACCARD_THRESHOLD / (1 + JACCARD_THRESHOLD))
+        * (F.col("a.n") + F.col("b.n"))
+    )
+    reachable = 1 + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
     cand = (
         prefixes.alias("a")
@@ -203,17 +237,21 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.sidx") == F.col("b.sidx"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") >= F.col("a.n") * F.lit(JACCARD_THRESHOLD))
-            & (F.col("b.n") <= F.col("a.n") / F.lit(JACCARD_THRESHOLD)),
+            & (F.col("b.n") <= F.col("a.n") / F.lit(JACCARD_THRESHOLD))
+            & (reachable >= min_overlap),
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
     )
     # Verify WITHOUT deduplicating candidates first: a distinct() here
-    # shuffles the full candidate stream (the widest intermediate), while
-    # the per-doc array table is tiny at any corpus size that fits this
-    # all-pairs baseline — broadcast it twice and verify in the map, then
-    # dedupe only the (small) surviving pair set.
-    full = F.broadcast(docs.select("doc_id", "sset", "n"))
-    inter = F.size(F.array_intersect(F.col("ca.sset"), F.col("cb.sset"))).cast("long")
+    # shuffles the full (widest) candidate stream, while the bitmap
+    # verify is ~n_words ANDs+popcounts per pair — cheaper than the
+    # shuffle it would save. Dedupe only the small surviving pair set.
+    full = F.broadcast(docs.select("doc_id", "bits", "n"))
+    inter = F.aggregate(
+        F.zip_with("ca.bits", "cb.bits", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     jac = inter / (F.col("ca.n") + F.col("cb.n") - inter)
     return (
         cand.join(full.alias("ca"), F.col("da") == F.col("ca.doc_id"))
