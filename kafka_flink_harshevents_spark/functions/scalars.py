@@ -51,3 +51,24 @@ def epoch_seconds_now() -> Column:
 def epoch_millis_now() -> Column:
     """``Date.now()`` (``mqtt_publish.js:238``)."""
     return F.unix_millis(F.current_timestamp())
+
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean radius
+
+
+def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance between two lon/lat points in km.
+
+    The reference only *stores* GeoJSON points (2dsphere index,
+    ``kafkaConsumer.js:148``) and never queries them; this is the
+    geo-predicate building block SURVEY.md §2.9 scopes for when a query
+    needs one. Pure trig expressions — codegen-friendly, no UDF.
+    """
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))

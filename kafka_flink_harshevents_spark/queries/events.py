@@ -110,6 +110,30 @@ def ev_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picks
 
 
+def ev_percentile_last1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's actual buffer semantics (mqtt_publish.js:80-97): statistics
+    over the 1000 MOST RECENT samples only. The recency cut is
+    ORDER BY ts DESC LIMIT 1000 — Spark plans TakeOrderedAndProject, so
+    only 1000 rows ever leave the scan regardless of table size."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "value", ts_millis("ts").alias("tms")
+    )
+    recent = e.orderBy(F.col("tms").desc(), F.col("event_id").desc()).limit(1000)
+    w = Window.orderBy("value", "event_id")
+    ranked = recent.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.5) + 1), F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.95) + 1), F.col("value"))).alias("p95"),
+        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.99) + 1), F.col("value"))).alias("p99"),
+    )
+
+
 def ev_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
@@ -181,6 +205,7 @@ QUERIES = {
     "ev_sessionize_2h": ev_sessionize_2h,
     "ev_hourly_tumbling": ev_hourly_tumbling,
     "ev_percentile_stats": ev_percentile_stats,
+    "ev_percentile_last1000": ev_percentile_last1000,
     "ev_histogram": ev_histogram,
     "ev_props_extract": ev_props_extract,
     "ev_threshold_classify": ev_threshold_classify,
@@ -235,6 +260,28 @@ ORACLES = {
                    row_number() OVER (ORDER BY value, event_id) AS rn,
                    count(*) OVER () AS n
             FROM events
+        )
+        SELECT count(*) AS cnt,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               round(avg(value), 4) AS avg_value,
+               max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
+               max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
+               max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
+        FROM s
+    """,
+    "ev_percentile_last1000": """
+        WITH recent AS (
+            SELECT event_id, value
+            FROM events
+            ORDER BY epoch_ms(ts) DESC, event_id DESC
+            LIMIT 1000
+        ),
+        s AS (
+            SELECT value,
+                   row_number() OVER (ORDER BY value, event_id) AS rn,
+                   count(*) OVER () AS n
+            FROM recent
         )
         SELECT count(*) AS cnt,
                min(value) AS min_value,

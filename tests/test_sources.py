@@ -128,3 +128,16 @@ def test_file_sources(spark, tmp_path):
     jl.write_text(json.dumps(doc) + "\n" + json.dumps(json.dumps(doc)) + "\nnope\n")
     tel = read_telemetry_jsonl(spark, str(jl))
     assert tel.count() == 2  # double-encoded unwrapped, malformed dropped
+
+
+def test_haversine(spark):
+    """Known distance: Paris (2.3522E, 48.8566N) ↔ London (-0.1276E,
+    51.5072N) ≈ 343.5 km."""
+    from kafka_flink_harshevents_spark.functions.scalars import haversine_km
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(2.3522, 48.8566, -0.1276, 51.5072)],
+                               ["lon1", "lat1", "lon2", "lat2"])
+    d = df.select(haversine_km(F.col("lon1"), F.col("lat1"),
+                               F.col("lon2"), F.col("lat2")).alias("km")).first()["km"]
+    assert abs(d - 343.5) < 1.0
