@@ -222,8 +222,63 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate subquery, decorrelated
+    into a per-partkey aggregate joined back to the fact table (what
+    Catalyst's RewriteCorrelatedScalarSubquery produces) — the per-part
+    averages table is orders of magnitude smaller than lineitem, so AQE
+    broadcasts it."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact count(DISTINCT) per group (expand +
+    two-phase agg under the hood) alongside a plain count."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers ordering in BOTH 1996 and 1997
+    (INTERSECT) minus those with any F-status order (EXCEPT)."""
+    o = load(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    failed = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        y96.intersect(y97).exceptAll(failed.distinct()).select(
+            F.col("o_custkey").alias("custkey")
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q_distinct_agg": q_distinct_agg,
+    "q_set_ops": q_set_ops,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q4_order_priority": q4_order_priority,
@@ -234,6 +289,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q17_small_quantity_revenue": """
+        WITH half AS (
+            SELECT l_partkey AS ak, avg(l_quantity) * 0.5 AS half_avg
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN half ON l_partkey = ak
+        WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+    """,
+    "q_distinct_agg": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_set_ops": """
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                        AS sum_qty,

@@ -253,3 +253,65 @@ def test_session_ttl_timeout(spark, tmp_path):
         assert r["n_touches"] == 1
     finally:
         q.stop()
+
+
+def test_event_time_window_with_watermark(spark, tmp_path):
+    """Engine capability past the reference (which is processing-time
+    only, T1): event-time tumbling windows gated by a watermark. Append
+    mode emits a window only once the watermark passes its end — late
+    data within the allowance still lands in its window."""
+    src = tmp_path / "wm"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    write(
+        "a.jsonl",
+        [
+            {"et": "click", "ts": "2026-01-01 00:00:05"},
+            {"et": "click", "ts": "2026-01-01 00:00:40"},
+            {"et": "error", "ts": "2026-01-01 00:00:50"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("et STRING, ts TIMESTAMP").json(str(src))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "60 seconds"), "et")
+        .count()
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0  # window not closed yet
+
+        # late-but-allowed event for minute 0, plus an event far enough
+        # ahead to push the watermark past minute 0's end
+        write(
+            "b.jsonl",
+            [
+                {"et": "click", "ts": "2026-01-01 00:00:55"},
+                {"et": "click", "ts": "2026-01-01 00:02:30"},
+            ],
+        )
+        q.processAllAvailable()
+        # one more batch so the advanced watermark finalizes minute 0
+        write("c.jsonl", [{"et": "click", "ts": "2026-01-01 00:02:40"}])
+        q.processAllAvailable()
+        rows = {
+            (r["window"]["start"].isoformat(), r["et"]): r["count"]
+            for r in spark.table(name).collect()
+        }
+        assert rows == {
+            ("2026-01-01T00:00:00", "click"): 3,
+            ("2026-01-01T00:00:00", "error"): 1,
+        }
+    finally:
+        q.stop()
