@@ -22,12 +22,13 @@ from kafka_flink_harshevents_spark.queries import (
     embeddings,
     events,
     multimodal,
+    pipeline_tp,
     relational,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (relational, events, documents, embeddings, multimodal)
+_MODULES = (relational, events, documents, embeddings, multimodal, pipeline_tp)
 
 
 def all_queries() -> dict[str, QueryFn]:
