@@ -28,8 +28,21 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="bench")
-    # JVM/codegen warm-up so q1's number isn't paying startup costs.
+    # JVM/codegen warm-up + one scan of every table, so the first query of
+    # each family isn't paying startup/footer first-touch costs; reported
+    # separately so round-over-round per-query deltas are signal.
+    from kafka_flink_harshevents_spark.queries._util import TABLES, load
+
+    t0 = time.perf_counter()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        load(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    # spin up the Arrow/pandas worker pool once so the first pandas-backed
+    # query doesn't carry the interpreter fork cost
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    warmup = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():
@@ -45,6 +58,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warmup": warmup,
                 "sf": sf,
             }
         )

@@ -50,9 +50,18 @@ def parse_telemetry(
 ):
     """``Kafka value string -> telemetry columns`` (P11 + F1).
 
-    PERMISSIVE ``from_json`` with a corrupt-record column: unparseable
-    input lands in ``_corrupt_record`` and is filtered out, reproducing
-    the reference's drop-malformed policy. Works identically on batch and
+    PERMISSIVE ``from_json`` with a corrupt-record column. The drop rule
+    reproduces Jackson's FIELD-LEVEL leniency, not Spark's default
+    record-level strictness: Jackson coerces field-wise (a string-typed
+    ``timestamp`` yields 0 via ``asLong``, a bad element is skipped),
+    so the reference still processes records with one drifting field.
+    Spark flags such records in ``_corrupt_record`` but DOES parse every
+    well-typed field — therefore we drop a record only when it is
+    *wholly* unparseable (corrupt marker set AND every schema field
+    null); a partially-valid record survives with nulls in the drifted
+    fields. Null then behaves exactly like Jackson's 0/absent in every
+    downstream guard (``vts > 0``, truthiness validation), so observable
+    behavior matches the reference. Works identically on batch and
     streaming DataFrames.
     """
     raw = unwrap_double_encoded(F.col(value_col).cast("string"))
@@ -68,8 +77,11 @@ def parse_telemetry(
         ),
     )
     if drop_malformed:
-        parsed = parsed.filter(
-            F.col("parsed").isNotNull() & F.col("parsed._corrupt_record").isNull()
-        )
+        all_fields_null = None
+        for f in schema.fields:
+            c = F.col(f"parsed.{f.name}").isNull()
+            all_fields_null = c if all_fields_null is None else (all_fields_null & c)
+        wholly_malformed = F.col("parsed._corrupt_record").isNotNull() & all_fields_null
+        parsed = parsed.filter(F.col("parsed").isNotNull() & ~wholly_malformed)
     keep = [c for c in df.columns if c != value_col]
     return parsed.select(*keep, "parsed.*").drop("_corrupt_record")

@@ -77,6 +77,11 @@ def device_status_from_telemetry(telemetry: DataFrame) -> DataFrame:
     ``device_uuid``, ``timestamp > 0``, case-insensitive
     ``dashcam_power_source == "battery"``. The job emits only
     ``action="touch"`` (``:130``); ``clear`` arrives from other producers.
+
+    Wire-format note: the reference's status events carry NO
+    ``mqtt_sent_at_ms`` (Java job :127-139, README.md:657-669) — so a
+    reference-style consumer never emits device-status latency records.
+    Keeping it out of the projection preserves that observable behavior.
     """
     gated = telemetry.filter(
         F.col("device_uuid").isNotNull()
@@ -92,7 +97,6 @@ def device_status_from_telemetry(telemetry: DataFrame) -> DataFrame:
         F.col("vehicle_id"),
         F.col("account_id"),
         F.col("location"),
-        F.col("mqtt_sent_at_ms"),
     )
 
 

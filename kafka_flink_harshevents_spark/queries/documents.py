@@ -159,70 +159,141 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs bigram-shingle Jaccard ≥ t, PPJoin-style.
+# Above this estimated incidence-matrix size the dense blocked path is no
+# longer broadcast-shaped; the PPJoin prefix-filter path takes over.
+JACCARD_DENSE_MAX_BYTES = 256 << 20
+JACCARD_BLOCK_DOCS = 512  # docs per packed block in the dense path
 
-    A naive shingle self-join is Σ df² pair rows — quadratic when the
-    vocabulary is small. This is the published exact pruning instead:
 
-    1. global shingle order, rarest first (df asc);
-    2. each doc emits only its PREFIX — the first n−⌈t·n⌉+1 shingles in
-       that order. Two sets with Jaccard ≥ t MUST collide inside their
-       prefixes, so no exact pair is lost;
-    3. length filter |A|·t ≤ |B| ≤ |A|/t applied on the candidate join;
-    4. verification via array_intersect on the collected (distinct)
-       shingle arrays — per-pair linear merge, no second explode/shuffle.
-    """
-    sh = _shingles(load(spark, sf_dir, "documents"))
-    # Global rarest-first order as a dense index (ties broken by value).
-    order = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
+def _jaccard_dense_blocked(sh: DataFrame, n_docs: int) -> DataFrame:
+    """Small-vocabulary exact path: intersection sizes for a whole block
+    pair of docs are ONE BLAS matmul over a 0/1 incidence matrix (0/1
+    float32 products are exact for counts < 2²⁴).
+
+    Deliberately NO global shingle index: shingles are hashed to 64 bits
+    JVM-side (xxhash64 — collision odds ~V²/2⁶⁴, vanishing at any V this
+    path accepts), and each kernel builds its block-pair-LOCAL dense
+    index with np.unique + searchsorted. That keeps the Spark plan to
+    exactly: project → groupBy(doc_id) → pack blocks → one broadcast
+    self-join → mapInPandas — no ranking subtree, minimal driver
+    planning. Docs are packed into blocks executor-side (applyInPandas)
+    and the right side rides Spark's broadcast-join machinery — no
+    driver collect, (n_blocks²)/2 embarrassingly parallel tasks."""
+    import numpy as np
+    import pandas as pd
+
+    # Cached because the self-join references it twice; bounded by the
+    # same guard that chose this path (the hash lists are ≤ the
+    # incidence-matrix bytes).
+    dsets = (
+        sh.select("doc_id", F.xxhash64("s").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("n"))
+    ).cache()
+    n_blocks = max(1, -(-n_docs // JACCARD_BLOCK_DOCS))
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [pdf["doc_id"].tolist()],
+                "ns": [pdf["n"].tolist()],
+                "sets": [pdf["hs"].tolist()],
+            }
+        )
+
+    packed = (
+        dsets.withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .applyInPandas(pack, schema="blk long, ids array<long>, ns array<long>, sets array<array<long>>")
+    )
+    pairs = (
+        packed.alias("a")
+        .join(F.broadcast(packed.alias("b")), F.col("a.blk") <= F.col("b.blk"))
         .select(
-            "s",
-            F.row_number()
-            .over(Window.orderBy("df", "s"))
-            .alias("sidx"),
+            F.col("a.blk").alias("blk_a"),
+            F.col("a.ids").alias("a_ids"),
+            F.col("a.ns").alias("a_ns"),
+            F.col("a.sets").alias("a_sets"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("b.ids").alias("b_ids"),
+            F.col("b.ns").alias("b_ns"),
+            F.col("b.sets").alias("b_sets"),
         )
     )
-    # Bitmap width: the distinct-shingle count is a tiny aggregate (the
-    # `order` table), cheap to evaluate eagerly; at any corpus size where
-    # all-pairs exact Jaccard is even attempted, the vocabulary fits a
-    # per-doc bitmap (else MinHash-LSH is the right operator).
-    n_vocab = order.count()
-    n_words = (n_vocab + 63) // 64 + 1
-    indexed = sh.join(order, "s").select("doc_id", "sidx")
-    docs = indexed.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("sidx")).alias("sset"),
-        F.count(F.lit(1)).alias("n"),
+
+    def block_jac(it):
+        def to_dense(sets, vocab_h):
+            m = np.zeros((len(sets), len(vocab_h)), dtype=np.float32)
+            for i, s in enumerate(sets):
+                m[i, np.searchsorted(vocab_h, np.asarray(s, dtype=np.int64))] = 1.0
+            return m
+
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                a_ids = np.asarray(row.a_ids, dtype=np.int64)
+                b_ids = np.asarray(row.b_ids, dtype=np.int64)
+                a_ns = np.asarray(row.a_ns, dtype=np.int64)
+                b_ns = np.asarray(row.b_ns, dtype=np.int64)
+                a_sets = [np.asarray(s, dtype=np.int64) for s in row.a_sets]
+                b_sets = [np.asarray(s, dtype=np.int64) for s in row.b_sets]
+                vocab_h = np.unique(np.concatenate(a_sets + b_sets))
+                a = to_dense(a_sets, vocab_h)
+                b = to_dense(b_sets, vocab_h)
+                inter = (a @ b.T).astype(np.int64)
+                union = a_ns[:, None] + b_ns[None, :] - inter
+                mask = inter >= union * JACCARD_THRESHOLD
+                if row.blk_a == row.blk_b:
+                    mask &= a_ids[:, None] < b_ids[None, :]
+                ia, ib = np.nonzero(mask)
+                va, vb = a_ids[ia], b_ids[ib]
+                yield pd.DataFrame(
+                    {
+                        "da": np.minimum(va, vb),
+                        "db": np.maximum(va, vb),
+                        "inter": inter[ia, ib],
+                        "un": union[ia, ib],
+                    }
+                )
+
+    hits = pairs.mapInPandas(block_jac, schema="da long, db long, inter long, un long")
+    # final division + rounding stay in Spark SQL so both engines round
+    # the identical double the same way
+    return hits.select("da", "db", F.round(F.col("inter") / F.col("un"), 4).alias("jaccard"))
+
+
+def _jaccard_ppjoin(sh: DataFrame) -> DataFrame:
+    """Large-vocabulary exact path: PPJoin prefix + positional filtering.
+
+    1. rarest-first TOTAL order without a global dense index: the prefix
+       filter only needs a consistent total order shared by all docs, so
+       (df asc, shingle asc) is encoded as one orderable string — a pure
+       per-row projection off the df join (no unpartitioned Window, no
+       eager vocabulary count);
+    2. each doc emits only its PREFIX — the first n−⌈t·n⌉+1 shingles in
+       that order; two sets with Jaccard ≥ t MUST collide in-prefix;
+    3. length filter |A|·t ≤ |B| ≤ |A|/t and the PPJoin positional filter
+       applied inside the candidate join;
+    4. verify via per-pair set intersection on the collected rank arrays.
+    """
+    vocab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(vocab, "s").select(
+        "doc_id",
+        F.concat(F.lpad(F.col("df").cast("string"), 10, "0"), F.lit("|"), F.col("s")).alias("rk"),
     )
-    # shingle-set bitmap: sidx s sets bit s%64 of word s/64 —
-    # intersection size becomes ~n_words bit_count ops per pair instead
-    # of an array merge (the verify step dominates this query's runtime).
-    docs = docs.withColumn(
-        "bits",
-        F.expr(
-            f"""aggregate(
-                sset,
-                array_repeat(CAST(0 AS BIGINT), {n_words}),
-                (acc, s) -> transform(
-                    acc,
-                    (w, i) -> CASE WHEN CAST(s / 64 AS INT) = i
-                                   THEN w | shiftleft(CAST(1 AS BIGINT), CAST(s % 64 AS INT))
-                                   ELSE w END)
-            )"""
-        ),
+    docs = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("rk")).alias("sset"),
+        F.count(F.lit(1)).alias("n"),
     )
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1).cast("int")
     prefixes = docs.select(
         "doc_id",
         "n",
-        F.posexplode(F.slice("sset", 1, prefix_len)).alias("pos", "sidx"),
+        F.posexplode(F.slice("sset", 1, prefix_len)).alias("pos", "rk"),
     ).withColumn("pos", F.col("pos") + 1)  # 1-based position in the set
     # PPJoin positional filter: the overlap still reachable from this
     # collision is 1 + min(n_a - pos_a, n_b - pos_b); Jaccard ≥ t needs
-    # overlap ≥ ceil(t/(1+t) · (n_a+n_b)). Prunes inside the join, before
-    # any candidate row reaches the verify stage.
+    # overlap ≥ ceil(t/(1+t) · (n_a+n_b)).
     min_overlap = F.ceil(
         F.lit(JACCARD_THRESHOLD / (1 + JACCARD_THRESHOLD))
         * (F.col("a.n") + F.col("b.n"))
@@ -234,32 +305,53 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefixes.alias("a")
         .join(
             prefixes.alias("b"),
-            (F.col("a.sidx") == F.col("b.sidx"))
+            (F.col("a.rk") == F.col("b.rk"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") >= F.col("a.n") * F.lit(JACCARD_THRESHOLD))
             & (F.col("b.n") <= F.col("a.n") / F.lit(JACCARD_THRESHOLD))
             & (reachable >= min_overlap),
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
     )
-    # Verify WITHOUT deduplicating candidates first: a distinct() here
-    # shuffles the full (widest) candidate stream, while the bitmap
-    # verify is ~n_words ANDs+popcounts per pair — cheaper than the
-    # shuffle it would save. Dedupe only the small surviving pair set.
-    full = F.broadcast(docs.select("doc_id", "bits", "n"))
-    inter = F.aggregate(
-        F.zip_with("ca.bits", "cb.bits", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    full = F.broadcast(docs.select("doc_id", "sset", "n"))
+    inter = F.size(F.array_intersect(F.col("ca.sset"), F.col("cb.sset"))).cast("long")
     jac = inter / (F.col("ca.n") + F.col("cb.n") - inter)
     return (
         cand.join(full.alias("ca"), F.col("da") == F.col("ca.doc_id"))
         .join(full.alias("cb"), F.col("db") == F.col("cb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
-        .distinct()
     )
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs bigram-shingle Jaccard ≥ t — vocabulary-adaptive.
+
+    Exact all-pairs similarity has two published efficient shapes, and
+    which one wins depends on the vocabulary:
+
+    - **dense vocabulary** (vocab small enough that the 0/1 incidence
+      matrix fits a broadcast): prefix filters barely prune — nearly all
+      pairs collide on common shingles — so the fastest exact plan is a
+      blocked incidence matmul (`_jaccard_dense_blocked`);
+    - **sparse vocabulary** (the usual shape for real corpora, where the
+      matrix cannot exist): PPJoin prefix + positional filtering with a
+      distributed rarest-first order (`_jaccard_ppjoin`).
+
+    The guard is a scalar probe (one narrow pass — approx distinct needs
+    no shuffle), the same two-pass shape as every broadcast decision.
+    Both paths are exact and hash-match the same oracle; the
+    truly-unbounded scale path for near-dup remains MinHash-LSH."""
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    probe = sh.agg(
+        F.approx_count_distinct("s").alias("nv"),
+        F.approx_count_distinct("doc_id").alias("nd"),
+    ).first()
+    n_docs, n_vocab = probe["nd"], probe["nv"]
+    if n_docs * n_vocab * 4 <= JACCARD_DENSE_MAX_BYTES:
+        return _jaccard_dense_blocked(sh, n_docs)
+    return _jaccard_ppjoin(sh)
 
 
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,7 @@
 - emb_knn_lsh       — random-hyperplane LSH bucketing: the scale path.
                       Approximate by construction → no SQL oracle (driver
                       records the rows-only check); correctness is covered
-                      by the recall test in tests/test_embeddings.py.
+                      by the recall test in tests/test_queries.py.
 
 All arithmetic is done in float64 (cast from the stored float32) with the
 same left-to-right fold in both engines, and similarities are rounded to
@@ -149,47 +149,137 @@ NEARDUP_COS = 0.4  # synthetic embeddings are near-orthogonal (max ~0.51)
 IVF_NPROBE = 3  # probe the 3 nearest of the 10 label-centroids
 
 
+# Above this estimated matrix size the packed-block broadcast join is no
+# longer a broadcast-shaped plan; fall back to LSH signature blocking.
+NEARDUP_MAX_BROADCAST_BYTES = 256 << 20
+# Rows per packed block: small enough that (n/B)²/2 block pairs saturate
+# the cluster (at 5k vectors → 10 blocks → 55 parallel matmul tasks),
+# big enough that each matmul amortizes the Arrow/task overhead.
+NEARDUP_BLOCK_ROWS = 512
+
+
+def _pack_blocks(e: DataFrame, n_blocks: int) -> DataFrame:
+    """Pack (vec_id, emb) rows into per-block rows carrying a normalized
+    row-major matrix — built entirely executor-side (applyInPandas), so
+    no vector ever crosses the driver."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["emb"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame(
+            {"blk": [int(pdf["blk"].iloc[0])], "ids": [ids.tolist()], "mat": [m.ravel().tolist()]}
+        )
+
+    return (
+        e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .applyInPandas(pack, schema="blk long, ids array<long>, mat array<double>")
+    )
+
+
+def _neardup_block_matmul(e: DataFrame, n_vecs: int) -> DataFrame:
+    """Distributed block matrix multiplication: both sides are packed into
+    normalized row blocks executor-side; the right side is broadcast via
+    Spark's own broadcast-join machinery (never a driver collect), and
+    each (i ≤ j) block pair does one BLAS matmul — ~100× the throughput
+    of per-pair array folds, with only the upper block triangle computed."""
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = max(1, -(-n_vecs // NEARDUP_BLOCK_ROWS))
+    packed = _pack_blocks(e, n_blocks)
+    pairs = (
+        packed.alias("a")
+        .join(F.broadcast(packed.alias("b")), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("a.ids").alias("a_ids"),
+            F.col("a.mat").alias("a_mat"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("b.ids").alias("b_ids"),
+            F.col("b.mat").alias("b_mat"),
+        )
+    )
+
+    def block_sim(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                a_ids = np.asarray(row.a_ids, dtype=np.int64)
+                b_ids = np.asarray(row.b_ids, dtype=np.int64)
+                a = np.asarray(row.a_mat, dtype=np.float64).reshape(len(a_ids), EMB_DIM)
+                b = np.asarray(row.b_mat, dtype=np.float64).reshape(len(b_ids), EMB_DIM)
+                sims = np.round(a @ b.T, 6)
+                mask = sims >= NEARDUP_COS
+                if row.blk_a == row.blk_b:
+                    mask &= a_ids[:, None] < b_ids[None, :]
+                ia, ib = np.nonzero(mask)
+                va, vb = a_ids[ia], b_ids[ib]
+                lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+                yield pd.DataFrame({"va": lo, "vb": hi, "cos_sim": sims[ia, ib]})
+
+    return pairs.mapInPandas(block_sim, schema="va long, vb long, cos_sim double")
+
+
+def _neardup_lsh_blocked(e: DataFrame) -> DataFrame:
+    """Scale path for tables too big to broadcast: hyperplane-LSH
+    signature blocking (same tables/planes as emb_knn_lsh). Candidates
+    share any table's signature — an equi-join keyed by (tbl, sig), so
+    the shuffle width is the colliding vectors only, never all pairs.
+    Approximate: recall < 1 by construction (raise LSH_TABLES for more);
+    every emitted pair is exact-verified against NEARDUP_COS."""
+    planes = _lsh_planes()
+    table_sigs = []
+    for t in range(LSH_TABLES):
+        sig = None
+        for b in range(LSH_BITS):
+            plane_col = F.array(*[F.lit(v) for v in planes[t * LSH_BITS + b]])
+            bit = (_dot(F.col("emb"), plane_col) > 0).cast("long") * (2**b)
+            sig = bit if sig is None else sig + bit
+        table_sigs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+    eb = e.select("vec_id", F.explode(F.array(*table_sigs)).alias("h")).select(
+        "vec_id", F.col("h.tbl").alias("tbl"), F.col("h.sig").alias("sig")
+    )
+    cand = (
+        eb.alias("a")
+        .join(
+            eb.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("aemb"))
+    ebm = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("bemb"))
+    sim = F.round(_dot("aemb", "bemb") / (_norm("aemb") * _norm("bemb")), 6)
+    return (
+        cand.join(ea, "va")
+        .join(ebm, "vb")
+        .select("va", "vb", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family): unordered
     pairs with cosine ≥ NEARDUP_COS.
 
-    Executed as distributed block matrix multiplication: the normalized
-    matrix is broadcast once (the same smallness condition a broadcast
-    join needs), each partition multiplies its row block against it with
-    BLAS and emits only pairs over threshold. That is ~100× the
-    throughput of per-pair array folds. When one side no longer fits a
-    broadcast, the scale path is signature blocking (emb_knn_lsh) —
-    never an all-pairs join."""
-    import numpy as np
-
+    Size-guarded two-path plan: when the normalized matrix fits the same
+    smallness condition a broadcast join needs, run distributed block
+    matmul (`_neardup_block_matmul` — exact); above the guard, switch to
+    LSH signature blocking (`_neardup_lsh_blocked` — the 100 TB path).
+    The only driver-side value is the scalar row count."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    rows = e.collect()  # broadcast side: n_vecs × dim doubles
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = np.array([r["emb"] for r in rows], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
-
-    def block(it):
-        import pandas as pd
-
-        b_ids, b_m = bc.value
-        for pdf in it:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf["emb"]), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a @ b_m.T, 6)
-            ia, ib = np.nonzero((sims >= NEARDUP_COS) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "va": a_ids[ia],
-                    "vb": b_ids[ib],
-                    "cos_sim": sims[ia, ib],
-                }
-            )
-
-    return e.mapInPandas(block, schema="va long, vb long, cos_sim double")
+    n_vecs = e.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    if n_vecs * EMB_DIM * 8 > NEARDUP_MAX_BROADCAST_BYTES:
+        return _neardup_lsh_blocked(e)
+    return _neardup_block_matmul(e, n_vecs)
 
 
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,9 +18,10 @@ event_type, value, props):
 - ev_user_topk         — top-k limit (README.md:108 find().limit shape)
 
 Scale notes: sessionization and the percentile query are the only wide
-ops; both shuffle ONCE on their natural key (user_id / global sort for
-the exact percentile). At 100 TB the exact-percentile query would switch
-to ``percentile_approx`` — kept exact here to match the reference's
+ops; sessions shuffle ONCE on user_id, and the exact percentile uses the
+distributed bucketed rank (operators/ranking.py) — no unpartitioned
+Window anywhere. At 100 TB the exact-percentile query would switch to
+``percentile_approx`` — kept exact here to match the reference's
 definition bit-for-bit.
 """
 
@@ -29,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_harshevents_spark.operators.ranking import with_exact_rank
 from kafka_flink_harshevents_spark.queries._util import load, ts_millis
 
 SESSION_GAP_MS = 300_000  # SESSION_TTL 300 s, kafkaConsumer.js:43
@@ -88,41 +90,8 @@ def ev_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ev_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's exact percentile definition: sort ascending, take
-    element floor(n*q) (0-indexed) — mqtt_publish.js:84-97. Implemented
-    as row_number against the total count, so both engines pick the
-    identical element (tie-break on event_id)."""
-    e = load(spark, sf_dir, "events").select("event_id", "value")
-    w = Window.orderBy("value", "event_id")
-    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
-    )
-    picks = ranked.agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.5) + 1), F.col("value"))).alias("p50"),
-        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.95) + 1), F.col("value"))).alias("p95"),
-        F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.99) + 1), F.col("value"))).alias("p99"),
-    )
-    return picks
 
-
-def ev_percentile_last1000(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2's actual buffer semantics (mqtt_publish.js:80-97): statistics
-    over the 1000 MOST RECENT samples only. The recency cut is
-    ORDER BY ts DESC LIMIT 1000 — Spark plans TakeOrderedAndProject, so
-    only 1000 rows ever leave the scan regardless of table size."""
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "value", ts_millis("ts").alias("tms")
-    )
-    recent = e.orderBy(F.col("tms").desc(), F.col("event_id").desc()).limit(1000)
-    w = Window.orderBy("value", "event_id")
-    ranked = recent.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+def _percentile_picks(ranked: DataFrame) -> DataFrame:
     return ranked.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("value").alias("min_value"),
@@ -132,6 +101,30 @@ def ev_percentile_last1000(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.95) + 1), F.col("value"))).alias("p95"),
         F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.99) + 1), F.col("value"))).alias("p99"),
     )
+
+
+def ev_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact percentile definition: sort ascending, take
+    element floor(n*q) (0-indexed) — mqtt_publish.js:84-97. Exact rank is
+    computed distributed (see `operators.ranking.with_exact_rank`), so both engines pick
+    the identical element (tie-break on event_id) with no global-sort
+    single-partition collapse. At 100 TB the cheap alternative remains
+    ``percentile_approx``; this entry is the bit-exact form."""
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    return _percentile_picks(with_exact_rank(e, "value", "event_id"))
+
+
+def ev_percentile_last1000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's actual buffer semantics (mqtt_publish.js:80-97): statistics
+    over the 1000 MOST RECENT samples only. The recency cut is
+    ORDER BY ts DESC LIMIT 1000 — Spark plans TakeOrderedAndProject, so
+    only 1000 rows ever leave the scan regardless of table size; the
+    rank over the bounded buffer reuses the same partitioned-rank plan."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "value", ts_millis("ts").alias("tms")
+    )
+    recent = e.orderBy(F.col("tms").desc(), F.col("event_id").desc()).limit(1000).drop("tms")
+    return _percentile_picks(with_exact_rank(recent, "value", "event_id"))
 
 
 def ev_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

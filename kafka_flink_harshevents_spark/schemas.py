@@ -117,6 +117,9 @@ VIOLATION_EVENT = T.StructType(
 
 # device-status.events — one row per battery-powered message
 # (TelematicsViolationDeriverJob.java:124-141, README.md:657-669).
+# mqtt_sent_at_ms stays in the PARSE schema (JS property access tolerates
+# absent fields → null) but is never in the produced wire event, so
+# latency tracking skips status events exactly like the reference.
 DEVICE_STATUS_EVENT = T.StructType(
     [
         T.StructField("event_type", T.StringType()),

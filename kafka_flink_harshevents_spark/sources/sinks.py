@@ -34,12 +34,24 @@ def write_events_partitioned(
     events: DataFrame,
     path: str,
     ts_col: str = "timestamp",
-    dedup_key_cols: tuple[str, ...] = ("device_uuid", "violation_type", "timestamp"),
+    dedup_key_cols: tuple[str, ...] = (
+        "device_uuid",
+        "violation_type",
+        "timestamp",
+        "details",
+    ),
 ) -> None:
     """Append events as date-partitioned parquet with device locality.
 
     ``ts_col`` is epoch seconds (the wire unit — SURVEY.md §1.2); the
-    derived ``event_date`` exists only for the directory layout."""
+    derived ``event_date`` exists only for the directory layout.
+
+    The dedup key includes the ``details`` struct: timestamps are epoch
+    SECONDS, so two genuinely distinct same-type violations for one
+    device within the same second differ only in their details
+    (accel_y/speed_kph/delta_speed) — hashing the struct keeps them both
+    while still collapsing true replays (``xxhash64`` hashes struct
+    fields recursively)."""
     hashed = with_event_hash(events, dedup_key_cols).dropDuplicates(["event_hash"])
     dated = hashed.withColumn(
         "event_date", F.date_format(F.timestamp_seconds(F.col(ts_col)), "yyyy-MM-dd")

@@ -19,30 +19,47 @@ from kafka_flink_harshevents_spark.sources.kafka import (
 )
 
 
+def _truthy_str(name: str) -> F.Column:
+    """JS-falsy string check: ``!x`` drops null AND '' (kafkaConsumer.js
+    validation is plain truthiness, not a null test)."""
+    return F.col(name).isNotNull() & (F.length(name) > 0)
+
+
+def _truthy_long(name: str) -> F.Column:
+    """JS-falsy number check: ``!x`` drops null AND 0 — the deriver can
+    legitimately emit timestamp 0 when the payload lacks one (Java job
+    ``vts > 0 ? vts : ts`` with ts defaulting to 0), and the reference
+    consumer silently drops those."""
+    return F.col(name).isNotNull() & (F.col(name) != 0)
+
+
 def route_violations(events: DataFrame) -> DataFrame:
     """O3 + P11 + F5: route by topic (kafkaConsumer.js:388-392), lenient
-    parse, then drop rows missing device_uuid/violation_type/timestamp —
-    the consumer's silent-drop validation (kafkaConsumer.js:195-198)."""
+    parse, then drop rows with falsy device_uuid/violation_type/timestamp
+    — the consumer's silent-drop truthiness validation
+    (kafkaConsumer.js:195-198): empty strings and timestamp 0 are dropped
+    exactly like nulls."""
     routed = events.filter(F.col("topic") == VIOLATIONS_TOPIC)
     parsed = parse_telemetry(routed, value_col="value", schema=schemas.VIOLATION_EVENT)
     return parsed.filter(
-        F.col("device_uuid").isNotNull()
-        & F.col("violation_type").isNotNull()
-        & F.col("timestamp").isNotNull()
+        _truthy_str("device_uuid")
+        & _truthy_str("violation_type")
+        & _truthy_long("timestamp")
     )
 
 
 def route_device_status(events: DataFrame) -> DataFrame:
-    """O3 + P11 + F6: the device-status twin (kafkaConsumer.js:254-257)."""
+    """O3 + P11 + F6: the device-status twin (kafkaConsumer.js:254-257) —
+    same JS-truthiness semantics on status_type/action."""
     routed = events.filter(F.col("topic") == DEVICE_STATUS_TOPIC)
     parsed = parse_telemetry(
         routed, value_col="value", schema=schemas.DEVICE_STATUS_EVENT
     )
     return parsed.filter(
-        F.col("device_uuid").isNotNull()
-        & F.col("status_type").isNotNull()
-        & F.col("action").isNotNull()
-        & F.col("timestamp").isNotNull()
+        _truthy_str("device_uuid")
+        & _truthy_str("status_type")
+        & _truthy_str("action")
+        & _truthy_long("timestamp")
     )
 
 

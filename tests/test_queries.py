@@ -57,3 +57,48 @@ def test_lsh_recall_floor(spark):
     assert all(q < 5 for q, _ in approx)
     recall = len(exact & approx) / len(exact)
     assert recall > 0.05, f"LSH recall suspiciously low: {recall}"
+
+
+def test_neardup_lsh_fallback_subset(spark):
+    """The size-guard fallback for emb_neardup_pairs (LSH signature
+    blocking) must emit a subset of the exact pair set with identical
+    similarities — verified against the exact block-matmul path."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.embeddings import (
+        _neardup_block_matmul,
+        _neardup_lsh_blocked,
+    )
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n = e.count()
+    exact = {
+        (r["va"], r["vb"]): r["cos_sim"]
+        for r in _neardup_block_matmul(e, n).collect()
+    }
+    approx = {
+        (r["va"], r["vb"]): r["cos_sim"]
+        for r in _neardup_lsh_blocked(e).collect()
+    }
+    assert set(approx) <= set(exact), "fallback emitted a non-exact pair"
+    for k, v in approx.items():
+        assert v == exact[k]
+    assert approx, "fallback found no pairs at all on near-dup data"
+
+
+def test_jaccard_ppjoin_path_matches_oracle(spark):
+    """doc_ngram_jaccard_pairs routes to the dense-matmul path at test
+    scale; the PPJoin prefix-filter path (large-vocabulary fallback) must
+    produce the identical exact result."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.documents import (
+        ORACLES,
+        _jaccard_ppjoin,
+        _shingles,
+    )
+
+    df = _jaccard_ppjoin(_shingles(load(spark, SF_DIR, "documents")))
+    assert_matches_duckdb(df, ORACLES["doc_ngram_jaccard_pairs"], SF_DIR)
