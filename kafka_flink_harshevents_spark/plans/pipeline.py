@@ -113,10 +113,129 @@ def run_streaming_pipeline(
     return queries
 
 
+# Reference consumer cadences: latencies.json flushed every 5 s
+# (kafkaConsumer.js:51), counter/memory report every 30 s
+# (kafkaConsumer.js:100-102).
+LATENCY_FLUSH_SECONDS = 5
+COUNTER_REPORT_SECONDS = 30
+
+
+def run_consumer_stage(
+    spark: SparkSession,
+    events: DataFrame,
+    output_root: str,
+    checkpoint_root: str,
+    latency_trigger_seconds: int | None = LATENCY_FLUSH_SECONDS,
+    counter_trigger_seconds: int | None = COUNTER_REPORT_SECONDS,
+    session_ttl_seconds: int | None = None,
+    session_api: str = "auto",
+):
+    """Start every consumer-side query of the reference topology off one
+    streaming ``events`` DataFrame (topic, value, kafka_received_at_ms —
+    ``read_event_streams`` shape, or any file-stream stand-in):
+
+    - **latency**: append-mode JSONL sink on a 5 s trigger — the
+      ``latencies.json`` flush loop (kafkaConsumer.js:51,84-98);
+    - **counters**: complete-mode ``foreachBatch`` snapshot on a 30 s
+      trigger — the Redis counter report (kafkaConsumer.js:100-102,
+      229-233). Complete mode is exact here because the aggregate's
+      cardinality is the violation-type enum: the snapshot is tiny at any
+      input scale, which is precisely when complete mode is the right
+      Spark shape for a Redis-style "current totals" view;
+    - **sessions** (optional, pass ``session_ttl_seconds``): the O9
+      stateful consolidation → append JSONL of finalized sessions.
+
+    Returns ``{name: StreamingQuery}``. Each query owns a checkpoint
+    under ``checkpoint_root`` so any of them can restart independently —
+    the engine's upgrade on the reference's shared single-process
+    consumer (SURVEY §2.10 T5/T6).
+    """
+    from kafka_flink_harshevents_spark.streaming.sessions import (
+        consolidate_status_sessions,
+    )
+
+    stage = consumer_stage(events)
+    queries: dict[str, object] = {}
+
+    lat = stage["latency"].writeStream.format("json").outputMode("append").option(
+        "path", f"{output_root}/latencies"
+    ).option("checkpointLocation", f"{checkpoint_root}/latencies")
+    if latency_trigger_seconds is not None:
+        lat = lat.trigger(processingTime=f"{latency_trigger_seconds} seconds")
+    queries["latency"] = lat.queryName("latency_records").start()
+
+    def _snapshot(bdf: DataFrame, batch_id: int) -> None:
+        # overwrite = the current totals, exactly a Redis MGET snapshot
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").json(
+            f"{output_root}/counters_current"
+        )
+
+    cnt = (
+        stage["counters"]
+        .writeStream.outputMode("complete")
+        .foreachBatch(_snapshot)
+        .option("checkpointLocation", f"{checkpoint_root}/counters")
+    )
+    if counter_trigger_seconds is not None:
+        cnt = cnt.trigger(processingTime=f"{counter_trigger_seconds} seconds")
+    queries["counters"] = cnt.queryName("violation_type_counters").start()
+
+    if session_ttl_seconds is not None:
+        ses = (
+            consolidate_status_sessions(
+                stage["status"], ttl_seconds=session_ttl_seconds, api=session_api
+            )
+            .writeStream.format("json")
+            .outputMode("append")
+            .option("path", f"{output_root}/sessions")
+            .option("checkpointLocation", f"{checkpoint_root}/sessions")
+        )
+        queries["sessions"] = ses.queryName("status_sessions").start()
+    return queries
+
+
+def run_full_topology(
+    spark: SparkSession,
+    bootstrap: str,
+    checkpoint_root: str,
+    output_root: str,
+    max_offsets_per_trigger: int | None = None,
+    session_ttl_seconds: int | None = 300,
+):
+    """The ENTIRE reference topology as one callable, both stages:
+    derive (telemetry.raw → violations.events + device-status.events) and
+    consumer (event topics → latency JSONL + counter snapshots +
+    session consolidation), mirroring README.md:7-15 of the reference
+    end to end. Returns every StreamingQuery handle."""
+    from kafka_flink_harshevents_spark.sources.kafka import read_event_streams
+
+    queries = {
+        f"derive_{i}": q
+        for i, q in enumerate(
+            run_streaming_pipeline(
+                spark, bootstrap, checkpoint_root, max_offsets_per_trigger
+            )
+        )
+    }
+    events = read_event_streams(spark, bootstrap)
+    queries.update(
+        run_consumer_stage(
+            spark,
+            events,
+            output_root,
+            checkpoint_root,
+            session_ttl_seconds=session_ttl_seconds,
+        )
+    )
+    return queries
+
+
 __all__ = [
     "derive_stage",
     "as_event_stream",
     "consumer_stage",
     "run_streaming_pipeline",
+    "run_consumer_stage",
+    "run_full_topology",
     "write_events_stream",
 ]

@@ -39,6 +39,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+try:  # Spark ≥ 4.0 transformWithState surface (SURVEY §2.10/§7.5)
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    # The transformWithState Python worker speaks a protobuf-framed state
+    # protocol; without google.protobuf the driver worker crashes at
+    # startup, so "auto" must fall back to applyInPandasWithState.
+    import importlib.util
+
+    _HAS_TWS = importlib.util.find_spec("google.protobuf") is not None
+except ImportError:  # pragma: no cover — older Spark
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
 from kafka_flink_harshevents_spark import schemas
 from kafka_flink_harshevents_spark.operators.sessions import SESSION_TTL_SECONDS
 
@@ -105,9 +123,90 @@ def _make_session_fn(ttl_ms: int):
     return fn
 
 
+class _SessionProcessor(StatefulProcessor):
+    """O9 on Spark 4's ``transformWithStateInPandas``: a ``ValueState``
+    plus EXPLICIT processing-time timers replace the legacy GroupState
+    timeout — same touch/extend/clear/TTL machine as ``_make_session_fn``
+    (kafkaConsumer.js:278-347), but on the API that also offers
+    multiple named states, initial state, and schema evolution.
+
+    Timer discipline: every state update re-arms a single TTL timer
+    (delete-then-register), mirroring Redis ``SET ... EX`` refreshing the
+    expiry on each touch (kafkaConsumer.js:304-312)."""
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._session = handle.getValueState("session", _STATE_SCHEMA)
+
+    def _rearm_timer(self, now_ms: int) -> None:
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(now_ms + self._ttl_ms)
+
+    def _disarm_timers(self) -> None:
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+
+    def handleInputRows(
+        self,
+        key: Any,
+        rows: Iterator[pd.DataFrame],
+        timerValues: "TimerValues",
+    ) -> Iterator[pd.DataFrame]:
+        device = key[0]
+        out: list[dict[str, Any]] = []
+        events = pd.concat(list(rows), ignore_index=True)
+        events = events.sort_values("timestamp", kind="stable")
+
+        cur = self._session.get() if self._session.exists() else None
+        start, end, n = (int(cur[0]), int(cur[1]), int(cur[2])) if cur else (None, None, 0)
+        for action, ts in zip(events["action"], events["timestamp"]):
+            if action == "touch":
+                ts = int(ts)
+                if start is None:
+                    start = end = ts
+                    n = 1
+                else:
+                    end = max(end, ts)
+                    n += 1
+            elif action == "clear" and start is not None:
+                out.append(_final_row(device, start, end, n))
+                start, end, n = None, None, 0
+            # unknown action: log-and-ignore in the reference (F8)
+
+        if start is not None:
+            self._session.update((int(start), int(end), int(n)))
+            self._rearm_timer(timerValues.getCurrentProcessingTimeInMs())
+        else:
+            if cur is not None:
+                self._session.clear()
+            self._disarm_timers()
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    def handleExpiredTimer(
+        self,
+        key: Any,
+        timerValues: "TimerValues",
+        expiredTimerInfo: "ExpiredTimerInfo",
+    ) -> Iterator[pd.DataFrame]:
+        out: list[dict[str, Any]] = []
+        if self._session.exists():
+            s = self._session.get()
+            self._session.clear()
+            out.append(_final_row(key[0], int(s[0]), int(s[1]), int(s[2])))
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    def close(self) -> None:
+        pass
+
+
 def consolidate_status_sessions(
     status_events: DataFrame,
     ttl_seconds: int = SESSION_TTL_SECONDS,
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming session consolidation keyed by ``device_uuid``.
 
@@ -115,10 +214,23 @@ def consolidate_status_sessions(
     shape). Output: one finalized session row per session, emitted on
     ``clear`` or on TTL expiry. Only ``cable-unplugged`` is consolidated
     (F7, kafkaConsumer.js:273-276).
+
+    ``api`` selects the stateful backend: ``"transformWithState"`` (the
+    Spark 4 StatefulProcessor above — the default when available),
+    ``"applyInPandasWithState"`` (the portable fallback), or ``"auto"``.
+    Both produce identical output; the same tests run against each.
     """
     touches = status_events.filter(
         F.col("status_type") == "cable-unplugged"
     ).select("device_uuid", "action", "timestamp")
+    use_tws = _HAS_TWS if api == "auto" else (api == "transformWithState")
+    if use_tws:
+        return touches.groupBy("device_uuid").transformWithStateInPandas(
+            _SessionProcessor(ttl_seconds * 1000),
+            outputStructType=schemas.SESSION_ROW,
+            outputMode="append",
+            timeMode="processingTime",
+        )
     return touches.groupBy("device_uuid").applyInPandasWithState(
         _make_session_fn(ttl_seconds * 1000),
         outputStructType=schemas.SESSION_ROW,

@@ -1,0 +1,158 @@
+"""Full consumer-stage topology over file streams — the no-broker twin
+of the reference's kafkaConsumer.js process: latency JSONL flush (5 s
+loop → 1 s here), counter snapshots (30 s report → 1 s here), and O9
+session consolidation, all running as concurrent StreamingQueries off
+one event stream (kafkaConsumer.js:51,100-102,278-347)."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from kafka_flink_harshevents_spark.plans.pipeline import run_consumer_stage
+from kafka_flink_harshevents_spark.sources.kafka import (
+    DEVICE_STATUS_TOPIC,
+    VIOLATIONS_TOPIC,
+)
+
+
+def _write_events(src, rows):
+    import os
+
+    fname = f"{src}/{uuid.uuid4().hex}.jsonl"
+    with open(fname + ".tmp", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    os.rename(fname + ".tmp", fname)
+
+
+def _violation(device, ts, sent_ms, received_ms):
+    return {
+        "topic": VIOLATIONS_TOPIC,
+        "value": json.dumps(
+            {
+                "event_type": "violation",
+                "violation_type": "harsh_brake",
+                "device_uuid": device,
+                "timestamp": ts,
+                "mqtt_sent_at_ms": sent_ms,
+            }
+        ),
+        "kafka_received_at_ms": received_ms,
+    }
+
+
+def _status(device, action, ts, received_ms):
+    return {
+        "topic": DEVICE_STATUS_TOPIC,
+        "value": json.dumps(
+            {
+                "event_type": "device_status",
+                "status_type": "cable-unplugged",
+                "action": action,
+                "device_uuid": device,
+                "timestamp": ts,
+            }
+        ),
+        "kafka_received_at_ms": received_ms,
+    }
+
+
+def _wait(pred, timeout=90, msg="condition"):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return
+        time.sleep(0.5)
+    raise TimeoutError(f"timed out waiting for {msg}")
+
+
+def test_consumer_stage_topology(spark, tmp_path):
+    src = tmp_path / "events"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    _write_events(
+        str(src),
+        [
+            _violation("d-1", 100, 100_000, 100_040),
+            _violation("d-2", 101, 101_000, 101_025),
+            _status("d-1", "touch", 200, 200_010),
+        ],
+    )
+    events = spark.readStream.schema(
+        "topic STRING, value STRING, kafka_received_at_ms LONG"
+    ).json(str(src))
+    queries = run_consumer_stage(
+        spark,
+        events,
+        str(out),
+        str(ckpt),
+        latency_trigger_seconds=1,
+        counter_trigger_seconds=1,
+        session_ttl_seconds=300,
+    )
+    try:
+        assert set(queries) == {"latency", "counters", "sessions"}
+
+        def latencies():
+            try:
+                return [
+                    json.loads(line)
+                    for p in (out / "latencies").glob("*.json")
+                    for line in open(p)
+                    if line.strip()
+                ]
+            except FileNotFoundError:
+                return []
+
+        def counters():
+            try:
+                return {
+                    r["violation_type"]: r["n"]
+                    for p in (out / "counters_current").glob("*.json")
+                    for r in map(json.loads, open(p))
+                }
+            except FileNotFoundError:
+                return {}
+
+        _wait(lambda: len(latencies()) == 2, msg="latency JSONL flush")
+        lat = {r["device_uuid"]: r["latency_ms"] for r in latencies()}
+        assert lat == {"d-1": 40, "d-2": 25}
+        _wait(lambda: counters().get("harsh_brake") == 2, msg="counter snapshot")
+
+        # second batch: counts ACCUMULATE (Redis INCR semantics) and the
+        # session finalizes on clear
+        _write_events(
+            str(src),
+            [
+                _violation("d-3", 102, 102_000, 102_030),
+                _status("d-1", "clear", 260, 260_010),
+            ],
+        )
+        _wait(lambda: counters().get("harsh_brake") == 3, msg="counter accumulation")
+        _wait(lambda: len(latencies()) == 3, msg="second latency flush")
+
+        def sessions():
+            try:
+                return [
+                    json.loads(line)
+                    for p in (out / "sessions").glob("*.json")
+                    for line in open(p)
+                    if line.strip()
+                ]
+            except FileNotFoundError:
+                return []
+
+        _wait(lambda: len(sessions()) == 1, msg="finalized session")
+        s = sessions()[0]
+        assert (s["device_uuid"], s["start_timestamp"], s["end_timestamp"]) == (
+            "d-1",
+            200,
+            200,
+        )
+        assert s["n_touches"] == 1
+    finally:
+        for q in queries.values():
+            q.stop()
