@@ -99,9 +99,23 @@ DECODED_SCHEMA = T.StructType(
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode + per-item feature extraction as one Arrow-batched
     ``mapInPandas`` stage (narrow; batch shape = Arrow record batches of
-    whole rows). Real decoding is stubbed (``_try_real_decoder``); the
-    fake path byte-decodes deterministically so tests are exact."""
+    whole rows). When a real codec is importable (``_try_real_decoder``)
+    each blob is decoded to grayscale pixels; payloads the codec rejects
+    — and every payload when no codec exists, as in this container —
+    fall back to the deterministic byte-decode so the operator is total
+    (the reference pipeline's drop-nothing leniency applied to media)."""
     decoder = _try_real_decoder()
+
+    def _pixels(blob: bytes, magic_len: int) -> np.ndarray:
+        if decoder is not None:  # pragma: no cover — codec not in container
+            import io
+
+            try:
+                img = decoder.open(io.BytesIO(blob)).convert("L")
+                return np.asarray(img, dtype=np.uint8).ravel()
+            except Exception:
+                pass  # undecodable payload → deterministic fallback
+        return _fake_pixels(blob[magic_len:])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -112,12 +126,7 @@ def decode_media(media: DataFrame) -> DataFrame:
             n, mean, std, lo, hi = [], [], [], [], []
             for blob, meta in zip(pdf["media"], pdf["media_meta"]):
                 magic_len = len(_MAGIC[meta["format"]])
-                px = _fake_pixels(bytes(blob)[magic_len:])
-                if decoder is not None:  # pragma: no cover
-                    # real path: decoder.open(io.BytesIO(blob)) etc.
-                    raise NotImplementedError(
-                        "real codec available but not wired in this build"
-                    )
+                px = _pixels(bytes(blob), magic_len)
                 n.append(len(px))
                 mean.append(float(px.mean()) if len(px) else 0.0)
                 std.append(float(px.std()) if len(px) else 0.0)

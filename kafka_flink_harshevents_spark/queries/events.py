@@ -192,6 +192,48 @@ def ev_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_enrich_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry-native enrichment join (SURVEY §2.7, the join the
+    reference sets up but never performs): violations joined to a
+    vehicle dimension keyed by ``vehicle_id``, drawn from the reference
+    generator's pools (mqtt_publish.js:157-166).
+
+    Plan shape: the fact side is the narrow F10 threshold derivation;
+    the dimension is tiny and explicitly ``broadcast()`` — the join adds
+    ZERO shuffle, which is exactly how a 100 TB violations stream gets
+    enriched (dim tables broadcast; the stream stays partition-local).
+    Device→vehicle assignment is deterministic (pmod on user_id) so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    from kafka_flink_harshevents_spark.sources.synthetic import (
+        ACCOUNT_POOL,
+        VEHICLE_POOL,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (VEHICLE_POOL[i], ACCOUNT_POOL[i % len(ACCOUNT_POOL)], f"fleet-{i}")
+            for i in range(len(VEHICLE_POOL))
+        ],
+        "vehicle_id string, account_id string, fleet string",
+    )
+    v = ev_threshold_classify(spark, sf_dir).withColumn(
+        "vehicle_id",
+        F.element_at(
+            F.array(*[F.lit(x) for x in VEHICLE_POOL]),
+            (F.pmod(F.col("user_id"), F.lit(len(VEHICLE_POOL))) + 1).cast("int"),
+        ),
+    )
+    return v.join(F.broadcast(dim), "vehicle_id").select(
+        "event_id",
+        "user_id",
+        "violation_type",
+        "value",
+        "vehicle_id",
+        "account_id",
+        "fleet",
+    )
+
+
 QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_sessionize_300s": ev_sessionize_300s,
@@ -203,7 +245,37 @@ QUERIES = {
     "ev_props_extract": ev_props_extract,
     "ev_threshold_classify": ev_threshold_classify,
     "ev_user_topk": ev_user_topk,
+    "ev_enrich_vehicle": ev_enrich_vehicle,
 }
+
+
+def _enrich_vehicle_sql() -> str:
+    from kafka_flink_harshevents_spark.sources.synthetic import (
+        ACCOUNT_POOL,
+        VEHICLE_POOL,
+    )
+
+    dim_rows = ", ".join(
+        f"('{VEHICLE_POOL[i]}', '{ACCOUNT_POOL[i % len(ACCOUNT_POOL)]}', 'fleet-{i}')"
+        for i in range(len(VEHICLE_POOL))
+    )
+    whens = " ".join(
+        f"WHEN {i} THEN '{VEHICLE_POOL[i]}'" for i in range(len(VEHICLE_POOL))
+    )
+    return f"""
+        WITH dim(vehicle_id, account_id, fleet) AS (VALUES {dim_rows}),
+        viol AS (
+            SELECT event_id, user_id, value,
+                   CASE WHEN value >= 450.0 THEN 'extreme_high'
+                        WHEN value <= 5.0   THEN 'extreme_low' END AS violation_type,
+                   CASE CAST(user_id % {len(VEHICLE_POOL)} AS INT) {whens} END AS vehicle_id
+            FROM events
+            WHERE value >= 450.0 OR value <= 5.0
+        )
+        SELECT v.event_id, v.user_id, v.violation_type, v.value,
+               v.vehicle_id, d.account_id, d.fleet
+        FROM viol v JOIN dim d ON v.vehicle_id = d.vehicle_id
+    """
 
 ORACLES = {
     "ev_type_counts": """
@@ -312,4 +384,5 @@ ORACLES = {
         ORDER BY n_events DESC, user_id
         LIMIT 10
     """,
+    "ev_enrich_vehicle": _enrich_vehicle_sql(),
 }

@@ -159,3 +159,11 @@ SESSION_ROW = T.StructType(
         T.StructField("n_touches", T.LongType()),
     ]
 )
+
+# in-progress session view (K4 parity): the reference consumer extends
+# the SAME Mongo doc on every touch (kafkaConsumer.js:304-318), so an
+# observer sees the session grow. ``is_open`` distinguishes the growing
+# doc from the finalized one.
+SESSION_PROGRESS_ROW = T.StructType(
+    list(SESSION_ROW.fields) + [T.StructField("is_open", T.BooleanType())]
+)

@@ -203,6 +203,92 @@ class _SessionProcessor(StatefulProcessor):
         pass
 
 
+_PROGRESS_COLS = [f.name for f in schemas.SESSION_PROGRESS_ROW.fields]
+
+
+def _progress_row(
+    device: str, start: int, end: int, n: int, is_open: bool
+) -> dict[str, Any]:
+    return {**_final_row(device, start, end, n), "is_open": is_open}
+
+
+def _make_progress_fn(ttl_ms: int):
+    """Update-mode twin of ``_make_session_fn``: after each micro-batch
+    that touches a device, emit the CURRENT session doc (start, growing
+    end, n_touches, is_open=true) — the observable equivalent of the
+    reference consumer's update-in-place Mongo doc
+    (kafkaConsumer.js:304-318). clear/TTL emit the final doc with
+    is_open=false, identical values to the append-mode operator."""
+
+    def fn(
+        key: tuple[str],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        device = key[0]
+        out: list[dict[str, Any]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, end, n = state.get
+                state.remove()
+                out.append(_progress_row(device, start, end, n, False))
+            yield pd.DataFrame(out, columns=_PROGRESS_COLS)
+            return
+
+        events = pd.concat(list(pdf_iter), ignore_index=True)
+        events = events.sort_values("timestamp", kind="stable")
+
+        start, end, n = state.get if state.exists else (None, None, 0)
+        touched = False
+        for action, ts in zip(events["action"], events["timestamp"]):
+            if action == "touch":
+                ts = int(ts)
+                if start is None:
+                    start = end = ts
+                    n = 1
+                else:
+                    end = max(end, ts)
+                    n += 1
+                touched = True
+            elif action == "clear" and start is not None:
+                out.append(_progress_row(device, start, end, n, False))
+                start, end, n = None, None, 0
+                touched = False
+
+        if start is not None:
+            state.update((int(start), int(end), int(n)))
+            state.setTimeoutDuration(ttl_ms)
+            if touched:
+                out.append(_progress_row(device, start, end, n, True))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(out, columns=_PROGRESS_COLS)
+
+    return fn
+
+
+def status_session_progress(
+    status_events: DataFrame,
+    ttl_seconds: int = SESSION_TTL_SECONDS,
+) -> DataFrame:
+    """K4-parity in-progress session view: one emission per micro-batch
+    per touched device showing the growing session, plus a closing
+    emission (is_open=false) on clear/TTL. Run in ``update`` output
+    mode; the append-mode ``consolidate_status_sessions`` (final rows
+    only) is unchanged and remains the exactly-once history."""
+    touches = status_events.filter(
+        F.col("status_type") == "cable-unplugged"
+    ).select("device_uuid", "action", "timestamp")
+    return touches.groupBy("device_uuid").applyInPandasWithState(
+        _make_progress_fn(ttl_seconds * 1000),
+        outputStructType=schemas.SESSION_PROGRESS_ROW,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def consolidate_status_sessions(
     status_events: DataFrame,
     ttl_seconds: int = SESSION_TTL_SECONDS,

@@ -67,3 +67,39 @@ def test_frame_sampling_flatmap(spark):
         assert r["n"] == expect, r
         assert r["minlen"] == FRAME_SIZE
         assert r["maxidx"] % 3 == 0
+
+
+def test_decode_media_uses_real_codec_when_present(spark, monkeypatch):
+    """With a codec importable, decode_media must USE it (not raise).
+    Inject a fake codec module and assert the features come from its
+    pixels, not the byte-fallback. Classes are local so cloudpickle
+    ships them by value to the workers."""
+    from kafka_flink_harshevents_spark.multimodal import media as media_mod
+
+    class _FakeImg:
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None):
+            import numpy as np
+
+            return np.arange(16, dtype=np.uint8).reshape(4, 4)
+
+    class _FakeCodec:
+        """Stands in for PIL.Image: open() -> image -> convert('L') -> array."""
+
+        @staticmethod
+        def open(bio):
+            return _FakeImg()
+
+    monkeypatch.setattr(media_mod, "_try_real_decoder", lambda: _FakeCodec)
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    m = media_mod.media_from_documents(docs)
+    row = media_mod.decode_media(m).collect()[0]
+    # pixels 0..15: n=16, mean=7.5, min=0, max=15
+    assert (row["n_pixels"], row["mean_intensity"], row["min_byte"], row["max_byte"]) == (
+        16,
+        7.5,
+        0,
+        15,
+    )

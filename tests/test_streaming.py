@@ -419,3 +419,68 @@ def test_tws_processor_state_machine():
     assert len(expired) == 1
     assert (expired.iloc[0]["start_timestamp"], expired.iloc[0]["n_touches"]) == (2000, 1)
     assert h.state.v is None
+
+
+def test_session_progress_view(spark, tmp_path):
+    """K4 parity: the update-mode view shows the session GROWING
+    (kafkaConsumer.js:304-318 extends the same Mongo doc per touch),
+    then closing on clear with the same values the append-mode operator
+    finalizes with."""
+    from kafka_flink_harshevents_spark import schemas
+    from kafka_flink_harshevents_spark.functions.json_lenient import parse_telemetry
+    from kafka_flink_harshevents_spark.streaming.sessions import (
+        status_session_progress,
+    )
+
+    src = tmp_path / "progress"
+    src.mkdir()
+    _write_status_batch(
+        spark,
+        str(src),
+        [
+            ("d-1", "touch", 1000, "cable-unplugged"),
+            ("d-1", "touch", 1030, "cable-unplugged"),
+        ],
+    )
+    stream = parse_telemetry(
+        spark.readStream.schema("value STRING").text(str(src)),
+        value_col="value",
+        schema=schemas.DEVICE_STATUS_EVENT,
+    )
+    name = f"progress_{uuid.uuid4().hex[:8]}"
+    q = (
+        status_session_progress(stream, ttl_seconds=300)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _drain(q)
+        rows = [r.asDict() for r in spark.table(name).collect()]
+        # intermediate emission: session open, already extended to 1030
+        assert len(rows) == 1
+        assert rows[0]["is_open"] is True
+        assert (rows[0]["start_timestamp"], rows[0]["end_timestamp"], rows[0]["n_touches"]) == (1000, 1030, 2)
+
+        # another touch: a SECOND intermediate emission with the doc grown
+        _write_status_batch(spark, str(src), [("d-1", "touch", 1060, "cable-unplugged")])
+        _drain(q)
+        open_rows = sorted(
+            (r.asDict() for r in spark.table(name).collect() if r["is_open"]),
+            key=lambda r: r["n_touches"],
+        )
+        assert [(r["end_timestamp"], r["n_touches"]) for r in open_rows] == [
+            (1030, 2),
+            (1060, 3),
+        ]
+
+        # clear: closing emission, identical values to the final doc
+        _write_status_batch(spark, str(src), [("d-1", "clear", 1100, "cable-unplugged")])
+        _drain(q)
+        closed = [r.asDict() for r in spark.table(name).collect() if not r["is_open"]]
+        assert len(closed) == 1
+        assert (closed[0]["start_timestamp"], closed[0]["end_timestamp"], closed[0]["n_touches"]) == (1000, 1060, 3)
+        assert closed[0]["timestamp"] == 1060
+    finally:
+        q.stop()
