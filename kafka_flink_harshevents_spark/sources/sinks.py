@@ -30,6 +30,35 @@ def with_event_hash(events: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
     return events.withColumn("event_hash", F.xxhash64(*[F.col(c) for c in key_cols]))
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    delay: str = "10 minutes",
+    key_cols: tuple[str, ...] = (
+        "device_uuid",
+        "violation_type",
+        "timestamp",
+        "details",
+    ),
+) -> DataFrame:
+    """Streaming replay dedup (T5): Kafka's at-least-once delivery makes
+    the reference write duplicate Mongo docs on replay (SURVEY §2.10);
+    this is the engine-side streaming fix. Keys on the same business-key
+    hash as the batch sink and uses ``dropDuplicatesWithinWatermark`` so
+    dedup state EXPIRES with the watermark — state is bounded by the
+    replay window (``delay``), not the stream's lifetime, which is what
+    makes it safe at 100 TB/day. ``ts_col`` is epoch seconds (wire unit).
+    """
+    hashed = with_event_hash(
+        events.withColumn("__ets", F.timestamp_seconds(F.col(ts_col))), key_cols
+    )
+    return (
+        hashed.withWatermark("__ets", delay)
+        .dropDuplicatesWithinWatermark(["event_hash"])
+        .drop("__ets")
+    )
+
+
 def write_events_partitioned(
     events: DataFrame,
     path: str,

@@ -484,3 +484,61 @@ def test_session_progress_view(spark, tmp_path):
         assert closed[0]["timestamp"] == 1060
     finally:
         q.stop()
+
+
+def test_streaming_replay_dedup(spark, tmp_path):
+    """T5: a replayed violation (identical business key) within the
+    watermark window is dropped; a genuinely distinct same-second event
+    (different details) survives — the streaming twin of the batch
+    sink's hash dedup."""
+    import os
+
+    from kafka_flink_harshevents_spark.sources.sinks import dedup_events_stream
+
+    src = tmp_path / "replay"
+    src.mkdir()
+
+    def violation(details_accel, ts=1000):
+        return {
+            "device_uuid": "d-1",
+            "violation_type": "harsh_brake",
+            "timestamp": ts,
+            "details": {"accel_y": details_accel, "speed_kph": 40.0, "delta_speed": -9.0},
+        }
+
+    def write(name, rows):
+        p = src / name
+        with open(str(p) + ".tmp", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.rename(str(p) + ".tmp", p)
+
+    write(
+        "a.jsonl",
+        [violation(-3.0), violation(-3.0), violation(-3.5)],  # replay + distinct
+    )
+    stream = spark.readStream.schema(
+        "device_uuid STRING, violation_type STRING, timestamp LONG, "
+        "details STRUCT<accel_y: DOUBLE, speed_kph: DOUBLE, delta_speed: DOUBLE>"
+    ).json(str(src))
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        assert len(rows) == 2  # replay collapsed, distinct-details kept
+        assert {r["details"]["accel_y"] for r in rows} == {-3.0, -3.5}
+
+        # cross-batch replay of an already-seen key is also dropped
+        write("b.jsonl", [violation(-3.0), violation(-4.0)])
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        assert len(rows) == 3
+        assert {r["details"]["accel_y"] for r in rows} == {-3.0, -3.5, -4.0}
+    finally:
+        q.stop()
