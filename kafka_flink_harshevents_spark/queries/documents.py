@@ -365,6 +365,11 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
 
+    # Hash every (doc, shingle) row rather than joining a pre-hashed
+    # vocabulary: 12 scan-local md5s per row stay inside the narrow map
+    # stage, whereas the dedup-then-join variant re-shuffles the whole
+    # shingle stream — measured a wash at sf0.1 and strictly worse at
+    # scale (CPU beats network).
     sig_cols = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
         for i in range(MINHASH_PERMS)
@@ -421,6 +426,101 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_CC_ROUNDS = 20  # safety bound; near-dup clusters converge in 2-4
+
+
+def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph —
+    the operator a dedup pipeline actually ENDS with: every document
+    mapped to its cluster's canonical id (min doc_id in the component;
+    singletons map to themselves).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds, and near-dup components are near-cliques, so 2-4
+    rounds in practice. Iterative-algorithm mechanics, done the Spark
+    way: ``localCheckpoint`` truncates the growing lineage each round
+    (the standard iterative-plan pattern), the edge set is the tiny
+    near-dup pair list (broadcast), and the only driver-side value per
+    round is the scalar changed-count that decides convergence. No SQL
+    oracle could express the loop — but DuckDB's recursive CTE can, so
+    this stays a fully hash-checked catalog entry."""
+    pairs = doc_minhash_lsh_pairs(spark, sf_dir).select("da", "db")
+    edges = pairs.union(
+        pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
+    ).localCheckpoint(eager=True)
+    # iterate ONLY over nodes that have an edge (non-singletons): the
+    # loop's tables are ∝ the near-dup pair graph, not the corpus; the
+    # corpus-sized table is touched exactly once, at the end.
+    labels = (
+        edges.select(F.col("da").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ROUNDS):
+        neighbor_min = (
+            F.broadcast(edges)
+            .join(labels, F.col("da") == F.col("doc_id"))
+            .groupBy(F.col("db").alias("nid"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, F.col("doc_id") == F.col("nid"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("new_cluster_id"),
+                "cluster_id",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
+        if changed == 0:
+            break
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        # no broadcast hint: the label table is ∝ docs-with-near-dups,
+        # unbounded at corpus scale — AQE converts to broadcast when small
+        .join(labels.withColumnRenamed("doc_id", "nid"),
+              F.col("doc_id") == F.col("nid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline a pretraining corpus goes through,
+    as ONE catalog entry: exact-dedup canonical ∩ near-dup cluster
+    canonical ∩ quality floor. Survivors carry their quality score and
+    cluster id, so downstream sampling can weight by either.
+
+    Plan shape: three joins on doc_id/text_hash; the exact-dedup side is
+    an aggregate of the same scan, the cluster side is the converged
+    label table. Every predicate is engine-checkable — the whole
+    composite hash-matches a single DuckDB statement."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    ex = doc_exact_dedup(spark, sf_dir).select("text_hash", "canonical_doc_id")
+    q = doc_quality_score(spark, sf_dir)
+    cl = doc_neardup_clusters(spark, sf_dir)
+    return (
+        d.join(ex, "text_hash")
+        .filter(F.col("doc_id") == F.col("canonical_doc_id"))
+        .join(cl, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(q, "doc_id")
+        .filter(F.col("quality_bucket") != "low")
+        .select("doc_id", "quality_score", "quality_bucket", "cluster_id")
+    )
+
+
 def _nibble_val(ch: Column) -> Column:
     """Hex char → 0..15 with pure arithmetic (md5 output is lowercase)."""
     a = F.ascii(ch)
@@ -464,7 +564,74 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash": doc_simhash,
+    "doc_neardup_clusters": doc_neardup_clusters,
+    "doc_clean_corpus": doc_clean_corpus,
 }
+
+
+def _clusters_ctes() -> str:
+    """Recursive-CTE connected components over the minhash pair graph —
+    the closed-form twin of the engine's label-propagation loop."""
+    return f"""
+        pairs AS ({_minhash_sql()}),
+        edges AS (
+            SELECT da AS s, db AS d FROM pairs
+            UNION
+            SELECT db AS s, da AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT doc_id AS s, doc_id AS d FROM documents
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        clusters AS (
+            SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+        )
+    """
+
+
+def _clusters_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_clusters_ctes()}
+        SELECT doc_id, cluster_id FROM clusters
+    """
+
+
+def _clean_corpus_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_clusters_ctes()},
+        ex AS (
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY 1
+        ),
+        qw AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SQL_STOPSET}))) AS BIGINT) AS n_stop
+            FROM documents
+        ),
+        qs AS (
+            SELECT doc_id,
+                   0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.3 * (n_unique * 1.0 / n_tokens)
+                   + 0.3 * (1.0 - n_stop * 1.0 / n_tokens) AS score
+            FROM qw
+        ),
+        q AS (
+            SELECT doc_id, round(score, 4) AS quality_score,
+                   CASE WHEN score >= 0.75 THEN 'high'
+                        WHEN score >= 0.5 THEN 'medium'
+                        ELSE 'low' END AS quality_bucket
+            FROM qs
+        )
+        SELECT d.doc_id, q.quality_score, q.quality_bucket, c.cluster_id
+        FROM documents d
+        JOIN ex ON md5(d.text) = ex.text_hash AND d.doc_id = ex.canonical_doc_id
+        JOIN clusters c ON c.doc_id = d.doc_id AND d.doc_id = c.cluster_id
+        JOIN q ON q.doc_id = d.doc_id
+        WHERE q.quality_bucket <> 'low'
+    """
 
 
 def _simhash_sql() -> str:
@@ -597,4 +764,6 @@ ORACLES = {
     """,
     "doc_minhash_lsh_pairs": _minhash_sql(),
     "doc_simhash": _simhash_sql(),
+    "doc_neardup_clusters": _clusters_sql(),
+    "doc_clean_corpus": _clean_corpus_sql(),
 }
