@@ -156,3 +156,67 @@ def test_consumer_stage_topology(spark, tmp_path):
     finally:
         for q in queries.values():
             q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Event-time interval join across the two event streams: a
+    violation matches the preceding touch on the same device within the
+    window; outside the window or on another device it doesn't."""
+    import json as _json
+
+    from kafka_flink_harshevents_spark.streaming.joins import (
+        violations_during_status,
+    )
+
+    vsrc = tmp_path / "v"
+    ssrc = tmp_path / "s"
+    vsrc.mkdir()
+    ssrc.mkdir()
+
+    def write(d, name, rows):
+        with open(d / name, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    write(
+        ssrc,
+        "s.jsonl",
+        [
+            {"device_uuid": "d-1", "action": "touch", "timestamp": 1000},
+            {"device_uuid": "d-2", "action": "touch", "timestamp": 5000},
+        ],
+    )
+    write(
+        vsrc,
+        "v.jsonl",
+        [
+            {"device_uuid": "d-1", "violation_type": "harsh_brake", "timestamp": 1100},  # in window
+            {"device_uuid": "d-1", "violation_type": "harsh_accel", "timestamp": 2000},  # out of window
+            {"device_uuid": "d-2", "violation_type": "harsh_brake", "timestamp": 1100},  # wrong device window
+        ],
+    )
+    v = spark.readStream.schema(
+        "device_uuid STRING, violation_type STRING, timestamp LONG"
+    ).json(str(vsrc))
+    s = spark.readStream.schema(
+        "device_uuid STRING, action STRING, timestamp LONG"
+    ).json(str(ssrc))
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        violations_during_status(v, s, window_seconds=300)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = [r.asDict() for r in spark.table(name).collect()]
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["device_uuid"], r["violation_type"], r["seconds_after_status"]) == (
+            "d-1",
+            "harsh_brake",
+            100,
+        )
+    finally:
+        q.stop()
