@@ -1,4 +1,4 @@
-"""As-of (point-in-time) join — an operator Spark lacks natively.
+"""Join operators Spark lacks natively: as-of join, salted skew join.
 
 ``asof_join(left, right, ...)`` attaches, to every left row, the columns
 of the *latest* right row with ``right_ts <= left_ts`` for the same key
@@ -77,3 +77,51 @@ def asof_join(
         carried.filter(F.col("_side") == 1)
         .select("_l.*", *[F.col(f"_match.{c}").alias(c) for c in payload_cols])
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join that survives a pathologically skewed LEFT key.
+
+    AQE's skew-join split only fires on sort-merge joins and only when a
+    partition exceeds ``skewJoinThreshold`` at runtime; when a single hot
+    key dominates (one device spamming telemetry, one doc shingle in 40%
+    of the corpus) an explicit salt is the predictable fix:
+
+        left:  key → (key, salt_i)  with salt_i = hash(payload) % salt
+        right: key → (key, 0..salt-1)   (replicated ``salt`` ×)
+
+    The hot key's rows now spread over ``salt`` reducers instead of one.
+    Cost: the right side is replicated ``salt``× through its shuffle, so
+    use this when right ≪ left (dimension-ish) but too big / too skewed
+    to broadcast outright. Supports ``inner`` and ``left`` joins (the
+    semantics replication preserves verbatim).
+
+    The salt is derived from a hash of the left row's payload — not
+    ``F.rand``, which is partition-layout-dependent and desynchronizes
+    under retries (see sources/synthetic.py::_u for the same rule).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    payload = [c for c in left.columns if c not in keys] or keys
+    l_salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*payload), F.lit(salt)).cast("int")
+    )
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    cond = [l_salted[k] == r_salted[k] for k in keys] + [
+        l_salted["_salt"] == r_salted["_salt"]
+    ]
+    joined = l_salted.join(r_salted, cond, how)
+    keep = [l_salted[c] for c in left.columns] + [
+        r_salted[c] for c in right.columns if c not in keys
+    ]
+    return joined.select(*keep)

@@ -24,11 +24,20 @@ from kafka_flink_harshevents_spark.queries import (
     multimodal,
     pipeline_tp,
     relational,
+    relational_ext,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (relational, events, documents, embeddings, multimodal, pipeline_tp)
+_MODULES = (
+    relational,
+    relational_ext,
+    events,
+    documents,
+    embeddings,
+    multimodal,
+    pipeline_tp,
+)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -38,3 +38,46 @@ def test_asof_join_semantics(spark):
         "e4": (None, None),  # u3 has no right rows at all
     }
     assert out.count() == left.count()  # exactly one output row per left row
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted inner/left joins are row-for-row identical to the plain
+    join on a deliberately skewed key (90% of left rows on one key)."""
+    from kafka_flink_harshevents_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i, f"p{i}") for i in range(900)]
+        + [(f"k{i}", i, f"q{i}") for i in range(100)]
+        + [("orphan", -1, "no-right-match")],
+        ["k", "seq", "payload"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "dim-hot"), ("k3", "dim-3"), ("k7", "dim-7"), ("unused", "dim-u")],
+        ["k", "dim"],
+    )
+
+    def key(rows):
+        return sorted(map(tuple, rows))
+
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how).select("k", "seq", "payload", "dim")
+        salted = salted_join(left, right, on="k", how=how, salt=8)
+        assert key(salted.collect()) == key(plain.collect()), how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows land on multiple salt values (the whole point)."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(512)], ["k", "seq"]
+    )
+    right = spark.createDataFrame([("hot", "d")], ["k", "dim"])
+    out = salted_join(left, right, on="k", salt=8)
+    assert out.count() == 512
+    n_salts = (
+        left.withColumn("_s", F.pmod(F.xxhash64("seq"), F.lit(8)))
+        .select("_s").distinct().count()
+    )
+    assert n_salts >= 6  # 512 hashed payloads cover nearly all 8 buckets
