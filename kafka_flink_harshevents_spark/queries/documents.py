@@ -159,6 +159,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smoothed idf = ln((N+1)/(df+1))+1).
+
+    explode → (doc, term) TF groupBy → term DF groupBy → idf join; the
+    corpus size is a 1-row aggregate broadcast into the expression (no
+    driver collect). The per-doc top-3 Window partitions on doc_id —
+    cardinality ∝ documents, never a global sort. Ties break on the term
+    string for a total order.
+
+    Scale: both aggregations are partial+final on their natural keys;
+    the DF table (one row per distinct term) is the only broadcast-sized
+    intermediate joined back to the token stream.
+    """
+    d = _words(load(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "rk", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 # Above this estimated incidence-matrix size the dense blocked path is no
 # longer broadcast-shaped; the PPJoin prefix-filter path takes over.
 JACCARD_DENSE_MAX_BYTES = 256 << 20
@@ -561,6 +599,7 @@ QUERIES = {
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_fingerprint": doc_fingerprint,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash": doc_simhash,
@@ -741,6 +780,27 @@ ORACLES = {
                count(*) AS n_copies,
                min(doc_id) AS canonical_doc_id
         FROM documents GROUP BY md5(text)
+    """,
+    "doc_tfidf_top_terms": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term,
+                   tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+            FROM tf JOIN dft USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, rk, round(tfidf, 6) AS tfidf
+        FROM (
+            SELECT doc_id, term, tfidf,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS BIGINT) AS rk
+            FROM scored
+        )
+        WHERE rk <= 3
     """,
     "doc_fingerprint": """
         SELECT doc_id,

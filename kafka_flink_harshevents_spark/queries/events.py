@@ -91,6 +91,37 @@ def ev_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def ev_sliding_30m_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding windows via the real ``F.window`` operator
+    (30 min length, 10 min slide): each event expands into exactly 3
+    windows, then ONE shuffle on (window, event_type) aggregates them.
+    This is the batch twin of the streaming windowed-agg path — the same
+    expression works under ``readStream`` with a watermark.
+
+    Scale: the expansion factor is length/slide (3×), constant per row —
+    no skew risk beyond the base stream's key distribution.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "30 minutes", "10 minutes").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def _percentile_picks(ranked: DataFrame) -> DataFrame:
     return ranked.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -239,6 +270,7 @@ QUERIES = {
     "ev_sessionize_300s": ev_sessionize_300s,
     "ev_sessionize_2h": ev_sessionize_2h,
     "ev_hourly_tumbling": ev_hourly_tumbling,
+    "ev_sliding_30m_10m": ev_sliding_30m_10m,
     "ev_percentile_stats": ev_percentile_stats,
     "ev_percentile_last1000": ev_percentile_last1000,
     "ev_histogram": ev_histogram,
@@ -318,6 +350,25 @@ ORACLES = {
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
                event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "ev_sliding_30m_10m": """
+        -- expand each event into the 3 epoch-aligned 30-min windows
+        -- (10-min slide) that contain it, mirroring Spark's F.window
+        WITH e AS (SELECT epoch(ts) AS es, event_type, value FROM events),
+        x AS (
+            SELECT unnest(generate_series(
+                       CAST(floor(es / 600) * 600 - 1200 AS BIGINT),
+                       CAST(floor(es / 600) * 600 AS BIGINT),
+                       600)) AS ws,
+                   event_type, value
+            FROM e
+        )
+        SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM x GROUP BY 1, 2
     """,
     "ev_percentile_stats": """
         WITH s AS (

@@ -542,3 +542,50 @@ def test_streaming_replay_dedup(spark, tmp_path):
         assert {r["details"]["accel_y"] for r in rows} == {-3.0, -3.5, -4.0}
     finally:
         q.stop()
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """The ev_sliding_30m_10m expression shape under readStream: a 30 s /
+    10 s sliding window places one event in exactly 3 overlapping
+    windows, all finalized (append mode) once the watermark passes."""
+    src = tmp_path / "slide"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    write("a.jsonl", [{"et": "click", "ts": "2026-01-01 00:01:05"}])
+    stream = (
+        spark.readStream.schema("et STRING, ts TIMESTAMP").json(str(src))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "30 seconds", "10 seconds"), "et")
+        .count()
+    )
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark past every click window's end, then one
+        # more batch to emit the finalized windows
+        write("b.jsonl", [{"et": "adv", "ts": "2026-01-01 00:03:00"}])
+        q.processAllAvailable()
+        write("c.jsonl", [{"et": "adv", "ts": "2026-01-01 00:03:10"}])
+        q.processAllAvailable()
+        clicks = {
+            r["window"]["start"].isoformat(): r["count"]
+            for r in spark.table(name).collect()
+            if r["et"] == "click"
+        }
+        assert clicks == {
+            "2026-01-01T00:00:40": 1,
+            "2026-01-01T00:00:50": 1,
+            "2026-01-01T00:01:00": 1,
+        }
+    finally:
+        q.stop()
