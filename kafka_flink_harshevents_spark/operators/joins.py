@@ -125,3 +125,57 @@ def salted_join(
         r_salted[c] for c in right.columns if c not in keys
     ]
     return joined.select(*keep)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join ([lo, hi) match) without the theta-join
+    blowup.
+
+    Naive ``l.val >= r.lo AND l.val < r.hi`` plans as a
+    BroadcastNestedLoopJoin — every left row tested against every
+    interval, O(|L|·|R|). Bucket decomposition turns it into an
+    equi-join: each interval explodes into the fixed-width buckets it
+    covers, each point computes its bucket, the join runs on the bucket
+    key, and the exact range predicate filters the residual. Cost is
+    O(|L| · avg-intervals-overlapping-a-bucket) — linear when intervals
+    are short relative to ``bucket_width``.
+
+    Pick ``bucket_width`` near the median interval length: too small
+    replicates intervals across many buckets, too large packs many
+    intervals per bucket and pushes work into the residual filter.
+    Overlapping intervals are supported (a point matches every interval
+    containing it).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+    w = float(bucket_width)
+    r_bucketed = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w).cast("long"),
+                F.floor(F.col(right_hi) / w).cast("long"),
+            )
+        ),
+    )
+    l_bucketed = left.withColumn(
+        "_bkt", F.floor(F.col(left_val) / w).cast("long")
+    )
+    cond = (
+        (l_bucketed["_bkt"] == r_bucketed["_bkt"])
+        & (l_bucketed[left_val] >= r_bucketed[right_lo])
+        & (l_bucketed[left_val] < r_bucketed[right_hi])
+    )
+    joined = l_bucketed.join(r_bucketed, cond, how)
+    keep = [l_bucketed[c] for c in left.columns] + [
+        r_bucketed[c] for c in right.columns
+    ]
+    return joined.select(*keep)

@@ -122,6 +122,53 @@ def ev_sliding_30m_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join through ``operators.joins.range_join``:
+    events matched to OVERLAPPING severity bands ([lo, hi) semantics, so
+    a value can land in two bands). The bucket decomposition keeps the
+    plan an equi-join on the bucket key — no BroadcastNestedLoopJoin —
+    which is what survives when the interval table is itself too large
+    to broadcast (the 3-row dim here demonstrates the semantics; the
+    operator is the scale path).
+    """
+    from kafka_flink_harshevents_spark.operators.joins import range_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 80.0, 250.0), ("high", 225.0, 500.0)],
+        ["band", "lo", "hi"],
+    )
+    return range_join(
+        e, bands, left_val="value", right_lo="lo", right_hi="hi", bucket_width=50.0
+    ).select("event_id", "value", "band")
+
+
+def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: day and day+hour
+    aggregates in ONE pass via ROLLUP grouping sets (the Expand operator
+    duplicates each row per grouping set map-side; the shuffle still
+    moves O(groups), not O(rows))."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+            "value",
+        )
+        .rollup("day", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hr", F.lit(-1)).cast("long").alias("hr"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def _percentile_picks(ranked: DataFrame) -> DataFrame:
     return ranked.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -271,6 +318,8 @@ QUERIES = {
     "ev_sessionize_2h": ev_sessionize_2h,
     "ev_hourly_tumbling": ev_hourly_tumbling,
     "ev_sliding_30m_10m": ev_sliding_30m_10m,
+    "ev_value_band_join": ev_value_band_join,
+    "ev_time_rollup": ev_time_rollup,
     "ev_percentile_stats": ev_percentile_stats,
     "ev_percentile_last1000": ev_percentile_last1000,
     "ev_histogram": ev_histogram,
@@ -369,6 +418,27 @@ ORACLES = {
                count(*) AS n,
                round(sum(value), 2) AS total_value
         FROM x GROUP BY 1, 2
+    """,
+    "ev_value_band_join": """
+        SELECT event_id, value, band
+        FROM events
+        JOIN (VALUES ('low', 0.0, 100.0),
+                     ('mid', 80.0, 250.0),
+                     ('high', 225.0, 500.0)) AS b(band, lo, hi)
+          ON value >= lo AND value < hi
+    """,
+    "ev_time_rollup": """
+        SELECT coalesce(day, 'ALL') AS day,
+               coalesce(hr, -1) AS hr,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(hour(ts) AS BIGINT) AS hr,
+                   value
+            FROM events
+        )
+        GROUP BY ROLLUP (day, hr)
     """,
     "ev_percentile_stats": """
         WITH s AS (

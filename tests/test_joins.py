@@ -81,3 +81,32 @@ def test_salted_join_spreads_hot_key(spark):
         .select("_s").distinct().count()
     )
     assert n_salts >= 6  # 512 hashed payloads cover nearly all 8 buckets
+
+
+def test_range_join_semantics(spark):
+    """[lo, hi) match, overlapping intervals multi-match, boundary
+    exclusivity, left-outer null fill — identical to the naive theta
+    join it replaces."""
+    from kafka_flink_harshevents_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 15.0), (4, 99.0), (5, -3.0)], ["pid", "v"]
+    )
+    iv = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 20.0), ("c", -10.0, 0.0)],
+        ["label", "lo", "hi"],
+    )
+    out = range_join(points, iv, "v", "lo", "hi", bucket_width=4.0)
+    got = sorted((r["pid"], r["label"]) for r in out.collect())
+    # v=10 is excluded from [0,10) but included in [5,20); v=99 matches nothing
+    assert got == [(1, "a"), (1, "b"), (2, "b"), (3, "b"), (5, "c")]
+
+    naive = points.join(iv, (points["v"] >= iv["lo"]) & (points["v"] < iv["hi"]))
+    assert got == sorted((r["pid"], r["label"]) for r in naive.collect())
+
+    left = range_join(points, iv, "v", "lo", "hi", bucket_width=4.0, how="left")
+    by_pid = {}
+    for r in left.collect():
+        by_pid.setdefault(r["pid"], []).append(r["label"])
+    assert by_pid[4] == [None]  # unmatched point survives with null payload
+    assert sorted(by_pid[1]) == ["a", "b"]
