@@ -102,3 +102,27 @@ def test_jaccard_ppjoin_path_matches_oracle(spark):
 
     df = _jaccard_ppjoin(_shingles(load(spark, SF_DIR, "documents")))
     assert_matches_duckdb(df, ORACLES["doc_ngram_jaccard_pairs"], SF_DIR)
+
+
+def test_percentile_approx_tracks_exact(spark):
+    """The 100 TB percentile path: percentile_approx (mergeable t-digest
+    style sketch, no global sort) stays within 1% relative error of the
+    exact inverse-CDF picks that ev_percentile_stats computes — the
+    documented swap once the exact-rank plan's shuffle dominates."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.events import ev_percentile_stats
+
+    exact = ev_percentile_stats(spark, SF_DIR).collect()[0]
+    e = load(spark, SF_DIR, "events")
+    n = e.count()
+    approx = (
+        e.agg(F.percentile_approx("value", [0.5, 0.95], 10_000).alias("p"))
+        .collect()[0]["p"]
+    )
+    # the sketch guarantees RANK error (<= n/accuracy, plus a one-position
+    # convention difference vs our floor(n*q)+1 pick), so assert the rank
+    # of the approx value, not its magnitude
+    for q, (a, x) in zip((0.5, 0.95), zip(approx, (exact["p50"], exact["p95"]))):
+        rank = e.filter(F.col("value") <= a).count()
+        assert abs(rank - n * q) <= max(2, n / 10_000 + 1), (q, a, x, rank)
