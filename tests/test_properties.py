@@ -1,0 +1,151 @@
+"""Property-based checks (SURVEY.md §5.2-4) with hypothesis: arbitrary
+payloads through the derive path and arbitrary event streams through
+batch sessionization must uphold the reference's invariants.
+
+Each example builds a whole batch (one DataFrame per example, bounded
+example count) so JVM round-trips stay tolerable.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from kafka_flink_harshevents_spark.operators.sessions import sessionize_batch
+from kafka_flink_harshevents_spark.operators.violations import (
+    ALLOWED_VIOLATION_TYPES,
+    device_status_from_telemetry,
+    violations_from_telemetry,
+)
+from kafka_flink_harshevents_spark.functions.json_lenient import parse_telemetry
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# -- arbitrary telemetry payloads ------------------------------------------
+
+_vio_element = st.fixed_dictionaries(
+    {},
+    optional={
+        "type": st.sampled_from(
+            ["harsh_brake", "harsh_accel", "speeding", "tailgating", "", "HARSH_BRAKE"]
+        ),
+        "timestamp": st.integers(min_value=-5, max_value=2_000_000_000),
+        "accel_y": st.floats(-10, 10, allow_nan=False),
+        "speed_kph": st.floats(0, 200, allow_nan=False),
+        "delta_speed": st.floats(-50, 50, allow_nan=False),
+    },
+)
+
+_payload = st.fixed_dictionaries(
+    {},
+    optional={
+        "device_uuid": st.sampled_from(["d1", "d2", "", None]),
+        "timestamp": st.integers(min_value=-5, max_value=2_000_000_000),
+        "violations": st.lists(_vio_element, max_size=4),
+        "dashcam_power_source": st.sampled_from(
+            ["battery", "BATTERY", "Battery", "cable", "", None]
+        ),
+        "mqtt_sent_at_ms": st.integers(min_value=0, max_value=2 * 10**12),
+        "junk_field": st.text(max_size=8),
+    },
+)
+
+
+@given(st.lists(_payload, max_size=12))
+@settings(**_SETTINGS)
+def test_derive_path_invariants(spark, payloads):
+    """For ANY payload batch: every emitted violation's type is in the
+    allowlist; event timestamp follows the coalesce rule (element ts when
+    > 0 else payload ts, defaulting 0); details carry exactly the three
+    fields; every status touch is battery-powered with timestamp > 0."""
+    raw = spark.createDataFrame(
+        [(json.dumps(p),) for p in payloads] or [("",)], ["value"]
+    )
+    telemetry = parse_telemetry(raw)
+
+    vio = violations_from_telemetry(telemetry).collect()
+    for r in vio:
+        assert r["violation_type"] in ALLOWED_VIOLATION_TYPES
+        assert set(r["details"].asDict()) == {"accel_y", "speed_kph", "delta_speed"}
+
+    # P4 coalesce exactly as the reference computes it (vts > 0 ? vts :
+    # payload ts), with absent modeled as null (Jackson's 0 equivalent —
+    # every downstream guard treats them identically, json_lenient.py)
+    expected = []
+    for p in payloads:
+        pts = p.get("timestamp")  # may be None or negative — carried as-is
+        for v in p.get("violations") or []:
+            if isinstance(v, dict) and v.get("type") in ALLOWED_VIOLATION_TYPES:
+                vts = v.get("timestamp")
+                expected.append(
+                    (v["type"], vts if (vts is not None and vts > 0) else pts)
+                )
+    none_last = lambda t: (t[0], t[1] is not None, t[1] or 0)
+    got = sorted(((r["violation_type"], r["timestamp"]) for r in vio), key=none_last)
+    assert got == sorted(expected, key=none_last)
+
+    # F2 gate is the Java null-check, NOT truthiness: empty-string uuid
+    # passes here (the CONSUMER's truthiness validation drops it later —
+    # streaming/consumer.py reproduces that stage separately)
+    status = device_status_from_telemetry(telemetry).collect()
+    for r in status:
+        assert r["status_type"] == "cable-unplugged" and r["action"] == "touch"
+        assert r["device_uuid"] is not None
+        assert r["timestamp"] > 0
+    n_battery = sum(
+        1
+        for p in payloads
+        if (p.get("dashcam_power_source") or "").lower() == "battery"
+        and p.get("device_uuid") is not None
+        and (p.get("timestamp") or 0) > 0
+    )
+    assert len(status) == n_battery
+
+
+# -- arbitrary event streams through sessionization ------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.sampled_from(["d1", "d2", "d3"]),
+        st.integers(min_value=0, max_value=5_000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_events, st.sampled_from([100, 300]))
+@settings(**_SETTINGS)
+def test_sessionize_invariants(spark, events, gap):
+    """For ANY event stream: start <= end; session touch counts sum to
+    the input count per key; sessions of one key are disjoint and
+    separated by more than the gap; every intra-session step <= gap."""
+    df = spark.createDataFrame(events, ["k", "ts"])
+    out = sessionize_batch(df, key_col="k", ts_col="ts", gap=gap).collect()
+
+    per_key_in: dict[str, list[int]] = {}
+    for k, ts in events:
+        per_key_in.setdefault(k, []).append(ts)
+
+    per_key_sessions: dict[str, list] = {}
+    for r in out:
+        assert r["start_timestamp"] <= r["end_timestamp"]
+        per_key_sessions.setdefault(r["k"], []).append(r)
+
+    assert set(per_key_sessions) == set(per_key_in)
+    for k, sessions in per_key_sessions.items():
+        sessions.sort(key=lambda r: r["start_timestamp"])
+        assert sum(s["n_touches"] for s in sessions) == len(per_key_in[k])
+        for a, b in zip(sessions, sessions[1:]):
+            assert b["start_timestamp"] - a["end_timestamp"] > gap  # true session break
+        # replay the gap rule on the sorted input: boundaries must match
+        ts_sorted = sorted(per_key_in[k])
+        starts = [ts_sorted[0]] + [
+            b for a, b in zip(ts_sorted, ts_sorted[1:]) if b - a > gap
+        ]
+        assert sorted(s["start_timestamp"] for s in sessions) == starts
