@@ -593,6 +593,83 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+SIMHASH_PAIR_BITS = 60  # 15 md5 nibbles — stays inside a signed long
+SIMHASH_PAIR_BLOCKS = 4  # pigeonhole: d(a,b) <= 3 => >= 1 identical block
+SIMHASH_MAX_HAMMING = 3
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole blocking (Manku et al.'s
+    simhash-dedup scheme): a 60-bit fingerprint split into 4 disjoint
+    15-bit blocks — any pair within Hamming distance 3 shares at least
+    one identical block, so candidate generation is an equi-join on
+    (block_idx, block_value) with EXACT recall, and verification is one
+    xor-popcount per candidate.
+
+    Same bucket-collect shape as the MinHash path: groupBy on the block
+    key evaluates the fingerprint pipeline ONCE and emits each bucket's
+    ordered pairs array-locally (no self-join re-evaluation). Block
+    extraction uses shifts/masks, not division — long fingerprints don't
+    survive double-precision division. Shuffle ∝ colliding docs; the
+    16-bit `doc_simhash` stays as the compact per-doc fingerprint.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    h = F.md5("t")
+    n_nib = SIMHASH_PAIR_BITS // 4
+    nib = tok.select(
+        "doc_id",
+        *[_nibble_val(F.substring(h, c + 1, 1)).alias(f"v{c}") for c in range(n_nib)],
+    )
+    vote_cols = []
+    for j in range(SIMHASH_PAIR_BITS):
+        c, b = j // 4, 3 - (j % 4)
+        bit = F.shiftright(F.col(f"v{c}").cast("long"), b).bitwiseAND(F.lit(1))
+        vote_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    votes = nib.groupBy("doc_id").agg(*vote_cols)
+    fp = None
+    for j in range(SIMHASH_PAIR_BITS):
+        term = F.when(
+            F.col(f"s{j}") > 0, F.lit(2 ** (SIMHASH_PAIR_BITS - 1 - j))
+        ).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    fps = votes.select("doc_id", fp.cast("long").alias("fp"))
+
+    width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BLOCKS
+    mask = (1 << width) - 1
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftright(F.col("fp"), (SIMHASH_PAIR_BLOCKS - 1 - i) * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        for i in range(SIMHASH_PAIR_BLOCKS)
+    ]
+    blocks = fps.select(
+        "doc_id", "fp", F.explode(F.array(*block_structs)).alias("x")
+    ).select("doc_id", "fp", F.col("x.bi").alias("bi"), F.col("x.bv").alias("bv"))
+    buckets = (
+        blocks.groupBy("bi", "bv")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = F.expr(
+        """flatten(
+               transform(ds, (x, i) ->
+                   transform(slice(ds, i + 2, size(ds) - i - 1),
+                             y -> struct(x.doc_id AS da, y.doc_id AS db,
+                                         CAST(bit_count(x.fp ^ y.fp) AS BIGINT)
+                                             AS hamming))))"""
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.*")
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_score": doc_quality_score,
@@ -603,6 +680,7 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash": doc_simhash,
+    "doc_simhash_pairs": doc_simhash_pairs,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_clean_corpus": doc_clean_corpus,
 }
@@ -695,6 +773,38 @@ def _simhash_sql() -> str:
             SELECT doc_id, {", ".join(vote_exprs)} FROM tok GROUP BY doc_id
         )
         SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _simhash_pairs_sql() -> str:
+    """All-pairs exact Hamming baseline over the same 60-bit fingerprint
+    — the oracle proves the pigeonhole blocking loses nothing."""
+    vote_exprs = []
+    for j in range(SIMHASH_PAIR_BITS):
+        c, b = j // 4, 3 - (j % 4)
+        v = (
+            f"(CASE WHEN ascii(substr(md5(t), {c + 1}, 1)) <= 57 "
+            f"THEN ascii(substr(md5(t), {c + 1}, 1)) - 48 "
+            f"ELSE ascii(substr(md5(t), {c + 1}, 1)) - 87 END)"
+        )
+        bit = f"(({v} >> {b}) & 1)"
+        vote_exprs.append(f"CAST(sum({bit} * 2 - 1) AS BIGINT) AS s{j}")
+    fp_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** (SIMHASH_PAIR_BITS - 1 - j)} ELSE 0 END)"
+        for j in range(SIMHASH_PAIR_BITS)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, {", ".join(vote_exprs)} FROM tok GROUP BY doc_id
+        ),
+        fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS fp FROM votes)
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
     """
 
 
@@ -824,6 +934,7 @@ ORACLES = {
     """,
     "doc_minhash_lsh_pairs": _minhash_sql(),
     "doc_simhash": _simhash_sql(),
+    "doc_simhash_pairs": _simhash_pairs_sql(),
     "doc_neardup_clusters": _clusters_sql(),
     "doc_clean_corpus": _clean_corpus_sql(),
 }
