@@ -126,3 +126,31 @@ def test_percentile_approx_tracks_exact(spark):
     for q, (a, x) in zip((0.5, 0.95), zip(approx, (exact["p50"], exact["p95"]))):
         rank = e.filter(F.col("value") <= a).count()
         assert abs(rank - n * q) <= max(2, n / 10_000 + 1), (q, a, x, rank)
+
+
+def test_native_session_window_parity(spark):
+    """Triangulation: Spark's built-in session_window produces exactly
+    the sessions that sessionize_batch (the lag/gap/cumsum plan that
+    hash-matches the DuckDB oracle) produces — custom stack, native
+    operator, and oracle all agree on the same 300 s gap rule."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.operators.sessions import sessionize_batch
+    from kafka_flink_harshevents_spark.queries._util import load, ts_millis
+
+    e = load(spark, SF_DIR, "events").select(
+        "user_id", ts_millis("ts").alias("ts_ms")
+    )
+    custom = sessionize_batch(e, key_col="user_id", ts_col="ts_ms", gap=300_000)
+    native = (
+        e.withColumn("ts", F.timestamp_millis("ts_ms"))
+        .groupBy("user_id", F.session_window("ts", "300 seconds"))
+        .agg(
+            F.min("ts_ms").alias("start_timestamp"),
+            F.max("ts_ms").alias("end_timestamp"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )
+    cols = ["user_id", "start_timestamp", "end_timestamp", "n_touches"]
+    a = sorted(map(tuple, custom.select(*cols).collect()))
+    b = sorted(map(tuple, native.select(*cols).collect()))
+    assert a == b and len(a) > 0
