@@ -464,9 +464,6 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MAX_CC_ROUNDS = 20  # safety bound; near-dup clusters converge in 2-4
-
-
 def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph —
     the operator a dedup pipeline actually ENDS with: every document
@@ -476,48 +473,20 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Min-label propagation: each round every node takes the min of its
     own label and its neighbors' labels; converges in O(component
     diameter) rounds, and near-dup components are near-cliques, so 2-4
-    rounds in practice. Iterative-algorithm mechanics, done the Spark
-    way: ``localCheckpoint`` truncates the growing lineage each round
-    (the standard iterative-plan pattern), the edge set is the tiny
-    near-dup pair list (broadcast), and the only driver-side value per
-    round is the scalar changed-count that decides convergence. No SQL
-    oracle could express the loop — but DuckDB's recursive CTE can, so
-    this stays a fully hash-checked catalog entry."""
+    rounds in practice. The loop lives in
+    ``operators/graph.py::min_label_components`` (shared with the
+    embedding twin ``emb_neardup_clusters``); it iterates ONLY over
+    nodes that have an edge, so every loop table is ∝ the near-dup pair
+    graph, not the corpus — the corpus-sized table is touched exactly
+    once, at the end. No SQL oracle could express the loop — but
+    DuckDB's recursive CTE can, so this stays a fully hash-checked
+    catalog entry."""
+    from kafka_flink_harshevents_spark.operators.graph import min_label_components
+
     pairs = doc_minhash_lsh_pairs(spark, sf_dir).select("da", "db")
-    edges = pairs.union(
-        pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
-    ).localCheckpoint(eager=True)
-    # iterate ONLY over nodes that have an edge (non-singletons): the
-    # loop's tables are ∝ the near-dup pair graph, not the corpus; the
-    # corpus-sized table is touched exactly once, at the end.
-    labels = (
-        edges.select(F.col("da").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
+    labels = min_label_components(pairs, "da", "db").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    for _ in range(MAX_CC_ROUNDS):
-        neighbor_min = (
-            F.broadcast(edges)
-            .join(labels, F.col("da") == F.col("doc_id"))
-            .groupBy(F.col("db").alias("nid"))
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, F.col("doc_id") == F.col("nid"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("new_cluster_id"),
-                "cluster_id",
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
-        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
-        if changed == 0:
-            break
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")

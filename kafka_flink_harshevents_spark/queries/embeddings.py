@@ -337,11 +337,36 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("knn_rank") <= TOP_K)
 
 
+def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize the embedding near-dup pair graph — the same
+    min-label propagation as the document path
+    (``operators/graph.py::min_label_components``, loop tables ∝ pair
+    graph), over the cosine pairs from ``emb_neardup_pairs``. Every
+    vector maps to its component's min vec_id; singletons to themselves.
+    """
+    from kafka_flink_harshevents_spark.operators.graph import min_label_components
+
+    pairs = emb_neardup_pairs(spark, sf_dir).select("va", "vb")
+    labels = min_label_components(pairs, "va", "vb").select(
+        F.col("node").alias("nid"), F.col("component").alias("cluster_id")
+    )
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(labels, F.col("vec_id") == F.col("nid"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+
+
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
     "emb_centroids": emb_centroids,
     "emb_knn_lsh": emb_knn_lsh,
     "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_neardup_clusters": emb_neardup_clusters,
     "emb_knn_ivf": emb_knn_ivf,
 }
 
@@ -389,6 +414,33 @@ ORACLES = {
             WHERE a.vec_id < b.vec_id
         )
         SELECT va, vb, cos_sim FROM p WHERE cos_sim >= {NEARDUP_COS}
+    """,
+    "emb_neardup_clusters": f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   round(
+                       list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i])))
+                        * sqrt(list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i])))),
+                   6) AS cos_sim
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+        ),
+        pairs AS (SELECT va, vb FROM p WHERE cos_sim >= {NEARDUP_COS}),
+        edges AS (
+            SELECT va AS s, vb AS d FROM pairs
+            UNION
+            SELECT vb AS s, va AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT vec_id AS s, vec_id AS d FROM embeddings
+            UNION
+            SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+        )
+        SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s
     """,
     "emb_knn_ivf": f"""
         WITH e AS (
