@@ -169,6 +169,27 @@ def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window battery: per-user running total (unbounded-
+    preceding sum), previous-event gap (lag), and next event id (lead) —
+    all three specs share ONE shuffle on user_id because they share the
+    same partitioning and ordering (one Window physical operator)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_millis("ts").alias("ts_ms"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_ms"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
 def _percentile_picks(ranked: DataFrame) -> DataFrame:
     return ranked.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -320,6 +341,7 @@ QUERIES = {
     "ev_sliding_30m_10m": ev_sliding_30m_10m,
     "ev_value_band_join": ev_value_band_join,
     "ev_time_rollup": ev_time_rollup,
+    "ev_user_running_stats": ev_user_running_stats,
     "ev_percentile_stats": ev_percentile_stats,
     "ev_percentile_last1000": ev_percentile_last1000,
     "ev_histogram": ev_histogram,
@@ -418,6 +440,20 @@ ORACLES = {
                count(*) AS n,
                round(sum(value), 2) AS total_value
         FROM x GROUP BY 1, 2
+    """,
+    "ev_user_running_stats": """
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS UNBOUNDED PRECEDING
+               ), 2) AS running_total,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS gap_ms,
+               lead(event_id) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS next_event_id
+        FROM events
     """,
     "ev_value_band_join": """
         SELECT event_id, value, band
