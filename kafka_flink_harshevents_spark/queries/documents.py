@@ -562,6 +562,73 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+SAMPLE_RATES = {"high": 1.0, "medium": 0.5, "low": 0.125}
+PACK_CAP = 512  # context-window token budget per packed sequence
+PACK_SHARDS = 16
+
+
+def _md5_unit(col: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1) from the first 8 md5 nibbles —
+    portable to DuckDB (pure ascii arithmetic, no engine hash builtin,
+    unlike xxhash64) and stable under retries/partition moves, unlike
+    F.rand."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    val = None
+    for i in range(8):
+        nib = _nibble_val(F.substring(h, i + 1, 1)).cast("long")
+        term = nib * (16 ** (7 - i))
+        val = term if val is None else val + term
+    return val / F.lit(float(2**32))
+
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-quality-bucket sampling at fixed rates
+    (high 1.0 / medium 0.5 / low 0.125) with a DETERMINISTIC hash
+    uniform — the sampling decision is a pure function of doc_id, so
+    retries, re-partitions, and re-runs keep the same corpus (F.rand
+    would not; see sources/synthetic.py::_u for the same rule).
+    Scan-local: no shuffle at all — the filter rides the parquet scan.
+    """
+    d = doc_quality_score(spark, sf_dir).select("doc_id", "quality_bucket")
+    u = _md5_unit(F.col("doc_id"), "samp|")
+    rate = (
+        F.when(F.col("quality_bucket") == "high", F.lit(SAMPLE_RATES["high"]))
+        .when(F.col("quality_bucket") == "medium", F.lit(SAMPLE_RATES["medium"]))
+        .otherwise(F.lit(SAMPLE_RATES["low"]))
+    )
+    return (
+        d.withColumn("sample_u", F.round(u, 6))
+        .filter(u < rate)
+        .select("doc_id", "quality_bucket", "sample_u")
+    )
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, GPT-style: concatenate documents into a token
+    stream and cut every PACK_CAP tokens. Distributed form: docs shard
+    by ``doc_id % PACK_SHARDS`` (shard count scales with the cluster),
+    each shard computes token offsets with ONE window cumsum, and a
+    doc's packed position is its offset's bin. Emits per doc: shard,
+    start offset, first/last bin — everything a downstream tokenizer
+    needs to materialize the packed sequences shard-parallel.
+    """
+    d = _words(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        (F.col("doc_id") % PACK_SHARDS).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / PACK_CAP).cast("long").alias("first_bin"),
+        F.floor((cum - 1) / PACK_CAP).cast("long").alias("last_bin"),
+    )
+
+
 SIMHASH_PAIR_BITS = 60  # 15 md5 nibbles — stays inside a signed long
 SIMHASH_PAIR_BLOCKS = 4  # pigeonhole: d(a,b) <= 3 => >= 1 identical block
 SIMHASH_MAX_HAMMING = 3
@@ -648,6 +715,8 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_sample_stratified": doc_sample_stratified,
+    "doc_pack_sequences": doc_pack_sequences,
     "doc_simhash": doc_simhash,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_neardup_clusters": doc_neardup_clusters,
@@ -742,6 +811,73 @@ def _simhash_sql() -> str:
             SELECT doc_id, {", ".join(vote_exprs)} FROM tok GROUP BY doc_id
         )
         SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _md5_unit_sql(col_expr: str, salt: str) -> str:
+    """DuckDB twin of _md5_unit: first 8 md5 nibbles → [0, 1)."""
+    h = f"md5('{salt}' || CAST({col_expr} AS VARCHAR))"
+    terms = []
+    for i in range(8):
+        v = (
+            f"(CASE WHEN ascii(substr({h}, {i + 1}, 1)) <= 57 "
+            f"THEN ascii(substr({h}, {i + 1}, 1)) - 48 "
+            f"ELSE ascii(substr({h}, {i + 1}, 1)) - 87 END)"
+        )
+        terms.append(f"CAST({v} AS BIGINT) * {16 ** (7 - i)}")
+    return f"(({' + '.join(terms)}) / 4294967296.0)"
+
+
+def _sample_sql() -> str:
+    u = _md5_unit_sql("doc_id", "samp|")
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SQL_STOPSET}))) AS BIGINT) AS n_stop
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.3 * (n_unique * 1.0 / n_tokens)
+                   + 0.3 * (1.0 - n_stop * 1.0 / n_tokens) AS score
+            FROM w
+        ), b AS (
+            SELECT doc_id,
+                   CASE WHEN score >= 0.75 THEN 'high'
+                        WHEN score >= 0.5 THEN 'medium'
+                        ELSE 'low' END AS quality_bucket
+            FROM s
+        ), uu AS (SELECT doc_id, quality_bucket, {u} AS u FROM b)
+        SELECT doc_id, quality_bucket, round(u, 6) AS sample_u
+        FROM uu
+        WHERE u < CASE quality_bucket
+                      WHEN 'high' THEN {SAMPLE_RATES['high']}
+                      WHEN 'medium' THEN {SAMPLE_RATES['medium']}
+                      ELSE {SAMPLE_RATES['low']} END
+    """
+
+
+_PACK_SQL = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard
+            FROM documents
+        ), c AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM w
+        )
+        SELECT doc_id, shard, n_tokens,
+               cum - n_tokens AS start_offset,
+               CAST(floor((cum - n_tokens) / {PACK_CAP}.0) AS BIGINT) AS first_bin,
+               CAST(floor((cum - 1) / {PACK_CAP}.0) AS BIGINT) AS last_bin
+        FROM c
     """
 
 
@@ -902,6 +1038,8 @@ ORACLES = {
         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
     """,
     "doc_minhash_lsh_pairs": _minhash_sql(),
+    "doc_sample_stratified": _sample_sql(),
+    "doc_pack_sequences": _PACK_SQL,
     "doc_simhash": _simhash_sql(),
     "doc_simhash_pairs": _simhash_pairs_sql(),
     "doc_neardup_clusters": _clusters_sql(),
