@@ -629,6 +629,50 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_EVAL_DOCS = 5  # docs 0..4 stand in for the held-out eval set
+DECON_NGRAM = 5  # contamination n-gram length
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    5-gram with the eval set (docs 0..4 stand in for a held-out
+    benchmark). The eval n-gram set is small by construction — distinct
+    5-grams of the benchmark — so the containment check is a BROADCAST
+    semi-ish join against the exploded corpus stream: scan-local, no
+    corpus-wide shuffle; only the per-doc hit counts aggregate.
+    """
+    d = _words(load(spark, sf_dir, "documents")).filter(
+        F.size("ws") >= DECON_NGRAM
+    )
+    gram = F.expr(
+        "transform(sequence(0, size(ws) - {n}), i -> "
+        "concat({parts}))".format(
+            n=DECON_NGRAM,
+            parts=", ' ', ".join(f"ws[i + {k}]" for k in range(DECON_NGRAM)),
+        )
+    )
+    grams = d.select("doc_id", F.explode(F.array_distinct(gram)).alias("g"))
+    eval_grams = (
+        grams.filter(F.col("doc_id") < N_EVAL_DOCS).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    corpus = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") >= N_EVAL_DOCS)
+    )
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("long").alias("contaminated"),
+    )
+
+
 SIMHASH_PAIR_BITS = 60  # 15 md5 nibbles — stays inside a signed long
 SIMHASH_PAIR_BLOCKS = 4  # pigeonhole: d(a,b) <= 3 => >= 1 identical block
 SIMHASH_MAX_HAMMING = 3
@@ -717,6 +761,7 @@ QUERIES = {
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_decontaminate": doc_decontaminate,
     "doc_simhash": doc_simhash,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_neardup_clusters": doc_neardup_clusters,
@@ -1040,6 +1085,33 @@ ORACLES = {
     "doc_minhash_lsh_pairs": _minhash_sql(),
     "doc_sample_stratified": _sample_sql(),
     "doc_pack_sequences": _PACK_SQL,
+    "doc_decontaminate": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {DECON_NGRAM}
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(ws) - {DECON_NGRAM - 2}),
+                       i -> {" || ' ' || ".join(f"ws[i + {k}]" for k in range(DECON_NGRAM))}
+                   ))) AS g
+            FROM w
+        ),
+        ev AS (SELECT DISTINCT g FROM g WHERE doc_id < {N_EVAL_DOCS}),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM g JOIN ev ON g.g = ev.g
+            WHERE g.doc_id >= {N_EVAL_DOCS}
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id >= {N_EVAL_DOCS}
+    """,
     "doc_simhash": _simhash_sql(),
     "doc_simhash_pairs": _simhash_pairs_sql(),
     "doc_neardup_clusters": _clusters_sql(),
