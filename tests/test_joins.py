@@ -110,3 +110,43 @@ def test_range_join_semantics(spark):
         by_pid.setdefault(r["pid"], []).append(r["label"])
     assert by_pid[4] == [None]  # unmatched point survives with null payload
     assert sorted(by_pid[1]) == ["a", "b"]
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Co-located (bucketed) joins — the 100 TB answer to repeatedly
+    joining the same fact tables: both sides bucketed by the join key
+    sort-merge-join with NO Exchange in the plan, while the plain
+    parquet join of the same data must shuffle both sides."""
+    import uuid
+    from pyspark.sql import functions as F
+
+    n = 1000
+    left = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    ta, tb = f"bl_{uuid.uuid4().hex[:8]}", f"br_{uuid.uuid4().hex[:8]}"
+    left.write.bucketBy(8, "k").sortBy("k").option(
+        "path", str(tmp_path / ta)
+    ).saveAsTable(ta)
+    right.write.bucketBy(8, "k").sortBy("k").option(
+        "path", str(tmp_path / tb)
+    ).saveAsTable(tb)
+    try:
+        # disable broadcast so the co-location (not size) decides the plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = spark.table(ta).join(spark.table(tb), "k")
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert bucketed.count() == n
+
+        plain = left.join(right, "k")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+        assert plain.count() == n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
