@@ -629,6 +629,26 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per doc (ln(n) − Σc·ln(c)/n) —
+    the standard repetition/degeneracy signal (boilerplate and
+    copy-paste spam score low). explode → (doc, term) count → one
+    per-doc aggregate; shuffle keys on doc_id, ∝ corpus."""
+    d = _words(load(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6).alias(
+            "token_entropy"
+        ),
+    )
+
+
 N_EVAL_DOCS = 5  # docs 0..4 stand in for the held-out eval set
 DECON_NGRAM = 5  # contamination n-gram length
 
@@ -762,6 +782,7 @@ QUERIES = {
     "doc_sample_stratified": doc_sample_stratified,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_decontaminate": doc_decontaminate,
+    "doc_token_entropy": doc_token_entropy,
     "doc_simhash": doc_simhash,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_neardup_clusters": doc_neardup_clusters,
@@ -1111,6 +1132,16 @@ ORACLES = {
                CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE d.doc_id >= {N_EVAL_DOCS}
+    """,
+    "doc_token_entropy": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+        FROM tf GROUP BY doc_id
     """,
     "doc_simhash": _simhash_sql(),
     "doc_simhash_pairs": _simhash_pairs_sql(),
