@@ -67,3 +67,59 @@ def with_exact_rank(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long") + F.col("__off"))
         .drop("__bkt", "__off", "__vmin", "__vmax")
     )
+
+
+def with_exact_rank_grouped(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Per-group exact rank ``rn`` and group count ``n`` — the grouped
+    twin of ``with_exact_rank``, for when the group key's cardinality is
+    far below the data size (an enum column): ``Window.partitionBy(group)``
+    alone would concentrate each group into ONE partition (5 groups at
+    100 TB = 20 TB partitions), so ranks are computed per
+    (group, value-range-bucket) instead — every shuffle keys on the
+    composite, parallelism ∝ groups × buckets.
+    """
+    mm = df.groupBy(group_col).agg(
+        F.min(value_col).alias("__vmin"),
+        F.max(value_col).alias("__vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    r = df.join(F.broadcast(mm), group_col)
+    span = F.col("__vmax") - F.col("__vmin")
+    bkt = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(RANK_BUCKETS - 1),
+                F.floor((F.col(value_col) - F.col("__vmin")) / span * RANK_BUCKETS),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    r = r.withColumn("__bkt", bkt)
+    pc = r.groupBy(group_col, "__bkt").agg(F.count(F.lit(1)).alias("__pc"))
+    offs = (
+        pc.alias("x")
+        .join(
+            F.broadcast(
+                pc.select(
+                    F.col(group_col).alias("__g2"),
+                    F.col("__bkt").alias("__b2"),
+                    F.col("__pc").alias("__pc2"),
+                )
+            ),
+            (F.col("__g2") == F.col(f"x.{group_col}"))
+            & (F.col("__b2") < F.col("x.__bkt")),
+            "left",
+        )
+        .groupBy(F.col(f"x.{group_col}").alias(group_col), F.col("x.__bkt").alias("__bkt"))
+        .agg(F.coalesce(F.sum("__pc2"), F.lit(0)).cast("long").alias("__off"))
+    )
+    w = Window.partitionBy(group_col, "__bkt").orderBy(value_col, id_col)
+    return (
+        r.join(F.broadcast(offs), [group_col, "__bkt"])
+        .withColumn("rn", F.row_number().over(w).cast("long") + F.col("__off"))
+        .drop("__bkt", "__off", "__vmin", "__vmax")
+    )

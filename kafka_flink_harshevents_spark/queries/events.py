@@ -213,6 +213,31 @@ def ev_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _percentile_picks(with_exact_rank(e, "value", "event_id"))
 
 
+def ev_percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact percentiles via
+    ``operators.ranking.with_exact_rank_grouped``: a plain
+    ``Window.partitionBy(event_type)`` would funnel each enum value's
+    entire data into one partition (5 partitions at any scale), so ranks
+    key on (type, value-range-bucket) — parallelism ∝ groups × 1024.
+    Same inverse-CDF pick as the global entry, per group."""
+    from kafka_flink_harshevents_spark.operators.ranking import (
+        with_exact_rank_grouped,
+    )
+
+    e = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ranked = with_exact_rank_grouped(e, "event_type", "value", "event_id")
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.max(
+            F.when(F.col("rn") == (F.floor(F.col("n") * 0.5) + 1), F.col("value"))
+        ).alias("p50"),
+        F.max(
+            F.when(F.col("rn") == (F.floor(F.col("n") * 0.95) + 1), F.col("value"))
+        ).alias("p95"),
+    )
+
+
 def ev_percentile_last1000(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2's actual buffer semantics (mqtt_publish.js:80-97): statistics
     over the 1000 MOST RECENT samples only. The recency cut is
@@ -343,6 +368,7 @@ QUERIES = {
     "ev_time_rollup": ev_time_rollup,
     "ev_user_running_stats": ev_user_running_stats,
     "ev_percentile_stats": ev_percentile_stats,
+    "ev_percentile_by_type": ev_percentile_by_type,
     "ev_percentile_last1000": ev_percentile_last1000,
     "ev_histogram": ev_histogram,
     "ev_props_extract": ev_props_extract,
@@ -491,6 +517,22 @@ ORACLES = {
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
                max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
         FROM s
+    """,
+    "ev_percentile_by_type": """
+        WITH s AS (
+            SELECT event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS cnt,
+               round(avg(value), 4) AS avg_value,
+               max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
+               max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95
+        FROM s GROUP BY event_type
     """,
     "ev_percentile_last1000": """
         WITH recent AS (

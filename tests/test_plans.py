@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, no nested-loop joins, no single-partition windows,
+broadcast dims, single shared window exchange) asserted on the actual
+executed plans so a future refactor can't silently regress them."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_and_projection_reach_the_scan(spark):
+    from kafka_flink_harshevents_spark.queries.relational_ext import (
+        q6_revenue_change,
+    )
+
+    plan = _plan(q6_revenue_change(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # projection pruning: only the 4 referenced columns are read
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_exact_rank_never_single_partitions(spark):
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.operators.ranking import (
+        with_exact_rank,
+        with_exact_rank_grouped,
+    )
+    from kafka_flink_harshevents_spark.queries._util import load
+
+    e = load(spark, SF_DIR, "events").select("event_type", "event_id", "value")
+    # SinglePartition exchanges DO exist for the <= 1024-row bucket
+    # metadata aggregates (size-bounded by construction); the promises
+    # are: the data-carrying Window partitions on the bucket key, and
+    # nothing in the plan sorts globally.
+    plan = _plan(with_exact_rank(e.drop("event_type"), "value", "event_id"))
+    assert "windowspecdefinition(__bkt" in plan
+    assert "], true, " not in plan  # no global Sort anywhere
+    gplan = _plan(with_exact_rank_grouped(e, "event_type", "value", "event_id"))
+    assert "windowspecdefinition(event_type" in gplan
+    assert "], true, " not in gplan
+
+
+def test_no_nested_loop_joins_in_pair_queries(spark):
+    from kafka_flink_harshevents_spark.queries.documents import (
+        doc_minhash_lsh_pairs,
+        doc_simhash_pairs,
+    )
+    from kafka_flink_harshevents_spark.queries.events import ev_value_band_join
+
+    for q in (doc_minhash_lsh_pairs, doc_simhash_pairs, ev_value_band_join):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_dimension_joins_broadcast(spark):
+    from kafka_flink_harshevents_spark.queries.relational import (
+        q5_local_supplier_volume,
+    )
+
+    plan = _plan(q5_local_supplier_volume(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # region/nation must never shuffle: no exchange keyed on their join keys
+    assert "hashpartitioning(r_regionkey" not in plan
+    assert "hashpartitioning(n_nationkey" not in plan
+
+
+def test_analytic_windows_share_one_exchange(spark):
+    from kafka_flink_harshevents_spark.queries.events import ev_user_running_stats
+
+    plan = _plan(ev_user_running_stats(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 1
