@@ -589,3 +589,43 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: a violations file-stream
+    joined to the static vehicle dimension — the streaming form of
+    ev_enrich_vehicle. The static side broadcasts; the stream stays
+    partition-local (no stateful shuffle), so the same plan enriches a
+    100 TB stream."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.sources.synthetic import VEHICLE_POOL
+
+    src = tmp_path / "enrich"
+    src.mkdir()
+    rows = [
+        {"device_uuid": "d1", "vehicle_id": VEHICLE_POOL[0], "violation_type": "harsh_brake"},
+        {"device_uuid": "d2", "vehicle_id": VEHICLE_POOL[1], "violation_type": "harsh_accel"},
+        {"device_uuid": "d3", "vehicle_id": "veh-unknown", "violation_type": "harsh_brake"},
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    dim = spark.createDataFrame(
+        [(VEHICLE_POOL[0], "fleet-0"), (VEHICLE_POOL[1], "fleet-1")],
+        "vehicle_id string, fleet string",
+    )
+    stream = (
+        spark.readStream.schema(
+            "device_uuid STRING, vehicle_id STRING, violation_type STRING"
+        )
+        .json(str(src))
+        .join(F.broadcast(dim), "vehicle_id", "left")
+    )
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = {r["device_uuid"]: r["fleet"] for r in spark.table(name).collect()}
+        assert got == {"d1": "fleet-0", "d2": "fleet-1", "d3": None}
+    finally:
+        q.stop()
