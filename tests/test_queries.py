@@ -154,3 +154,29 @@ def test_native_session_window_parity(spark):
     a = sorted(map(tuple, custom.select(*cols).collect()))
     b = sorted(map(tuple, native.select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_approx_count_distinct_tracks_exact(spark):
+    """The 100 TB distinct-count path: approx_count_distinct (HLL++,
+    mergeable, no expand/two-phase distinct shuffle) stays within its
+    documented 5% relative error of the exact per-group counts from
+    q_distinct_agg."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.queries._util import load
+
+    o = load(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.05).alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n) * 3, (k, approx[k], n)
