@@ -404,15 +404,22 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(docs)
 
     # Hash every (doc, shingle) row rather than joining a pre-hashed
-    # vocabulary: 12 scan-local md5s per row stay inside the narrow map
-    # stage, whereas the dedup-then-join variant re-shuffles the whole
-    # shingle stream — measured a wash at sf0.1 and strictly worse at
-    # scale (CPU beats network).
-    sig_cols = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
-        for i in range(MINHASH_PERMS)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*sig_cols)
+    # vocabulary: scan-local md5s stay inside the narrow map stage,
+    # whereas the dedup-then-join variant re-shuffles the whole shingle
+    # stream — measured a wash at sf0.1 and strictly worse at scale
+    # (CPU beats network). Each 128-bit md5 yields TWO 64-bit minhash
+    # permutations (its hex halves), so 12 permutations cost 6 hashes;
+    # the halves are projected before the aggregate so each md5 is
+    # computed once (separate agg children don't share subexpressions).
+    half_cols = []
+    for i in range(MINHASH_PERMS // 2):
+        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))
+        half_cols.append(F.substring(h, 1, 16).alias(f"h{2 * i}"))
+        half_cols.append(F.substring(h, 17, 16).alias(f"h{2 * i + 1}"))
+    halves = sh.select("doc_id", *half_cols)
+    sigs = halves.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(MINHASH_PERMS)]
+    )
 
     band_structs = [
         F.struct(
@@ -980,9 +987,12 @@ def _simhash_pairs_sql() -> str:
 
 
 def _minhash_sql() -> str:
-    mins = ", ".join(
-        f"min(md5('{i}|' || s)) AS m{i}" for i in range(MINHASH_PERMS)
+    halves = ", ".join(
+        f"substr(md5('{i}|' || s), 1, 16) AS h{2 * i}, "
+        f"substr(md5('{i}|' || s), 17, 16) AS h{2 * i + 1}"
+        for i in range(MINHASH_PERMS // 2)
     )
+    mins = ", ".join(f"min(h{i}) AS m{i}" for i in range(MINHASH_PERMS))
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bv FROM sig".format(
             b=b,
@@ -992,7 +1002,8 @@ def _minhash_sql() -> str:
     )
     return f"""
         WITH {_SQL_SHINGLES},
-        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        halves AS (SELECT doc_id, {halves} FROM sh),
+        sig AS (SELECT doc_id, {mins} FROM halves GROUP BY doc_id),
         bands AS ({band_selects}),
         cand AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
