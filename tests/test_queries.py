@@ -180,3 +180,24 @@ def test_approx_count_distinct_tracks_exact(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n) * 3, (k, approx[k], n)
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark):
+    """The 100 TB heavy-hitters path: DataFrame.freqItems (single-pass
+    Karp-Papadimitriou-Shenker) must return a SUPERSET of the items with
+    true frequency >= the support threshold — the algorithm's guarantee,
+    asserted against exact counts from ev_type_counts' groupBy."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.queries._util import load
+
+    e = load(spark, SF_DIR, "events")
+    n = e.count()
+    support = 0.1
+    exact_heavy = {
+        r["event_type"]
+        for r in e.groupBy("event_type").count().collect()
+        if r["count"] >= support * n
+    }
+    approx = set(e.freqItems(["event_type"], support).collect()[0][0])
+    assert exact_heavy <= approx, (exact_heavy, approx)
+    assert exact_heavy  # non-vacuous: the enum really has heavy hitters
