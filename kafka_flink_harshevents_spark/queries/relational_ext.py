@@ -466,9 +466,29 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts as priority × status cross-tab. The explicit
+    value list keeps the plan a single groupBy with conditional
+    aggregates (no extra distinct-values job) and pins the output
+    schema — same shape at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["P", "O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("P", F.lit(0)).cast("long").alias("n_p"),
+            F.coalesce("O", F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce("F", F.lit(0)).cast("long").alias("n_f"),
+        )
+    )
+
+
 QUERIES = {
     "q6_revenue_change": q6_revenue_change,
     "q_nation_revenue_share": q_nation_revenue_share,
+    "q_priority_status_pivot": q_priority_status_pivot,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_type_profit": q9_product_type_profit,
@@ -496,6 +516,13 @@ ORACLES = {
                round(rev / sum(rev) OVER (), 6) AS rev_share,
                CAST(dense_rank() OVER (ORDER BY rev DESC) AS BIGINT) AS rev_rank
         FROM per_nation
+    """,
+    "q_priority_status_pivot": """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+               CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f
+        FROM orders GROUP BY o_orderpriority
     """,
     "q6_revenue_change": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
