@@ -777,6 +777,145 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_WORDS = 8  # C4-style span width (words) for cross-corpus span dedup
+
+# PII patterns restricted to syntax both Java regex (Spark) and RE2
+# (DuckDB) treat identically: character classes, bounded repetition, \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1):
+    the fraction of bigram occurrences taken by the single most frequent
+    bigram, and the fraction of trigram occurrences that are repeats —
+    the two strongest boilerplate/degenerate-text filters in published
+    LLM-data pipelines.
+
+    Plan shape: trigram ratios are SCAN-LOCAL (array sizes, no explode
+    survives the scan); only the top-bigram argmax needs an explode →
+    groupBy(doc_id, bigram) → per-doc window, all keyed by doc_id — no
+    corpus-wide key, so no skew at 100 TB (docs are bounded).
+    """
+    d = _words(load(spark, sf_dir, "documents")).filter(F.size("ws") >= 3)
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"
+        ).alias("bi"),
+        F.expr(
+            "transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
+        ).alias("tri"),
+    ).select(
+        "doc_id",
+        F.explode("bi").alias("bg"),
+        F.size("bi").alias("n_bi"),
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("n_tri_d"),
+    )
+    g = base.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("n_bi").alias("n_bi"),
+        F.first("n_tri").alias("n_tri"),
+        F.first("n_tri_d").alias("n_tri_d"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "bg")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bg").alias("top_bigram"),
+            F.round(F.col("c") / F.col("n_bi"), 4).alias("top_bigram_ratio"),
+            F.round(F.lit(1.0) - F.col("n_tri_d") / F.col("n_tri"), 4).alias(
+                "dup_trigram_ratio"
+            ),
+        )
+    )
+
+
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus span dedup (Raffel et al. 2020 §2.2 adapted
+    to word spans): split every doc into non-overlapping SPAN_WORDS-word
+    chunks; a chunk occurrence survives only if it is the corpus-global
+    FIRST occurrence (min (doc_id, chunk_idx)) of that exact span.
+    Emits per doc: chunk counts and the cleaned text rebuilt from the
+    surviving spans.
+
+    Skew-proof winner selection: the global first occurrence per span is
+    ``groupBy(span).agg(min(struct(doc_id, chunk_idx)))`` — a partial
+    (map-side) aggregate, so a span repeated 10M times collapses to one
+    row per map partition BEFORE the shuffle; no hot-key window, no
+    row_number over a mega-partition. Per-doc reassembly then keys on
+    doc_id only (bounded groups).
+    """
+    d = _words(load(spark, sf_dir, "documents"))
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(ws) / {SPAN_WORDS}.0) as int) - 1), "
+                f"i -> array_join(slice(ws, i * {SPAN_WORDS} + 1, {SPAN_WORDS}), ' '))"
+            )
+        ).alias("chunk_idx", "ch"),
+    )
+    winners = (
+        chunks.groupBy("ch")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.chunk_idx").alias("chunk_idx"), "ch")
+    )
+    kept = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "ch"))),
+                lambda s: s["ch"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = d.select(
+        "doc_id",
+        F.ceil(F.size("ws") / SPAN_WORDS).cast("long").alias("n_chunks"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Reusable PII-signal columns (counts of email / IPv4 / phone-shaped
+    matches) — regexp_count runs JVM-side inside codegen; no UDF."""
+    return [
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long").alias("n_phone"),
+    ]
+
+
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure rollup per source: documents carrying email / IPv4 /
+    phone-shaped substrings (the release-gate scan every training-data
+    pipeline runs before shipping a corpus). Scan-local regexp counts →
+    one tiny groupBy(source); the synthetic corpus is PII-free so every
+    count is zero HERE — the operator itself is exercised on adversarial
+    fixtures in tests/test_documents_ops.py.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", *pii_counts(F.col("text")))
+    flagged = (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("n_email"),
+        F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+        F.sum("n_phone").cast("long").alias("n_phone"),
+        F.sum(flagged.cast("long")).cast("long").alias("n_flagged"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_score": doc_quality_score,
@@ -792,6 +931,9 @@ QUERIES = {
     "doc_token_entropy": doc_token_entropy,
     "doc_simhash": doc_simhash,
     "doc_simhash_pairs": doc_simhash_pairs,
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_span_dedup": doc_span_dedup,
+    "doc_pii_scan": doc_pii_scan,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_clean_corpus": doc_clean_corpus,
 }
@@ -1156,6 +1298,75 @@ ORACLES = {
     """,
     "doc_simhash": _simhash_sql(),
     "doc_simhash_pairs": _simhash_pairs_sql(),
+    "doc_repetition_stats": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        b AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bi,
+                   list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS tri
+            FROM w
+        ),
+        e AS (
+            SELECT doc_id, unnest(bi) AS bg, len(bi) AS n_bi,
+                   len(tri) AS n_tri, len(list_distinct(tri)) AS n_tri_d
+            FROM b
+        ),
+        g AS (
+            SELECT doc_id, bg, count(*) AS c,
+                   any_value(n_bi) AS n_bi, any_value(n_tri) AS n_tri,
+                   any_value(n_tri_d) AS n_tri_d
+            FROM e GROUP BY doc_id, bg
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+            FROM g
+        )
+        SELECT doc_id, bg AS top_bigram,
+               round(c * 1.0 / n_bi, 4) AS top_bigram_ratio,
+               round(1.0 - n_tri_d * 1.0 / n_tri, 4) AS dup_trigram_ratio
+        FROM r WHERE rn = 1
+    """,
+    "doc_span_dedup": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        c AS (
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(ws[(i * {SPAN_WORDS} + 1):(i * {SPAN_WORDS} + {SPAN_WORDS})], ' ') AS ch
+            FROM (
+                SELECT doc_id, ws,
+                       unnest(range(0, CAST(ceil(len(ws) / {SPAN_WORDS}.0) AS BIGINT))) AS i
+                FROM w
+            )
+        ),
+        r AS (
+            SELECT doc_id, chunk_idx, ch,
+                   row_number() OVER (PARTITION BY ch ORDER BY doc_id, chunk_idx) AS rn
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_removed,
+               coalesce(string_agg(ch, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '') AS clean_text
+        FROM r GROUP BY doc_id
+    """,
+    "doc_pii_scan": f"""
+        WITH p AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+                   len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS n_ipv4,
+                   len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phone
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_email) AS BIGINT) AS n_email,
+               CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+               CAST(sum(n_phone) AS BIGINT) AS n_phone,
+               CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM p GROUP BY source
+    """,
     "doc_neardup_clusters": _clusters_sql(),
     "doc_clean_corpus": _clean_corpus_sql(),
 }

@@ -361,6 +361,48 @@ def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_COS = 0.35  # within-cluster sims run higher than global (max ~0.475)
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup WITHIN coarse
+    clusters — a vector is a duplicate iff some earlier vector
+    (smaller vec_id) in the SAME cluster has cosine ≥ SEMDEDUP_COS.
+    The `label` column stands in for the k-means cluster assignment
+    (the paper's step 1; `emb_knn_ivf` builds the same centroids).
+
+    Scale shape: groupBy(label).applyInPandas — each cluster's
+    similarity matrix is one BLAS matmul over an Arrow batch, never a
+    corpus-wide pair join; cluster size is bounded by the k chosen at
+    clustering time (the paper's point: k scales with corpus). Rounded
+    to 6 dp before thresholding, same as every cosine here, so the
+    DuckDB oracle agrees at the boundary.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+
+    def dedup(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["emb"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 6)
+        is_dup = np.triu(sims >= SEMDEDUP_COS, 1).any(axis=0)
+        return pd.DataFrame(
+            {"vec_id": ids, "label": pdf["label"].to_numpy(), "is_dup": is_dup.astype(np.int64)}
+        )
+
+    return e.groupBy("label").applyInPandas(
+        dedup, schema="vec_id long, label long, is_dup long"
+    )
+
+
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
     "emb_centroids": emb_centroids,
@@ -368,6 +410,7 @@ QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_neardup_clusters": emb_neardup_clusters,
     "emb_knn_ivf": emb_knn_ivf,
+    "emb_semantic_dedup": emb_semantic_dedup,
 }
 
 _COS = """
@@ -488,5 +531,22 @@ ORACLES = {
             FROM cand
         )
         SELECT qid, vec_id, sim, knn_rank FROM r WHERE knn_rank <= {TOP_K}
+    """,
+    "emb_semantic_dedup": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        )
+        SELECT a.vec_id, a.label,
+               CAST(CASE WHEN count(b.vec_id) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM e a LEFT JOIN e b
+          ON a.label = b.label AND b.vec_id < a.vec_id
+         AND round(
+                 list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i])))
+                  * sqrt(list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i])))),
+             6) >= {SEMDEDUP_COS}
+        GROUP BY a.vec_id, a.label
     """,
 }
