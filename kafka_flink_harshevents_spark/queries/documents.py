@@ -916,6 +916,43 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MANIFEST_SHARDS = 16
+
+
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest for the sharded training-data layout
+    (`sources/export.py::write_training_shards`): per (lang, shard)
+    bucket — doc count, token/char totals, doc_id range. This is the
+    sidecar file a data-loader reads to assign shards to workers without
+    listing the object store.
+
+    The manifest's shard mapping uses the md5-derived uniform (portable
+    to the DuckDB oracle) while the writer uses xxhash64 (JVM-side,
+    faster) — both are deterministic functions of doc_id; the manifest
+    query exists to prove the AGGREGATION shape (scan-local shard
+    derivation → one tiny groupBy), not to mirror the writer's exact
+    hash. Scan-local until a |langs|x|shards|-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    shard = F.floor(_md5_unit(F.col("doc_id"), "shard|") * N_MANIFEST_SHARDS).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            shard.alias("shard"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_score": doc_quality_score,
@@ -934,6 +971,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_span_dedup": doc_span_dedup,
     "doc_pii_scan": doc_pii_scan,
+    "doc_shard_manifest": doc_shard_manifest,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_clean_corpus": doc_clean_corpus,
 }
@@ -1350,6 +1388,21 @@ ORACLES = {
                CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_removed,
                coalesce(string_agg(ch, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '') AS clean_text
         FROM r GROUP BY doc_id
+    """,
+    "doc_shard_manifest": f"""
+        WITH d AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(floor({_md5_unit_sql("doc_id", "shard|")} * {N_MANIFEST_SHARDS}) AS BIGINT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM d GROUP BY lang, shard
     """,
     "doc_pii_scan": f"""
         WITH p AS (
