@@ -403,6 +403,179 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces (64 dims → 8 dims each)
+PQ_K = 16  # centroids per subspace
+PQ_ITERS = 3  # Lloyd rounds (deterministic: seeded by smallest vec_ids)
+PQ_SHORTLIST = 64  # ADC shortlist size before exact re-rank
+PQ_SUB_DIM = EMB_DIM // PQ_M
+
+
+def _pq_train_codebooks(e: DataFrame) -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means (Jégou et al. 2011 product
+    quantization): init = the PQ_K smallest-vec_id vectors' subvectors,
+    then PQ_ITERS Lloyd rounds. Each round is one broadcast join
+    (centroids are M*K*dim doubles — 8 KB — never the data) + one
+    groupBy; the only driver traffic is the 128-row centroid table per
+    round, i.e. a scalar-sized reduce, NOT a data collect."""
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(emb, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}))"
+            )
+        ).alias("m", "sv"),
+    )
+    init = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .collect()
+    )
+    cents: list[list[list[float]]] = [[None] * PQ_K for _ in range(PQ_M)]
+    for r in init:
+        cents[r["m"]][r["vec_id"]] = list(r["sv"])
+
+    spark = e.sparkSession
+    for _ in range(PQ_ITERS):
+        cdf = spark.createDataFrame(
+            [(m, k, cents[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
+            "m int, k int, cent array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with("sv", "cent", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            sub.join(F.broadcast(cdf), "m")
+            .select("vec_id", "m", "sv", "k", d2.alias("d2"))
+            .groupBy("vec_id", "m")
+            .agg(F.min_by("k", F.struct("d2", "k")).alias("k"), F.first("sv").alias("sv"))
+        )
+        upd = (
+            assign.select("m", "k", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "k", "pos")
+            .agg(F.avg("v").alias("av"))
+            .groupBy("m", "k")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+                ).alias("cent")
+            )
+            .collect()
+        )
+        for r in upd:
+            cents[r["m"]][r["k"]] = list(r["cent"])
+    return cents
+
+
+def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (the FAISS
+    IndexPQ + refine pipeline): train M per-subspace codebooks, encode
+    every vector as M 4-bit codes, shortlist per query by asymmetric
+    distance (ADC — sum of per-subspace lookup distances), then exact
+    cosine re-rank of the shortlist. Vectors are L2-normalized first, so
+    ADC's L2 ordering is cosine ordering and the re-ranked output is
+    directly comparable to `emb_knn_brute`.
+
+    Scale shape: training never moves the data (broadcast centroids +
+    partial-agg means, 128-row driver reduce per round); encoding is one
+    broadcast join + groupBy(vec_id, m) over n*M rows; the query-side
+    ADC is a broadcast join of the code stream against per-query lookup
+    tables (M*K rows/query), so the corpus is touched once, narrowly, at
+    1 byte/subspace — the compression that makes 100 TB ANN sit in
+    cluster memory. Iterative training → no SQL oracle (driver records
+    the rows-only check); recall floor vs brute force is pinned in
+    tests/test_queries.py::test_pq_recall_floor.
+    """
+    raw = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform("raw", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    e = raw.select("vec_id", F.transform("raw", lambda x: x / nrm).alias("emb"))
+
+    cents = _pq_train_codebooks(e)
+    cdf = spark.createDataFrame(
+        [(m, k, cents[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
+        "m int, k int, cent array<double>",
+    )
+
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(emb, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}))"
+            )
+        ).alias("m", "sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cdf), "m")
+        .select("vec_id", "m", "k", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", F.struct("d2", "k")).alias("k"))
+    )
+
+    # per-query ADC lookup tables: ||q_sub - cent||² for every (m, k)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    qsub = q.select(
+        "qid",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(qemb, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}))"
+            )
+        ).alias("m", "qsv"),
+    )
+    qd2 = F.aggregate(
+        F.zip_with("qsv", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qtab = qsub.join(F.broadcast(cdf), "m").select("qid", "m", "k", qd2.alias("qd2"))
+
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    short = (
+        adc.withColumn(
+            "sr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+            ),
+        )
+        .filter(F.col("sr") <= PQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+
+    # exact re-rank of the shortlist only
+    cand = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", F.round(_dot("qemb", "emb"), 6).alias("sim"))
+    )
+    return (
+        cand.withColumn(
+            "knn_rank",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id"))
+            .cast("long"),
+        )
+        .filter(F.col("knn_rank") <= TOP_K)
+    )
+
+
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
     "emb_centroids": emb_centroids,
@@ -411,6 +584,9 @@ QUERIES = {
     "emb_neardup_clusters": emb_neardup_clusters,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_semantic_dedup": emb_semantic_dedup,
+    # emb_knn_pq: iterative k-means training → intentionally no SQL
+    # oracle (rows-only driver check + recall-floor test, like emb_knn_lsh)
+    "emb_knn_pq": emb_knn_pq,
 }
 
 _COS = """

@@ -24,6 +24,7 @@ def test_query_matches_oracle(spark, name):
 
 EXPECTED_SCHEMAS = {
     "emb_knn_lsh": ["qid", "vec_id", "sim", "knn_rank"],
+    "emb_knn_pq": ["qid", "vec_id", "sim", "knn_rank"],
     "pipeline_derive": ["violation_type", "n"],
 }
 
@@ -57,6 +58,33 @@ def test_lsh_recall_floor(spark):
     assert all(q < 5 for q, _ in approx)
     recall = len(exact & approx) / len(exact)
     assert recall > 0.05, f"LSH recall suspiciously low: {recall}"
+
+
+def test_pq_recall_floor(spark):
+    """emb_knn_pq re-ranks a PQ-ADC shortlist exactly, so every hit it
+    returns carries the TRUE cosine; recall@10 vs brute force is high
+    (0.82 at sf0.01 with a 1.3% shortlist; the floor here is loose to
+    absorb sf/codebook variation but far above chance)."""
+    from kafka_flink_harshevents_spark.queries.embeddings import (
+        emb_knn_brute,
+        emb_knn_pq,
+    )
+
+    exact = {(r["qid"], r["vec_id"]) for r in emb_knn_brute(spark, SF_DIR).collect()}
+    pq_rows = emb_knn_pq(spark, SF_DIR).collect()
+    pq = {(r["qid"], r["vec_id"]) for r in pq_rows}
+    assert len(pq_rows) == len(pq) == len(exact)  # k rows per query, no dups
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ recall collapsed: {recall}"
+    # re-rank is exact: for overlapping pairs the sim must equal brute's
+    brute_sim = {
+        (r["qid"], r["vec_id"]): r["sim"]
+        for r in emb_knn_brute(spark, SF_DIR).collect()
+    }
+    for r in pq_rows:
+        key = (r["qid"], r["vec_id"])
+        if key in brute_sim:
+            assert abs(r["sim"] - brute_sim[key]) < 1e-9
 
 
 def test_neardup_lsh_fallback_subset(spark):
