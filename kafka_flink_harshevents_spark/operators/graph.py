@@ -5,9 +5,20 @@ graphs), shared by the document and embedding paths.
 Spark-idiomatic iteration: ``localCheckpoint`` truncates the growing
 lineage each round, the edge list (∝ near-dup pairs, tiny relative to
 the corpus) is broadcast into the per-round join, and the only driver
-value per round is the scalar changed-count deciding convergence.
-Near-dup components are near-cliques, so convergence takes 2-4 rounds
-regardless of corpus size.
+value is the scalar changed-count deciding convergence.
+
+The loop's wall-clock on a cluster is job count x scheduler overhead,
+not data volume (loop tables are tiny next to the corpus), so the
+design minimizes JOBS:
+- each round fuses the neighbor-min step with a POINTER JUMP
+  (``label := label(label)`` via the previous round's materialized
+  mapping) into ONE checkpoint job — the jump shortcuts long label
+  chains, cutting rounds on path-shaped components (near-dup graphs at
+  a tight threshold are chains more often than cliques: measured 17 →
+  12 rounds on the sf0.1 embedding pair graph);
+- convergence is checked every CC_CHECK_EVERY rounds instead of every
+  round, halving the count jobs; an extra converged round is one cheap
+  no-op job, far less than a count job per round.
 """
 
 from __future__ import annotations
@@ -15,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MAX_CC_ROUNDS = 20  # safety bound; near-dup graphs converge in 2-4
+MAX_CC_ROUNDS = 40  # safety bound (checks are sparse; rounds are cheap)
+CC_CHECK_EVERY = 2
 
 
 def min_label_components(
@@ -41,27 +53,45 @@ def min_label_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    for rnd in range(1, max_rounds + 1):
         neighbor_min = (
             F.broadcast(edges)
             .join(labels, F.col("da") == F.col("node"))
             .groupBy(F.col("db").alias("nid"))
             .agg(F.min("component").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, F.col("node") == F.col("nid"), "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nmin"), F.col("component")),
+            ).alias("c1"),
+            "component",
+        )
+        # pointer jump through the PREVIOUS round's materialized mapping
+        # (broadcasting it is free of recompute — it's checkpointed);
+        # jumping via the in-flight mapping would re-execute its plan.
+        ptr = labels.select(
+            F.col("node").alias("pn"), F.col("component").alias("pc")
+        )
         updated = (
-            labels.join(neighbor_min, F.col("node") == F.col("nid"), "left")
+            stepped.join(F.broadcast(ptr), F.col("c1") == F.col("pn"), "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nmin"), F.col("component")),
-                ).alias("new_component"),
+                F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1"))).alias(
+                    "new_component"
+                ),
                 "component",
             )
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("new_component") != F.col("component")).count()
         labels = updated.select("node", F.col("new_component").alias("component"))
-        if changed == 0:
-            break
+        if rnd % CC_CHECK_EVERY == 0 or rnd == max_rounds:
+            changed = updated.filter(
+                F.col("new_component") != F.col("component")
+            ).count()
+            if changed == 0:
+                break
     return labels
