@@ -835,6 +835,20 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spans(d: DataFrame) -> DataFrame:
+    """(doc_id, ws) → exploded non-overlapping SPAN_WORDS-word chunks
+    (doc_id, chunk_idx, ch); the tail partial chunk is kept."""
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(ws) / {SPAN_WORDS}.0) as int) - 1), "
+                f"i -> array_join(slice(ws, i * {SPAN_WORDS} + 1, {SPAN_WORDS}), ' '))"
+            )
+        ).alias("chunk_idx", "ch"),
+    )
+
+
 def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-corpus span dedup (Raffel et al. 2020 §2.2 adapted
     to word spans): split every doc into non-overlapping SPAN_WORDS-word
@@ -851,15 +865,7 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id only (bounded groups).
     """
     d = _words(load(spark, sf_dir, "documents"))
-    chunks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(ws) / {SPAN_WORDS}.0) as int) - 1), "
-                f"i -> array_join(slice(ws, i * {SPAN_WORDS} + 1, {SPAN_WORDS}), ' '))"
-            )
-        ).alias("chunk_idx", "ch"),
-    )
+    chunks = _spans(d)
     winners = (
         chunks.groupBy("ch")
         .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("w"))
@@ -913,6 +919,56 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ipv4").cast("long").alias("n_ipv4"),
         F.sum("n_phone").cast("long").alias("n_phone"),
         F.sum(flagged.cast("long")).cast("long").alias("n_flagged"),
+    )
+
+
+BATCH_FRACTION = 0.1  # hash-split: ~10% of the corpus plays the "new batch"
+
+
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a NEW batch of documents (deterministic
+    md5 hash-split, ~10% of the corpus) deduplicated against the
+    HISTORICAL corpus (the other 90%) — the shape every continuously
+    crawled training corpus needs: never re-dedup the whole corpus,
+    only batch-vs-history.
+
+    Two checks per batch doc, both LEFT-SEMI joins (Spark prunes the
+    build side to the join key — no payload movement):
+    - exact: md5(text) present in history;
+    - span containment: shares ≥ 1 full SPAN_WORDS-word span with any
+      historical doc (C4-style containment, catches quote/boilerplate
+      copies that exact hash misses).
+    At 100 TB the history side of both joins is keys-only (16-byte
+    hashes / span strings), and the batch side is ~1% of the corpus, so
+    the shuffle is batch-sized, not corpus-sized.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = _md5_unit(F.col("doc_id"), "batch|")
+    batch = d.filter(u < BATCH_FRACTION)
+    hist = d.filter(u >= BATCH_FRACTION)
+
+    bh = batch.select("doc_id", F.md5("text").alias("h"))
+    hh = hist.select(F.md5("text").alias("h")).distinct()
+    exact_ids = bh.join(hh, "h", "left_semi").select("doc_id").distinct()
+
+    bs = _spans(_words(batch))
+    hs = _spans(_words(hist)).select("ch").distinct()
+    span_ids = bs.join(hs, "ch", "left_semi").select("doc_id").distinct()
+
+    ex = exact_ids.withColumn("exact_dup", F.lit(1).cast("long"))
+    sp = span_ids.withColumn("span_dup", F.lit(1).cast("long"))
+    return (
+        batch.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(0)).cast("long").alias("exact_dup"),
+            F.coalesce("span_dup", F.lit(0)).cast("long").alias("span_dup"),
+            (F.coalesce("exact_dup", F.lit(0)) + F.coalesce("span_dup", F.lit(0)) == 0)
+            .cast("long")
+            .alias("keep"),
+        )
     )
 
 
@@ -972,6 +1028,7 @@ QUERIES = {
     "doc_span_dedup": doc_span_dedup,
     "doc_pii_scan": doc_pii_scan,
     "doc_shard_manifest": doc_shard_manifest,
+    "doc_incremental_dedup": doc_incremental_dedup,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_clean_corpus": doc_clean_corpus,
 }
@@ -1388,6 +1445,44 @@ ORACLES = {
                CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_removed,
                coalesce(string_agg(ch, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '') AS clean_text
         FROM r GROUP BY doc_id
+    """,
+    "doc_incremental_dedup": f"""
+        WITH d AS (
+            SELECT doc_id, text, {_md5_unit_sql("doc_id", "batch|")} AS u
+            FROM documents
+        ),
+        b AS (SELECT doc_id, text FROM d WHERE u < {BATCH_FRACTION}),
+        h AS (SELECT doc_id, text FROM d WHERE u >= {BATCH_FRACTION}),
+        hh AS (SELECT DISTINCT md5(text) AS mh FROM h),
+        ex AS (
+            SELECT DISTINCT doc_id FROM b WHERE md5(text) IN (SELECT mh FROM hh)
+        ),
+        bsp AS (
+            SELECT doc_id, array_to_string(ws[(i * {SPAN_WORDS} + 1):(i * {SPAN_WORDS} + {SPAN_WORDS})], ' ') AS ch
+            FROM (
+                SELECT doc_id, ws,
+                       unnest(range(0, CAST(ceil(len(ws) / {SPAN_WORDS}.0) AS BIGINT))) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM b)
+            )
+        ),
+        hsp AS (
+            SELECT DISTINCT array_to_string(ws[(i * {SPAN_WORDS} + 1):(i * {SPAN_WORDS} + {SPAN_WORDS})], ' ') AS ch
+            FROM (
+                SELECT ws,
+                       unnest(range(0, CAST(ceil(len(ws) / {SPAN_WORDS}.0) AS BIGINT))) AS i
+                FROM (SELECT string_split(text, ' ') AS ws FROM h)
+            )
+        ),
+        sp AS (
+            SELECT DISTINCT doc_id FROM bsp WHERE ch IN (SELECT ch FROM hsp)
+        )
+        SELECT b.doc_id,
+               CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+               CAST(CASE WHEN sp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS span_dup,
+               CAST(CASE WHEN ex.doc_id IS NULL AND sp.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM b
+        LEFT JOIN ex ON b.doc_id = ex.doc_id
+        LEFT JOIN sp ON b.doc_id = sp.doc_id
     """,
     "doc_shard_manifest": f"""
         WITH d AS (
