@@ -972,6 +972,44 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.5  # temperature exponent: p_s^alpha flattens the source skew
+MIX_TARGET_FRACTION = 0.5  # sampled corpus ≈ half the docs
+
+
+def doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus rule
+    from mC4 / PaLM: sample source s ∝ p_s^α, α < 1 upweights the
+    tail): per-source rates are derived from the corpus itself —
+    q_s = p_s^α / Σ p_t^α, rate_s = min(1, q_s·target/n_s) — then docs
+    are picked by the deterministic md5 uniform, so the mix is stable
+    under retries and incremental re-runs.
+
+    Plan: one tiny groupBy(source) count (20 rows), two 1-row broadcast
+    cross-joins for the normalizers, one broadcast join back onto the
+    scan, scan-local filter. Nothing corpus-wide shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_s"))
+    tot = cnt.agg(F.sum("n_s").alias("n_total"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "source", "n_s", "n_total", F.pow(F.col("n_s") / F.col("n_total"), MIX_ALPHA).alias("w")
+    )
+    z = w.agg(F.sum("w").alias("z"))
+    rates = w.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("w") / F.col("z")) * (F.col("n_total") * MIX_TARGET_FRACTION) / F.col("n_s"),
+        ).alias("rate"),
+    )
+    u = _md5_unit(F.col("doc_id"), "mix|")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
+    )
+
+
 N_MANIFEST_SHARDS = 16
 
 
@@ -1029,6 +1067,7 @@ QUERIES = {
     "doc_pii_scan": doc_pii_scan,
     "doc_shard_manifest": doc_shard_manifest,
     "doc_incremental_dedup": doc_incremental_dedup,
+    "doc_mix_temperature": doc_mix_temperature,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_clean_corpus": doc_clean_corpus,
 }
@@ -1445,6 +1484,25 @@ ORACLES = {
                CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_removed,
                coalesce(string_agg(ch, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '') AS clean_text
         FROM r GROUP BY doc_id
+    """,
+    "doc_mix_temperature": f"""
+        WITH cnt AS (
+            SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(n_s) AS n_total FROM cnt),
+        w AS (
+            SELECT source, n_s, n_total, pow(n_s / n_total, {MIX_ALPHA}) AS w
+            FROM cnt CROSS JOIN tot
+        ),
+        z AS (SELECT sum(w) AS z FROM w),
+        rates AS (
+            SELECT source,
+                   least(1.0, (w / z) * (n_total * {MIX_TARGET_FRACTION}) / n_s) AS rate
+            FROM w CROSS JOIN z
+        )
+        SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {_md5_unit_sql("d.doc_id", "mix|")} < r.rate
     """,
     "doc_incremental_dedup": f"""
         WITH d AS (

@@ -143,6 +143,30 @@ def ev_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "value", "band")
 
 
+def ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, hour-of-day): all four grouping sets
+    in one pass (Expand duplicates rows map-side; the shuffle moves
+    O(groups)). grouping_id disambiguates rollup-nulls from data —
+    the OLAP dashboard primitive the reference's chart sink implies."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.hour("ts").cast("long").alias("hr"), "value")
+        .cube("event_type", "hr")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hr", F.lit(-1)).cast("long").alias("hr"),
+            "gid",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: day and day+hour
     aggregates in ONE pass via ROLLUP grouping sets (the Expand operator
@@ -366,6 +390,7 @@ QUERIES = {
     "ev_sliding_30m_10m": ev_sliding_30m_10m,
     "ev_value_band_join": ev_value_band_join,
     "ev_time_rollup": ev_time_rollup,
+    "ev_cube": ev_cube,
     "ev_user_running_stats": ev_user_running_stats,
     "ev_percentile_stats": ev_percentile_stats,
     "ev_percentile_by_type": ev_percentile_by_type,
@@ -488,6 +513,18 @@ ORACLES = {
                      ('mid', 80.0, 250.0),
                      ('high', 225.0, 500.0)) AS b(band, lo, hi)
           ON value >= lo AND value < hi
+    """,
+    "ev_cube": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(hr, -1) AS hr,
+               CAST(grouping(event_type) * 2 + grouping(hr) AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM (
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value
+            FROM events
+        )
+        GROUP BY CUBE (event_type, hr)
     """,
     "ev_time_rollup": """
         SELECT coalesce(day, 'ALL') AS day,
