@@ -686,3 +686,60 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert sorted(r["timestamp"] for r in out.collect()) == [
         1_700_000_000 + i for i in range(5)
     ]
+
+
+def test_streaming_ingest_dedup(spark, tmp_path):
+    """Streaming document ingest (streaming/ingest.py): history replays
+    are dropped by the stream-static anti-join, within-stream duplicates
+    by watermark state, and fresh docs flow through — across batches."""
+    import os
+
+    from kafka_flink_harshevents_spark.streaming.ingest import dedup_ingest_stream
+
+    src = tmp_path / "ingest"
+    src.mkdir()
+
+    def doc(text, ts="2026-01-01 10:00:00"):
+        return {"text": text, "ingest_ts": ts}
+
+    def write(name, rows):
+        p = src / name
+        with open(str(p) + ".tmp", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.rename(str(p) + ".tmp", p)
+
+    hist = spark.createDataFrame(
+        [("old doc one",), ("old doc two",)], "text string"
+    ).select(F.md5("text").alias("text_hash"))
+
+    write(
+        "a.jsonl",
+        [doc("old doc one"), doc("brand new"), doc("brand new"), doc("also new")],
+    )
+    stream = (
+        spark.readStream.schema("text STRING, ingest_ts STRING")
+        .json(str(src))
+        .withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    )
+    name = f"ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_ingest_stream(stream, hist)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        texts = {r["text"] for r in spark.table(name).collect()}
+        assert texts == {"brand new", "also new"}
+
+        # next batch: a history replay, a within-stream cross-batch
+        # replay, and a fresh doc
+        write("b.jsonl", [doc("old doc two"), doc("brand new"), doc("fresh again")])
+        q.processAllAvailable()
+        texts = {r["text"] for r in spark.table(name).collect()}
+        assert texts == {"brand new", "also new", "fresh again"}
+        assert len(spark.table(name).collect()) == 3
+    finally:
+        q.stop()
