@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_flink_harshevents_spark.queries import (
+    analytics,
     documents,
     embeddings,
     events,
@@ -33,6 +34,7 @@ _MODULES = (
     relational,
     relational_ext,
     events,
+    analytics,
     documents,
     embeddings,
     multimodal,

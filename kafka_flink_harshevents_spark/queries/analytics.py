@@ -1,0 +1,272 @@
+"""Product-analytics / time-series operators over the ``events`` table.
+
+The reference's consumer feeds dashboards (chart sink K8, counter sink K5
+— kafkaConsumer.js:229-233, visualization.py:21-48); this module supplies
+the standard event-analytics queries such a dashboard needs, each built
+scale-first:
+
+- ev_funnel            — sequential conversion funnel (view → click →
+                         purchase) via layered per-user window minima
+- ev_retention         — signup-cohort × day-offset retention matrix
+- ev_anomaly_zscore    — rolling z-score outlier detection over a
+                         trailing per-user window
+- ev_locf_resample     — hypertable-style gap-fill: hourly grid per user,
+                         last-observation-carried-forward
+
+Scale notes: every wide op here keys on ``user_id`` (the natural,
+high-cardinality stream key — same partitioning discipline as the
+reference's device_uuid keying, mqttToKafka.js:105). The funnel's three
+window layers share ONE partitioning, so Catalyst plans a single
+exchange; retention joins cohort-to-activity on user_id (co-partitioned
+shuffle, no broadcast needed because both sides scale together); the
+anomaly window is bounded (trailing 20 rows) so state per key is O(1);
+the LOCF grid expands to (hours spanned) rows per user — bounded by the
+retention window of the table, not by event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.queries._util import load, ts_millis
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: a user converts stage k only with an event of
+    stage k's type STRICTLY AFTER their stage-(k-1) conversion time.
+
+    Three layered `min(when(...))` windows, all partitioned by user_id
+    only — one hash exchange, three Window operators back-to-back with
+    no intervening shuffle (plan-asserted in tests/test_plans.py). The
+    final roll-up is a single-row aggregate; division happens on exact
+    long counts, so the rounded rates are engine-stable.
+    """
+    w = Window.partitionBy("user_id")
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_millis("ts").alias("tms")
+    )
+    t1 = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("tms"))).over(w)
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[1]) & (F.col("tms") > F.col("t1")),
+                F.col("tms"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[2]) & (F.col("tms") > F.col("t2")),
+                F.col("tms"),
+            )
+        ).over(w),
+    )
+    users = t3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+        F.round(F.count("t2") / F.count("t1"), 4).alias("view_to_click"),
+        F.round(F.count("t3") / F.count("t2"), 4).alias("click_to_purchase"),
+    )
+
+
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day; for each
+    (cohort, day-offset) cell, how many distinct cohort members were
+    active that day.
+
+    Cohort assignment and daily activity both come from ONE distinct
+    (user_id, day) pass; the self-join is user_id-to-user_id —
+    co-partitioned, skew-free (each user appears once on the cohort
+    side). Output is O(days²) cells regardless of event volume.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    act = e.distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event scored against the mean/std
+    of its user's previous 20 events; |z| > 3 rows are emitted.
+
+    The frame is bounded (ROWS 20 PRECEDING .. 1 PRECEDING), so window
+    state is constant per key and the single user_id exchange is the
+    only wide step — the streaming twin is a transformWithState op with
+    a 20-element ring buffer per device, exactly the reference's
+    last-N-buffer pattern (mqtt_publish.js:80-83) turned into a detector.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_millis("ts").alias("ts_ms"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(w).alias("n_prev"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_prev") >= 10)
+            & (F.col("sd") > 1e-9)
+            & (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3.0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2).alias("zscore"),
+        )
+    )
+
+
+def ev_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill resample (the hypertable `time_bucket_gapfill` + `locf`
+    shape): per user, an hourly grid spanning that user's own activity
+    window, carrying the last observed value forward into silent hours.
+
+    Stages: (1) one groupBy collapses events to at most one row per
+    (user, hour) — `max_by(value, ts)` picks the latest observation in
+    the hour map-side; (2) the grid is generated per user with
+    `sequence(min_hr, max_hr)` — rows ∝ hours spanned, never events;
+    (3) a co-partitioned left join pins observations onto the grid; (4)
+    `last(value, ignorenulls)` over an unbounded-preceding user window
+    fills the gaps. Every wide step keys on user_id.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr"), "ts", "value"
+    )
+    obs = e.groupBy("user_id", "hr").agg(F.max_by("value", "ts").alias("v"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.round(F.last("v", ignorenulls=True).over(w), 2).alias("value_locf"),
+            F.col("v").isNotNull().cast("long").alias("observed"),
+        )
+    )
+
+
+QUERIES = {
+    "ev_funnel": ev_funnel,
+    "ev_retention": ev_retention,
+    "ev_anomaly_zscore": ev_anomaly_zscore,
+    "ev_locf_resample": ev_locf_resample,
+}
+
+ORACLES = {
+    "ev_funnel": """
+        WITH l1 AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS tms,
+                   min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), l2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND tms > t1 THEN tms END)
+                       OVER (PARTITION BY user_id) AS t2
+            FROM l1
+        ), l3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND tms > t2 THEN tms END)
+                       OVER (PARTITION BY user_id) AS t3
+            FROM l2
+        ), u AS (
+            SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+            FROM l3 GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(t1) AS n_view,
+               count(t2) AS n_view_click,
+               count(t3) AS n_full_funnel,
+               round(count(t2) * 1.0 / count(t1), 4) AS view_to_click,
+               round(count(t3) * 1.0 / count(t2), 4) AS click_to_purchase
+        FROM u
+    """,
+    "ev_retention": """
+        WITH act AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), cohort AS (
+            SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+        )
+        SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS offset_days,
+               count(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    "ev_anomaly_zscore": """
+        WITH s AS (
+            SELECT event_id, user_id, value,
+                   count(value) OVER w AS n_prev,
+                   avg(value) OVER w AS mu,
+                   stddev_samp(value) OVER w AS sd
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, value,
+               round((value - mu) / sd, 2) AS zscore
+        FROM s
+        WHERE n_prev >= 10 AND sd > 1e-9 AND abs((value - mu) / sd) > 3.0
+    """,
+    "ev_locf_resample": """
+        WITH obs AS (
+            SELECT user_id, date_trunc('hour', ts) AS hr,
+                   arg_max(value, ts) AS v
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM obs GROUP BY 1
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+            FROM span
+        )
+        SELECT g.user_id,
+               strftime(g.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+               round(last_value(o.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS UNBOUNDED PRECEDING), 2) AS value_locf,
+               CAST(o.v IS NOT NULL AS BIGINT) AS observed
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr
+    """,
+}
