@@ -1047,6 +1047,50 @@ def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (the RAG / embedding-prep
+    primitive): each doc becomes ceil-strided chunks of CHUNK_TOKENS
+    words advancing CHUNK_STRIDE at a time, so consecutive chunks share
+    CHUNK_TOKENS − CHUNK_STRIDE words of context. Docs shorter than one
+    chunk yield exactly one chunk.
+
+    Plan: split → per-row sequence(0, n_chunks−1) explode → slice.
+    Entirely scan-local (zero shuffle, no UDF): chunk count is derived
+    arithmetically per row and `slice` runs on the already-split array.
+    The expansion factor is ~len/stride (≤ 3 here), constant per row —
+    the same narrow shape at 100 TB.
+    """
+    d = _words(load(spark, sf_dir, "documents"))
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((F.size("ws") - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE)),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("chunk_idx"),
+            F.slice(
+                "ws", F.col("ci") * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+            ).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.array_join("toks", " ").alias("chunk_text"),
+        )
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_score": doc_quality_score,
@@ -1070,6 +1114,7 @@ QUERIES = {
     "doc_mix_temperature": doc_mix_temperature,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_clean_corpus": doc_clean_corpus,
+    "doc_chunk_overlap": doc_chunk_overlap,
 }
 
 
@@ -1302,6 +1347,26 @@ def _minhash_sql() -> str:
 
 
 ORACLES = {
+    "doc_chunk_overlap": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), c AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, CAST(
+                       1 + greatest(0, ceil((len(ws) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0))
+                       AS BIGINT))) AS ci
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(ci AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(ws, ci * {CHUNK_STRIDE} + 1,
+                                   ci * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(list_slice(ws, ci * {CHUNK_STRIDE} + 1,
+                                          ci * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+                   AS chunk_text
+        FROM c
+    """,
     "doc_token_stats": f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         SELECT doc_id,
