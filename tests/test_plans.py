@@ -79,3 +79,35 @@ def test_analytic_windows_share_one_exchange(spark):
     plan = _plan(ev_user_running_stats(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window [") == 1
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """The three layered funnel windows all partition on user_id — one
+    hash exchange feeds all three Window operators; the only other
+    exchange is the final single-row rollup."""
+    from kafka_flink_harshevents_spark.queries.analytics import ev_funnel
+
+    plan = _plan(ev_funnel(spark, SF_DIR))
+    assert plan.count("Window [") == 3
+    assert plan.count("Exchange hashpartitioning") <= 2  # user_id + final agg
+    assert "], true, " not in plan  # no global sort
+
+
+def test_locf_grid_stays_user_partitioned(spark):
+    """Gap-fill never single-partitions: the LOCF window is keyed on
+    user_id and the grid join is a hash join, not a nested loop."""
+    from kafka_flink_harshevents_spark.queries.analytics import ev_locf_resample
+
+    plan = _plan(ev_locf_resample(spark, SF_DIR))
+    assert "windowspecdefinition(user_id" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "], true, " not in plan
+
+
+def test_chunking_is_scan_local(spark):
+    """doc_chunk_overlap is project+explode only: zero exchanges."""
+    from kafka_flink_harshevents_spark.queries.documents import doc_chunk_overlap
+
+    plan = _plan(doc_chunk_overlap(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
