@@ -793,45 +793,50 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two strongest boilerplate/degenerate-text filters in published
     LLM-data pipelines.
 
-    Plan shape: trigram ratios are SCAN-LOCAL (array sizes, no explode
-    survives the scan); only the top-bigram argmax needs an explode →
-    groupBy(doc_id, bigram) → per-doc window, all keyed by doc_id — no
-    corpus-wide key, so no skew at 100 TB (docs are bounded).
+    Plan shape: ENTIRELY scan-local — zero shuffle. The per-doc top
+    bigram is a longest-run scan over the SORTED bigram array (one
+    ``aggregate`` fold: run counter + best-so-far), replacing the
+    explode → groupBy(doc_id, bigram) → per-doc window of the naive
+    plan; ties break to the lexicographically smallest bigram (the
+    sorted order visits candidates ascending and strict ``>`` keeps the
+    first), matching the oracle's ``ORDER BY c DESC, bg``. Per-doc cost
+    is O(n log n) in doc words — docs are bounded (chunking runs
+    upstream at 100 TB), so this is the cheapest correct form.
     """
     d = _words(load(spark, sf_dir, "documents")).filter(F.size("ws") >= 3)
-    base = d.select(
+    new_run = (
+        "CASE WHEN a.prev IS NOT NULL AND x = a.prev THEN a.run + 1 ELSE 1 END"
+    )
+    top = F.expr(
+        f"""aggregate(
+            array_sort(transform(sequence(0, size(ws) - 2),
+                                 i -> concat(ws[i], ' ', ws[i + 1]))),
+            named_struct('prev', cast(null as string), 'run', 0,
+                         'best_c', 0, 'best_bg', cast(null as string)),
+            (a, x) -> named_struct(
+                'prev', x,
+                'run', {new_run},
+                'best_c', CASE WHEN {new_run} > a.best_c
+                               THEN {new_run} ELSE a.best_c END,
+                'best_bg', CASE WHEN {new_run} > a.best_c
+                                THEN x ELSE a.best_bg END),
+            a -> named_struct('c', a.best_c, 'bg', a.best_bg))"""
+    )
+    return d.select(
         "doc_id",
+        top.alias("t"),
+        (F.size("ws") - 1).alias("n_bi"),
         F.expr(
-            "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"
-        ).alias("bi"),
-        F.expr(
-            "transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
+            "transform(sequence(0, size(ws) - 3), "
+            "i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
         ).alias("tri"),
     ).select(
         "doc_id",
-        F.explode("bi").alias("bg"),
-        F.size("bi").alias("n_bi"),
-        F.size("tri").alias("n_tri"),
-        F.size(F.array_distinct("tri")).alias("n_tri_d"),
-    )
-    g = base.groupBy("doc_id", "bg").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.first("n_bi").alias("n_bi"),
-        F.first("n_tri").alias("n_tri"),
-        F.first("n_tri_d").alias("n_tri_d"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "bg")
-    return (
-        g.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("bg").alias("top_bigram"),
-            F.round(F.col("c") / F.col("n_bi"), 4).alias("top_bigram_ratio"),
-            F.round(F.lit(1.0) - F.col("n_tri_d") / F.col("n_tri"), 4).alias(
-                "dup_trigram_ratio"
-            ),
-        )
+        F.col("t.bg").alias("top_bigram"),
+        F.round(F.col("t.c") / F.col("n_bi"), 4).alias("top_bigram_ratio"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("tri")) / F.size("tri"), 4
+        ).alias("dup_trigram_ratio"),
     )
 
 

@@ -408,16 +408,28 @@ PQ_K = 16  # centroids per subspace
 PQ_ITERS = 3  # Lloyd rounds (deterministic: seeded by smallest vec_ids)
 PQ_SHORTLIST = 64  # ADC shortlist size before exact re-rank
 PQ_SUB_DIM = EMB_DIM // PQ_M
+PQ_TRAIN_CAP = 4096  # codebooks train on a bounded sample, FAISS-style
 
 
 def _pq_train_codebooks(e: DataFrame) -> list[list[list[float]]]:
     """Deterministic per-subspace k-means (Jégou et al. 2011 product
     quantization): init = the PQ_K smallest-vec_id vectors' subvectors,
-    then PQ_ITERS Lloyd rounds. Each round is one broadcast join
-    (centroids are M*K*dim doubles — 8 KB — never the data) + one
-    groupBy; the only driver traffic is the 128-row centroid table per
-    round, i.e. a scalar-sized reduce, NOT a data collect."""
-    sub = e.select(
+    then PQ_ITERS Lloyd rounds.
+
+    Scale discipline: training runs on a BOUNDED sample (vec_id <
+    PQ_TRAIN_CAP — the FAISS practice of training codebooks on a fixed
+    subset regardless of corpus size). Because the sample is bounded,
+    the whole iterative loop fits ONE Arrow-batched job: the sample
+    shuffles once on the subspace index and each of the M groups runs
+    every Lloyd round vectorized in numpy (init = the PQ_K
+    smallest-vec_id subvectors; empty clusters keep their previous
+    centroid; argmin ties break to the smallest k). Driver traffic is
+    the final M*K codebook rows — nothing else leaves the executors,
+    and there is no per-round job/collect round-trip at all."""
+    import numpy as np
+    import pandas as pd
+
+    sub = e.filter(F.col("vec_id") < PQ_TRAIN_CAP).select(
         "vec_id",
         F.posexplode(
             F.expr(
@@ -426,45 +438,31 @@ def _pq_train_codebooks(e: DataFrame) -> list[list[list[float]]]:
             )
         ).alias("m", "sv"),
     )
-    init = (
-        sub.filter(F.col("vec_id") < PQ_K)
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["m"].iloc[0])
+        pdf = pdf.sort_values("vec_id")
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["sv"]])
+        c = x[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first minimum = smallest k on ties
+            for k in range(PQ_K):
+                members = x[a == k]
+                if len(members):
+                    c[k] = members.mean(axis=0)
+        return pd.DataFrame(
+            {"m": m, "k": range(PQ_K), "cent": [list(c[k]) for k in range(PQ_K)]}
+        )
+
+    rows = (
+        sub.groupBy("m")
+        .applyInPandas(train, "m int, k int, cent array<double>")
         .collect()
     )
     cents: list[list[list[float]]] = [[None] * PQ_K for _ in range(PQ_M)]
-    for r in init:
-        cents[r["m"]][r["vec_id"]] = list(r["sv"])
-
-    spark = e.sparkSession
-    for _ in range(PQ_ITERS):
-        cdf = spark.createDataFrame(
-            [(m, k, cents[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
-            "m int, k int, cent array<double>",
-        )
-        d2 = F.aggregate(
-            F.zip_with("sv", "cent", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        assign = (
-            sub.join(F.broadcast(cdf), "m")
-            .select("vec_id", "m", "sv", "k", d2.alias("d2"))
-            .groupBy("vec_id", "m")
-            .agg(F.min_by("k", F.struct("d2", "k")).alias("k"), F.first("sv").alias("sv"))
-        )
-        upd = (
-            assign.select("m", "k", F.posexplode("sv").alias("pos", "v"))
-            .groupBy("m", "k", "pos")
-            .agg(F.avg("v").alias("av"))
-            .groupBy("m", "k")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
-                ).alias("cent")
-            )
-            .collect()
-        )
-        for r in upd:
-            cents[r["m"]][r["k"]] = list(r["cent"])
+    for r in rows:
+        cents[r["m"]][r["k"]] = list(r["cent"])
     return cents
 
 
@@ -477,15 +475,18 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC's L2 ordering is cosine ordering and the re-ranked output is
     directly comparable to `emb_knn_brute`.
 
-    Scale shape: training never moves the data (broadcast centroids +
-    partial-agg means, 128-row driver reduce per round); encoding is one
-    broadcast join + groupBy(vec_id, m) over n*M rows; the query-side
-    ADC is a broadcast join of the code stream against per-query lookup
-    tables (M*K rows/query), so the corpus is touched once, narrowly, at
-    1 byte/subspace — the compression that makes 100 TB ANN sit in
-    cluster memory. Iterative training → no SQL oracle (driver records
-    the rows-only check); recall floor vs brute force is pinned in
-    tests/test_queries.py::test_pq_recall_floor.
+    Scale shape: training is ONE Arrow job over a bounded sample (see
+    `_pq_train_codebooks`); encoding is one broadcast join (the 8 KB
+    centroid table — never the data) + groupBy(vec_id, m) over n*M
+    rows; the query-side ADC is a broadcast join of the code stream
+    against per-query lookup tables (M*K rows/query), so the corpus is
+    touched once, narrowly, at 1 byte/subspace — the compression that
+    makes 100 TB ANN sit in cluster memory. (Inlining the centroids
+    into the scan as a literal was tried and reverted: duplicating the
+    1024-constant tree into every argmin branch blows up codegen —
+    the broadcast join is both cleaner and faster.) Iterative training
+    → no SQL oracle (driver records the rows-only check); recall floor
+    vs brute force is pinned in tests/test_queries.py::test_pq_recall_floor.
     """
     raw = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("raw")
