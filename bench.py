@@ -44,15 +44,16 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     warmup = round(time.perf_counter() - t0, 3)
 
-    # Two passes per query: this host shows CPU-steal spikes that can
-    # inflate a single run 2-5x (see PLANS.md pipeline_derive note), so
-    # the headline number is the per-query MIN (steady-state plan cost);
+    # Three passes per query: this host shows multi-second stall windows
+    # (95% idle, not CPU-steal) that can inflate a single run 2-10x and
+    # occasionally span two back-to-back runs (see PLANS.md), so the
+    # headline number is the per-query MIN (steady-state plan cost);
     # the first-pass wall is kept alongside for cold-cost visibility.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in all_queries().items():
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             # queries that cache guard-bounded intermediates must not get
             # a free second run off the first run's cache
             spark.catalog.clearCache()

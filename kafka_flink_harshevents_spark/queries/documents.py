@@ -1052,6 +1052,63 @@ def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_DF_CAP = 64  # stop-shingle pruning: drop postings with df > cap
+CONTAIN_THRESHOLD = 0.6
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: n-gram containment
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — catches quotes, excerpts and
+    subset documents that symmetric Jaccard misses (a 50-word quote
+    inside a 5000-word doc has tiny Jaccard but containment ≈ 1).
+    Emits pairs where either direction ≥ CONTAIN_THRESHOLD.
+
+    Plan: inverted-index self-equi-join on the shingle, with
+    STOP-SHINGLE pruning (postings with df > CONTAIN_DF_CAP are dropped
+    before the join — the standard bound that keeps per-shingle join
+    fan-out ≤ df²; the df cap is part of the operator's definition and
+    applied identically in the oracle). Shuffle ∝ Σ df² over surviving
+    shingles — bounded by cap × postings, never all-pairs.
+    """
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    keep = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("s")
+    )
+    posting = sh.join(keep, "s")
+    inter = (
+        posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            F.round(F.col("inter") / F.col("na"), 4).alias("c_ab"),
+            F.round(F.col("inter") / F.col("nb"), 4).alias("c_ba"),
+        )
+        .filter(
+            (F.col("c_ab") >= CONTAIN_THRESHOLD)
+            | (F.col("c_ba") >= CONTAIN_THRESHOLD)
+        )
+    )
+
+
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 
@@ -1120,6 +1177,7 @@ QUERIES = {
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_clean_corpus": doc_clean_corpus,
     "doc_chunk_overlap": doc_chunk_overlap,
+    "doc_containment_pairs": doc_containment_pairs,
 }
 
 
@@ -1352,6 +1410,29 @@ def _minhash_sql() -> str:
 
 
 ORACLES = {
+    "doc_containment_pairs": f"""
+        WITH {_SQL_SHINGLES},
+        keep AS (
+            SELECT s FROM sh GROUP BY s HAVING count(*) <= {CONTAIN_DF_CAP}
+        ),
+        posting AS (
+            SELECT sh.doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s
+        ),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM posting a JOIN posting b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT da, db,
+               round(i * 1.0 / ca.n, 4) AS c_ab,
+               round(i * 1.0 / cb.n, 4) AS c_ba
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = da
+        JOIN cnt cb ON cb.doc_id = db
+        WHERE round(i * 1.0 / ca.n, 4) >= {CONTAIN_THRESHOLD}
+           OR round(i * 1.0 / cb.n, 4) >= {CONTAIN_THRESHOLD}
+    """,
     "doc_chunk_overlap": f"""
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents

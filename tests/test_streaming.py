@@ -743,3 +743,52 @@ def test_streaming_ingest_dedup(spark, tmp_path):
         assert len(spark.table(name).collect()) == 3
     finally:
         q.stop()
+
+
+def test_streaming_anomaly_matches_batch(spark, tmp_path):
+    """The rolling z-score stream (bounded per-key ring-buffer state)
+    replayed over the time-ordered sf0.001 events log produces exactly
+    the batch ev_anomaly_zscore rows — stream/batch parity for the
+    detector, same discipline as the sessionization twins."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.queries.analytics import ev_anomaly_zscore
+    from kafka_flink_harshevents_spark.queries._util import load, ts_millis
+    from kafka_flink_harshevents_spark.streaming.anomaly import (
+        anomaly_scores_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "anom"
+    src.mkdir()
+    (
+        load(spark, SF_DIR, "events")
+        .select("event_id", "user_id", ts_millis("ts").alias("ts_ms"), "value")
+        .coalesce(1)
+        .write.json(str(src / "log"))
+    )
+    stream = spark.readStream.schema(
+        "event_id LONG, user_id LONG, ts_ms LONG, value DOUBLE"
+    ).json(str(src / "log"))
+    name = f"anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        anomaly_scores_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["user_id"], r["value"], r["zscore"])
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["event_id"], r["user_id"], r["value"], r["zscore"])
+        for r in ev_anomaly_zscore(spark, SF_DIR).collect()
+    }
+    assert want, "batch detector found nothing — test data too tame"
+    assert got == want
