@@ -12,6 +12,8 @@ scale-first:
                          trailing per-user window
 - ev_locf_resample     — hypertable-style gap-fill: hourly grid per user,
                          last-observation-carried-forward
+- ev_pattern_match     — CEP sequence match (click FOLLOWED BY purchase
+                         within 30 min), every match emitted
 
 Scale notes: every wide op here keys on ``user_id`` (the natural,
 high-cardinality stream key — same partitioning discipline as the
@@ -189,14 +191,83 @@ def ev_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATTERN_FIRST = "click"
+PATTERN_SECOND = "purchase"
+PATTERN_WITHIN_MS = 30 * 60 * 1000
+
+
+def ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence match — Flink's headline operator (``CEP.pattern(A
+    .followedBy(B)).within(30 min)``) expressed relationally: for EVERY
+    ``click``, the earliest same-user ``purchase`` strictly after it (in
+    the total event order) and within 30 minutes. Each click yields at
+    most one match (skip-till-next-match semantics); unmatched clicks are
+    dropped, like a CEP timeout discarding partial matches.
+
+    Differs from ``ev_funnel``: the funnel reports one conversion per
+    user; this emits every matched pair — the per-instance view a CEP
+    engine gives (the reference correlates its two streams the same way,
+    per-record, in the consumer's latency log, kafkaConsumer.js:201-211).
+
+    Scale shape: ONE hash exchange on ``user_id``; the forward-looking
+    conditional ``min`` is a single Window operator whose frame
+    (1 FOLLOWING → end) is evaluated per user partition — no self-join,
+    no range blowup. (user_id, tms, event_id) is a total order shared by
+    the oracle, so row-frame semantics are engine-identical.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ts_millis("ts").alias("tms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tms", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    scored = e.withColumn(
+        "purchase_ms",
+        F.min(F.when(F.col("event_type") == PATTERN_SECOND, F.col("tms"))).over(w),
+    )
+    return (
+        scored.filter(
+            (F.col("event_type") == PATTERN_FIRST)
+            & F.col("purchase_ms").isNotNull()
+            & (F.col("purchase_ms") <= F.col("tms") + F.lit(PATTERN_WITHIN_MS))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_event_id"),
+            F.col("tms").alias("click_ms"),
+            "purchase_ms",
+            (F.col("purchase_ms") - F.col("tms")).alias("gap_ms"),
+        )
+    )
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
+    "ev_pattern_match": ev_pattern_match,
     "ev_retention": ev_retention,
     "ev_anomaly_zscore": ev_anomaly_zscore,
     "ev_locf_resample": ev_locf_resample,
 }
 
 ORACLES = {
+    "ev_pattern_match": """
+        WITH s AS (
+            SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS purchase_ms
+            FROM events
+        )
+        SELECT user_id, event_id AS click_event_id, tms AS click_ms,
+               purchase_ms, purchase_ms - tms AS gap_ms
+        FROM s
+        WHERE event_type = 'click'
+          AND purchase_ms IS NOT NULL
+          AND purchase_ms <= tms + 1800000
+    """,
     "ev_funnel": """
         WITH l1 AS (
             SELECT user_id, event_type, epoch_ms(ts) AS tms,

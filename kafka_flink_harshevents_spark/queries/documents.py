@@ -1153,8 +1153,88 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_WC_MIN = 50
+GOPHER_WC_MAX = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_MIN_STOP = 2
+GOPHER_MIN_UNIQ = 0.2
+
+
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021, §A.1.1) — the standard
+    pre-training quality gate: word count in [50, 100k], mean word length
+    in [3, 10], ≥ 2 distinct stopwords present, unique-word ratio ≥ 0.2
+    (the repetition guard; the paper's duplicate-line rules degenerate to
+    this on a single-line corpus). Emits every rule verdict plus the
+    conjunction so downstream filters can relax individual rules.
+
+    Entirely scan-local (higher-order array functions, zero shuffle, no
+    UDF) — at 100 TB this is a pure map stage pipelined into the parquet
+    scan. Rule comparisons run on the UNROUNDED doubles with identical
+    expression trees in both engines; rounding is emit-only.
+    """
+    d = _words(load(spark, sf_dir, "documents"))
+    n_words = F.size("ws").cast("long")
+    sum_len = F.aggregate("ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    mwl = sum_len / n_words
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct("ws"), F.array(*[F.lit(s) for s in STOPWORDS]))
+    ).cast("long")
+    uniq_ratio = F.size(F.array_distinct("ws")).cast("long") / n_words
+    p_wc = (n_words >= GOPHER_WC_MIN) & (n_words <= GOPHER_WC_MAX)
+    p_mwl = (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX)
+    p_stop = n_stop >= GOPHER_MIN_STOP
+    p_uniq = uniq_ratio >= GOPHER_MIN_UNIQ
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        p_wc.cast("long").alias("pass_wordcount"),
+        p_mwl.cast("long").alias("pass_meanlen"),
+        p_stop.cast("long").alias("pass_stopwords"),
+        p_uniq.cast("long").alias("pass_unique"),
+        (p_wc & p_mwl & p_stop & p_uniq).cast("long").alias("pass_gopher"),
+    )
+
+
+BPE_TOP_K = 50
+
+
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale adjacent-pair frequency — the inner step of BPE /
+    WordPiece vocabulary training (Sennrich et al. 2016): count every
+    adjacent token pair across the corpus WITH multiplicity and return
+    the top-50 merge candidates.
+
+    Plan: scan-local pair construction (`transform` over an index
+    sequence — same shape as `_shingles` but keeping duplicates, since
+    merge ranking needs multiplicity) → explode → ONE count aggregation
+    (map-side partial combine collapses each partition to its distinct
+    pairs before the shuffle) → TakeOrderedAndProject. Pair cardinality,
+    not token volume, crosses the wire. Tie-break on the pair string
+    makes the top-k engine-stable.
+    """
+    d = _words(load(spark, sf_dir, "documents"))
+    pairs = d.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "doc_gopher_quality": doc_gopher_quality,
+    "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
@@ -1410,6 +1490,46 @@ def _minhash_sql() -> str:
 
 
 ORACLES = {
+    "doc_gopher_quality": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        feats AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   list_sum(list_transform(ws, x -> len(x))) * 1.0 / len(ws) AS mwl,
+                   len(list_intersect(list_distinct(ws), [{_SQL_STOPSET}])) AS n_stop,
+                   len(list_distinct(ws)) * 1.0 / len(ws) AS uniq_ratio
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(mwl, 4) AS mean_word_len,
+               CAST(n_stop AS BIGINT) AS n_stop_distinct,
+               round(uniq_ratio, 4) AS uniq_ratio,
+               CAST(n_words >= {GOPHER_WC_MIN} AND n_words <= {GOPHER_WC_MAX} AS BIGINT)
+                   AS pass_wordcount,
+               CAST(mwl >= {GOPHER_MWL_MIN} AND mwl <= {GOPHER_MWL_MAX} AS BIGINT)
+                   AS pass_meanlen,
+               CAST(n_stop >= {GOPHER_MIN_STOP} AS BIGINT) AS pass_stopwords,
+               CAST(uniq_ratio >= {GOPHER_MIN_UNIQ} AS BIGINT) AS pass_unique,
+               CAST(n_words >= {GOPHER_WC_MIN} AND n_words <= {GOPHER_WC_MAX}
+                    AND mwl >= {GOPHER_MWL_MIN} AND mwl <= {GOPHER_MWL_MAX}
+                    AND n_stop >= {GOPHER_MIN_STOP}
+                    AND uniq_ratio >= {GOPHER_MIN_UNIQ} AS BIGINT) AS pass_gopher
+        FROM feats
+    """,
+    "doc_bpe_pair_counts": f"""
+        WITH w AS (
+            SELECT string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        p AS (
+            SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+                AS pair
+            FROM w
+        )
+        SELECT pair, count(*) AS cnt FROM p
+        GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT {BPE_TOP_K}
+    """,
     "doc_containment_pairs": f"""
         WITH {_SQL_SHINGLES},
         keep AS (
