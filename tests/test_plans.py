@@ -104,6 +104,53 @@ def test_locf_grid_stays_user_partitioned(spark):
     assert "], true, " not in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime filtering — the 100 TB join-pruning lever when the dim
+    side can't broadcast: with a selective dim filter, Catalyst injects a
+    bloom filter built from the dim keys into the fact-side scan filter
+    (`might_contain(xxhash64(l_orderkey))`), so most fact rows die at the
+    scan instead of crossing the join shuffle. Thresholds are lowered to
+    make the sf0.001 fact side eligible (prod defaults: 10 GB scan /
+    10 MB creation side)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (
+            lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan
+        assert "xxhash64(l_orderkey" in plan
+        # and the filtered join still returns the right answer
+        plain = (
+            lineitem.join(o.hint("broadcast"), lineitem.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert j.collect() == plain.collect()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_chunking_is_scan_local(spark):
     """doc_chunk_overlap is project+explode only: zero exchanges."""
     from kafka_flink_harshevents_spark.queries.documents import doc_chunk_overlap
