@@ -151,6 +151,101 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.set(k, v)
 
 
+def _with_confs(spark, confs):
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_confs(spark, old):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join is the engine's first line of defense for hot keys
+    (salted_join is the manual fallback when it can't fire): with one key
+    carrying ~90% of rows, the final adaptive plan must mark the
+    sort-merge join `skew=true` — the hot partition was split across
+    tasks instead of drowning one reducer. Thresholds are lowered so the
+    test-scale partitions qualify (prod defaults: 256 MB / factor 5)."""
+    from pyspark.sql import functions as F
+
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 200_000  # inner join keeps every row
+        assert "skew=true" in _plan(j)
+    finally:
+        _restore_confs(spark, old)
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-style date-partitioned layout + a selective dim filter →
+    Catalyst prunes fact partitions at RUNTIME from the dim join's
+    broadcast (SubqueryAdaptiveBroadcast dynamicpruning#…). This is the
+    scan-avoidance lever for the 100 TB fact/dim pattern when the filter
+    lives on the dim, not the fact. useStats=false + fallbackFilterRatio
+    make the tiny test fact eligible; in prod the CBO stats drive it."""
+    from pyspark.sql import functions as F
+
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+            "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "10",
+        },
+    )
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "ev"))
+        ev.select(F.to_date("ts").alias("day")).distinct().withColumn(
+            "flag",
+            F.when(
+                F.crc32(F.col("day").cast("string")) % 3 == 0, F.lit("keep")
+            ).otherwise(F.lit("drop")),
+        ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+        fact = spark.read.parquet(str(tmp_path / "ev"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter(
+            F.col("flag") == "keep"
+        )
+        j = fact.join(dim, "day").groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+        assert "dynamicpruning" in _plan(j).lower()
+        # pruned result equals the unpruned filter-after-join answer
+        expect = (
+            fact.join(dim.hint("broadcast"), "day", "inner")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, expect))
+    finally:
+        _restore_confs(spark, old)
+
+
 def test_chunking_is_scan_local(spark):
     """doc_chunk_overlap is project+explode only: zero exchanges."""
     from kafka_flink_harshevents_spark.queries.documents import doc_chunk_overlap
