@@ -1200,6 +1200,66 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_NGRAM_N = 5
+DUP_MIN_DOCS = 2
+
+
+def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-n-gram fraction (the cross-document half of
+    Gopher's repetition rules; CC-Net uses the same signal): for each doc,
+    the share of its distinct word-5-grams that also appear in at least
+    one OTHER document. High ratios flag boilerplate / template text that
+    doc-local repetition stats (`doc_repetition_stats`) cannot see.
+
+    Plan: distinct 5-grams per doc (scan-local transform+explode) → ONE
+    count aggregation keyed on the gram (map-side combine collapses
+    per-partition duplicates) → the duplicated-gram set semi-joins back
+    on the same gram key (co-partitioned — Catalyst reuses the
+    aggregation's hash partitioning, no second wide scan of the grams) →
+    two doc_id-keyed rollups. Every shuffle is keyed by gram or doc_id;
+    nothing broadcasts (the dup-gram set scales with the corpus) and
+    nothing is all-pairs.
+    """
+    g = (
+        _words(load(spark, sf_dir, "documents"))
+        .filter(F.size("ws") >= DUP_NGRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(ws) - {DUP_NGRAM_N}),"
+                        f" i -> array_join(slice(ws, i + 1, {DUP_NGRAM_N}), ' '))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    dup = (
+        g.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") >= DUP_MIN_DOCS)
+        .select("s")
+    )
+    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    nd = (
+        g.join(dup, "s", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        tot.join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_ngrams"),
+            F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_ngrams"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
 BPE_TOP_K = 50
 
 
@@ -1235,6 +1295,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_gopher_quality": doc_gopher_quality,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
+    "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
@@ -1516,6 +1577,31 @@ ORACLES = {
                     AND n_stop >= {GOPHER_MIN_STOP}
                     AND uniq_ratio >= {GOPHER_MIN_UNIQ} AS BIGINT) AS pass_gopher
         FROM feats
+    """,
+    "doc_dup_ngram_coverage": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= {DUP_NGRAM_N}
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       list_transform(range(1, len(ws) - {DUP_NGRAM_N - 2}),
+                                      i -> array_to_string(ws[i:i + {DUP_NGRAM_N - 1}], ' '))
+                   )) AS s
+            FROM w
+        ),
+        dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= {DUP_MIN_DOCS}),
+        tot AS (SELECT doc_id, count(*) AS n_ngrams FROM g GROUP BY doc_id),
+        nd AS (
+            SELECT doc_id, count(*) AS n_dup FROM g
+            WHERE s IN (SELECT s FROM dup) GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+               CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+               round(coalesce(nd.n_dup, 0) * 1.0 / t.n_ngrams, 4) AS dup_ratio
+        FROM tot t LEFT JOIN nd USING (doc_id)
     """,
     "doc_bpe_pair_counts": f"""
         WITH w AS (
