@@ -19,6 +19,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def followed_by_stream(
+    events: DataFrame,
+    first_type: str = "click",
+    second_type: str = "purchase",
+    within_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming CEP ``A followedBy B within(t)`` — the streaming twin of
+    the batch ``ev_pattern_match`` catalog query, built from TWO chained
+    stateful operators (Spark 3.4+ multi-stateful append mode):
+
+    1. an event-time interval self-join pairs every A with every same-key
+       B in ``(t_A, t_A + within]`` — join state bounded by watermark +
+       interval on both sides;
+    2. a min-aggregation keyed on the A instance collapses the pairs to
+       the FIRST B (skip-till-next-match), emitted once the watermark
+       passes the match window — exactly a CEP engine's timeout flush.
+
+    Input: a streaming DataFrame with ``user_id``, ``event_id``,
+    ``event_type`` and an event-time ``ts`` timestamp column. Output per
+    matched A: (user_id, click_event_id, click_ms, purchase_ms, gap_ms),
+    the batch query's schema.
+
+    Scale shape: both legs shuffle once on ``user_id`` (the stream's
+    natural key), the join's per-key state is bounded by the interval,
+    and the aggregation state is one row per in-flight A — dropped at
+    watermark. No state grows with stream lifetime.
+    """
+    firsts = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_event_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    seconds = (
+        events.filter(F.col("event_type") == second_type)
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+    )
+    pairs = firsts.join(seconds, cond)
+    return (
+        pairs.groupBy("user_id", "click_event_id", "a_ts")
+        .agg(F.min("b_ts").alias("first_b_ts"))
+        .select(
+            "user_id",
+            "click_event_id",
+            F.unix_millis("a_ts").alias("click_ms"),
+            F.unix_millis("first_b_ts").alias("purchase_ms"),
+            (F.unix_millis("first_b_ts") - F.unix_millis("a_ts")).alias("gap_ms"),
+        )
+    )
+
+
 def violations_during_status(
     violations: DataFrame,
     status: DataFrame,

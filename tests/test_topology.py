@@ -10,6 +10,8 @@ import json
 import time
 import uuid
 
+from pyspark.sql import functions as F
+
 from kafka_flink_harshevents_spark.plans.pipeline import run_consumer_stage
 from kafka_flink_harshevents_spark.sources.kafka import (
     DEVICE_STATUS_TOPIC,
@@ -218,5 +220,85 @@ def test_stream_stream_interval_join(spark, tmp_path):
             "harsh_brake",
             100,
         )
+    finally:
+        q.stop()
+
+
+def test_streaming_cep_followed_by(spark, tmp_path):
+    """Streaming CEP (interval self-join → first-match min-agg, two
+    chained stateful operators in append mode): each click matched to its
+    FIRST same-user purchase within 30 min; ties to the batch
+    ev_pattern_match schema. Far-future sentinel waves advance the
+    watermark so the join then the aggregation flush their state."""
+    import json as _json
+
+    from kafka_flink_harshevents_spark.streaming.joins import followed_by_stream
+
+    src = tmp_path / "cep"
+    src.mkdir()
+
+    def ev(eid, user, etype, epoch):
+        return {
+            "event_id": eid,
+            "user_id": user,
+            "event_type": etype,
+            "ts": epoch * 1000,
+        }
+
+    main = [
+        ev(1, 1, "click", 100),
+        ev(2, 1, "purchase", 200),   # second purchase for u1
+        ev(3, 1, "purchase", 150),   # first purchase for u1 -> the match
+        ev(4, 1, "click", 1000),
+        ev(5, 1, "purchase", 4000),  # 3000 s after click 4: outside 1800 s
+        ev(6, 2, "purchase", 100),   # purchase before u2's click: no match
+        ev(7, 2, "click", 200),
+        ev(8, 3, "click", 300),
+        ev(9, 3, "purchase", 301),   # 1 s gap: match
+    ]
+    far = 100 * 24 * 3600
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, event_type STRING, ts LONG"
+        )
+        .json(str(src))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_millis(F.col("ts")).alias("ts"),
+        )
+    )
+    name = f"cep_{uuid.uuid4().hex[:8]}"
+    q = (
+        followed_by_stream(stream, within_seconds=1800)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        write("wave1.jsonl", main)
+        q.processAllAvailable()
+        # each wave's sentinels push the watermark 100+ days further so
+        # first the join state, then the agg state, finalizes
+        write("wave2.jsonl", [ev(100, 99, "click", far), ev(101, 98, "purchase", far + 10 * 24 * 3600)])
+        q.processAllAvailable()
+        write("wave3.jsonl", [ev(102, 97, "click", 3 * far), ev(103, 96, "purchase", 3 * far + 10 * 24 * 3600)])
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["click_event_id"]): (r["click_ms"], r["purchase_ms"], r["gap_ms"])
+            for r in spark.table(name).collect()
+            if r["user_id"] < 90  # exclude sentinel users
+        }
+        assert got == {
+            (1, 1): (100_000, 150_000, 50_000),
+            (3, 8): (300_000, 301_000, 1_000),
+        }
     finally:
         q.stop()
