@@ -1200,6 +1200,47 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_WEIGHTED_K = 100
+
+
+def doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement at corpus scale — the
+    Efraimidis–Spirakis exponential-key trick (2006): give every doc the
+    key ``u^(1/w)`` (u uniform, w = quality score) and keep the global
+    top-k keys. Inclusion probability is proportional to weight, no
+    sequential reservoir needed — the top-k is a per-partition heap +
+    single merge (TakeOrderedAndProject), so the full corpus never
+    shuffles.
+
+    The uniform is md5-derived (`_md5_unit`) — a pure function of doc_id
+    — so the sample is stable under retries/re-partitions, and both
+    engines evaluate the IDENTICAL double expression tree (weight and
+    key), making the top-k boundary engine-stable; rounding is emit-only.
+    """
+    d = _words(load(spark, sf_dir, "documents"))
+    n_tokens = F.size("ws").cast("long")
+    n_unique = F.size(F.array_distinct("ws")).cast("long")
+    n_stop = F.size(F.filter("ws", lambda x: x.isin(*STOPWORDS))).cast("long")
+    w = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (n_unique / n_tokens)
+        + F.lit(0.3) * (F.lit(1.0) - n_stop / n_tokens)
+    )
+    u = _md5_unit(F.col("doc_id"), "wsamp|")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        d.select(
+            "doc_id",
+            F.round(w, 4).alias("weight"),
+            F.round(key, 6).alias("sample_key"),
+            key.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(SAMPLE_WEIGHTED_K)
+        .drop("_k")
+    )
+
+
 DUP_NGRAM_N = 5
 DUP_MIN_DOCS = 2
 
@@ -1296,6 +1337,7 @@ QUERIES = {
     "doc_gopher_quality": doc_gopher_quality,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
+    "doc_sample_weighted": doc_sample_weighted,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
@@ -1577,6 +1619,27 @@ ORACLES = {
                     AND n_stop >= {GOPHER_MIN_STOP}
                     AND uniq_ratio >= {GOPHER_MIN_UNIQ} AS BIGINT) AS pass_gopher
         FROM feats
+    """,
+    "doc_sample_weighted": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SQL_STOPSET}))) AS BIGINT) AS n_stop
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.3 * (n_unique * 1.0 / n_tokens)
+                   + 0.3 * (1.0 - n_stop * 1.0 / n_tokens) AS score
+            FROM w
+        ), k AS (
+            SELECT doc_id, score,
+                   pow({_md5_unit_sql("doc_id", "wsamp|")}, 1.0 / score) AS key
+            FROM s
+        )
+        SELECT doc_id, round(score, 4) AS weight, round(key, 6) AS sample_key
+        FROM k ORDER BY key DESC, doc_id ASC LIMIT {SAMPLE_WEIGHTED_K}
     """,
     "doc_dup_ngram_coverage": f"""
         WITH w AS (
