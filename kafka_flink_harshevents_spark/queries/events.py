@@ -382,8 +382,36 @@ def ev_enrich_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / upsert compaction — last-write-wins per (user_id,
+    event_type): the batch twin of the reference consumer's Mongo
+    update-by-id sink (K4, kafkaConsumer.js:304-318), where only the
+    newest state per key survives. ONE shuffle with map-side partial
+    `max_by`; no window, no sort — each partition first collapses to its
+    local latest, so the exchange moves at most (keys × partitions)
+    rows, the compaction shape that holds at any scale.
+
+    The ordering key is a zero-padded `(tms, event_id)` string — total
+    order, lexicographic = numeric, and the identical expression in the
+    DuckDB oracle (whose `arg_max` cannot take a struct key).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", ts_millis("ts").alias("tms")
+    )
+    okey = F.format_string("%020d|%012d", F.col("tms"), F.col("event_id"))
+    return e.groupBy("user_id", "event_type").agg(
+        F.round(F.expr(
+            "max_by(value, format_string('%020d|%012d', tms, event_id))"
+        ), 2).alias("last_value"),
+        F.max_by("event_id", okey).alias("last_event_id"),
+        F.max("tms").alias("last_ms"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
 QUERIES = {
     "ev_type_counts": ev_type_counts,
+    "ev_latest_by_key": ev_latest_by_key,
     "ev_sessionize_300s": ev_sessionize_300s,
     "ev_sessionize_2h": ev_sessionize_2h,
     "ev_hourly_tumbling": ev_hourly_tumbling,
@@ -432,6 +460,16 @@ def _enrich_vehicle_sql() -> str:
     """
 
 ORACLES = {
+    "ev_latest_by_key": """
+        SELECT user_id, event_type,
+               round(arg_max(value, printf('%020d|%012d', epoch_ms(ts), event_id)), 2)
+                   AS last_value,
+               arg_max(event_id, printf('%020d|%012d', epoch_ms(ts), event_id))
+                   AS last_event_id,
+               max(epoch_ms(ts)) AS last_ms,
+               count(*) AS n_versions
+        FROM events GROUP BY user_id, event_type
+    """,
     "ev_type_counts": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type

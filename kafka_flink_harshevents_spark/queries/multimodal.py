@@ -11,7 +11,7 @@ payload byte`` lets DuckDB recompute the fake decoder's output exactly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_harshevents_spark.multimodal.media import (
@@ -63,10 +63,48 @@ def mm_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_SHARD_BYTES = 4096
+MM_PACK_LANES = 8
+
+
+def mm_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard packing for media: concatenate each
+    (format, lane) stream of media blobs in doc_id order and cut it into
+    ~4 KB shards — the WebDataset-style layout step before writing tar
+    shards. The multimodal twin of `doc_pack_sequences`: lanes
+    (`doc_id % 8`) keep the cumulative sum shard-parallel, so adding
+    executors scales packing throughput; within a lane the window is the
+    standard ordered prefix sum, never a global sort.
+    """
+    m = _media(spark, sf_dir).select(
+        "doc_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.pmod("doc_id", F.lit(MM_PACK_LANES)).cast("long").alias("lane"),
+    )
+    w = (
+        Window.partitionBy("format", "lane")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_bytes").over(w)
+    return m.select(
+        "doc_id",
+        "format",
+        "lane",
+        "n_bytes",
+        (cum - F.col("n_bytes")).alias("start_offset"),
+        F.floor((cum - F.col("n_bytes")) / MM_SHARD_BYTES).cast("long").alias(
+            "shard_idx"
+        ),
+    )
+
+
 QUERIES = {
     "mm_media_stats": mm_media_stats,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample_counts": mm_frame_sample_counts,
+    "mm_pack_shards": mm_pack_shards,
 }
 
 # magic header lengths: png 4, jpeg 4, wav 4 (see multimodal.media._MAGIC)
@@ -83,6 +121,27 @@ _MEDIA_SQL = """
 """
 
 ORACLES = {
+    "mm_pack_shards": f"""
+        WITH m AS ({_MEDIA_SQL}),
+        s AS (
+            SELECT doc_id, format,
+                   CAST(octet_length(media) AS BIGINT) AS n_bytes,
+                   CAST(doc_id % {MM_PACK_LANES} AS BIGINT) AS lane
+            FROM m
+        ),
+        c AS (
+            SELECT doc_id, format, lane, n_bytes,
+                   sum(n_bytes) OVER (
+                       PARTITION BY format, lane ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM s
+        )
+        SELECT doc_id, format, lane, n_bytes,
+               CAST(cum - n_bytes AS BIGINT) AS start_offset,
+               CAST(floor((cum - n_bytes) / {MM_SHARD_BYTES}.0) AS BIGINT) AS shard_idx
+        FROM c
+    """,
     "mm_media_stats": f"""
         WITH m AS ({_MEDIA_SQL})
         SELECT doc_id, format,
