@@ -73,9 +73,12 @@ def followed_by_stream(
         .select(
             "user_id",
             "click_event_id",
-            F.unix_millis("a_ts").alias("click_ms"),
-            F.unix_millis("first_b_ts").alias("purchase_ms"),
-            (F.unix_millis("first_b_ts") - F.unix_millis("a_ts")).alias("gap_ms"),
+            F.unix_millis(F.col("a_ts").cast("timestamp")).alias("click_ms"),
+            F.unix_millis(F.col("first_b_ts").cast("timestamp")).alias("purchase_ms"),
+            (
+                F.unix_millis(F.col("first_b_ts").cast("timestamp"))
+                - F.unix_millis(F.col("a_ts").cast("timestamp"))
+            ).alias("gap_ms"),
         )
     )
 

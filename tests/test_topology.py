@@ -302,3 +302,25 @@ def test_streaming_cep_followed_by(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_cep_stream_batch_parity(spark):
+    """The streaming CEP operator run in BATCH mode (watermarks are
+    no-ops on batch DataFrames) must produce exactly the batch catalog
+    query's matches. Semantics coincide whenever no click/purchase pair
+    shares an exact timestamp (verified true of the test data; the batch
+    query breaks such ties by row order, the stream by strict time)."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.analytics import ev_pattern_match
+    from kafka_flink_harshevents_spark.streaming.joins import followed_by_stream
+
+    sf = "/root/testdata/sf0.001"
+    events = load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    stream_form = {
+        tuple(r) for r in followed_by_stream(events, within_seconds=1800).collect()
+    }
+    batch_form = {tuple(r) for r in ev_pattern_match(spark, sf).collect()}
+    assert stream_form == batch_form
+    assert len(batch_form) > 0
