@@ -229,3 +229,51 @@ def test_freq_items_superset_of_true_heavy_hitters(spark):
     approx = set(e.freqItems(["event_type"], support).collect()[0][0])
     assert exact_heavy <= approx, (exact_heavy, approx)
     assert exact_heavy  # non-vacuous: the enum really has heavy hitters
+
+
+def test_sql_api_surface_matches_dataframe_catalog(spark):
+    """The SQL front-end is a first-class query surface: the same engine
+    answers literal ANSI SQL over registered views identically to the
+    DataFrame catalog (Catalyst plans both). Demonstrated on the
+    flagship aggregate and a window query."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.relational import q1_pricing_summary
+
+    load(spark, SF_DIR, "lineitem").createOrReplaceTempView("sql_lineitem")
+    sql_q1 = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM sql_lineitem
+        WHERE l_shipdate <= date'1998-12-01' - INTERVAL '90' DAY
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    df_q1 = q1_pricing_summary(spark, SF_DIR)
+    cols = sorted(df_q1.columns)
+    assert sorted(sql_q1.columns) == cols
+    assert sorted(tuple(r[c] for c in cols) for r in sql_q1.collect()) == sorted(
+        tuple(r[c] for c in cols) for r in df_q1.collect()
+    )
+
+    load(spark, SF_DIR, "events").createOrReplaceTempView("sql_events")
+    top = spark.sql(
+        """
+        SELECT user_id, event_id, value FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rk
+            FROM sql_events
+        ) WHERE rk = 1
+        """
+    ).collect()
+    assert len(top) > 0 and all(r["value"] is not None for r in top)
