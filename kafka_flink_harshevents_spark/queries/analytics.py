@@ -218,6 +218,18 @@ def ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", ts_millis("ts").alias("tms")
     )
+    return pattern_match_frame(e)
+
+
+def pattern_match_frame(
+    e: DataFrame,
+    first_type: str = PATTERN_FIRST,
+    second_type: str = PATTERN_SECOND,
+    within_ms: int = PATTERN_WITHIN_MS,
+) -> DataFrame:
+    """The CEP core over any ``(user_id, event_id, event_type, tms)``
+    frame — factored out so property tests can drive it with arbitrary
+    event sets (tests/test_properties.py)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("tms", "event_id")
@@ -225,13 +237,13 @@ def ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = e.withColumn(
         "purchase_ms",
-        F.min(F.when(F.col("event_type") == PATTERN_SECOND, F.col("tms"))).over(w),
+        F.min(F.when(F.col("event_type") == second_type, F.col("tms"))).over(w),
     )
     return (
         scored.filter(
-            (F.col("event_type") == PATTERN_FIRST)
+            (F.col("event_type") == first_type)
             & F.col("purchase_ms").isNotNull()
-            & (F.col("purchase_ms") <= F.col("tms") + F.lit(PATTERN_WITHIN_MS))
+            & (F.col("purchase_ms") <= F.col("tms") + F.lit(within_ms))
         )
         .select(
             "user_id",

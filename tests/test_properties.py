@@ -149,3 +149,51 @@ def test_sessionize_invariants(spark, events, gap):
             b for a, b in zip(ts_sorted, ts_sorted[1:]) if b - a > gap
         ]
         assert sorted(s["start_timestamp"] for s in sessions) == starts
+
+
+# -- CEP pattern match vs brute force --------------------------------------
+
+_cep_event = st.tuples(
+    st.integers(min_value=0, max_value=3),      # user_id
+    st.sampled_from(["click", "purchase", "view"]),
+    st.integers(min_value=0, max_value=5_000),  # tms
+)
+
+
+@given(st.lists(_cep_event, min_size=0, max_size=40))
+@settings(**_SETTINGS)
+def test_pattern_match_equals_brute_force(spark, events):
+    """For arbitrary event sets (including tms ties), the windowed CEP
+    query must equal the brute-force definition: for each click, the min
+    purchase tms among STRICTLY LATER rows in (tms, event_id) order,
+    kept if within the window."""
+    from kafka_flink_harshevents_spark.queries.analytics import (
+        pattern_match_frame,
+    )
+
+    within = 1_000
+    rows = [
+        (user, eid, etype, tms)
+        for eid, (user, etype, tms) in enumerate(events)
+    ]
+    expected = set()
+    by_user: dict[int, list] = {}
+    for user, eid, etype, tms in rows:
+        by_user.setdefault(user, []).append((tms, eid, etype))
+    for user, evs in by_user.items():
+        evs.sort()
+        for i, (tms, eid, etype) in enumerate(evs):
+            if etype != "click":
+                continue
+            later_purchases = [t for t, _, ty in evs[i + 1 :] if ty == "purchase"]
+            if later_purchases and min(later_purchases) <= tms + within:
+                p = min(later_purchases)
+                expected.add((user, eid, tms, p, p - tms))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, tms long"
+    )
+    got = {
+        tuple(r)
+        for r in pattern_match_frame(df, within_ms=within).collect()
+    }
+    assert got == expected
