@@ -382,6 +382,35 @@ def ev_enrich_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRENDING_TOP_N = 2
+
+
+def ev_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items per window — the dashboard staple the reference's
+    chart sink approximates with its per-type counters
+    (kafkaConsumer.js:229-233): top-N event types per tumbling hour by
+    count. Two-level plan: ONE keyed aggregation on (hour, type) —
+    map-side combine collapses each partition first — then a rank
+    Window partitioned by the hour bucket. The window key's cardinality
+    grows with time span, so partitions stay balanced at any scale
+    (never a global sort); ties break on event_type for an
+    engine-stable top-N.
+    """
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.date_format(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_ts"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour_ts").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TRENDING_TOP_N)
+        .select("hour_ts", "event_type", "n", "rk")
+    )
+
+
 def ev_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC / upsert compaction — last-write-wins per (user_id,
     event_type): the batch twin of the reference consumer's Mongo
@@ -412,6 +441,7 @@ def ev_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_latest_by_key": ev_latest_by_key,
+    "ev_trending": ev_trending,
     "ev_sessionize_300s": ev_sessionize_300s,
     "ev_sessionize_2h": ev_sessionize_2h,
     "ev_hourly_tumbling": ev_hourly_tumbling,
@@ -460,6 +490,19 @@ def _enrich_vehicle_sql() -> str:
     """
 
 ORACLES = {
+    "ev_trending": """
+        WITH c AS (
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT hour_ts, event_type, n, rk FROM (
+            SELECT hour_ts, event_type, n,
+                   CAST(row_number() OVER (PARTITION BY hour_ts
+                                           ORDER BY n DESC, event_type) AS BIGINT) AS rk
+            FROM c
+        ) WHERE rk <= 2
+    """,
     "ev_latest_by_key": """
         SELECT user_id, event_type,
                round(arg_max(value, printf('%020d|%012d', epoch_ms(ts), event_id)), 2)
