@@ -253,3 +253,39 @@ def test_chunking_is_scan_local(spark):
     plan = _plan(doc_chunk_overlap(spark, SF_DIR))
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_cbo_column_stats_drive_selectivity(spark, tmp_path):
+    """Cost-based optimization at 100 TB: after ANALYZE TABLE ... FOR
+    COLUMNS, the optimizer carries an exact rowCount and estimates
+    filter selectivity from NDV (1-of-5 priorities → ~20% of rows) —
+    the inputs join reordering and broadcast decisions need when file
+    size alone misleads. CBO is opt-in, so the test flips it on and
+    restores."""
+    import uuid as _uuid
+    from pyspark.sql import functions as F
+
+    old = _with_confs(spark, {"spark.sql.cbo.enabled": "true"})
+    t = f"cbo_{_uuid.uuid4().hex[:8]}"
+    try:
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").write.saveAsTable(t)
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS o_orderpriority")
+
+        def stats(df):
+            return df._jdf.queryExecution().optimizedPlan().stats()
+
+        full = stats(spark.table(t))
+        assert full.rowCount().isDefined()
+        n = int(str(full.rowCount().get()).replace("E+", "e").replace(",", "")
+                if "E" in str(full.rowCount().get()) else full.rowCount().get())
+        filt = stats(
+            spark.table(t).filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        assert filt.rowCount().isDefined()
+        est = int(str(filt.rowCount().get()))
+        # NDV(o_orderpriority) = 5 → the estimate must be far below the
+        # full count (allow slack for histogram rounding)
+        assert 0 < est < n * 0.5
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _restore_confs(spark, old)
