@@ -169,3 +169,26 @@ def test_partitioned_sink(spark, tmp_path):
     one_day = back.filter(F.col("event_date") == "2026-10-09")
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_date" in plan
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema-on-read evolution (SURVEY §1.3's lenient-schema posture
+    applied to storage): a column added to later parquet writes is
+    visible over the whole dataset with mergeSchema, and earlier files
+    surface it as nulls — no rewrite of 100 TB of history needed."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).select(
+        F.col("id").alias("event_id"), F.lit("v1").alias("etype")
+    ).write.parquet(p + "/b1")
+    spark.range(5, 10).select(
+        F.col("id").alias("event_id"),
+        F.lit("v2").alias("etype"),
+        (F.col("id") * 2).alias("score"),
+    ).write.parquet(p + "/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p + "/b1", p + "/b2")
+    assert set(merged.columns) == {"event_id", "etype", "score"}
+    rows = {r["event_id"]: r["score"] for r in merged.collect()}
+    assert all(rows[i] is None for i in range(5))
+    assert all(rows[i] == 2 * i for i in range(5, 10))

@@ -792,3 +792,64 @@ def test_streaming_anomaly_matches_batch(spark, tmp_path):
     }
     assert want, "batch detector found nothing — test data too tame"
     assert got == want
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """T4 observability: rows later than the watermark are dropped by a
+    watermarked aggregation AND the drop is visible in the query's
+    progress metrics (numRowsDroppedByWatermark) — the accounting a
+    100 TB stream needs to monitor lateness instead of silently losing
+    data. (The engine's latency path deliberately records late rows
+    as-is; this covers the windowed-agg path where the engine must
+    expire state.)"""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    stream = (
+        spark.readStream.schema("k STRING, ts LONG")
+        .json(str(src))
+        .select("k", F.timestamp_seconds(F.col("ts")).alias("ts"))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "10 seconds"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        write("w1.jsonl", [{"k": "a", "ts": 1000}, {"k": "a", "ts": 2000}])
+        q.processAllAvailable()
+        # watermark is now 2000 - 10 s; this row is far older -> dropped
+        write("w2.jsonl", [{"k": "a", "ts": 100}])
+        q.processAllAvailable()
+        write("w3.jsonl", [{"k": "a", "ts": 2050}])
+        q.processAllAvailable()
+        import json as _j
+
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in (_j.loads(pp.json) for pp in q.recentProgress)
+            for op in p.get("stateOperators", [])
+        )
+        assert dropped >= 1
+        got = {
+            (r["window"]["start"].isoformat(), r["k"]): r["n"]
+            for r in spark.table(name).collect()
+        }
+        # the late ts=100 row contributed to no window
+        assert not any(k[0].startswith("1970-01-01T00:01:4") for k in got)
+    finally:
+        q.stop()
