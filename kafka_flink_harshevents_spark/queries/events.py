@@ -382,6 +382,30 @@ def ev_enrich_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: `parse_json`
+    once into the binary variant encoding, then typed `variant_get`
+    extraction — the scale path for JSON-heavy event streams
+    (shredded binary access beats per-row string re-parsing; at 100 TB
+    the parse happens once at ingest, every query reads the variant).
+    Same aggregate shape as `ev_props_extract` but joined with the
+    event's value so the two extraction paths are triangulated: any
+    divergence between get_json_object and variant_get would break the
+    shared oracle.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.select(F.floor(k / 10).cast("long").alias("k_bucket"), k.alias("k"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 TRENDING_TOP_N = 2
 
 
@@ -442,6 +466,7 @@ QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_latest_by_key": ev_latest_by_key,
     "ev_trending": ev_trending,
+    "ev_props_variant": ev_props_variant,
     "ev_sessionize_300s": ev_sessionize_300s,
     "ev_sessionize_2h": ev_sessionize_2h,
     "ev_hourly_tumbling": ev_hourly_tumbling,
@@ -490,6 +515,14 @@ def _enrich_vehicle_sql() -> str:
     """
 
 ORACLES = {
+    "ev_props_variant": """
+        SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
+                    AS BIGINT) AS k_bucket,
+               count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1
+    """,
     "ev_trending": """
         WITH c AS (
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
