@@ -192,3 +192,40 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     rows = {r["event_id"]: r["score"] for r in merged.collect()}
     assert all(rows[i] is None for i in range(5))
     assert all(rows[i] == 2 * i for i in range(5, 10))
+
+
+def test_python_datasource_plugs_into_derive_path(spark):
+    """Spark 4 Python DataSource API: a registered custom source
+    delivers wire-format rows like a Kafka topic, deterministic under
+    re-read, partitioned as requested — and feeds the standard
+    parse → derive path with zero special-casing."""
+    from kafka_flink_harshevents_spark.functions.json_lenient import (
+        parse_telemetry,
+    )
+    from kafka_flink_harshevents_spark.operators.violations import (
+        ALLOWED_VIOLATION_TYPES,
+        violations_from_telemetry,
+    )
+    from kafka_flink_harshevents_spark.sources.pydatasource import (
+        _HAS_PYDS,
+        TelemetryWireSource,
+    )
+
+    assert _HAS_PYDS
+    spark.dataSource.register(TelemetryWireSource)
+    rd = (
+        spark.read.format("telemetry_wire")
+        .option("partitions", "4")
+        .option("rowsPerPartition", "50")
+    )
+    df = rd.load()
+    assert df.rdd.getNumPartitions() == 4
+    rows = sorted(tuple(r) for r in df.collect())
+    assert len(rows) == 200
+    assert rows == sorted(tuple(r) for r in rd.load().collect())  # deterministic
+
+    parsed = parse_telemetry(df.select("value"))
+    v = violations_from_telemetry(parsed)
+    got = v.select("violation_type").distinct().collect()
+    assert 0 < v.count() < 200
+    assert {r["violation_type"] for r in got} <= set(ALLOWED_VIOLATION_TYPES)
