@@ -33,12 +33,14 @@ try:  # the Python DataSource API needs pyspark >= 4 (present here)
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     _HAS_PYDS = True
 except ImportError:  # pragma: no cover - older pyspark
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
     _HAS_PYDS = False
 
 VIOLATION_PROB = 0.65  # mqtt_publish.js:29
@@ -94,6 +96,9 @@ class TelemetryWireSource(DataSource):
     def reader(self, schema) -> "TelemetryWireReader":
         return TelemetryWireReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "TelemetryWireStreamReader":
+        return TelemetryWireStreamReader(self.options)
+
 
 class TelemetryWireReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -109,3 +114,40 @@ class TelemetryWireReader(DataSourceReader):
         first = partition.value * self.rows
         for i in range(first, first + self.rows):
             yield _wire_row(self.seed, i, self.base_ts)
+
+
+class TelemetryWireStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream form of the same feed — a Kafka-like
+    REPLAYABLE offset protocol in pure Python: the offset dict carries
+    the next row index; `readBetweenOffsets` regenerates any committed
+    range verbatim (rows are a pure function of (seed, index)), which is
+    exactly what checkpoint recovery replays after a failure. Each
+    trigger serves ``rowspertrigger`` rows (default 50)."""
+
+    def __init__(self, options: dict) -> None:
+        self.per_trigger = int(options.get("rowspertrigger", "50"))
+        self.seed = int(options.get("seed", "42"))
+        self.base_ts = int(options.get("basets", "1700000000"))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        # a concrete list, not a generator: the simple-reader protocol
+        # prefetches driver-side and PICKLES the batch to executors
+        first = start["index"]
+        end = {"index": first + self.per_trigger}
+        rows = [
+            _wire_row(self.seed, i, self.base_ts)
+            for i in range(first, end["index"])
+        ]
+        return rows, end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            _wire_row(self.seed, i, self.base_ts)
+            for i in range(start["index"], end["index"])
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up — the feed is regenerable
