@@ -1,8 +1,9 @@
 """Extended relational coverage: the remaining TPC-H query shapes the
-testdata schema supports (there is no ``partsupp`` table and no
-commit/receipt-date, ship-mode, phone, or container columns, so Q2, Q11,
-Q12, Q16 and Q20 have no faithful analogue; Q9, Q19, Q21 and Q22 are
-adapted to the columns that exist — each docstring notes the adaptation).
+testdata schema supports. There is no ``partsupp`` table and no
+commit/receipt-date, ship-mode, phone, or container columns, so Q11 and
+Q12 have no analogue; Q2, Q16 and Q20 are adapted over `_partsupp_lite`
+(the distinct supplier-part relation derived from lineitem) and Q9, Q19,
+Q21, Q22 to the columns that exist — each docstring notes its adaptation.
 
 Together with ``queries/relational.py`` this exercises every remaining
 textbook shape: scan-only aggregation (Q6), multi-way join with
@@ -485,7 +486,129 @@ def q_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partsupp_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier-part relation the schema lacks, derived: distinct
+    ``(l_partkey, l_suppkey)`` from lineitem — every pair that actually
+    traded. One distinct aggregation, co-partitioned with later
+    part-keyed joins. Enables shape-faithful Q2/Q16/Q20 adaptations."""
+    return (
+        load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adaptation: partsupp := `_partsupp_lite`; the
+    complaint-supplier exclusion, originally a LIKE on s_comment,
+    becomes ``s_acctbal < 0`` — same NOT-IN structure). Preserved
+    structure: anti-join on a subquery, three-column group,
+    COUNT DISTINCT suppliers. The part filter broadcasts; the
+    distinct-pair relation shuffles once on partkey; the tiny excluded
+    set anti-joins broadcast-side. Output unordered — Q16's ORDER BY is
+    presentation-only and a global sort would be pure waste at scale.
+    """
+    ps = _partsupp_lite(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adaptation: ps_supplycost := the pair's minimum
+    traded unit price ``min(l_extendedprice / l_quantity)``; the
+    size/type filter keeps ``p_size = 15``). Preserved structure: a
+    correlated MIN subquery per part, decorrelated into a per-part
+    aggregate joined back on (part, cost) equality; supplier → nation →
+    region join chain (EUROPE); top-100 by account balance. Double
+    equality on the cost join is engine-safe: min() is order-independent
+    and both sides evaluate the identical expression tree.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        cost.join(p, cost.l_partkey == p.p_partkey)
+        .join(s, cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = eligible.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "l_partkey",
+            "l_suppkey",
+            # floor-scaled, not round(): the min unit price can land on a
+            # .5 ULP boundary where HALF_UP (Spark) and DuckDB disagree;
+            # floor of the identical double is engine-exact
+            F.floor(F.col("cost") * 10000).cast("long").alias("cost_e4"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("l_partkey"), F.asc("l_suppkey"))
+        .limit(100)
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adaptation: the availqty > half-of-shipped test
+    becomes total 1996 shipped quantity of a ``red%`` part above a fixed
+    threshold — no partsupp availqty exists). Preserved structure: the
+    nested IN chain (parts by name prefix → per-(supp, part) correlated
+    quantity aggregate → threshold → suppliers), executed as semi-joins;
+    the part-name filter broadcasts into the lineitem scan year-slice.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_excess_suppliers": q20_excess_suppliers,
     "q6_revenue_change": q6_revenue_change,
     "q_nation_revenue_share": q_nation_revenue_share,
     "q_priority_status_pivot": q_priority_status_pivot,
@@ -503,6 +626,53 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q16_supplier_part_counts": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size <= 25
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q2_min_cost_supplier": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS cost
+            FROM lineitem GROUP BY 1, 2
+        ),
+        eligible AS (
+            SELECT c.l_partkey, c.l_suppkey, c.cost,
+                   s.s_acctbal, s.s_name, n.n_name
+            FROM cost c
+            JOIN part p ON c.l_partkey = p.p_partkey AND p.p_size = 15
+            JOIN supplier s ON c.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        )
+        SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+               e.l_partkey, e.l_suppkey,
+               CAST(floor(e.cost * 10000) AS BIGINT) AS cost_e4
+        FROM eligible e
+        JOIN (SELECT l_partkey AS mk, min(cost) AS min_cost
+              FROM eligible GROUP BY 1) m
+          ON e.l_partkey = m.mk AND e.cost = m.min_cost
+        ORDER BY s_acctbal DESC, e.l_partkey ASC, e.l_suppkey ASC
+        LIMIT 100
+    """,
+    "q20_excess_suppliers": """
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 50
+        )
+    """,
     "q_nation_revenue_share": """
         WITH per_nation AS (
             SELECT n_name, sum(o_totalprice) AS rev
