@@ -14,6 +14,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def cluster_conf(
+    executors: int,
+    cores_per_executor: int = 4,
+    data_tb: float = 100.0,
+    target_partition_mb: int = 256,
+) -> dict[str, str]:
+    """The SCALING.md sizing rules as a function: the conf dict a real
+    deployment passes to ``get_spark(extra_conf=...)``.
+
+    - shuffle partitions: max(2× total cores, data ÷ target partition
+      size) — enough that every core stays busy AND no post-shuffle
+      partition exceeds the spill-safe target; AQE coalesces the excess
+      at runtime, so erring high is cheap and erring low is a spill.
+    - adaptive advisory size mirrors the same target so AQE's coalesce
+      and skew-split agree with the static sizing.
+    - `maxPartitionBytes` keeps scan tasks at the same granularity.
+    """
+    total_cores = executors * cores_per_executor
+    by_cores = 2 * total_cores
+    by_size = int(data_tb * 1024 * 1024 / target_partition_mb)
+    shuffle = max(by_cores, min(by_size, 200_000))
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{target_partition_mb}MB",
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}MB",
+    }
+
+
 def get_spark(
     app_name: str = "kafka-flink-harshevents-spark",
     master: str | None = None,

@@ -229,3 +229,19 @@ def test_python_datasource_plugs_into_derive_path(spark):
     got = v.select("violation_type").distinct().collect()
     assert 0 < v.count() < 200
     assert {r["violation_type"] for r in got} <= set(ALLOWED_VIOLATION_TYPES)
+
+
+def test_cluster_conf_sizing_rules():
+    """cluster_conf encodes SCALING.md: partition count covers both the
+    busy-cores floor and the spill-safe partition-size ceiling."""
+    from kafka_flink_harshevents_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=4, data_tb=100.0)
+    n = int(c["spark.sql.shuffle.partitions"])
+    assert n >= 2 * 4000  # every core busy twice over
+    # 100 TB / 256 MB = 409600 partitions would exceed the scheduler-sane
+    # cap; the cap applies but never drops below the cores floor
+    assert n <= 200_000
+    small = cluster_conf(executors=2, cores_per_executor=4, data_tb=0.001)
+    assert int(small["spark.sql.shuffle.partitions"]) == 16
+    assert small["spark.sql.files.maxPartitionBytes"] == "256MB"
