@@ -900,3 +900,34 @@ def test_python_datasource_streams_with_offsets(spark, tmp_path):
         assert ts[0] == 1700000000 and ts[:5] == list(range(1700000000, 1700000005))
     finally:
         q.stop()
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow — the production backfill mode: process
+    everything currently in the source in bounded micro-batches, then
+    stop on its own (unlike processAllAvailable, which needs a live
+    query). The restartable way to run a 100 TB catch-up through the
+    same streaming pipeline that serves live data."""
+    import json as _json
+    import uuid as _uuid
+
+    src = tmp_path / "an"
+    src.mkdir()
+    rows = [{"k": f"k{i % 5}", "v": i} for i in range(100)]
+    with open(src / "data.jsonl", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    stream = spark.readStream.schema("k STRING, v LONG").json(str(src))
+    agg = stream.groupBy("k").count()
+    name = f"an_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(60)  # stops by itself once drained
+    got = {r["k"]: r["count"] for r in spark.table(name).collect()}
+    assert got == {f"k{i}": 20 for i in range(5)}
