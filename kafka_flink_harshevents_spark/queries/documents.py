@@ -1200,6 +1200,43 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, unigram form — the
+    perplexity-filter proxy (CC-Net trains KenLM; the unigram LM is the
+    first rung of the same ladder, trainable in one pass at corpus
+    scale): per doc, the average token log-probability under the
+    corpus's own unigram distribution. Template/boilerplate-heavy docs
+    score HIGH (common tokens), rare-garbage docs score LOW — both
+    tails get reviewed in a real pipeline.
+
+    Plan: per-(doc, token) counts and the token frequency table come
+    from the SAME exploded scan, shuffled once each on their key; the
+    score join is token-to-token (co-partitioned with the frequency
+    aggregate — no second wide pass); the 1-row corpus total broadcasts.
+    Per-doc summation error (~1e-13) sits far below the 4dp emit, so
+    cross-engine sums agree despite addition-order differences.
+    """
+    tok = _words(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("ws").alias("t")
+    )
+    dt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("nn"))
+    return (
+        dt.join(tf, "t")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("cnt") / F.col("nn")))
+                / F.sum("c"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 SAMPLE_WEIGHTED_K = 100
 
 
@@ -1338,6 +1375,7 @@ QUERIES = {
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
     "doc_sample_weighted": doc_sample_weighted,
+    "doc_unigram_logprob": doc_unigram_logprob,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
@@ -1619,6 +1657,19 @@ ORACLES = {
                     AND n_stop >= {GOPHER_MIN_STOP}
                     AND uniq_ratio >= {GOPHER_MIN_UNIQ} AS BIGINT) AS pass_gopher
         FROM feats
+    """,
+    "doc_unigram_logprob": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        tf AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS nn FROM tok)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(sum(c * ln(cnt * 1.0 / nn)) / sum(c), 4) AS avg_logprob
+        FROM dt JOIN tf USING (t) CROSS JOIN n
+        GROUP BY doc_id
     """,
     "doc_sample_weighted": f"""
         WITH w AS (
