@@ -1237,6 +1237,41 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift quantification for mixture balancing: per source,
+    the KL divergence D(P_source ‖ P_corpus) of its unigram token
+    distribution from the whole corpus's — the signal that tells a
+    `doc_mix_temperature`-style sampler which domains are outliers
+    (e.g. code vs prose) before reweighting.
+
+    KL is exact, not smoothed: every source token is in the corpus by
+    construction (q > 0 wherever p > 0), so no epsilon enters the math
+    and both engines evaluate identical expression trees. Plan: one
+    exploded scan feeds (source, token) and corpus-token counts —
+    token-keyed join co-partitioned with the frequency aggregate; the
+    two scalar totals broadcast; final rollup is one row per source.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("sc"))
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cc"))
+    src_n = st.groupBy("source").agg(F.sum("sc").alias("sn"))
+    corp_n = tf.agg(F.sum("cc").alias("cn"))
+    p = F.col("sc") / F.col("sn")
+    q = F.col("cc") / F.col("cn")
+    return (
+        st.join(tf, "t")
+        .join(F.broadcast(src_n), "source")
+        .join(F.broadcast(corp_n))
+        .groupBy("source")
+        .agg(
+            F.max("sn").cast("long").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+        )
+    )
+
+
 SAMPLE_WEIGHTED_K = 100
 
 
@@ -1376,6 +1411,7 @@ QUERIES = {
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
     "doc_sample_weighted": doc_sample_weighted,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_source_kl_divergence": doc_source_kl_divergence,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
@@ -1657,6 +1693,22 @@ ORACLES = {
                     AND n_stop >= {GOPHER_MIN_STOP}
                     AND uniq_ratio >= {GOPHER_MIN_UNIQ} AS BIGINT) AS pass_gopher
         FROM feats
+    """,
+    "doc_source_kl_divergence": """
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        st AS (SELECT source, t, count(*) AS sc FROM tok GROUP BY 1, 2),
+        tf AS (SELECT t, count(*) AS cc FROM tok GROUP BY 1),
+        sn AS (SELECT source, sum(sc) AS sn FROM st GROUP BY 1),
+        cn AS (SELECT sum(cc) AS cn FROM tf)
+        SELECT st.source,
+               CAST(max(sn.sn) AS BIGINT) AS n_tokens,
+               round(sum((sc * 1.0 / sn.sn)
+                         * ln((sc * 1.0 / sn.sn) / (cc * 1.0 / cn.cn))), 6)
+                   AS kl_divergence
+        FROM st JOIN tf USING (t) JOIN sn USING (source) CROSS JOIN cn
+        GROUP BY st.source
     """,
     "doc_unigram_logprob": """
         WITH tok AS (
