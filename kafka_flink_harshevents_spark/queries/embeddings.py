@@ -577,9 +577,47 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INT8_LEVELS = 255
+
+
+def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization design table — the compression study a
+    100 TB vector store runs before switching to int8 (FAISS
+    ScalarQuantizer / SQ8): per dimension, the [min, max] calibration
+    range and the reconstruction RMSE / worst-case error of uniform
+    255-level quantization. Dimensions with outsized error get a wider
+    code or stay float.
+
+    Plan: one posexplode scan → per-dim min/max (64 groups) → the SAME
+    exploded values re-join the 64-row stats broadcast-side → per-dim
+    error rollup. Quantization uses ``floor(x + 0.5)`` rather than
+    round() so both engines take the identical half-up branch at code
+    boundaries.
+    """
+    ex = load(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v")
+    ).select(F.col("p").cast("long").alias("pos"), "v")
+    stats = ex.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = ex.join(F.broadcast(stats), "pos")
+    rng = F.col("mx") - F.col("mn")
+    code = F.when(
+        rng > 0,
+        F.floor((F.col("v") - F.col("mn")) / rng * INT8_LEVELS + F.lit(0.5)),
+    ).otherwise(F.lit(0.0))
+    recon = F.col("mn") + code * rng / INT8_LEVELS
+    err = F.col("v") - recon
+    return j.groupBy("pos").agg(
+        F.round(F.min("v"), 6).alias("mn"),
+        F.round(F.max("v"), 6).alias("mx"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(F.max(F.abs(err)), 6).alias("max_abs_err"),
+    )
+
+
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
     "emb_centroids": emb_centroids,
+    "emb_quantize_stats": emb_quantize_stats,
     "emb_knn_lsh": emb_knn_lsh,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_neardup_clusters": emb_neardup_clusters,
@@ -618,6 +656,29 @@ ORACLES = {
         SELECT label, CAST(i - 1 AS BIGINT) AS pos, round(avg(emb[i]), 6) AS avg_val
         FROM e, range(1, {EMB_DIM + 1}) t(i)
         GROUP BY label, i - 1
+    """,
+    "emb_quantize_stats": f"""
+        WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        x AS (
+            SELECT CAST(i - 1 AS BIGINT) AS pos, emb[i] AS v
+            FROM e, range(1, {EMB_DIM + 1}) t(i)
+        ),
+        s AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1)
+        SELECT x.pos,
+               round(s.mn, 6) AS mn,
+               round(s.mx, 6) AS mx,
+               round(sqrt(avg(pow(v - (s.mn
+                   + (CASE WHEN s.mx > s.mn
+                           THEN floor((v - s.mn) / (s.mx - s.mn) * {INT8_LEVELS} + 0.5)
+                           ELSE 0 END) * (s.mx - s.mn) / {INT8_LEVELS}), 2))), 6)
+                   AS rmse,
+               round(max(abs(v - (s.mn
+                   + (CASE WHEN s.mx > s.mn
+                           THEN floor((v - s.mn) / (s.mx - s.mn) * {INT8_LEVELS} + 0.5)
+                           ELSE 0 END) * (s.mx - s.mn) / {INT8_LEVELS}))), 6)
+                   AS max_abs_err
+        FROM x JOIN s USING (pos)
+        GROUP BY x.pos, s.mn, s.mx
     """,
     # emb_knn_lsh: intentionally no oracle — approximate result set; the
     # driver's rows-only check applies and tests/ cover recall ≥ floor.
