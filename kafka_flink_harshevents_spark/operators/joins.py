@@ -30,13 +30,18 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tie_break: str | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Left as-of join.
 
     ``payload_cols`` — right columns to attach (null when no right row is
     at-or-before the left timestamp). ``tie_break`` — right column that
     picks a deterministic winner among right rows sharing (key, ts);
-    highest wins.
+    highest wins. ``tolerance`` — pandas ``merge_asof`` parity: a match
+    older than ``tolerance`` (in the ts columns' own units) is discarded,
+    i.e. only right rows in ``[left_ts - tolerance, left_ts]`` attach.
+    Same single union-sort plan either way — the bound is a post-carry
+    predicate, not an extra join.
     """
     # deduplicate right to one row per (key, ts) so the result is unique
     if tie_break is not None:
@@ -73,6 +78,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "_match_ts",
+            F.last(
+                F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
+            ).over(w),
+        ).withColumn(
+            "_match",
+            F.when(
+                F.col("_t") - F.col("_match_ts") <= F.lit(tolerance), F.col("_match")
+            ),
+        )
     return (
         carried.filter(F.col("_side") == 1)
         .select("_l.*", *[F.col(f"_match.{c}").alias(c) for c in payload_cols])

@@ -150,3 +150,30 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_asof_join_tolerance(spark):
+    """pandas merge_asof parity: with a tolerance, matches older than
+    the bound detach (payload nulls), matches inside it survive, and
+    the no-tolerance behavior is unchanged."""
+    left = spark.createDataFrame(
+        [("k1", 100), ("k1", 200), ("k2", 50)], ["k", "lt"]
+    )
+    right = spark.createDataFrame(
+        [("k1", 95, "a"), ("k1", 110, "b"), ("k2", 10, "c")], ["k", "rt", "pl"]
+    )
+    out = {
+        (r["k"], r["lt"]): r["pl"]
+        for r in asof_join(
+            left, right, "k", "lt", "rt", ["pl"], tolerance=30
+        ).collect()
+    }
+    # k1@100: match rt=95 (gap 5 <= 30) -> 'a'
+    # k1@200: latest rt=110 but gap 90 > 30 -> null
+    # k2@50: rt=10, gap 40 > 30 -> null
+    assert out == {("k1", 100): "a", ("k1", 200): None, ("k2", 50): None}
+    no_tol = {
+        (r["k"], r["lt"]): r["pl"]
+        for r in asof_join(left, right, "k", "lt", "rt", ["pl"]).collect()
+    }
+    assert no_tol == {("k1", 100): "a", ("k1", 200): "b", ("k2", 50): "c"}
