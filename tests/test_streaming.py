@@ -931,3 +931,64 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     assert q.awaitTermination(60)  # stops by itself once drained
     got = {r["k"]: r["count"] for r in spark.table(name).collect()}
     assert got == {f"k{i}": 20 for i in range(5)}
+
+
+def test_native_session_window_streams(spark, tmp_path):
+    """T2's declarative alternative runs on a live stream: Spark's
+    built-in session_window with a watermark merges gap-bounded touches
+    into sessions and emits each one when the watermark closes it — the
+    same sessions the custom stateful operator produces, without custom
+    state code (the trade: emit-on-close timing is watermark-driven,
+    not TTL-timer-driven)."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "sw"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    # d1: touches at 100, 250 (gap 150 < 300 -> one session 100-250);
+    # then 900 (gap 650 -> new session). d2: single touch.
+    write("w1.jsonl", [
+        {"d": "d1", "ts": 100}, {"d": "d1", "ts": 250},
+        {"d": "d1", "ts": 900}, {"d": "d2", "ts": 400},
+    ])
+    stream = (
+        spark.readStream.schema("d STRING, ts LONG")
+        .json(str(src))
+        .select("d", F.timestamp_seconds("ts").alias("t"))
+        .withWatermark("t", "5 seconds")
+        .groupBy("d", F.session_window("t", "300 seconds"))
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+        .select(
+            "d",
+            F.unix_timestamp("session_window.start").alias("start_s"),
+            "n_touches",
+        )
+    )
+    name = f"sw_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("w2.jsonl", [{"d": "d9", "ts": 100_000}])  # advance watermark
+        q.processAllAvailable()
+        write("w3.jsonl", [{"d": "d8", "ts": 200_000}])  # flush the rest
+        q.processAllAvailable()
+        got = {
+            (r["d"], r["start_s"]): r["n_touches"]
+            for r in spark.table(name).collect()
+            if r["d"] in ("d1", "d2")
+        }
+        assert got == {("d1", 100): 2, ("d1", 900): 1, ("d2", 400): 1}
+    finally:
+        q.stop()
