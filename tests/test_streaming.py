@@ -992,3 +992,64 @@ def test_native_session_window_streams(spark, tmp_path):
         assert got == {("d1", 100): 2, ("d1", 900): 1, ("d2", 400): 1}
     finally:
         q.stop()
+
+
+def test_upsert_foreach_batch_merges_latest_per_key(spark, tmp_path):
+    """The MERGE-emulation sink: across micro-batches, each key holds
+    only its newest version; buckets untouched by a batch are not
+    rewritten (their files keep their mtime)."""
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from kafka_flink_harshevents_spark.sources.sinks import upsert_foreach_batch
+
+    src = tmp_path / "ups"
+    out = tmp_path / "table"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    stream = spark.readStream.schema("k STRING, v LONG, ver LONG").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_foreach_batch(str(out), ("k",), "ver", n_buckets=8)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .queryName(f"ups_{_uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        write("w1.jsonl", [
+            {"k": "a", "v": 1, "ver": 1},
+            {"k": "b", "v": 10, "ver": 1},
+            {"k": "c", "v": 100, "ver": 1},
+        ])
+        q.processAllAvailable()
+        state1 = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(str(out)).collect()}
+        assert state1 == {"a": (1, 1), "b": (10, 1), "c": (100, 1)}
+
+        def bucket_mtimes():
+            return {
+                d: os.path.getmtime(os.path.join(str(out), d))
+                for d in os.listdir(str(out))
+                if d.startswith("_bucket=")
+            }
+
+        before = bucket_mtimes()
+        import time as _time
+
+        _time.sleep(1.1)
+        write("w2.jsonl", [{"k": "a", "v": 2, "ver": 2}])  # update only 'a'
+        q.processAllAvailable()
+        state2 = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(str(out)).collect()}
+        assert state2 == {"a": (2, 2), "b": (10, 1), "c": (100, 1)}
+        after = bucket_mtimes()
+        changed = {d for d in after if after[d] != before.get(d)}
+        unchanged = {d for d in after if after[d] == before.get(d)}
+        assert len(changed) >= 1  # a's bucket rewrote
+        assert len(unchanged) >= 1  # some other key's bucket untouched
+    finally:
+        q.stop()
