@@ -245,3 +245,26 @@ def test_cluster_conf_sizing_rules():
     small = cluster_conf(executors=2, cores_per_executor=4, data_tb=0.001)
     assert int(small["spark.sql.shuffle.partitions"]) == 16
     assert small["spark.sql.files.maxPartitionBytes"] == "256MB"
+
+
+def test_haversine_known_distances(spark):
+    """Pin the geo scalar (SURVEY §2.9's custom function) against
+    published great-circle distances (±0.5%)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.functions.scalars import haversine_km
+
+    rows = [
+        # lon1, lat1, lon2, lat2, expected_km
+        (-0.1278, 51.5074, 2.3522, 48.8566, 343.5),    # London–Paris
+        (-74.006, 40.7128, -118.2437, 34.0522, 3935.7),  # NYC–LA
+        (72.8777, 19.076, 72.8777, 19.076, 0.0),       # same point
+    ]
+    df = spark.createDataFrame(
+        rows, "lon1 double, lat1 double, lon2 double, lat2 double, exp double"
+    ).select(
+        "exp",
+        haversine_km(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("got"),
+    )
+    for r in df.collect():
+        assert abs(r["got"] - r["exp"]) <= max(0.005 * r["exp"], 0.5), r
