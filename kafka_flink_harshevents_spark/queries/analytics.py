@@ -255,15 +255,146 @@ def pattern_match_frame(
     )
 
 
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence mining: the first-order Markov transition matrix
+    over each user's event stream — P(next event type | current), the
+    model behind next-action prediction and anomalous-flow detection.
+
+    One user_id exchange feeds a single `lead` window; pair counting is
+    one aggregation (map-side combined); the per-row conditional
+    probability divides by a windowed total partitioned on the FROM
+    state — 5 states, but the heavy data has already collapsed to the
+    5×5 matrix before that window, so partition size is the state-space,
+    not the stream.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_millis("ts").alias("tms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wt), 4).alias("prob"),
+    )
+
+
+AB_SALT = "ab1|"
+
+
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users deterministically hash-bucketed
+    into variants A/B (md5-derived — the assignment is a pure function
+    of user_id, reproducible anywhere, exactly how production bucketing
+    works), compared on purchase conversion with the two-proportion
+    z-statistic. One row out; every aggregate is conditional in a single
+    pass over the per-user conversion table.
+    """
+    from kafka_flink_harshevents_spark.queries.documents import _md5_unit
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_type")
+    # conversion = more purchases than clicks: mid-range probability at
+    # every SF (everyone has >=1 purchase in the synthetic stream, so a
+    # plain did-purchase flag would degenerate to rate 1.0 and z = 0/0)
+    users = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            > F.sum((F.col("event_type") == "click").cast("long"))
+        ).cast("int").alias("converted")
+    )
+    arm = users.withColumn(
+        "variant", F.when(_md5_unit(F.col("user_id"), AB_SALT) < 0.5, "A").otherwise("B")
+    )
+    is_a = F.col("variant") == "A"
+    agg = arm.agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum((~is_a).cast("long")).alias("n_b"),
+        F.sum(F.when(is_a, F.col("converted")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(~is_a, F.col("converted")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round((p_a - p_b) / se, 4).alias("z_stat"),
+    )
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_pattern_match": ev_pattern_match,
+    "ev_markov_transitions": ev_markov_transitions,
+    "ev_ab_test": ev_ab_test,
     "ev_retention": ev_retention,
     "ev_anomaly_zscore": ev_anomaly_zscore,
     "ev_locf_resample": ev_locf_resample,
 }
 
+def _ab_sql() -> str:
+    from kafka_flink_harshevents_spark.queries.documents import _md5_unit_sql
+
+    u = _md5_unit_sql("user_id", AB_SALT)
+    return f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        > sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS INTEGER) AS converted
+            FROM events GROUP BY 1
+        ),
+        arm AS (
+            SELECT converted,
+                   CASE WHEN {u} < 0.5 THEN 'A' ELSE 'B' END AS variant
+            FROM u
+        ),
+        g AS (
+            SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+                   CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+            FROM arm
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               round(conv_a / n_a, 4) AS rate_a,
+               round(conv_b / n_b, 4) AS rate_b,
+               round((conv_a / n_a - conv_b / n_b)
+                     / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                            * (1 - (conv_a + conv_b) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+        FROM g
+    """
+
+
 ORACLES = {
+    "ev_markov_transitions": """
+        WITH p AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ms(ts), event_id) AS nxt
+            FROM events
+        ),
+        c AS (
+            SELECT cur, nxt, count(*) AS cnt FROM p
+            WHERE nxt IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT cur, nxt, cnt,
+               round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY cur), 4) AS prob
+        FROM c
+    """,
+    "ev_ab_test": _ab_sql(),
     "ev_pattern_match": """
         WITH s AS (
             SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
