@@ -285,6 +285,37 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the engagement headline metric. The
+    trailing-7-day distinct count does NOT use a range window (count
+    distinct over a moving frame re-scans per row): each (user, active
+    day) pair instead CONTRIBUTES to the 7 target days it keeps the user
+    "weekly active" for — a bounded 7× explode, then one distinct count
+    per day. Both aggregations key on the day; expansion is constant, so
+    the plan is two keyed shuffles at any scale.
+    """
+    act = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("d"),
+    )
+    wau = contrib.groupBy("d").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.d)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
+
+
 AB_SALT = "ab1|"
 
 
@@ -338,6 +369,7 @@ QUERIES = {
     "ev_pattern_match": ev_pattern_match,
     "ev_markov_transitions": ev_markov_transitions,
     "ev_ab_test": ev_ab_test,
+    "ev_dau_wau": ev_dau_wau,
     "ev_retention": ev_retention,
     "ev_anomaly_zscore": ev_anomaly_zscore,
     "ev_locf_resample": ev_locf_resample,
@@ -395,6 +427,23 @@ ORACLES = {
         FROM c
     """,
     "ev_ab_test": _ab_sql(),
+    "ev_dau_wau": """
+        WITH act AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1),
+        contrib AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                               CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS DATE) AS d
+            FROM act
+        ),
+        wau AS (SELECT d, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
+        SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+               round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.d
+    """,
     "ev_pattern_match": """
         WITH s AS (
             SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
