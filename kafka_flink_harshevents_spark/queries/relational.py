@@ -274,7 +274,41 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime value with GLOBAL spend deciles — the ranking
+    reuses `operators/ranking.py::with_exact_rank`, so the decile cut
+    needs no unpartitioned Window at any table size (the shape ntile()
+    would single-partition).
+
+    Spend is ranked as integer CENTS (`round(sum × 100)` → long):
+    partial-sum order differs between engines at the ~1e-11 level, and
+    two customers with equal true totals would otherwise be ordered by
+    that noise in one engine and by the tie-break in the other; rounding
+    to the business grain absorbs the noise, then (cents, custkey) is a
+    total order both engines agree on bit-for-bit.
+    """
+    from kafka_flink_harshevents_spark.operators.ranking import with_exact_rank
+
+    c = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("spend_cents"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    r = with_exact_rank(c, "spend_cents", "o_custkey")
+    return r.select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("spend_cents") / 100.0, 2).alias("total_spend"),
+        F.datediff("last_order", "first_order").cast("long").alias("active_days"),
+        F.floor(F.lit(10.0) * (F.col("rn") - 1) / F.col("n"))
+        .cast("long")
+        .alias("spend_decile"),
+    )
+
+
 QUERIES = {
+    "q_customer_ltv": q_customer_ltv,
     "q1_pricing_summary": q1_pricing_summary,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q_distinct_agg": q_distinct_agg,
@@ -289,6 +323,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_customer_ltv": """
+        WITH c AS (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents,
+                   min(o_orderdate) AS f,
+                   max(o_orderdate) AS l
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT *,
+                   CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rn,
+                   count(*) OVER () AS n
+            FROM c
+        )
+        SELECT o_custkey, n_orders,
+               round(cents / 100.0, 2) AS total_spend,
+               CAST(date_diff('day', f, l) AS BIGINT) AS active_days,
+               CAST(floor(10.0 * (rn - 1) / n) AS BIGINT) AS spend_decile
+        FROM r
+    """,
     "q17_small_quantity_revenue": """
         WITH half AS (
             SELECT l_partkey AS ak, avg(l_quantity) * 0.5 AS half_avg
