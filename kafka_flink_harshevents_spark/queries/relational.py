@@ -307,8 +307,41 @@ def q_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the
+    time-series-over-aggregates shape: the heavy fact scan collapses to
+    (nation × year) BEFORE any window touches it, so the `lag` runs on a
+    dimension-sized series (the right place for a Window at 100 TB —
+    after aggregation, never on the fact). Growth divides integer-cent
+    totals, sidestepping fp summation-order noise entirely.
+    """
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    prev = F.lag("rev_cents").over(w)
+    return yearly.select(
+        "nation",
+        "o_year",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.when(prev.isNotNull(), F.round((F.col("rev_cents") - prev) / prev, 4)).alias(
+            "yoy_growth"
+        ),
+    )
+
+
 QUERIES = {
     "q_customer_ltv": q_customer_ltv,
+    "q_yearly_growth": q_yearly_growth,
     "q1_pricing_summary": q1_pricing_summary,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q_distinct_agg": q_distinct_agg,
@@ -323,6 +356,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_yearly_growth": """
+        WITH y AS (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT nation, o_year,
+               round(rev_cents / 100.0, 2) AS revenue,
+               CASE WHEN lag(rev_cents) OVER w IS NOT NULL
+                    THEN round((rev_cents - lag(rev_cents) OVER w) * 1.0
+                               / lag(rev_cents) OVER w, 4)
+               END AS yoy_growth
+        FROM y
+        WINDOW w AS (PARTITION BY nation ORDER BY o_year)
+    """,
     "q_customer_ltv": """
         WITH c AS (
             SELECT o_custkey,
