@@ -5,7 +5,15 @@ DataFrame`` callable paired (where SQL-expressible) with a DuckDB oracle.
 Cross-engine comparability conventions (the driver hash-compares values):
 - integer outputs are always 64-bit (`cast("long")` / ``CAST(... AS BIGINT)``);
 - float aggregates are rounded (sums 2dp, ratios/avgs 4dp, cosines 6dp) in
-  BOTH engines so summation-order ULP noise can't flip the hash;
+  BOTH engines, AND every grouped sum/avg over doubles is made
+  addition-order independent by summing exact DECIMAL quantizations
+  (`_util.det_sum` / `_util.det_avg` and their `_sql` twins, or integer
+  cents summed as BIGINT). Rounding alone is NOT enough: with 32-way
+  partial aggregation the combine order can flip the last ULP across a
+  round() boundary run-to-run (the CORRECTNESS_r02 `ev_props_variant`
+  flake). New emissions must use the det_* helpers or a per-row
+  integer/decimal quantization — never `round(sum(double))` /
+  `round(avg(double))` directly;
 - timestamps leave the engine as epoch-ms longs or formatted strings,
   never raw timestamp columns;
 - every top-k has a total-order tie-break on a unique key.

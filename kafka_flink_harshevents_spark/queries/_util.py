@@ -40,6 +40,51 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def det_sum(col: str | F.Column, dp: int = 2, frac: int = 6) -> F.Column:
+    """Order-independent rounded sum of a double expression.
+
+    Plain ``sum(double)`` depends on partial-aggregation combine order:
+    with 32-way parallelism the final ULP can land on either side of a
+    ``round()`` boundary run-to-run (the CORRECTNESS_r02
+    ``ev_props_variant`` flake). Quantizing each row to an exact
+    DECIMAL(30, frac) and summing decimals makes the aggregate
+    associative/commutative — bit-identical under any partitioning and
+    in any engine — then ONE deterministic cast back to double and ONE
+    round. ``det_sum_sql`` builds the identical DuckDB tree. Ties in the
+    double→decimal cast cannot occur (no binary double sits exactly on a
+    5·10^-(frac+1) boundary), so Spark's HALF_UP and DuckDB's rounding
+    agree. 24 integer digits of headroom — no overflow at 100 TB.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(f"decimal(30,{frac})")).cast("double"), dp)
+
+
+def det_sum_sql(expr: str, dp: int = 2, frac: int = 6) -> str:
+    """DuckDB twin of :func:`det_sum` — identical expression tree."""
+    return f"round(CAST(sum(CAST(({expr}) AS DECIMAL(30,{frac}))) AS DOUBLE), {dp})"
+
+
+def det_avg(col: str | F.Column, dp: int = 4, frac: int = 6) -> F.Column:
+    """Order-independent rounded average — see :func:`det_sum`.
+
+    Built as exact-decimal-sum / count so the only double ops are one
+    cast and one division, both deterministic; ``avg(double)`` would
+    re-introduce combine-order noise.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(f"decimal(30,{frac})")).cast("double") / F.count(c), dp
+    )
+
+
+def det_avg_sql(expr: str, dp: int = 4, frac: int = 6) -> str:
+    """DuckDB twin of :func:`det_avg` — identical expression tree."""
+    return (
+        f"round(CAST(sum(CAST(({expr}) AS DECIMAL(30,{frac}))) AS DOUBLE)"
+        f" / count({expr}), {dp})"
+    )
+
+
 def ts_millis(col: str) -> F.Column:
     """Timestamp column → epoch milliseconds as long.
 

@@ -1213,8 +1213,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the SAME exploded scan, shuffled once each on their key; the
     score join is token-to-token (co-partitioned with the frequency
     aggregate — no second wide pass); the 1-row corpus total broadcasts.
-    Per-doc summation error (~1e-13) sits far below the 4dp emit, so
-    cross-engine sums agree despite addition-order differences.
+    The per-doc sum is quantized to exact DECIMAL before aggregation
+    (`_util.det_sum` convention) so it is addition-order independent —
+    bit-identical across partitionings and engines.
     """
     tok = _words(load(spark, sf_dir, "documents")).select(
         "doc_id", F.explode("ws").alias("t")
@@ -1229,7 +1230,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
             F.round(
-                F.sum(F.col("c") * F.log(F.col("cnt") / F.col("nn")))
+                F.sum(
+                    (F.col("c") * F.log(F.col("cnt") / F.col("nn")))
+                    .cast("decimal(30,9)")
+                ).cast("double")
                 / F.sum("c"),
                 4,
             ).alias("avg_logprob"),
@@ -1267,7 +1271,9 @@ def doc_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.max("sn").cast("long").alias("n_tokens"),
-            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+            F.round(
+                F.sum((p * F.log(p / q)).cast("decimal(30,12)")).cast("double"), 6
+            ).alias("kl_divergence"),
         )
     )
 
@@ -1704,8 +1710,9 @@ ORACLES = {
         cn AS (SELECT sum(cc) AS cn FROM tf)
         SELECT st.source,
                CAST(max(sn.sn) AS BIGINT) AS n_tokens,
-               round(sum((sc * 1.0 / sn.sn)
-                         * ln((sc * 1.0 / sn.sn) / (cc * 1.0 / cn.cn))), 6)
+               round(CAST(sum(CAST(((sc * 1.0 / sn.sn)
+                         * ln((sc * 1.0 / sn.sn) / (cc * 1.0 / cn.cn)))
+                         AS DECIMAL(30,12))) AS DOUBLE), 6)
                    AS kl_divergence
         FROM st JOIN tf USING (t) JOIN sn USING (source) CROSS JOIN cn
         GROUP BY st.source
@@ -1719,7 +1726,8 @@ ORACLES = {
         n AS (SELECT count(*) AS nn FROM tok)
         SELECT doc_id,
                CAST(sum(c) AS BIGINT) AS n_tokens,
-               round(sum(c * ln(cnt * 1.0 / nn)) / sum(c), 4) AS avg_logprob
+               round(CAST(sum(CAST((c * ln(cnt * 1.0 / nn)) AS DECIMAL(30,9)))
+                          AS DOUBLE) / sum(c), 4) AS avg_logprob
         FROM dt JOIN tf USING (t) CROSS JOIN n
         GROUP BY doc_id
     """,

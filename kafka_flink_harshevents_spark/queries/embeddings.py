@@ -67,7 +67,13 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
         )
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
-        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(30,9)")).cast("double")
+                / F.count("val"),
+                6,
+            ).alias("avg_val")
+        )
     )
 
 
@@ -653,7 +659,9 @@ ORACLES = {
     """,
     "emb_centroids": f"""
         WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-        SELECT label, CAST(i - 1 AS BIGINT) AS pos, round(avg(emb[i]), 6) AS avg_val
+        SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+               round(CAST(sum(CAST(emb[i] AS DECIMAL(30,9))) AS DOUBLE)
+                     / count(emb[i]), 6) AS avg_val
         FROM e, range(1, {EMB_DIM + 1}) t(i)
         GROUP BY label, i - 1
     """,

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_harshevents_spark.operators.ranking import with_exact_rank
-from kafka_flink_harshevents_spark.queries._util import load, ts_millis
+from kafka_flink_harshevents_spark.queries._util import det_avg, det_sum, load, ts_millis
 
 SESSION_GAP_MS = 300_000  # SESSION_TTL 300 s, kafkaConsumer.js:43
 
@@ -40,7 +40,7 @@ def ev_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        det_sum("value", 2).alias("total_value"),
     )
 
 
@@ -85,7 +85,7 @@ def ev_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            det_sum("value", 2).alias("total_value"),
         )
     )
 
@@ -111,7 +111,7 @@ def ev_sliding_30m_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            det_sum("value", 2).alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -155,7 +155,7 @@ def ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            det_sum("value", 2).alias("total_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
@@ -182,7 +182,7 @@ def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hr")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            det_sum("value", 2).alias("total_value"),
         )
         .select(
             F.coalesce("day", F.lit("ALL")).alias("day"),
@@ -219,7 +219,7 @@ def _percentile_picks(ranked: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        det_avg("value", 4).alias("avg_value"),
         F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.5) + 1), F.col("value"))).alias("p50"),
         F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.95) + 1), F.col("value"))).alias("p95"),
         F.max(F.when(F.col("rn") == (F.floor(F.col("n") * 0.99) + 1), F.col("value"))).alias("p99"),
@@ -252,7 +252,7 @@ def ev_percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_exact_rank_grouped(e, "event_type", "value", "event_id")
     return ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        det_avg("value", 4).alias("avg_value"),
         F.max(
             F.when(F.col("rn") == (F.floor(F.col("n") * 0.5) + 1), F.col("value"))
         ).alias("p50"),
@@ -283,7 +283,7 @@ def ev_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            det_avg("value", 4).alias("avg_value"),
         )
     )
 
@@ -333,7 +333,7 @@ def ev_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            det_sum("value", 2).alias("total_value"),
         )
         .orderBy(F.col("n_events").desc(), F.col("user_id"))
         .limit(10)
@@ -401,7 +401,7 @@ def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            det_avg("value", 4).alias("avg_value"),
         )
     )
 
@@ -520,7 +520,7 @@ ORACLES = {
                     AS BIGINT) AS k_bucket,
                count(*) AS n,
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               round(avg(value), 4) AS avg_value
+               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value
         FROM events GROUP BY 1
     """,
     "ev_trending": """
@@ -547,7 +547,7 @@ ORACLES = {
         FROM events GROUP BY user_id, event_type
     """,
     "ev_type_counts": """
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        SELECT event_type, count(*) AS n, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
         FROM events GROUP BY event_type
     """,
     "ev_sessionize_300s": """
@@ -584,7 +584,7 @@ ORACLES = {
     """,
     "ev_hourly_tumbling": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
-               event_type, count(*) AS n, round(sum(value), 2) AS total_value
+               event_type, count(*) AS n, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
         FROM events GROUP BY 1, 2
     """,
     "ev_sliding_30m_10m": """
@@ -603,7 +603,7 @@ ORACLES = {
                    AS window_start,
                event_type,
                count(*) AS n,
-               round(sum(value), 2) AS total_value
+               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
         FROM x GROUP BY 1, 2
     """,
     "ev_user_running_stats": """
@@ -633,7 +633,7 @@ ORACLES = {
                coalesce(hr, -1) AS hr,
                CAST(grouping(event_type) * 2 + grouping(hr) AS BIGINT) AS gid,
                count(*) AS n,
-               round(sum(value), 2) AS total_value
+               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
         FROM (
             SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value
             FROM events
@@ -644,7 +644,7 @@ ORACLES = {
         SELECT coalesce(day, 'ALL') AS day,
                coalesce(hr, -1) AS hr,
                count(*) AS n,
-               round(sum(value), 2) AS total_value
+               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
         FROM (
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    CAST(hour(ts) AS BIGINT) AS hr,
@@ -663,7 +663,7 @@ ORACLES = {
         SELECT count(*) AS cnt,
                min(value) AS min_value,
                max(value) AS max_value,
-               round(avg(value), 4) AS avg_value,
+               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value,
                max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
                max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
@@ -680,7 +680,7 @@ ORACLES = {
         )
         SELECT event_type,
                count(*) AS cnt,
-               round(avg(value), 4) AS avg_value,
+               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value,
                max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95
         FROM s GROUP BY event_type
@@ -701,7 +701,7 @@ ORACLES = {
         SELECT count(*) AS cnt,
                min(value) AS min_value,
                max(value) AS max_value,
-               round(avg(value), 4) AS avg_value,
+               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value,
                max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
                max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
@@ -709,7 +709,7 @@ ORACLES = {
     """,
     "ev_histogram": """
         SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-               count(*) AS n, round(avg(value), 4) AS avg_value
+               count(*) AS n, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value
         FROM events GROUP BY 1
     """,
     "ev_props_extract": """
@@ -729,7 +729,7 @@ ORACLES = {
         WHERE value >= 450.0 OR value <= 5.0
     """,
     "ev_user_topk": """
-        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        SELECT user_id, count(*) AS n_events, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
         FROM events GROUP BY user_id
         ORDER BY n_events DESC, user_id
         LIMIT 10

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import load, ts_millis
+from kafka_flink_harshevents_spark.queries._util import det_avg, det_sum, load, ts_millis
 
 # Revenue expression used across TPC-H-style queries (built lazily:
 # Column construction needs an active SparkContext in classic PySpark).
@@ -38,13 +38,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            det_sum("l_quantity", 2).alias("sum_qty"),
+            det_sum("l_extendedprice", 2).alias("sum_base_price"),
+            det_sum(_revenue(), 2).alias("sum_disc_price"),
+            det_sum(_revenue() * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            det_avg("l_quantity", 4).alias("avg_qty"),
+            det_avg("l_extendedprice", 4).alias("avg_price"),
+            det_avg("l_discount", 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -69,7 +69,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(det_sum(_revenue(), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -101,7 +101,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(det_sum(_revenue(), 2).alias("revenue"))
     )
 
 
@@ -210,7 +210,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            det_sum("o_totalprice", 2).alias("total_revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -238,7 +238,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("l_partkey") == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -291,7 +295,7 @@ def q_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice") * 100).cast("long").alias("spend_cents"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
@@ -325,7 +329,9 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_cents"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+        )
     )
     w = Window.partitionBy("nation").orderBy("o_year")
     prev = F.lag("rev_cents").over(w)
@@ -360,7 +366,7 @@ ORACLES = {
         WITH y AS (
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -379,7 +385,7 @@ ORACLES = {
         WITH c AS (
             SELECT o_custkey,
                    count(*) AS n_orders,
-                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
                    min(o_orderdate) AS f,
                    max(o_orderdate) AS l
             FROM orders GROUP BY 1
@@ -401,7 +407,8 @@ ORACLES = {
             SELECT l_partkey AS ak, avg(l_quantity) * 0.5 AS half_avg
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly,
                count(*) AS n_lines
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -425,13 +432,13 @@ ORACLES = {
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                        AS sum_qty,
-               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-               round(avg(l_quantity), 4)                                        AS avg_qty,
-               round(avg(l_extendedprice), 4)                                   AS avg_price,
-               round(avg(l_discount), 4)                                        AS avg_disc,
+               round(CAST(sum(CAST((l_quantity) AS DECIMAL(30,6))) AS DOUBLE), 2)                                        AS sum_qty,
+               round(CAST(sum(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE), 2)                                   AS sum_base_price,
+               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2)                AS sum_disc_price,
+               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,6))) AS DOUBLE), 2)  AS sum_charge,
+               round(CAST(sum(CAST((l_quantity) AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 4)                                        AS avg_qty,
+               round(CAST(sum(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice), 4)                                   AS avg_price,
+               round(CAST(sum(CAST((l_discount) AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount), 4)                                        AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -441,7 +448,7 @@ ORACLES = {
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -454,7 +461,7 @@ ORACLES = {
     """,
     "q5_local_supplier_volume": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
         FROM region
         JOIN nation   ON n_regionkey = r_regionkey
         JOIN customer ON c_nationkey = n_nationkey
@@ -516,7 +523,7 @@ ORACLES = {
     "q_revenue_rollup": """
         SELECT coalesce(r_name, 'ALL') AS region_name,
                coalesce(n_name, 'ALL') AS nation_name,
-               round(sum(o_totalprice), 2) AS total_revenue,
+               round(CAST(sum(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_revenue,
                count(*) AS n_orders
         FROM region
         JOIN nation   ON n_regionkey = r_regionkey

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import load
+from kafka_flink_harshevents_spark.queries._util import det_sum, load
 
 
 def _revenue() -> F.Column:
@@ -55,7 +55,7 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            det_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -99,7 +99,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(det_sum(_revenue(), 2).alias("revenue"))
     )
 
 
@@ -138,11 +138,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(30,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(30,6)")).cast("double"),
                 4,
             ).alias("mkt_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            det_sum(rev, 2).alias("total_revenue"),
         )
     )
 
@@ -167,7 +171,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("sum_profit"))
+        .agg(det_sum(_revenue(), 2).alias("sum_profit"))
     )
 
 
@@ -187,7 +191,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(det_sum(_revenue(), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -338,7 +342,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p.filter(part_side), F.col("l_partkey") == F.col("p_partkey"))
         .filter(bracket)
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            det_sum(_revenue(), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -430,7 +434,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            det_sum("c_acctbal", 2).alias("totacctbal"),
         )
     )
 
@@ -695,7 +699,7 @@ ORACLES = {
         FROM orders GROUP BY o_orderpriority
     """,
     "q6_revenue_change": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT round(CAST(sum(CAST((l_extendedprice * l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -707,7 +711,7 @@ ORACLES = {
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -722,11 +726,12 @@ ORACLES = {
     """,
     "q8_market_share": """
         SELECT year(o_orderdate) AS o_year,
-               round(sum(CASE WHEN ns.n_name = 'NATION_5'
+               round(CAST(sum(CAST((CASE WHEN ns.n_name = 'NATION_5'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                              ELSE 0.0 END) AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(sum(CAST((l_extendedprice * (1 - l_discount))
+                              AS DECIMAL(30,6))) AS DOUBLE), 4) AS mkt_share,
+               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_revenue
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN orders   ON l_orderkey = o_orderkey
@@ -743,7 +748,7 @@ ORACLES = {
     "q9_product_type_profit": """
         SELECT n_name AS nation,
                year(o_orderdate) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -754,7 +759,7 @@ ORACLES = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -815,7 +820,7 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
     """,
     "q19_disjunctive_revenue": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
                count(*) AS n_lines
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -857,7 +862,7 @@ ORACLES = {
         )
         SELECT cntrycode,
                count(*) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
+               round(CAST(sum(CAST((c_acctbal) AS DECIMAL(30,6))) AS DOUBLE), 2) AS totacctbal
         FROM in_codes
         WHERE c_acctbal > (
             SELECT avg(c_acctbal) FROM in_codes WHERE c_acctbal > 0.0

@@ -243,14 +243,22 @@ def test_sql_api_surface_matches_dataframe_catalog(spark):
     sql_q1 = spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2)
+                   AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+                   AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,6))) AS DOUBLE), 2)
+                   AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                   AS DECIMAL(30,6))) AS DOUBLE), 2)
                    AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                     / count(l_quantity), 4) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                     / count(l_extendedprice), 4) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)
+                     / count(l_discount), 4) AS avg_disc,
                count(*) AS count_order
         FROM sql_lineitem
         WHERE l_shipdate <= date'1998-12-01' - INTERVAL '90' DAY
