@@ -3,9 +3,19 @@ operator every dedup pipeline ends with (canonicalizing near-dup pair
 graphs), shared by the document and embedding paths.
 
 Spark-idiomatic iteration: ``localCheckpoint`` truncates the growing
-lineage each round, the edge list (∝ near-dup pairs, tiny relative to
-the corpus) is broadcast into the per-round join, and the only driver
-value is the scalar changed-count deciding convergence.
+lineage each round, and the only driver value is the scalar
+changed-count deciding convergence.
+
+Two execution paths, picked ONCE by probing the (checkpointed) edge
+count — the same size-guard discipline as `_jaccard_dense_blocked` /
+`emb_neardup_pairs`:
+- under ``CC_BROADCAST_MAX_EDGES`` the edge list and previous-round
+  label mapping are broadcast into the per-round joins (zero shuffle
+  of the loop tables);
+- above it (a 100 TB corpus at a 1% near-dup rate has a pair graph far
+  past broadcast limits) both loop joins run as shuffled equi-joins,
+  with the edge list hash-partitioned on its join key once, outside
+  the loop, so each round shuffles only the label table.
 
 The loop's wall-clock on a cluster is job count x scheduler overhead,
 not data volume (loop tables are tiny next to the corpus), so the
@@ -28,6 +38,10 @@ from pyspark.sql import functions as F
 
 MAX_CC_ROUNDS = 40  # safety bound (checks are sparse; rounds are cheap)
 CC_CHECK_EVERY = 2
+# ~32 bytes/edge row → ≈128 MB at the cap, inside Spark's broadcast comfort
+# zone; above it the loop switches to shuffled equi-joins instead of OOMing
+# the driver/executors with an unbounded broadcast.
+CC_BROADCAST_MAX_EDGES = 4_000_000
 
 
 def min_label_components(
@@ -35,6 +49,7 @@ def min_label_components(
     a_col: str,
     b_col: str,
     max_rounds: int = MAX_CC_ROUNDS,
+    max_broadcast_edges: int = CC_BROADCAST_MAX_EDGES,
 ) -> DataFrame:
     """``(a, b)`` undirected pair list → ``(node, component)`` where
     ``component`` is the minimum node id in the connected component.
@@ -47,6 +62,12 @@ def min_label_components(
     edges = pairs.union(
         pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
     ).localCheckpoint(eager=True)
+    # ONE cheap probe of the already-materialized checkpoint picks the path.
+    small_graph = edges.count() <= max_broadcast_edges
+    if not small_graph:
+        # Pre-partition the static edge side on its join key once; every
+        # round's neighbor-min join then shuffles only the label table.
+        edges = edges.repartition("da").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("da").alias("node"))
         .distinct()
@@ -55,7 +76,7 @@ def min_label_components(
     )
     for rnd in range(1, max_rounds + 1):
         neighbor_min = (
-            F.broadcast(edges)
+            (F.broadcast(edges) if small_graph else edges)
             .join(labels, F.col("da") == F.col("node"))
             .groupBy(F.col("db").alias("nid"))
             .agg(F.min("component").alias("nmin"))
@@ -71,13 +92,18 @@ def min_label_components(
             "component",
         )
         # pointer jump through the PREVIOUS round's materialized mapping
-        # (broadcasting it is free of recompute — it's checkpointed);
-        # jumping via the in-flight mapping would re-execute its plan.
+        # (under the guard, broadcasting it is free of recompute — it's
+        # checkpointed); jumping via the in-flight mapping would
+        # re-execute its plan.
         ptr = labels.select(
             F.col("node").alias("pn"), F.col("component").alias("pc")
         )
         updated = (
-            stepped.join(F.broadcast(ptr), F.col("c1") == F.col("pn"), "left")
+            stepped.join(
+                F.broadcast(ptr) if small_graph else ptr,
+                F.col("c1") == F.col("pn"),
+                "left",
+            )
             .select(
                 "node",
                 F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1"))).alias(

@@ -117,6 +117,40 @@ def test_neardup_lsh_fallback_subset(spark):
     assert approx, "fallback found no pairs at all on near-dup data"
 
 
+def test_cc_shuffled_path_matches_broadcast(spark):
+    """min_label_components picks broadcast vs shuffled loop joins by a
+    one-time edge-count probe; forcing the shuffled path
+    (max_broadcast_edges=0) must produce the identical labeling on a
+    graph mixing chains, a clique, and isolated pairs — proving the
+    above-guard path a 100 TB pair graph takes is semantics-preserving."""
+    from kafka_flink_harshevents_spark.operators.graph import min_label_components
+
+    edges = (
+        # two long chains (pointer-jump stress), one clique, stray pairs
+        [(i, i + 1) for i in range(0, 30)]
+        + [(100 + i, 100 + i + 1) for i in range(0, 17)]
+        + [(200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(300, 301), (400, 401)]
+    )
+    pairs = spark.createDataFrame(edges, "a long, b long").repartition(8)
+    want = {
+        (r["node"], r["component"])
+        for r in min_label_components(pairs, "a", "b").collect()
+    }
+    got = {
+        (r["node"], r["component"])
+        for r in min_label_components(
+            pairs, "a", "b", max_broadcast_edges=0
+        ).collect()
+    }
+    assert want == got
+    # full convergence: every chain/clique member maps to its true min
+    comp = dict(want)
+    assert all(comp[i] == 0 for i in range(31))
+    assert all(comp[100 + i] == 100 for i in range(18))
+    assert all(comp[200 + i] == 200 for i in range(5))
+
+
 def test_jaccard_ppjoin_path_matches_oracle(spark):
     """doc_ngram_jaccard_pairs routes to the dense-matmul path at test
     scale; the PPJoin prefix-filter path (large-vocabulary fallback) must
