@@ -77,6 +77,20 @@ def main() -> None:
             }
         )
     )
+    # Compact summary LAST: the driver keeps the tail of stdout, and the
+    # full line above can be truncated from the front by its capture
+    # window (BENCH_r02 lost the totals that way).
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -360,7 +360,10 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.round(p_a, 4).alias("rate_a"),
         F.round(p_b, 4).alias("rate_b"),
-        F.round((p_a - p_b) / se, 4).alias("z_stat"),
+        # Degenerate splits (pooled rate 0 or 1) make se == 0; Spark
+        # (ANSI div) and DuckDB (IEEE inf/nan) would diverge on the raw
+        # division, so both engines emit NULL explicitly.
+        F.when(se > 0, F.round((p_a - p_b) / se, 4)).alias("z_stat"),
     )
 
 
@@ -402,10 +405,14 @@ def _ab_sql() -> str:
         SELECT n_a, n_b, conv_a, conv_b,
                round(conv_a / n_a, 4) AS rate_a,
                round(conv_b / n_b, 4) AS rate_b,
-               round((conv_a / n_a - conv_b / n_b)
-                     / sqrt(((conv_a + conv_b) / (n_a + n_b))
-                            * (1 - (conv_a + conv_b) / (n_a + n_b))
-                            * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+               CASE WHEN sqrt(((conv_a + conv_b) / (n_a + n_b))
+                          * (1 - (conv_a + conv_b) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)) > 0
+                    THEN round((conv_a / n_a - conv_b / n_b)
+                          / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                                 * (1 - (conv_a + conv_b) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b)), 4)
+               END AS z_stat
         FROM g
     """
 

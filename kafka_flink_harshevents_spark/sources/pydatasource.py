@@ -40,6 +40,7 @@ try:  # the Python DataSource API needs pyspark >= 4 (present here)
 except ImportError:  # pragma: no cover - older pyspark
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
+    InputPartition = object  # type: ignore[assignment,misc]
     SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
     _HAS_PYDS = False
 

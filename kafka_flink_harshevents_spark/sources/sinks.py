@@ -19,6 +19,7 @@ engine lands events in date-partitioned parquet instead:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -131,7 +132,14 @@ def upsert_foreach_batch(
                 F.col("_bucket").isin(touched)
             )
             merged = existing.unionByName(b)
-        except Exception:  # first batch: nothing on disk yet
+        except AnalysisException as exc:
+            # ONLY the missing-path case means "first batch". Any real
+            # read failure (storage hiccup, corrupt footer, permissions)
+            # must fail the batch so checkpoint recovery retries it —
+            # swallowing it would overwrite touched buckets with just the
+            # micro-batch's rows: silent data loss.
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             merged = b
         from pyspark.sql import Window
 

@@ -31,8 +31,10 @@ def followed_by_stream(
     stateful operators (Spark 3.4+ multi-stateful append mode):
 
     1. an event-time interval self-join pairs every A with every same-key
-       B in ``(t_A, t_A + within]`` — join state bounded by watermark +
-       interval on both sides;
+       B in ``[t_A, t_A + within]`` — join state bounded by watermark +
+       interval on both sides — then a stateless event_id tie-break
+       keeps same-timestamp Bs only when they sort after A, matching
+       the batch twin's ``(tms, event_id)`` order bit-for-bit;
     2. a min-aggregation keyed on the A instance collapses the pairs to
        the FIRST B (skip-till-next-match), emitted once the watermark
        passes the match window — exactly a CEP engine's timeout flush.
@@ -58,15 +60,27 @@ def followed_by_stream(
     )
     seconds = (
         events.filter(F.col("event_type") == second_type)
-        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_event_id"),
+            F.col("ts").alias("b_ts"),
+        )
         .withWatermark("b_ts", watermark)
     )
+    # The event-time range condition (state bound) admits b_ts == a_ts;
+    # the stateless tie-break filter below then reproduces the batch
+    # twin's (tms, event_id) total order EXACTLY: a B sharing A's
+    # timestamp matches iff its event_id sorts after A's (gap 0), so
+    # stream and batch agree on same-millisecond pairs too.
     cond = (
         (F.col("user_id") == F.col("b_user"))
-        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") >= F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
     )
-    pairs = firsts.join(seconds, cond)
+    pairs = firsts.join(seconds, cond).filter(
+        (F.col("b_ts") > F.col("a_ts"))
+        | (F.col("b_event_id") > F.col("click_event_id"))
+    )
     return (
         pairs.groupBy("user_id", "click_event_id", "a_ts")
         .agg(F.min("b_ts").alias("first_b_ts"))

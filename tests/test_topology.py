@@ -307,9 +307,10 @@ def test_streaming_cep_followed_by(spark, tmp_path):
 def test_cep_stream_batch_parity(spark):
     """The streaming CEP operator run in BATCH mode (watermarks are
     no-ops on batch DataFrames) must produce exactly the batch catalog
-    query's matches. Semantics coincide whenever no click/purchase pair
-    shares an exact timestamp (verified true of the test data; the batch
-    query breaks such ties by row order, the stream by strict time)."""
+    query's matches — including same-millisecond click/purchase pairs,
+    where both sides break the tie by the shared (tms, event_id) total
+    order: a purchase at the click's exact timestamp matches (gap 0)
+    iff its event_id sorts after the click's."""
     from kafka_flink_harshevents_spark.queries._util import load
     from kafka_flink_harshevents_spark.queries.analytics import ev_pattern_match
     from kafka_flink_harshevents_spark.streaming.joins import followed_by_stream
@@ -324,3 +325,28 @@ def test_cep_stream_batch_parity(spark):
     batch_form = {tuple(r) for r in ev_pattern_match(spark, sf).collect()}
     assert stream_form == batch_form
     assert len(batch_form) > 0
+
+    # Targeted same-timestamp ties, both orientations:
+    # u1: purchase shares the click's ts, event_id AFTER  -> match, gap 0
+    # u2: purchase shares the click's ts, event_id BEFORE -> no match
+    from kafka_flink_harshevents_spark.queries.analytics import pattern_match_frame
+
+    tie = spark.createDataFrame(
+        [
+            ("e10", 1, "click", 1_000_000),
+            ("e20", 1, "purchase", 1_000_000),
+            ("e30", 2, "purchase", 2_000_000),
+            ("e40", 2, "click", 2_000_000),
+        ],
+        "event_id string, user_id long, event_type string, tms long",
+    )
+    tie_ts = tie.withColumn("ts", F.timestamp_millis(F.col("tms")))
+    stream_tie = {
+        tuple(r)
+        for r in followed_by_stream(tie_ts, within_seconds=1800).collect()
+    }
+    batch_tie = {
+        (r["user_id"], r["click_event_id"], r["click_ms"], r["purchase_ms"], r["gap_ms"])
+        for r in pattern_match_frame(tie).collect()
+    }
+    assert stream_tie == batch_tie == {(1, "e10", 1_000_000, 1_000_000, 0)}
