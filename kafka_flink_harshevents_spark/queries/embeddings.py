@@ -151,6 +151,90 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("knn_rank") <= TOP_K)
 
 
+PQ_RECALL_FLOOR_NUM, PQ_RECALL_FLOOR_DEN = 1, 2  # recall ≥ 1/2, exact integers
+
+
+def emb_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable gate for the PQ path: a 1-row exact-arithmetic
+    summary of `emb_knn_pq` against `emb_knn_brute` — (n_queries, k,
+    floor_met) where floor_met ⇔ |PQ∩brute| · DEN ≥ rows · NUM, all in
+    integers (no float recall value that could wobble). The DuckDB twin
+    states the spec row (N_QUERY_VECS, TOP_K, TRUE), so the driver's
+    hash comparison goes green exactly when the PQ pipeline returns k
+    rows per query AND clears the recall floor — the property pinned in
+    tests/test_queries.py::test_pq_recall_floor, now machine-checked
+    per round. k-means training itself stays non-SQL (iterative), which
+    is why the raw `emb_knn_pq` rows keep a rows-only check."""
+    pq = emb_knn_pq(spark, sf_dir).select("qid", "vec_id")
+    brute = emb_knn_brute(spark, sf_dir).select("qid", "vec_id")
+    marked = pq.join(
+        brute.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+    )
+    return marked.agg(
+        F.count_distinct("qid").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+    ).select(
+        "n_queries",
+        (F.col("n_rows") / F.col("n_queries")).cast("long").alias("k"),
+        (
+            F.col("n_hits") * F.lit(PQ_RECALL_FLOOR_DEN)
+            >= F.col("n_rows") * F.lit(PQ_RECALL_FLOOR_NUM)
+        ).alias("floor_met"),
+    )
+
+
+def _knn_lsh_oracle_sql() -> str:
+    """Row-level DuckDB oracle for `emb_knn_lsh`: the hyperplanes are a
+    pure function of a seeded LCG (`_lsh_planes`), so the oracle inlines
+    the identical 16×64 plane constants (shortest-round-trip reprs parse
+    back to the exact doubles `F.lit` ships) and replays signature →
+    bucket join → cosine top-k. Both engines fold the dot product
+    left-to-right over the dimension index, so the sign bits and the
+    6dp sims agree bit-for-bit — the approximate index verified
+    row-identically, not just by a recall floor."""
+    planes = _lsh_planes()
+    rows = []
+    for t in range(LSH_TABLES):
+        for b in range(LSH_BITS):
+            arr = ", ".join(repr(v) for v in planes[t * LSH_BITS + b])
+            rows.append(f"({t}, {2 ** b}, CAST([{arr}] AS DOUBLE[]))")
+    values = ",\n                 ".join(rows)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        planes(tbl, wt, p) AS (VALUES {values}),
+        sigs AS (
+            SELECT vec_id, tbl,
+                   sum(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                                i -> emb[i] * p[i])) > 0
+                            THEN wt ELSE 0 END) AS sig
+            FROM e, planes GROUP BY vec_id, tbl
+        ),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS qid, s.vec_id AS vid
+            FROM sigs s
+            JOIN sigs q ON s.tbl = q.tbl AND s.sig = q.sig
+                       AND s.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ),
+        pair AS (
+            SELECT c.qid, c.vid AS vec_id, qe.emb AS qemb, ve.emb AS emb
+            FROM cands c
+            JOIN e qe ON qe.vec_id = c.qid
+            JOIN e ve ON ve.vec_id = c.vid
+        ),
+        scored AS (SELECT qid, vec_id, {_COS} AS sim FROM pair),
+        r AS (
+            SELECT qid, vec_id, sim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY sim DESC, vec_id) AS BIGINT)
+                       AS knn_rank
+            FROM scored
+        )
+        SELECT qid, vec_id, sim, knn_rank FROM r WHERE knn_rank <= {TOP_K}
+    """
+
+
 NEARDUP_COS = 0.4  # synthetic embeddings are near-orthogonal (max ~0.51)
 IVF_NPROBE = 3  # probe the 3 nearest of the 10 label-centroids
 
@@ -491,8 +575,10 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the scan as a literal was tried and reverted: duplicating the
     1024-constant tree into every argmin branch blows up codegen —
     the broadcast join is both cleaner and faster.) Iterative training
-    → no SQL oracle (driver records the rows-only check); recall floor
-    vs brute force is pinned in tests/test_queries.py::test_pq_recall_floor.
+    → no SQL oracle for these raw rows (driver records the rows-only
+    check); the recall floor vs brute force is pinned BOTH in
+    tests/test_queries.py::test_pq_recall_floor and per-round by the
+    driver via the `emb_knn_pq_recall` catalog entry.
     """
     raw = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("raw")
@@ -615,7 +701,13 @@ def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("pos").agg(
         F.round(F.min("v"), 6).alias("mn"),
         F.round(F.max("v"), 6).alias("mx"),
-        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(
+            F.sqrt(
+                F.sum((err * err).cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse"),
         F.round(F.max(F.abs(err)), 6).alias("max_abs_err"),
     )
 
@@ -630,8 +722,12 @@ QUERIES = {
     "emb_knn_ivf": emb_knn_ivf,
     "emb_semantic_dedup": emb_semantic_dedup,
     # emb_knn_pq: iterative k-means training → intentionally no SQL
-    # oracle (rows-only driver check + recall-floor test, like emb_knn_lsh)
+    # oracle for the raw rows; emb_knn_pq_recall is the driver-hashable
+    # gate (exact-integer recall floor vs brute force). emb_knn_lsh is
+    # fully deterministic, so it gets a row-level oracle with the
+    # hyperplane constants inlined (_knn_lsh_oracle_sql).
     "emb_knn_pq": emb_knn_pq,
+    "emb_knn_pq_recall": emb_knn_pq_recall,
 }
 
 _COS = """
@@ -643,6 +739,12 @@ _COS = """
 """
 
 ORACLES = {
+    "emb_knn_lsh": _knn_lsh_oracle_sql(),
+    "emb_knn_pq_recall": f"""
+        SELECT CAST({N_QUERY_VECS} AS BIGINT) AS n_queries,
+               CAST({TOP_K} AS BIGINT) AS k,
+               TRUE AS floor_met
+    """,
     "emb_knn_brute": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {N_QUERY_VECS}),
@@ -675,10 +777,11 @@ ORACLES = {
         SELECT x.pos,
                round(s.mn, 6) AS mn,
                round(s.mx, 6) AS mx,
-               round(sqrt(avg(pow(v - (s.mn
+               round(sqrt(CAST(sum(CAST(pow(v - (s.mn
                    + (CASE WHEN s.mx > s.mn
                            THEN floor((v - s.mn) / (s.mx - s.mn) * {INT8_LEVELS} + 0.5)
-                           ELSE 0 END) * (s.mx - s.mn) / {INT8_LEVELS}), 2))), 6)
+                           ELSE 0 END) * (s.mx - s.mn) / {INT8_LEVELS}), 2)
+                   AS DECIMAL(30,12))) AS DOUBLE) / count(*)), 6)
                    AS rmse,
                round(max(abs(v - (s.mn
                    + (CASE WHEN s.mx > s.mn
@@ -688,8 +791,6 @@ ORACLES = {
         FROM x JOIN s USING (pos)
         GROUP BY x.pos, s.mn, s.mx
     """,
-    # emb_knn_lsh: intentionally no oracle — approximate result set; the
-    # driver's rows-only check applies and tests/ cover recall ≥ floor.
     "emb_neardup_pairs": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         p AS (
