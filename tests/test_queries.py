@@ -265,6 +265,174 @@ def test_freq_items_superset_of_true_heavy_hitters(spark):
     assert exact_heavy  # non-vacuous: the enum really has heavy hitters
 
 
+# Spark-SQL twins for the few relational oracles whose DuckDB dialect
+# Spark cannot parse (strftime/date_diff/epoch_ms/FILTER-without-WHERE/
+# VARCHAR/ASOF JOIN). Everything not listed here runs the ORACLES text
+# verbatim through spark.sql — the SQL front-end is proven on the exact
+# same strings DuckDB verifies.
+_SPARK_SQL_TWINS = {
+    "q_customer_ltv": """
+        WITH c AS (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+                   min(o_orderdate) AS f,
+                   max(o_orderdate) AS l
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT *,
+                   CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rn,
+                   count(*) OVER () AS n
+            FROM c
+        )
+        SELECT o_custkey, n_orders,
+               round(cents / 100.0D, 2) AS total_spend,
+               CAST(datediff(l, f) AS BIGINT) AS active_days,
+               CAST(floor(10.0 * (rn - 1) / n) AS BIGINT) AS spend_decile
+        FROM r
+    """,
+    "q_yearly_growth": """
+        WITH y AS (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT nation, o_year,
+               round(rev_cents / 100.0D, 2) AS revenue,
+               CASE WHEN lag(rev_cents) OVER w IS NOT NULL
+                    THEN round((rev_cents - lag(rev_cents) OVER w) * 1.0D
+                               / lag(rev_cents) OVER w, 4)
+               END AS yoy_growth
+        FROM y
+        WINDOW w AS (PARTITION BY nation ORDER BY o_year)
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+               o_orderpriority,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30'
+          AND l_shipdate  > TIMESTAMP '1997-06-30'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q_asof_latest_order": """
+        WITH o AS (
+            SELECT o_custkey AS user_id,
+                   unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms,
+                   o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC
+                   ) AS rd
+            FROM orders
+        ), od AS (SELECT * FROM o WHERE rd = 1),
+        e AS (SELECT event_id, user_id,
+                    unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+        j AS (
+            SELECT e.event_id, e.user_id, e.ts_ms,
+                   od.o_orderkey, od.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY od.odate_ms DESC NULLS LAST
+                   ) AS rk
+            FROM e LEFT JOIN od
+              ON e.user_id = od.user_id AND od.odate_ms <= e.ts_ms
+        )
+        SELECT event_id, user_id, ts_ms, o_orderkey, o_totalprice
+        FROM j WHERE rk = 1
+    """,
+    "q_priority_status_pivot": """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q18_large_volume_customers": """
+        SELECT c_custkey, c_name, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+               o_totalprice,
+               round(sum_qty, 2) AS sum_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey AS bk, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+        ) ON o_orderkey = bk
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q22_global_sales_opportunity": """
+        WITH in_codes AS (
+            SELECT *, CAST(c_custkey % 10 AS STRING) AS cntrycode
+            FROM customer
+            WHERE CAST(c_custkey % 10 AS STRING) IN ('1','3','5','7','9')
+        )
+        SELECT cntrycode,
+               count(*) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2)
+                   AS totacctbal
+        FROM in_codes
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM in_codes WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY cntrycode
+    """,
+}
+
+
+def _relational_catalog():
+    from kafka_flink_harshevents_spark.queries import relational, relational_ext
+
+    names = [
+        n
+        for n in list(relational.QUERIES) + list(relational_ext.QUERIES)
+        if n in {**relational.ORACLES, **relational_ext.ORACLES}
+    ]
+    return names
+
+
+@pytest.mark.parametrize("name", _relational_catalog())
+def test_sql_surface_matches_dataframe(spark, name):
+    """Every relational catalog entry answered through the literal-SQL
+    front-end (spark.sql over registered views) must equal the
+    DataFrame-API form — same engine, two surfaces, one answer. The SQL
+    text is the DuckDB oracle string itself wherever Spark parses it;
+    the dialect-divergent entries use a Spark twin from
+    _SPARK_SQL_TWINS. Runs at sf0.01 so every entry is non-empty."""
+    from kafka_flink_harshevents_spark.queries import relational, relational_ext
+    from kafka_flink_harshevents_spark.queries._util import TABLES, load
+
+    sf01 = "/root/testdata/sf0.01"
+    for t in TABLES:
+        load(spark, sf01, t).createOrReplaceTempView(t)
+    oracles = {**relational.ORACLES, **relational_ext.ORACLES}
+    queries = {**relational.QUERIES, **relational_ext.QUERIES}
+    sql_df = spark.sql(_SPARK_SQL_TWINS.get(name, oracles[name]))
+    api_df = queries[name](spark, sf01)
+    cols = sorted(api_df.columns)
+    assert sorted(sql_df.columns) == cols
+    sql_rows = sorted(tuple(r[c] for c in cols) for r in sql_df.collect())
+    api_rows = sorted(tuple(r[c] for c in cols) for r in api_df.collect())
+    assert sql_rows == api_rows
+    assert len(api_rows) > 0
+
+
 def test_sql_api_surface_matches_dataframe_catalog(spark):
     """The SQL front-end is a first-class query surface: the same engine
     answers literal ANSI SQL over registered views identically to the
