@@ -1,0 +1,148 @@
+"""Streaming incremental corpus dedup — the continuous-ingest twin of
+``queries.documents.doc_incremental_dedup``.
+
+A 100 TB crawl pipeline never re-dedups the corpus; it runs THIS
+forever: a stream of new documents checked against a persistent
+fingerprint store (exact text hash + C4-style span containment,
+doc_incremental_dedup's two checks) that every accepted document then
+grows. Here the store IS Spark streaming state:
+
+- every doc is decomposed into fingerprint parts — one md5 text hash
+  (kind 0) plus its non-overlapping SPAN_WORDS-word spans (kind 1,
+  the same ``_spans`` chunking the batch query uses);
+- parts are keyed by fingerprint value into ONE
+  ``applyInPandasWithState`` operator whose per-key state is a
+  presence marker: the distributed, checkpointed, restart-surviving
+  fingerprint store;
+- history seeding is a replay: feed the historical corpus's
+  fingerprints through the same stream flagged ``is_seed = 1``
+  (one AvailableNow pass over the fingerprint archive). Seed rows
+  populate state and emit nothing — `applyInPandasWithState` has no
+  initial-state parameter, and the replay pattern is what a real
+  deployment does anyway (state must come from SOMEWHERE durable).
+
+Batch-snapshot semantics: a micro-batch's verdicts are computed against
+the store AS OF batch start (``state.exists`` is read before the batch
+ingests), then the whole batch is absorbed. Two copies arriving in the
+SAME micro-batch both pass — and both enter the store, so any later
+copy is caught. This matches the batch query exactly (it never checks
+batch-vs-batch either) and makes intra-batch row order irrelevant.
+
+Scale shape: state is one tiny row per DISTINCT fingerprint (a 32-char
+hash / span string key), hash-partitioned across executors by the
+groupBy — the natural sharding for a fingerprint store. At 100 TB run
+it on the RocksDB state store provider (state >> heap) and, when the
+crawl policy allows, a state TTL so abandoned fingerprints age out.
+The per-batch shuffle is batch-sized, never store-sized — the same
+property the batch twin's left-semi joins have
+(queries/documents.py::doc_incremental_dedup docstring).
+
+Reference basis: the reference's only dedup is its replay-dedup sink;
+this operator family is part of the training-data-pipeline surface the
+engine adds (SURVEY.md §6), built on the C4 span-dedup rule (Raffel et
+al. 2020 §2.2) and standard crawl-dedup practice (exact-hash stores).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = "doc_id long, kind long, hit long"
+_STATE_SCHEMA = "present long"
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """``(doc_id, text, is_seed)`` → one row per fingerprint part:
+    ``(doc_id, is_seed, kind, fp)`` with kind 0 = md5 text hash,
+    kind 1 = non-overlapping word span (the batch query's ``_spans``).
+    Works on batch and streaming frames alike (pure projection)."""
+    from kafka_flink_harshevents_spark.queries.documents import SPAN_WORDS
+
+    exact = docs.select(
+        "doc_id", "is_seed", F.lit(0).cast("long").alias("kind"),
+        F.md5("text").alias("fp"),
+    )
+    # identical chunking expression to queries.documents._spans, inlined
+    # (no join back for is_seed — that would be a stream-stream self-join)
+    spans = docs.select(
+        "doc_id",
+        "is_seed",
+        F.lit(1).cast("long").alias("kind"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                f"/ {SPAN_WORDS}.0) as int) - 1), "
+                f"i -> array_join(slice(split(text, ' '), "
+                f"i * {SPAN_WORDS} + 1, {SPAN_WORDS}), ' '))"
+            )
+        ).alias("fp"),
+    )
+    return exact.unionByName(spans)
+
+
+def _seen_check(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # Snapshot read BEFORE ingest: intra-batch copies don't see each
+    # other (batch-vs-store semantics, matching the batch twin).
+    existed = state.exists
+    rows: list[tuple[int, int, int]] = []
+    saw_any = False
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            saw_any = True
+            if not bool(r.is_seed):
+                rows.append((int(r.doc_id), int(r.kind), 1 if existed else 0))
+    if saw_any and not existed:
+        state.update((1,))
+    if rows:
+        yield pd.DataFrame(rows, columns=["doc_id", "kind", "hit"])
+
+
+def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming ``(doc_id, text, is_seed)`` → append stream of
+    per-fingerprint verdicts ``(doc_id, kind, hit)`` for non-seed docs.
+
+    Per doc: its kind-0 row is the exact-dup verdict; it is a span-dup
+    iff ANY of its kind-1 rows has ``hit = 1``. The per-doc rollup is a
+    plain batch aggregation over the emitted verdict log (see
+    ``dedup_verdicts`` / the parity test) — kept OUT of the stream
+    because `applyInPandasWithState` must be the query's last stateful
+    operator; a deployment folds it into the sink's ``foreachBatch`` or
+    any downstream reader of the verdict log.
+    """
+    return doc_fingerprints(docs).groupBy("fp").applyInPandasWithState(
+        _seen_check,
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_verdicts(verdict_log: DataFrame) -> DataFrame:
+    """Batch rollup of the verdict stream's output log → one row per
+    doc, schema-identical to ``doc_incremental_dedup``:
+    (doc_id, exact_dup, span_dup, keep)."""
+    return (
+        verdict_log.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("kind") == 0, F.col("hit"))).alias("exact_dup"),
+            F.coalesce(
+                F.max(F.when(F.col("kind") == 1, F.col("hit"))), F.lit(0)
+            ).alias("span_dup"),
+        )
+        .select(
+            "doc_id",
+            F.col("exact_dup").cast("long").alias("exact_dup"),
+            F.col("span_dup").cast("long").alias("span_dup"),
+            ((F.col("exact_dup") + F.col("span_dup")) == 0)
+            .cast("long")
+            .alias("keep"),
+        )
+    )

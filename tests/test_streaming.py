@@ -1053,3 +1053,77 @@ def test_upsert_foreach_batch_merges_latest_per_key(spark, tmp_path):
         assert len(unchanged) >= 1  # some other key's bucket untouched
     finally:
         q.stop()
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """The continuous-ingest dedup stream (fingerprint-store state seeded
+    by replaying history, then fed the new batch) must reproduce
+    doc_incremental_dedup's per-doc verdicts exactly — and a third wave
+    re-sending an accepted doc proves the store keeps growing (the
+    'runs forever' property a crawl pipeline needs)."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.documents import (
+        BATCH_FRACTION,
+        _md5_unit,
+        doc_incremental_dedup,
+    )
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        dedup_verdicts,
+        incremental_dedup_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    u = _md5_unit(F.col("doc_id"), "batch|")
+    src = tmp_path / "docs"
+    src.mkdir()
+    # wave 1: history replay (seed rows populate state, emit nothing)
+    (
+        d.filter(u >= BATCH_FRACTION)
+        .withColumn("is_seed", F.lit(1))
+        .coalesce(1)
+        .write.json(str(src / "w1.json"))
+    )
+    stream = spark.readStream.schema(
+        "doc_id LONG, text STRING, is_seed INT"
+    ).json(str(src) + "/*.json")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        incremental_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0  # seeds emit nothing
+        # wave 2: the new batch — the docs doc_incremental_dedup scores
+        batch = d.filter(u < BATCH_FRACTION).withColumn("is_seed", F.lit(0))
+        batch.coalesce(1).write.json(str(src / "w2.json"))
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["exact_dup"], r["span_dup"], r["keep"])
+            for r in dedup_verdicts(spark.table(name)).collect()
+        }
+        want = {
+            (r["doc_id"], r["exact_dup"], r["span_dup"], r["keep"])
+            for r in doc_incremental_dedup(spark, SF_DIR).collect()
+        }
+        assert want and got == want
+        # wave 3: re-send one doc that wave 2 ACCEPTED — the store must
+        # have absorbed wave 2, so the copy is now an exact dup
+        kept_id = min(r[0] for r in want if r[3] == 1)
+        batch.filter(F.col("doc_id") == kept_id).coalesce(1).write.json(
+            str(src / "w3.json")
+        )
+        q.processAllAvailable()
+        rerun = dedup_verdicts(
+            spark.table(name).filter(F.col("doc_id") == kept_id)
+        ).collect()
+        # the verdict log now holds wave-2 (clean) AND wave-3 (dup) rows;
+        # max-rollup over both shows the exact hit
+        assert rerun[0]["exact_dup"] == 1
+    finally:
+        q.stop()
