@@ -118,11 +118,11 @@ def test_neardup_lsh_fallback_subset(spark):
 
 
 def test_cc_shuffled_path_matches_broadcast(spark):
-    """min_label_components picks broadcast vs shuffled loop joins by a
-    one-time edge-count probe; forcing the shuffled path
-    (max_broadcast_edges=0) must produce the identical labeling on a
-    graph mixing chains, a clique, and isolated pairs — proving the
-    above-guard path a 100 TB pair graph takes is semantics-preserving."""
+    """min_label_components picks driver union-find vs broadcast loop vs
+    shuffled loop by a one-time edge-count probe; all three paths must
+    produce the identical labeling on a graph mixing chains, a clique,
+    and isolated pairs — proving the guarded escalation a 100 TB pair
+    graph climbs is semantics-preserving at every rung."""
     from kafka_flink_harshevents_spark.operators.graph import min_label_components
 
     edges = (
@@ -133,17 +133,23 @@ def test_cc_shuffled_path_matches_broadcast(spark):
         + [(300, 301), (400, 401)]
     )
     pairs = spark.createDataFrame(edges, "a long, b long").repartition(8)
-    want = {
+    want = {  # default: driver union-find at this size
         (r["node"], r["component"])
         for r in min_label_components(pairs, "a", "b").collect()
     }
-    got = {
+    via_broadcast_loop = {
         (r["node"], r["component"])
         for r in min_label_components(
-            pairs, "a", "b", max_broadcast_edges=0
+            pairs, "a", "b", max_driver_edges=0
         ).collect()
     }
-    assert want == got
+    got = {  # shuffled loop
+        (r["node"], r["component"])
+        for r in min_label_components(
+            pairs, "a", "b", max_driver_edges=0, max_broadcast_edges=0
+        ).collect()
+    }
+    assert want == via_broadcast_loop == got
     # full convergence: every chain/clique member maps to its true min
     comp = dict(want)
     assert all(comp[i] == 0 for i in range(31))
