@@ -8,8 +8,10 @@ doc_incremental_dedup's two checks) that every accepted document then
 grows. Here the store IS Spark streaming state:
 
 - every doc is decomposed into fingerprint parts — one md5 text hash
-  (kind 0) plus its non-overlapping SPAN_WORDS-word spans (kind 1,
-  the same ``_spans`` chunking the batch query uses);
+  (kind 0), its non-overlapping SPAN_WORDS-word spans (kind 1, the
+  same ``_spans`` chunking the batch query uses), and its MinHash-LSH
+  band hashes (kind 2, the same banding as ``doc_minhash_lsh_pairs``
+  — the near-dup candidate signal, computed statelessly per row);
 - parts are keyed by fingerprint value into ONE
   ``applyInPandasWithState`` operator whose per-key state is a
   presence marker: the distributed, checkpointed, restart-surviving
@@ -56,10 +58,52 @@ _OUT_SCHEMA = "doc_id long, kind long, hit long"
 _STATE_SCHEMA = "present long"
 
 
+def _minhash_band_fps() -> F.Column:
+    """Stateless MinHash-LSH band fingerprints for one document row —
+    the stream-side twin of ``doc_minhash_lsh_pairs``' banding, with the
+    SAME constants and hash construction (seeded md5 halves over
+    distinct word-bigram shingles, MINHASH_PERMS mins banded
+    LSH_BANDS × LSH_ROWS): an array of ``"<band>|<md5(band mins)>"``
+    strings, empty for docs with < 2 words (no shingles — same as the
+    batch pipeline, where such docs never reach the signature agg).
+
+    Everything folds over the row's own shingle ARRAY (array_distinct /
+    array_min / transform), so it runs inside a streaming projection
+    with no aggregation state — the store, not the projection, is the
+    stateful part.
+    """
+    from kafka_flink_harshevents_spark.queries.documents import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_PERMS,
+    )
+
+    sh = (
+        "array_distinct(transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])))"
+    )
+    mins = []
+    for i in range(MINHASH_PERMS // 2):
+        hashed = f"transform({sh}, s -> md5(concat('{i}|', s)))"
+        mins.append(f"array_min(transform({hashed}, h -> substring(h, 1, 16)))")
+        mins.append(f"array_min(transform({hashed}, h -> substring(h, 17, 16)))")
+    bands = ", ".join(
+        f"concat('{b}|', md5(concat("
+        + ", ".join(mins[b * LSH_ROWS + r] for r in range(LSH_ROWS))
+        + ")))"
+        for b in range(LSH_BANDS)
+    )
+    return F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= 2 THEN array({bands}) "
+        f"ELSE array() END"
+    )
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """``(doc_id, text, is_seed)`` → one row per fingerprint part:
     ``(doc_id, is_seed, kind, fp)`` with kind 0 = md5 text hash,
-    kind 1 = non-overlapping word span (the batch query's ``_spans``).
+    kind 1 = non-overlapping word span (the batch query's ``_spans``),
+    kind 2 = MinHash-LSH band hash (near-dup candidate signal).
     Works on batch and streaming frames alike (pure projection)."""
     from kafka_flink_harshevents_spark.queries.documents import SPAN_WORDS
 
@@ -82,7 +126,13 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
             )
         ).alias("fp"),
     )
-    return exact.unionByName(spans)
+    minhash = docs.select(
+        "doc_id",
+        "is_seed",
+        F.lit(2).cast("long").alias("kind"),
+        F.explode(_minhash_band_fps()).alias("fp"),
+    )
+    return exact.unionByName(spans).unionByName(minhash)
 
 
 def _seen_check(
@@ -127,8 +177,15 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
 
 def dedup_verdicts(verdict_log: DataFrame) -> DataFrame:
     """Batch rollup of the verdict stream's output log → one row per
-    doc, schema-identical to ``doc_incremental_dedup``:
-    (doc_id, exact_dup, span_dup, keep)."""
+    doc: ``(doc_id, exact_dup, span_dup, neardup_cand, keep)``.
+
+    ``exact_dup`` / ``span_dup`` / ``keep`` follow the batch twin's
+    rule exactly (keep ⇔ neither hit). ``neardup_cand`` is the
+    MinHash-band collision signal — a CANDIDATE flag with banding's
+    false-positive rate, not a verified Jaccard (the store keeps only
+    hashes, by design; a deployment that needs verified near-dups
+    re-checks candidates against the doc store, just like the batch
+    LSH query's verify join)."""
     return (
         verdict_log.groupBy("doc_id")
         .agg(
@@ -136,11 +193,15 @@ def dedup_verdicts(verdict_log: DataFrame) -> DataFrame:
             F.coalesce(
                 F.max(F.when(F.col("kind") == 1, F.col("hit"))), F.lit(0)
             ).alias("span_dup"),
+            F.coalesce(
+                F.max(F.when(F.col("kind") == 2, F.col("hit"))), F.lit(0)
+            ).alias("neardup_cand"),
         )
         .select(
             "doc_id",
             F.col("exact_dup").cast("long").alias("exact_dup"),
             F.col("span_dup").cast("long").alias("span_dup"),
+            F.col("neardup_cand").cast("long").alias("neardup_cand"),
             ((F.col("exact_dup") + F.col("span_dup")) == 0)
             .cast("long")
             .alias("keep"),

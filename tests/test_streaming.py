@@ -1112,6 +1112,31 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
             for r in doc_incremental_dedup(spark, SF_DIR).collect()
         }
         assert want and got == want
+        # near-dup candidates: the stream's kind-2 (MinHash band) hits
+        # must equal the batch rule "any band hash shared with history",
+        # computed here with the same projection in batch mode
+        from kafka_flink_harshevents_spark.streaming.dedup import (
+            doc_fingerprints,
+        )
+
+        bf = doc_fingerprints(batch).filter(F.col("kind") == 2)
+        hf = doc_fingerprints(
+            d.filter(u >= BATCH_FRACTION).withColumn("is_seed", F.lit(1))
+        ).filter(F.col("kind") == 2)
+        expect_nd = {
+            r["doc_id"]
+            for r in bf.join(hf.select("fp"), "fp", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        got_nd = {
+            r["doc_id"]
+            for r in dedup_verdicts(spark.table(name))
+            .filter(F.col("neardup_cand") == 1)
+            .collect()
+        }
+        assert got_nd == expect_nd
         # wave 3: re-send one doc that wave 2 ACCEPTED — the store must
         # have absorbed wave 2, so the copy is now an exact dup
         kept_id = min(r[0] for r in want if r[3] == 1)
@@ -1127,3 +1152,47 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         assert rerun[0]["exact_dup"] == 1
     finally:
         q.stop()
+
+
+def test_minhash_band_fps_match_batch_pipeline(spark):
+    """The stream's per-row array-fold MinHash banding must reproduce the
+    batch doc_minhash_lsh_pairs signature pipeline (shingle explode →
+    groupBy min → band md5) band-for-band on real docs — same seeds,
+    same md5-halves, same band grouping."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.documents import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_PERMS,
+        _shingles,
+    )
+    from kafka_flink_harshevents_spark.streaming.dedup import _minhash_band_fps
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    stream_form = {
+        (r["doc_id"], r["fp"])
+        for r in d.select(
+            "doc_id", F.explode(_minhash_band_fps()).alias("fp")
+        ).collect()
+    }
+    half_cols = []
+    for i in range(MINHASH_PERMS // 2):
+        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))
+        half_cols.append(F.substring(h, 1, 16).alias(f"h{2 * i}"))
+        half_cols.append(F.substring(h, 17, 16).alias(f"h{2 * i + 1}"))
+    sigs = (
+        _shingles(d)
+        .select("doc_id", *half_cols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(MINHASH_PERMS)])
+    )
+    batch_form = set()
+    for b in range(LSH_BANDS):
+        bv = F.md5(F.concat(*[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]))
+        batch_form |= {
+            (r["doc_id"], f"{b}|" + r["bv"])
+            for r in sigs.select("doc_id", bv.alias("bv")).collect()
+        }
+    assert stream_form == batch_form and stream_form
