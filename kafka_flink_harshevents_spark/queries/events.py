@@ -44,6 +44,38 @@ def ev_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_REL_ERROR = 0.05  # accuracy gate for the sketch path (HLL++ rsd 0.05)
+
+
+def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality path, driver-verifiable: per event type,
+    exact distinct users (value-hashed against the oracle) PLUS a
+    machine-checked accuracy gate on ``approx_count_distinct`` —
+    HyperLogLog++ register merges are commutative max operations, so
+    the sketch estimate is partitioning-independent, but its VALUE is
+    implementation-specific (Spark's HLL++ ≠ DuckDB's HLL), so the
+    emitted column is the exact-arithmetic boolean |est − exact| ≤
+    rel·exact and the oracle states TRUE. At scale the sketch is the
+    survivor: one pass, fixed-width state, mergeable across any
+    partitioning — exact distinct is the expensive twin kept for the
+    gate."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact"),
+        F.approx_count_distinct("user_id", HLL_REL_ERROR).alias("n_est"),
+    )
+    # integer-only gate: |est - exact| * 100 <= 5 * exact  (rel = 0.05)
+    pct = int(HLL_REL_ERROR * 100)
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact")) * 100
+            <= F.lit(pct) * F.col("n_exact")
+        ).alias("est_ok"),
+    )
+
+
 def _sessionize(spark: SparkSession, sf_dir: str, gap_ms: int) -> DataFrame:
     """Batch-SQL twin of the O9 session operator (SURVEY.md §2.10),
     delegated to the shared ``sessionize_batch`` operator (lag/gap/cumsum;
@@ -464,6 +496,7 @@ def ev_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ev_type_counts": ev_type_counts,
+    "ev_approx_distinct": ev_approx_distinct,
     "ev_latest_by_key": ev_latest_by_key,
     "ev_trending": ev_trending,
     "ev_props_variant": ev_props_variant,
@@ -545,6 +578,12 @@ ORACLES = {
                max(epoch_ms(ts)) AS last_ms,
                count(*) AS n_versions
         FROM events GROUP BY user_id, event_type
+    """,
+    "ev_approx_distinct": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS est_ok
+        FROM events GROUP BY event_type
     """,
     "ev_type_counts": """
         SELECT event_type, count(*) AS n, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
