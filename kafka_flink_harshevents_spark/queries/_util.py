@@ -20,6 +20,20 @@ TABLES = (
 )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Parallelism guard for CPU-heavy per-row pipelines (shingling,
+    per-row md5 signatures, vector arithmetic): a small corpus arrives
+    as a single parquet file → ONE scan partition, serializing
+    everything up to the first exchange on one core. Spread to the
+    cluster's parallelism when the scan is narrower; at 100 TB the scan
+    already has ≥ parallelism partitions and this is a no-op (no
+    shuffle inserted)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table.
 
@@ -28,7 +42,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (legacy conf, safe to set at runtime) and normalize to a microsecond
     TimestampType column, truncating exactly like DuckDB's ns→ms/us
     conversions so oracle comparisons agree.
+
+    The ``documents`` and ``embeddings`` tables feed the CPU-heavy
+    text/vector pipelines and come back through :func:`spread` — the
+    relational tables keep their raw scans (their pipelines hit a
+    shuffle immediately, where parallelism resets anyway).
     """
+    if name in ("documents", "embeddings"):
+        return spread(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

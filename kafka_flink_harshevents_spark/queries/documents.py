@@ -44,17 +44,9 @@ def _words(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.split("text", " ").alias("ws"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Parallelism guard for CPU-heavy per-doc pipelines (shingling,
-    per-row md5 signatures): a small corpus arrives as a single parquet
-    file → ONE scan partition, serializing everything downstream on one
-    core. Spread to the cluster's parallelism when the scan is narrower
-    than it; at 100 TB the scan already has ≥ parallelism partitions
-    and this is a no-op (no shuffle inserted)."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+# Parallelism guard shared with the embedding pipelines — now applied
+# uniformly inside `_util.load` for the documents/embeddings tables.
+from kafka_flink_harshevents_spark.queries._util import spread as _spread
 
 
 def _shingles(df: DataFrame) -> DataFrame:
@@ -413,7 +405,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then get verified with the exact Jaccard. Candidate generation is an
     equi-join on (band, band_hash): shuffle width ∝ colliding docs only.
     """
-    docs = _spread(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
 
     # Hash every (doc, shingle) row rather than joining a pre-hashed
