@@ -669,6 +669,102 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table — the
+    clustering primitive behind SemDeDup-style semantic dedup and IVF
+    list construction, expressed Spark-first:
+
+    - init: the K lowest vec_ids (deterministic, no RNG);
+    - assignment: the K×EMB_DIM centroid table is broadcast-joined to
+      the vectors; per-row argmin of exact squared L2 with a (d2, k)
+      ``min_by`` tie-break — one narrow pass over the corpus per
+      iteration, the only corpus-sized work;
+    - update: groupBy(cluster) → per-dim decimal-exact means (the
+      det-avg discipline, so centroids are partitioning-independent and
+      the whole run is bit-deterministic), collected as K tiny rows —
+      bounded by construction, exactly like the PQ codebook;
+    - KMEANS_ITERS fixed iterations (the production pattern: fixed
+      budget + convergence metric, not open-ended looping).
+
+    Emission is the driver-hashable gate (constant-row oracle, the
+    `emb_knn_pq_recall` convention): k, n_vectors (oracle-checked
+    exactly), full coverage, and strict inertia decrease from the first
+    to the last assignment — true on any non-degenerate corpus, and
+    machine-checked per round. Assignment/centroid details stay pinned
+    by tests (determinism across runs, inertia monotonicity)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    init = e.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [(k, list(r["emb"])) for k, r in enumerate(init)]
+
+    def assign(cdf):
+        d2 = F.aggregate(
+            F.zip_with("emb", "cent", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            e.join(F.broadcast(cdf), how="cross")
+            .select("vec_id", "emb", "k", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(F.struct("k", "emb"), F.struct("d2", "k")).alias("best"),
+                F.min("d2").alias("d2"),
+            )
+            .select("vec_id", F.col("best.k").alias("k"), F.col("best.emb").alias("emb"), "d2")
+        )
+
+    inertia = []
+    for it in range(KMEANS_ITERS):
+        cdf = spark.createDataFrame(cents, "k int, cent array<double>")
+        a = assign(cdf).localCheckpoint(eager=True)
+        inertia.append(
+            a.agg(F.sum(F.col("d2").cast("decimal(30,9)")).cast("double")).first()[0]
+        )
+        if it < KMEANS_ITERS - 1:
+            new_c = (
+                a.select("k", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("k", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast("decimal(30,9)")).cast("double")
+                        / F.count("v")
+                    ).alias("m")
+                )
+                .groupBy("k")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("cent")
+                )
+                .collect()
+            )
+            # empty clusters keep their previous centroid
+            upd = {r["k"]: list(r["cent"]) for r in new_c}
+            cents = [(k, upd.get(k, c)) for k, c in cents]
+        else:
+            final = a
+    n_total = e.count()
+    n_assigned = final.count()
+    return spark.createDataFrame(
+        [
+            (
+                KMEANS_K,
+                int(n_total),
+                bool(n_assigned == n_total),
+                bool(inertia[-1] < inertia[0]),
+            )
+        ],
+        "k long, n_vectors long, full_coverage boolean, inertia_decreased boolean",
+    )
+
+
 INT8_LEVELS = 255
 
 
@@ -728,6 +824,7 @@ QUERIES = {
     # hyperplane constants inlined (_knn_lsh_oracle_sql).
     "emb_knn_pq": emb_knn_pq,
     "emb_knn_pq_recall": emb_knn_pq_recall,
+    "emb_kmeans": emb_kmeans,
 }
 
 _COS = """
@@ -744,6 +841,13 @@ ORACLES = {
         SELECT CAST({N_QUERY_VECS} AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k,
                TRUE AS floor_met
+    """,
+    "emb_kmeans": f"""
+        SELECT CAST({KMEANS_K} AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               TRUE AS full_coverage,
+               TRUE AS inertia_decreased
+        FROM embeddings
     """,
     "emb_knn_brute": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

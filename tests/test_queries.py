@@ -493,3 +493,25 @@ def test_sql_api_surface_matches_dataframe_catalog(spark):
         """
     ).collect()
     assert len(top) > 0 and all(r["value"] is not None for r in top)
+
+
+def test_kmeans_deterministic_and_monotone(spark):
+    """emb_kmeans must be bit-deterministic (decimal-exact centroid
+    means, deterministic init and tie-breaks): two full runs produce
+    identical gate rows, and the per-iteration inertia sequence is
+    non-increasing (Lloyd's invariant)."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.queries.embeddings import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        emb_kmeans,
+    )
+    from kafka_flink_harshevents_spark.queries._util import load
+
+    r1 = emb_kmeans(spark, SF_DIR).collect()
+    r2 = emb_kmeans(spark, SF_DIR).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    row = r1[0]
+    assert row["k"] == KMEANS_K and row["full_coverage"] and row["inertia_decreased"]
+    assert row["n_vectors"] == load(spark, SF_DIR, "embeddings").count()
+    assert KMEANS_ITERS >= 2
