@@ -16,7 +16,14 @@ Cross-engine comparability conventions (the driver hash-compares values):
   `round(avg(double))` directly;
 - timestamps leave the engine as epoch-ms longs or formatted strings,
   never raw timestamp columns;
-- every top-k has a total-order tie-break on a unique key.
+- every top-k has a total-order tie-break on a unique key;
+- operators whose VALUES are engine-specific or training-dependent
+  (HLL estimates, PQ shortlists, k-means assignments) emit a
+  driver-hashable GATE instead: exact-integer/boolean properties
+  (recall floor, accuracy bound, coverage, inertia decrease) whose
+  oracle states the expected row — the property is machine-checked per
+  round even where the raw values cannot be (`ev_approx_distinct`,
+  `emb_knn_pq_recall`, `emb_kmeans`).
 """
 
 from __future__ import annotations

