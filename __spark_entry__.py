@@ -4,8 +4,12 @@
 ``queries`` — every implemented operator from SURVEY.md §2 plus the
               training-data-pipeline extensions (dedup / similarity /
               text analysis), as (spark, sf_dir) -> DataFrame callables.
-``oracle_sql`` — DuckDB-dialect twins; keys missing here (emb_knn_lsh)
-              are approximate-by-construction and get the rows-only check.
+``oracle_sql`` — DuckDB-dialect twins; the two keys missing here
+              (emb_knn_pq raw rows — iterative k-means training;
+              pipeline_derive — generator-based) get the rows-only
+              check, and each carries a separately-oracled gate entry
+              (`emb_knn_pq_recall`) or parity tests. `emb_knn_lsh` is
+              fully oracled (deterministic hyperplanes inlined).
 """
 
 from __future__ import annotations
