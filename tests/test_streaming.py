@@ -1270,3 +1270,64 @@ def test_dedup_store_survives_restart(spark, tmp_path):
         assert got == {(10, 0, 1), (20, 1, 0), (21, 0, 1)}, got
     finally:
         q2.stop()
+
+
+def test_streaming_trending_matches_batch(spark, tmp_path):
+    """Windowed-count stream (watermarked tumbling hour, append emission
+    on window close) + rank over the emitted log must reproduce the
+    batch ev_trending rows exactly; a far-future sentinel closes the
+    real hours."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.events import (
+        TRENDING_TOP_N,
+        ev_trending,
+    )
+    from kafka_flink_harshevents_spark.streaming.trending import (
+        trending_counts_stream,
+        trending_rank,
+    )
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "trend"
+    src.mkdir()
+    (
+        load(spark, SF_DIR, "events")
+        .select("event_type", F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"))
+        .coalesce(1)
+        .write.json(str(src / "w1.json"))
+    )
+    stream = (
+        spark.readStream.schema("event_type STRING, tms LONG")
+        .json(str(src) + "/*.json")
+        .select("event_type", F.timestamp_millis(F.col("tms")).alias("ts"))
+    )
+    name = f"trend_{uuid.uuid4().hex[:8]}"
+    q = (
+        trending_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinels must be event-time AFTER the data (2024) to advance
+        # the watermark past the tail hours: use 2096 / 2223
+        far = 4_000_000_000_000
+        with open(src / "w2.json", "w") as f:
+            f.write(json.dumps({"event_type": "sentinel", "tms": far}) + "\n")
+        q.processAllAvailable()
+        with open(src / "w3.json", "w") as f:
+            f.write(json.dumps({"event_type": "sentinel", "tms": 2 * far}) + "\n")
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in trending_rank(
+                spark.table(name).filter(F.col("event_type") != "sentinel"),
+                TRENDING_TOP_N,
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {tuple(r) for r in ev_trending(spark, SF_DIR).collect()}
+    assert want and got == want
