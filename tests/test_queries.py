@@ -515,3 +515,31 @@ def test_kmeans_deterministic_and_monotone(spark):
     assert row["k"] == KMEANS_K and row["full_coverage"] and row["inertia_decreased"]
     assert row["n_vectors"] == load(spark, SF_DIR, "embeddings").count()
     assert KMEANS_ITERS >= 2
+
+
+def test_det_aggregation_partitioning_invariant(spark):
+    """The r02 flake class, pinned: grouped det_sum/det_avg emissions
+    must be BYTE-identical under wildly different partitionings (1, 7,
+    32-way) — exact-decimal quantization makes the combine
+    associative/commutative, so no partial-aggregation order can flip a
+    rounding boundary."""
+    from pyspark.sql import functions as F
+    from kafka_flink_harshevents_spark.queries._util import det_avg, det_sum, load
+
+    e = load(spark, SF_DIR, "events").select("event_type", "value")
+    baseline = None
+    for parts in (1, 7, 32):
+        rows = sorted(
+            tuple(r)
+            for r in e.repartition(parts)
+            .groupBy("event_type")
+            .agg(
+                det_sum("value", 2).alias("s"),
+                det_avg("value", 4).alias("a"),
+            )
+            .collect()
+        )
+        if baseline is None:
+            baseline = rows
+        else:
+            assert rows == baseline, f"partitioning {parts} changed the emit"
