@@ -1,9 +1,10 @@
 """Extended relational coverage: the remaining TPC-H query shapes the
 testdata schema supports. There is no ``partsupp`` table and no
-commit/receipt-date, ship-mode, phone, or container columns, so Q11 and
-Q12 have no analogue; Q2, Q16 and Q20 are adapted over `_partsupp_lite`
-(the distinct supplier-part relation derived from lineitem) and Q9, Q19,
-Q21, Q22 to the columns that exist — each docstring notes its adaptation.
+commit/receipt-date, ship-mode, phone, or container columns; Q2, Q11,
+Q16 and Q20 are adapted over `_partsupp_lite` (the supplier-part
+relation derived from lineitem) and Q9, Q12, Q19, Q21, Q22 to the
+columns that exist — each docstring notes its adaptation. With these,
+all 22 TPC-H shapes are exercised.
 
 Together with ``queries/relational.py`` this exercises every remaining
 textbook shape: scan-only aggregation (Q6), multi-way join with
@@ -609,8 +610,90 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adaptation: ps_supplycost*ps_availqty := the
+    pair's total traded value ``sum(l_extendedprice)``; the nation
+    filter keeps one supplier nation). Preserved structure: a grouped
+    value aggregate filtered by a scalar subquery over the SAME
+    aggregate (HAVING sum > fraction * total) — the classic
+    decorrelation-into-cross-join shape.
+
+    Determinism: the HAVING comparison is a floating-boundary hazard —
+    a part sitting exactly at ``fraction * total`` flips with double
+    combine order. Both sides therefore stay in exact DECIMAL end to
+    end (sums of DECIMAL(30,6) quantizations, threshold = decimal
+    multiply), so the predicate is engine- and partitioning-exact; the
+    double cast happens only in the final emit.
+
+    Scale: the naive decorrelation evaluates the grouped-value subtree
+    twice (once for the rows, once inside the scalar total) — a double
+    fact-table scan. The per-part aggregate is tiny (one row per
+    part), so it is localCheckpoint-ed once and BOTH consumers read
+    the materialized rows: one lineitem scan total, then a 1-row
+    broadcast for the threshold. Verified in the explain — a single
+    parquet scan of lineitem.
+
+    Reference parity anchor: the engine-general grouped-aggregate +
+    scalar-subquery threshold family (SURVEY.md §2.7 note on engine
+    joins; reference has no relational surface of its own).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("val"))
+        .localCheckpoint()
+    )
+    total = value.agg(
+        (F.sum("val") * F.lit("0.001").cast("decimal(10,6)")).alias("threshold")
+    )
+    return (
+        value.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+def q12_shipping_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adaptation: l_shipmode := ``l_returnflag`` with
+    a two-value IN list, the late-receipt predicate := shipped more
+    than 90 days after the order date — the schema has no
+    ship-mode/commit/receipt columns). Preserved structure: fact-fact
+    equi-join, IN-list filter, date-window filter, CASE-conditional
+    counts split on high (URGENT/HIGH) vs low order priority, grouped
+    by the mode stand-in.
+
+    One shuffle (lineitem⋈orders on orderkey); both conditional counts
+    come from a single partial+final aggregate pass. Counts are exact
+    integers — no float hazard.
+    """
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q12_shipping_priority_split": q12_shipping_priority_split,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_excess_suppliers": q20_excess_suppliers,
     "q6_revenue_change": q6_revenue_change,
@@ -630,6 +713,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q11_important_parts": """
+        WITH value AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS val
+            FROM lineitem
+            WHERE l_suppkey IN
+                  (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey,
+               round(CAST(val AS DOUBLE), 2) AS part_value
+        FROM value
+        WHERE val > (SELECT sum(val) * CAST('0.001' AS DECIMAL(10,6))
+                     FROM value)
+    """,
+    "q12_shipping_priority_split": """
+        SELECT l_returnflag AS ship_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag IN ('A','N')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_returnflag
+    """,
     "q16_supplier_part_counts": """
         WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
         SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
