@@ -513,6 +513,38 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance scoring of the MinHash-LSH
+    near-dup pairs — the second verification metric a dedup pipeline
+    layers on when shingle Jaccard alone over-merges (boilerplate-heavy
+    corpora share shingles but differ char-wise).
+
+    Levenshtein is O(|a|·|b|) per pair, which is exactly why it runs
+    only on the LSH-verified pair set (∝ near-dups, not corpus²): the
+    quadratic kernel is bounded by candidate generation, never applied
+    all-pairs. JVM-side ``levenshtein`` expression — no Python in the
+    loop; per-row arithmetic only, so no float-determinism hazard.
+    """
+    pairs = doc_minhash_lsh_pairs(spark, sf_dir)
+    texts = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("tlen")
+    )
+    lev = F.levenshtein(F.col("ta.text"), F.col("tb.text"))
+    return (
+        pairs.join(texts.alias("ta"), F.col("da") == F.col("ta.doc_id"))
+        .join(texts.alias("tb"), F.col("db") == F.col("tb.doc_id"))
+        .select(
+            "da",
+            "db",
+            "jaccard",
+            lev.cast("long").alias("edit_distance"),
+            F.round(
+                1 - lev / F.greatest(F.col("ta.tlen"), F.col("tb.tlen")), 4
+            ).alias("edit_similarity"),
+        )
+    )
+
+
 def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning pipeline a pretraining corpus goes through,
     as ONE catalog entry: exact-dedup canonical ∩ near-dup cluster
@@ -1430,6 +1462,7 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_edit_distance_pairs": doc_edit_distance_pairs,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_decontaminate": doc_decontaminate,
@@ -1927,6 +1960,16 @@ ORACLES = {
         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
     """,
     "doc_minhash_lsh_pairs": _minhash_sql(),
+    "doc_edit_distance_pairs": f"""
+        SELECT mh.da, mh.db, mh.jaccard,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+               round(1.0 - levenshtein(ta.text, tb.text) * 1.0
+                           / greatest(len(ta.text), len(tb.text)), 4)
+                   AS edit_similarity
+        FROM ({_minhash_sql()}) mh
+        JOIN documents ta ON mh.da = ta.doc_id
+        JOIN documents tb ON mh.db = tb.doc_id
+    """,
     "doc_sample_stratified": _sample_sql(),
     "doc_pack_sequences": _PACK_SQL,
     "doc_decontaminate": f"""

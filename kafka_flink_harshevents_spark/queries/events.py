@@ -246,6 +246,43 @@ def ev_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_FRAME_MS = 600_000  # trailing 10 minutes
+
+
+def ev_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: per event, the sum and count of the
+    same user's events in the trailing 10 minutes (inclusive). Distinct
+    from the ROWS frames elsewhere in the catalog — the frame is bound
+    by the ORDER-BY VALUE, so all same-timestamp rows enter together
+    regardless of tie order.
+
+    Determinism: a sliding double sum accumulates in row order, and tie
+    order within a RANGE frame is engine-arbitrary — so the windowed
+    sum runs on exact DECIMAL quantizations (associative), cast to
+    double and rounded once at emit. One shuffle on user_id; the frame
+    is computed by the single Window operator with no self-join — the
+    shape that survives a 100× scale-up (state per partition is the
+    10-minute row span, not the history).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_millis("ts").alias("ts_ms"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-RANGE_FRAME_MS, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double"), 2
+        ).alias("trailing_10m_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_10m_n"),
+    )
+
+
 def _percentile_picks(ranked: DataFrame) -> DataFrame:
     return ranked.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -508,6 +545,7 @@ QUERIES = {
     "ev_time_rollup": ev_time_rollup,
     "ev_cube": ev_cube,
     "ev_user_running_stats": ev_user_running_stats,
+    "ev_range_frame_sum": ev_range_frame_sum,
     "ev_percentile_stats": ev_percentile_stats,
     "ev_percentile_by_type": ev_percentile_by_type,
     "ev_percentile_last1000": ev_percentile_last1000,
@@ -657,6 +695,18 @@ ORACLES = {
                lead(event_id) OVER (
                    PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                ) AS next_event_id
+        FROM events
+    """,
+    "ev_range_frame_sum": """
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+               round(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS trailing_10m_sum,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS trailing_10m_n
         FROM events
     """,
     "ev_value_band_join": """
