@@ -513,6 +513,131 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# Fixed retrieval workload over the corpus vocabulary; real deployments
+# bind user queries here. Robertson/Spärck Jones idf with the Lucene +1
+# smoothing (ln(1 + (N - df + 0.5)/(df + 0.5))), so idf is never negative.
+BM25_QUERIES = (
+    ("q1", ("hash", "join")),
+    ("q2", ("scan", "filter", "column")),
+    ("q3", ("stream", "window", "batch")),
+)
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: BM25 top-k documents per query — the lexical
+    half of a retrieval/dedup stack (the dense half is ``emb_knn_*``).
+
+    Shape: the token stream is joined to the tiny query-term table
+    FIRST (broadcast), so term frequencies, document frequencies and
+    scores are computed only for query-vocabulary terms — the shuffle
+    is ∝ matching tokens, never the corpus token stream. Corpus stats
+    (N, avgdl) are a 1-row broadcast; dl joins on doc_id. Top-k per
+    query partitions the Window on query_id over the already-scored
+    (query, doc) table (∝ matches), with a doc_id tie-break for a
+    total order.
+
+    Determinism: per-(query,doc) scores sum per-term DECIMAL(30,9)
+    quantizations (combine-order exact); ranking and emission use the
+    once-rounded double, ties broken on doc_id.
+    """
+    d = _words(load(spark, sf_dir, "documents"))
+    stats = d.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id string, term string",
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(stats, "doc_id")
+        .join(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum((idf * tf_norm).cast("decimal(30,9)")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("s").cast("double"), 4).alias("bm25"),
+            "n_terms_matched",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("query_id", "doc_id", "bm25", "n_terms_matched", "rk")
+    )
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+        corpus AS (SELECT count(*) AS n_docs,
+                          sum(dl) * 1.0 / count(*) AS avgdl FROM stats),
+        q(query_id, term) AS (VALUES {vals}),
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        tf AS (
+            SELECT query_id, q.term, doc_id, count(*) AS tf
+            FROM tok JOIN q ON tok.term = q.term
+            GROUP BY 1, 2, 3
+        ),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT query_id, tf.doc_id,
+                   round(CAST(sum(CAST((
+                       ln(1 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf * ({BM25_K1} + 1))
+                         / (tf + {BM25_K1} * (1 - {BM25_B}
+                            + {BM25_B} * dl / avgdl))
+                   ) AS DECIMAL(30,9))) AS DOUBLE), 4) AS bm25,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched
+            FROM tf
+            JOIN df USING (term)
+            JOIN stats ON tf.doc_id = stats.doc_id
+            CROSS JOIN corpus
+            GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, bm25, n_terms_matched, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+              FROM scored)
+        WHERE rk <= {BM25_TOPK}
+    """
+
+
 def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level edit-distance scoring of the MinHash-LSH
     near-dup pairs — the second verification metric a dedup pipeline
@@ -1463,6 +1588,7 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_edit_distance_pairs": doc_edit_distance_pairs,
+    "doc_bm25_topk": doc_bm25_topk,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_decontaminate": doc_decontaminate,
@@ -1960,6 +2086,7 @@ ORACLES = {
         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
     """,
     "doc_minhash_lsh_pairs": _minhash_sql(),
+    "doc_bm25_topk": _bm25_sql(),
     "doc_edit_distance_pairs": f"""
         SELECT mh.da, mh.db, mh.jaccard,
                CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
