@@ -765,6 +765,107 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_K = 8
+
+
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table — the dimensionality-
+    reduction step before visualization, coarse ANN, or whitening in an
+    embedding-dedup stack.
+
+    Spark-first decomposition of the classic two-phase design (same
+    shape as Spark MLlib's RowMatrix.computeCovariance):
+
+    1. per-dim mean and second moment via ONE posexplode scan with
+       decimal-exact sums (64 grouped rows — bounded collect);
+    2. centered Gram matrix via ``mapInPandas`` partial sums: each
+       Arrow batch contributes a d×d float64 BLAS product, each
+       partition emits ONE flattened row — collect is ≤ #partitions
+       rows of d² doubles, bounded by construction like the PQ
+       codebook. No corpus-sized data ever reaches the driver;
+    3. the d×d eigenproblem is driver-local LAPACK (d=64 — trivial).
+
+    Emission is the driver-hashable gate (constant-row oracle, the
+    `emb_kmeans` convention), because eigenvector low-order bits are
+    partitioning/backend-specific: exact n_vectors, eigenvalue
+    monotonicity, top-k orthonormality, the top-k variance share ≥ k/d
+    (guaranteed by eigen ordering — falsified by any mis-accumulated
+    Gram), and a cross-check that trace(cov) matches the INDEPENDENT
+    decimal-exact per-dim variance sum from phase 1 — a wrong centering
+    or a dropped partial breaks it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    stats = (
+        e.select(F.posexplode("emb").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                / F.count("v")
+            ).alias("m"),
+            (
+                F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).cast(
+                    "double"
+                )
+                / F.count("v")
+            ).alias("m2"),
+            F.count("v").alias("n"),
+        )
+        .collect()
+    )
+    mean = np.zeros(EMB_DIM)
+    m2 = np.zeros(EMB_DIM)
+    for r in stats:
+        mean[r["pos"]] = r["m"]
+        m2[r["pos"]] = r["m2"]
+    var_trace_indep = float((m2 - mean * mean).sum())
+
+    def partial_gram(it):
+        g = np.zeros((EMB_DIM, EMB_DIM))
+        cnt = 0
+        for pdf in it:
+            x = np.array(pdf["emb"].tolist(), dtype=np.float64) - mean
+            g += x.T @ x
+            cnt += len(pdf)
+        if cnt:
+            yield pd.DataFrame({"g": [g.ravel().tolist()], "n": [cnt]})
+
+    parts = e.select("emb").mapInPandas(
+        partial_gram, "g array<double>, n long"
+    ).collect()
+    gram = np.zeros((EMB_DIM, EMB_DIM))
+    n_vecs = 0
+    # fixed partial order so the float reduce is run-to-run stable
+    for r in sorted(parts, key=lambda r: (r["n"], r["g"][0])):
+        gram += np.array(r["g"]).reshape(EMB_DIM, EMB_DIM)
+        n_vecs += r["n"]
+    cov = gram / n_vecs
+    eigs, vecs = np.linalg.eigh(cov)
+    eigs, vecs = eigs[::-1], vecs[:, ::-1]
+    top = vecs[:, :PCA_K]
+    return spark.createDataFrame(
+        [
+            (
+                EMB_DIM,
+                PCA_K,
+                int(n_vecs),
+                bool(np.all(eigs[:-1] >= eigs[1:] - 1e-12)),
+                bool(np.abs(top.T @ top - np.eye(PCA_K)).max() < 1e-8),
+                bool(abs(float(np.trace(cov)) - var_trace_indep) < 1e-6),
+                bool(eigs[:PCA_K].sum() >= PCA_K / EMB_DIM * eigs.sum()),
+            )
+        ],
+        "d long, k long, n_vectors long, eigs_nonincreasing boolean, "
+        "orthonormal boolean, trace_consistent boolean, "
+        "var_topk_ge_uniform boolean",
+    )
+
+
 INT8_LEVELS = 255
 
 
@@ -825,6 +926,7 @@ QUERIES = {
     "emb_knn_pq": emb_knn_pq,
     "emb_knn_pq_recall": emb_knn_pq_recall,
     "emb_kmeans": emb_kmeans,
+    "emb_pca": emb_pca,
 }
 
 _COS = """
@@ -847,6 +949,16 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n_vectors,
                TRUE AS full_coverage,
                TRUE AS inertia_decreased
+        FROM embeddings
+    """,
+    "emb_pca": f"""
+        SELECT CAST({EMB_DIM} AS BIGINT) AS d,
+               CAST({PCA_K} AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               TRUE AS eigs_nonincreasing,
+               TRUE AS orthonormal,
+               TRUE AS trace_consistent,
+               TRUE AS var_topk_ge_uniform
         FROM embeddings
     """,
     "emb_knn_brute": f"""
