@@ -513,6 +513,46 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # cumulative cutoffs; rest = test
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split decision hashes
+    the near-dup CLUSTER canonical id, not the doc id, so every member
+    of a near-duplicate cluster lands in the same split — the guard
+    that keeps eval contamination out when the corpus still contains
+    near-dups (assigning by doc_id silently leaks train text into val).
+
+    Deterministic md5 uniform (pure function of the canonical id —
+    stable under retries, re-partitions and engine swaps); the split is
+    a scan-local expression on top of the cluster labels, so the only
+    wide work is the clustering itself, shared with
+    ``doc_neardup_clusters``.
+    """
+    clusters = doc_neardup_clusters(spark, sf_dir)
+    u = _md5_unit(F.col("cluster_id"), "split|")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(u < SPLIT_TRAIN, F.lit("train"))
+        .when(u < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _split_assign_sql() -> str:
+    u = _md5_unit_sql("cluster_id", "split|")
+    return f"""
+        WITH RECURSIVE {_clusters_ctes()}
+        SELECT doc_id, cluster_id,
+               CASE WHEN {u} < {SPLIT_TRAIN} THEN 'train'
+                    WHEN {u} < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clusters
+    """
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
@@ -1602,6 +1642,7 @@ QUERIES = {
     "doc_incremental_dedup": doc_incremental_dedup,
     "doc_mix_temperature": doc_mix_temperature,
     "doc_neardup_clusters": doc_neardup_clusters,
+    "doc_split_assign": doc_split_assign,
     "doc_clean_corpus": doc_clean_corpus,
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_containment_pairs": doc_containment_pairs,
@@ -2280,5 +2321,6 @@ ORACLES = {
         FROM p GROUP BY source
     """,
     "doc_neardup_clusters": _clusters_sql(),
+    "doc_split_assign": _split_assign_sql(),
     "doc_clean_corpus": _clean_corpus_sql(),
 }
