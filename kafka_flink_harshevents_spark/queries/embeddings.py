@@ -673,22 +673,34 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
+KMEANS_SCALE = 10**9  # fixed-point quantization: 9 fractional digits
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding table — the
     clustering primitive behind SemDeDup-style semantic dedup and IVF
-    list construction, expressed Spark-first:
+    list construction.
 
     - init: the K lowest vec_ids (deterministic, no RNG);
-    - assignment: the K×EMB_DIM centroid table is broadcast-joined to
-      the vectors; per-row argmin of exact squared L2 with a (d2, k)
-      ``min_by`` tie-break — one narrow pass over the corpus per
-      iteration, the only corpus-sized work;
-    - update: groupBy(cluster) → per-dim decimal-exact means (the
-      det-avg discipline, so centroids are partitioning-independent and
-      the whole run is bit-deterministic), collected as K tiny rows —
-      bounded by construction, exactly like the PQ codebook;
+    - per iteration, ONE narrow Arrow ``mapInPandas`` pass: each batch
+      assigns its vectors to the nearest broadcast centroid with a
+      BLAS-backed squared-L2 argmin (first-min = lowest k, a total
+      tie-break), then emits K partial rows of int64 fixed-point sums
+      (value·10⁹, HALF_UP — the det-agg discipline in integer form).
+      Int64 addition is associative, so partials reduce to the SAME
+      totals under ANY partitioning: centroids, inertia and the
+      assignment count are all bit-deterministic, and the driver-side
+      reduce touches ≤ partitions·K tiny rows (bounded like the PQ
+      codebook). Headroom: |v| < 1 → per-partition sums stay far
+      below 2⁶³ up to ~10⁹ rows per partition;
     - KMEANS_ITERS fixed iterations (the production pattern: fixed
       budget + convergence metric, not open-ended looping).
+
+    The earlier declarative form (broadcast cross-join + ``min_by`` +
+    decimal aggregate) computed the same thing but re-planned the full
+    expression tree every round — per-iteration driver latency
+    dominated the toy-scale wall clock, and at any scale the
+    vectorized kernel beats interpreted higher-order array lambdas.
 
     Emission is the driver-hashable gate (constant-row oracle, the
     `emb_knn_pq_recall` convention): k, n_vectors (oracle-checked
@@ -696,62 +708,73 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the last assignment — true on any non-degenerate corpus, and
     machine-checked per round. Assignment/centroid details stay pinned
     by tests (determinism across runs, inertia monotonicity)."""
+    import numpy as np
+    import pandas as pd
+    from decimal import Decimal
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # one materialization: every iteration re-reads the checkpointed
+    # rows instead of re-planning scan+cast, and n_total rides along
+    e = e.localCheckpoint(eager=True)
+    n_total = e.count()
     init = e.orderBy("vec_id").limit(KMEANS_K).collect()
-    cents = [(k, list(r["emb"])) for k, r in enumerate(init)]
-
-    def assign(cdf):
-        d2 = F.aggregate(
-            F.zip_with("emb", "cent", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            e.join(F.broadcast(cdf), how="cross")
-            .select("vec_id", "emb", "k", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(F.struct("k", "emb"), F.struct("d2", "k")).alias("best"),
-                F.min("d2").alias("d2"),
-            )
-            .select("vec_id", F.col("best.k").alias("k"), F.col("best.emb").alias("emb"), "d2")
-        )
+    cents = np.array([r["emb"] for r in init], dtype=np.float64)
 
     inertia = []
+    n_assigned = 0
     for it in range(KMEANS_ITERS):
-        cdf = spark.createDataFrame(cents, "k int, cent array<double>")
-        a = assign(cdf).localCheckpoint(eager=True)
-        inertia.append(
-            a.agg(F.sum(F.col("d2").cast("decimal(30,9)")).cast("double")).first()[0]
-        )
-        if it < KMEANS_ITERS - 1:
-            new_c = (
-                a.select("k", F.posexplode("emb").alias("pos", "v"))
-                .groupBy("k", "pos")
-                .agg(
+        centroids = cents.copy()
+
+        def partials(batches, centroids=centroids):
+            for pdf in batches:
+                x = np.array(pdf["emb"].tolist(), dtype=np.float64)
+                d2_all = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+                ks = d2_all.argmin(1)  # first min → lowest k on ties
+                d2 = d2_all[np.arange(len(x)), ks]
+                xq = (np.sign(x) * np.floor(np.abs(x) * KMEANS_SCALE + 0.5)).astype(
+                    np.int64
+                )
+                d2q = np.floor(d2 * KMEANS_SCALE + 0.5).astype(np.int64)
+                rows = [
                     (
-                        F.sum(F.col("v").cast("decimal(30,9)")).cast("double")
-                        / F.count("v")
-                    ).alias("m")
+                        int(k),
+                        xq[ks == k].sum(0).tolist(),
+                        int((ks == k).sum()),
+                        int(d2q[ks == k].sum()),
+                    )
+                    for k in range(KMEANS_K)
+                    if (ks == k).any()
+                ]
+                if rows:
+                    yield pd.DataFrame(rows, columns=["k", "sq", "n", "d2q"])
+
+        parts = e.select("emb").mapInPandas(
+            partials, "k int, sq array<long>, n long, d2q long"
+        ).collect()
+        agg: dict[int, list] = {}
+        for r in parts:
+            s = agg.get(r["k"])
+            if s is None:
+                agg[r["k"]] = [np.array(r["sq"], dtype=np.int64), r["n"], r["d2q"]]
+            else:
+                s[0] = s[0] + np.array(r["sq"], dtype=np.int64)
+                s[1] += r["n"]
+                s[2] += r["d2q"]
+        inertia.append(
+            float(Decimal(int(sum(s[2] for s in agg.values()))).scaleb(-9))
+        )
+        n_assigned = int(sum(s[1] for s in agg.values()))
+        if it < KMEANS_ITERS - 1:
+            new = cents.copy()
+            for k, (sq, nk, _) in agg.items():
+                # exact decimal → double per dim, then one float divide
+                new[k] = (
+                    np.array([float(Decimal(int(v)).scaleb(-9)) for v in sq])
+                    / nk
                 )
-                .groupBy("k")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                        lambda s: s["m"],
-                    ).alias("cent")
-                )
-                .collect()
-            )
-            # empty clusters keep their previous centroid
-            upd = {r["k"]: list(r["cent"]) for r in new_c}
-            cents = [(k, upd.get(k, c)) for k, c in cents]
-        else:
-            final = a
-    n_total = e.count()
-    n_assigned = final.count()
+            cents = new  # empty clusters keep their previous centroid
     return spark.createDataFrame(
         [
             (
