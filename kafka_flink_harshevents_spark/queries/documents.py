@@ -1423,7 +1423,11 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("ws").alias("t")
     )
     dt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
-    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    # tf derives from dt, NOT from a second pass over tok: the (doc,
+    # token) exchange subtree is then identical under both consumers,
+    # so Spark reuses it (ReusedExchange) — the corpus token stream is
+    # scanned and exploded ONCE.
+    tf = dt.groupBy("t").agg(F.sum("c").alias("cnt"))
     total = tf.agg(F.sum("cnt").alias("nn"))
     return (
         dt.join(tf, "t")
@@ -1461,7 +1465,9 @@ def doc_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("t")
     )
     st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("sc"))
-    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cc"))
+    # corpus counts roll up from the per-source aggregate (ReusedExchange
+    # — one exploded scan), same trick as doc_unigram_logprob
+    tf = st.groupBy("t").agg(F.sum("sc").alias("cc"))
     src_n = st.groupBy("source").agg(F.sum("sc").alias("sn"))
     corp_n = tf.agg(F.sum("cc").alias("cn"))
     p = F.col("sc") / F.col("sn")
