@@ -513,6 +513,84 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3  # word k-grams
+WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every word 3-gram, slide a
+    4-window over the hash sequence, keep each window's minimum
+    (rightmost on ties), dedupe. Guarantees a match of ≥ w+k-1
+    contiguous tokens between two docs shares a fingerprint — the
+    local, position-robust alternative to whole-doc hashing
+    (`doc_fingerprint`) and fixed shingling (`doc_minhash_lsh_pairs`).
+
+    Entirely scan-local: k-gram hashing, the windowed rightmost-argmin
+    (one ``aggregate`` fold per window over the zipped (hash, pos)
+    array) and dedup all run inside array higher-order functions —
+    zero shuffle, a pure map stage at any scale. Hashes are md5 hex
+    (portable; lexicographic min, exactly like the MinHash signatures).
+    """
+    d = _words(load(spark, sf_dir, "documents")).filter(
+        F.size("ws") >= WINNOW_K + WINNOW_W - 1
+    )
+    sel = F.expr(
+        f"""
+        array_distinct(transform(
+            sequence(0, size(ws) - {WINNOW_K} - {WINNOW_W} + 1),
+            j -> aggregate(
+                slice(
+                    zip_with(
+                        transform(sequence(0, size(ws) - {WINNOW_K}),
+                                  i -> md5(concat_ws(' ', slice(ws, i + 1, {WINNOW_K})))),
+                        sequence(0, size(ws) - {WINNOW_K}),
+                        (h, p) -> struct(h AS h, p AS p)),
+                    j + 1, {WINNOW_W}),
+                struct(CAST(NULL AS STRING) AS h, -1 AS p),
+                (acc, x) -> IF(acc.h IS NULL OR x.h <= acc.h, x, acc))))
+        """
+    )
+    return (
+        d.select("doc_id", F.explode(sel).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.p").cast("long").alias("pos"),
+            F.col("f.h").alias("fp"),
+        )
+    )
+
+
+def _winnowing_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {k + w - 1}
+        ),
+        z AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(ws) - {k} + 2),
+                       i -> {{'h': md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+                              'p': i - 1}}) AS zs
+            FROM d
+        ),
+        sel AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(zs) - {w} + 2),
+                       j -> list_reduce(zs[j:j+{w - 1}],
+                           (acc, x) -> CASE WHEN x.h <= acc.h
+                                            THEN x ELSE acc END)) AS fps
+            FROM z
+        )
+        -- row-level DISTINCT ≡ Spark's per-doc array_distinct on the
+        -- selected (pos, hash) structs (DuckDB lacks struct list_distinct)
+        SELECT DISTINCT doc_id, CAST(f.p AS BIGINT) AS pos, f.h AS fp
+        FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+    """
+
+
 SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # cumulative cutoffs; rest = test
 
 
@@ -1630,6 +1708,7 @@ QUERIES = {
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_fingerprint": doc_fingerprint,
+    "doc_winnowing": doc_winnowing,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
@@ -2328,5 +2407,6 @@ ORACLES = {
     """,
     "doc_neardup_clusters": _clusters_sql(),
     "doc_split_assign": _split_assign_sql(),
+    "doc_winnowing": _winnowing_sql(),
     "doc_clean_corpus": _clean_corpus_sql(),
 }

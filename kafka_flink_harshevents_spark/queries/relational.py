@@ -222,6 +222,34 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with per-column grouping flags — the one
+    grouping surface CUBE (`ev_cube`) and ROLLUP (`q_revenue_rollup`)
+    don't cover: an arbitrary, non-hierarchical set list
+    ((priority, status), (status), ()). Answered through the literal
+    SQL front-end (the DataFrame API exposes only cube/rollup —
+    grouping sets are a first-class SQL feature on the same engine);
+    `grouping()` flags disambiguate grouped-out NULLs. Physically one
+    Expand + partial/final HashAggregate — each input row fans out to
+    its grouping sets map-side, one shuffle total.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+                   AS total_revenue
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        """
+    )
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar aggregate subquery, decorrelated
     into a per-partkey aggregate joined back to the fact table (what
@@ -359,9 +387,22 @@ QUERIES = {
     "q_customers_without_orders": q_customers_without_orders,
     "q_asof_latest_order": q_asof_latest_order,
     "q_revenue_rollup": q_revenue_rollup,
+    "q_grouping_sets": q_grouping_sets,
 }
 
 ORACLES = {
+    "q_grouping_sets": """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+                   AS total_revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+    """,
     "q_yearly_growth": """
         WITH y AS (
             SELECT n_name AS nation,
