@@ -513,6 +513,130 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline observability: the one-row summary a corpus run
+    publishes — total docs, distinct texts, exact-dup docs, near-dup
+    pairs/members/clusters, clean survivors and the retention ratio.
+    Every count is an exact integer (hash-stable by construction); the
+    single ratio is one float division rounded at emit.
+
+    Composition reuses ONE evaluation of each stage: the LSH pair
+    graph is localCheckpoint-ed and feeds both the pair count and the
+    connected-components labeling; the exact-dedup aggregate, cluster
+    labels and quality scores then combine through 1-row aggregates
+    cross-joined at the end (all broadcast, constant work).
+    """
+    from kafka_flink_harshevents_spark.operators.graph import min_label_components
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    pairs = (
+        doc_minhash_lsh_pairs(spark, sf_dir).select("da", "db").localCheckpoint()
+    )
+    labels = min_label_components(pairs, "da", "db").select(
+        F.col("node").alias("nid"), F.col("component").alias("cid")
+    )
+    cl = d.select("doc_id").join(
+        labels, F.col("doc_id") == F.col("nid"), "left"
+    ).select(
+        "doc_id", F.coalesce("cid", "doc_id").alias("cluster_id")
+    )
+    ex = (
+        d.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+    )
+    q = doc_quality_score(spark, sf_dir).select("doc_id", "quality_bucket")
+    clean = (
+        d.join(ex, "text_hash")
+        .filter(F.col("doc_id") == F.col("canonical_doc_id"))
+        .join(cl, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(q, "doc_id")
+        .filter(F.col("quality_bucket") != "low")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("text_hash").cast("long").alias("n_unique_texts"),
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
+    members = cl.filter(F.col("doc_id") != F.col("cluster_id"))
+    n_mem = members.agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_member_docs")
+    )
+    n_clus = (
+        members.select("cluster_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_clusters"))
+    )
+    n_clean = clean.agg(F.count(F.lit(1)).cast("long").alias("n_clean_docs"))
+    return (
+        tot.join(F.broadcast(n_pairs))
+        .join(F.broadcast(n_mem))
+        .join(F.broadcast(n_clus))
+        .join(F.broadcast(n_clean))
+        .select(
+            "n_docs",
+            "n_unique_texts",
+            (F.col("n_docs") - F.col("n_unique_texts")).alias("n_exact_dup_docs"),
+            "n_neardup_pairs",
+            "n_neardup_member_docs",
+            "n_neardup_clusters",
+            "n_clean_docs",
+            F.round(F.col("n_clean_docs") / F.col("n_docs"), 4).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+def _dedup_report_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_clusters_ctes()},
+        d AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+        ex AS (SELECT text_hash, min(doc_id) AS canonical_doc_id
+               FROM d GROUP BY 1),
+        members AS (SELECT doc_id, cluster_id FROM clusters
+                    WHERE doc_id <> cluster_id),
+        qw AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SQL_STOPSET}))) AS BIGINT) AS n_stop
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id,
+                   CASE WHEN 0.4 * least(n_tokens / 100.0, 1.0)
+                           + 0.3 * (n_unique * 1.0 / n_tokens)
+                           + 0.3 * (1.0 - n_stop * 1.0 / n_tokens) >= 0.5
+                        THEN 'ok' ELSE 'low' END AS quality_bucket
+            FROM qw
+        ),
+        clean AS (
+            SELECT d.doc_id
+            FROM d
+            JOIN ex USING (text_hash)
+            JOIN clusters c ON d.doc_id = c.doc_id
+            JOIN q ON d.doc_id = q.doc_id
+            WHERE d.doc_id = ex.canonical_doc_id
+              AND d.doc_id = c.cluster_id
+              AND q.quality_bucket <> 'low'
+        )
+        SELECT (SELECT count(*) FROM d) AS n_docs,
+               (SELECT count(DISTINCT text_hash) FROM d) AS n_unique_texts,
+               (SELECT count(*) FROM d)
+                 - (SELECT count(DISTINCT text_hash) FROM d) AS n_exact_dup_docs,
+               (SELECT count(*) FROM pairs) AS n_neardup_pairs,
+               (SELECT count(*) FROM members) AS n_neardup_member_docs,
+               (SELECT count(DISTINCT cluster_id) FROM members)
+                   AS n_neardup_clusters,
+               (SELECT count(*) FROM clean) AS n_clean_docs,
+               round((SELECT count(*) FROM clean) * 1.0
+                     / (SELECT count(*) FROM d), 4) AS retention
+    """
+
+
 WINNOW_K = 3  # word k-grams
 WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
 
@@ -1729,6 +1853,7 @@ QUERIES = {
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_split_assign": doc_split_assign,
     "doc_clean_corpus": doc_clean_corpus,
+    "doc_dedup_report": doc_dedup_report,
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_containment_pairs": doc_containment_pairs,
 }
@@ -2408,5 +2533,6 @@ ORACLES = {
     "doc_neardup_clusters": _clusters_sql(),
     "doc_split_assign": _split_assign_sql(),
     "doc_winnowing": _winnowing_sql(),
+    "doc_dedup_report": _dedup_report_sql(),
     "doc_clean_corpus": _clean_corpus_sql(),
 }
