@@ -176,3 +176,28 @@ def test_semantic_dedup_keep_first(spark):
     e = df.select("vec_id", "label", F.col("embedding").alias("emb"))
     got = {r["vec_id"]: r["is_dup"] for r in dedup_frame(e).collect()}
     assert got == {10: 0, 11: 1, 12: 0, 13: 0}
+
+
+def test_winnowing_guarantee(spark, tmp_path):
+    """The winnowing theorem (Schleimer et al. 2003): any shared token
+    run of length >= w + k - 1 between two documents yields at least
+    one shared selected fingerprint. Hand-built docs: A and B share an
+    8-token run (>= 4 + 3 - 1 = 6) embedded in otherwise-disjoint
+    text; C is fully disjoint and must share nothing."""
+    from kafka_flink_harshevents_spark.queries.documents import doc_winnowing
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"a1 a2 a3 {shared} a4 a5"),
+        (2, f"b1 b2 {shared} b3 b4 b5 b6"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    fps = doc_winnowing(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
