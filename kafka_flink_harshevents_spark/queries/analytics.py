@@ -79,8 +79,13 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),
         F.count("t3").alias("n_full_funnel"),
-        F.round(F.count("t2") / F.count("t1"), 4).alias("view_to_click"),
-        F.round(F.count("t3") / F.count("t2"), 4).alias("click_to_purchase"),
+        # ANSI-safe: 0-entrant funnels emit NULL rates, not a crash
+        F.when(
+            F.count("t1") > 0, F.round(F.count("t2") / F.count("t1"), 4)
+        ).alias("view_to_click"),
+        F.when(
+            F.count("t2") > 0, F.round(F.count("t3") / F.count("t2"), 4)
+        ).alias("click_to_purchase"),
     )
 
 
@@ -489,8 +494,12 @@ ORACLES = {
                count(t1) AS n_view,
                count(t2) AS n_view_click,
                count(t3) AS n_full_funnel,
-               round(count(t2) * 1.0 / count(t1), 4) AS view_to_click,
-               round(count(t3) * 1.0 / count(t2), 4) AS click_to_purchase
+               CASE WHEN count(t1) > 0
+                    THEN round(count(t2) * 1.0 / count(t1), 4) END
+                   AS view_to_click,
+               CASE WHEN count(t2) > 0
+                    THEN round(count(t3) * 1.0 / count(t2), 4) END
+                   AS click_to_purchase
         FROM u
     """,
     "ev_retention": """

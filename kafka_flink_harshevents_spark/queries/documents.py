@@ -583,9 +583,11 @@ def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_neardup_member_docs",
             "n_neardup_clusters",
             "n_clean_docs",
-            F.round(F.col("n_clean_docs") / F.col("n_docs"), 4).alias(
-                "retention"
-            ),
+            # ANSI-safe on an empty corpus
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("n_clean_docs") / F.col("n_docs"), 4),
+            ).alias("retention"),
         )
     )
 
@@ -632,8 +634,9 @@ def _dedup_report_sql() -> str:
                (SELECT count(DISTINCT cluster_id) FROM members)
                    AS n_neardup_clusters,
                (SELECT count(*) FROM clean) AS n_clean_docs,
-               round((SELECT count(*) FROM clean) * 1.0
-                     / (SELECT count(*) FROM d), 4) AS retention
+               CASE WHEN (SELECT count(*) FROM d) > 0
+                    THEN round((SELECT count(*) FROM clean) * 1.0
+                               / (SELECT count(*) FROM d), 4) END AS retention
     """
 
 

@@ -176,7 +176,13 @@ def emb_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
     ).select(
         "n_queries",
-        (F.col("n_rows") / F.col("n_queries")).cast("long").alias("k"),
+        # ANSI-safe: an empty corpus has 0 queries — emit k=0, no crash
+        F.when(
+            F.col("n_queries") > 0, F.col("n_rows") / F.col("n_queries")
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("k"),
         (
             F.col("n_hits") * F.lit(PQ_RECALL_FLOOR_DEN)
             >= F.col("n_rows") * F.lit(PQ_RECALL_FLOOR_NUM)

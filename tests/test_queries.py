@@ -577,3 +577,45 @@ def test_det_aggregation_partitioning_invariant(spark):
             baseline = rows
         else:
             assert rows == baseline, f"partitioning {parts} changed the emit"
+
+
+EMPTY_REPRESENTATIVES = [
+    "q1_pricing_summary", "q2_min_cost_supplier", "q11_important_parts",
+    "q21_waiting_supplier", "q_customer_ltv", "q_grouping_sets",
+    "ev_sessionize_300s", "ev_percentile_stats", "ev_range_frame_sum",
+    "ev_approx_distinct", "ev_locf_resample", "ev_funnel",
+    "doc_minhash_lsh_pairs", "doc_neardup_clusters", "doc_dedup_report",
+    "doc_bm25_topk", "doc_winnowing", "doc_pack_sequences",
+    "emb_knn_brute", "emb_kmeans", "emb_pca", "emb_neardup_clusters",
+    "emb_knn_pq_recall", "ev_ab_test",
+    "mm_pack_shards", "pipeline_derive",
+]
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory):
+    """All ten tables with their real schemas and zero rows."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("empty_sf")
+    con = duckdb.connect()
+    for t in sorted(
+        {"region", "nation", "customer", "supplier", "part", "orders",
+         "lineitem", "events", "documents", "embeddings"}
+    ):
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_DIR}/{t}.parquet' LIMIT 0) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMPTY_REPRESENTATIVES)
+def test_empty_input_robustness(spark, empty_sf_dir, name):
+    """Engine-grade degradation: zero-row inputs must produce a clean
+    (possibly zero-row) answer, never a crash — pinned here on one
+    representative per operator family; the full 116-entry catalog was
+    swept green on empty tables during round 3 (COVERAGE.md)."""
+    df = QUERIES[name](spark, empty_sf_dir)
+    rows = df.collect()
+    assert rows is not None and len(df.columns) > 0
