@@ -2012,7 +2012,7 @@ _PACK_SQL = f"""
             FROM w
         )
         SELECT doc_id, shard, n_tokens,
-               cum - n_tokens AS start_offset,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
                CAST(floor((cum - n_tokens) / {PACK_CAP}.0) AS BIGINT) AS first_bin,
                CAST(floor((cum - 1) / {PACK_CAP}.0) AS BIGINT) AS last_bin
         FROM c

@@ -590,7 +590,8 @@ ORACLES = {
         SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
                     AS BIGINT) AS k_bucket,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value
         FROM events GROUP BY 1
     """,

@@ -231,13 +231,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     rev = _revenue()
+    # both sums in exact DECIMAL so the ratio is combine-order
+    # independent (the ev_props_variant flake class); ONE double
+    # division + ONE round at emit
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(30,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(30,6)")).cast("double"),
                 4,
             ).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -250,9 +257,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-max subquery decorrelated to an aggregate cross-joined back.
 
     The per-supplier revenue table is tiny (one row per supplier); the
-    1-row max is broadcast into the equality filter. Both sides compare
-    the UNROUNDED double, so the pick is made on the engine's own sum
-    (rounding only the emitted column keeps the hash stable).
+    1-row max is broadcast into the equality filter. The per-supplier
+    sum runs in exact DECIMAL, so both the max-equality pick and the
+    emitted round are combine-order independent and engine-exact.
     """
     s = load(spark, sf_dir, "supplier")
     l = load(spark, sf_dir, "lineitem").filter(
@@ -261,7 +268,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         l.groupBy(F.col("l_suppkey").alias("rk"))
-        .agg(F.sum(_revenue()).alias("total_rev"))
+        .agg(F.sum(_revenue().cast("decimal(30,6)")).alias("total_rev"))
     )
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
@@ -270,7 +277,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev"), 2).alias("total_revenue"),
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
         )
     )
 
@@ -451,11 +458,14 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(load(spark, sf_dir, "nation"))
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
+    # exact DECIMAL sums end to end: the rank comparisons, the share
+    # ratio, and the emitted round are then combine-order independent
+    # (double sums could mis-rank a near-tie run-to-run)
     per_nation = (
         n.join(c, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev"))
     )
     total = per_nation.agg(F.sum("rev").alias("tot"))
     higher = per_nation.select(F.col("rev").alias("rev2")).distinct()
@@ -466,8 +476,10 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.join(F.broadcast(total)).select(
         "n_name",
-        F.round("rev", 2).alias("revenue"),
-        F.round(F.col("rev") / F.col("tot"), 6).alias("rev_share"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("rev_share"),
         "rev_rank",
     )
 
@@ -791,15 +803,17 @@ ORACLES = {
     """,
     "q_nation_revenue_share": """
         WITH per_nation AS (
-            SELECT n_name, sum(o_totalprice) AS rev
+            SELECT n_name,
+                   sum(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
             FROM nation
             JOIN customer ON c_nationkey = n_nationkey
             JOIN orders   ON o_custkey = c_custkey
             GROUP BY n_name
         )
         SELECT n_name,
-               round(rev, 2) AS revenue,
-               round(rev / sum(rev) OVER (), 6) AS rev_share,
+               round(CAST(rev AS DOUBLE), 2) AS revenue,
+               round(CAST(rev AS DOUBLE)
+                     / CAST(sum(rev) OVER () AS DOUBLE), 6) AS rev_share,
                CAST(dense_rank() OVER (ORDER BY rev DESC) AS BIGINT) AS rev_rank
         FROM per_nation
     """,
@@ -895,10 +909,11 @@ ORACLES = {
         GROUP BY c_count
     """,
     "q14_promo_revenue": """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                                       THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                                      ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(30,6))) AS DOUBLE), 4)
                    AS promo_revenue_pct,
                count(*) AS n_lines
         FROM lineitem
@@ -909,13 +924,15 @@ ORACLES = {
     "q15_top_supplier": """
         WITH rev AS (
             SELECT l_suppkey AS rk,
-                   sum(l_extendedprice * (1 - l_discount)) AS total_rev
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,6))) AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1997-04-01'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, round(total_rev, 2) AS total_revenue
+        SELECT s_suppkey, s_name,
+               round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
         FROM rev JOIN supplier ON rk = s_suppkey
         WHERE total_rev = (SELECT max(total_rev) FROM rev)
     """,
