@@ -1823,8 +1823,155 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256  # hashed-feature dimensionality (paper uses 10k at scale)
+DSIR_TARGET_LANG = "en"  # the "target domain" the sampler steers toward
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): per-document importance log-weight under hashed
+    bigram bag-of-ngrams language models,
+    ``log p_target(x) − log p_raw(x)``, the score DSIR resamples the raw
+    corpus by to match a target domain (here: the ``lang = 'en'`` slice
+    stands in for the high-quality target set; raw = the whole corpus).
+
+    Features are word bigrams hashed into DSIR_BUCKETS buckets via the
+    repo's portable md5 uniform (engine-stable, retry-stable); both
+    distributions are Laplace-smoothed (+1) so every bucket's log is
+    finite with exact integer inputs.
+
+    Plan/scale shape: the corpus is exploded ONCE into a
+    (doc, lang, bucket) count pre-aggregate whose exchange subtree is
+    identical under BOTH consumers — the bucket-count rollup and the
+    per-doc scoring — so Spark reuses it (ReusedExchange, the
+    `doc_unigram_logprob` trick) instead of re-scanning 100 TB per
+    pass. The bucket table is FIXED-SIZE (DSIR_BUCKETS rows,
+    localCheckpoint-ed once) so its join broadcasts at any corpus
+    size; the only data-sized shuffles are the pre-aggregate and the
+    per-doc rollup. Per-bucket log-ratios are per-row double math on
+    integers (engine-exact); the per-doc sum is decimal-quantized so
+    32-way combine order cannot move the 6th dp.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    # multiplicity retained — DSIR's bag-of-ngrams features count occurrences
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"
+            )
+        ).alias("s"),
+    )
+    bk = bg.select(
+        "doc_id",
+        "lang",
+        F.floor(_md5_unit(F.col("s"), "dsir|") * DSIR_BUCKETS).cast("long").alias(
+            "bucket"
+        ),
+    )
+    # lang is constant per doc, so grouping by it adds no cardinality;
+    # this one exploded pass is the subtree both rollups reuse
+    db = bk.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        db.groupBy("bucket")
+        .agg(
+            F.sum("c").alias("c_raw"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)
+            ).cast("long").alias("c_tgt"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lr = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.lit(DSIR_BUCKETS))
+    ) - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.lit(DSIR_BUCKETS)))
+    ratio_tbl = counts.join(F.broadcast(totals)).select("bucket", lr.alias("lr"))
+    per_doc = (
+        db.join(F.broadcast(ratio_tbl), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum((F.col("c") * F.col("lr")).cast("decimal(30,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )
+    # docs too short to form a bigram still appear, weight 0
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    u = _md5_unit_sql("s", "dsir|")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS ws
+            FROM documents WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i + 1])) AS s
+            FROM toks
+        ),
+        bk AS (
+            SELECT doc_id, lang,
+                   CAST(floor({u} * {DSIR_BUCKETS}) AS BIGINT) AS bucket
+            FROM bg
+        ),
+        db AS (
+            SELECT doc_id, lang, bucket, count(*) AS c
+            FROM bk GROUP BY doc_id, lang, bucket
+        ),
+        counts AS (
+            SELECT bucket, CAST(sum(c) AS BIGINT) AS c_raw,
+                   CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                            THEN c ELSE 0 END) AS BIGINT) AS c_tgt
+            FROM db GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+                   CAST(sum(c_tgt) AS BIGINT) AS n_tgt
+            FROM counts
+        ),
+        lr AS (
+            SELECT bucket,
+                   ln((c_tgt + 1.0) / (n_tgt + {DSIR_BUCKETS}))
+                   - ln((c_raw + 1.0) / (n_raw + {DSIR_BUCKETS})) AS lr
+            FROM counts, tot
+        ),
+        per AS (
+            SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   round(CAST(sum(CAST(c * lr AS DECIMAL(30,12))) AS DOUBLE), 6)
+                       AS dsir_logweight
+            FROM db JOIN lr USING (bucket) GROUP BY db.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               coalesce(per.dsir_logweight, 0.0) AS dsir_logweight
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "doc_dsir_weights": doc_dsir_weights,
     "doc_gopher_quality": doc_gopher_quality,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
@@ -2339,6 +2486,7 @@ ORACLES = {
         JOIN cnt cb ON db = cb.doc_id
         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
     """,
+    "doc_dsir_weights": _dsir_sql(),
     "doc_minhash_lsh_pairs": _minhash_sql(),
     "doc_bm25_topk": _bm25_sql(),
     "doc_edit_distance_pairs": f"""

@@ -938,8 +938,76 @@ def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_MD2_MEAN = 1.02  # per-dim-mean z² flag line (≈1.0 for in-dist data)
+
+
+def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring — the curation filter that drops
+    out-of-distribution vectors before contrastive/retrieval training
+    (the diagonal-covariance Mahalanobis distance of OOD-detection
+    practice, Lee et al. 2018 simplified to per-dim variances): per
+    vector, mean over dimensions of ``(x_d − μ_d)² / σ²_d``; in-
+    distribution data scores ≈ 1.
+
+    Plan/scale shape: ONE posexplode pass → 64-group aggregate (map-side
+    combine; decimal sums so μ/σ² are partitioning-exact) → the 64-row
+    stats table collapses to ONE row of (μ, σ²) arrays and broadcasts;
+    scoring is then a scan-local array fold per vector — zero shuffle of
+    the vector table, the shape that holds at any corpus size. The fold
+    is left-to-right in both engines (the `_COS` convention), so the
+    6-dp scores are bit-stable.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ex = e.select(
+        F.posexplode("emb").alias("p", "v")
+    ).select(F.col("p").cast("long").alias("pos"), "v")
+    stats = ex.groupBy("pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(30,9)")).cast("double") / F.count("v")
+        ).alias("mu"),
+        (
+            F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).cast("double")
+            / F.count("v")
+        ).alias("ex2"),
+    )
+    arrs = (
+        stats.select(
+            "pos", "mu", (F.col("ex2") - F.col("mu") * F.col("mu")).alias("var")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("mu_arr"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "var"))),
+                lambda s: s["var"],
+            ).alias("var_arr"),
+        )
+    )
+    diff2 = F.zip_with("emb", "mu_arr", lambda x, m: (x - m) * (x - m))
+    terms = F.zip_with(
+        diff2, F.col("var_arr"),
+        lambda d, v: F.when(v > 0, d / v).otherwise(F.lit(0.0)),
+    )
+    md2 = (
+        F.aggregate(terms, F.lit(0.0), lambda a, x: a + x) / F.lit(float(EMB_DIM))
+    )
+    return (
+        e.join(F.broadcast(arrs))
+        .select(
+            "vec_id",
+            F.round(md2, 6).alias("md2_mean"),
+            (md2 > OUTLIER_MD2_MEAN).alias("is_outlier"),
+        )
+    )
+
+
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
+    "emb_outlier_scores": emb_outlier_scores,
     "emb_centroids": emb_centroids,
     "emb_quantize_stats": emb_quantize_stats,
     "emb_knn_lsh": emb_knn_lsh,
@@ -968,6 +1036,33 @@ _COS = """
 
 ORACLES = {
     "emb_knn_lsh": _knn_lsh_oracle_sql(),
+    "emb_outlier_scores": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        ex AS (SELECT vec_id, i AS pos, emb[i] AS v
+               FROM e CROSS JOIN range(1, {EMB_DIM} + 1) AS t(i)),
+        stats AS (
+            SELECT pos,
+                   CAST(sum(CAST(v AS DECIMAL(30,9))) AS DOUBLE) / count(v) AS mu,
+                   CAST(sum(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)
+                       / count(v) AS ex2
+            FROM ex GROUP BY pos
+        ),
+        s2 AS (SELECT pos, mu, ex2 - mu * mu AS var FROM stats),
+        arrs AS (SELECT list(mu ORDER BY pos) AS mu_arr,
+                        list(var ORDER BY pos) AS var_arr FROM s2),
+        scored AS (
+            SELECT vec_id,
+                   list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                       i -> CASE WHEN var_arr[i] > 0
+                                 THEN (emb[i] - mu_arr[i]) * (emb[i] - mu_arr[i])
+                                      / var_arr[i]
+                                 ELSE 0.0 END)) / {EMB_DIM}.0 AS md2
+            FROM e, arrs
+        )
+        SELECT vec_id, round(md2, 6) AS md2_mean,
+               md2 > {OUTLIER_MD2_MEAN} AS is_outlier
+        FROM scored
+    """,
     "emb_knn_pq_recall": f"""
         SELECT CAST({N_QUERY_VECS} AS BIGINT) AS n_queries,
                CAST({TOP_K} AS BIGINT) AS k,
