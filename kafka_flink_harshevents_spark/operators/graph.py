@@ -73,7 +73,10 @@ def _driver_union_find(spark, pairs: DataFrame) -> DataFrame:
             parent[hi] = lo
     rows = [(n, find(n)) for n in sorted(nodes)]
     schema = f"node {dict(pairs.dtypes)['da']}, component {dict(pairs.dtypes)['da']}"
-    return spark.createDataFrame(rows, schema)
+    # bounded by the driver guard (≤ 2·max_driver_edges nodes), so the
+    # caller's corpus←labels join should broadcast instead of shuffling
+    # the corpus side
+    return F.broadcast(spark.createDataFrame(rows, schema))
 
 
 def min_label_components(

@@ -873,6 +873,15 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in sorted(parts, key=lambda r: (r["n"], r["g"][0])):
         gram += np.array(r["g"]).reshape(EMB_DIM, EMB_DIM)
         n_vecs += r["n"]
+    if n_vecs == 0:
+        # empty corpus: the gates hold vacuously (matches the oracle's
+        # TRUE row with n_vectors = 0) instead of NaN-poisoning eigh
+        return spark.createDataFrame(
+            [(EMB_DIM, PCA_K, 0, True, True, True, True)],
+            "d long, k long, n_vectors long, eigs_nonincreasing boolean, "
+            "orthonormal boolean, trace_consistent boolean, "
+            "var_topk_ge_uniform boolean",
+        )
     cov = gram / n_vecs
     eigs, vecs = np.linalg.eigh(cov)
     eigs, vecs = eigs[::-1], vecs[:, ::-1]
