@@ -561,19 +561,16 @@ def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
     members = cl.filter(F.col("doc_id") != F.col("cluster_id"))
-    n_mem = members.agg(
-        F.count(F.lit(1)).cast("long").alias("n_neardup_member_docs")
-    )
-    n_clus = (
-        members.select("cluster_id")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_clusters"))
+    # one pass over members for both counts (two separate aggregates
+    # would re-evaluate the cluster-label join twice)
+    mem_stats = members.agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_member_docs"),
+        F.count_distinct("cluster_id").cast("long").alias("n_neardup_clusters"),
     )
     n_clean = clean.agg(F.count(F.lit(1)).cast("long").alias("n_clean_docs"))
     return (
         tot.join(F.broadcast(n_pairs))
-        .join(F.broadcast(n_mem))
-        .join(F.broadcast(n_clus))
+        .join(F.broadcast(mem_stats))
         .join(F.broadcast(n_clean))
         .select(
             "n_docs",
@@ -658,28 +655,38 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     array) and dedup all run inside array higher-order functions —
     zero shuffle, a pure map stage at any scale. Hashes are md5 hex
     (portable; lexicographic min, exactly like the MinHash signatures).
+
+    The (hash, pos) array is materialized ONCE per doc as its own
+    projection (``zs``) and each window slices it — inlining it in the
+    per-window lambda makes Catalyst re-evaluate every md5 for every
+    window, an O(n²) blowup that measured 8.5 s at sf0.1 vs ~1 s
+    hoisted.
     """
     d = _words(load(spark, sf_dir, "documents")).filter(
         F.size("ws") >= WINNOW_K + WINNOW_W - 1
     )
+    zs = F.expr(
+        f"""
+        zip_with(
+            transform(sequence(0, size(ws) - {WINNOW_K}),
+                      i -> md5(concat_ws(' ', slice(ws, i + 1, {WINNOW_K})))),
+            sequence(0, size(ws) - {WINNOW_K}),
+            (h, p) -> struct(h AS h, p AS p))
+        """
+    )
     sel = F.expr(
         f"""
         array_distinct(transform(
-            sequence(0, size(ws) - {WINNOW_K} - {WINNOW_W} + 1),
+            sequence(1, size(zs) - {WINNOW_W} + 1),
             j -> aggregate(
-                slice(
-                    zip_with(
-                        transform(sequence(0, size(ws) - {WINNOW_K}),
-                                  i -> md5(concat_ws(' ', slice(ws, i + 1, {WINNOW_K})))),
-                        sequence(0, size(ws) - {WINNOW_K}),
-                        (h, p) -> struct(h AS h, p AS p)),
-                    j + 1, {WINNOW_W}),
+                slice(zs, j, {WINNOW_W}),
                 struct(CAST(NULL AS STRING) AS h, -1 AS p),
                 (acc, x) -> IF(acc.h IS NULL OR x.h <= acc.h, x, acc))))
         """
     )
     return (
-        d.select("doc_id", F.explode(sel).alias("f"))
+        d.select("doc_id", zs.alias("zs"))
+        .select("doc_id", F.explode(sel).alias("f"))
         .select(
             "doc_id",
             F.col("f.p").cast("long").alias("pos"),

@@ -1331,3 +1331,95 @@ def test_streaming_trending_matches_batch(spark, tmp_path):
         q.stop()
     want = {tuple(r) for r in ev_trending(spark, SF_DIR).collect()}
     assert want and got == want
+
+
+def test_streaming_heavy_hitters_guarantees(spark, tmp_path):
+    """Misra–Gries summaries over a two-wave skewed stream: (a) every
+    item whose true shard frequency exceeds n_shard/k survives in the
+    final summary, (b) every estimate obeys est ≤ true ≤ est + n_shard/k,
+    (c) state persists across micro-batches (wave 2 builds on wave 1's
+    counters). True counts come from the exact batch twin."""
+    from kafka_flink_harshevents_spark.streaming.heavyhitters import (
+        MG_K,
+        heavy_hitters_batch,
+        heavy_hitters_stream,
+    )
+
+    src = tmp_path / "hh"
+    src.mkdir()
+
+    # Skewed key stream: two hot keys + a long tail of singletons, so
+    # the eviction (global-decrement) path actually runs.
+    def wave(n_hot_a, n_hot_b, tail_range):
+        rows = (
+            [{"k": "hot_a"}] * n_hot_a
+            + [{"k": "hot_b"}] * n_hot_b
+            + [{"k": f"tail_{i}"} for i in tail_range]
+        )
+        return rows
+
+    (src / "w1.json").write_text(
+        "\n".join(json.dumps(r) for r in wave(60, 25, range(0, 40)))
+    )
+    stream = spark.readStream.schema("k STRING").json(str(src))
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        heavy_hitters_stream(stream, key_col="k")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "w2.json").write_text(
+            "\n".join(json.dumps(r) for r in wave(50, 30, range(40, 80)))
+        )
+        q.processAllAvailable()
+        emitted = spark.table(name).collect()
+    finally:
+        q.stop()
+
+    # latest snapshot per shard
+    latest_seq: dict[int, int] = {}
+    for r in emitted:
+        latest_seq[r["shard"]] = max(latest_seq.get(r["shard"], 0), r["emit_seq"])
+    summary = {
+        (r["shard"], r["item"]): (r["est_count"], r["n_seen"])
+        for r in emitted
+        if r["emit_seq"] == latest_seq[r["shard"]]
+    }
+    assert summary, "stream emitted nothing"
+
+    log = spark.createDataFrame(
+        [(r,) for r in ["hot_a"] * 110 + ["hot_b"] * 55 + [f"tail_{i}" for i in range(80)]],
+        "k string",
+    )
+    true_counts = {
+        (r["shard"], r["item"]): r["true_count"]
+        for r in heavy_hitters_batch(log, key_col="k").collect()
+    }
+    n_shard = {}
+    for (shard, _), c in true_counts.items():
+        n_shard[shard] = n_shard.get(shard, 0) + c
+
+    # state persisted: the hot keys' estimates must exceed wave 2 alone
+    for key in ["hot_a", "hot_b"]:
+        est = [v[0] for (s, i), v in summary.items() if i == key]
+        assert est, f"{key} missing from final summary"
+    hot_a_est = next(v[0] for (s, i), v in summary.items() if i == "hot_a")
+    assert hot_a_est > 50, "wave-1 counts lost across micro-batches"
+
+    for (shard, item), true in true_counts.items():
+        bound = n_shard[shard] / MG_K
+        est = summary.get((shard, item), (0,))[0]
+        assert est <= true, f"{item}: MG overcounted ({est} > {true})"
+        assert true <= est + bound, f"{item}: error bound violated"
+        if true > bound:
+            assert (shard, item) in summary, (
+                f"{item} above threshold ({true} > {bound}) but evicted"
+            )
+    # emitted n_seen matches the shard's true stream length
+    for (shard, _), (_, n_seen) in summary.items():
+        assert n_seen == n_shard[shard]
