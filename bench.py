@@ -60,6 +60,16 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+        # stall guard: when a host stall window swallows the whole
+        # triple (observed: identical plans at 0.8 s and 70 s minutes
+        # apart), the min is still inflated — two extra runs recover
+        # the steady-state number at bounded cost
+        if min(runs) > 2.0 and max(runs) / min(runs) > 3.0:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
         cold[name] = runs[0]
         timings[name] = min(runs)
 
