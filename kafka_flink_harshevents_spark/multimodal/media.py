@@ -174,6 +174,63 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+AHASH_BITS = 60  # stays inside a signed long (same budget as SimHash pairs)
+
+
+def ahash_media(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash, the block-mean member of the
+    pHash family) per media item: decode to a pixel stream, split it
+    into AHASH_BITS equal blocks, bit i = 1 iff block i's mean exceeds
+    the global mean. The comparison is integer cross-multiplication
+    (``block_sum · n > total · block_len``) so no float enters the
+    fingerprint — bit-identical across engines and partitionings.
+
+    Same Arrow ``mapInPandas`` plumbing as `decode_media` (narrow, no
+    shuffle); items with fewer than AHASH_BITS pixels are dropped (a
+    hash over near-empty media is all ties, not a fingerprint).
+    """
+    decoder = _try_real_decoder()
+
+    def _pixels(blob: bytes, magic_len: int) -> np.ndarray:
+        if decoder is not None:  # pragma: no cover — codec not in container
+            import io
+
+            try:
+                img = decoder.open(io.BytesIO(blob)).convert("L")
+                return np.asarray(img, dtype=np.uint8).ravel()
+            except Exception:
+                pass
+        return _fake_pixels(blob[magic_len:])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, blob, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_meta"]
+            ):
+                px = _pixels(bytes(blob), len(_MAGIC[meta["format"]]))
+                n = len(px)
+                if n < AHASH_BITS:
+                    continue
+                total = int(px.sum())
+                h = 0
+                for i in range(AHASH_BITS):
+                    lo = i * n // AHASH_BITS
+                    hi = (i + 1) * n // AHASH_BITS
+                    if int(px[lo:hi].sum()) * n > total * (hi - lo):
+                        h |= 1 << (AHASH_BITS - 1 - i)
+                ids.append(int(doc_id))
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema="doc_id long, phash long")
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

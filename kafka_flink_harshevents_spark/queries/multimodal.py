@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_harshevents_spark.multimodal.media import (
+    AHASH_BITS,
     FRAME_SIZE,
+    ahash_media,
     decode_media,
     media_from_documents,
     sample_frames,
@@ -100,8 +102,63 @@ def mm_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BLOCKS = 4  # pigeonhole: Hamming <= 3 => >= 1 identical 15-bit block
+PHASH_MAX_HAMMING = 3
+
+
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs — the multimodal twin
+    of `doc_simhash_pairs`, closing the dedup family over the binary
+    column: aHash fingerprints from the Arrow decode stage
+    (`multimodal.media.ahash_media`), then Manku-style pigeonhole
+    blocking — 60 bits split into 4 disjoint 15-bit blocks, so every
+    pair within Hamming distance 3 shares a block (EXACT recall) and
+    candidate generation is an equi-join on (block_idx, block_value)
+    with one xor-popcount verify per candidate.
+
+    Scale shape: the fingerprint stream is one narrow decode pass;
+    shuffle is keyed by (block, value) — colliding media only, never
+    all pairs; the per-bucket pair expansion is array-local (no
+    self-join re-evaluating the decode)."""
+    fps = ahash_media(_media(spark, sf_dir))
+    width = AHASH_BITS // PHASH_BLOCKS
+    mask = (1 << width) - 1
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftright(F.col("phash"), (PHASH_BLOCKS - 1 - i) * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        for i in range(PHASH_BLOCKS)
+    ]
+    blocks = fps.select(
+        "doc_id", "phash", F.explode(F.array(*block_structs)).alias("x")
+    ).select("doc_id", "phash", F.col("x.bi").alias("bi"), F.col("x.bv").alias("bv"))
+    buckets = (
+        blocks.groupBy("bi", "bv")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "phash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = F.expr(
+        """flatten(
+               transform(ds, (x, i) ->
+                   transform(slice(ds, i + 2, size(ds) - i - 1),
+                             y -> struct(x.doc_id AS da, y.doc_id AS db,
+                                         CAST(bit_count(x.phash ^ y.phash) AS BIGINT)
+                                             AS hamming))))"""
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.*")
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
 QUERIES = {
     "mm_media_stats": mm_media_stats,
+    "mm_phash_pairs": mm_phash_pairs,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample_counts": mm_frame_sample_counts,
     "mm_pack_shards": mm_pack_shards,
@@ -121,6 +178,46 @@ _MEDIA_SQL = """
 """
 
 ORACLES = {
+    "mm_phash_pairs": f"""
+        WITH m AS ({_MEDIA_SQL}),
+        b AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ord(substr(text, i, 1))) AS px
+            FROM m
+        ),
+        s AS (
+            SELECT doc_id, px, len(px) AS n,
+                   list_sum(px) AS total
+            FROM b WHERE len(px) >= {AHASH_BITS}
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, {AHASH_BITS}), i ->
+                       CASE WHEN list_sum(px[(i * n) // {AHASH_BITS} + 1 :
+                                             ((i + 1) * n) // {AHASH_BITS}]) * n
+                                 > total * (((i + 1) * n) // {AHASH_BITS}
+                                            - (i * n) // {AHASH_BITS})
+                            THEN (CAST(1 AS BIGINT) << ({AHASH_BITS} - 1 - i))
+                            ELSE 0 END)) AS BIGINT) AS phash
+            FROM s
+        ),
+        blocks AS (
+            SELECT doc_id, phash, i AS bi,
+                   (phash >> CAST((({PHASH_BLOCKS} - 1 - i) * {AHASH_BITS // PHASH_BLOCKS}) AS BIGINT))
+                       & {(1 << (AHASH_BITS // PHASH_BLOCKS)) - 1} AS bv
+            FROM fp CROSS JOIN range(0, {PHASH_BLOCKS}) t(i)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                   a.phash AS pa, b.phash AS pb
+            FROM blocks a
+            JOIN blocks b ON a.bi = b.bi AND a.bv = b.bv
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT da, db, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
+    """,
     "mm_pack_shards": f"""
         WITH m AS ({_MEDIA_SQL}),
         s AS (

@@ -103,3 +103,32 @@ def test_decode_media_uses_real_codec_when_present(spark, monkeypatch):
         0,
         15,
     )
+
+
+def test_phash_pairs_near_identical_media(spark, tmp_path):
+    """The aHash pigeonhole guarantee on hand-built media: an exact
+    byte-duplicate pairs at Hamming 0, a one-character edit stays
+    within the <=3 threshold (one byte moves one block sum), and a
+    fully different payload pairs with neither. The synthetic corpus
+    has no near-identical media (min pairwise Hamming 8), so the
+    catalog entry's empty result there is the true answer — this test
+    pins the operator's behavior where near-identical media exist."""
+    from kafka_flink_harshevents_spark.queries.multimodal import mm_phash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and again " * 10).strip()
+    edited = "T" + base[1:]  # one byte changed
+    rows = [
+        (3, base),
+        (6, base),  # exact duplicate payload (same format lane: 3%3 == 6%3)
+        (9, edited),
+        (12, "Z" * len(base)),  # uniform payload — all ties, phash 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    pairs = {
+        (r["da"], r["db"]): r["hamming"]
+        for r in mm_phash_pairs(spark, str(tmp_path)).collect()
+    }
+    assert pairs.get((3, 6)) == 0, f"exact duplicate must pair at Hamming 0: {pairs}"
+    assert (3, 9) in pairs and pairs[(3, 9)] <= 3, f"1-char edit must pair: {pairs}"
+    assert not any(12 in p for p in pairs), f"unrelated media must not pair: {pairs}"
