@@ -504,6 +504,77 @@ def ev_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QAPPROX_ACC = 100  # percentile_approx accuracy → rank error ≲ n/accuracy
+
+
+def ev_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path, driver-verifiable — the sketch twin of
+    `ev_approx_distinct`: per event type, EXACT p50/p95 (inverse-CDF,
+    oracle-hashed) plus an integer-arithmetic accuracy gate on
+    ``percentile_approx`` (Greenwald–Khanna summaries: one pass,
+    bounded state, mergeable across any partitioning — the quantile
+    that survives at scale, where the exact rank pass is the expensive
+    twin kept for the gate). The sketch VALUE is engine-specific, so
+    what's emitted is its rank-error check: the count of values ≤ the
+    estimate must sit within ~2n/accuracy of the target rank — pure
+    integers, and the oracle states TRUE.
+    """
+    from kafka_flink_harshevents_spark.operators.ranking import (
+        with_exact_rank_grouped,
+    )
+
+    e = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ranked = with_exact_rank_grouped(e, "event_type", "value", "event_id")
+    exact = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.when(F.col("rn") == (F.floor(F.col("n") * 0.5) + 1), F.col("value"))
+        ).alias("p50_exact"),
+        F.max(
+            F.when(F.col("rn") == (F.floor(F.col("n") * 0.95) + 1), F.col("value"))
+        ).alias("p95_exact"),
+    )
+    approx = (
+        e.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.95], QAPPROX_ACC).alias("ap"))
+        .select(
+            "event_type",
+            F.col("ap")[0].alias("ap50"),
+            F.col("ap")[1].alias("ap95"),
+        )
+    )
+    ranks = (
+        e.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("ap50"), 1).otherwise(0))
+            .cast("long")
+            .alias("le50"),
+            F.sum(F.when(F.col("value") <= F.col("ap95"), 1).otherwise(0))
+            .cast("long")
+            .alias("le95"),
+        )
+    )
+    acc = QAPPROX_ACC
+    # |le - q·n| ≤ 2n/acc + 1, cross-multiplied to integers:
+    #   p50 (q=1/2):   |2·le50 − n|·acc ≤ 2·(2·n + acc)
+    #   p95 (q=19/20): |20·le95 − 19·n|·acc ≤ 20·(2·n + acc)
+    return exact.join(ranks, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "p50_exact",
+        "p95_exact",
+        (
+            F.abs(F.lit(2) * F.col("le50") - F.col("n")) * acc
+            <= F.lit(2) * (F.lit(2) * F.col("n") + F.lit(acc))
+        ).alias("p50_ok"),
+        (
+            F.abs(F.lit(20) * F.col("le95") - F.lit(19) * F.col("n")) * acc
+            <= F.lit(20) * (F.lit(2) * F.col("n") + F.lit(acc))
+        ).alias("p95_ok"),
+    )
+
+
 def ev_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC / upsert compaction — last-write-wins per (user_id,
     event_type): the batch twin of the reference consumer's Mongo
@@ -534,6 +605,7 @@ def ev_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_approx_distinct": ev_approx_distinct,
+    "ev_approx_quantile": ev_approx_quantile,
     "ev_latest_by_key": ev_latest_by_key,
     "ev_trending": ev_trending,
     "ev_props_variant": ev_props_variant,
@@ -758,6 +830,23 @@ ORACLES = {
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
                max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
         FROM s
+    """,
+    "ev_approx_quantile": """
+        WITH s AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50_exact,
+               max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95_exact,
+               TRUE AS p50_ok,
+               TRUE AS p95_ok
+        FROM s GROUP BY event_type
     """,
     "ev_percentile_by_type": """
         WITH s AS (
