@@ -504,6 +504,58 @@ def ev_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_WINDOW_MS = 24 * 3600 * 1000  # last-touch lookback
+
+
+def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase is
+    credited to the same user's LATEST click at-or-before the purchase,
+    within a 24 h lookback — the event-on-event as-of join
+    (`operators.joins.asof_join`, §2.7's as-of with tolerance) applied
+    to the funnel the reference's event types carry. Purchases with no
+    qualifying click stay in the result unattributed (left semantics).
+
+    Plan shape: ONE union-sort pass partitioned by user — both legs
+    shuffle once on the key, the carry is a running `last(ignorenulls)`
+    window, and the tolerance is a post-carry predicate, not a second
+    join. The same plan at 100 TB: state per partition is one carried
+    struct, never a per-user history.
+    """
+    from kafka_flink_harshevents_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", ts_millis("ts").alias("tms")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("tms").alias("click_ms"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("tms").alias("purchase_ms"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ms",
+        right_ts="click_ms",
+        payload_cols=["click_event_id", "click_ms"],
+        tie_break="click_event_id",
+        tolerance=ATTR_WINDOW_MS,
+    )
+    return j.select(
+        "purchase_event_id",
+        "user_id",
+        "purchase_ms",
+        "click_event_id",
+        "click_ms",
+        (F.col("purchase_ms") - F.col("click_ms")).alias("gap_ms"),
+    )
+
+
 QAPPROX_ACC = 100  # percentile_approx accuracy → rank error ≲ n/accuracy
 
 
@@ -606,6 +658,7 @@ QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_approx_distinct": ev_approx_distinct,
     "ev_approx_quantile": ev_approx_quantile,
+    "ev_attribution_last_touch": ev_attribution_last_touch,
     "ev_latest_by_key": ev_latest_by_key,
     "ev_trending": ev_trending,
     "ev_props_variant": ev_props_variant,
@@ -830,6 +883,35 @@ ORACLES = {
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
                max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
         FROM s
+    """,
+    "ev_attribution_last_touch": f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms
+            FROM events
+        ),
+        c AS (
+            SELECT user_id, event_id AS click_event_id, tms AS click_ms
+            FROM e WHERE event_type = 'click'
+        ),
+        c1 AS (
+            SELECT user_id, click_ms,
+                   max(click_event_id) AS click_event_id
+            FROM c GROUP BY user_id, click_ms
+        ),
+        p AS (
+            SELECT user_id, event_id AS purchase_event_id, tms AS purchase_ms
+            FROM e WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_event_id, p.user_id, p.purchase_ms,
+               m.click_event_id, m.click_ms,
+               p.purchase_ms - m.click_ms AS gap_ms
+        FROM p LEFT JOIN LATERAL (
+            SELECT click_event_id, click_ms FROM c1
+            WHERE c1.user_id = p.user_id
+              AND c1.click_ms <= p.purchase_ms
+              AND c1.click_ms >= p.purchase_ms - {ATTR_WINDOW_MS}
+            ORDER BY click_ms DESC LIMIT 1
+        ) m ON TRUE
     """,
     "ev_approx_quantile": """
         WITH s AS (
