@@ -151,6 +151,32 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface in one entry: percent_rank, cume_dist,
+    ntile, nth_value and last over the per-customer order history. The
+    partition key is ``o_custkey`` — cardinality grows with the data,
+    so partitions stay balanced at any scale (an enum-valued partition
+    key would funnel the table into a handful of partitions, the
+    anti-pattern the percentile queries rewrote away). ORDER BY
+    includes the key tie-break, so every rank-based value is
+    deterministic; one shuffle, one Window operator.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+    )
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join: customers with no large order
     (> 400k; every synthetic customer has SOME order, so the unfiltered
@@ -384,6 +410,7 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q4_order_priority": q4_order_priority,
     "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_window_suite": q_window_suite,
     "q_customers_without_orders": q_customers_without_orders,
     "q_asof_latest_order": q_asof_latest_order,
     "q_revenue_rollup": q_revenue_rollup,
@@ -525,6 +552,21 @@ ORACLES = {
                   AND l_shipdate > o_orderdate + INTERVAL 60 DAY
           )
         GROUP BY o_orderpriority
+    """,
+    "q_window_suite": """
+        SELECT o_orderkey, o_custkey,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               nth_value(o_orderkey, 3) OVER wf AS third_key,
+               last_value(o_orderkey) OVER wf AS last_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
     """,
     "q_top_orders_per_customer": """
         SELECT c_custkey, c_name, o_orderkey, o_totalprice, rn
