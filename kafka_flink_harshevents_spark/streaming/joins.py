@@ -137,3 +137,73 @@ def violations_during_status(
         F.col("s_epoch").alias("status_timestamp"),
         (F.col("v_epoch") - F.col("s_epoch")).alias("seconds_after_status"),
     )
+
+
+def attributed_purchases_stream(
+    events: DataFrame,
+    lookback_seconds: int = 86400,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming last-touch attribution — the continuous twin of the
+    batch ``ev_attribution_last_touch`` catalog query: each purchase is
+    credited to the same user's LATEST click in
+    ``[t_purchase − lookback, t_purchase]``.
+
+    Same two-stage multi-stateful shape as `followed_by_stream`, with
+    the aggregation inverted (max instead of min): the interval join's
+    state is bounded by watermark + lookback on both sides, and the
+    per-purchase aggregate emits once the watermark passes the
+    purchase — a single ``max(struct(click_ts, click_id))`` reproduces
+    the batch as-of join's winner exactly (latest timestamp, highest
+    event id on same-timestamp ties). INNER semantics: unattributed
+    purchases don't emit — the batch query is the left-complete view.
+
+    Scale shape: one shuffle on user_id for both legs; join state per
+    key is the lookback span; aggregation state is one row per pending
+    purchase, dropped at watermark.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_event_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
+        )
+    )
+    pairs = purchases.join(clicks, cond)
+    winner = F.max(
+        F.struct(F.col("c_ts").alias("cts"), F.col("click_event_id").alias("cid"))
+    ).alias("m")
+    return (
+        pairs.groupBy("user_id", "purchase_event_id", "p_ts")
+        .agg(winner)
+        .select(
+            "user_id",
+            "purchase_event_id",
+            F.unix_millis(F.col("p_ts").cast("timestamp")).alias("purchase_ms"),
+            F.col("m.cid").alias("click_event_id"),
+            F.unix_millis(F.col("m.cts").cast("timestamp")).alias("click_ms"),
+            (
+                F.unix_millis(F.col("p_ts").cast("timestamp"))
+                - F.unix_millis(F.col("m.cts").cast("timestamp"))
+            ).alias("gap_ms"),
+        )
+    )

@@ -1423,3 +1423,112 @@ def test_streaming_heavy_hitters_guarantees(spark, tmp_path):
     # emitted n_seen matches the shard's true stream length
     for (shard, _), (_, n_seen) in summary.items():
         assert n_seen == n_shard[shard]
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """The streaming last-touch attribution (interval join + max-struct
+    aggregate) replayed over the sf0.001 events log emits exactly the
+    ATTRIBUTED subset of the batch ev_attribution_last_touch rows —
+    same winner on latest-timestamp and same-millisecond ties."""
+    from kafka_flink_harshevents_spark.queries.events import (
+        ev_attribution_last_touch,
+    )
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.streaming.joins import (
+        attributed_purchases_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "attr"
+    src.mkdir()
+    (
+        load(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+        )
+        .coalesce(1)
+        .write.json(str(src / "w1.json"))
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, event_type STRING, tms LONG"
+        )
+        .json(str(src) + "/*.json")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_millis(F.col("tms")).alias("ts"),
+        )
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        attributed_purchases_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future sentinels advance the watermark so the tail
+        # purchases flush; they must be real click/purchase types to
+        # pass both legs' filters (a filtered-out type never reaches
+        # the watermark operator), on negative user ids, spaced past
+        # the lookback so they can't attribute to each other
+        far = 4_000_000_000_000
+        for i, mult in enumerate((1, 2)):
+            with open(src / f"s{i}.json", "w") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": -1 - 2 * i,
+                            "user_id": -1,
+                            "event_type": "click",
+                            "tms": mult * far,
+                        }
+                    )
+                    + "\n"
+                )
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": -2 - 2 * i,
+                            "user_id": -2,
+                            "event_type": "purchase",
+                            "tms": mult * far + 10 * 86400 * 1000,
+                        }
+                    )
+                    + "\n"
+                )
+            q.processAllAvailable()
+        got = {
+            (
+                r["purchase_event_id"],
+                r["user_id"],
+                r["click_event_id"],
+                r["click_ms"],
+                r["gap_ms"],
+            )
+            for r in spark.table(name).collect()
+            if r["user_id"] >= 0  # exclude (negative) sentinel users
+        }
+    finally:
+        q.stop()
+    want = {
+        (
+            r["purchase_event_id"],
+            r["user_id"],
+            r["click_event_id"],
+            r["click_ms"],
+            r["gap_ms"],
+        )
+        for r in ev_attribution_last_touch(spark, SF_DIR).collect()
+        if r["click_event_id"] is not None
+    }
+    assert want, "batch attribution found nothing — data too tame"
+    assert got == want
