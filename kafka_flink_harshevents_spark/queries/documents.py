@@ -1830,6 +1830,29 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first pass of every pretraining corpus
+    (CCNet/C4 style): lowercase, strip non-printable characters,
+    collapse whitespace runs, trim. All JVM-side string expressions —
+    scan-local, zero shuffle, pushdown-friendly; the 100 TB shape is a
+    pure map stage. Emits before/after lengths so shrinkage is
+    auditable downstream."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^\x20-\x7e]", " "),
+            r" +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
 DSIR_BUCKETS = 256  # hashed-feature dimensionality (paper uses 10k at scale)
 DSIR_TARGET_LANG = "en"  # the "target domain" the sampler steers toward
 
@@ -1979,6 +2002,7 @@ def _dsir_sql() -> str:
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_dsir_weights": doc_dsir_weights,
+    "doc_normalize_text": doc_normalize_text,
     "doc_gopher_quality": doc_gopher_quality,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
@@ -2494,6 +2518,20 @@ ORACLES = {
         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
     """,
     "doc_dsir_weights": _dsir_sql(),
+    "doc_normalize_text": r"""
+        WITH n AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^\x20-\x7e]', ' ', 'g'),
+                       ' +', ' ', 'g')) AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_raw,
+               CAST(length(norm) AS BIGINT) AS n_chars_norm,
+               md5(norm) AS norm_hash
+        FROM n
+    """,
     "doc_minhash_lsh_pairs": _minhash_sql(),
     "doc_bm25_topk": _bm25_sql(),
     "doc_edit_distance_pairs": f"""

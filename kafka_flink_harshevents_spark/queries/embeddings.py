@@ -947,6 +947,40 @@ def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_TRUNC_DIM = 8  # matryoshka truncation prefix length
+
+
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector preprocessing for retrieval/training: per-vector L2
+    normalization plus matryoshka-style truncation diagnostics
+    (Kusupati et al. 2022) — how much of each vector's norm the first
+    MRL_TRUNC_DIM dimensions retain, and a checksum of the normalized
+    prefix. Entirely scan-local (one array fold per emission, the
+    `_COS` left-to-right convention), zero shuffle — the shape that is
+    a pure map stage over 100 TB of vectors. Scalar emissions keep the
+    row driver-hashable (array columns stringify differently across
+    engines)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    norm = _norm("emb")
+    prefix = F.slice("emb", 1, MRL_TRUNC_DIM)
+    prefix_norm = F.sqrt(
+        F.aggregate(prefix, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    checksum = F.aggregate(prefix, F.lit(0.0), lambda a, x: a + x) / norm
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(
+            F.when(norm > 0, prefix_norm / norm).otherwise(F.lit(0.0)), 6
+        ).alias("trunc_norm_ratio"),
+        F.round(
+            F.when(norm > 0, checksum).otherwise(F.lit(0.0)), 6
+        ).alias("prefix_checksum"),
+    )
+
+
 OUTLIER_MD2_MEAN = 1.02  # per-dim-mean z² flag line (≈1.0 for in-dist data)
 
 
@@ -1017,6 +1051,7 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
     "emb_outlier_scores": emb_outlier_scores,
+    "emb_normalize": emb_normalize,
     "emb_centroids": emb_centroids,
     "emb_quantize_stats": emb_quantize_stats,
     "emb_knn_lsh": emb_knn_lsh,
@@ -1045,6 +1080,26 @@ _COS = """
 
 ORACLES = {
     "emb_knn_lsh": _knn_lsh_oracle_sql(),
+    "emb_normalize": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        s AS (
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                                                i -> emb[i] * emb[i]))) AS nrm,
+                   sqrt(list_sum(list_transform(range(1, {MRL_TRUNC_DIM} + 1),
+                                                i -> emb[i] * emb[i]))) AS pn,
+                   list_sum(list_transform(range(1, {MRL_TRUNC_DIM} + 1),
+                                           i -> emb[i])) AS ps
+            FROM e
+        )
+        SELECT vec_id,
+               round(nrm, 6) AS l2_norm,
+               round(CASE WHEN nrm > 0 THEN pn / nrm ELSE 0.0 END, 6)
+                   AS trunc_norm_ratio,
+               round(CASE WHEN nrm > 0 THEN ps / nrm ELSE 0.0 END, 6)
+                   AS prefix_checksum
+        FROM s
+    """,
     "emb_outlier_scores": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         ex AS (SELECT vec_id, i AS pos, emb[i] AS v
