@@ -83,6 +83,22 @@ def _fake_pixels(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+def _decode_pixels(decoder, blob: bytes, magic_len: int) -> np.ndarray:
+    """ONE decode policy for every pixel consumer (features, aHash):
+    real codec where importable, per-payload fallback to the
+    deterministic byte decode otherwise — keeping the fingerprint path
+    and the feature path reading the SAME pixels."""
+    if decoder is not None:  # pragma: no cover — codec not in container
+        import io
+
+        try:
+            img = decoder.open(io.BytesIO(blob)).convert("L")
+            return np.asarray(img, dtype=np.uint8).ravel()
+        except Exception:
+            pass  # undecodable payload → deterministic fallback
+    return _fake_pixels(blob[magic_len:])
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -106,17 +122,6 @@ def decode_media(media: DataFrame) -> DataFrame:
     (the reference pipeline's drop-nothing leniency applied to media)."""
     decoder = _try_real_decoder()
 
-    def _pixels(blob: bytes, magic_len: int) -> np.ndarray:
-        if decoder is not None:  # pragma: no cover — codec not in container
-            import io
-
-            try:
-                img = decoder.open(io.BytesIO(blob)).convert("L")
-                return np.asarray(img, dtype=np.uint8).ravel()
-            except Exception:
-                pass  # undecodable payload → deterministic fallback
-        return _fake_pixels(blob[magic_len:])
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {
@@ -126,7 +131,7 @@ def decode_media(media: DataFrame) -> DataFrame:
             n, mean, std, lo, hi = [], [], [], [], []
             for blob, meta in zip(pdf["media"], pdf["media_meta"]):
                 magic_len = len(_MAGIC[meta["format"]])
-                px = _pixels(bytes(blob), magic_len)
+                px = _decode_pixels(decoder, bytes(blob), magic_len)
                 n.append(len(px))
                 mean.append(float(px.mean()) if len(px) else 0.0)
                 std.append(float(px.std()) if len(px) else 0.0)
@@ -190,17 +195,7 @@ def ahash_media(media: DataFrame) -> DataFrame:
     hash over near-empty media is all ties, not a fingerprint).
     """
     decoder = _try_real_decoder()
-
-    def _pixels(blob: bytes, magic_len: int) -> np.ndarray:
-        if decoder is not None:  # pragma: no cover — codec not in container
-            import io
-
-            try:
-                img = decoder.open(io.BytesIO(blob)).convert("L")
-                return np.asarray(img, dtype=np.uint8).ravel()
-            except Exception:
-                pass
-        return _fake_pixels(blob[magic_len:])
+    bit_weights = 1 << np.arange(AHASH_BITS - 1, -1, -1, dtype=object)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -208,17 +203,18 @@ def ahash_media(media: DataFrame) -> DataFrame:
             for doc_id, blob, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
-                px = _pixels(bytes(blob), len(_MAGIC[meta["format"]]))
+                px = _decode_pixels(decoder, bytes(blob), len(_MAGIC[meta["format"]]))
                 n = len(px)
                 if n < AHASH_BITS:
                     continue
+                # all block sums in ONE vectorized reduction (reduceat
+                # over the block boundaries), not 60 slice-sums
+                bounds = (np.arange(AHASH_BITS, dtype=np.int64) * n) // AHASH_BITS
+                sums = np.add.reduceat(px.astype(np.int64), bounds)
+                lens = np.diff(np.append(bounds, n))
                 total = int(px.sum())
-                h = 0
-                for i in range(AHASH_BITS):
-                    lo = i * n // AHASH_BITS
-                    hi = (i + 1) * n // AHASH_BITS
-                    if int(px[lo:hi].sum()) * n > total * (hi - lo):
-                        h |= 1 << (AHASH_BITS - 1 - i)
+                bits = sums * n > total * lens
+                h = int((bit_weights[bits]).sum())
                 ids.append(int(doc_id))
                 hashes.append(h)
             yield pd.DataFrame(

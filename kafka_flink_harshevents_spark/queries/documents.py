@@ -1155,39 +1155,15 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     fps = votes.select("doc_id", fp.cast("long").alias("fp"))
+    from kafka_flink_harshevents_spark.operators.pigeonhole import pigeonhole_pairs
 
-    width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BLOCKS
-    mask = (1 << width) - 1
-    block_structs = [
-        F.struct(
-            F.lit(i).alias("bi"),
-            F.shiftright(F.col("fp"), (SIMHASH_PAIR_BLOCKS - 1 - i) * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("bv"),
-        )
-        for i in range(SIMHASH_PAIR_BLOCKS)
-    ]
-    blocks = fps.select(
-        "doc_id", "fp", F.explode(F.array(*block_structs)).alias("x")
-    ).select("doc_id", "fp", F.col("x.bi").alias("bi"), F.col("x.bv").alias("bv"))
-    buckets = (
-        blocks.groupBy("bi", "bv")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pair_expr = F.expr(
-        """flatten(
-               transform(ds, (x, i) ->
-                   transform(slice(ds, i + 2, size(ds) - i - 1),
-                             y -> struct(x.doc_id AS da, y.doc_id AS db,
-                                         CAST(bit_count(x.fp ^ y.fp) AS BIGINT)
-                                             AS hamming))))"""
-    )
-    return (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.*")
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
+    return pigeonhole_pairs(
+        fps,
+        id_col="doc_id",
+        fp_col="fp",
+        bits=SIMHASH_PAIR_BITS,
+        n_blocks=SIMHASH_PAIR_BLOCKS,
+        max_hamming=SIMHASH_MAX_HAMMING,
     )
 
 

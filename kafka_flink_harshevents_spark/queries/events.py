@@ -599,31 +599,43 @@ def ev_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(approx), "event_type")
         .groupBy("event_type")
         .agg(
+            F.sum(F.when(F.col("value") < F.col("ap50"), 1).otherwise(0))
+            .cast("long")
+            .alias("lt50"),
             F.sum(F.when(F.col("value") <= F.col("ap50"), 1).otherwise(0))
             .cast("long")
             .alias("le50"),
+            F.sum(F.when(F.col("value") < F.col("ap95"), 1).otherwise(0))
+            .cast("long")
+            .alias("lt95"),
             F.sum(F.when(F.col("value") <= F.col("ap95"), 1).otherwise(0))
             .cast("long")
             .alias("le95"),
         )
     )
     acc = QAPPROX_ACC
-    # |le - q·n| ≤ 2n/acc + 1, cross-multiplied to integers:
-    #   p50 (q=1/2):   |2·le50 − n|·acc ≤ 2·(2·n + acc)
-    #   p95 (q=19/20): |20·le95 − 19·n|·acc ≤ 20·(2·n + acc)
+    # The estimate occupies the rank INTERVAL [lt+1, le] (duplicates
+    # widen it); the gate passes iff the target rank q·n sits within
+    # 2n/acc + 1 of that interval — tie-robust, unlike a single
+    # count(≤) comparison. Cross-multiplied to integers:
+    #   p50 (q=1/2):   (2·lt − n)·acc ≤ 2·(2n + acc)
+    #              AND (n − 2·le)·acc ≤ 2·(2n + acc)
+    #   p95 (q=19/20): (20·lt − 19n)·acc ≤ 20·(2n + acc)
+    #              AND (19n − 20·le)·acc ≤ 20·(2n + acc)
+    def gate(lt, le, qn, qd):
+        # q = qn/qd; slack = 2n/acc + 1 scaled by qd·acc
+        slack = F.lit(qd) * (F.lit(2) * F.col("n") + F.lit(acc))
+        lo_ok = (F.lit(qd) * F.col(lt) - F.lit(qn) * F.col("n")) * acc <= slack
+        hi_ok = (F.lit(qn) * F.col("n") - F.lit(qd) * F.col(le)) * acc <= slack
+        return lo_ok & hi_ok
+
     return exact.join(ranks, "event_type").select(
         "event_type",
         F.col("n").cast("long").alias("n"),
         "p50_exact",
         "p95_exact",
-        (
-            F.abs(F.lit(2) * F.col("le50") - F.col("n")) * acc
-            <= F.lit(2) * (F.lit(2) * F.col("n") + F.lit(acc))
-        ).alias("p50_ok"),
-        (
-            F.abs(F.lit(20) * F.col("le95") - F.lit(19) * F.col("n")) * acc
-            <= F.lit(20) * (F.lit(2) * F.col("n") + F.lit(acc))
-        ).alias("p95_ok"),
+        gate("lt50", "le50", 1, 2).alias("p50_ok"),
+        gate("lt95", "le95", 19, 20).alias("p95_ok"),
     )
 
 

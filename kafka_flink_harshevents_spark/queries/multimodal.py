@@ -120,39 +120,16 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is keyed by (block, value) — colliding media only, never
     all pairs; the per-bucket pair expansion is array-local (no
     self-join re-evaluating the decode)."""
+    from kafka_flink_harshevents_spark.operators.pigeonhole import pigeonhole_pairs
+
     fps = ahash_media(_media(spark, sf_dir))
-    width = AHASH_BITS // PHASH_BLOCKS
-    mask = (1 << width) - 1
-    block_structs = [
-        F.struct(
-            F.lit(i).alias("bi"),
-            F.shiftright(F.col("phash"), (PHASH_BLOCKS - 1 - i) * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("bv"),
-        )
-        for i in range(PHASH_BLOCKS)
-    ]
-    blocks = fps.select(
-        "doc_id", "phash", F.explode(F.array(*block_structs)).alias("x")
-    ).select("doc_id", "phash", F.col("x.bi").alias("bi"), F.col("x.bv").alias("bv"))
-    buckets = (
-        blocks.groupBy("bi", "bv")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "phash"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pair_expr = F.expr(
-        """flatten(
-               transform(ds, (x, i) ->
-                   transform(slice(ds, i + 2, size(ds) - i - 1),
-                             y -> struct(x.doc_id AS da, y.doc_id AS db,
-                                         CAST(bit_count(x.phash ^ y.phash) AS BIGINT)
-                                             AS hamming))))"""
-    )
-    return (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.*")
-        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
-        .distinct()
+    return pigeonhole_pairs(
+        fps,
+        id_col="doc_id",
+        fp_col="phash",
+        bits=AHASH_BITS,
+        n_blocks=PHASH_BLOCKS,
+        max_hamming=PHASH_MAX_HAMMING,
     )
 
 
