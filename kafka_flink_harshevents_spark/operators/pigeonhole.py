@@ -34,6 +34,10 @@ def pigeonhole_pairs(
     pairs with ``hamming ≤ max_hamming`` (exact recall iff
     ``max_hamming ≤ n_blocks − 1``)."""
     assert bits % n_blocks == 0, "blocks must tile the fingerprint"
+    assert max_hamming < n_blocks, (
+        "pigeonhole recall is exact only for max_hamming <= n_blocks - 1; "
+        "raise n_blocks (finer blocks) to widen the radius"
+    )
     f = fps.select(F.col(id_col).alias("pid"), F.col(fp_col).alias("pfp"))
     width = bits // n_blocks
     mask = (1 << width) - 1
