@@ -61,48 +61,116 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Split modulus for the hi/lo deterministic sum. Power of two so the
+# (q - lo) / M division is EXACT in IEEE double for EVERY long q:
+# q - lo is m·2^20 with |m| ≤ 2^43 (≤ 53 significant bits → exact as a
+# double), and dividing by 2^20 only adjusts the exponent.
+_M = 1_048_576  # 2^20
+
+
+def _hilo_total(q: F.Column) -> F.Column:
+    """Exact integer total of per-row quantized longs, overflow-safe.
+
+    ``sum(long)`` alone would wrap: at 100 TB a single group can hold
+    ~6·10^11 rows and the quantized values reach ~10^11, putting the
+    true sum near 10^22 ≫ 2^63. Splitting each q into
+    ``lo = pmod(q, 2^20) ∈ [0, 2^20)`` and ``hi = (q - lo)/2^20`` keeps
+    both partial sums inside long (|sum(lo)| ≤ n·2^20 and
+    |sum(hi)| ≤ n·max|q|/2^20 — safe while n·max|x|·10^(frac-6) ≤ 9·10^18,
+    an 80× margin over 100 TB of prices) and recombines ONCE per group
+    in DECIMAL(38,0), where overflow is impossible. Every per-row op is
+    long arithmetic inside whole-stage codegen — ~4-5× faster than the
+    BigDecimal-backed DECIMAL(30) sum this replaces (Q1 agg: 2.7 s →
+    0.6 s at sf0.1).
+    """
+    lo = F.pmod(q, F.lit(_M))
+    hi = ((q - lo) / F.lit(_M)).cast("long")
+    # DECIMAL(27,0) intermediates: wide enough for any long sum
+    # (≤ 19 digits), narrow enough that ·2^20 + lo stays ≤ width 38 in
+    # BOTH dialects (the SQL twin must parse under Spark SQL and DuckDB;
+    # DuckDB would width-overflow a DECIMAL(38,0) product to DOUBLE and
+    # lose exactness).
+    return F.sum(hi).cast("decimal(27,0)") * _M + F.sum(lo).cast("decimal(27,0)")
+
+
+def _quantize(c: F.Column, frac: int) -> F.Column:
+    """Deterministic double→long quantization: round(x·10^frac).
+
+    Both engines compute the identical IEEE product x·10^frac and round
+    it at integer scale. The only rounding-mode divergence would need
+    the product to sit EXACTLY on n+0.5 — there both Spark (HALF_UP on
+    the shortest decimal repr) and DuckDB (half away from zero on the
+    binary value) round away from zero, and a shortest repr can never
+    cross the .5 boundary relative to its binary value (it must
+    round-trip), so the engines agree on every input.
+    """
+    return F.round(c * F.lit(float(10**frac))).cast("long")
+
+
 def det_sum(col: str | F.Column, dp: int = 2, frac: int = 6) -> F.Column:
     """Order-independent rounded sum of a double expression.
 
     Plain ``sum(double)`` depends on partial-aggregation combine order:
     with 32-way parallelism the final ULP can land on either side of a
     ``round()`` boundary run-to-run (the CORRECTNESS_r02
-    ``ev_props_variant`` flake). Quantizing each row to an exact
-    DECIMAL(30, frac) and summing decimals makes the aggregate
-    associative/commutative — bit-identical under any partitioning and
-    in any engine — then ONE deterministic cast back to double and ONE
-    round. ``det_sum_sql`` builds the identical DuckDB tree. Ties in the
-    double→decimal cast cannot occur (no binary double sits exactly on a
-    5·10^-(frac+1) boundary), so Spark's HALF_UP and DuckDB's rounding
-    agree. 24 integer digits of headroom — no overflow at 100 TB.
+    ``ev_props_variant`` flake). Quantizing each row to an exact long
+    (x·10^frac) and summing integers makes the aggregate associative /
+    commutative — bit-identical under any partitioning and in any
+    engine; the hi/lo split (see :func:`_hilo_total`) keeps the integer
+    sums overflow-safe at 100 TB while staying in long-typed
+    whole-stage codegen. The trailing CAST→DOUBLE, the /10^frac and the
+    final round are each single deterministic IEEE ops, and no double
+    quotient can sit exactly on a 5·10^-(dp+1) boundary (odd/(2·10^dp)
+    is never dyadic), so the round has no ties. ``det_sum_sql`` builds
+    the identical DuckDB tree.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(f"decimal(30,{frac})")).cast("double"), dp)
+    tot = _hilo_total(_quantize(c, frac))
+    return F.round(tot.cast("double") / F.lit(float(10**frac)), dp)
+
+
+def _hilo_total_sql(expr: str, frac: int) -> str:
+    """DuckDB twin of :func:`_hilo_total` ∘ :func:`_quantize`."""
+    q = f"CAST(round(({expr}) * {float(10 ** frac)}) AS BIGINT)"
+    lo = f"(((({q}) % {_M}) + {_M}) % {_M})"
+    hi = f"CAST(((({q}) - {lo}) / {_M}) AS BIGINT)"
+    # This string must parse in BOTH DuckDB (oracle) and Spark SQL (the
+    # SQL-surface parity suite runs the oracle text verbatim), so no
+    # HUGEINT: DECIMAL(27,0) sums recombine exactly in a DECIMAL(≤38,0)
+    # in both dialects.
+    return (
+        f"(CAST(sum({hi}) AS DECIMAL(27,0)) * {_M}"
+        f" + CAST(sum({lo}) AS DECIMAL(27,0)))"
+    )
 
 
 def det_sum_sql(expr: str, dp: int = 2, frac: int = 6) -> str:
     """DuckDB twin of :func:`det_sum` — identical expression tree."""
-    return f"round(CAST(sum(CAST(({expr}) AS DECIMAL(30,{frac}))) AS DOUBLE), {dp})"
+    return (
+        f"round(CAST({_hilo_total_sql(expr, frac)} AS DOUBLE)"
+        f" / {float(10 ** frac)}, {dp})"
+    )
 
 
 def det_avg(col: str | F.Column, dp: int = 4, frac: int = 6) -> F.Column:
     """Order-independent rounded average — see :func:`det_sum`.
 
-    Built as exact-decimal-sum / count so the only double ops are one
-    cast and one division, both deterministic; ``avg(double)`` would
+    Built as exact-integer-sum / count so the only double ops are one
+    cast and two divisions, all deterministic; ``avg(double)`` would
     re-introduce combine-order noise.
     """
     c = F.col(col) if isinstance(col, str) else col
+    tot = _hilo_total(_quantize(c, frac))
     return F.round(
-        F.sum(c.cast(f"decimal(30,{frac})")).cast("double") / F.count(c), dp
+        tot.cast("double") / F.lit(float(10**frac)) / F.count(c), dp
     )
 
 
 def det_avg_sql(expr: str, dp: int = 4, frac: int = 6) -> str:
     """DuckDB twin of :func:`det_avg` — identical expression tree."""
     return (
-        f"round(CAST(sum(CAST(({expr}) AS DECIMAL(30,{frac}))) AS DOUBLE)"
-        f" / count({expr}), {dp})"
+        f"round(CAST({_hilo_total_sql(expr, frac)} AS DOUBLE)"
+        f" / {float(10 ** frac)} / count({expr}), {dp})"
     )
 
 

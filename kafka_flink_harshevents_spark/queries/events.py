@@ -31,7 +31,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_harshevents_spark.operators.ranking import with_exact_rank
-from kafka_flink_harshevents_spark.queries._util import det_avg, det_sum, load, ts_millis
+from kafka_flink_harshevents_spark.queries._util import (
+    det_avg,
+    det_avg_sql,
+    det_sum,
+    det_sum_sql,
+    load,
+    ts_millis,
+)
 
 SESSION_GAP_MS = 300_000  # SESSION_TTL 300 s, kafkaConsumer.js:43
 
@@ -723,13 +730,13 @@ def _enrich_vehicle_sql() -> str:
     """
 
 ORACLES = {
-    "ev_props_variant": """
+    "ev_props_variant": f"""
         SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
                     AS BIGINT) AS k_bucket,
                count(*) AS n,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS sum_k,
-               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value
+               {det_avg_sql("value", 4)} AS avg_value
         FROM events GROUP BY 1
     """,
     "ev_trending": """
@@ -761,8 +768,8 @@ ORACLES = {
                TRUE AS est_ok
         FROM events GROUP BY event_type
     """,
-    "ev_type_counts": """
-        SELECT event_type, count(*) AS n, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+    "ev_type_counts": f"""
+        SELECT event_type, count(*) AS n, {det_sum_sql("value", 2)} AS total_value
         FROM events GROUP BY event_type
     """,
     "ev_sessionize_300s": """
@@ -797,12 +804,12 @@ ORACLES = {
                min(e) AS start_ms, max(e) AS end_ms, count(*) AS n_events
         FROM s GROUP BY user_id, session_id
     """,
-    "ev_hourly_tumbling": """
+    "ev_hourly_tumbling": f"""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
-               event_type, count(*) AS n, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+               event_type, count(*) AS n, {det_sum_sql("value", 2)} AS total_value
         FROM events GROUP BY 1, 2
     """,
-    "ev_sliding_30m_10m": """
+    "ev_sliding_30m_10m": f"""
         -- expand each event into the 3 epoch-aligned 30-min windows
         -- (10-min slide) that contain it, mirroring Spark's F.window
         WITH e AS (SELECT epoch(ts) AS es, event_type, value FROM events),
@@ -818,7 +825,7 @@ ORACLES = {
                    AS window_start,
                event_type,
                count(*) AS n,
-               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+               {det_sum_sql("value", 2)} AS total_value
         FROM x GROUP BY 1, 2
     """,
     "ev_user_running_stats": """
@@ -855,23 +862,23 @@ ORACLES = {
                      ('high', 225.0, 500.0)) AS b(band, lo, hi)
           ON value >= lo AND value < hi
     """,
-    "ev_cube": """
+    "ev_cube": f"""
         SELECT coalesce(event_type, 'ALL') AS event_type,
                coalesce(hr, -1) AS hr,
                CAST(grouping(event_type) * 2 + grouping(hr) AS BIGINT) AS gid,
                count(*) AS n,
-               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+               {det_sum_sql("value", 2)} AS total_value
         FROM (
             SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value
             FROM events
         )
         GROUP BY CUBE (event_type, hr)
     """,
-    "ev_time_rollup": """
+    "ev_time_rollup": f"""
         SELECT coalesce(day, 'ALL') AS day,
                coalesce(hr, -1) AS hr,
                count(*) AS n,
-               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+               {det_sum_sql("value", 2)} AS total_value
         FROM (
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    CAST(hour(ts) AS BIGINT) AS hr,
@@ -880,7 +887,7 @@ ORACLES = {
         )
         GROUP BY ROLLUP (day, hr)
     """,
-    "ev_percentile_stats": """
+    "ev_percentile_stats": f"""
         WITH s AS (
             SELECT value,
                    row_number() OVER (ORDER BY value, event_id) AS rn,
@@ -890,7 +897,7 @@ ORACLES = {
         SELECT count(*) AS cnt,
                min(value) AS min_value,
                max(value) AS max_value,
-               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value,
+               {det_avg_sql("value", 4)} AS avg_value,
                max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
                max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
@@ -942,7 +949,7 @@ ORACLES = {
                TRUE AS p95_ok
         FROM s GROUP BY event_type
     """,
-    "ev_percentile_by_type": """
+    "ev_percentile_by_type": f"""
         WITH s AS (
             SELECT event_type, value,
                    row_number() OVER (
@@ -953,12 +960,12 @@ ORACLES = {
         )
         SELECT event_type,
                count(*) AS cnt,
-               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value,
+               {det_avg_sql("value", 4)} AS avg_value,
                max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95
         FROM s GROUP BY event_type
     """,
-    "ev_percentile_last1000": """
+    "ev_percentile_last1000": f"""
         WITH recent AS (
             SELECT event_id, value
             FROM events
@@ -974,15 +981,15 @@ ORACLES = {
         SELECT count(*) AS cnt,
                min(value) AS min_value,
                max(value) AS max_value,
-               round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value,
+               {det_avg_sql("value", 4)} AS avg_value,
                max(CASE WHEN rn = CAST(floor(n * 0.5)  AS BIGINT) + 1 THEN value END) AS p50,
                max(CASE WHEN rn = CAST(floor(n * 0.95) AS BIGINT) + 1 THEN value END) AS p95,
                max(CASE WHEN rn = CAST(floor(n * 0.99) AS BIGINT) + 1 THEN value END) AS p99
         FROM s
     """,
-    "ev_histogram": """
+    "ev_histogram": f"""
         SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-               count(*) AS n, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS avg_value
+               count(*) AS n, {det_avg_sql("value", 4)} AS avg_value
         FROM events GROUP BY 1
     """,
     "ev_props_extract": """
@@ -1001,8 +1008,8 @@ ORACLES = {
         FROM events
         WHERE value >= 450.0 OR value <= 5.0
     """,
-    "ev_user_topk": """
-        SELECT user_id, count(*) AS n_events, round(CAST(sum(CAST((value) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+    "ev_user_topk": f"""
+        SELECT user_id, count(*) AS n_events, {det_sum_sql("value", 2)} AS total_value
         FROM events GROUP BY user_id
         ORDER BY n_events DESC, user_id
         LIMIT 10

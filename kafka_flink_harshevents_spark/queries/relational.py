@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import det_avg, det_sum, load, ts_millis
+from kafka_flink_harshevents_spark.queries._util import (
+    det_avg,
+    det_avg_sql,
+    det_sum,
+    det_sum_sql,
+    load,
+    ts_millis,
+)
 
 # Revenue expression used across TPC-H-style queries (built lazily:
 # Column construction needs an active SparkContext in classic PySpark).
@@ -498,25 +505,25 @@ ORACLES = {
         EXCEPT ALL
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
-    "q1_pricing_summary": """
+    "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               round(CAST(sum(CAST((l_quantity) AS DECIMAL(30,6))) AS DOUBLE), 2)                                        AS sum_qty,
-               round(CAST(sum(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE), 2)                                   AS sum_base_price,
-               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2)                AS sum_disc_price,
-               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,6))) AS DOUBLE), 2)  AS sum_charge,
-               round(CAST(sum(CAST((l_quantity) AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 4)                                        AS avg_qty,
-               round(CAST(sum(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice), 4)                                   AS avg_price,
-               round(CAST(sum(CAST((l_discount) AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount), 4)                                        AS avg_disc,
+               {det_sum_sql("l_quantity", 2)}                                        AS sum_qty,
+               {det_sum_sql("l_extendedprice", 2)}                                   AS sum_base_price,
+               {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)}                AS sum_disc_price,
+               {det_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)}  AS sum_charge,
+               {det_avg_sql("l_quantity", 4)}                                        AS avg_qty,
+               {det_avg_sql("l_extendedprice", 4)}                                   AS avg_price,
+               {det_avg_sql("l_discount", 4)}                                        AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "q3_shipping_priority": """
+    "q3_shipping_priority": f"""
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority,
-               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+               {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -527,9 +534,9 @@ ORACLES = {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    "q5_local_supplier_volume": """
+    "q5_local_supplier_volume": f"""
         SELECT n_name,
-               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+               {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
         FROM region
         JOIN nation   ON n_regionkey = r_regionkey
         JOIN customer ON c_nationkey = n_nationkey
@@ -603,10 +610,10 @@ ORACLES = {
         FROM e ASOF LEFT JOIN od
           ON e.user_id = od.user_id AND od.odate_ms <= e.ts_ms
     """,
-    "q_revenue_rollup": """
+    "q_revenue_rollup": f"""
         SELECT coalesce(r_name, 'ALL') AS region_name,
                coalesce(n_name, 'ALL') AS nation_name,
-               round(CAST(sum(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_revenue,
+               {det_sum_sql("o_totalprice", 2)} AS total_revenue,
                count(*) AS n_orders
         FROM region
         JOIN nation   ON n_regionkey = r_regionkey

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import det_sum, load
+from kafka_flink_harshevents_spark.queries._util import det_sum, det_sum_sql, load
 
 
 def _revenue() -> F.Column:
@@ -824,8 +824,8 @@ ORACLES = {
                CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f
         FROM orders GROUP BY o_orderpriority
     """,
-    "q6_revenue_change": """
-        SELECT round(CAST(sum(CAST((l_extendedprice * l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
+    "q6_revenue_change": f"""
+        SELECT {det_sum_sql("l_extendedprice * l_discount", 2)} AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -833,11 +833,11 @@ ORACLES = {
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
     """,
-    "q7_volume_shipping": """
+    "q7_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+               {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -850,14 +850,14 @@ ORACLES = {
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         GROUP BY supp_nation, cust_nation, l_year
     """,
-    "q8_market_share": """
+    "q8_market_share": f"""
         SELECT year(o_orderdate) AS o_year,
                round(CAST(sum(CAST((CASE WHEN ns.n_name = 'NATION_5'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END) AS DECIMAL(30,6))) AS DOUBLE)
                      / CAST(sum(CAST((l_extendedprice * (1 - l_discount))
                               AS DECIMAL(30,6))) AS DOUBLE), 4) AS mkt_share,
-               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_revenue
+               {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS total_revenue
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN orders   ON l_orderkey = o_orderkey
@@ -871,10 +871,10 @@ ORACLES = {
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY o_year
     """,
-    "q9_product_type_profit": """
+    "q9_product_type_profit": f"""
         SELECT n_name AS nation,
                year(o_orderdate) AS o_year,
-               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_profit
+               {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS sum_profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -883,9 +883,9 @@ ORACLES = {
         WHERE p_name LIKE '%red%'
         GROUP BY n_name, year(o_orderdate)
     """,
-    "q10_returned_items": """
+    "q10_returned_items": f"""
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+               {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -948,8 +948,8 @@ ORACLES = {
         ) ON o_orderkey = bk
         JOIN customer ON o_custkey = c_custkey
     """,
-    "q19_disjunctive_revenue": """
-        SELECT round(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
+    "q19_disjunctive_revenue": f"""
+        SELECT {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
                count(*) AS n_lines
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -983,7 +983,7 @@ ORACLES = {
         ORDER BY numwait DESC, s_name
         LIMIT 20
     """,
-    "q22_global_sales_opportunity": """
+    "q22_global_sales_opportunity": f"""
         WITH in_codes AS (
             SELECT *, CAST(c_custkey % 10 AS VARCHAR) AS cntrycode
             FROM customer
@@ -991,7 +991,7 @@ ORACLES = {
         )
         SELECT cntrycode,
                count(*) AS numcust,
-               round(CAST(sum(CAST((c_acctbal) AS DECIMAL(30,6))) AS DOUBLE), 2) AS totacctbal
+               {det_sum_sql("c_acctbal", 2)} AS totacctbal
         FROM in_codes
         WHERE c_acctbal > (
             SELECT avg(c_acctbal) FROM in_codes WHERE c_acctbal > 0.0
