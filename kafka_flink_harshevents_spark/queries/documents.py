@@ -1983,6 +1983,279 @@ def _dsir_sql() -> str:
     """
 
 
+DELETE_REQUEST_RATE = 0.02  # fraction of doc_ids with a deletion request
+
+
+def doc_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation — the compliance operator every
+    production corpus needs: a deletion request names doc_ids, but the
+    pipeline must also remove every OTHER copy of the same content
+    (exact-dedup siblings), or the "deleted" text survives in a
+    replica. Emits the per-source audit a DPO signs off on: requests,
+    propagated copies, rows and bytes removed, rows kept.
+
+    Requests are a deterministic hash slice of doc_ids (the md5-unit
+    stands in for the request table a real deployment joins in).
+
+    Scale shape: requested docs are a thin filter of the scan; the
+    propagation is ONE shuffle equi-join of the corpus against the
+    requested-content hash set keyed on md5(text) — uniformly
+    distributed, skew-free, and sized by the request volume, not the
+    corpus (at 100 TB the request side is the small relation, and AQE
+    broadcast-converts it when it fits). No driver materialization.
+    """
+    d = load(spark, sf_dir, "documents")
+    is_req = _md5_unit(F.col("doc_id"), "del|") < DELETE_REQUEST_RATE
+    hashed = d.select(
+        "doc_id", "source", "n_chars",
+        F.md5("text").alias("text_hash"),
+        is_req.alias("is_request"),
+    )
+    target = (
+        hashed.filter("is_request")
+        .select("text_hash")
+        .distinct()
+        .withColumn("hash_deleted", F.lit(True))
+    )
+    tagged = hashed.join(target, "text_hash", "left").select(
+        "source", "n_chars", "is_request",
+        F.coalesce("hash_deleted", F.lit(False)).alias("deleted"),
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_request").cast("long")).alias("n_requests"),
+        F.sum(F.col("deleted").cast("long")).alias("n_deleted"),
+        F.sum((F.col("deleted") & ~F.col("is_request")).cast("long")).alias(
+            "n_propagated"
+        ),
+        F.sum(F.when(F.col("deleted"), F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("chars_deleted"),
+        F.sum((~F.col("deleted")).cast("long")).alias("n_kept"),
+    )
+
+
+SNAP_V1_CUT = 0.9  # v1 = docs with u_snap < 0.9
+SNAP_V2_CUT = 0.1  # v2 = docs with u_snap >= 0.1 (80% overlap with v1)
+SNAP_EDIT_RATE = 0.05  # of the overlap, 5% carry edited content in v2
+
+
+def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-publish diff between two corpus snapshots: per
+    (lang, shard) — docs added, removed, content-changed and unchanged,
+    plus the dirty flag that decides which shards re-upload. This is
+    the op a 100 TB dataset release runs so a new version ships only
+    the shards that moved, instead of re-writing the whole corpus
+    (shard mapping shared with `doc_shard_manifest`).
+
+    The two versions are deterministic hash slices of the corpus (v2
+    drops a 10% head, adds a 10% tail, and edits 5% of the overlap by
+    content); a real deployment feeds two actual snapshots in.
+
+    Scale shape: both versions are thin projections of one scan
+    carrying only (doc_id, lang, shard, content hash); the diff is ONE
+    full-outer equi-join shuffled on doc_id, classified row-local, and
+    collapsed to a |langs|·|shards|-row aggregate. Nothing else crosses
+    the wire; only dirty shards are re-published downstream.
+    """
+    d = load(spark, sf_dir, "documents")
+    u_snap = _md5_unit(F.col("doc_id"), "snap|")
+    edited = _md5_unit(F.col("doc_id"), "edit|") < SNAP_EDIT_RATE
+    shard = F.floor(
+        _md5_unit(F.col("doc_id"), "shard|") * N_MANIFEST_SHARDS
+    ).cast("long")
+    base = d.select(
+        "doc_id", "lang", u_snap.alias("u"), edited.alias("ed"),
+        shard.alias("shard"), F.md5("text").alias("h1"),
+        F.md5(F.concat(F.col("text"), F.lit("|v2edit"))).alias("h2e"),
+    )
+    v1 = base.filter(F.col("u") < SNAP_V1_CUT).select(
+        "doc_id", "lang", "shard", F.col("h1").alias("hash_v1")
+    )
+    v2 = base.filter(F.col("u") >= SNAP_V2_CUT).select(
+        "doc_id", "lang", "shard",
+        F.when(F.col("ed"), F.col("h2e")).otherwise(F.col("h1")).alias("hash_v2"),
+    )
+    diff = v1.join(v2, ["doc_id", "lang", "shard"], "full_outer").select(
+        "lang", "shard",
+        F.when(F.col("hash_v1").isNull(), F.lit("added"))
+        .when(F.col("hash_v2").isNull(), F.lit("removed"))
+        .when(F.col("hash_v1") != F.col("hash_v2"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("cls"),
+    )
+    agg = diff.groupBy("lang", "shard").agg(
+        F.sum((F.col("cls") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("cls") == "removed").cast("long")).alias("n_removed"),
+        F.sum((F.col("cls") == "changed").cast("long")).alias("n_changed"),
+        F.sum((F.col("cls") == "same").cast("long")).alias("n_same"),
+    )
+    return agg.select(
+        "lang", "shard", "n_added", "n_removed", "n_changed", "n_same",
+        (F.col("n_added") + F.col("n_removed") + F.col("n_changed") > 0).alias(
+            "shard_dirty"
+        ),
+    )
+
+
+BPE_TRAIN_MERGES = 8
+BPE_TRAIN_SAMPLE = 0.25  # tokenizers train on a corpus sample
+
+
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016,
+    arXiv:1508.07909): the full iterative merge loop, not just one
+    pair-count round (`doc_bpe_pair_counts` is the inner step). Words
+    from a deterministic corpus sample collapse to a (word → count)
+    vocabulary ONCE; every later iteration runs on that vocabulary
+    table — symbol sequences start as characters + '</w>', each round
+    counts adjacent symbol pairs weighted by word count, merges the
+    argmax pair (ties broken lexicographically), and rewrites the
+    sequences with a greedy left-to-right fold (higher-order
+    `aggregate`, JVM-side — merged symbols can't cascade within a pass
+    because merged = left||right is never equal to left).
+
+    Scale shape: the corpus-sized work is ONE word-count aggregation;
+    the loop touches only the vocabulary table (|distinct words| rows —
+    millions at 100 TB, never corpus-sized), localCheckpoint()ed per
+    round so lineage stays flat, with a single 1-row argmax collect per
+    merge (the emb_kmeans bounded-collect convention).
+
+    Emission is the gate-row convention (COVERAGE.md): the first merge
+    is recomputed exactly by the DuckDB oracle (chars explode +
+    weighted count + argmax — one unrolled round), conservation and
+    monotonicity of the full loop are boolean gates (max pair count
+    never increases across BPE merges; total token count is invariant),
+    and the full 8-merge list is pinned against a pure-Python reference
+    in `test_bpe_train_matches_reference`.
+    """
+    merges, stats = _bpe_train_merges(spark, sf_dir)
+    counts = [m[4] for m in merges]
+    first = merges[0] if merges else (0, None, None, None, 0)
+    return spark.createDataFrame(
+        [
+            (
+                len(merges),
+                first[1],
+                first[2],
+                first[4] if merges else 0,
+                all(a >= b for a, b in zip(counts, counts[1:])),
+                all(c > 0 for c in counts),
+                int(stats["vocab_words"] or 0),
+                int(stats["corpus_tokens"] or 0),
+            )
+        ],
+        "n_merges long, first_left string, first_right string, first_count long,"
+        " monotone_ok boolean, counts_positive boolean, vocab_words long,"
+        " corpus_tokens long",
+    )
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word → count) vocabulary over the deterministic training sample."""
+    d = _words(load(spark, sf_dir, "documents"))
+    sampled = d.filter(_md5_unit(F.col("doc_id"), "bpe|") < BPE_TRAIN_SAMPLE)
+    return (
+        sampled.select(F.explode("ws").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str):
+    """The distributed merge loop behind `doc_bpe_train`: returns the
+    (step, left, right, merged, pair_count) list and the vocab stats
+    row. Exposed so `test_bpe_train_matches_reference` can pin every
+    merge — not just the gate row — against the pure-Python
+    implementation."""
+    vocab = _bpe_vocab(spark, sf_dir).select(
+        F.expr(
+            "concat(transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1)), array('</w>'))"
+        ).alias("syms"),
+        "cnt",
+    )
+    stats = vocab.agg(
+        F.count(F.lit(1)).alias("vocab_words"),
+        F.sum("cnt").alias("corpus_tokens"),
+    ).collect()[0]
+    # The loop table is vocabulary-sized, not corpus-sized: size its
+    # partitioning to the actual row count (~100k symbol rows per task)
+    # so 16 jobs over a toy vocab don't pay 32 empty-task schedules per
+    # round, while a 100 TB vocabulary (millions of words) still spreads
+    # across the cluster.
+    parallelism = spark.sparkContext.defaultParallelism
+    n_parts = max(1, min(parallelism, int(stats["vocab_words"] or 0) // 100_000 + 1))
+    cur = vocab.coalesce(n_parts).localCheckpoint()
+    merges: list[tuple] = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        left, right, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((step, left, right, left + right, c))
+        fold = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.withColumn("syms", fold).localCheckpoint()
+    return merges, stats
+
+
+def _bpe_reference(word_counts: dict, n_merges: int) -> list[tuple]:
+    """Pure-Python Sennrich BPE on a (word → count) vocabulary —
+    the exactness reference for the distributed loop."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        pair_counts: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] = (
+                    pair_counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pair_counts:
+            break
+        (left, right), c = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((step, left, right, left + right, c))
+        new_vocab: dict = {}
+        for syms, cnt in vocab.items():
+            acc: list = []
+            for s in syms:
+                if acc and acc[-1] == left and s == right:
+                    acc[-1] = left + right
+                else:
+                    acc.append(s)
+            new_vocab[tuple(acc)] = new_vocab.get(tuple(acc), 0) + cnt
+        vocab = new_vocab
+    return out
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_dsir_weights": doc_dsir_weights,
@@ -2021,6 +2294,9 @@ QUERIES = {
     "doc_dedup_report": doc_dedup_report,
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_containment_pairs": doc_containment_pairs,
+    "doc_delete_propagation": doc_delete_propagation,
+    "doc_snapshot_diff": doc_snapshot_diff,
+    "doc_bpe_train": doc_bpe_train,
 }
 
 
@@ -2715,4 +2991,119 @@ ORACLES = {
     "doc_winnowing": _winnowing_sql(),
     "doc_dedup_report": _dedup_report_sql(),
     "doc_clean_corpus": _clean_corpus_sql(),
+    "doc_delete_propagation": f"""
+        WITH h AS (
+            SELECT doc_id, source, n_chars, md5(text) AS text_hash,
+                   {_md5_unit_sql("doc_id", "del|")} < {DELETE_REQUEST_RATE}
+                       AS is_request
+            FROM documents
+        ),
+        target AS (SELECT DISTINCT text_hash FROM h WHERE is_request),
+        tagged AS (
+            SELECT h.source, h.n_chars, h.is_request,
+                   (t.text_hash IS NOT NULL) AS deleted
+            FROM h LEFT JOIN target t ON h.text_hash = t.text_hash
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN is_request THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_requests,
+               CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted,
+               CAST(sum(CASE WHEN deleted AND NOT is_request THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_propagated,
+               CAST(sum(CASE WHEN deleted THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS chars_deleted,
+               CAST(sum(CASE WHEN NOT deleted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM tagged GROUP BY source
+    """,
+    "doc_snapshot_diff": f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   {_md5_unit_sql("doc_id", "snap|")} AS u,
+                   {_md5_unit_sql("doc_id", "edit|")} < {SNAP_EDIT_RATE} AS ed,
+                   CAST(floor({_md5_unit_sql("doc_id", "shard|")}
+                              * {N_MANIFEST_SHARDS}) AS BIGINT) AS shard,
+                   md5(text) AS h1,
+                   md5(text || '|v2edit') AS h2e
+            FROM documents
+        ),
+        v1 AS (
+            SELECT doc_id, lang, shard, h1 AS hash_v1 FROM base
+            WHERE u < {SNAP_V1_CUT}
+        ),
+        v2 AS (
+            SELECT doc_id, lang, shard,
+                   CASE WHEN ed THEN h2e ELSE h1 END AS hash_v2
+            FROM base WHERE u >= {SNAP_V2_CUT}
+        ),
+        diff AS (
+            SELECT coalesce(v1.lang, v2.lang) AS lang,
+                   coalesce(v1.shard, v2.shard) AS shard,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN hash_v1 <> hash_v2 THEN 'changed'
+                        ELSE 'same' END AS cls
+            FROM v1 FULL OUTER JOIN v2
+              ON v1.doc_id = v2.doc_id AND v1.lang = v2.lang
+                 AND v1.shard = v2.shard
+        ),
+        agg AS (
+            SELECT lang, shard,
+                   CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN cls = 'same' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same
+            FROM diff GROUP BY lang, shard
+        )
+        SELECT lang, shard, n_added, n_removed, n_changed, n_same,
+               (n_added + n_removed + n_changed > 0) AS shard_dirty
+        FROM agg
+    """,
+    "doc_bpe_train": f"""
+        WITH sampled AS (
+            SELECT text FROM documents
+            WHERE {_md5_unit_sql("doc_id", "bpe|")} < {BPE_TRAIN_SAMPLE}
+        ),
+        vocab AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM sampled)
+            WHERE word <> '' GROUP BY word
+        ),
+        syms AS (
+            SELECT list_append(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substr(word, i, 1)),
+                       '</w>') AS s, cnt
+            FROM vocab
+        ),
+        pairs AS (
+            SELECT s[i] AS l, s[i + 1] AS r, sum(cnt) AS c
+            FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i FROM syms)
+            GROUP BY s[i], s[i + 1]
+        ),
+        first_merge AS (
+            SELECT l, r, CAST(c AS BIGINT) AS c FROM pairs
+            ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS vocab_words,
+                   CAST(coalesce(sum(cnt), 0) AS BIGINT) AS corpus_tokens
+            FROM vocab
+        )
+        SELECT CAST({BPE_TRAIN_MERGES} AS BIGINT) AS n_merges,
+               first_merge.l AS first_left,
+               first_merge.r AS first_right,
+               first_merge.c AS first_count,
+               TRUE AS monotone_ok,
+               TRUE AS counts_positive,
+               stats.vocab_words,
+               stats.corpus_tokens
+        FROM first_merge, stats
+    """,
 }

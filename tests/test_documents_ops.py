@@ -201,3 +201,115 @@ def test_winnowing_guarantee(spark, tmp_path):
     assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE merge loop must reproduce the pure-Python
+    Sennrich implementation merge-for-merge (pair identity, merged
+    token, and exact weighted count at every step), not just the
+    oracle's first-merge gate."""
+    from kafka_flink_harshevents_spark.queries.documents import (
+        BPE_TRAIN_MERGES,
+        _bpe_reference,
+        _bpe_train_merges,
+        _bpe_vocab,
+    )
+
+    dist, stats = _bpe_train_merges(spark, SF_DIR)
+    vocab = {
+        r["word"]: int(r["cnt"]) for r in _bpe_vocab(spark, SF_DIR).collect()
+    }
+    ref = _bpe_reference(vocab, BPE_TRAIN_MERGES)
+    assert dist == ref
+    assert len(dist) == BPE_TRAIN_MERGES
+    assert stats["corpus_tokens"] == sum(vocab.values())
+    assert stats["vocab_words"] == len(vocab)
+
+
+def test_delete_propagation_closure(spark):
+    """Deletion must be closed over exact content copies: recompute the
+    request set and hash classes independently (pandas) and check the
+    per-source audit counts exactly — every copy of requested content
+    deleted, nothing else deleted, byte accounting right."""
+    import hashlib
+
+    import pandas as pd
+
+    from kafka_flink_harshevents_spark.queries.documents import (
+        DELETE_REQUEST_RATE,
+        doc_delete_propagation,
+    )
+
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def md5_unit(doc_id, salt):
+        h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    pdf["is_request"] = [
+        md5_unit(i, "del|") < DELETE_REQUEST_RATE for i in pdf["doc_id"]
+    ]
+    pdf["h"] = [hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]]
+    doomed = set(pdf.loc[pdf["is_request"], "h"])
+    pdf["deleted"] = pdf["h"].isin(doomed)
+
+    got = {
+        r["source"]: r.asDict()
+        for r in doc_delete_propagation(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(pdf["source"].unique())
+    for src, g in pdf.groupby("source"):
+        row = got[src]
+        assert row["n_docs"] == len(g)
+        assert row["n_requests"] == int(g["is_request"].sum())
+        assert row["n_deleted"] == int(g["deleted"].sum())
+        assert row["n_propagated"] == int((g["deleted"] & ~g["is_request"]).sum())
+        assert row["chars_deleted"] == int(g.loc[g["deleted"], "n_chars"].sum())
+        assert row["n_kept"] == len(g) - row["n_deleted"]
+        # requests are always deleted; propagation only ever adds
+        assert row["n_deleted"] >= row["n_requests"]
+
+
+def test_snapshot_diff_conservation(spark):
+    """Shard-diff counts must add up to the version sizes computed
+    independently, and a shard is dirty iff it has any movement."""
+    import hashlib
+
+    import pandas as pd
+
+    from kafka_flink_harshevents_spark.queries.documents import (
+        SNAP_EDIT_RATE,
+        SNAP_V1_CUT,
+        SNAP_V2_CUT,
+        doc_snapshot_diff,
+    )
+
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def md5_unit(doc_id, salt):
+        h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    u = pdf["doc_id"].map(lambda i: md5_unit(i, "snap|"))
+    ed = pdf["doc_id"].map(lambda i: md5_unit(i, "edit|") < SNAP_EDIT_RATE)
+    n_v1 = int((u < SNAP_V1_CUT).sum())
+    n_v2 = int((u >= SNAP_V2_CUT).sum())
+    n_overlap = int(((u < SNAP_V1_CUT) & (u >= SNAP_V2_CUT)).sum())
+    n_changed = int(((u < SNAP_V1_CUT) & (u >= SNAP_V2_CUT) & ed).sum())
+
+    rows = doc_snapshot_diff(spark, SF_DIR).collect()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("n_added", "n_removed", "n_changed", "n_same")
+    }
+    assert tot["n_removed"] == n_v1 - n_overlap
+    assert tot["n_added"] == n_v2 - n_overlap
+    assert tot["n_changed"] == n_changed
+    assert tot["n_same"] == n_overlap - n_changed
+    for r in rows:
+        assert r["shard_dirty"] == (
+            (r["n_added"] + r["n_removed"] + r["n_changed"]) > 0
+        )
