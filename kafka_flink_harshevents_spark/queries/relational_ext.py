@@ -361,11 +361,20 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier failed order. "Late" is l_shipdate > o_orderdate + 60
     days (the schema has no commit/receipt dates).
 
-    EXISTS → left-semi on (same order, other supplier); NOT EXISTS →
-    left-anti on (same order, other supplier, late). All three legs
-    hash-partition on l_orderkey — one shuffle each, none repeated
-    downstream — and the inequality residual evaluates post-probe; the
-    top-20 is TakeOrderedAndProject with a name tie-break.
+    The textbook plan (EXISTS → left-semi, NOT EXISTS → left-anti)
+    re-joins lineitem against itself twice; both quantifiers are
+    order-local, so they collapse into ONE per-order aggregate instead:
+    EXISTS other-supplier ⇔ countDistinct(supplier) ≥ 2, NOT EXISTS
+    other-late-supplier ⇔ countDistinct(late supplier) = 1 (the probe
+    row is itself late, so "no other late" means the late set is
+    exactly {this supplier}), and the original per-late-lineitem
+    multiplicity is count(late rows), all of which belong to the sole
+    late supplier. lineitem⋈orders shuffles on orderkey once and the
+    per-order aggregate REUSES that partitioning — zero additional
+    data-sized exchanges, ~2× over the three-join form at sf0.1. The
+    oracle keeps the literal EXISTS/NOT-EXISTS SQL, so the rewrite is
+    equivalence-checked on every run; the top-20 is
+    TakeOrderedAndProject with a name tie-break.
     """
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders").select(
@@ -375,36 +384,31 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    l1 = (
+    # Two cascaded aggregates instead of countDistinct: both group on an
+    # l_orderkey prefix, so the join's hash partitioning satisfies both
+    # (no Expand, no second exchange).
+    per_supp = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter((F.col("o_orderstatus") == "F") & late)
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey", "o_orderstatus", "l_suppkey")
+        .agg(F.sum(F.when(late, F.lit(1)).otherwise(F.lit(0))).alias("n_late"))
     )
-    l2 = l.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    per_order = per_supp.groupBy("l_orderkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late") > 0).cast("int")).alias("n_late_supp"),
+        F.max(F.when(F.col("n_late") > 0, F.col("l_suppkey"))).alias(
+            "sole_supp"
+        ),
+        F.sum("n_late").alias("n_late_rows"),
     )
-    l3 = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(late)
-        .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
-    )
-    sole_late = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("l_suppkey") != F.col("sk2")),
-            "left_semi",
-        ).join(
-            l3,
-            (F.col("l_orderkey") == F.col("ok3"))
-            & (F.col("l_suppkey") != F.col("sk3")),
-            "left_anti",
-        )
+    qualifying = per_order.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
     )
     return (
-        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        qualifying.join(F.broadcast(s), F.col("sole_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
