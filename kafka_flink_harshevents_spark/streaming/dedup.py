@@ -207,3 +207,91 @@ def dedup_verdicts(verdict_log: DataFrame) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous delete propagation — the streaming twin of
+# queries.documents.doc_delete_propagation.
+
+_DEL_OUT_SCHEMA = (
+    "doc_id long, action string, fp string,"
+    " present_before long, tombstoned_before long"
+)
+_DEL_STATE_SCHEMA = "present long, tombstoned long"
+
+
+def content_events(events: DataFrame) -> DataFrame:
+    """``(doc_id, text, action)`` → ``(doc_id, action, fp)`` with
+    fp = md5(text): the content key deletion closes over, identical to
+    the batch twin's propagation key. Pure projection — batch and
+    streaming frames alike. ``action`` ∈ {'seed', 'ingest', 'delete'}
+    (a real deployment resolves a delete request's doc_id to its
+    content before issuing the tombstone; the batch twin reads the
+    content from the corpus the same way)."""
+    return events.select("doc_id", "action", F.md5("text").alias("fp"))
+
+
+def _tombstone_check(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # Snapshot BEFORE ingest, like _seen_check: every verdict in a
+    # micro-batch reads the store as of batch start, then the whole
+    # batch is absorbed (present |= seed/ingest, tombstoned |= delete).
+    present, tombstoned = state.get if state.exists else (0, 0)
+    rows: list[tuple[int, str, str, int, int]] = []
+    saw_content = False
+    saw_delete = False
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            act = str(r.action)
+            if act == "delete":
+                saw_delete = True
+            else:
+                saw_content = True
+            if act != "seed":
+                rows.append(
+                    (int(r.doc_id), act, str(key[0]), present, tombstoned)
+                )
+    new_state = (
+        1 if (present or saw_content) else 0,
+        1 if (tombstoned or saw_delete) else 0,
+    )
+    if new_state != (present, tombstoned) or not state.exists:
+        state.update(new_state)
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "action", "fp", "present_before", "tombstoned_before"
+            ],
+        )
+
+
+def delete_propagation_stream(events: DataFrame) -> DataFrame:
+    """Streaming ``(doc_id, text, action)`` → append verdict log
+    ``(doc_id, action, fp, present_before, tombstoned_before)``:
+    the continuous-compliance twin of ``doc_delete_propagation``.
+
+    - a ``delete`` event tombstones its content hash in the store and
+      emits a retraction row; ``present_before = 1`` means the store
+      held copies — the sink propagates by deleting WHERE the content
+      hash matches (delete-by-fp, exactly the batch twin's closure over
+      exact copies, with no need to enumerate doc_ids in state);
+    - an ``ingest`` of tombstoned content emits
+      ``tombstoned_before = 1`` — deleted content must not re-enter
+      the corpus (the request outlives the rows it removed);
+    - ``seed`` rows replay history into state and emit nothing (the
+      same seeding pattern as ``incremental_dedup_stream``).
+
+    State is two flags per DISTINCT content hash — strictly smaller
+    than the dedup store it composes with; at 100 TB run on RocksDB,
+    sharded by the groupBy's hash partitioning. The per-batch shuffle
+    is batch-sized, never store-sized.
+    """
+    return content_events(events).groupBy("fp").applyInPandasWithState(
+        _tombstone_check,
+        _DEL_OUT_SCHEMA,
+        _DEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1532,3 +1532,109 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     }
     assert want, "batch attribution found nothing — data too tame"
     assert got == want
+
+
+def test_streaming_delete_propagation_matches_batch(spark, tmp_path):
+    """Continuous compliance: seed the corpus into the tombstone store,
+    stream the deletion requests, and the propagated retractions must
+    reproduce doc_delete_propagation's per-source audit exactly. A
+    third wave re-ingesting deleted content must be flagged as
+    tombstoned (deleted content cannot re-enter the corpus)."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.documents import (
+        DELETE_REQUEST_RATE,
+        _md5_unit,
+        doc_delete_propagation,
+    )
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        delete_propagation_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    is_req = _md5_unit(F.col("doc_id"), "del|") < DELETE_REQUEST_RATE
+    src = tmp_path / "events"
+    src.mkdir()
+    # wave 1: replay the whole corpus into the store (emits nothing)
+    (
+        d.select("doc_id", "text", F.lit("seed").alias("action"))
+        .coalesce(1)
+        .write.json(str(src / "w1.json"))
+    )
+    stream = spark.readStream.schema(
+        "doc_id LONG, text STRING, action STRING"
+    ).json(str(src) + "/*.json")
+    name = f"delprop_{uuid.uuid4().hex[:8]}"
+    q = (
+        delete_propagation_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0  # seeds emit nothing
+        # wave 2: the deletion requests (same rule as the batch twin)
+        (
+            d.filter(is_req)
+            .select("doc_id", "text", F.lit("delete").alias("action"))
+            .coalesce(1)
+            .write.json(str(src / "w2.json"))
+        )
+        q.processAllAvailable()
+        log = spark.table(name)
+        retract = log.filter(F.col("action") == "delete")
+        # every request's content was in the seeded store
+        assert retract.filter(F.col("present_before") == 0).count() == 0
+        # apply the retractions: delete WHERE content hash is tombstoned
+        doomed = retract.select("fp").distinct()
+        audited = (
+            d.select("source", "n_chars", is_req.alias("is_request"),
+                     F.md5("text").alias("fp"))
+            .join(doomed.withColumn("hit", F.lit(True)), "fp", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("is_request").cast("long")).alias("n_requests"),
+                F.sum(F.col("hit").isNotNull().cast("long")).alias("n_deleted"),
+                F.sum(
+                    F.when(F.col("hit").isNotNull(), F.col("n_chars"))
+                    .otherwise(F.lit(0))
+                ).cast("long").alias("chars_deleted"),
+            )
+        )
+        got = {
+            (r["source"], r["n_docs"], r["n_requests"], r["n_deleted"],
+             r["chars_deleted"])
+            for r in audited.collect()
+        }
+        want = {
+            (r["source"], r["n_docs"], r["n_requests"], r["n_deleted"],
+             r["chars_deleted"])
+            for r in doc_delete_propagation(spark, SF_DIR).collect()
+        }
+        assert want and got == want
+        # wave 3: deleted content tries to re-enter -> tombstoned flag
+        (
+            d.filter(is_req)
+            .limit(3)
+            .select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text",
+                F.lit("ingest").alias("action"),
+            )
+            .coalesce(1)
+            .write.json(str(src / "w3.json"))
+        )
+        q.processAllAvailable()
+        reentry = spark.table(name).filter(
+            (F.col("action") == "ingest") & (F.col("doc_id") >= 1_000_000)
+        )
+        assert reentry.count() == 3
+        assert reentry.filter(F.col("tombstoned_before") == 0).count() == 0
+    finally:
+        q.stop()
