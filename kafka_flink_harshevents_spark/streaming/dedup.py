@@ -295,3 +295,65 @@ def delete_propagation_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-side streaming near-dup store — the vector twin of the
+# MinHash band fingerprints, closing the dedup family over embeddings.
+
+def vector_fingerprints(vecs: DataFrame) -> DataFrame:
+    """``(vec_id, embedding, is_seed)`` → one row per LSH table:
+    ``(doc_id = vec_id, is_seed, kind = 3, fp = "<table>|<signature>")``
+    using EXACTLY the hyperplane family of ``emb_knn_lsh`` /
+    ``emb_neardup_pairs`` (seeded LCG → Box-Muller planes, sign-bit
+    signatures). The signature is a pure expression over the row's own
+    vector — dot products against literal plane arrays — so it runs in
+    a streaming projection with no aggregation state, like
+    ``_minhash_band_fps``. A store collision on ANY table's signature
+    is the OR-amplified near-dup candidate signal."""
+    from kafka_flink_harshevents_spark.queries.embeddings import (
+        LSH_BITS,
+        LSH_TABLES,
+        _dot,
+        _lsh_planes,
+    )
+
+    planes = _lsh_planes()
+    e = vecs.select(
+        F.col("vec_id").alias("doc_id"),
+        "is_seed",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    fps = []
+    for t in range(LSH_TABLES):
+        sig = None
+        for b in range(LSH_BITS):
+            plane_col = F.array(*[F.lit(v) for v in planes[t * LSH_BITS + b]])
+            bit = (_dot(F.col("emb"), plane_col) > 0).cast("long") * (2**b)
+            sig = bit if sig is None else sig + bit
+        fps.append(F.concat(F.lit(f"{t}|"), sig.cast("string")))
+    return e.select(
+        "doc_id",
+        "is_seed",
+        F.lit(3).cast("long").alias("kind"),
+        F.explode(F.array(*fps)).alias("fp"),
+    )
+
+
+def vector_neardup_stream(vecs: DataFrame) -> DataFrame:
+    """Streaming ``(vec_id, embedding, is_seed)`` → append verdict log
+    ``(doc_id, kind, hit)``: hit = 1 when the vector's table-signature
+    was already in the store (near-dup CANDIDATE vs. history — the
+    stream twin of ``emb_neardup_pairs``' bucket collision; a verifying
+    deployment re-checks candidates' true cosine against the vector
+    store, like the batch query's verify join). Same state machine,
+    snapshot semantics and seeding pattern as the document store —
+    state is one marker per DISTINCT (table, signature) bucket, far
+    smaller than the vector corpus."""
+    return vector_fingerprints(vecs).groupBy("fp").applyInPandasWithState(
+        _seen_check,
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

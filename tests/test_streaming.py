@@ -1638,3 +1638,74 @@ def test_streaming_delete_propagation_matches_batch(spark, tmp_path):
         assert reentry.filter(F.col("tombstoned_before") == 0).count() == 0
     finally:
         q.stop()
+
+
+def test_streaming_vector_neardup_matches_batch(spark, tmp_path):
+    """The embedding near-dup stream's collision verdicts must equal the
+    batch rule 'any LSH table signature shared with history', computed
+    here with the same fingerprint projection in batch mode — and
+    vectors streamed in the same wave must not see each other
+    (batch-vs-store snapshot semantics)."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        vector_fingerprints,
+        vector_neardup_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # sparse history (3 vectors) so bucket occupancy carries signal at
+    # this SF: exact duplicates MUST collide in every table, unrelated
+    # vectors mostly won't (16 buckets/table, 3 occupied)
+    hist = e.filter(F.col("vec_id").isin(10, 11, 12))
+    dups = hist.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    new = e.filter(F.col("vec_id") < 8).unionByName(dups)
+    src = tmp_path / "vecs"
+    src.mkdir()
+    hist.withColumn("is_seed", F.lit(1)).coalesce(1).write.json(
+        str(src / "w1.json")
+    )
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<DOUBLE>, is_seed INT"
+    ).json(str(src) + "/*.json")
+    name = f"vnd_{uuid.uuid4().hex[:8]}"
+    q = (
+        vector_neardup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0  # seeds emit nothing
+        new.withColumn("is_seed", F.lit(0)).coalesce(1).write.json(
+            str(src / "w2.json")
+        )
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["hit"])
+            for r in spark.table(name)
+            .groupBy("doc_id")
+            .agg(F.max("hit").alias("hit"))
+            .collect()
+        }
+        hist_fps = vector_fingerprints(
+            hist.withColumn("is_seed", F.lit(1))
+        ).select("fp").distinct()
+        new_fps = vector_fingerprints(new.withColumn("is_seed", F.lit(0)))
+        want = {
+            (r["doc_id"], r["hit"])
+            for r in new_fps.join(
+                hist_fps.withColumn("h", F.lit(1)), "fp", "left"
+            )
+            .groupBy("doc_id")
+            .agg(F.max(F.coalesce("h", F.lit(0))).alias("hit"))
+            .collect()
+        }
+        assert want and got == want
+        assert any(h == 1 for _, h in want), "no collisions — data too sparse"
+        assert any(h == 0 for _, h in want), "everything collided — no signal"
+    finally:
+        q.stop()
