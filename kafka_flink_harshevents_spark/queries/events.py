@@ -53,6 +53,64 @@ def ev_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HLL_REL_ERROR = 0.05  # accuracy gate for the sketch path (HLL++ rsd 0.05)
 
+KMV_K = 64  # k-minimum-values sketch size (stderr ≈ 1/√(k−2) ≈ 12.7%)
+KMV_SALTS = 64  # pre-aggregation fan-in bound for the two-phase top-k
+
+
+def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per event type — the
+    mergeable-cardinality methodology (Bar-Yossef et al. 2002; the
+    theta-sketch core) with a property HLL can't give the driver: the
+    sketch state is a deterministic function of the VALUE SET (the k
+    lexicographically smallest md5 hashes), so the estimate itself is
+    bit-identical in any engine and under any partitioning — the oracle
+    hash-matches the ESTIMATE, not just a gate.
+
+    Estimator: with u(k) = the k-th smallest hash mapped to [0,1) (first
+    8 hex nibbles / 2^32), distinct ≈ (k−1)/u(k); when a group holds
+    fewer than k distinct values the sketch is exact by construction.
+
+    Scale shape: the sketch is a bounded two-phase aggregate — k-smallest
+    per (type, salt) first (≤ KMV_SALTS·k strings per type cross the
+    wire, NEVER the distinct stream itself), then a final merge —
+    exactly how a sketch union tree runs on a 1000-executor cluster.
+    The exact count rides the same partial aggregates (sum of per-salt
+    counts of the deduplicated stream), and the accuracy gate is the
+    decision the sketch exists to answer.
+    """
+    e = load(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string")))
+    dist = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .select("event_type", h.alias("h"))
+    )
+    salt = F.pmod(F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), KMV_SALTS)
+    part = dist.groupBy("event_type", salt.alias("salt")).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("p"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fin = part.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("p"))), 1, KMV_K).alias(
+            "arr"
+        ),
+        F.sum("n").cast("long").alias("n_exact"),
+    )
+    kth = F.element_at("arr", F.least(F.size("arr"), F.lit(KMV_K)))
+    u = F.conv(F.substring(kth, 1, 8), 16, 10).cast("long") / F.lit(
+        float(2**32)
+    )
+    est = F.when(
+        F.size("arr") < KMV_K, F.size("arr").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / u)
+    return fin.select(
+        "event_type",
+        "n_exact",
+        kth.alias("kth_hash"),
+        F.round(est, 4).alias("est_distinct"),
+        (F.abs(est - F.col("n_exact")) * 2 <= F.col("n_exact")).alias("est_ok"),
+    )
+
 
 def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cardinality path, driver-verifiable: per event type,
@@ -676,6 +734,7 @@ def ev_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_approx_distinct": ev_approx_distinct,
+    "ev_kmv_distinct": ev_kmv_distinct,
     "ev_approx_quantile": ev_approx_quantile,
     "ev_attribution_last_touch": ev_attribution_last_touch,
     "ev_latest_by_key": ev_latest_by_key,
@@ -729,6 +788,20 @@ def _enrich_vehicle_sql() -> str:
         FROM viol v JOIN dim d ON v.vehicle_id = d.vehicle_id
     """
 
+
+def _hex8_int_sql(col: str) -> str:
+    """DuckDB: first 8 hex chars of a hash string → BIGINT, pure ascii
+    arithmetic (the `_md5_unit_sql` decode applied to an existing hash
+    column). Spark's side uses `conv(substring(h, 1, 8), 16, 10)` —
+    a different spelling of the same exact integer."""
+    terms = []
+    for i in range(8):
+        c = f"ascii(substr({col}, {i + 1}, 1))"
+        v = f"(CASE WHEN {c} <= 57 THEN {c} - 48 ELSE {c} - 87 END)"
+        terms.append(f"CAST({v} AS BIGINT) * {16 ** (7 - i)}")
+    return f"({' + '.join(terms)})"
+
+
 ORACLES = {
     "ev_props_variant": f"""
         SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
@@ -767,6 +840,39 @@ ORACLES = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
                TRUE AS est_ok
         FROM events GROUP BY event_type
+    """,
+    "ev_kmv_distinct": f"""
+        WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
+        hs AS (
+            SELECT event_type,
+                   md5('kmv|' || CAST(user_id AS VARCHAR)) AS h
+            FROM dist
+        ),
+        r AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM hs
+        ),
+        kk AS (
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_exact,
+                   max(CASE WHEN rn = LEAST(n, {KMV_K}) THEN h END) AS kth
+            FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type, n_exact, kth,
+                   CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                        ELSE {float(KMV_K - 1)} / (({_hex8_int_sql("kth")})
+                                                   / 4294967296.0)
+                   END AS e
+            FROM kk
+        )
+        SELECT event_type, n_exact, kth AS kth_hash,
+               round(e, 4) AS est_distinct,
+               (abs(e - n_exact) * 2 <= n_exact) AS est_ok
+        FROM est
     """,
     "ev_type_counts": f"""
         SELECT event_type, count(*) AS n, {det_sum_sql("value", 2)} AS total_value
