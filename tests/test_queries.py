@@ -589,6 +589,9 @@ EMPTY_REPRESENTATIVES = [
     "emb_knn_brute", "emb_kmeans", "emb_pca", "emb_neardup_clusters",
     "emb_knn_pq_recall", "ev_ab_test",
     "mm_pack_shards", "pipeline_derive",
+    # round-3 late additions
+    "doc_delete_propagation", "doc_snapshot_diff", "doc_bpe_train",
+    "ev_kmv_distinct",
 ]
 
 
@@ -619,3 +622,42 @@ def test_empty_input_robustness(spark, empty_sf_dir, name):
     df = QUERIES[name](spark, empty_sf_dir)
     rows = df.collect()
     assert rows is not None and len(df.columns) > 0
+
+
+def test_kmv_sketch_partitioning_invariant(spark):
+    """The KMV sketch's merge tree must be partitioning-independent:
+    the k-smallest-hash state (and therefore the estimate) is a pure
+    function of the distinct value set, so 1-, 7- and 32-way inputs
+    emit byte-identical rows — the property that lets sketch unions run
+    on any cluster layout."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.events import KMV_K, KMV_SALTS
+
+    baseline = None
+    for parts in (1, 7, 32):
+        e = load(spark, SF_DIR, "events").repartition(parts)
+        h = F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string")))
+        dist = (
+            e.select("event_type", "user_id").distinct()
+            .select("event_type", h.alias("h"))
+        )
+        salt = F.pmod(
+            F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), KMV_SALTS
+        )
+        part = dist.groupBy("event_type", salt.alias("salt")).agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("p"),
+        )
+        fin = part.groupBy("event_type").agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("p"))), 1, KMV_K
+            ).alias("arr")
+        )
+        rows = sorted(
+            (r["event_type"], tuple(r["arr"])) for r in fin.collect()
+        )
+        if baseline is None:
+            baseline = rows
+        else:
+            assert rows == baseline, f"partitioning {parts} changed the sketch"
