@@ -1,0 +1,87 @@
+"""Streaming KMV distinct sketch — the cardinality twin of the
+Misra–Gries heavy-hitters stream (`streaming/heavyhitters.py`), and the
+continuous form of the batch `ev_kmv_distinct` entry.
+
+The reference consumer's Redis counters track frequencies; cardinality
+("how many distinct users today") needs either an unbounded set or a
+sketch. KMV (Bar-Yossef et al. 2002) keeps the k lexicographically
+smallest hashes of the values seen — BOUNDED state per group, and a
+merge that is just "union, sort, keep k", which is exactly the
+micro-batch update below. Because the sketch state is a deterministic
+function of the distinct VALUE SET (no randomness, no engine-specific
+registers), the streaming snapshot after any ingest order equals the
+batch query's sketch over the same data — pinned by
+`test_streaming_kmv_matches_batch`.
+
+Scale shape: state is ≤ k hash strings per group, emitted in update
+mode with a per-group ``emit_seq`` so sinks keep the latest snapshot.
+One shuffle on the group key; the per-batch work is batch-sized. The
+estimator (k−1)/u(k) and the exact-when-undersized rule match the
+batch entry exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_flink_harshevents_spark.queries.events import KMV_K
+
+_OUT_SCHEMA = (
+    "event_type string, n_in_sketch long, kth_hash string,"
+    " est_distinct double, emit_seq long"
+)
+_STATE_SCHEMA = "arr array<string>, emit_seq long"
+
+
+def _kmv_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    arr, seq = state.get if state.exists else ([], 0)
+    merged = set(arr)
+    for pdf in pdfs:
+        merged.update(pdf["h"])
+    arr = sorted(merged)[:KMV_K]
+    seq += 1
+    state.update((arr, seq))
+    kth = arr[-1] if arr else None
+    if not arr:
+        est = 0.0
+    elif len(arr) < KMV_K:
+        est = float(len(arr))
+    else:
+        est = (KMV_K - 1) / (int(kth[:8], 16) / 2**32)
+    yield pd.DataFrame(
+        [(str(key[0]), len(arr), kth, est, seq)],
+        columns=[
+            "event_type", "n_in_sketch", "kth_hash", "est_distinct", "emit_seq"
+        ],
+    )
+
+
+def kmv_distinct_stream(
+    events: DataFrame, key_col: str = "event_type", val_col: str = "user_id"
+) -> DataFrame:
+    """``events`` stream → update stream of per-group KMV snapshots
+    ``(event_type, n_in_sketch, kth_hash, est_distinct, emit_seq)``.
+
+    The hash is the SAME ``md5('kmv|' || value)`` construction as the
+    batch entry, computed JVM-side in the stateless projection; the
+    stateful stage only merges bounded string arrays."""
+    hashed = events.select(
+        F.col(key_col).alias("event_type"),
+        F.md5(
+            F.concat(F.lit("kmv|"), F.col(val_col).cast("string"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _kmv_update,
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

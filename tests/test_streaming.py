@@ -1709,3 +1709,70 @@ def test_streaming_vector_neardup_matches_batch(spark, tmp_path):
         assert any(h == 0 for _, h in want), "everything collided — no signal"
     finally:
         q.stop()
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """The streaming KMV snapshot after ingesting the events table in
+    two waves must equal the batch ev_kmv_distinct sketch over the same
+    data — the merge ("union, sort, keep k") is order- and
+    batching-insensitive because the state is a pure function of the
+    distinct value set."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.events import ev_kmv_distinct
+    from kafka_flink_harshevents_spark.streaming.kmv import kmv_distinct_stream
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select("event_type", "user_id")
+    src = tmp_path / "ev"
+    src.mkdir()
+    e.filter(F.col("user_id") % 2 == 0).coalesce(1).write.json(
+        str(src / "w1.json")
+    )
+    stream = spark.readStream.schema("event_type STRING, user_id LONG").json(
+        str(src) + "/*.json"
+    )
+    name = f"kmv_{uuid.uuid4().hex[:8]}"
+    q = (
+        kmv_distinct_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        e.filter(F.col("user_id") % 2 == 1).coalesce(1).write.json(
+            str(src / "w2.json")
+        )
+        q.processAllAvailable()
+        latest = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.max_by(
+                    F.struct("n_in_sketch", "kth_hash", "est_distinct"),
+                    "emit_seq",
+                ).alias("s")
+            )
+            .select("event_type", "s.kth_hash", "s.est_distinct")
+        )
+        got = {
+            (r["event_type"], r["kth_hash"], r["est_distinct"])
+            for r in latest.collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["event_type"], r["kth_hash"], r["est_distinct"])
+        for r in ev_kmv_distinct(spark, SF_DIR)
+        .select(
+            "event_type",
+            "kth_hash",
+            F.col("est_distinct").cast("double").alias("est_distinct"),
+        )
+        .collect()
+    }
+    # the batch entry rounds to 4 dp at emit; round the stream the same
+    got = {(t, k, round(v, 4)) for t, k, v in got}
+    assert want and got == want
