@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from kafka_flink_harshevents_spark.queries import all_oracles, all_queries
+from kafka_flink_harshevents_spark.queries._util import det_sum_sql
 
 from tests.conftest import SF_DIR, assert_matches_duckdb
 
@@ -317,12 +318,11 @@ _SPARK_SQL_TWINS = {
         FROM y
         WINDOW w AS (PARTITION BY nation ORDER BY o_year)
     """,
-    "q3_shipping_priority": """
+    "q3_shipping_priority": f"""
         SELECT l_orderkey,
                date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
                o_orderpriority,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+               {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -378,7 +378,7 @@ _SPARK_SQL_TWINS = {
         ) ON o_orderkey = bk
         JOIN customer ON o_custkey = c_custkey
     """,
-    "q22_global_sales_opportunity": """
+    "q22_global_sales_opportunity": f"""
         WITH in_codes AS (
             SELECT *, CAST(c_custkey % 10 AS STRING) AS cntrycode
             FROM customer
@@ -386,8 +386,7 @@ _SPARK_SQL_TWINS = {
         )
         SELECT cntrycode,
                count(*) AS numcust,
-               round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2)
-                   AS totacctbal
+               {det_sum_sql("c_acctbal", 2)} AS totacctbal
         FROM in_codes
         WHERE c_acctbal > (
             SELECT avg(c_acctbal) FROM in_codes WHERE c_acctbal > 0.0
