@@ -1776,3 +1776,24 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
     # the batch entry rounds to 4 dp at emit; round the stream the same
     got = {(t, k, round(v, 4)) for t, k, v in got}
     assert want and got == want
+
+
+def test_upsert_foreach_batch_fails_on_corrupt_store(spark, tmp_path):
+    """The upsert sink treats ONLY the missing-path case as 'first
+    batch'. A store that exists but cannot be read (corrupt footer)
+    must FAIL the batch so checkpoint recovery retries it — swallowing
+    the error would overwrite touched buckets with just the
+    micro-batch's rows (the ADVICE r02 silent-data-loss case)."""
+    import pytest as _pytest
+
+    from kafka_flink_harshevents_spark.sources.sinks import upsert_foreach_batch
+
+    out = tmp_path / "store"
+    out.mkdir()
+    (out / "part-corrupt.parquet").write_bytes(b"this is not a parquet file")
+    batch = spark.createDataFrame([(1, 1, "a")], "k long, ver long, v string")
+    fn = upsert_foreach_batch(str(out), ("k",), "ver", n_buckets=8)
+    with _pytest.raises(Exception):
+        fn(batch, 0)
+    # the corrupt store was not replaced by the micro-batch's rows
+    assert (out / "part-corrupt.parquet").read_bytes().startswith(b"this is not")
