@@ -1983,6 +1983,33 @@ def _dsir_sql() -> str:
     """
 
 
+def doc_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-graph observability: the DEGREE HISTOGRAM of the verified
+    MinHash-LSH pair graph — (degree → node count), the diagnostic a
+    dedup run publishes before clustering. Degree spikes reveal
+    boilerplate/template families (near-cliques) and predict the CC
+    loop's workload (components are near-cliques, so max degree ≈
+    largest family size); a heavy tail is the signal to raise the
+    Jaccard threshold or add stop-shingle pruning before the cluster
+    pass melts an executor.
+
+    Plan: pairs → symmetrize (explode of a 2-element array — no second
+    scan) → degree per node (one pair-graph-sized aggregate) → histogram
+    (one degree-cardinality aggregate). Everything downstream of pair
+    generation is ∝ the near-dup graph, never the corpus."""
+    pairs = doc_minhash_lsh_pairs(spark, sf_dir).select("da", "db")
+    deg = (
+        pairs.select(
+            F.explode(F.array(F.col("da"), F.col("db"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
 DELETE_REQUEST_RATE = 0.02  # fraction of doc_ids with a deletion request
 
 
@@ -2295,6 +2322,7 @@ QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_containment_pairs": doc_containment_pairs,
     "doc_delete_propagation": doc_delete_propagation,
+    "doc_neardup_graph_stats": doc_neardup_graph_stats,
     "doc_snapshot_diff": doc_snapshot_diff,
     "doc_bpe_train": doc_bpe_train,
 }
@@ -2991,6 +3019,19 @@ ORACLES = {
     "doc_winnowing": _winnowing_sql(),
     "doc_dedup_report": _dedup_report_sql(),
     "doc_clean_corpus": _clean_corpus_sql(),
+    "doc_neardup_graph_stats": f"""
+        WITH pairs AS ({_minhash_sql()}),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (
+                SELECT da AS node FROM pairs
+                UNION ALL
+                SELECT db AS node FROM pairs
+            ) GROUP BY node
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
     "doc_delete_propagation": f"""
         WITH h AS (
             SELECT doc_id, source, n_chars, md5(text) AS text_hash,
