@@ -660,3 +660,35 @@ def test_kmv_sketch_partitioning_invariant(spark):
             baseline = rows
         else:
             assert rows == baseline, f"partitioning {parts} changed the sketch"
+
+
+# Non-relational catalog entries whose DuckDB oracle text is ALSO valid
+# Spark SQL with identical semantics — the SQL front-end proof extended
+# beyond the relational set (entries omitted here use DuckDB-only
+# functions: epoch_ms/strftime/arg_max/list_* lambdas).
+_CROSS_DIALECT_SQL = [
+    "doc_exact_dedup", "ev_approx_distinct", "ev_approx_quantile",
+    "ev_cube", "ev_enrich_vehicle", "ev_histogram",
+    "ev_percentile_by_type", "ev_percentile_stats", "ev_type_counts",
+    "ev_user_topk", "ev_value_band_join",
+]
+
+
+@pytest.mark.parametrize("name", _CROSS_DIALECT_SQL)
+def test_sql_surface_events_docs(spark, name):
+    """The literal oracle text runs through spark.sql and equals the
+    DataFrame-API form — same engine, two surfaces, one answer, now for
+    the event/document families too (the relational catalog has its own
+    full parametrized suite above)."""
+    from kafka_flink_harshevents_spark.queries._util import TABLES, load
+
+    sf01 = "/root/testdata/sf0.01"
+    for t in TABLES:
+        load(spark, sf01, t).createOrReplaceTempView(t)
+    sql_df = spark.sql(ORACLES[name])
+    api_df = QUERIES[name](spark, sf01)
+    cols = sorted(api_df.columns)
+    assert sorted(sql_df.columns) == cols
+    sql_rows = sorted(tuple(str(r[c]) for c in cols) for r in sql_df.collect())
+    api_rows = sorted(tuple(str(r[c]) for c in cols) for r in api_df.collect())
+    assert sql_rows == api_rows
