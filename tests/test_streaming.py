@@ -1797,3 +1797,73 @@ def test_upsert_foreach_batch_fails_on_corrupt_store(spark, tmp_path):
         fn(batch, 0)
     # the corrupt store was not replaced by the micro-batch's rows
     assert (out / "part-corrupt.parquet").read_bytes().startswith(b"this is not")
+
+
+def test_streaming_locf_matches_batch(spark, tmp_path):
+    """The streaming gap-fill's materialized grid (latest revision per
+    (user, hour)) must reproduce ev_locf_resample exactly when events
+    arrive in time order — same grid cells, same carried values, same
+    observed flags."""
+    from kafka_flink_harshevents_spark.queries._util import load, ts_millis
+    from kafka_flink_harshevents_spark.queries.analytics import ev_locf_resample
+    from kafka_flink_harshevents_spark.streaming.locf import locf_resample_stream
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select(
+        "user_id", F.col("ts").cast("string").alias("ts"), "value",
+        ts_millis("ts").alias("tms"),
+    )
+    cut = e.agg(F.percentile_approx("tms", 0.5)).collect()[0][0]
+    src = tmp_path / "ev"
+    src.mkdir()
+    e.filter(F.col("tms") <= cut).drop("tms").coalesce(1).write.json(
+        str(src / "w1.json")
+    )
+    stream = spark.readStream.schema(
+        "user_id LONG, ts STRING, value DOUBLE"
+    ).json(str(src) + "/*.json")
+    name = f"locf_{uuid.uuid4().hex[:8]}"
+    q = (
+        locf_resample_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        e.filter(F.col("tms") > cut).drop("tms").coalesce(1).write.json(
+            str(src / "w2.json")
+        )
+        q.processAllAvailable()
+        grid = (
+            spark.table(name)
+            .groupBy("user_id", "hour_ms")
+            .agg(
+                F.max_by(
+                    F.struct("value_locf", "observed"), "src_ts_ms"
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.date_format(
+                    F.timestamp_millis("hour_ms"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("hour_ts"),
+                F.round("s.value_locf", 2).alias("value_locf"),
+                F.col("s.observed").alias("observed"),
+            )
+        )
+        got = {
+            (r["user_id"], r["hour_ts"], r["value_locf"], r["observed"])
+            for r in grid.collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["hour_ts"], r["value_locf"], r["observed"])
+        for r in ev_locf_resample(spark, SF_DIR).collect()
+    }
+    assert want and got == want
+    # the gap-fill actually fills: some cells are carried, not observed
+    assert any(o == 0 for *_, o in want)
