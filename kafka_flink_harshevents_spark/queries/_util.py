@@ -182,3 +182,17 @@ def ts_millis(col: str) -> F.Column:
     timestamps.
     """
     return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+def hex8_int_sql(col_expr: str) -> str:
+    """DuckDB/ANSI SQL: first 8 hex chars of a hash-string expression →
+    BIGINT, pure ascii arithmetic (no engine hex builtin). Shared by the
+    md5-unit sampler twins (`documents._md5_unit_sql`) and the KMV
+    sketch oracle; the Spark side spells the same integer as
+    ``conv(substring(h, 1, 8), 16, 10)``."""
+    terms = []
+    for i in range(8):
+        c = f"ascii(substr({col_expr}, {i + 1}, 1))"
+        v = f"(CASE WHEN {c} <= 57 THEN {c} - 48 ELSE {c} - 87 END)"
+        terms.append(f"CAST({v} AS BIGINT) * {16 ** (7 - i)}")
+    return f"({' + '.join(terms)})"

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import load
+from kafka_flink_harshevents_spark.queries._util import hex8_int_sql, load
 
 # Stopword list for ratio features + language-ID (subset present in the
 # synthetic vocabulary; real deployments swap in per-language lists).
@@ -2097,17 +2097,26 @@ def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("text"), F.lit("|v2edit"))).alias("h2e"),
     )
     v1 = base.filter(F.col("u") < SNAP_V1_CUT).select(
-        "doc_id", "lang", "shard", F.col("h1").alias("hash_v1")
+        "doc_id", "lang", "shard", F.col("h1").alias("hash_v1"),
+        F.lit(1).alias("in_v1"),
     )
     v2 = base.filter(F.col("u") >= SNAP_V2_CUT).select(
         "doc_id", "lang", "shard",
         F.when(F.col("ed"), F.col("h2e")).otherwise(F.col("h1")).alias("hash_v2"),
+        F.lit(1).alias("in_v2"),
     )
+    # Side presence comes from explicit markers, NOT hash nullness — a
+    # doc with NULL text hashes to NULL on both sides and would
+    # misclassify as 'added' while the presence-based oracle says
+    # 'same'. The not-eqNullSafe change test keeps NULL==NULL as
+    # unchanged, matching the oracle's `hash_v1 <> hash_v2`.
     diff = v1.join(v2, ["doc_id", "lang", "shard"], "full_outer").select(
         "lang", "shard",
-        F.when(F.col("hash_v1").isNull(), F.lit("added"))
-        .when(F.col("hash_v2").isNull(), F.lit("removed"))
-        .when(F.col("hash_v1") != F.col("hash_v2"), F.lit("changed"))
+        F.when(F.col("in_v1").isNull(), F.lit("added"))
+        .when(F.col("in_v2").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("hash_v1").eqNullSafe(F.col("hash_v2")), F.lit("changed")
+        )
         .otherwise(F.lit("same"))
         .alias("cls"),
     )
@@ -2203,7 +2212,12 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str):
         ).alias("syms"),
         "cnt",
     )
-    stats = vocab.agg(
+    # Checkpoint FIRST, then derive stats from the checkpointed frame:
+    # computing stats off the raw `vocab` lineage would run the
+    # corpus-sized word-count aggregation twice (once for the stats
+    # collect, once for the eager checkpoint).
+    cur = vocab.localCheckpoint()
+    stats = cur.agg(
         F.count(F.lit(1)).alias("vocab_words"),
         F.sum("cnt").alias("corpus_tokens"),
     ).collect()[0]
@@ -2211,10 +2225,10 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str):
     # partitioning to the actual row count (~100k symbol rows per task)
     # so 16 jobs over a toy vocab don't pay 32 empty-task schedules per
     # round, while a 100 TB vocabulary (millions of words) still spreads
-    # across the cluster.
+    # across the cluster. coalesce on the checkpointed frame is narrow.
     parallelism = spark.sparkContext.defaultParallelism
     n_parts = max(1, min(parallelism, int(stats["vocab_words"] or 0) // 100_000 + 1))
-    cur = vocab.coalesce(n_parts).localCheckpoint()
+    cur = cur.coalesce(n_parts)
     merges: list[tuple] = []
     for step in range(1, BPE_TRAIN_MERGES + 1):
         pairs = (
@@ -2419,17 +2433,10 @@ def _simhash_sql() -> str:
 
 
 def _md5_unit_sql(col_expr: str, salt: str) -> str:
-    """DuckDB twin of _md5_unit: first 8 md5 nibbles → [0, 1)."""
+    """DuckDB twin of _md5_unit: first 8 md5 nibbles → [0, 1) —
+    the shared `_util.hex8_int_sql` decode over the salted md5."""
     h = f"md5('{salt}' || CAST({col_expr} AS VARCHAR))"
-    terms = []
-    for i in range(8):
-        v = (
-            f"(CASE WHEN ascii(substr({h}, {i + 1}, 1)) <= 57 "
-            f"THEN ascii(substr({h}, {i + 1}, 1)) - 48 "
-            f"ELSE ascii(substr({h}, {i + 1}, 1)) - 87 END)"
-        )
-        terms.append(f"CAST({v} AS BIGINT) * {16 ** (7 - i)}")
-    return f"(({' + '.join(terms)}) / 4294967296.0)"
+    return f"(({hex8_int_sql(h)}) / 4294967296.0)"
 
 
 def _sample_sql() -> str:

@@ -36,6 +36,7 @@ from kafka_flink_harshevents_spark.queries._util import (
     det_avg_sql,
     det_sum,
     det_sum_sql,
+    hex8_int_sql,
     load,
     ts_millis,
 )
@@ -70,31 +71,49 @@ def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 hex nibbles / 2^32), distinct ≈ (k−1)/u(k); when a group holds
     fewer than k distinct values the sketch is exact by construction.
 
-    Scale shape: the sketch is a bounded two-phase aggregate — k-smallest
-    per (type, salt) first (≤ KMV_SALTS·k strings per type cross the
-    wire, NEVER the distinct stream itself), then a final merge —
-    exactly how a sketch union tree runs on a 1000-executor cluster.
-    The exact count rides the same partial aggregates (sum of per-salt
-    counts of the deduplicated stream), and the accuracy gate is the
-    decision the sketch exists to answer.
+    Scale shape: per-salt k-smallest is a WINDOW rank over the
+    (type, salt)-partitioned distinct stream — the window sort spills
+    to disk, so memory stays bounded no matter the cardinality, and
+    only ≤ k rows per salt ever enter an aggregation buffer (a
+    collect_list-then-slice aggregate would buffer the whole salt
+    group first — the OOM the salting exists to prevent). The final
+    merge touches ≤ KMV_SALTS·k strings per type; the exact count
+    rides the same pass (each salt's total on its rank-1 row), and the
+    accuracy gate is the decision the sketch exists to answer.
     """
     e = load(spark, sf_dir, "events")
     h = F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string")))
     dist = (
         e.select("event_type", "user_id")
         .distinct()
-        .select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            h.alias("h"),
+        )
+        .withColumn(
+            "salt",
+            F.pmod(F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), KMV_SALTS),
+        )
     )
-    salt = F.pmod(F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), KMV_SALTS)
-    part = dist.groupBy("event_type", salt.alias("salt")).agg(
-        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("p"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    fin = part.groupBy("event_type").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("p"))), 1, KMV_K).alias(
-            "arr"
-        ),
-        F.sum("n").cast("long").alias("n_exact"),
+    # Per-salt k-smallest via a WINDOW rank, not collect_list: a
+    # collect_list-then-slice aggregate buffers the salt group's ENTIRE
+    # distinct hash set in one agg buffer before truncating — an
+    # executor OOM at real cardinalities. The window's sort spills to
+    # disk (bounded memory) and only ≤ k rows per salt survive into any
+    # aggregation buffer; the same pass carries the salt's full count
+    # on its rank-1 row so the exact count needs no second shuffle.
+    w = Window.partitionBy("event_type", "salt").orderBy("h")
+    wc = Window.partitionBy("event_type", "salt")
+    ranked = dist.select(
+        "event_type", "salt", "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("salt_n"),
+    ).filter(F.col("rn") <= KMV_K)
+    fin = ranked.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("arr"),
+        F.sum(F.when(F.col("rn") == 1, F.col("salt_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_exact"),
     )
     kth = F.element_at("arr", F.least(F.size("arr"), F.lit(KMV_K)))
     u = F.conv(F.substring(kth, 1, 8), 16, 10).cast("long") / F.lit(
@@ -789,19 +808,6 @@ def _enrich_vehicle_sql() -> str:
     """
 
 
-def _hex8_int_sql(col: str) -> str:
-    """DuckDB: first 8 hex chars of a hash string → BIGINT, pure ascii
-    arithmetic (the `_md5_unit_sql` decode applied to an existing hash
-    column). Spark's side uses `conv(substring(h, 1, 8), 16, 10)` —
-    a different spelling of the same exact integer."""
-    terms = []
-    for i in range(8):
-        c = f"ascii(substr({col}, {i + 1}, 1))"
-        v = f"(CASE WHEN {c} <= 57 THEN {c} - 48 ELSE {c} - 87 END)"
-        terms.append(f"CAST({v} AS BIGINT) * {16 ** (7 - i)}")
-    return f"({' + '.join(terms)})"
-
-
 ORACLES = {
     "ev_props_variant": f"""
         SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
@@ -864,7 +870,7 @@ ORACLES = {
         est AS (
             SELECT event_type, n_exact, kth,
                    CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
-                        ELSE {float(KMV_K - 1)} / (({_hex8_int_sql("kth")})
+                        ELSE {float(KMV_K - 1)} / (({hex8_int_sql('kth')})
                                                    / 4294967296.0)
                    END AS e
             FROM kk

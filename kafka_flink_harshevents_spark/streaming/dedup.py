@@ -252,10 +252,14 @@ def _tombstone_check(
                 rows.append(
                     (int(r.doc_id), act, str(key[0]), present, tombstoned)
                 )
-    new_state = (
-        1 if (present or saw_content) else 0,
-        1 if (tombstoned or saw_delete) else 0,
-    )
+    # `present` means "the store currently holds LIVE copies": a delete
+    # clears it (the sink removed them), and a tombstoned hash never
+    # re-gains it (rejected ingests store nothing) — so a REPEATED
+    # delete of already-propagated content reports present_before = 0
+    # and the compliance audit never double-counts a propagation.
+    new_tomb = 1 if (tombstoned or saw_delete) else 0
+    new_present = 0 if new_tomb else (1 if (present or saw_content) else 0)
+    new_state = (new_present, new_tomb)
     if new_state != (present, tombstoned) or not state.exists:
         state.update(new_state)
     if rows:
@@ -274,9 +278,12 @@ def delete_propagation_stream(events: DataFrame) -> DataFrame:
 
     - a ``delete`` event tombstones its content hash in the store and
       emits a retraction row; ``present_before = 1`` means the store
-      held copies — the sink propagates by deleting WHERE the content
-      hash matches (delete-by-fp, exactly the batch twin's closure over
-      exact copies, with no need to enumerate doc_ids in state);
+      held LIVE copies — the sink propagates by deleting WHERE the
+      content hash matches (delete-by-fp, exactly the batch twin's
+      closure over exact copies, with no need to enumerate doc_ids in
+      state). The delete clears ``present``, so a REPEATED delete of
+      the same content reports ``present_before = 0`` and audits never
+      double-count a propagation;
     - an ``ingest`` of tombstoned content emits
       ``tombstoned_before = 1`` — deleted content must not re-enter
       the corpus (the request outlives the rows it removed);

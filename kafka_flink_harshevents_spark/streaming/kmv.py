@@ -77,7 +77,11 @@ def kmv_distinct_stream(
         F.md5(
             F.concat(F.lit("kmv|"), F.col(val_col).cast("string"))
         ).alias("h"),
-    )
+        # NULL values hash to NULL; drop them HERE (JVM-side) — the batch
+        # twin's collect_list skips NULLs, and a None reaching the pandas
+        # sort would poison-pill the micro-batch forever (checkpoint
+        # retries replay it).
+    ).filter(F.col("h").isNotNull())
     return hashed.groupBy("event_type").applyInPandasWithState(
         _kmv_update,
         _OUT_SCHEMA,

@@ -93,7 +93,11 @@ def locf_resample_stream(events: DataFrame) -> DataFrame:
         "user_id",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         F.col("value").cast("double").alias("value"),
-    )
+        # An unparseable ts casts to NULL (NaN in the Arrow batch) and
+        # would poison-pill the micro-batch (int(NaN) raises, checkpoint
+        # retry replays it forever); a NULL value would be carried as NaN
+        # into every later gap row. Drop both HERE, JVM-side.
+    ).filter(F.col("ts_ms").isNotNull() & F.col("value").isNotNull())
     return keyed.groupBy("user_id").applyInPandasWithState(
         _locf_update,
         _OUT_SCHEMA,

@@ -1636,6 +1636,22 @@ def test_streaming_delete_propagation_matches_batch(spark, tmp_path):
         )
         assert reentry.count() == 3
         assert reentry.filter(F.col("tombstoned_before") == 0).count() == 0
+        # wave 4: REPEATED delete of already-propagated content must see
+        # present_before = 0 (the first delete cleared the live copies)
+        # so compliance audits never double-count a propagation
+        (
+            d.filter(is_req)
+            .limit(3)
+            .select("doc_id", "text", F.lit("delete").alias("action"))
+            .coalesce(1)
+            .write.json(str(src / "w4.json"))
+        )
+        q.processAllAvailable()
+        redelete = spark.table(name).filter(
+            (F.col("action") == "delete") & (F.col("tombstoned_before") == 1)
+        )
+        assert redelete.count() == 3
+        assert redelete.filter(F.col("present_before") == 1).count() == 0
     finally:
         q.stop()
 
