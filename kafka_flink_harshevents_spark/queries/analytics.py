@@ -354,21 +354,31 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_a, F.col("converted")).otherwise(0)).cast("long").alias("conv_a"),
         F.sum(F.when(~is_a, F.col("converted")).otherwise(0)).cast("long").alias("conv_b"),
     )
+    # Every division is guarded BEFORE it is evaluated: with ANSI mode
+    # on (this session's default), an empty hash variant (n_a or n_b =
+    # 0 — trivially hit by tiny fixtures) would raise DIVIDE_BY_ZERO
+    # even inside an un-taken CASE branch if the guard itself computed
+    # the division. CaseWhen short-circuits at runtime, so each rate /
+    # the z-stat only divides when its own guard held.
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     p_a = F.col("conv_a") / F.col("n_a")
     p_b = F.col("conv_b") / F.col("n_b")
     pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
-    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    se_safe = F.when(
+        both,
+        F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))),
+    )
     return agg.select(
         "n_a",
         "n_b",
         "conv_a",
         "conv_b",
-        F.round(p_a, 4).alias("rate_a"),
-        F.round(p_b, 4).alias("rate_b"),
-        # Degenerate splits (pooled rate 0 or 1) make se == 0; Spark
-        # (ANSI div) and DuckDB (IEEE inf/nan) would diverge on the raw
-        # division, so both engines emit NULL explicitly.
-        F.when(se > 0, F.round((p_a - p_b) / se, 4)).alias("z_stat"),
+        F.when(F.col("n_a") > 0, F.round(p_a, 4)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, F.round(p_b, 4)).alias("rate_b"),
+        # Degenerate splits (empty variant, or pooled rate 0 / 1 making
+        # se == 0): both engines emit NULL explicitly — Spark's ANSI
+        # divide and DuckDB's IEEE inf/nan would otherwise diverge.
+        F.when(se_safe > 0, F.round((p_a - p_b) / se_safe, 4)).alias("z_stat"),
     )
 
 
@@ -408,9 +418,10 @@ def _ab_sql() -> str:
             FROM arm
         )
         SELECT n_a, n_b, conv_a, conv_b,
-               round(conv_a / n_a, 4) AS rate_a,
-               round(conv_b / n_b, 4) AS rate_b,
-               CASE WHEN sqrt(((conv_a + conv_b) / (n_a + n_b))
+               CASE WHEN n_a > 0 THEN round(conv_a / n_a, 4) END AS rate_a,
+               CASE WHEN n_b > 0 THEN round(conv_b / n_b, 4) END AS rate_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                     AND sqrt(((conv_a + conv_b) / (n_a + n_b))
                           * (1 - (conv_a + conv_b) / (n_a + n_b))
                           * (1.0 / n_a + 1.0 / n_b)) > 0
                     THEN round((conv_a / n_a - conv_b / n_b)

@@ -44,11 +44,6 @@ def _words(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.split("text", " ").alias("ws"))
 
 
-# Parallelism guard shared with the embedding pipelines — now applied
-# uniformly inside `_util.load` for the documents/embeddings tables.
-from kafka_flink_harshevents_spark.queries._util import spread as _spread
-
-
 def _shingles(df: DataFrame) -> DataFrame:
     """Distinct word-bigram shingles per doc (explode → narrow)."""
     return (

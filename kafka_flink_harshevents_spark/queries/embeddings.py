@@ -173,7 +173,12 @@ def emb_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.agg(
         F.count_distinct("qid").cast("long").alias("n_queries"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        # outer coalesce: sum over ZERO rows is NULL, which would make
+        # the floor comparison NULL instead of the vacuous TRUE the
+        # empty-corpus oracle states
+        F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0)).alias(
+            "n_hits"
+        ),
     ).select(
         "n_queries",
         # ANSI-safe: an empty corpus has 0 queries — emit k=0, no crash
@@ -787,7 +792,11 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 KMEANS_K,
                 int(n_total),
                 bool(n_assigned == n_total),
-                bool(inertia[-1] < inertia[0]),
+                # Lloyd's invariant is NON-INCREASE; the strict form
+                # would go false (against the oracle's TRUE) whenever
+                # the sequence is constant — degenerate inputs (empty
+                # table, n ≤ k with zero inertia throughout) included.
+                bool(inertia[-1] <= inertia[0]),
             )
         ],
         "k long, n_vectors long, full_coverage boolean, inertia_decreased boolean",
@@ -1128,8 +1137,12 @@ ORACLES = {
         FROM scored
     """,
     "emb_knn_pq_recall": f"""
-        SELECT CAST({N_QUERY_VECS} AS BIGINT) AS n_queries,
-               CAST({TOP_K} AS BIGINT) AS k,
+        SELECT CASE WHEN (SELECT count(*) FROM embeddings) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST({N_QUERY_VECS} AS BIGINT) END AS n_queries,
+               CASE WHEN (SELECT count(*) FROM embeddings) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST({TOP_K} AS BIGINT) END AS k,
                TRUE AS floor_met
     """,
     "emb_kmeans": f"""

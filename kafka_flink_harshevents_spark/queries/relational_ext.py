@@ -637,9 +637,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the HAVING comparison is a floating-boundary hazard —
     a part sitting exactly at ``fraction * total`` flips with double
     combine order. Both sides therefore stay in exact DECIMAL end to
-    end (sums of DECIMAL(30,6) quantizations, threshold = decimal
-    multiply), so the predicate is engine- and partitioning-exact; the
-    double cast happens only in the final emit.
+    end, and the predicate is the INTEGER form ``val·1000 > total``
+    (scaled per row, before aggregation) — engine- and
+    partitioning-exact in both dialects, with no post-aggregate decimal
+    multiply that either engine would precision-cap or width-overflow.
+    The double cast happens only in the final emit.
 
     Scale: the naive decorrelation evaluates the grouped-value subtree
     twice (once for the rows, once inside the scalar total) — a double
@@ -655,18 +657,28 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    # The comparison is kept in INTEGER form: val·1000 > total is the
+    # same predicate as val > total·0.001, but multiplying the per-row
+    # decimal by 1000 BEFORE summing stays exact in both dialects —
+    # Spark's decimal(38,6)·0.001 would precision-cap the product back
+    # to scale 6 (HALF_UP at the 6th decimal — exactly the boundary
+    # flip this entry exists to kill), and DuckDB would width-overflow
+    # a post-aggregate DECIMAL(38,6)·1000 to DOUBLE.
     value = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "semi")
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("val"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("val"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(30,6)") * 1000
+            ).alias("val1000"),
+        )
         .localCheckpoint()
     )
-    total = value.agg(
-        (F.sum("val") * F.lit("0.001").cast("decimal(10,6)")).alias("threshold")
-    )
+    total = value.agg(F.sum("val").alias("total"))
     return (
         value.join(F.broadcast(total))
-        .filter(F.col("val") > F.col("threshold"))
+        .filter(F.col("val1000") > F.col("total"))
         .select(
             "l_partkey",
             F.round(F.col("val").cast("double"), 2).alias("part_value"),
@@ -732,7 +744,9 @@ ORACLES = {
     "q11_important_parts": """
         WITH value AS (
             SELECT l_partkey,
-                   sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS val
+                   sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS val,
+                   sum(CAST(l_extendedprice AS DECIMAL(30,6)) * 1000)
+                       AS val1000
             FROM lineitem
             WHERE l_suppkey IN
                   (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
@@ -741,8 +755,7 @@ ORACLES = {
         SELECT l_partkey,
                round(CAST(val AS DOUBLE), 2) AS part_value
         FROM value
-        WHERE val > (SELECT sum(val) * CAST('0.001' AS DECIMAL(10,6))
-                     FROM value)
+        WHERE val1000 > (SELECT sum(val) FROM value)
     """,
     "q12_shipping_priority_split": """
         SELECT l_returnflag AS ship_class,
