@@ -58,6 +58,41 @@ KMV_K = 64  # k-minimum-values sketch size (stderr ≈ 1/√(k−2) ≈ 12.7%)
 KMV_SALTS = 64  # pre-aggregation fan-in bound for the two-phase top-k
 
 
+def kmv_sketch(dist: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """KMV sketch state per ``key_col`` group over an already-distinct
+    ``(key, value)`` frame: ``(key, arr, n_exact)`` with ``arr`` = the
+    k lexicographically smallest ``md5('kmv|' || value)`` hashes.
+
+    Per-salt k-smallest is a WINDOW rank, not collect_list: a
+    collect_list-then-slice aggregate buffers the salt group's ENTIRE
+    distinct hash set in one agg buffer before truncating — an executor
+    OOM at real cardinalities. The window's sort spills to disk
+    (bounded memory) and only ≤ k rows per salt survive into any
+    aggregation buffer; the same pass carries the salt's full count on
+    its rank-1 row so the exact count needs no second shuffle. Shared
+    by `ev_kmv_distinct` and the partitioning-invariance test, so the
+    tested pipeline IS the production one.
+    """
+    h = F.md5(F.concat(F.lit("kmv|"), F.col(val_col).cast("string")))
+    hashed = dist.select(F.col(key_col).alias("k"), h.alias("h")).withColumn(
+        "salt",
+        F.pmod(F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), KMV_SALTS),
+    )
+    w = Window.partitionBy("k", "salt").orderBy("h")
+    wc = Window.partitionBy("k", "salt")
+    ranked = hashed.select(
+        "k", "salt", "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("salt_n"),
+    ).filter(F.col("rn") <= KMV_K)
+    return ranked.groupBy("k").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("arr"),
+        F.sum(F.when(F.col("rn") == 1, F.col("salt_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_exact"),
+    ).withColumnRenamed("k", key_col)
+
+
 def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct sketch per event type — the
     mergeable-cardinality methodology (Bar-Yossef et al. 2002; the
@@ -82,39 +117,8 @@ def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy gate is the decision the sketch exists to answer.
     """
     e = load(spark, sf_dir, "events")
-    h = F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string")))
-    dist = (
-        e.select("event_type", "user_id")
-        .distinct()
-        .select(
-            "event_type",
-            h.alias("h"),
-        )
-        .withColumn(
-            "salt",
-            F.pmod(F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), KMV_SALTS),
-        )
-    )
-    # Per-salt k-smallest via a WINDOW rank, not collect_list: a
-    # collect_list-then-slice aggregate buffers the salt group's ENTIRE
-    # distinct hash set in one agg buffer before truncating — an
-    # executor OOM at real cardinalities. The window's sort spills to
-    # disk (bounded memory) and only ≤ k rows per salt survive into any
-    # aggregation buffer; the same pass carries the salt's full count
-    # on its rank-1 row so the exact count needs no second shuffle.
-    w = Window.partitionBy("event_type", "salt").orderBy("h")
-    wc = Window.partitionBy("event_type", "salt")
-    ranked = dist.select(
-        "event_type", "salt", "h",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("salt_n"),
-    ).filter(F.col("rn") <= KMV_K)
-    fin = ranked.groupBy("event_type").agg(
-        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("arr"),
-        F.sum(F.when(F.col("rn") == 1, F.col("salt_n")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("n_exact"),
-    )
+    dist = e.select("event_type", "user_id").distinct()
+    fin = kmv_sketch(dist, "event_type", "user_id")
     kth = F.element_at("arr", F.least(F.size("arr"), F.lit(KMV_K)))
     u = F.conv(F.substring(kth, 1, 8), 16, 10).cast("long") / F.lit(
         float(2**32)

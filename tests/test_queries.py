@@ -632,29 +632,20 @@ def test_kmv_sketch_partitioning_invariant(spark):
     from pyspark.sql import functions as F
 
     from kafka_flink_harshevents_spark.queries._util import load
-    from kafka_flink_harshevents_spark.queries.events import KMV_K, KMV_SALTS
+    from kafka_flink_harshevents_spark.queries.events import kmv_sketch
 
     baseline = None
     for parts in (1, 7, 32):
-        e = load(spark, SF_DIR, "events").repartition(parts)
-        h = F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string")))
         dist = (
-            e.select("event_type", "user_id").distinct()
-            .select("event_type", h.alias("h"))
+            load(spark, SF_DIR, "events")
+            .repartition(parts)
+            .select("event_type", "user_id")
+            .distinct()
         )
-        salt = F.pmod(
-            F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), KMV_SALTS
-        )
-        part = dist.groupBy("event_type", salt.alias("salt")).agg(
-            F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("p"),
-        )
-        fin = part.groupBy("event_type").agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list("p"))), 1, KMV_K
-            ).alias("arr")
-        )
+        fin = kmv_sketch(dist, "event_type", "user_id")
         rows = sorted(
-            (r["event_type"], tuple(r["arr"])) for r in fin.collect()
+            (r["event_type"], tuple(r["arr"]), r["n_exact"])
+            for r in fin.collect()
         )
         if baseline is None:
             baseline = rows
