@@ -1978,6 +1978,47 @@ def _dsir_sql() -> str:
     """
 
 
+SAMPLE_FIXED_K = 50  # exact per-stratum sample size
+FIXED_K_SALTS = 64  # two-phase rank fan-out (parallelism per stratum)
+
+
+def doc_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sample: EXACTLY k docs per language (or
+    all of them when the stratum is smaller) — the dataset-assembly op
+    behind "10k documents per language" style corpus specs, where
+    rate-based sampling (`doc_sample_stratified`) can't hit an exact
+    count. Deterministic: rank by the md5-derived uniform with a
+    doc_id tie-break, so the sample is a pure function of the corpus
+    (retry/partition/engine stable).
+
+    Scale shape: the stratum key is an ENUM (a handful of languages),
+    so a single per-lang window would funnel each language's whole
+    slice through one partition — the anti-pattern the percentile
+    rewrite killed. Instead the rank runs in two phases: top-k per
+    (lang, salt) — parallelism ∝ langs × FIXED_K_SALTS, window sort
+    spills — then a final top-k over the ≤ salts·k survivors per lang
+    (bounded rows, cheap). Same discipline as `kmv_sketch`.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = _md5_unit(F.col("doc_id"), "fixk|")
+    salt = F.floor(_md5_unit(F.col("doc_id"), "fixksalt|") * FIXED_K_SALTS)
+    pre = d.select(
+        "doc_id", "lang", u.alias("u"), salt.cast("long").alias("salt")
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy("u", "doc_id")
+    survivors = (
+        pre.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= SAMPLE_FIXED_K)
+        .drop("rk1")
+    )
+    w2 = Window.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("sample_rank") <= SAMPLE_FIXED_K)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
 def doc_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-graph observability: the DEGREE HISTOGRAM of the verified
     MinHash-LSH pair graph — (degree → node count), the diagnostic a
@@ -2332,6 +2373,7 @@ QUERIES = {
     "doc_containment_pairs": doc_containment_pairs,
     "doc_delete_propagation": doc_delete_propagation,
     "doc_neardup_graph_stats": doc_neardup_graph_stats,
+    "doc_sample_fixed_k": doc_sample_fixed_k,
     "doc_snapshot_diff": doc_snapshot_diff,
     "doc_bpe_train": doc_bpe_train,
 }
@@ -3021,6 +3063,18 @@ ORACLES = {
     "doc_winnowing": _winnowing_sql(),
     "doc_dedup_report": _dedup_report_sql(),
     "doc_clean_corpus": _clean_corpus_sql(),
+    "doc_sample_fixed_k": f"""
+        WITH r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_md5_unit_sql("doc_id", "fixk|")}, doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM r WHERE sample_rank <= {SAMPLE_FIXED_K}
+    """,
     "doc_neardup_graph_stats": f"""
         WITH pairs AS ({_minhash_sql()}),
         deg AS (
