@@ -89,3 +89,58 @@ def kmv_distinct_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-k reservoir — the streaming twin of
+# queries.documents.doc_sample_fixed_k.
+
+from kafka_flink_harshevents_spark.queries.documents import (  # noqa: E402
+    SAMPLE_FIXED_K,
+    _md5_unit,
+)
+
+_RES_OUT_SCHEMA = "lang string, doc_id long, u double, emit_seq long"
+_RES_STATE_SCHEMA = "us array<double>, ids array<long>, emit_seq long"
+
+
+def _reservoir_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    us, ids, seq = state.get if state.exists else ([], [], 0)
+    pool = {int(i): float(v) for v, i in zip(us, ids)}
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            pool[int(r.doc_id)] = float(r.u)
+    keep = sorted(pool.items(), key=lambda kv: (kv[1], kv[0]))[:SAMPLE_FIXED_K]
+    seq += 1
+    state.update(([v for _, v in keep], [i for i, _ in keep], seq))
+    yield pd.DataFrame(
+        [(str(key[0]), i, v, seq) for i, v in keep],
+        columns=["lang", "doc_id", "u", "emit_seq"],
+    )
+
+
+def sample_fixed_k_stream(docs: DataFrame) -> DataFrame:
+    """``(doc_id, lang)`` stream → update stream of per-language
+    reservoir snapshots (``emit_seq``-stamped; keep the latest batch's
+    rows per lang). The reservoir is DETERMINISTIC — the k smallest
+    md5-uniform keys with a doc_id tie-break — so unlike the classic
+    randomized reservoir it is a pure function of the SET of documents
+    seen: any arrival order, batching, or restart converges to the
+    identical sample, byte-for-byte equal to the batch
+    `doc_sample_fixed_k` over the same corpus (the parity test feeds
+    two arbitrary waves). State is ≤ k (u, doc_id) pairs per stratum —
+    the same bounded-merge shape as the KMV sketch above."""
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        _md5_unit(F.col("doc_id"), "fixk|").alias("u"),
+    ).filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
+    return keyed.groupBy("lang").applyInPandasWithState(
+        _reservoir_update,
+        _RES_OUT_SCHEMA,
+        _RES_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

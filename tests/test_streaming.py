@@ -10,6 +10,7 @@ import time
 import uuid
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_flink_harshevents_spark.sources.kafka import (
@@ -1883,3 +1884,64 @@ def test_streaming_locf_matches_batch(spark, tmp_path):
     assert want and got == want
     # the gap-fill actually fills: some cells are carried, not observed
     assert any(o == 0 for *_, o in want)
+
+
+def test_streaming_fixed_k_sample_matches_batch(spark, tmp_path):
+    """The deterministic reservoir's final snapshot must equal the
+    batch fixed-k stratified sample exactly — including ranks — no
+    matter how the corpus is split into waves (the reservoir is a pure
+    function of the document SET)."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.documents import (
+        doc_sample_fixed_k,
+    )
+    from kafka_flink_harshevents_spark.streaming.kmv import (
+        sample_fixed_k_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    src = tmp_path / "docs"
+    src.mkdir()
+    # arbitrary, non-time-ordered split
+    d.filter(F.col("doc_id") % 3 != 1).coalesce(1).write.json(
+        str(src / "w1.json")
+    )
+    stream = spark.readStream.schema("doc_id LONG, lang STRING").json(
+        str(src) + "/*.json"
+    )
+    name = f"fixk_{uuid.uuid4().hex[:8]}"
+    q = (
+        sample_fixed_k_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        d.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.json(
+            str(src / "w2.json")
+        )
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        last_seq: dict = {}
+        for r in rows:
+            last_seq[r["lang"]] = max(last_seq.get(r["lang"], 0), r["emit_seq"])
+        by_lang: dict = {}
+        for r in rows:
+            if r["emit_seq"] == last_seq[r["lang"]]:
+                by_lang.setdefault(r["lang"], []).append((r["u"], r["doc_id"]))
+        got = {
+            (lang, doc_id, rk + 1)
+            for lang, entries in by_lang.items()
+            for rk, (_, doc_id) in enumerate(sorted(entries))
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["lang"], r["doc_id"], r["sample_rank"])
+        for r in doc_sample_fixed_k(spark, SF_DIR).collect()
+    }
+    assert want and got == want
