@@ -1945,3 +1945,73 @@ def test_streaming_fixed_k_sample_matches_batch(spark, tmp_path):
         for r in doc_sample_fixed_k(spark, SF_DIR).collect()
     }
     assert want and got == want
+
+
+def test_tombstone_store_survives_restart(spark, tmp_path):
+    """Compliance state must outlive the query: tombstones written
+    before a stop must still reject re-ingested content after a
+    restart from the same checkpoint — a deletion that 'expires' with
+    the process would silently re-admit deleted content."""
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        delete_propagation_stream,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def wave(fname, rows):
+        with open(src / fname, "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps({"doc_id": i, "text": t, "action": a})
+                    for i, t, a in rows
+                )
+                + "\n"
+            )
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id LONG, text STRING, action STRING"
+        ).json(str(src) + "/*.json")
+        return (
+            delete_propagation_stream(stream)
+            .writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    wave("w1.json", [(1, "forbidden content", "seed"),
+                     (2, "ordinary content", "seed")])
+    q = start()
+    try:
+        q.processAllAvailable()
+        wave("w2.json", [(1, "forbidden content", "delete")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart: the tombstone must reject the deleted content from
+    # RECOVERED state while the ordinary content dedups normally
+    wave("w3.json", [(30, "forbidden content", "ingest"),
+                     (31, "ordinary content", "ingest"),
+                     (32, "brand new content", "ingest")])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    log = spark.read.schema(
+        "doc_id long, action string, fp string,"
+        " present_before long, tombstoned_before long"
+    ).json(sink)
+    rows = {r["doc_id"]: r for r in log.collect() if r["action"] == "ingest"}
+    assert set(rows) == {30, 31, 32}
+    assert rows[30]["tombstoned_before"] == 1  # deletion survived restart
+    assert rows[31]["tombstoned_before"] == 0
+    assert rows[31]["present_before"] == 1  # live-copy state survived too
+    assert rows[32]["tombstoned_before"] == 0
+    assert rows[32]["present_before"] == 0
