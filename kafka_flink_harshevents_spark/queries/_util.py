@@ -43,13 +43,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType column, truncating exactly like DuckDB's ns→ms/us
     conversions so oracle comparisons agree.
 
-    The ``documents`` and ``embeddings`` tables feed the CPU-heavy
-    text/vector pipelines and come back through :func:`spread` — the
-    relational tables keep their raw scans (their pipelines hit a
-    shuffle immediately, where parallelism resets anyway).
+    Parallelism note: ``load`` returns the RAW scan. CPU-heavy per-row
+    pipelines (shingling, signatures, vector kernels) opt into
+    :func:`spread` at their own call sites — an unconditional spread
+    here taxed every cheap query whose first op is already a shuffle or
+    a trivial agg with a pointless exchange (measured r03:
+    `doc_exact_dedup` 0.19→0.51 s, `emb_centroids` 0.22→0.81 s,
+    `mm_*` ~1.8×).
     """
-    if name in ("documents", "embeddings"):
-        return spread(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

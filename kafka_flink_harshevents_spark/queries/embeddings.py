@@ -24,7 +24,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import load
+from kafka_flink_harshevents_spark.queries._util import load, spread
 
 N_QUERY_VECS = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -110,7 +110,7 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: the shuffle is keyed by signature, ~N/2^bits vectors per bucket,
     never a cross join."""
     planes = _lsh_planes()
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     table_sigs = []
@@ -374,7 +374,7 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul (`_neardup_block_matmul` — exact); above the guard, switch to
     LSH signature blocking (`_neardup_lsh_blocked` — the 100 TB path).
     The only driver-side value is the scalar row count."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     n_vecs = e.agg(F.count(F.lit(1)).alias("n")).first()["n"]
@@ -452,7 +452,7 @@ def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nid"), F.col("component").alias("cluster_id")
     )
     return (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .select("vec_id")
         .join(labels, F.col("vec_id") == F.col("nid"), "left")
         .select(
@@ -591,7 +591,7 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_queries.py::test_pq_recall_floor and per-round by the
     driver via the `emb_knn_pq_recall` catalog entry.
     """
-    raw = load(spark, sf_dir, "embeddings").select(
+    raw = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("raw")
     )
     nrm = F.sqrt(
@@ -723,7 +723,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from decimal import Decimal
 
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     # one materialization: every iteration re-reads the checkpointed
@@ -835,7 +835,7 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     stats = (
@@ -1009,7 +1009,7 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is left-to-right in both engines (the `_COS` convention), so the
     6-dp scores are bit-stable.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     ex = e.select(

@@ -110,9 +110,10 @@ def test_phash_pairs_near_identical_media(spark, tmp_path):
     byte-duplicate pairs at Hamming 0, a one-character edit stays
     within the <=3 threshold (one byte moves one block sum), and a
     fully different payload pairs with neither. The synthetic corpus
-    has no near-identical media (min pairwise Hamming 8), so the
-    catalog entry's empty result there is the true answer — this test
-    pins the operator's behavior where near-identical media exist."""
+    has no organic near-identical media (min pairwise Hamming 8) — the
+    catalog entry seeds a sentinel twin so its driver row is never
+    vacuous; this test pins the operator's behavior where real
+    near-identical media exist."""
     from kafka_flink_harshevents_spark.queries.multimodal import mm_phash_pairs
 
     base = ("the quick brown fox jumps over the lazy dog again and again " * 10).strip()
@@ -131,4 +132,26 @@ def test_phash_pairs_near_identical_media(spark, tmp_path):
     }
     assert pairs.get((3, 6)) == 0, f"exact duplicate must pair at Hamming 0: {pairs}"
     assert (3, 9) in pairs and pairs[(3, 9)] <= 3, f"1-char edit must pair: {pairs}"
-    assert not any(12 in p for p in pairs), f"unrelated media must not pair: {pairs}"
+    # the sentinel twin duplicates the first hash-eligible doc (id 3)
+    from kafka_flink_harshevents_spark.queries.multimodal import PHASH_SENTINEL_OFFSET
+
+    assert pairs.get((3, 3 + PHASH_SENTINEL_OFFSET)) == 0
+    assert not any(
+        12 in p for p in pairs
+    ), f"unrelated media must not pair: {pairs}"
+
+
+def test_phash_pairs_nonvacuous_on_corpus(spark):
+    """The catalog entry must emit >=1 verified pair at every SF — the
+    sentinel twin guarantees it even where the organic corpus has no
+    near-dup media, so a driver correctness row is never vacuously
+    green on an empty result."""
+    from kafka_flink_harshevents_spark.queries.multimodal import (
+        PHASH_SENTINEL_OFFSET,
+        mm_phash_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = mm_phash_pairs(spark, SF_DIR).collect()
+    assert rows, "sentinel twin missing — phash pairs vacuously empty"
+    assert any(r["db"] >= PHASH_SENTINEL_OFFSET and r["hamming"] == 0 for r in rows)

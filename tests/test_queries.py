@@ -170,6 +170,13 @@ def test_jaccard_ppjoin_path_matches_oracle(spark):
     )
 
     df = _jaccard_ppjoin(_shingles(load(spark, SF_DIR, "documents")))
+    # Scale guard: the sparse path is chosen exactly when the corpus is
+    # too big to broadcast, so the verify stage must NOT carry an
+    # explicit broadcast hint anywhere (AQE may still broadcast-convert
+    # the candidate-bounded semi-joined side — that's runtime-sized and
+    # fine; a planted hint is not).
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower(), "corpus broadcast hint in PPJoin verify"
     assert_matches_duckdb(df, ORACLES["doc_ngram_jaccard_pairs"], SF_DIR)
 
 
