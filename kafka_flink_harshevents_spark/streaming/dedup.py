@@ -227,8 +227,15 @@ def content_events(events: DataFrame) -> DataFrame:
     streaming frames alike. ``action`` ∈ {'seed', 'ingest', 'delete'}
     (a real deployment resolves a delete request's doc_id to its
     content before issuing the tombstone; the batch twin reads the
-    content from the corpus the same way)."""
-    return events.select("doc_id", "action", F.md5("text").alias("fp"))
+    content from the corpus the same way).
+
+    NULL text hashes to a NULL fp — dropped HERE (JVM-side, same
+    convention as ``kmv_distinct_stream``): without the guard every
+    NULL-text row would collapse into one NULL-keyed state bucket and
+    each one after the first would report a spurious store hit."""
+    return events.select(
+        "doc_id", "action", F.md5("text").alias("fp")
+    ).filter(F.col("fp").isNotNull())
 
 
 def _tombstone_check(
@@ -241,6 +248,8 @@ def _tombstone_check(
     rows: list[tuple[int, str, str, int, int]] = []
     saw_content = False
     saw_delete = False
+    delete_idx: list[int] = []
+    delete_ids: list[int] = []
     for pdf in pdfs:
         for r in pdf.itertuples(index=False):
             act = str(r.action)
@@ -249,14 +258,31 @@ def _tombstone_check(
             else:
                 saw_content = True
             if act != "seed":
+                if act == "delete":
+                    delete_idx.append(len(rows))
+                    delete_ids.append(int(r.doc_id))
                 rows.append(
                     (int(r.doc_id), act, str(key[0]), present, tombstoned)
                 )
+    # Repeated deletes of the same content hash WITHIN one micro-batch
+    # must match the cross-batch semantics: only one delete (lowest
+    # doc_id — deterministic under replay) reports the batch-start
+    # snapshot; the rest see (present=0, tombstoned=1), exactly what a
+    # later batch would report — so an audit summing present_before
+    # never double-counts a propagation, even intra-batch.
+    if len(delete_idx) > 1:
+        first = delete_idx[delete_ids.index(min(delete_ids))]
+        for i in delete_idx:
+            if i != first:
+                d, a, f, _, _ = rows[i]
+                rows[i] = (d, a, f, 0, 1)
     # `present` means "the store currently holds LIVE copies": a delete
     # clears it (the sink removed them), and a tombstoned hash never
     # re-gains it (rejected ingests store nothing) — so a REPEATED
     # delete of already-propagated content reports present_before = 0
-    # and the compliance audit never double-counts a propagation.
+    # and the compliance audit never double-counts a propagation
+    # (intra-batch repeats are normalized above; cross-batch repeats
+    # read the updated state naturally).
     new_tomb = 1 if (tombstoned or saw_delete) else 0
     new_present = 0 if new_tomb else (1 if (present or saw_content) else 0)
     new_state = (new_present, new_tomb)
@@ -339,12 +365,15 @@ def vector_fingerprints(vecs: DataFrame) -> DataFrame:
             bit = (_dot(F.col("emb"), plane_col) > 0).cast("long") * (2**b)
             sig = bit if sig is None else sig + bit
         fps.append(F.concat(F.lit(f"{t}|"), sig.cast("string")))
+    # NULL embeddings (or NULL elements) make every signature NULL —
+    # filter JVM-side so they can't collapse into one NULL-keyed state
+    # bucket reporting spurious hits (kmv/locf stream convention).
     return e.select(
         "doc_id",
         "is_seed",
         F.lit(3).cast("long").alias("kind"),
         F.explode(F.array(*fps)).alias("fp"),
-    )
+    ).filter(F.col("fp").isNotNull())
 
 
 def vector_neardup_stream(vecs: DataFrame) -> DataFrame:

@@ -54,7 +54,10 @@ def _kmv_update(
     elif len(arr) < KMV_K:
         est = float(len(arr))
     else:
-        est = (KMV_K - 1) / (int(kth[:8], 16) / 2**32)
+        # round to 4dp AT EMIT, matching the batch twin ev_kmv_distinct:
+        # live consumers see byte-identical snapshots, no test-side
+        # rounding needed.
+        est = round((KMV_K - 1) / (int(kth[:8], 16) / 2**32), 4)
     yield pd.DataFrame(
         [(str(key[0]), len(arr), kth, est, seq)],
         columns=[

@@ -12,12 +12,15 @@ keyed by (user, hour) — sinks keep the latest revision per grid cell,
 the same convention as the heavy-hitter / KMV snapshots.
 
 Ordering contract: within a micro-batch rows are processed in event-time
-order; an event OLDER than the user's last emitted hour is counted in
-``n_late_dropped`` (state) and emits nothing — the stream has already
-published that part of the grid (the watermark assumption every
-streaming gap-fill makes; the batch query, which sees all data at once,
-has no such cut). The batch-parity test feeds time-ordered waves, where
-stream and batch grids agree row-for-row.
+order; an event that produces no grid revision — OLDER than the user's
+last emitted hour, or in the current hour but older than the revision
+already emitted — is counted in ``n_late_dropped`` (state) and emits
+nothing: the stream has already published that part of the grid (the
+watermark assumption every streaming gap-fill makes; the batch query,
+which sees all data at once, has no such cut). The counter therefore
+accounts for EVERY dropped observation: each ingested event either
+emits an observed grid revision or increments n_late_dropped. The batch-parity test feeds
+time-ordered waves, where stream and batch grids agree row-for-row.
 
 Scale shape: one shuffle on user_id into the state store; state is a
 single (hour, value, ts, late-counter) row per user; per-batch work is
@@ -64,6 +67,13 @@ def _locf_update(
             if ts >= last_ts:
                 last_val, last_ts = val, ts
                 rows.append((int(key[0]), hr, val, 1, ts))
+            else:
+                # in-hour-but-older than the last emitted revision: the
+                # grid cell keeps the max-ts pick (batch max_by twin),
+                # and the drop is COUNTED — n_late_dropped accounts for
+                # every event that produced no grid revision, not only
+                # those older than the last emitted hour.
+                n_late += 1
         elif hr > last_hr:
             g = last_hr + HOUR_MS
             while g < hr:

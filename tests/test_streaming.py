@@ -1790,8 +1790,8 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
         )
         .collect()
     }
-    # the batch entry rounds to 4 dp at emit; round the stream the same
-    got = {(t, k, round(v, 4)) for t, k, v in got}
+    # the stream rounds at emit exactly like the batch entry — snapshots
+    # must be byte-identical with NO test-side compensation
     assert want and got == want
 
 
@@ -2015,3 +2015,172 @@ def test_tombstone_store_survives_restart(spark, tmp_path):
     assert rows[31]["present_before"] == 1  # live-copy state survived too
     assert rows[32]["tombstoned_before"] == 0
     assert rows[32]["present_before"] == 0
+
+
+def test_tombstone_intrabatch_repeat_delete_single_count(spark):
+    """Two delete events for the same content hash arriving in ONE
+    micro-batch must match the cross-batch semantics: exactly one
+    (lowest doc_id) reports the batch-start snapshot, the rest see
+    (present=0, tombstoned=1) — so an audit summing present_before
+    never double-counts a propagation, no matter how requests batch."""
+    import pandas as pd
+
+    from kafka_flink_harshevents_spark.streaming.dedup import _tombstone_check
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = FakeGroupState()
+    # batch 1: content enters the store
+    list(
+        _tombstone_check(
+            ("fp-a",),
+            iter([pd.DataFrame({"doc_id": [1], "action": ["seed"]})]),
+            st,
+        )
+    )
+    # batch 2: THREE deletes of the same hash in one micro-batch
+    out = pd.concat(
+        list(
+            _tombstone_check(
+                ("fp-a",),
+                iter(
+                    [
+                        pd.DataFrame(
+                            {"doc_id": [7, 3, 9], "action": ["delete"] * 3}
+                        )
+                    ]
+                ),
+                st,
+            )
+        )
+    )
+    by_id = {int(r.doc_id): r for r in out.itertuples(index=False)}
+    assert set(by_id) == {3, 7, 9}
+    assert by_id[3].present_before == 1 and by_id[3].tombstoned_before == 0
+    for d in (7, 9):
+        assert by_id[d].present_before == 0 and by_id[d].tombstoned_before == 1
+    assert sum(r.present_before for r in by_id.values()) == 1
+    # batch 3: a later delete reads the updated store — same verdict
+    out3 = pd.concat(
+        list(
+            _tombstone_check(
+                ("fp-a",),
+                iter([pd.DataFrame({"doc_id": [4], "action": ["delete"]})]),
+                st,
+            )
+        )
+    )
+    r = next(out3.itertuples(index=False))
+    assert r.present_before == 0 and r.tombstoned_before == 1
+
+
+def test_stream_fingerprint_null_guards(spark):
+    """NULL text / NULL embeddings must be dropped JVM-side before the
+    keyed state stage: without the guard all such rows collapse into
+    one NULL-keyed bucket and every one after the first reports a
+    spurious store hit."""
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        content_events,
+        vector_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text", "ingest"), (2, None, "ingest"), (3, None, "ingest")],
+        "doc_id long, text string, action string",
+    )
+    fps = content_events(docs).collect()
+    assert [r["doc_id"] for r in fps] == [1]
+    assert all(r["fp"] is not None for r in fps)
+
+    from kafka_flink_harshevents_spark.queries.embeddings import EMB_DIM
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.1] * EMB_DIM, False),
+            (2, None, False),
+            (3, [0.1] * (EMB_DIM - 1) + [None], False),
+        ],
+        "vec_id long, embedding array<double>, is_seed boolean",
+    )
+    vfps = vector_fingerprints(vecs).collect()
+    assert vfps and {r["doc_id"] for r in vfps} == {1}
+    assert all(r["fp"] is not None for r in vfps)
+
+
+def test_locf_counts_inhour_late_drops(spark):
+    """An in-hour observation older than the already-emitted revision
+    produces no grid row AND increments n_late_dropped — the counter
+    accounts for every dropped event, not only pre-hour stragglers."""
+    import pandas as pd
+
+    from kafka_flink_harshevents_spark.streaming.locf import _locf_update
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = FakeGroupState()
+    hr = 3_600_000
+    # batch 1: one observation at t=hr+1000
+    list(
+        _locf_update(
+            (1,),
+            iter([pd.DataFrame({"ts_ms": [hr + 1000], "value": [5.0]})]),
+            st,
+        )
+    )
+    # batch 2: same hour but OLDER than the emitted revision → dropped+counted
+    out = list(
+        _locf_update(
+            (1,),
+            iter([pd.DataFrame({"ts_ms": [hr + 500], "value": [9.0]})]),
+            st,
+        )
+    )
+    assert out == []  # no grid revision
+    assert st.get[3] == 1  # n_late_dropped
+    # batch 3: pre-hour straggler also counted
+    out = list(
+        _locf_update(
+            (1,),
+            iter([pd.DataFrame({"ts_ms": [hr - 10], "value": [2.0]})]),
+            st,
+        )
+    )
+    assert out == [] and st.get[3] == 2
+    # a genuinely newer in-hour observation still revises the grid
+    out = pd.concat(
+        list(
+            _locf_update(
+                (1,),
+                iter([pd.DataFrame({"ts_ms": [hr + 2000], "value": [7.0]})]),
+                st,
+            )
+        )
+    )
+    assert len(out) == 1 and float(out.iloc[0]["value_locf"]) == 7.0
+    assert st.get[3] == 2  # counter untouched by accepted events
