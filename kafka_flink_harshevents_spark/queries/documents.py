@@ -426,8 +426,8 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then get verified with the exact Jaccard. Candidate generation is an
     equi-join on (band, band_hash): shuffle width ∝ colliding docs only.
     """
-    docs = spread(load(spark, sf_dir, "documents"))
-    sh = _shingles(docs)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)  # _shingles spreads — CPU-heavy per-row stage
 
     # Hash every (doc, shingle) row rather than joining a pre-hashed
     # vocabulary: scan-local md5s stay inside the narrow map stage,
@@ -521,7 +521,7 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     return (
-        spread(load(spark, sf_dir, "documents"))
+        load(spark, sf_dir, "documents")
         .select("doc_id")
         # no broadcast hint: the label table is ∝ docs-with-near-dups,
         # unbounded at corpus scale — AQE converts to broadcast when small
@@ -924,7 +924,7 @@ def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop; per-row arithmetic only, so no float-determinism hazard.
     """
     pairs = doc_minhash_lsh_pairs(spark, sf_dir)
-    texts = spread(load(spark, sf_dir, "documents")).select(
+    texts = load(spark, sf_dir, "documents").select(
         "doc_id", "text", F.length("text").alias("tlen")
     )
     lev = F.levenshtein(F.col("ta.text"), F.col("tb.text"))
@@ -953,7 +953,9 @@ def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     an aggregate of the same scan, the cluster side is the converged
     label table. Every predicate is engine-checkable — the whole
     composite hash-matches a single DuckDB statement."""
-    d = spread(load(spark, sf_dir, "documents")).select(
+    # raw load, NOT spread: this md5 subtree must stay byte-identical to
+    # doc_exact_dedup's so the scan is read once (ReusedExchange)
+    d = load(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("text_hash")
     )
     ex = doc_exact_dedup(spark, sf_dir).select("text_hash", "canonical_doc_id")
@@ -1124,7 +1126,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     corpus = (
-        spread(load(spark, sf_dir, "documents"))
+        load(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") >= N_EVAL_DOCS)
     )

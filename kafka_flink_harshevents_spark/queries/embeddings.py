@@ -452,7 +452,7 @@ def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nid"), F.col("component").alias("cluster_id")
     )
     return (
-        spread(load(spark, sf_dir, "embeddings"))
+        load(spark, sf_dir, "embeddings")
         .select("vec_id")
         .join(labels, F.col("vec_id") == F.col("nid"), "left")
         .select(
