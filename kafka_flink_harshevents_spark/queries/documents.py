@@ -2367,6 +2367,216 @@ def _bpe_reference(word_counts: dict, n_merges: int) -> list[tuple]:
     return out
 
 
+SHUFFLE_ROWS_PER_SHARD = 1000
+
+
+def doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle → ``(doc_id, shard,
+    shard_pos)``: the order a training job reads the corpus in, fixed
+    across retries and re-partitions. Every epoch-shuffling data loader
+    needs exactly this artifact — shard files of bounded size in a
+    pseudo-random but REPRODUCIBLE order (seeded by content-independent
+    id hashing, so adding a document perturbs one shard, not the whole
+    order).
+
+    Scale shape: shard COUNT grows with the corpus (fixed rows per
+    shard — the real-world invariant: shard files are IO-sized, not
+    count-fixed), so the per-shard ``row_number`` window partitions on
+    ~SHUFFLE_ROWS_PER_SHARD rows regardless of corpus size — never an
+    unpartitioned (or giant-partition) sort. The only full-data
+    exchange is the one shuffle into shards; the count probe is a
+    scalar aggregate (the standing two-pass guard shape).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    n_shards = max(1, -(-n // SHUFFLE_ROWS_PER_SHARD))  # ceil
+    u = _md5_unit(F.col("doc_id"), "shuf|")
+    w = Window.partitionBy("shard").orderBy("u", "doc_id")
+    return (
+        d.select("doc_id", u.alias("u"))
+        .withColumn("shard", F.floor(F.col("u") * n_shards).cast("long"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("shard_pos"),
+        )
+    )
+
+
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-Net-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): per language, split documents into head / middle
+    / tail tertiles by language-model score — the standard curriculum /
+    filtering signal (head = most fluent third under the LM). The LM is
+    the corpus's own unigram model (`doc_unigram_logprob`, the first
+    rung of CC-Net's KenLM ladder); higher avg token log-prob = lower
+    perplexity = head.
+
+    Scale shape: `lang` is an enum column, so ``Window.partitionBy(lang)``
+    would concentrate each language into ONE partition (20 TB partitions
+    at 100 TB) — ranks come from
+    ``operators.ranking.with_exact_rank_grouped`` instead: exact
+    per-(lang, value-bucket) ranks, every shuffle keyed by the
+    composite. Tertile assignment is pure integer arithmetic on
+    (rank, group count) — no float boundary, bit-stable in both engines.
+    """
+    from kafka_flink_harshevents_spark.operators.ranking import (
+        with_exact_rank_grouped,
+    )
+
+    lp = doc_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = lp.join(langs, "doc_id")
+    ranked = with_exact_rank_grouped(scored, "lang", "avg_logprob", "doc_id")
+    # rank ascending by logprob: the LOWEST scores (highest perplexity)
+    # fill the tail tertile, the highest fill the head
+    bucket = (
+        F.when(F.col("rn") * 3 > F.col("n") * 2, F.lit("head"))
+        .when(F.col("rn") * 3 > F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("ppl_bucket")
+    )
+
+
+def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each DISTINCT corpus word with the trained merges:
+    ``(word, n_chars_w, n_toks_w, rt_ok)``. The fold runs once per
+    vocabulary entry, not once per corpus occurrence — the same
+    corpus-vs-vocabulary separation the trainer uses (a 100 TB corpus
+    has ~10^12 word occurrences but only ~10^7 distinct words, so the
+    8-deep merge fold runs 10^5× less often; consumers join the counts
+    back on the word key)."""
+    merges, _ = _bpe_train_merges(spark, sf_dir)
+    vocab = (
+        spread(load(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    chars = F.expr(
+        "concat(transform(sequence(1, length(word)),"
+        " i -> substring(word, i, 1)), array('</w>'))"
+    )
+
+    def _apply_merge(arr: Column, left: str, right: str) -> Column:
+        return F.aggregate(
+            arr,
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    toks = chars
+    for _, left, right, _, _ in merges:
+        toks = _apply_merge(toks, left, right)
+    return vocab.select(
+        "word",
+        F.length("word").alias("n_chars_w"),
+        F.size(toks).cast("long").alias("n_toks_w"),
+        (F.array_join(toks, "") == F.concat(F.col("word"), F.lit("</w>"))).alias(
+            "rt_ok"
+        ),
+    )
+
+
+def _bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-occurrence encode table behind `doc_bpe_encode`: (doc_id,
+    source, n_chars_w, n_toks_w, rt_ok) — the corpus word stream joined
+    to the once-per-distinct-word encoded vocabulary on the word key.
+    Exposed so the reference-parity test can pin every word's token
+    count — not just the gate row — against the pure-Python encoder
+    (`_bpe_encode_reference`)."""
+    words = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return words.join(_bpe_encoded_vocab(spark, sf_dir), "word").select(
+        "doc_id", "source", "n_chars_w", "n_toks_w", "rt_ok"
+    )
+
+
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — encode the full corpus with the merges
+    `doc_bpe_train` learned, closing the BPE loop (train → encode):
+    per word, start from characters + '</w>' and replay every merge in
+    training order as a greedy left-to-right fold — the same JVM-side
+    ``aggregate`` expression the trainer rewrites its vocabulary with,
+    so encode and train share one merge semantics by construction.
+
+    Scale shape: the merge list is tiny and driver-side (it came from
+    the bounded 1-row-per-merge argmax collects); the 8-deep merge fold
+    runs once per DISTINCT word (`_bpe_encoded_vocab`), never per
+    occurrence, and joins back to vocabulary-sized per-(source, word)
+    counts — the corpus stream crosses the wire once, for the counts. Token counts per doc depend on the trained
+    merges, so the catalog row is the GATE convention: exact n_docs /
+    n_words per source (oracle-checkable), plus boolean invariants —
+    decode(encode(w)) == w for every word (concatenation is preserved
+    by merging) and n_words ≤ n_tokens ≤ initial symbol count (each
+    merge strictly shrinks a sequence it fires on). The exact per-doc
+    token counts are pinned against a pure-Python encoder in
+    tests/test_documents_ops.py::test_bpe_encode_matches_reference.
+    """
+    words = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    # per-(source, word) counts FIRST, then join the once-per-distinct-
+    # word encoded vocabulary: the expensive fold never touches the
+    # corpus stream, and the join is vocabulary-sized on both sides
+    wc = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # docs-with-words per source WITHOUT a second corpus explode: a doc
+    # has a non-empty word iff its text has any non-space character
+    docs_per_source = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) > 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    vocab = _bpe_encoded_vocab(spark, sf_dir)
+    return (
+        wc.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.bool_and("rt_ok").alias("roundtrip_ok"),
+            F.bool_and(
+                (F.col("n_toks_w") >= 1)
+                & (F.col("n_toks_w") <= F.col("n_chars_w") + 1)
+            ).alias("compressed_ok"),
+        )
+        .join(docs_per_source, "source")
+        .select("source", "n_docs", "n_words", "roundtrip_ok", "compressed_ok")
+    )
+
+
+def _bpe_encode_reference(word: str, merges: list[tuple]) -> list[str]:
+    """Pure-Python twin of the JVM encode fold: replay every trained
+    merge in order as a greedy left-to-right pass — the exactness
+    reference for `_bpe_encode_words`."""
+    syms = list(word) + ["</w>"]
+    for _, left, right, _, _ in merges:
+        acc: list[str] = []
+        for s in syms:
+            if acc and acc[-1] == left and s == right:
+                acc[-1] = left + right
+            else:
+                acc.append(s)
+        syms = acc
+    return syms
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_dsir_weights": doc_dsir_weights,
@@ -2410,6 +2620,9 @@ QUERIES = {
     "doc_sample_fixed_k": doc_sample_fixed_k,
     "doc_snapshot_diff": doc_snapshot_diff,
     "doc_bpe_train": doc_bpe_train,
+    "doc_shuffle_order": doc_shuffle_order,
+    "doc_perplexity_buckets": doc_perplexity_buckets,
+    "doc_bpe_encode": doc_bpe_encode,
 }
 
 
@@ -3237,5 +3450,67 @@ ORACLES = {
                stats.vocab_words,
                stats.corpus_tokens
         FROM first_merge, stats
+    """,
+    "doc_shuffle_order": f"""
+        WITH nn AS (
+            SELECT CAST(ceil(count(*) * 1.0 / {SHUFFLE_ROWS_PER_SHARD}) AS BIGINT)
+                   AS n_shards
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id, {_md5_unit_sql("doc_id", "shuf|")} AS u
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, u,
+                   CAST(floor(u * nn.n_shards) AS BIGINT) AS shard
+            FROM u CROSS JOIN nn
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY u, doc_id
+               ) AS BIGINT) AS shard_pos
+        FROM s
+    """,
+    "doc_perplexity_buckets": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        tf AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS nn FROM tok),
+        lp AS (
+            SELECT doc_id,
+                   round(CAST({_hilo_total_sql("c * ln(cnt * 1.0 / nn)", 9)}
+                              AS DOUBLE) / 1e9 / sum(c), 4) AS avg_logprob
+            FROM dt JOIN tf USING (t) CROSS JOIN n
+            GROUP BY doc_id
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.lang, lp.avg_logprob,
+                   row_number() OVER (
+                       PARTITION BY d.lang ORDER BY lp.avg_logprob, d.doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY d.lang) AS n
+            FROM documents d JOIN lp USING (doc_id)
+        )
+        SELECT doc_id, lang, avg_logprob,
+               CASE WHEN rn * 3 > n * 2 THEN 'head'
+                    WHEN rn * 3 > n THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM ranked
+    """,
+    "doc_bpe_encode": """
+        WITH w AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_words,
+               TRUE AS roundtrip_ok,
+               TRUE AS compressed_ok
+        FROM w WHERE word <> ''
+        GROUP BY source
     """,
 }

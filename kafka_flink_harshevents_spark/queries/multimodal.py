@@ -20,6 +20,7 @@ from kafka_flink_harshevents_spark.multimodal.media import (
     ahash_media,
     decode_media,
     media_from_documents,
+    resize_media,
     sample_frames,
 )
 from kafka_flink_harshevents_spark.queries._util import load
@@ -63,6 +64,21 @@ def mm_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(F.octet_length("frame_bytes")).alias("total_frame_bytes"),
     )
+
+
+RESIZE_W = 64
+RESIZE_H = 64
+
+
+def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage as a catalog entry: Arrow-batched
+    ``mapInPandas`` over the binary column (`multimodal.media
+    .resize_media` — fake resampler in this container, real codec
+    drop-in on a cluster with the libs), emitting the exact output
+    geometry and byte budget per item. Narrow stage, no shuffle; the
+    oracle recomputes the byte math (w·h·channels) per doc."""
+    r = resize_media(_media(spark, sf_dir), RESIZE_W, RESIZE_H)
+    return r.select("doc_id", "width", "height", "n_bytes_out")
 
 
 MM_SHARD_BYTES = 4096
@@ -159,6 +175,7 @@ QUERIES = {
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample_counts": mm_frame_sample_counts,
     "mm_pack_shards": mm_pack_shards,
+    "mm_resize_batch": mm_resize_batch,
 }
 
 # magic header lengths: png 4, jpeg 4, wav 4 (see multimodal.media._MAGIC)
@@ -242,6 +259,13 @@ ORACLES = {
                CAST(cum - n_bytes AS BIGINT) AS start_offset,
                CAST(floor((cum - n_bytes) / {MM_SHARD_BYTES}.0) AS BIGINT) AS shard_idx
         FROM c
+    """,
+    "mm_resize_batch": f"""
+        SELECT doc_id,
+               CAST({RESIZE_W} AS INTEGER) AS width,
+               CAST({RESIZE_H} AS INTEGER) AS height,
+               CAST(3 * {RESIZE_W} * {RESIZE_H} AS BIGINT) AS n_bytes_out
+        FROM documents
     """,
     "mm_media_stats": f"""
         WITH m AS ({_MEDIA_SQL})

@@ -313,3 +313,51 @@ def test_snapshot_diff_conservation(spark):
         assert r["shard_dirty"] == (
             (r["n_added"] + r["n_removed"] + r["n_changed"]) > 0
         )
+
+
+def test_bpe_encode_matches_reference(spark):
+    """The JVM encode fold must reproduce the pure-Python greedy
+    left-to-right merge replay token-for-token on every corpus word —
+    the catalog entry's gate row only checks invariants; this pins the
+    exact token counts."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.documents import (
+        _bpe_encode_reference,
+        _bpe_encode_words,
+        _bpe_train_merges,
+    )
+    from pyspark.sql import functions as F
+
+    merges, _ = _bpe_train_merges(spark, SF_DIR)
+    assert merges, "training produced no merges"
+    rows = _bpe_encode_words(spark, SF_DIR).collect()
+    # recompute every distinct word's token count in pure Python
+    words = {
+        w
+        for r in load(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .collect()
+        for w in [r["w"]]
+    }
+    ref_counts = {w: len(_bpe_encode_reference(w, merges)) for w in words}
+    ref_chars = {w: len(w) for w in words}
+    # per-word rows don't carry the word; verify via the (n_chars_w →
+    # count multiset) correspondence per doc instead: rebuild each doc's
+    # expected multiset of (chars, tokens) pairs from its text
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w != ""]
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["n_chars_w"], r["n_toks_w"]))
+        assert r["rt_ok"], f"roundtrip failed for a word in doc {r['doc_id']}"
+    for doc_id, ws in docs.items():
+        want = sorted((ref_chars[w], ref_counts[w]) for w in ws)
+        assert sorted(got.get(doc_id, [])) == want, f"doc {doc_id} mismatch"
+    # at least one merge must actually fire somewhere in the corpus
+    assert any(
+        ref_counts[w] < len(w) + 1 for w in words
+    ), "no merge ever fired — encode is vacuous"
