@@ -104,14 +104,17 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length saturation + lexical diversity + stopword
-    balance, bucketed. The score expression tree is identical in both
-    engines so the doubles match bit-for-bit before rounding."""
-    d = _words(load(spark, sf_dir, "documents"))
-    n_tokens = F.size("ws").cast("long")
-    n_unique = F.size(F.array_distinct("ws")).cast("long")
-    n_stop = F.size(F.filter("ws", lambda w: w.isin(*STOPWORDS))).cast("long")
+def quality_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, quality_score, quality_bucket):
+    the pure projection behind `doc_quality_score`, shared verbatim by
+    the streaming quality router (`streaming/quality.py`) — batch and
+    streaming frames alike (no repartition, no state). The score
+    expression tree is identical in both engines so the doubles match
+    bit-for-bit before rounding."""
+    ws = F.split("text", " ")
+    n_tokens = F.size(ws).cast("long")
+    n_unique = F.size(F.array_distinct(ws)).cast("long")
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("long")
     score = (
         F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * (n_unique / n_tokens)
@@ -125,6 +128,12 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("low"))
         .alias("quality_bucket"),
     )
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation + lexical diversity + stopword
+    balance, bucketed — `quality_frame` over the spread corpus scan."""
+    return quality_frame(spread(load(spark, sf_dir, "documents")))
 
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -294,3 +294,19 @@ def test_cbo_column_stats_drive_selectivity(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         _restore_confs(spark, old)
+
+
+def test_catalog_wide_no_cartesian_products(spark):
+    """Global invariant, swept over EVERY catalog entry: no
+    CartesianProduct anywhere — every pair-finding operator must key its
+    join (band hash, signature, block id, prefix rank, bucket).
+    1-row scalar guards use broadcast cross joins, which is fine; an
+    actual CartesianProduct at 100 TB is always a bug."""
+    from kafka_flink_harshevents_spark.queries import all_queries
+
+    offenders = []
+    for name, fn in all_queries().items():
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"

@@ -2184,3 +2184,67 @@ def test_locf_counts_inhour_late_drops(spark):
     )
     assert len(out) == 1 and float(out.iloc[0]["value_locf"]) == 7.0
     assert st.get[3] == 2  # counter untouched by accepted events
+
+
+def test_streaming_quality_router_matches_batch(spark, tmp_path):
+    """The streaming quality gate must score and route documents
+    EXACTLY like the batch quality battery: same (score, bucket) per
+    doc (shared projection — drift is structurally impossible, this
+    pins it), route = keep/review/drop by bucket, NULL text dropped
+    before scoring, and the three side-outputs partition the corpus."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.documents import doc_quality_score
+    from kafka_flink_harshevents_spark.streaming.quality import (
+        ROUTE_BY_BUCKET,
+        quality_route_streams,
+    )
+    from tests.conftest import SF_DIR
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    d.coalesce(1).write.json(str(src / "w1.json"))
+    # a NULL-text row must be dropped, not scored
+    spark.createDataFrame(
+        [(999_999, None)], "doc_id long, text string"
+    ).coalesce(1).write.json(str(src / "w2.json"))
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(
+        str(src) + "/*.json"
+    )
+    routed = quality_route_streams(stream)
+    names = {}
+    queries = []
+    try:
+        for route, df in routed.items():
+            name = f"qroute_{route}_{uuid.uuid4().hex[:8]}"
+            names[route] = name
+            queries.append(
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ck_{route}"))
+                .start()
+            )
+        for q in queries:
+            q.processAllAvailable()
+        got = {}
+        for route, name in names.items():
+            for r in spark.table(name).collect():
+                assert r["route"] == route
+                got[r["doc_id"]] = (
+                    r["quality_score"], r["quality_bucket"], route
+                )
+    finally:
+        for q in queries:
+            q.stop()
+    want = {
+        r["doc_id"]: (
+            r["quality_score"],
+            r["quality_bucket"],
+            ROUTE_BY_BUCKET[r["quality_bucket"]],
+        )
+        for r in doc_quality_score(spark, SF_DIR).collect()
+    }
+    assert 999_999 not in got  # NULL text dropped before scoring
+    assert got == want
