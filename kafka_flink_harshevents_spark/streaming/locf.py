@@ -56,7 +56,14 @@ def _locf_update(
     else:
         last_hr, last_val, last_ts, n_late = None, None, None, 0
     rows: list[tuple[int, int, float, int, int]] = []
-    events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_ms")
+    # kind="stable": the default quicksort is NOT stable, so tied
+    # timestamps would process in arbitrary order — a checkpoint replay
+    # could then emit a DIFFERENT revision for the tied hour (caught by
+    # the hypothesis state-machine property test). Stable sort pins
+    # ties to arrival order.
+    events = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        "ts_ms", kind="stable"
+    )
     for r in events.itertuples(index=False):
         ts, val = int(r.ts_ms), float(r.value)
         hr = (ts // HOUR_MS) * HOUR_MS

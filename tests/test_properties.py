@@ -197,3 +197,175 @@ def test_pattern_match_equals_brute_force(spark, events):
         for r in pattern_match_frame(df, within_ms=within).collect()
     }
     assert got == expected
+
+
+# -- streaming state machines, driven without a JVM ------------------------
+# The LOCF and tombstone processors are pure Python over pandas batches;
+# hypothesis drives them with arbitrary event sequences and batch splits
+# and checks them against simple sequential references.
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@given(
+    ts_vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20 * 3_600_000),  # ts_ms
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    splits=st.lists(st.integers(min_value=1, max_value=39), max_size=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_locf_state_machine_properties(ts_vals, splits):
+    """For ANY event sequence and ANY micro-batch split:
+    1. the final grid (latest revision per hour) equals the sequential
+       reference: max-ts pick per emitted hour, gaps carried forward;
+    2. events accepted + n_late_dropped == events ingested;
+    3. grid hours are contiguous from the first hour to the max emitted.
+    """
+    import pandas as pd
+
+    from kafka_flink_harshevents_spark.streaming.locf import HOUR_MS, _locf_update
+
+    # deterministic batch split points
+    cuts = sorted({s for s in splits if s < len(ts_vals)})
+    batches, prev = [], 0
+    for c in cuts + [len(ts_vals)]:
+        if c > prev:
+            batches.append(ts_vals[prev:c])
+            prev = c
+
+    st_obj = _FakeGroupState()
+    emitted = []
+    for b in batches:
+        out = list(
+            _locf_update(
+                (1,),
+                iter([pd.DataFrame(b, columns=["ts_ms", "value"])]),
+                st_obj,
+            )
+        )
+        for pdf in out:
+            emitted.extend(pdf.to_dict("records"))
+
+    # sequential reference: same contract, one event at a time
+    last_hr = last_val = last_ts = None
+    ref_grid = {}
+    dropped = 0
+    accepted = 0
+    # replay the BATCHED order exactly as the processor sees it: the
+    # processor's sort_values("ts_ms") is STABLE, so ties keep arrival
+    # order — sort by ts only (Python sort is stable too)
+    for b in batches:
+        for ts, val in sorted(b, key=lambda x: x[0]):
+            hr = (ts // HOUR_MS) * HOUR_MS
+            if last_hr is None:
+                ref_grid[hr] = (val, ts); accepted += 1
+                last_hr, last_val, last_ts = hr, val, ts
+            elif hr == last_hr:
+                if ts >= last_ts:
+                    ref_grid[hr] = (val, ts); accepted += 1
+                    last_val, last_ts = val, ts
+                else:
+                    dropped += 1
+            elif hr > last_hr:
+                g = last_hr + HOUR_MS
+                while g < hr:
+                    ref_grid.setdefault(g, (last_val, last_ts))
+                    g += HOUR_MS
+                ref_grid[hr] = (val, ts); accepted += 1
+                last_hr, last_val, last_ts = hr, val, ts
+            else:
+                dropped += 1
+
+    # latest revision per hour from the emitted update stream
+    got_grid = {}
+    n_observed = 0
+    for r in emitted:
+        hr = r["hour_ms"]
+        if r["observed"]:
+            n_observed += 1
+        cur = got_grid.get(hr)
+        if cur is None or r["src_ts_ms"] >= cur[1]:
+            got_grid[hr] = (r["value_locf"], r["src_ts_ms"])
+    assert got_grid == ref_grid
+    assert n_observed == accepted
+    assert st_obj.get[3] == dropped
+    if got_grid:
+        hours = sorted(got_grid)
+        assert hours == list(range(hours[0], hours[-1] + HOUR_MS, HOUR_MS))
+
+
+@given(
+    actions=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # doc_id
+            st.sampled_from(["seed", "ingest", "delete"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    splits=st.lists(st.integers(min_value=1, max_value=29), max_size=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_tombstone_state_machine_properties(actions, splits):
+    """For ANY action sequence over one content hash and ANY batch
+    split: (1) at most ONE delete verdict ever reports
+    present_before=1 — audits can never double-count a propagation;
+    (2) once any delete has been absorbed, every later-batch ingest
+    reports tombstoned_before=1; (3) seeds emit nothing."""
+    import pandas as pd
+
+    from kafka_flink_harshevents_spark.streaming.dedup import _tombstone_check
+
+    cuts = sorted({s for s in splits if s < len(actions)})
+    batches, prev = [], 0
+    for c in cuts + [len(actions)]:
+        if c > prev:
+            batches.append(actions[prev:c])
+            prev = c
+
+    st_obj = _FakeGroupState()
+    rows = []
+    deleted_before_batch = []
+    tomb = False
+    for b in batches:
+        deleted_before_batch.append(tomb)
+        out = list(
+            _tombstone_check(
+                ("fp-x",),
+                iter([pd.DataFrame(b, columns=["doc_id", "action"])]),
+                st_obj,
+            )
+        )
+        for pdf in out:
+            for r in pdf.to_dict("records"):
+                r["batch_tomb_before"] = tomb
+                rows.append(r)
+        if any(a == "delete" for _, a in b):
+            tomb = True
+
+    assert all(r["action"] != "seed" for r in rows)
+    deletes = [r for r in rows if r["action"] == "delete"]
+    assert sum(r["present_before"] for r in deletes) <= 1
+    # ingests in batches strictly after a delete was absorbed see the stone
+    for r in rows:
+        if r["action"] == "ingest" and r["batch_tomb_before"]:
+            assert r["tombstoned_before"] == 1
