@@ -497,6 +497,81 @@ def ev_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from kafka_flink_harshevents_spark.streaming.heavyhitters import MG_K  # noqa: E402
+
+MG_SHARDS = 4  # md5-hash shards for the Misra–Gries catalog entry
+
+
+def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries frequent-items summary as a driver-checked entry —
+    the catalog face of `streaming/heavyhitters.py` (same `_mg_update`
+    step, so the verified fold IS the production one). Items (user ids)
+    are md5-hash-sharded (portable shard assignment — the oracle
+    recomputes it); per shard, one deterministic pass in event_id order
+    builds the k-counter summary, and the emission is the GATE
+    convention: exact per-shard integers the oracle recomputes (stream
+    length, frequent-item count over the floor(m/(k+1)) threshold, the
+    exact top item with tie-break) plus the two MG theorems as booleans
+    — every frequent item is tracked; every estimate undercounts by at
+    most floor(m/(k+1)).
+
+    Scale shape: the summary values themselves depend on fold order, so
+    they stay out of the hashed emission (the STREAMING operator is the
+    unbounded-history path — bounded state per shard); this entry's job
+    is machine-checking the guarantee against exact counts, which the
+    hash sharding keeps parallel across MG_SHARDS groups.
+    """
+    import pandas as pd
+
+    from kafka_flink_harshevents_spark.streaming.heavyhitters import _mg_update
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item"), "event_id"
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5("item"), 1, 8), 16, 10).cast("long"),
+        F.lit(MG_SHARDS),
+    )
+    it = e.withColumn("shard", shard)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id", kind="stable")
+        counters: dict[str, int] = {}
+        for item in pdf["item"]:
+            _mg_update(counters, MG_K, item)
+        cnt = pdf["item"].value_counts()
+        m = len(pdf)
+        thr = m // (MG_K + 1)
+        frequent = {i for i, c in cnt.items() if c > thr}
+        all_tracked = frequent.issubset(counters.keys())
+        under_ok = all(
+            0 <= int(cnt[i]) - est <= thr for i, est in counters.items()
+        )
+        top_count = int(cnt.max())
+        top_item = min(i for i, c in cnt.items() if int(c) == top_count)
+        return pd.DataFrame(
+            [
+                {
+                    "shard": int(pdf["shard"].iloc[0]),
+                    "m": m,
+                    "n_frequent": len(frequent),
+                    "all_frequent_tracked": bool(all_tracked),
+                    "underestimate_ok": bool(under_ok),
+                    "top_item": top_item,
+                    "top_count": top_count,
+                }
+            ]
+        )
+
+    return it.groupBy("shard").applyInPandas(
+        fold,
+        schema=(
+            "shard long, m long, n_frequent long, all_frequent_tracked boolean,"
+            " underestimate_ok boolean, top_item string, top_count long"
+        ),
+    )
+
+
 def ev_enrich_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry-native enrichment join (SURVEY §2.7, the join the
     reference sets up but never performs): violations joined to a
@@ -779,6 +854,7 @@ QUERIES = {
     "ev_props_extract": ev_props_extract,
     "ev_threshold_classify": ev_threshold_classify,
     "ev_user_topk": ev_user_topk,
+    "ev_heavy_hitters": ev_heavy_hitters,
     "ev_enrich_vehicle": ev_enrich_vehicle,
 }
 
@@ -1123,6 +1199,40 @@ ORACLES = {
                epoch_ms(ts) AS ts_ms
         FROM events
         WHERE value >= 450.0 OR value <= 5.0
+    """,
+    "ev_heavy_hitters": f"""
+        WITH it AS (
+            SELECT CAST(user_id AS VARCHAR) AS item,
+                   CAST((({hex8_int_sql("md5(CAST(user_id AS VARCHAR))")})
+                        % {MG_SHARDS} + {MG_SHARDS}) % {MG_SHARDS} AS BIGINT)
+                       AS shard
+            FROM events
+        ),
+        cnt AS (SELECT shard, item, count(*) AS c FROM it GROUP BY 1, 2),
+        tot AS (SELECT shard, CAST(sum(c) AS BIGINT) AS m FROM cnt GROUP BY 1),
+        freq AS (
+            SELECT cnt.shard, CAST(count(*) AS BIGINT) AS n_frequent
+            FROM cnt JOIN tot USING (shard)
+            WHERE c > tot.m // {MG_K + 1}
+            GROUP BY cnt.shard
+        ),
+        per AS (
+            SELECT tot.shard, tot.m,
+                   coalesce(freq.n_frequent, 0) AS n_frequent
+            FROM tot LEFT JOIN freq USING (shard)
+        ),
+        top AS (
+            SELECT shard, item AS top_item, CAST(c AS BIGINT) AS top_count
+            FROM cnt
+            QUALIFY row_number() OVER (
+                PARTITION BY shard ORDER BY c DESC, item ASC
+            ) = 1
+        )
+        SELECT per.shard, per.m, per.n_frequent,
+               TRUE AS all_frequent_tracked,
+               TRUE AS underestimate_ok,
+               top.top_item, top.top_count
+        FROM per JOIN top USING (shard)
     """,
     "ev_user_topk": f"""
         SELECT user_id, count(*) AS n_events, {det_sum_sql("value", 2)} AS total_value
