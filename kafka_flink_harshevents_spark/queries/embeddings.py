@@ -956,6 +956,78 @@ def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN over SQ8 scalar-quantized vectors — the third ANN compression
+    family next to PQ and LSH (FAISS ScalarQuantizer): per-dim [min,max]
+    calibration (the `emb_quantize_stats` table), every vector encoded
+    to 255-level codes and DEQUANTIZED for the distance pass, exact
+    top-k on the reconstructed vectors. Unlike PQ (trained codebooks →
+    engine-specific) the SQ8 reconstruction is a closed-form expression
+    of the data, so this entry is FULLY row-oracled: both engines build
+    bit-identical reconstructed vectors (floor(x+0.5) half-up at code
+    boundaries, same convention as `emb_quantize_stats`) and the same
+    top-k with vec_id tie-break.
+
+    Scale shape: calibration is a 64-row aggregate collected driver-side
+    (the bounded-collect convention — one row per dimension at ANY
+    corpus size) and re-entered as literal arrays, so the encode +
+    dequant + distance pass is entirely scan-local; at deployment the
+    int8 codes are what's STORED (4× less scan IO than float32 — the
+    point of SQ8), and the shortlist/re-rank pattern of `emb_knn_pq`
+    applies on top unchanged."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    stats = (
+        e.select(F.posexplode("emb").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    rng = F.array(*[F.lit(float(r["mx"] - r["mn"])) for r in stats])
+    # dequantized vector, elementwise: mn + floor((x-mn)/rng*255+0.5)*rng/255
+    # (rng == 0 dims reconstruct to mn exactly, matching the oracle CASE)
+    idx = F.sequence(F.lit(0), F.lit(len(stats) - 1))
+    def _recon(col):
+        return F.transform(
+            idx,
+            lambda i: F.when(
+                F.element_at(rng, i + 1) > 0,
+                F.element_at(mn, i + 1)
+                + F.floor(
+                    (F.element_at(col, i + 1) - F.element_at(mn, i + 1))
+                    / F.element_at(rng, i + 1)
+                    * INT8_LEVELS
+                    + F.lit(0.5)
+                )
+                * F.element_at(rng, i + 1)
+                / INT8_LEVELS,
+            ).otherwise(F.element_at(mn, i + 1)),
+        )
+    re_ = e.select("vec_id", _recon(F.col("emb")).alias("emb"))
+    q = re_.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    pairs = re_.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    sim = F.round(_dot("qemb", "emb") / (_norm("qemb") * _norm("emb")), 6)
+    return (
+        pairs.select("qid", "vec_id", sim.alias("sim"))
+        .withColumn(
+            "knn_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("sim").desc(), F.col("vec_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("knn_rank") <= TOP_K)
+    )
+
+
 MRL_TRUNC_DIM = 8  # matryoshka truncation prefix length
 
 
@@ -1059,6 +1131,7 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
+    "emb_knn_sq8": emb_knn_sq8,
     "emb_outlier_scores": emb_outlier_scores,
     "emb_normalize": emb_normalize,
     "emb_centroids": emb_centroids,
@@ -1161,6 +1234,35 @@ ORACLES = {
                TRUE AS trace_consistent,
                TRUE AS var_topk_ge_uniform
         FROM embeddings
+    """,
+    "emb_knn_sq8": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        x AS (
+            SELECT vec_id, i, emb[i] AS v
+            FROM e, range(1, {EMB_DIM + 1}) t(i)
+        ),
+        s AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+        rv AS (
+            SELECT x.vec_id, x.i,
+                   CASE WHEN s.mx > s.mn
+                        THEN s.mn + floor((x.v - s.mn) / (s.mx - s.mn)
+                                          * {INT8_LEVELS} + 0.5)
+                             * (s.mx - s.mn) / {INT8_LEVELS}
+                        ELSE s.mn END AS rval
+            FROM x JOIN s USING (i)
+        ),
+        re AS (SELECT vec_id, list(rval ORDER BY i) AS emb FROM rv GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, emb AS qemb FROM re WHERE vec_id < {N_QUERY_VECS}),
+        p AS (
+            SELECT qid, vec_id, {_COS} AS sim
+            FROM q, re WHERE vec_id <> qid
+        ),
+        r AS (
+            SELECT qid, vec_id, sim,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS knn_rank
+            FROM p
+        )
+        SELECT qid, vec_id, sim, knn_rank FROM r WHERE knn_rank <= {TOP_K}
     """,
     "emb_knn_brute": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
