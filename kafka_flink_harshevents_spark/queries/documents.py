@@ -2605,6 +2605,56 @@ def _bpe_encode_reference(word: str, merges: list[tuple]) -> list[str]:
     return syms
 
 
+def doc_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph density diagnostic: triangle count, wedge count
+    and the global clustering coefficient of the verified MinHash pair
+    graph — the signal that tells a dedup run whether its duplicate
+    families are tight cliques (template boilerplate: coefficient → 1)
+    or loose chains (borderline near-dups transitively glued:
+    coefficient → 0), i.e. whether canonical-per-component dedup is
+    safe or over-merges.
+
+    Scale shape: edges are stored once with da < db, so a triangle
+    a < b < c is exactly one match of the two keyed equi-joins
+    (e1=(a,b) ⋈ e2=(b,c) on b, ⋈ e3=(a,c)) — shuffle ∝ pair graph,
+    never corpus; wedges come from one degree aggregate (exact integer
+    d·(d−1)/2). The pair graph is localCheckpoint-ed once and feeds
+    all three shapes."""
+    p = doc_minhash_lsh_pairs(spark, sf_dir).select("da", "db").localCheckpoint()
+    tri = (
+        p.alias("e1")
+        .join(p.alias("e2"), F.col("e1.db") == F.col("e2.da"))
+        .join(
+            p.alias("e3"),
+            (F.col("e3.da") == F.col("e1.da"))
+            & (F.col("e3.db") == F.col("e2.db")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        p.select(F.col("da").alias("node"))
+        .unionAll(p.select(F.col("db").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0)
+        ).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_dsir_weights": doc_dsir_weights,
@@ -2651,6 +2701,7 @@ QUERIES = {
     "doc_shuffle_order": doc_shuffle_order,
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_bpe_encode": doc_bpe_encode,
+    "doc_neardup_triangles": doc_neardup_triangles,
 }
 
 
@@ -3363,6 +3414,33 @@ ORACLES = {
         )
         SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
         FROM deg GROUP BY degree
+    """,
+    "doc_neardup_triangles": f"""
+        WITH pairs AS ({_minhash_sql()}),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.db = e2.da
+            JOIN pairs e3 ON e3.da = e1.da AND e3.db = e2.db
+        ),
+        deg AS (
+            SELECT node, count(*) AS d
+            FROM (
+                SELECT da AS node FROM pairs
+                UNION ALL
+                SELECT db AS node FROM pairs
+            ) GROUP BY node
+        ),
+        w AS (
+            SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+                   AS n_wedges
+            FROM deg
+        )
+        SELECT tri.n_triangles, w.n_wedges,
+               round(CASE WHEN w.n_wedges > 0
+                          THEN 3.0 * tri.n_triangles / w.n_wedges
+                          ELSE 0.0 END, 6) AS clustering_coeff
+        FROM tri, w
     """,
     "doc_delete_propagation": f"""
         WITH h AS (
