@@ -598,6 +598,10 @@ EMPTY_REPRESENTATIVES = [
     # round-3 late additions
     "doc_delete_propagation", "doc_snapshot_diff", "doc_bpe_train",
     "ev_kmv_distinct",
+    # round-4 additions
+    "doc_shuffle_order", "doc_perplexity_buckets", "doc_bpe_encode",
+    "doc_neardup_triangles", "mm_resize_batch", "emb_knn_sq8",
+    "ev_heavy_hitters",
 ]
 
 
