@@ -104,13 +104,13 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_frame(d: DataFrame) -> DataFrame:
-    """(doc_id, text, …) → (doc_id, quality_score, quality_bucket):
-    the pure projection behind `doc_quality_score`, shared verbatim by
-    the streaming quality router (`streaming/quality.py`) — batch and
-    streaming frames alike (no repartition, no state). The score
-    expression tree is identical in both engines so the doubles match
-    bit-for-bit before rounding."""
+def quality_columns() -> tuple[Column, Column]:
+    """(score, bucket) Column expressions over a frame with ``text`` —
+    the ONE definition of the quality battery, shared by the batch
+    entry (`quality_frame`/`doc_quality_score`) and the streaming
+    router (`streaming/quality.py::with_quality`), so stream and batch
+    scoring can never drift. The expression tree is identical in both
+    engines so the doubles match bit-for-bit before rounding."""
     ws = F.split("text", " ")
     n_tokens = F.size(ws).cast("long")
     n_unique = F.size(F.array_distinct(ws)).cast("long")
@@ -120,13 +120,23 @@ def quality_frame(d: DataFrame) -> DataFrame:
         + F.lit(0.3) * (n_unique / n_tokens)
         + F.lit(0.3) * (F.lit(1.0) - n_stop / n_tokens)
     )
-    return d.select(
-        "doc_id",
-        F.round(score, 4).alias("quality_score"),
+    bucket = (
         F.when(score >= 0.75, F.lit("high"))
         .when(score >= 0.5, F.lit("medium"))
         .otherwise(F.lit("low"))
-        .alias("quality_bucket"),
+    )
+    return score, bucket
+
+
+def quality_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, quality_score, quality_bucket):
+    the pure projection behind `doc_quality_score` — batch and
+    streaming frames alike (no repartition, no state)."""
+    score, bucket = quality_columns()
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        bucket.alias("quality_bucket"),
     )
 
 

@@ -46,3 +46,34 @@ def dedup_ingest_stream(
     return fresh.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def clean_ingest_stream(
+    docs: DataFrame,
+    history_hashes: DataFrame,
+    *,
+    ts_col: str = "ingest_ts",
+    delay: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full continuous-crawl ingest gate in one stream: quality
+    score + keep-route (`streaming.quality.quality_scored_stream` —
+    the SAME projection as the batch `doc_quality_score`), then online
+    dedup against history and within-stream
+    (:func:`dedup_ingest_stream`). Order matters and is deliberate:
+    scoring is a stateless projection (cheap, drops low-quality rows
+    BEFORE they touch dedup state), dedup is the only stateful stage —
+    so state size tracks the KEPT stream, not the raw crawl.
+
+    Emits survivors with (doc_id, text_hash, quality_score,
+    quality_bucket) — the manifest row a training-data sink appends.
+    """
+    from kafka_flink_harshevents_spark.streaming.quality import with_quality
+
+    kept = with_quality(docs).filter(F.col("route") == "keep")
+    survivors = dedup_ingest_stream(
+        kept, history_hashes, ts_col=ts_col, delay=delay, text_col=text_col
+    )
+    return survivors.select(
+        "doc_id", "text_hash", "quality_score", "quality_bucket"
+    )

@@ -28,17 +28,36 @@ from kafka_flink_harshevents_spark.queries.documents import quality_frame
 ROUTE_BY_BUCKET = {"high": "keep", "medium": "review", "low": "drop"}
 
 
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Append ``quality_score`` / ``quality_bucket`` / ``route`` to the
+    frame IN PLACE (all original columns kept) — the stateless
+    projection both the router and composed ingest pipelines build on.
+    The score/bucket expressions come from the ONE shared factory
+    (`queries.documents.quality_columns`), so drift from the batch
+    entry is structurally impossible."""
+    from kafka_flink_harshevents_spark.queries.documents import quality_columns
+
+    score, bucket = quality_columns()
+    route = (
+        F.when(bucket == "high", F.lit("keep"))
+        .when(bucket == "medium", F.lit("review"))
+        .otherwise(F.lit("drop"))
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .withColumn("quality_score", F.round(score, 4))
+        .withColumn("quality_bucket", bucket)
+        .withColumn("route", route)
+    )
+
+
 def quality_scored_stream(docs: DataFrame) -> DataFrame:
     """``(doc_id, text, …)`` stream → ``(doc_id, quality_score,
     quality_bucket, route)``: the shared scored stream every route
     consumer filters from."""
-    scored = quality_frame(docs.filter(F.col("text").isNotNull()))
-    route = (
-        F.when(F.col("quality_bucket") == "high", F.lit("keep"))
-        .when(F.col("quality_bucket") == "medium", F.lit("review"))
-        .otherwise(F.lit("drop"))
+    return with_quality(docs).select(
+        "doc_id", "quality_score", "quality_bucket", "route"
     )
-    return scored.withColumn("route", route)
 
 
 def quality_route_streams(docs: DataFrame) -> dict[str, DataFrame]:

@@ -2248,3 +2248,81 @@ def test_streaming_quality_router_matches_batch(spark, tmp_path):
     }
     assert 999_999 not in got  # NULL text dropped before scoring
     assert got == want
+
+
+def test_clean_ingest_stream_composes_quality_and_dedup(spark, tmp_path):
+    """The composed continuous-crawl gate (quality keep-route →
+    history anti-join → within-stream dedup): survivors are exactly the
+    batch expectation — high-quality docs whose content hash is neither
+    in history nor seen earlier in the stream — and carry the manifest
+    columns. Low-quality rows must be dropped BEFORE dedup state (their
+    hashes do NOT block later ingests of the same content)."""
+    import os
+
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.documents import doc_quality_score
+    from kafka_flink_harshevents_spark.streaming.ingest import clean_ingest_stream
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    quality = {
+        r["doc_id"]: (r["quality_score"], r["quality_bucket"])
+        for r in doc_quality_score(spark, SF_DIR).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in d.collect()]
+    # history: the first 10 doc hashes
+    hist_texts = [t for _, t in rows[:10]]
+    hist = spark.createDataFrame(
+        [(t,) for t in hist_texts], "text string"
+    ).select(F.md5("text").alias("text_hash"))
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    with open(src / "w1.jsonl.tmp", "w") as f:
+        for doc_id, text in rows:
+            f.write(
+                json.dumps(
+                    {"doc_id": doc_id, "text": text,
+                     "ingest_ts": "2026-01-01 10:00:00"}
+                ) + "\n"
+            )
+    os.rename(src / "w1.jsonl.tmp", src / "w1.jsonl")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, ingest_ts STRING")
+        .json(str(src))
+        .withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    )
+    name = f"cleaningest_{uuid.uuid4().hex[:8]}"
+    q = (
+        clean_ingest_stream(stream, hist)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    # batch expectation
+    import hashlib
+
+    hist_hashes = {hashlib.md5(t.encode()).hexdigest() for t in hist_texts}
+    seen = set()
+    want = {}
+    for doc_id, text in rows:  # file order == stream order (one batch)
+        if quality[doc_id][1] != "high":
+            continue
+        h = hashlib.md5(text.encode()).hexdigest()
+        if h in hist_hashes or h in seen:
+            continue
+        seen.add(h)
+        want[doc_id] = h
+    assert set(got) == set(want)
+    for doc_id, r in got.items():
+        assert r["text_hash"] == want[doc_id]
+        assert r["quality_score"] == quality[doc_id][0]
+        assert r["quality_bucket"] == "high"
