@@ -44,5 +44,51 @@ def pipeline_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consumer_stage(events)["counters"]
 
 
-QUERIES = {"pipeline_derive": pipeline_derive}
-ORACLES: dict[str, str] = {}
+def pipeline_derive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable CONTRACT gate for the full topology: the raw
+    counter values depend on the generator's xxhash64 stream (engine-
+    specific, hence `pipeline_derive`'s rows-only check), but the
+    topology's invariants do not — every emitted violation type is in
+    the reference allowlist, every counter is positive, and at least
+    one violation of each allowlisted type appears at catalog volumes.
+    The oracle states the constant row, so the driver machine-checks
+    the pipeline contract each round instead of counting rows only."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.operators.violations import (
+        ALLOWED_VIOLATION_TYPES,
+    )
+
+    counters = pipeline_derive(spark, sf_dir)
+    allowed = sorted(ALLOWED_VIOLATION_TYPES)
+    return counters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.bool_and(F.col("violation_type").isin(*allowed)).alias(
+            "all_types_allowed"
+        ),
+        F.bool_and(F.col("n") > 0).alias("counts_positive"),
+        (F.count_distinct("violation_type") == F.lit(len(allowed))).alias(
+            "all_types_seen"
+        ),
+    )
+
+
+QUERIES = {
+    "pipeline_derive": pipeline_derive,
+    "pipeline_derive_gate": pipeline_derive_gate,
+}
+def _gate_oracle() -> str:
+    from kafka_flink_harshevents_spark.operators.violations import (
+        ALLOWED_VIOLATION_TYPES,
+    )
+
+    n = len(ALLOWED_VIOLATION_TYPES)
+    return f"""
+        SELECT CAST({n} AS BIGINT) AS n_types,
+               TRUE AS all_types_allowed,
+               TRUE AS counts_positive,
+               TRUE AS all_types_seen
+    """
+
+
+ORACLES: dict[str, str] = {"pipeline_derive_gate": _gate_oracle()}
