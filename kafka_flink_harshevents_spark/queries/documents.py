@@ -1978,10 +1978,14 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_bigrams"),
+            # hi/lo long quantization (det_sum convention) — the
+            # DECIMAL(30,12) cast-sum this replaces kept BigDecimal in
+            # the partial aggregate (the r03→r04 hot-path rewrite)
             F.round(
-                F.sum((F.col("c") * F.col("lr")).cast("decimal(30,12)")).cast(
+                _hilo_total(_quantize(F.col("c") * F.col("lr"), 12)).cast(
                     "double"
-                ),
+                )
+                / F.lit(1e12),
                 6,
             ).alias("dsir_logweight"),
         )
@@ -2039,7 +2043,7 @@ def _dsir_sql() -> str:
         ),
         per AS (
             SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-                   round(CAST(sum(CAST(c * lr AS DECIMAL(30,12))) AS DOUBLE), 6)
+                   round(CAST({_hilo_total_sql("c * lr", 12)} AS DOUBLE) / 1e12, 6)
                        AS dsir_logweight
             FROM db JOIN lr USING (bucket) GROUP BY db.doc_id
         )
