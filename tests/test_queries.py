@@ -694,3 +694,51 @@ def test_sql_surface_events_docs(spark, name):
     sql_rows = sorted(tuple(str(r[c]) for c in cols) for r in sql_df.collect())
     api_rows = sorted(tuple(str(r[c]) for c in cols) for r in api_df.collect())
     assert sql_rows == api_rows
+
+
+# Representative per family for the partitioning-invariance sweep: the
+# nondeterminism risk classes are float-aggregation combine order (the
+# det_sum family), top-k / window ties, collect_list order, and
+# guarded-path selection. One run at 3-way and one at 32-way shuffle
+# partitioning must emit IDENTICAL sorted rows.
+PARTITIONING_REPRESENTATIVES = [
+    "q1_pricing_summary",        # det_sum aggregates
+    "ev_props_variant",          # the r02 flake class
+    "ev_user_topk",              # top-k tie-break
+    "ev_kmv_distinct",           # sketch state from collect_list
+    "ev_percentile_by_type",     # distributed grouped rank
+    "ev_heavy_hitters",          # per-shard sequential fold
+    "doc_minhash_lsh_pairs",     # min-hash aggregate
+    "doc_winnowing",             # array-fold fingerprints
+    "doc_sample_fixed_k",        # two-phase salt rank
+    "doc_unigram_logprob",       # hi/lo long sums
+    "doc_shuffle_order",         # per-shard row_number
+    "doc_perplexity_buckets",    # grouped rank + tertiles
+    "doc_bpe_train",             # iterative argmax with ties
+    "doc_neardup_clusters",      # CC label propagation
+    "emb_kmeans",                # fixed-point partials
+    "emb_knn_sq8",               # quantized top-k
+    "emb_pca",                   # decimal Gram partials
+    "mm_phash_pairs",            # pigeonhole buckets
+]
+
+
+@pytest.mark.parametrize("name", PARTITIONING_REPRESENTATIVES)
+def test_partitioning_invariance(spark, name):
+    """Byte-identical output under different shuffle widths — the
+    property the det_sum/hi-lo/total-order conventions exist to
+    guarantee, swept across every risk family (the CORRECTNESS_r02
+    `ev_props_variant` flake was exactly a violation of this)."""
+    def run(parts):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+            cols = sorted(df.columns)
+            return sorted(
+                tuple(r[c] for c in cols) for r in df.collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert run(3) == run(32), f"{name} emits partitioning-dependent rows"
