@@ -2326,3 +2326,75 @@ def test_clean_ingest_stream_composes_quality_and_dedup(spark, tmp_path):
         assert r["text_hash"] == want[doc_id]
         assert r["quality_score"] == quality[doc_id][0]
         assert r["quality_bucket"] == "high"
+
+
+def test_clean_ingest_state_survives_restart(spark, tmp_path):
+    """The composed ingest gate's within-stream dedup state must outlive
+    the query: a content hash admitted before a stop must still block a
+    replay that arrives (within the watermark delay) after a restart
+    from the same checkpoint — otherwise a crash re-admits duplicates."""
+    import os
+
+    from kafka_flink_harshevents_spark.streaming.ingest import clean_ingest_stream
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    # a text that scores HIGH quality (long, diverse, low stopword share)
+    good = " ".join(f"token{i} signal{i*7%13} value{i*3%11}" for i in range(40))
+    other = " ".join(f"other{i} piece{i*5%17} datum{i*2%7}" for i in range(40))
+
+    def write(name, rows):
+        with open(src / (name + ".tmp"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(src / (name + ".tmp"), src / name)
+
+    hist = spark.createDataFrame([("never seen",)], "text string").select(
+        F.md5("text").alias("text_hash")
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING, ingest_ts STRING")
+            .json(str(src))
+            .withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+        )
+        return (
+            clean_ingest_stream(stream, hist)
+            .writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .start()
+        )
+
+    write("w1.jsonl", [
+        {"doc_id": 1, "text": good, "ingest_ts": "2026-01-01 10:00:00"},
+    ])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart; wave 2 replays wave-1's content within the watermark
+    # delay plus one genuinely new doc
+    write("w2.jsonl", [
+        {"doc_id": 2, "text": good, "ingest_ts": "2026-01-01 10:02:00"},
+        {"doc_id": 3, "text": other, "ingest_ts": "2026-01-01 10:02:00"},
+    ])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.schema(
+        "doc_id long, text_hash string, quality_score double,"
+        " quality_bucket string"
+    ).json(sink)
+    rows = {r["doc_id"]: r for r in out.collect() if r["doc_id"] is not None}
+    assert set(rows) == {1, 3}, f"replay not blocked across restart: {sorted(rows)}"
+    assert rows[1]["quality_bucket"] == "high"
+    assert rows[3]["quality_bucket"] == "high"
