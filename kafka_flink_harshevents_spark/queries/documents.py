@@ -445,7 +445,11 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     potential), not the plan; the truly-unbounded scale path for
     near-dup remains MinHash-LSH, and this entry's job is exactness
     within the guarded regime."""
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    # The shingle stream feeds the probe AND (twice) whichever path wins
+    # — materialize it once (measured: 8.7→4.4 s cold at sf0.1; a
+    # cluster deployment swaps in persist(DISK_ONLY) at the same line,
+    # the DSIR convention, since the frame is corpus-sized).
+    sh = _shingles(load(spark, sf_dir, "documents")).localCheckpoint()
     probe = sh.agg(
         F.approx_count_distinct("s").alias("nv"),
         F.approx_count_distinct("doc_id").alias("nd"),
