@@ -268,3 +268,62 @@ def test_haversine_known_distances(spark):
     )
     for r in df.collect():
         assert abs(r["got"] - r["exp"]) <= max(0.005 * r["exp"], 0.5), r
+
+
+def test_corpus_format_roundtrips(spark, tmp_path):
+    """One read/write surface across every built-in corpus format:
+    documents round-trip bit-exactly through parquet, ORC, plain and
+    GZIP-compressed JSONL, and CSV — all under the SAME explicit schema
+    (schema-on-read, no inference pass); text round-trips the text
+    column; avro fails fast with the package hint."""
+    import pytest as _pytest
+
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.sources.formats import (
+        read_corpus,
+        write_corpus,
+    )
+    from tests.conftest import SF_DIR
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    d = load(spark, SF_DIR, "documents")
+    want = sorted(tuple(r) for r in d.collect())
+
+    cases = [
+        ("parquet", None),
+        ("orc", None),
+        ("jsonl", None),
+        ("jsonl", "gzip"),
+        ("csv", None),
+    ]
+    for i, (fmt, comp) in enumerate(cases):
+        p = str(tmp_path / f"c{i}_{fmt}_{comp}")
+        write_corpus(d, p, fmt, compression=comp)
+        back = read_corpus(spark, p, fmt, schema)
+        got = sorted(tuple(r) for r in back.select(*d.columns).collect())
+        assert got == want, f"{fmt}/{comp} roundtrip drift"
+        if comp == "gzip":
+            import glob
+
+            assert glob.glob(p + "/*.gz"), "gzip compression not applied"
+
+    # text: one doc per line
+    pt = str(tmp_path / "c_text")
+    write_corpus(d.select("text"), pt, "text")
+    back = read_corpus(spark, pt, "text", schema)
+    assert sorted(r["text"] for r in back.collect()) == sorted(
+        r["text"] for r in d.collect()
+    )
+
+    # shard-size knob: maxRecordsPerFile bounds every part file
+    ps = str(tmp_path / "c_shards")
+    write_corpus(d.repartition(1), ps, "parquet", max_records_per_file=20)
+    import glob
+
+    parts = glob.glob(ps + "/part-*.parquet")
+    assert len(parts) >= d.count() // 20
+    for f in parts:
+        assert spark.read.parquet(f).count() <= 20
+
+    with _pytest.raises(ValueError, match="spark-avro"):
+        read_corpus(spark, "/nope", "avro", schema)
