@@ -59,7 +59,18 @@ def pipeline_derive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ALLOWED_VIOLATION_TYPES,
     )
 
-    counters = pipeline_derive(spark, sf_dir)
+    # contract checking needs coverage, not throughput: run the same
+    # topology at a tenth of the throughput entry's volume (still ≥5k
+    # msgs at the driver's correctness SF — both types appear by ~100)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n = max(int(ROWS_PER_SF * sf / 10), 1000)
+    tel = synthetic_telemetry(spark, n, n_devices=97, seed=1234)
+    v_wire, s_wire = derive_stage(tel)
+    events = as_event_stream(v_wire, VIOLATIONS_TOPIC, 1_000).unionByName(
+        as_event_stream(s_wire, DEVICE_STATUS_TOPIC, 1_000)
+    )
+    counters = consumer_stage(events)["counters"]
     allowed = sorted(ALLOWED_VIOLATION_TYPES)
     return counters.agg(
         F.count(F.lit(1)).cast("long").alias("n_types"),
