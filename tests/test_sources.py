@@ -400,3 +400,49 @@ def test_warc_source_and_text_extraction(spark, tmp_path):
         assert d["doc_id"] is not None
     # both archives yield the same record id → same stable doc_id
     assert len({d["doc_id"] for d in docs}) == 1
+
+
+def test_warc_to_ingest_composition(spark, tmp_path):
+    """Front door to gate, end-to-end: a crawled archive parses to
+    documents, quality-routes, and exact-dedups — the full batch intake
+    path (read_warc → warc_to_documents → with_quality → hash dedup)
+    with duplicates collapsing across archives and boilerplate dropping
+    at the quality gate."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+    )
+    from kafka_flink_harshevents_spark.streaming.quality import with_quality
+
+    rich = " ".join(
+        f"<p>token{i} signal{i*7%13} value{i*3%11}</p>" for i in range(40)
+    )
+    thin = "<p>the the the the</p>"
+
+    def page(body):
+        return (
+            b"HTTP/1.1 200 OK\r\n\r\n<html><body>" + body.encode() + b"</body></html>"
+        )
+
+    recs1 = [
+        ("<urn:uuid:r1>", "response", "http://a/", "application/http", page(rich)),
+        ("<urn:uuid:r2>", "response", "http://b/", "application/http", page(thin)),
+    ]
+    recs2 = [  # second archive re-crawls the same rich page (new record id)
+        ("<urn:uuid:r3>", "response", "http://a/", "application/http", page(rich)),
+    ]
+    (tmp_path / "s1.warc").write_bytes(_build_warc(recs1))
+    (tmp_path / "s2.warc").write_bytes(_build_warc(recs2))
+
+    docs = warc_to_documents(read_warc(spark, str(tmp_path) + "/*.warc"))
+    assert docs.count() == 3
+    gated = with_quality(docs).filter(F.col("route") == "keep")
+    surv = (
+        gated.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # the thin page failed the gate; the re-crawl collapsed to one hash
+    assert len(surv) == 1 and surv[0]["n"] == 2
