@@ -2673,6 +2673,74 @@ def doc_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 4  # bits per dimension (16 buckets each, 8-bit z-value)
+ZORDER_FILE_ROWS = 100  # docs per output file in the layout
+
+
+def doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout + per-file skipping stats —
+    the lakehouse OPTIMIZE ZORDER shape (Delta/Iceberg file clustering):
+    interleave the bits of two query dimensions (a 4-bit language bucket
+    and a 4-bit size bucket), sort the corpus along the curve, cut it
+    into fixed-size files, and emit each file's min/max per dimension —
+    the data-skipping index a 100 TB scan prunes with. Because the
+    curve keeps both dimensions locally clustered, a predicate on
+    EITHER dimension excludes most files by min/max alone — the reason
+    this layout beats a single-column sort for multi-dimension filters.
+
+    Scale shape: the z-value is a pure per-row projection (shift/mask
+    arithmetic, no UDF); the global curve order uses the distributed
+    bucketed rank (`operators/ranking.py` — no unpartitioned Window);
+    the stats rollup is one keyed aggregate over file ids. Each output
+    file's row count is FIXED, so file count grows with the corpus and
+    no partition ever exceeds ZORDER_FILE_ROWS rows of rank-window
+    state.
+    """
+    from kafka_flink_harshevents_spark.operators.ranking import (
+        with_exact_rank,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    x = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("z|"), F.col("lang"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1 << ZORDER_BITS),
+    )
+    y = F.least(
+        F.expr("n_chars div 64").cast("long"), F.lit((1 << ZORDER_BITS) - 1)
+    )
+    t = d.select(F.col("doc_id"), x.alias("x"), y.alias("y"))
+    zbits = []
+    for i in range(ZORDER_BITS):
+        zbits.append(F.expr(f"(x div {1 << i}) % 2") * F.lit(1 << (2 * i)))
+        zbits.append(
+            F.expr(f"(y div {1 << i}) % 2") * F.lit(1 << (2 * i + 1))
+        )
+    zv = zbits[0]
+    for b in zbits[1:]:
+        zv = zv + b
+    t = t.withColumn("zv", zv.cast("long"))
+    ranked = with_exact_rank(t, "zv", "doc_id")
+    return (
+        ranked.withColumn(
+            "file_id", F.expr(f"(rn - 1) div {ZORDER_FILE_ROWS}").cast("long")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("zv").alias("z_min"),
+            F.max("zv").alias("z_max"),
+            F.min("x").alias("lang_bucket_min"),
+            F.max("x").alias("lang_bucket_max"),
+            F.min("y").alias("size_bucket_min"),
+            F.max("y").alias("size_bucket_max"),
+        )
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_dsir_weights": doc_dsir_weights,
@@ -2720,6 +2788,7 @@ QUERIES = {
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_bpe_encode": doc_bpe_encode,
     "doc_neardup_triangles": doc_neardup_triangles,
+    "doc_zorder_layout": doc_zorder_layout,
 }
 
 
@@ -2944,7 +3013,44 @@ def _minhash_sql() -> str:
     """
 
 
+def _zorder_sql() -> str:
+    mask = (1 << ZORDER_BITS) - 1
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((x // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((y // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, md5('z|' || lang) AS h,
+                   LEAST(n_chars // 64, {mask}) AS y0
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   {hex8_int_sql('h')} % {1 << ZORDER_BITS} AS x,
+                   CAST(y0 AS BIGINT) AS y
+            FROM t
+        ),
+        z AS (SELECT doc_id, x, y, ({' + '.join(terms)}) AS zv FROM b),
+        r AS (
+            SELECT x, y, zv,
+                   row_number() OVER (ORDER BY zv, doc_id) AS rn
+            FROM z
+        )
+        SELECT CAST((rn - 1) // {ZORDER_FILE_ROWS} AS BIGINT) AS file_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(zv) AS BIGINT) AS z_min,
+               CAST(max(zv) AS BIGINT) AS z_max,
+               CAST(min(x) AS BIGINT) AS lang_bucket_min,
+               CAST(max(x) AS BIGINT) AS lang_bucket_max,
+               CAST(min(y) AS BIGINT) AS size_bucket_min,
+               CAST(max(y) AS BIGINT) AS size_bucket_max
+        FROM r GROUP BY 1
+    """
+
+
 ORACLES = {
+    "doc_zorder_layout": _zorder_sql(),
     "doc_gopher_quality": f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         feats AS (

@@ -829,6 +829,133 @@ def ev_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CM_DEPTH = 4  # Count-Min rows (independent md5-salted hash functions)
+CM_WIDTH = 256  # Count-Min columns (buckets per row)
+CM_TOPN = 20  # emitted heavy users (exact top-n, deterministic tie-break)
+
+
+def _cm_bucket(item: F.Column, d: int) -> F.Column:
+    """Row-``d`` Count-Min bucket of a string item: first 8 hex nibbles
+    of a salted md5, mod CM_WIDTH — the identical integer the oracle
+    derives with `hex8_int_sql`."""
+    h = F.md5(F.concat(F.lit(f"cm{d}|"), item))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(CM_WIDTH)
+    )
+
+
+def ev_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries (Cormode & Muthukrishnan 2005) —
+    the frequency-estimation sketch that completes the mergeable-summary
+    family next to HLL (`ev_approx_distinct`), KMV (`ev_kmv_distinct`),
+    Misra–Gries (`ev_heavy_hitters`) and Greenwald–Khanna
+    (`ev_approx_quantile`). Unlike HLL, the sketch STATE here is a
+    deterministic pure function of the multiset (CM_DEPTH × CM_WIDTH
+    integer cells addressed by salted md5), so the ESTIMATES themselves
+    are engine-portable and the oracle hash-matches them — plus the
+    one-sided theorem (est ≥ exact, always) as a machine-checked gate.
+
+    Emission: the exact top-CM_TOPN users by event count (total-order
+    tie-break on user_id) with their exact count, CM estimate, and the
+    never-undercount flag.
+
+    Scale shape: the sketch build is one map-side-combining aggregate
+    over (row, bucket) — 1024 cells regardless of input size, the
+    textbook mergeable-state plan; the probe side is TakeOrdered top-n
+    (distributed heaps + driver merge, never a global sort) and the
+    (row, bucket) lookup joins a ≤1024-row broadcast.
+    """
+    e = load(spark, sf_dir, "events")
+    item = F.col("user_id").cast("string")
+    cells = e.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"), _cm_bucket(item, d).alias("bucket")
+                )
+                for d in range(CM_DEPTH)
+            ])
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    sketch = cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tops = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id"))
+        .limit(CM_TOPN)
+    )
+    probe = tops.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cm_bucket(F.col("user_id").cast("string"), d).alias(
+                        "bucket"
+                    ),
+                )
+                for d in range(CM_DEPTH)
+            ])
+        ).alias("c"),
+    ).select("user_id", "n_exact", "c.d", "c.bucket")
+    return (
+        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("est_cm"))
+        .select(
+            "user_id",
+            "n_exact",
+            "est_cm",
+            (F.col("est_cm") >= F.col("n_exact")).alias("never_under"),
+        )
+    )
+
+
+DECAY_HALFLIFE_H = 1  # one integer hour per halving — exact dyadic weights
+
+
+def ev_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed counters per event type — the
+    forgetting-counter shape behind every "trending now" / rate-limiter
+    surface (the streaming-analytics face of the reference's per-type
+    counters, kafkaConsumer.js:229-233, with recency weighting).
+
+    Each event weighs 2^(−age) where age = whole hours between the
+    event and the corpus max timestamp. Determinism: the age is an
+    INTEGER, so 2^(−age)·10⁶ = 15625·2^(6−age) is exactly representable
+    in IEEE double for every age that survives the microquantization
+    (age ≥ 21 floors to 0) — `floor(x + 0.5)` of an exact double is
+    bit-identical in any engine, sidestepping both float addition order
+    (the sum is over longs) and round() half-up/half-even divergence.
+    Emitted in micro-units as a BIGINT.
+
+    Scale shape: one scalar max (1-row broadcast) + one map-side
+    combining aggregate — the same two-phase plan as `ev_type_counts`;
+    at 100 TB the decayed counter merges associatively exactly like the
+    plain count.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type", ts_millis("ts").alias("tms")
+    )
+    ref = e.agg(F.max("tms").alias("ref_ms"))
+    age_h = F.floor((F.col("ref_ms") - F.col("tms")) / F.lit(3_600_000))
+    w_micro = F.floor(
+        F.pow(F.lit(2.0), (-age_h).cast("double")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    )
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(w_micro).cast("long").alias("decayed_micro"),
+        )
+    )
+
+
 QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_approx_distinct": ev_approx_distinct,
@@ -855,6 +982,8 @@ QUERIES = {
     "ev_threshold_classify": ev_threshold_classify,
     "ev_user_topk": ev_user_topk,
     "ev_heavy_hitters": ev_heavy_hitters,
+    "ev_count_min": ev_count_min,
+    "ev_decayed_counts": ev_decayed_counts,
     "ev_enrich_vehicle": ev_enrich_vehicle,
 }
 
@@ -889,6 +1018,51 @@ def _enrich_vehicle_sql() -> str:
 
 
 ORACLES = {
+    "ev_count_min": f"""
+        WITH ds(d) AS (VALUES (0), (1), (2), (3)),
+        cells AS (
+            SELECT ds.d,
+                   md5('cm' || CAST(ds.d AS VARCHAR) || '|'
+                       || CAST(e.user_id AS VARCHAR)) AS h
+            FROM events e CROSS JOIN ds
+        ),
+        sk AS (
+            SELECT d, {hex8_int_sql('h')} % {CM_WIDTH} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2
+        ),
+        tops AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+            FROM events GROUP BY user_id
+            ORDER BY n_exact DESC, user_id LIMIT {CM_TOPN}
+        ),
+        probe AS (
+            SELECT t.user_id, t.n_exact, ds.d,
+                   md5('cm' || CAST(ds.d AS VARCHAR) || '|'
+                       || CAST(t.user_id AS VARCHAR)) AS h
+            FROM tops t CROSS JOIN ds
+        )
+        SELECT p.user_id, p.n_exact,
+               CAST(min(s.cnt) AS BIGINT) AS est_cm,
+               (min(s.cnt) >= p.n_exact) AS never_under
+        FROM probe p
+        JOIN sk s ON s.d = p.d
+                 AND s.bucket = {hex8_int_sql('p.h')} % {CM_WIDTH}
+        GROUP BY p.user_id, p.n_exact
+    """,
+    "ev_decayed_counts": """
+        WITH ref AS (SELECT max(epoch_ms(ts)) AS ref_ms FROM events),
+        w AS (
+            SELECT event_type,
+                   floor(pow(2.0, -floor((ref.ref_ms - epoch_ms(ts))
+                                         / 3600000.0))
+                         * 1000000.0 + 0.5) AS wm
+            FROM events, ref
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(wm) AS BIGINT) AS decayed_micro
+        FROM w GROUP BY event_type
+    """,
     "ev_props_variant": f"""
         SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
                     AS BIGINT) AS k_bucket,
