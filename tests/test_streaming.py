@@ -2398,3 +2398,122 @@ def test_clean_ingest_state_survives_restart(spark, tmp_path):
     assert set(rows) == {1, 3}, f"replay not blocked across restart: {sorted(rows)}"
     assert rows[1]["quality_bucket"] == "high"
     assert rows[3]["quality_bucket"] == "high"
+
+
+def test_native_drop_duplicates_within_watermark_parity(spark, tmp_path):
+    """Spark's built-in ``dropDuplicatesWithinWatermark`` agrees with the
+    fingerprint-store dedup (`streaming/dedup.py`) on CROSS-BATCH exact
+    replays — the first occurrence survives, later copies are dropped —
+    and the one intentional divergence is pinned: the store's
+    snapshot-read semantics keep ALL intra-batch copies (matching the
+    batch twin `doc_incremental_dedup`, where a batch is scored against
+    the store, not itself), while the native operator collapses them to
+    one. A deployment that wants intra-batch collapse composes the
+    native op BEFORE the store; one that wants batch-vs-store scoring
+    uses the store alone — this test is the contract for that choice.
+    """
+    import os
+
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        dedup_verdicts,
+        incremental_dedup_stream,
+    )
+
+    src = tmp_path / "nddw"
+    src.mkdir()
+
+    def write(name, rows):
+        p = src / name
+        with open(str(p) + ".tmp", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.rename(str(p) + ".tmp", p)
+
+    def doc(doc_id, text, ts):
+        return {"doc_id": doc_id, "text": text, "ts": ts}
+
+    schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+
+    # --- native path: md5 fingerprint + dropDuplicatesWithinWatermark
+    native_in = spark.readStream.schema(schema).json(str(src))
+    native = (
+        native_in.withColumn("fp", F.md5("text"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    nname = f"nddw_{uuid.uuid4().hex[:8]}"
+    nq = (
+        native.writeStream.format("memory")
+        .queryName(nname)
+        .outputMode("append")
+        .start()
+    )
+
+    # --- store path: the repo's fingerprint-store dedup
+    store_in = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .select("doc_id", "text", F.lit(False).alias("is_seed"))
+    )
+    sname = f"nddw_store_{uuid.uuid4().hex[:8]}"
+    sq = (
+        incremental_dedup_stream(store_in)
+        .writeStream.format("memory")
+        .queryName(sname)
+        .outputMode("append")
+        .start()
+    )
+
+    def drain():
+        nq.processAllAvailable()
+        sq.processAllAvailable()
+
+    def native_kept():
+        return {r["doc_id"] for r in spark.table(nname).collect()}
+
+    def store_kept_exact():
+        return {
+            r["doc_id"]
+            for r in dedup_verdicts(spark.table(sname)).collect()
+            if r["exact_dup"] == 0
+        }
+
+    try:
+        # wave A: two fresh docs — both kept by both paths
+        write("a.jsonl", [
+            doc(1, "alpha one text body", "2026-01-01 00:00:01"),
+            doc(2, "beta two text body", "2026-01-01 00:00:02"),
+        ])
+        drain()
+        assert native_kept() == {1, 2}
+        assert store_kept_exact() == {1, 2}
+
+        # wave B: cross-batch replay of doc 1's text + one fresh doc —
+        # both paths drop the replay, keep the fresh doc
+        write("b.jsonl", [
+            doc(3, "alpha one text body", "2026-01-01 00:10:00"),
+            doc(4, "gamma four text body", "2026-01-01 00:10:01"),
+        ])
+        drain()
+        assert native_kept() == {1, 2, 4}
+        assert store_kept_exact() == {1, 2, 4}
+
+        # wave C: INTRA-batch copies — the pinned divergence: native
+        # collapses to one survivor; the store's snapshot semantics
+        # keep both (the batch twin's batch-vs-store rule)
+        write("c.jsonl", [
+            doc(5, "delta five text body", "2026-01-01 00:20:00"),
+            doc(6, "delta five text body", "2026-01-01 00:20:01"),
+        ])
+        drain()
+        nat = native_kept()
+        assert len(nat & {5, 6}) == 1, f"native kept {nat & {5, 6}}"
+        assert store_kept_exact() >= {5, 6}
+
+        # and a replay of that text in a LATER batch is dropped by both
+        write("d.jsonl", [doc(7, "delta five text body", "2026-01-01 00:30:00")])
+        drain()
+        assert 7 not in native_kept()
+        assert 7 not in store_kept_exact()
+    finally:
+        nq.stop()
+        sq.stop()
