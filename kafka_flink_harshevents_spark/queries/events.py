@@ -923,14 +923,17 @@ def ev_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (the streaming-analytics face of the reference's per-type
     counters, kafkaConsumer.js:229-233, with recency weighting).
 
-    Each event weighs 2^(−age) where age = whole hours between the
-    event and the corpus max timestamp. Determinism: the age is an
-    INTEGER, so 2^(−age)·10⁶ = 15625·2^(6−age) is exactly representable
-    in IEEE double for every age that survives the microquantization
-    (age ≥ 21 floors to 0) — `floor(x + 0.5)` of an exact double is
-    bit-identical in any engine, sidestepping both float addition order
-    (the sum is over longs) and round() half-up/half-even divergence.
-    Emitted in micro-units as a BIGINT.
+    Each event weighs 2^(−age) where age = calendar-hour-bucket
+    difference between the event and the corpus max (decay advances on
+    hour boundaries — the tumbling-bucket convention, and the form whose
+    per-(type, hour) counts are a BOUNDED streaming state; see
+    `streaming/trending.py::decayed_counts_stream`). Determinism: the
+    age is an INTEGER, so 2^(−age)·10⁶ = 15625·2^(6−age) is exactly
+    representable in IEEE double for every age that survives the
+    microquantization (age ≥ 21 floors to 0) — `floor(x + 0.5)` of an
+    exact double is bit-identical in any engine, sidestepping both
+    float addition order (the sum is over longs) and round()
+    half-up/half-even divergence. Emitted in micro-units as a BIGINT.
 
     Scale shape: one scalar max (1-row broadcast) + one map-side
     combining aggregate — the same two-phase plan as `ev_type_counts`;
@@ -938,10 +941,11 @@ def ev_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain count.
     """
     e = load(spark, sf_dir, "events").select(
-        "event_type", ts_millis("ts").alias("tms")
+        "event_type",
+        F.floor(ts_millis("ts") / F.lit(3_600_000.0)).alias("h"),
     )
-    ref = e.agg(F.max("tms").alias("ref_ms"))
-    age_h = F.floor((F.col("ref_ms") - F.col("tms")) / F.lit(3_600_000))
+    ref = e.agg(F.max("h").alias("ref_h"))
+    age_h = F.col("ref_h") - F.col("h")
     w_micro = F.floor(
         F.pow(F.lit(2.0), (-age_h).cast("double")) * F.lit(1_000_000.0)
         + F.lit(0.5)
@@ -1051,13 +1055,16 @@ ORACLES = {
         GROUP BY p.user_id, p.n_exact
     """,
     "ev_decayed_counts": """
-        WITH ref AS (SELECT max(epoch_ms(ts)) AS ref_ms FROM events),
+        WITH b AS (
+            SELECT event_type,
+                   floor(epoch_ms(ts) / 3600000.0) AS h
+            FROM events
+        ),
+        ref AS (SELECT max(h) AS ref_h FROM b),
         w AS (
             SELECT event_type,
-                   floor(pow(2.0, -floor((ref.ref_ms - epoch_ms(ts))
-                                         / 3600000.0))
-                         * 1000000.0 + 0.5) AS wm
-            FROM events, ref
+                   floor(pow(2.0, -(ref.ref_h - h)) * 1000000.0 + 0.5) AS wm
+            FROM b, ref
         )
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(wm) AS BIGINT) AS decayed_micro

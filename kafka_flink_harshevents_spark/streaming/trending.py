@@ -60,3 +60,128 @@ def trending_rank(count_log: DataFrame, top_n: int) -> DataFrame:
         .filter(F.col("rk") <= top_n)
         .select("hour_ts", "event_type", "n", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous decayed counters — the streaming twin of the batch
+# `ev_decayed_counts` entry (exponential forgetting, calendar-hour decay).
+
+from collections.abc import Iterator  # noqa: E402
+
+import pandas as pd  # noqa: E402
+from pyspark.sql.streaming.state import (  # noqa: E402
+    GroupState,
+    GroupStateTimeout,
+)
+
+# Hour buckets older than this from the group's max contribute 0 after
+# the micro-quantization (2^-21 · 10^6 < 0.5), so state prunes to a
+# BOUNDED trailing window of hour counters per key — the whole point of
+# the hour-bucket decay convention the batch twin shares.
+DECAY_KEEP_HOURS = 20
+
+_DC_OUT_SCHEMA = (
+    "event_type string, n long, max_h long,"
+    " hours array<long>, counts array<long>, emit_seq long"
+)
+_DC_STATE_SCHEMA = (
+    "n long, hours array<long>, counts array<long>, emit_seq long"
+)
+
+
+def _decay_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, hours, counts, seq = (
+        state.get if state.exists else (0, [], [], 0)
+    )
+    acc = dict(zip(hours, counts))
+    for pdf in pdfs:
+        for h in pdf["h"]:
+            h = int(h)
+            acc[h] = acc.get(h, 0) + 1
+            n += 1
+    if acc:
+        cutoff = max(acc) - DECAY_KEEP_HOURS
+        acc = {h: c for h, c in acc.items() if h >= cutoff}
+    hours = sorted(acc)
+    counts = [acc[h] for h in hours]
+    seq += 1
+    state.update((n, hours, counts, seq))
+    yield pd.DataFrame(
+        [(str(key[0]), n, hours[-1] if hours else None, hours, counts, seq)],
+        columns=["event_type", "n", "max_h", "hours", "counts", "emit_seq"],
+    )
+
+
+def decayed_counts_stream(events: DataFrame) -> DataFrame:
+    """``(event_type, ts)`` stream → update stream of per-type decayed-
+    counter snapshots: total count, the trailing hour-bucket counters
+    (the sketch's sufficient statistic — hours older than
+    DECAY_KEEP_HOURS from the group's max floor to 0 micro-units and
+    are pruned), and an ``emit_seq`` so sinks keep the latest row.
+
+    The decayed VALUE is deliberately not emitted here: the batch twin
+    anchors decay at the CORPUS max hour, which one key's state cannot
+    know. `decayed_counts_rollup` — a plain batch post-stage over the
+    latest snapshots, like `trending_rank` — applies the global anchor
+    and reproduces `ev_decayed_counts` bit-for-bit (pruned hours are
+    safe: the global max only ever INCREASES an age, and ages past the
+    keep window already weigh 0 micro-units).
+
+    Scale shape: the stateless stage is a pure JVM projection to
+    (type, hour) — a streaming aggregation cannot precede
+    `applyInPandasWithState` in one query, so per-hour reduction
+    happens inside the state function (a dict fold over the Arrow
+    batch); state per key is ≤ DECAY_KEEP_HOURS+1 counters.
+    """
+    partials = events.select(
+        "event_type",
+        F.floor(
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            / F.lit(3_600_000.0)
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    return partials.groupBy("event_type").applyInPandasWithState(
+        _decay_update,
+        _DC_OUT_SCHEMA,
+        _DC_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def decayed_counts_rollup(snapshots: DataFrame) -> DataFrame:
+    """Latest snapshot per type → the batch `ev_decayed_counts` rows:
+    global anchor = max hour across types, decayed value = the same
+    exact dyadic micro-unit fold the batch entry sums per row."""
+    latest = (
+        snapshots.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.desc("emit_seq")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    ref = latest.agg(F.max("max_h").alias("ref_h"))
+    pairs = latest.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "n",
+        F.explode(F.arrays_zip("hours", "counts")).alias("z"),
+        "ref_h",
+    )
+    w_micro = F.floor(
+        F.pow(
+            F.lit(2.0),
+            (F.col("z.hours") - F.col("ref_h")).cast("double"),
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    )
+    return pairs.groupBy("event_type", "n").agg(
+        F.sum(w_micro * F.col("z.counts")).cast("long").alias("decayed_micro")
+    ).select("event_type", "n", "decayed_micro")

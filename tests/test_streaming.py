@@ -2517,3 +2517,62 @@ def test_native_drop_duplicates_within_watermark_parity(spark, tmp_path):
     finally:
         nq.stop()
         sq.stop()
+
+
+def test_streaming_decayed_counts_matches_batch(spark, tmp_path):
+    """The decayed-counter stream's snapshots, rolled up with the global
+    anchor, equal the batch ev_decayed_counts rows over the same data —
+    hour-bucket counts are batching-insensitive, pruning only drops
+    buckets that weigh 0 micro-units, and the rollup applies the exact
+    same dyadic fold. State is asserted BOUNDED (≤ keep-window+1 hour
+    counters per type)."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.events import ev_decayed_counts
+    from kafka_flink_harshevents_spark.streaming.trending import (
+        DECAY_KEEP_HOURS,
+        decayed_counts_rollup,
+        decayed_counts_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select(
+        "event_type", F.col("ts").cast("string").alias("ts")
+    )
+    src = tmp_path / "decay"
+    src.mkdir()
+    e.filter(F.col("event_type") <= "m").coalesce(1).write.json(
+        str(src / "w1.json")
+    )
+    stream = spark.readStream.schema("event_type STRING, ts TIMESTAMP").json(
+        str(src) + "/*.json"
+    )
+    name = f"decay_{uuid.uuid4().hex[:8]}"
+    q = (
+        decayed_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        e.filter(F.col("event_type") > "m").coalesce(1).write.json(
+            str(src / "w2.json")
+        )
+        q.processAllAvailable()
+        snaps = spark.table(name)
+        # bounded state: every snapshot's hour array within the window
+        max_len = snaps.agg(F.max(F.size("hours"))).first()[0]
+        assert max_len <= DECAY_KEEP_HOURS + 1
+        got = {
+            (r["event_type"], r["n"], r["decayed_micro"])
+            for r in decayed_counts_rollup(snaps).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["event_type"], r["n"], r["decayed_micro"])
+        for r in ev_decayed_counts(spark, SF_DIR).collect()
+    }
+    assert got == want
