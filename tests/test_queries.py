@@ -602,6 +602,8 @@ EMPTY_REPRESENTATIVES = [
     "doc_shuffle_order", "doc_perplexity_buckets", "doc_bpe_encode",
     "doc_neardup_triangles", "mm_resize_batch", "emb_knn_sq8",
     "ev_heavy_hitters",
+    # round-4 second wave
+    "ev_count_min", "ev_decayed_counts", "doc_zorder_layout",
 ]
 
 
@@ -720,6 +722,8 @@ PARTITIONING_REPRESENTATIVES = [
     "emb_knn_sq8",               # quantized top-k
     "emb_pca",                   # decimal Gram partials
     "mm_phash_pairs",            # pigeonhole buckets
+    "ev_count_min",              # CM sketch cells + top-n tie-break
+    "doc_zorder_layout",         # tie-heavy distributed rank (256 z values)
 ]
 
 
