@@ -2576,3 +2576,69 @@ def test_streaming_decayed_counts_matches_batch(spark, tmp_path):
         for r in ev_decayed_counts(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_count_min_matches_batch(spark, tmp_path):
+    """The Count-Min cell stream's latest snapshots equal the
+    batch-built sketch cell-for-cell after a two-wave split — the
+    sketch is a pure function of the ingested multiset, so batching
+    cannot change it. A point probe (min over an item's cells) then
+    matches the batch entry's estimate arithmetic by construction."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.events import (
+        CM_DEPTH,
+        _cm_bucket,
+    )
+    from kafka_flink_harshevents_spark.streaming.countmin import (
+        count_min_snapshot,
+        count_min_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select("user_id")
+    src = tmp_path / "cm"
+    src.mkdir()
+    e.filter(F.col("user_id") % 2 == 0).coalesce(1).write.json(
+        str(src / "w1.json")
+    )
+    stream = spark.readStream.schema("user_id LONG").json(str(src) + "/*.json")
+    name = f"cm_{uuid.uuid4().hex[:8]}"
+    q = (
+        count_min_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        e.filter(F.col("user_id") % 2 == 1).coalesce(1).write.json(
+            str(src / "w2.json")
+        )
+        q.processAllAvailable()
+        got = {
+            (r["d"], r["bucket"], r["cnt"])
+            for r in count_min_snapshot(spark.table(name)).collect()
+        }
+    finally:
+        q.stop()
+
+    item = F.col("user_id").cast("string")
+    batch_cells = (
+        e.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cm_bucket(item, d).alias("bucket"),
+                    )
+                    for d in range(CM_DEPTH)
+                ])
+            ).alias("c")
+        )
+        .groupBy("c.d", "c.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    want = {(r["d"], r["bucket"], r["cnt"]) for r in batch_cells.collect()}
+    assert got == want
