@@ -1363,6 +1363,24 @@ def pii_counts(text: Column) -> list[Column]:
     ]
 
 
+def pii_redact(text: Column) -> Column:
+    """PII remediation — the transform half of the release gate
+    (`doc_pii_scan` detects, this redacts): email / IPv4 / phone-shaped
+    substrings replaced with typed placeholders, JVM-side
+    ``regexp_replace`` chain inside codegen (no UDF, scan-local at any
+    corpus size). Order matters: IPv4 before phone so a dotted quad is
+    never half-eaten by the phone pattern; placeholders are
+    non-matching tokens so redaction is idempotent. NOT a catalog
+    entry: the synthetic corpus is PII-free, so a driver row would be
+    vacuously green (the `mm_phash_pairs` lesson) — the operator is
+    exercised on adversarial fixtures in tests/test_documents_ops.py.
+    """
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out
+
+
 def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII exposure rollup per source: documents carrying email / IPv4 /
     phone-shaped substrings (the release-gate scan every training-data

@@ -960,6 +960,40 @@ def ev_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) reconstruction from a
+    CDC log — the lakehouse history-table build: every state change per
+    (user_id, event_type) becomes a version row with a validity
+    interval ``[valid_from, valid_to)``, ``valid_to`` NULL on the
+    current version. This is the batch form of what a MERGE-based SCD2
+    sink maintains incrementally (the reference's Mongo update-by-id
+    sink K4 keeps only the LATEST state — `ev_latest_by_key`; this
+    entry keeps the full history, the other half of the CDC story).
+
+    Determinism: versions are ordered by the zero-padded (ts, event_id)
+    total-order key (the `ev_latest_by_key` convention), so ties cannot
+    reorder across engines.
+
+    Scale shape: ONE hash exchange on (user_id, event_type); both
+    window specs (lead + row_number) share it. State per key ∝ that
+    key's version count, never the table.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value",
+        ts_millis("ts").alias("tms"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("tms", "event_id")
+    return e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("tms").alias("valid_from_ms"),
+        F.lead("tms").over(w).alias("valid_to_ms"),
+        F.lead("tms").over(w).isNull().alias("is_current"),
+        F.round("value", 2).alias("value"),
+    )
+
+
 QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_approx_distinct": ev_approx_distinct,
@@ -988,6 +1022,7 @@ QUERIES = {
     "ev_heavy_hitters": ev_heavy_hitters,
     "ev_count_min": ev_count_min,
     "ev_decayed_counts": ev_decayed_counts,
+    "ev_scd2_intervals": ev_scd2_intervals,
     "ev_enrich_vehicle": ev_enrich_vehicle,
 }
 
@@ -1053,6 +1088,17 @@ ORACLES = {
         JOIN sk s ON s.d = p.d
                  AND s.bucket = {hex8_int_sql('p.h')} % {CM_WIDTH}
         GROUP BY p.user_id, p.n_exact
+    """,
+    "ev_scd2_intervals": """
+        SELECT user_id, event_type,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               epoch_ms(ts) AS valid_from_ms,
+               lead(epoch_ms(ts)) OVER w AS valid_to_ms,
+               (lead(epoch_ms(ts)) OVER w IS NULL) AS is_current,
+               round(value, 2) AS value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY epoch_ms(ts), event_id)
     """,
     "ev_decayed_counts": """
         WITH b AS (

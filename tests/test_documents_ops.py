@@ -62,6 +62,42 @@ def test_pii_patterns_hit_expected_fixtures():
     assert (e, i, p) == (1, 1, 1)
 
 
+def test_pii_redact_fixtures(spark):
+    """The redaction transform removes every detected match (the scan
+    counts drop to zero on the redacted text), leaves PII-free text
+    byte-identical, and is idempotent."""
+    from kafka_flink_harshevents_spark.queries.documents import pii_redact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_FIXTURES)],
+        "doc_id long, text string",
+    )
+    red = df.select(
+        "doc_id", "text", pii_redact(F.col("text")).alias("red")
+    )
+    # scan of the redacted text finds nothing
+    rows = red.select(
+        "doc_id", "text", "red", *pii_counts(F.col("red"))
+    ).collect()
+    for r in rows:
+        assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 0, 0), (
+            r["red"]
+        )
+    by_id = {r["doc_id"]: r for r in rows}
+    # PII-free text untouched; PII text carries typed placeholders
+    assert by_id[3]["red"] == by_id[3]["text"]
+    assert "<EMAIL>" in by_id[0]["red"]
+    assert by_id[1]["red"].count("<IP>") == 2
+    assert "<PHONE>" in by_id[2]["red"]
+    m = by_id[4]["red"]
+    assert "<EMAIL>" in m and "<IP>" in m and "<PHONE>" in m
+    # idempotent: redacting the redacted text is a no-op
+    twice = red.select(
+        "doc_id", (pii_redact(F.col("red")) == F.col("red")).alias("same")
+    ).collect()
+    assert all(r["same"] for r in twice)
+
+
 def _span_dedup_on(spark, texts):
     """Run the span-dedup pipeline on an in-memory corpus (same code
     path as the catalog query, minus the parquet load)."""
