@@ -196,3 +196,67 @@ def range_join(
         r_bucketed[c] for c in right.columns
     ]
     return joined.select(*keep)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (``l.lo < r.hi AND r.lo < l.hi``,
+    half-open semantics) without the theta-join blowup — the missing
+    family next to :func:`asof_join` (nearest-at-or-before) and
+    :func:`range_join` (point-in-interval); Flink ships it as the
+    interval join, SQL engines as ``a OVERLAPS b``.
+
+    Both sides explode into the fixed-width buckets they cover and the
+    join runs on the bucket key with the exact overlap predicate as the
+    residual. An overlapping pair shares EVERY bucket in the
+    intersection of its spans, so instead of a post-join ``distinct``
+    (a second full shuffle of the pair stream) each pair is kept only
+    in its CANONICAL bucket — the later of the two start buckets:
+    ``_bkt == greatest(floor(l.lo/w), floor(r.lo/w))``. That bucket is
+    always inside both spans for a genuinely overlapping pair, so
+    recall is exact and each pair survives exactly once — dedup as a
+    row-local predicate, zero extra shuffle.
+
+    Cost: O(avg-span/width) replication per row + one equi-join whose
+    width ∝ co-bucketed interval pairs. Pick ``bucket_width`` near the
+    typical interval length, as with :func:`range_join`.
+    """
+    w = float(bucket_width)
+    r_b = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w).cast("long"),
+                F.floor(F.col(right_hi) / w).cast("long"),
+            )
+        ),
+    )
+    l_b = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / w).cast("long"),
+                F.floor(F.col(left_hi) / w).cast("long"),
+            )
+        ),
+    )
+    canonical = F.greatest(
+        F.floor(l_b[left_lo] / w).cast("long"),
+        F.floor(r_b[right_lo] / w).cast("long"),
+    )
+    cond = (
+        (l_b["_bkt"] == r_b["_bkt"])
+        & (l_b[left_lo] < r_b[right_hi])
+        & (r_b[right_lo] < l_b[left_hi])
+        & (l_b["_bkt"] == canonical)
+    )
+    joined = l_b.join(r_b, cond, "inner")
+    keep = [l_b[c] for c in left.columns] + [r_b[c] for c in right.columns]
+    return joined.select(*keep)

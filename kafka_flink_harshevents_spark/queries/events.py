@@ -960,6 +960,62 @@ def ev_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAINT_PERIOD_MS = 21_600_000  # a 30-min maintenance window every 6 h
+MAINT_LEN_MS = 1_800_000
+
+
+def ev_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join — Flink's interval join /
+    SQL's OVERLAPS, the family `ev_value_band_join`
+    (point-in-interval) and `q_asof_latest_order` (as-of) don't cover:
+    which user sessions overlapped each scheduled maintenance window
+    (a 30-minute window every 6 hours, derived from the data's own
+    span), and for how long — the ops question behind "did the outage
+    clip any sessions".
+
+    Scale shape: `operators/joins.py::interval_overlap_join` — both
+    interval sets explode into 30-min buckets and meet in ONE
+    equi-join on the bucket key; pair dedup is the canonical-bucket
+    predicate (row-local, no distinct shuffle). The window table is
+    span-sized (one row per 6 h of data), sessions are the
+    `ev_sessionize_300s` subplan reused as-is; the final rollup is a
+    tiny keyed aggregate. All interval arithmetic in exact epoch-ms
+    longs.
+    """
+    from kafka_flink_harshevents_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    sess = _sessionize(spark, sf_dir, SESSION_GAP_MS).select(
+        "user_id",
+        "session_id",
+        F.col("start_ms").alias("s_lo"),
+        (F.col("end_ms") + 1).alias("s_hi"),
+    )
+    e = load(spark, sf_dir, "events").select(ts_millis("ts").alias("tms"))
+    mm = e.agg(
+        F.floor(F.min("tms") / F.lit(float(MAINT_PERIOD_MS))).alias("klo"),
+        F.floor(F.max("tms") / F.lit(float(MAINT_PERIOD_MS))).alias("khi"),
+    )
+    wins = mm.select(
+        F.explode(F.sequence("klo", "khi")).alias("k")
+    ).select(
+        (F.col("k") * MAINT_PERIOD_MS).alias("w_lo"),
+        (F.col("k") * MAINT_PERIOD_MS + MAINT_LEN_MS).alias("w_hi"),
+    )
+    j = interval_overlap_join(
+        sess, wins, "s_lo", "s_hi", "w_lo", "w_hi", float(MAINT_LEN_MS)
+    )
+    ov = F.least("s_hi", "w_hi") - F.greatest("s_lo", "w_lo")
+    return (
+        j.groupBy(F.col("w_lo").alias("window_start_ms"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(ov).cast("long").alias("overlap_ms_total"),
+        )
+    )
+
+
 def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (slowly-changing-dimension type 2) reconstruction from a
     CDC log — the lakehouse history-table build: every state change per
@@ -1023,6 +1079,7 @@ QUERIES = {
     "ev_count_min": ev_count_min,
     "ev_decayed_counts": ev_decayed_counts,
     "ev_scd2_intervals": ev_scd2_intervals,
+    "ev_session_overlap": ev_session_overlap,
     "ev_enrich_vehicle": ev_enrich_vehicle,
 }
 
@@ -1088,6 +1145,46 @@ ORACLES = {
         JOIN sk s ON s.d = p.d
                  AND s.bucket = {hex8_int_sql('p.h')} % {CM_WIDTH}
         GROUP BY p.user_id, p.n_exact
+    """,
+    "ev_session_overlap": f"""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_ms(ts) AS e,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ms(ts), event_id) AS pe
+            FROM events
+        ), s AS (
+            SELECT user_id, e,
+                   CAST(sum(CASE WHEN pe IS NULL OR e - pe > 300000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY e, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM t
+        ), sess AS (
+            SELECT user_id, session_id,
+                   min(e) AS s_lo, max(e) + 1 AS s_hi
+            FROM s GROUP BY user_id, session_id
+        ), mm AS (
+            SELECT CAST(floor(min(epoch_ms(ts)) / {float(MAINT_PERIOD_MS)})
+                        AS BIGINT) AS klo,
+                   CAST(floor(max(epoch_ms(ts)) / {float(MAINT_PERIOD_MS)})
+                        AS BIGINT) AS khi
+            FROM events
+        ), wins AS (
+            SELECT unnest(generate_series(klo, khi)) * {MAINT_PERIOD_MS}
+                       AS w_lo
+            FROM mm
+        ), ov AS (
+            SELECT w.w_lo,
+                   least(s.s_hi, w.w_lo + {MAINT_LEN_MS})
+                       - greatest(s.s_lo, w.w_lo) AS ov_ms
+            FROM sess s JOIN wins w
+              ON s.s_lo < w.w_lo + {MAINT_LEN_MS} AND w.w_lo < s.s_hi
+        )
+        SELECT CAST(w_lo AS BIGINT) AS window_start_ms,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(ov_ms) AS BIGINT) AS overlap_ms_total
+        FROM ov GROUP BY 1
     """,
     "ev_scd2_intervals": """
         SELECT user_id, event_type,

@@ -177,3 +177,49 @@ def test_asof_join_tolerance(spark):
         for r in asof_join(left, right, "k", "lt", "rt", ["pl"]).collect()
     }
     assert no_tol == {("k1", 100): "a", ("k1", 200): "b", ("k2", 50): "c"}
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """The bucketed interval-overlap join equals the naive theta join on
+    an adversarial interval zoo — zero-length-ish, bucket-straddling,
+    nested, identical, disjoint-but-bucket-sharing and far-apart
+    pairs — and every pair appears EXACTLY once (the canonical-bucket
+    dedup predicate, not a distinct)."""
+    from kafka_flink_harshevents_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    # deterministic pseudo-random intervals spanning many buckets
+    lrows = []
+    for i in range(60):
+        lo = (i * 37) % 500
+        lrows.append((i, lo, lo + 1 + (i * 13) % 90))
+    rrows = []
+    for j in range(40):
+        lo = (j * 53) % 480
+        rrows.append((j, lo, lo + 1 + (j * 29) % 120))
+    # hand-picked edges: unit interval, exact-boundary touch, full nest
+    lrows += [(100, 10, 11), (101, 0, 1000), (102, 200, 210)]
+    rrows += [(200, 11, 12), (201, 205, 206), (202, 999, 1400)]
+    left = spark.createDataFrame(lrows, ["lid", "l_lo", "l_hi"])
+    right = spark.createDataFrame(rrows, ["rid", "r_lo", "r_hi"])
+
+    for width in (7.0, 50.0, 1000.0):
+        got = [
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, "l_lo", "l_hi", "r_lo", "r_hi", width
+            ).collect()
+        ]
+        want = {
+            (li, ri)
+            for (li, llo, lhi) in lrows
+            for (ri, rlo, rhi) in rrows
+            if llo < rhi and rlo < lhi
+        }
+        assert set(got) == want, f"width={width}"
+        assert len(got) == len(want), f"width={width}: duplicates emitted"
+    # half-open semantics: touching intervals [10,11) and [11,12) do NOT join
+    assert (100, 200) not in want
+    # sanity: the zoo is non-trivial
+    assert len(want) > 100
