@@ -604,6 +604,7 @@ EMPTY_REPRESENTATIVES = [
     "ev_heavy_hitters",
     # round-4 second wave
     "ev_count_min", "ev_decayed_counts", "doc_zorder_layout",
+    "ev_scd2_intervals", "ev_session_overlap",
 ]
 
 
