@@ -1129,6 +1129,75 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIMS = (16, 32)  # matryoshka prefix lengths evaluated against full-64
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval evaluation (Kusupati et al. 2022, MRL): how
+    much of the full-dimension top-k survives when queries run on a
+    16- or 32-dim PREFIX of the 64-dim embedding — the measurement
+    behind serving truncated vectors (4× less IO and memory bandwidth
+    per scan at 100 TB) and behind `emb_normalize`'s truncation
+    diagnostics. Unlike the LSH/PQ entries this is exact arithmetic on
+    both sides, so the per-query overlap counts are fully row-oracled
+    (6-dp similarity rounding before ranking + vec_id tie-break, the
+    `emb_knn_brute` convention).
+
+    Scale shape: same plan as the brute baseline — queries broadcast,
+    one narrow pass computes all three similarities per candidate, the
+    three rank windows share the per-qid exchange, and the rollup is a
+    5-row aggregate. The full-dim column doubles as the baseline: no
+    second scan of the table.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+
+    def sim_at(d: int | None) -> Column:
+        qe = F.col("qemb") if d is None else F.slice("qemb", 1, d)
+        ce = F.col("emb") if d is None else F.slice("emb", 1, d)
+        return F.round(_dot(qe, ce) / (_norm(qe) * _norm(ce)), 6)
+
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        sim_at(None).alias("s64"),
+        *[sim_at(d).alias(f"s{d}") for d in MRL_DIMS],
+    )
+    w = lambda c: Window.partitionBy("qid").orderBy(  # noqa: E731
+        F.col(c).desc(), F.col("vec_id")
+    )
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(w("s64")).alias("r64"),
+        *[
+            F.row_number().over(w(f"s{d}")).alias(f"r{d}")
+            for d in MRL_DIMS
+        ],
+    )
+    aggs = [
+        F.sum(
+            ((F.col("r64") <= TOP_K) & (F.col(f"r{d}") <= TOP_K)).cast("int")
+        )
+        .cast("long")
+        .alias(f"n_overlap_{d}")
+        for d in MRL_DIMS
+    ]
+    return (
+        ranked.groupBy("qid")
+        .agg(*aggs)
+        .select(
+            "qid",
+            F.lit(TOP_K).cast("long").alias("k"),
+            *[f"n_overlap_{d}" for d in MRL_DIMS],
+        )
+    )
+
+
 QUERIES = {
     "emb_knn_brute": emb_knn_brute,
     "emb_knn_sq8": emb_knn_sq8,
@@ -1150,7 +1219,22 @@ QUERIES = {
     "emb_knn_pq_recall": emb_knn_pq_recall,
     "emb_kmeans": emb_kmeans,
     "emb_pca": emb_pca,
+    "emb_matryoshka_recall": emb_matryoshka_recall,
 }
+
+
+def _cos_at_sql(d: int | None) -> str:
+    """DuckDB cosine over the first ``d`` list elements (full list when
+    None) — the `_COS` expression generalized to prefixes."""
+    qe = "qemb" if d is None else f"qemb[1:{d}]"
+    ce = "emb" if d is None else f"emb[1:{d}]"
+    return f"""
+            round(
+                list_sum(list_transform(range(1, len({ce}) + 1), i -> {qe}[i] * {ce}[i]))
+                / (sqrt(list_sum(list_transform(range(1, len({qe}) + 1), i -> {qe}[i] * {qe}[i])))
+                 * sqrt(list_sum(list_transform(range(1, len({ce}) + 1), i -> {ce}[i] * {ce}[i])))),
+            6)
+    """
 
 _COS = """
             round(
@@ -1161,6 +1245,35 @@ _COS = """
 """
 
 ORACLES = {
+    "emb_matryoshka_recall": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, emb AS qemb FROM e
+              WHERE vec_id < {N_QUERY_VECS}),
+        p AS (
+            SELECT qid, vec_id,
+                   {_cos_at_sql(None)} AS s64,
+                   {_cos_at_sql(16)} AS s16,
+                   {_cos_at_sql(32)} AS s32
+            FROM q, e WHERE vec_id <> qid
+        ),
+        r AS (
+            SELECT qid,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY s64 DESC, vec_id) AS r64,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY s16 DESC, vec_id) AS r16,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY s32 DESC, vec_id) AS r32
+            FROM p
+        )
+        SELECT qid, CAST({TOP_K} AS BIGINT) AS k,
+               CAST(sum(CASE WHEN r64 <= {TOP_K} AND r16 <= {TOP_K}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_16,
+               CAST(sum(CASE WHEN r64 <= {TOP_K} AND r32 <= {TOP_K}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_32
+        FROM r GROUP BY qid
+    """,
     "emb_knn_lsh": _knn_lsh_oracle_sql(),
     "emb_normalize": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -604,7 +604,7 @@ EMPTY_REPRESENTATIVES = [
     "ev_heavy_hitters",
     # round-4 second wave
     "ev_count_min", "ev_decayed_counts", "doc_zorder_layout",
-    "ev_scd2_intervals", "ev_session_overlap",
+    "ev_scd2_intervals", "ev_session_overlap", "emb_matryoshka_recall",
 ]
 
 
