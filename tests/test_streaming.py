@@ -2642,3 +2642,69 @@ def test_streaming_count_min_matches_batch(spark, tmp_path):
     )
     want = {(r["d"], r["bucket"], r["cnt"]) for r in batch_cells.collect()}
     assert got == want
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """Replaying the events table as a time-ordered two-wave log through
+    the SCD2 stream reproduces the batch entry's CLOSED version rows
+    exactly (version numbers, interval bounds, values); a deliberately
+    late third-wave row is dropped AND counted, never spliced into
+    already-emitted history."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.events import ev_scd2_intervals
+    from kafka_flink_harshevents_spark.streaming.scd2 import scd2_stream
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "event_id", "value",
+        F.col("ts").cast("string").alias("ts"),
+    )
+    med = e.selectExpr("percentile(unix_millis(CAST(ts AS TIMESTAMP)), 0.5) p").first()["p"]
+    src = tmp_path / "scd2"
+    src.mkdir()
+    cond = F.unix_millis(F.col("ts").cast("timestamp")) <= med
+    e.filter(cond).coalesce(1).write.json(str(src / "w1.json"))
+    stream = spark.readStream.schema(
+        "user_id LONG, event_type STRING, event_id LONG, value DOUBLE, ts TIMESTAMP"
+    ).json(str(src) + "/*.json")
+    name = f"scd2_{uuid.uuid4().hex[:8]}"
+    q = (
+        scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        e.filter(~cond).coalesce(1).write.json(str(src / "w2.json"))
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_type"], r["version"],
+             r["valid_from_ms"], r["valid_to_ms"], r["value"])
+            for r in spark.table(name).collect()
+        }
+        want = {
+            (r["user_id"], r["event_type"], r["version"],
+             r["valid_from_ms"], r["valid_to_ms"], r["value"])
+            for r in ev_scd2_intervals(spark, SF_DIR).collect()
+            if r["valid_to_ms"] is not None
+        }
+        assert got == want
+
+        # wave 3: one row older than every open version for its key —
+        # dropped and counted, no new closed interval for that key
+        victim = spark.table(name).first()
+        late = [{
+            "user_id": victim["user_id"], "event_type": victim["event_type"],
+            "event_id": 999999999, "value": 1.0,
+            "ts": "1990-01-01 00:00:00",
+        }]
+        with open(src / "w3.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in late) + "\n")
+        n_before = spark.table(name).count()
+        q.processAllAvailable()
+        assert spark.table(name).count() == n_before  # nothing emitted
+    finally:
+        q.stop()
