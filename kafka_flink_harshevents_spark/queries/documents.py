@@ -1722,6 +1722,65 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, bigram rung — one step up the
+    CC-Net ladder from `doc_unigram_logprob` (KenLM's 5-gram sits at
+    the top; the bigram model is the first rung that sees word ORDER,
+    so scrambled/boilerplate-stitched text scores low even when its
+    unigram mix looks natural): per doc, the average add-one-smoothed
+    conditional log-probability ln((c(v,w)+1) / (c(v)+V)) of its
+    bigrams under the corpus's own bigram counts, with V = the context
+    vocabulary size.
+
+    Determinism: counts are exact longs, the smoothed ratio is one
+    double division + ln per DISTINCT (doc, bigram), and the per-doc
+    sum uses the hi/lo long quantization (det_sum convention) — the
+    identical expression tree in DuckDB.
+
+    Plan: bigrams explode ONCE; corpus bigram counts and context
+    counts both derive from the (doc, bigram) pre-aggregate (same
+    exchange subtree → ReusedExchange, the `doc_unigram_logprob`
+    shape); the scoring join is bigram-keyed (co-partitioned with the
+    count aggregate); V is a 1-row broadcast. Nothing is keyed by
+    vocabulary size, nothing collects.
+    """
+    d = _words(load(spark, sf_dir, "documents")).filter(F.size("ws") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS v,"
+                " concat(ws[i-1], ' ', ws[i]) AS b))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.v", "x.b")
+    dbg = bg.groupBy("doc_id", "v", "b").agg(F.count(F.lit(1)).alias("c"))
+    cbw = dbg.groupBy("b").agg(
+        F.sum("c").alias("cbw"), F.max("v").alias("bv")
+    )
+    cv = cbw.groupBy(F.col("bv").alias("v")).agg(F.sum("cbw").alias("cv"))
+    vocab = cv.agg(F.count(F.lit(1)).alias("vv"))
+    score = F.col("c") * F.log(
+        (F.col("cbw") + 1) / (F.col("cv") + F.col("vv"))
+    )
+    return (
+        dbg.join(cbw.drop("bv"), "b")
+        .join(cv, "v")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(
+                _hilo_total(_quantize(score, 9)).cast("double")
+                / F.lit(1e9)
+                / F.sum("c"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def doc_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-shift quantification for mixture balancing: per source,
     the KL divergence D(P_source ‖ P_corpus) of its unigram token
@@ -2768,6 +2827,7 @@ QUERIES = {
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
     "doc_sample_weighted": doc_sample_weighted,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_bigram_logprob": doc_bigram_logprob,
     "doc_source_kl_divergence": doc_source_kl_divergence,
     "doc_quality_score": doc_quality_score,
     "doc_lang_id": doc_lang_id,
@@ -3126,6 +3186,30 @@ ORACLES = {
                round(CAST({_hilo_total_sql("c * ln(cnt * 1.0 / nn)", 9)}
                           AS DOUBLE) / 1e9 / sum(c), 4) AS avg_logprob
         FROM dt JOIN tf USING (t) CROSS JOIN n
+        GROUP BY doc_id
+    """,
+    "doc_bigram_logprob": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT doc_id, ws[i] AS v, ws[i] || ' ' || ws[i + 1] AS b
+            FROM w, unnest(range(1, len(ws))) AS t(i)
+        ),
+        dbg AS (SELECT doc_id, v, b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        cbw AS (SELECT b, max(v) AS bv, sum(c) AS cbw FROM dbg GROUP BY 1),
+        cv AS (SELECT bv AS v, sum(cbw) AS cv FROM cbw GROUP BY 1),
+        vocab AS (SELECT count(*) AS vv FROM cv)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               round(CAST({_hilo_total_sql(
+                   "c * ln((cbw + 1) * 1.0 / (cv + vv))", 9
+               )} AS DOUBLE) / 1e9 / sum(c), 4) AS avg_logprob
+        FROM dbg
+        JOIN (SELECT b, cbw FROM cbw) USING (b)
+        JOIN cv USING (v)
+        CROSS JOIN vocab
         GROUP BY doc_id
     """,
     "doc_sample_weighted": f"""
