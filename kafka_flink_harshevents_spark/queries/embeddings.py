@@ -42,6 +42,10 @@ def _norm(a) -> Column:
 
 
 def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k — the ANN correctness baseline:
+    queries broadcast, candidates stream through one narrow scoring
+    pass, per-query top-k windows on the tiny scored side.
+    """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -60,6 +64,10 @@ def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean vector (posexplode + two-phase
+    grouped aggregate) — the IVF coarse-quantizer / k-means seed
+    building block; decimal partials keep the emit partitioning-exact.
+    """
     e = load(spark, sf_dir, "embeddings")
     return (
         e.select(

@@ -45,6 +45,10 @@ SESSION_GAP_MS = 300_000  # SESSION_TTL 300 s, kafkaConsumer.js:43
 
 
 def ev_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 grouped counters (kafkaConsumer.js:229-233): per-type event
+    count and det-sum total — the reference's Redis counter family as
+    one two-phase aggregate.
+    """
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -197,6 +201,10 @@ def ev_sessionize_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ev_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 tumbling-window aggregation via the real ``F.window`` (1 h):
+    per (hour, type) count + det-sum value, the batch twin of the
+    watermarked streaming form.
+    """
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -433,6 +441,10 @@ def ev_percentile_last1000(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ev_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 histogram binning (visualization.py:36): fixed-width value
+    buckets, one two-phase aggregate; bucket ids are exact integer
+    arithmetic in both engines.
+    """
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -485,6 +497,10 @@ def ev_threshold_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ev_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k users by activity (README.md:108 find().limit shape) —
+    TakeOrderedAndProject with a total-order tie-break, never a global
+    sort.
+    """
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy("user_id")

@@ -33,6 +33,12 @@ ROWS_PER_SF = 5_000_000  # 50k msgs at sf0.01, 500k at sf0.1
 
 
 def pipeline_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference topology as one entry: synthetic telemetry →
+    violation/status derivation → wire-format roundtrip → consumer
+    routing/counters; raw counter values depend on the generator's
+    xxhash64 stream (engine-specific), so the driver records rows-only
+    here and `pipeline_derive_gate` carries the hashable contract.
+    """
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.01
     n = max(int(ROWS_PER_SF * sf), 1000)
