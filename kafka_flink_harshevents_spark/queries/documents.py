@@ -460,6 +460,30 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_ppjoin(sh)
 
 
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, s) shingle stream → one row per doc with the 12 minhash
+    permutations m0..m11. Hash every (doc, shingle) row rather than
+    joining a pre-hashed vocabulary: scan-local md5s stay inside the
+    narrow map stage, whereas the dedup-then-join variant re-shuffles
+    the whole shingle stream — measured a wash at sf0.1 and strictly
+    worse at scale (CPU beats network). Each 128-bit md5 yields TWO
+    64-bit minhash permutations (its hex halves), so 12 permutations
+    cost 6 hashes; the halves are projected before the aggregate so
+    each md5 is computed once (separate agg children don't share
+    subexpressions). Shared by `doc_minhash_lsh_pairs` and
+    `doc_minhash_calibration` — the calibrated pipeline IS the
+    production one."""
+    half_cols = []
+    for i in range(MINHASH_PERMS // 2):
+        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))
+        half_cols.append(F.substring(h, 1, 16).alias(f"h{2 * i}"))
+        half_cols.append(F.substring(h, 17, 16).alias(f"h{2 * i + 1}"))
+    halves = sh.select("doc_id", *half_cols)
+    return halves.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(MINHASH_PERMS)]
+    )
+
+
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup — the 100 TB scale path.
 
@@ -470,24 +494,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)  # _shingles spreads — CPU-heavy per-row stage
-
-    # Hash every (doc, shingle) row rather than joining a pre-hashed
-    # vocabulary: scan-local md5s stay inside the narrow map stage,
-    # whereas the dedup-then-join variant re-shuffles the whole shingle
-    # stream — measured a wash at sf0.1 and strictly worse at scale
-    # (CPU beats network). Each 128-bit md5 yields TWO 64-bit minhash
-    # permutations (its hex halves), so 12 permutations cost 6 hashes;
-    # the halves are projected before the aggregate so each md5 is
-    # computed once (separate agg children don't share subexpressions).
-    half_cols = []
-    for i in range(MINHASH_PERMS // 2):
-        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))
-        half_cols.append(F.substring(h, 1, 16).alias(f"h{2 * i}"))
-        half_cols.append(F.substring(h, 17, 16).alias(f"h{2 * i + 1}"))
-    halves = sh.select("doc_id", *half_cols)
-    sigs = halves.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(MINHASH_PERMS)]
-    )
+    sigs = _minhash_sigs(sh)
 
     band_structs = [
         F.struct(
@@ -536,6 +543,46 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(full.alias("cb"), F.col("db") == F.col("cb.doc_id"))
         .filter(jac >= LSH_VERIFY_THRESHOLD)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the diagnostic a dedup pipeline
+    publishes before trusting banding thresholds: for every verified
+    near-dup pair, the signature-level similarity estimate
+    (matching permutations / 12 — the quantity LSH banding actually
+    thresholds on) next to the exact shingle Jaccard it estimates, and
+    their absolute error. E[est] = J by the MinHash theorem; with only
+    12 permutations the per-pair spread is large (sd ≈ √(J(1−J)/12)),
+    which is exactly what this table makes visible — the evidence for
+    choosing permutation counts and band shapes at 100 TB.
+
+    Everything is deterministic (md5 permutations, exact intersection),
+    so the per-pair rows are fully oracle-hashed. Plan: the verified
+    pair set and the signature table are the SAME subtrees as
+    `doc_minhash_lsh_pairs` (shared helpers — the calibrated pipeline
+    is the production one); the estimate join touches 12 fixed columns
+    per side, keyed on doc_id.
+    """
+    pairs = doc_minhash_lsh_pairs(spark, sf_dir)
+    sigs = _minhash_sigs(_shingles(load(spark, sf_dir, "documents")))
+    n_match = sum(
+        (F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("int")
+        for i in range(MINHASH_PERMS)
+    ).cast("long")
+    est = F.col("n_match") / F.lit(float(MINHASH_PERMS))
+    return (
+        pairs.join(sigs.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .select("da", "db", "jaccard", n_match.alias("n_match"))
+        .select(
+            "da",
+            "db",
+            "n_match",
+            F.round(est, 4).alias("est_sim"),
+            "jaccard",
+            F.round(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
+        )
     )
 
 
@@ -2837,6 +2884,7 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_minhash_calibration": doc_minhash_calibration,
     "doc_edit_distance_pairs": doc_edit_distance_pairs,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_sample_stratified": doc_sample_stratified,
@@ -3052,7 +3100,9 @@ def _simhash_pairs_sql() -> str:
     """
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain (shingles → signatures → bands → verified
+    pairs) consumed by `_minhash_sql` and the calibration oracle."""
     halves = ", ".join(
         f"substr(md5('{i}|' || s), 1, 16) AS h{2 * i}, "
         f"substr(md5('{i}|' || s), 17, 16) AS h{2 * i + 1}"
@@ -3066,8 +3116,7 @@ def _minhash_sql() -> str:
         )
         for b in range(LSH_BANDS)
     )
-    return f"""
-        WITH {_SQL_SHINGLES},
+    return f"""{_SQL_SHINGLES},
         halves AS (SELECT doc_id, {halves} FROM sh),
         sig AS (SELECT doc_id, {mins} FROM halves GROUP BY doc_id),
         bands AS ({band_selects}),
@@ -3082,12 +3131,43 @@ def _minhash_sql() -> str:
             JOIN sh x ON x.doc_id = c.da
             JOIN sh y ON y.doc_id = c.db AND y.s = x.s
             GROUP BY c.da, c.db
+        ),
+        mh_pairs AS (
+            SELECT da, db, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN cnt ca ON da = ca.doc_id
+            JOIN cnt cb ON db = cb.doc_id
+            WHERE i * 1.0 / (ca.n + cb.n - i) >= {LSH_VERIFY_THRESHOLD}
+        )"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+        WITH {_minhash_ctes()}
+        SELECT da, db, jaccard FROM mh_pairs
+    """
+
+
+def _minhash_calibration_sql() -> str:
+    match_sum = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+        WITH {_minhash_ctes()},
+        cal AS (
+            SELECT p.da, p.db, p.jaccard,
+                   CAST({match_sum} AS BIGINT) AS n_match
+            FROM mh_pairs p
+            JOIN sig a ON a.doc_id = p.da
+            JOIN sig b ON b.doc_id = p.db
         )
-        SELECT da, db, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
-        FROM inter
-        JOIN cnt ca ON da = ca.doc_id
-        JOIN cnt cb ON db = cb.doc_id
-        WHERE i * 1.0 / (ca.n + cb.n - i) >= {LSH_VERIFY_THRESHOLD}
+        SELECT da, db, n_match,
+               round(n_match * 1.0 / {MINHASH_PERMS}, 4) AS est_sim,
+               jaccard,
+               round(abs(n_match * 1.0 / {MINHASH_PERMS} - jaccard), 4)
+                   AS abs_err
+        FROM cal
     """
 
 
@@ -3129,6 +3209,7 @@ def _zorder_sql() -> str:
 
 ORACLES = {
     "doc_zorder_layout": _zorder_sql(),
+    "doc_minhash_calibration": _minhash_calibration_sql(),
     "doc_gopher_quality": f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         feats AS (
