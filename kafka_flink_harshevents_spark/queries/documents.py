@@ -2815,10 +2815,14 @@ def doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the z-value is a pure per-row projection (shift/mask
     arithmetic, no UDF); the global curve order uses the distributed
     bucketed rank (`operators/ranking.py` — no unpartitioned Window);
-    the stats rollup is one keyed aggregate over file ids. Each output
-    file's row count is FIXED, so file count grows with the corpus and
-    no partition ever exceeds ZORDER_FILE_ROWS rows of rank-window
-    state.
+    the stats rollup is one keyed aggregate over file ids. Output file
+    SIZE is fixed, so file count grows with the corpus. Rank-window
+    width: the bucketed rank partitions by value range over zv, which
+    has only 2^(2·ZORDER_BITS) = 256 distinct values — at N rows each
+    non-empty bucket's window holds ~N/256 rows (the window sort
+    spills, so memory stays bounded; parallelism is what degrades). A
+    deployment that needs finer partitions raises ZORDER_BITS — more z
+    values = more rank buckets — at no change to the layout semantics.
     """
     from kafka_flink_harshevents_spark.operators.ranking import (
         with_exact_rank,

@@ -860,6 +860,18 @@ def _cm_bucket(item: F.Column, d: int) -> F.Column:
     )
 
 
+def cm_cell_array(item: F.Column) -> F.Column:
+    """The CM_DEPTH (d, bucket) cell coordinates of an item as an array
+    of structs — THE single definition of the sketch's cell addressing,
+    shared by the batch entry's build and probe sides, the streaming
+    twin (`streaming/countmin.py`), and the parity test; a change to
+    the salt/width scheme lands everywhere at once."""
+    return F.array(*[
+        F.struct(F.lit(d).alias("d"), _cm_bucket(item, d).alias("bucket"))
+        for d in range(CM_DEPTH)
+    ])
+
+
 def ev_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch point queries (Cormode & Muthukrishnan 2005) —
     the frequency-estimation sketch that completes the mergeable-summary
@@ -881,18 +893,15 @@ def ev_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distributed heaps + driver merge, never a global sort) and the
     (row, bucket) lookup joins a ≤1024-row broadcast.
     """
-    e = load(spark, sf_dir, "events")
+    # NULL items are excluded on BOTH the sketch and probe sides (a
+    # NULL hashes to a NULL bucket); the streaming twin drops them in
+    # its stateless projection, so the cell-for-cell parity invariant
+    # holds on corpora WITH null keys too.
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     item = F.col("user_id").cast("string")
-    cells = e.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).alias("d"), _cm_bucket(item, d).alias("bucket")
-                )
-                for d in range(CM_DEPTH)
-            ])
-        ).alias("c")
-    ).select("c.d", "c.bucket")
+    cells = e.select(F.explode(cm_cell_array(item)).alias("c")).select(
+        "c.d", "c.bucket"
+    )
     sketch = cells.groupBy("d", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -905,17 +914,7 @@ def ev_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = tops.select(
         "user_id",
         "n_exact",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    _cm_bucket(F.col("user_id").cast("string"), d).alias(
-                        "bucket"
-                    ),
-                )
-                for d in range(CM_DEPTH)
-            ])
-        ).alias("c"),
+        F.explode(cm_cell_array(F.col("user_id").cast("string"))).alias("c"),
     ).select("user_id", "n_exact", "c.d", "c.bucket")
     return (
         probe.join(F.broadcast(sketch), ["d", "bucket"])
@@ -1131,12 +1130,13 @@ def _enrich_vehicle_sql() -> str:
 
 ORACLES = {
     "ev_count_min": f"""
-        WITH ds(d) AS (VALUES (0), (1), (2), (3)),
+        WITH ds(d) AS (VALUES {", ".join(f"({d})" for d in range(CM_DEPTH))}),
         cells AS (
             SELECT ds.d,
                    md5('cm' || CAST(ds.d AS VARCHAR) || '|'
                        || CAST(e.user_id AS VARCHAR)) AS h
             FROM events e CROSS JOIN ds
+            WHERE e.user_id IS NOT NULL
         ),
         sk AS (
             SELECT d, {hex8_int_sql('h')} % {CM_WIDTH} AS bucket,
@@ -1145,7 +1145,7 @@ ORACLES = {
         ),
         tops AS (
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
-            FROM events GROUP BY user_id
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
             ORDER BY n_exact DESC, user_id LIMIT {CM_TOPN}
         ),
         probe AS (

@@ -36,10 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from kafka_flink_harshevents_spark.queries.events import (
-    CM_DEPTH,
-    _cm_bucket,
-)
+from kafka_flink_harshevents_spark.queries.events import cm_cell_array
 
 _OUT_SCHEMA = "d long, bucket long, cnt long, emit_seq long"
 _STATE_SCHEMA = "cnt long, emit_seq long"
@@ -66,17 +63,7 @@ def count_min_stream(events: DataFrame, item_col: str = "user_id") -> DataFrame:
     poison-pill the micro-batch through checkpoint replays)."""
     item = F.col(item_col).cast("string")
     cells = (
-        events.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _cm_bucket(item, d).alias("bucket"),
-                    )
-                    for d in range(CM_DEPTH)
-                ])
-            ).alias("c")
-        )
+        events.select(F.explode(cm_cell_array(item)).alias("c"))
         .select("c.d", "c.bucket")
         .filter(F.col("bucket").isNotNull())
     )

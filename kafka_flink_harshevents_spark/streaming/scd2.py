@@ -37,6 +37,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _round_half_up(x: float) -> float:
+    """Round like Spark's ``F.round(col, 2)`` on doubles (BigDecimal of
+    the shortest decimal repr, then HALF_UP) — Python's built-in
+    ``round`` is half-EVEN and diverges on .xx5 midpoints (2.125 →
+    2.12 vs Spark's 2.13), which would break the documented exact
+    batch parity."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
+
 _OUT_SCHEMA = (
     "user_id long, event_type string, version long,"
     " valid_from_ms long, valid_to_ms long, value double,"
@@ -74,7 +86,7 @@ def _scd2_update(
                     version,
                     open_from,
                     tms,
-                    round(float(open_val), 2),
+                    _round_half_up(float(open_val)),
                     late,
                 )
             )

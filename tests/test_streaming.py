@@ -2585,10 +2585,7 @@ def test_streaming_count_min_matches_batch(spark, tmp_path):
     cannot change it. A point probe (min over an item's cells) then
     matches the batch entry's estimate arithmetic by construction."""
     from kafka_flink_harshevents_spark.queries._util import load
-    from kafka_flink_harshevents_spark.queries.events import (
-        CM_DEPTH,
-        _cm_bucket,
-    )
+    from kafka_flink_harshevents_spark.queries.events import cm_cell_array
     from kafka_flink_harshevents_spark.streaming.countmin import (
         count_min_snapshot,
         count_min_stream,
@@ -2616,6 +2613,9 @@ def test_streaming_count_min_matches_batch(spark, tmp_path):
         e.filter(F.col("user_id") % 2 == 1).coalesce(1).write.json(
             str(src / "w2.json")
         )
+        # a NULL item must not perturb the sketch in either engine
+        with open(src / "w3.json", "w") as f:
+            f.write('{"user_id": null}\n')
         q.processAllAvailable()
         got = {
             (r["d"], r["bucket"], r["cnt"])
@@ -2626,17 +2626,8 @@ def test_streaming_count_min_matches_batch(spark, tmp_path):
 
     item = F.col("user_id").cast("string")
     batch_cells = (
-        e.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _cm_bucket(item, d).alias("bucket"),
-                    )
-                    for d in range(CM_DEPTH)
-                ])
-            ).alias("c")
-        )
+        e.filter(item.isNotNull())
+        .select(F.explode(cm_cell_array(item)).alias("c"))
         .groupBy("c.d", "c.bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -2708,3 +2699,49 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
         assert spark.table(name).count() == n_before  # nothing emitted
     finally:
         q.stop()
+
+
+def test_scd2_stream_rounds_midpoints_like_batch(spark, tmp_path):
+    """A closed version whose value sits on a .xx5 midpoint (2.125) must
+    round the way Spark's F.round does (HALF_UP → 2.13), not Python's
+    half-even (→ 2.12) — the divergence a code-review pass caught while
+    the generator's 2-dp values masked it."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from kafka_flink_harshevents_spark.streaming.scd2 import scd2_stream
+
+    src = tmp_path / "mid"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "event_type": "a", "event_id": 1, "value": 2.125,
+         "ts": "2026-01-01 00:01:00"},
+        {"user_id": 1, "event_type": "a", "event_id": 2, "value": 9.0,
+         "ts": "2026-01-01 00:02:00"},
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = spark.readStream.schema(
+        "user_id LONG, event_type STRING, event_id LONG, value DOUBLE, ts TIMESTAMP"
+    ).json(str(src))
+    name = f"scd2mid_{uuid.uuid4().hex[:8]}"
+    q = (
+        scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table(name).first()["value"]
+    finally:
+        q.stop()
+    want = (
+        spark.range(1)
+        .select(SF.round(SF.lit(2.125), 2).alias("v"))
+        .first()["v"]
+    )
+    assert got == want == 2.13
