@@ -406,7 +406,93 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANALYZE_COLS = (
+    # (column, kind) — kind picks the engine-portable min/max repr:
+    # 'int' → BIGINT, 'num' → DECIMAL(18,2) string, 'date'/'str' → text
+    ("l_orderkey", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_shipdate", "date"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+)
+
+
+def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE — the statistics-collection pass a cost-based
+    optimizer (and every data-quality monitor) runs per column: row
+    count, exact distinct count, null count, min/max — here over six
+    mixed-type lineitem columns in ONE scan. This is the operational
+    query behind Spark's `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS`, emitted as data so the driver can hash it.
+
+    Plan: a single aggregate carrying the six exact count-distincts —
+    Catalyst plans multi-distinct aggregates with one Expand (each row
+    duplicated once per distinct spec, map-side) and two-phase
+    HashAggregates, the same plan ANALYZE itself ships; min/max/null
+    counts ride the same pass. The one stats row then unpivots to one
+    row per column (scan-local explode). Numeric min/max are emitted
+    as DECIMAL(18,2) strings — double→text formatting is
+    engine-specific, decimal→text is not.
+    """
+    li = load(spark, sf_dir, "lineitem")
+
+    def reprs(c: str, kind: str) -> tuple[F.Column, F.Column]:
+        col = F.col(c)
+        if kind == "num":
+            col = col.cast("decimal(18,2)")
+        return (
+            F.min(col).cast("string").alias(f"min_{c}"),
+            F.max(col).cast("string").alias(f"max_{c}"),
+        )
+
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in ANALYZE_COLS:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"nulls_{c}")
+        )
+        aggs.extend(reprs(c, kind))
+    one = li.agg(*aggs)
+    stacked = one.select(
+        "n_rows",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"ndv_{c}").cast("long").alias("ndv"),
+                    F.col(f"nulls_{c}").alias("n_nulls"),
+                    F.col(f"min_{c}").alias("min_repr"),
+                    F.col(f"max_{c}").alias("max_repr"),
+                )
+                for c, _ in ANALYZE_COLS
+            ])
+        ).alias("s"),
+    )
+    return stacked.select(
+        "s.column_name", F.col("n_rows").cast("long").alias("n_rows"),
+        "s.ndv", "s.n_nulls", "s.min_repr", "s.max_repr"
+    )
+
+
+def _analyze_sql() -> str:
+    parts = []
+    for c, kind in ANALYZE_COLS:
+        expr = f"CAST({c} AS DECIMAL(18,2))" if kind == "num" else c
+        parts.append(f"""
+            SELECT '{c}' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(min({expr}) AS VARCHAR) AS min_repr,
+                   CAST(max({expr}) AS VARCHAR) AS max_repr
+            FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
 QUERIES = {
+    "q_analyze_table": q_analyze_table,
     "q_customer_ltv": q_customer_ltv,
     "q_yearly_growth": q_yearly_growth,
     "q1_pricing_summary": q1_pricing_summary,
@@ -425,6 +511,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_analyze_table": _analyze_sql(),
     "q_grouping_sets": """
         SELECT o_orderpriority,
                o_orderstatus,
