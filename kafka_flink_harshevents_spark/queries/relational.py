@@ -475,6 +475,109 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVM_DELTA_PCT = 10  # ~10% of lineitem plays the "newly arrived" delta
+
+
+def q1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (IVM) — refresh the Q1
+    pricing-summary view with a delta batch WITHOUT recomputing the
+    base: the view's stored state is the det-sum PARTIALS (hi/lo
+    quantized integer totals + counts), which are associative, so
+    base ⊕ delta = full recompute EXACTLY — not approximately. That
+    associativity is the same property that makes the det_* convention
+    partitioning-independent; here it buys exact view maintenance: the
+    oracle for this entry IS the plain full-table Q1 SQL.
+
+    A deterministic md5 hash-split carves ~IVM_DELTA_PCT% of lineitem
+    into the "newly arrived" batch (the `doc_incremental_dedup`
+    convention). Base and delta each produce per-group partial states
+    (one aggregate each — at a real deployment the base state is a
+    stored table, so only the delta aggregate runs per refresh); the
+    merge is a |groups|-sized full-outer join + integer adds; the
+    finalize step is the identical round/divide tail `det_sum`/
+    `det_avg` apply.
+
+    Scale shape: the per-refresh cost is the DELTA scan plus a
+    groups-sized merge — the whole point of IVM at 100 TB; no window,
+    no recompute of the base scan in steady state.
+    """
+    from kafka_flink_harshevents_spark.queries._util import (
+        _hilo_total,
+        _quantize,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    unit = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("l_orderkey"), F.col("l_linenumber")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    base = li.filter(unit >= IVM_DELTA_PCT)
+    delta = li.filter(unit < IVM_DELTA_PCT)
+
+    def partial(df: DataFrame) -> DataFrame:
+        rev = _revenue()
+        charge = rev * (1 + F.col("l_tax"))
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            _hilo_total(_quantize(F.col("l_quantity"), 6)).alias("t_qty"),
+            _hilo_total(_quantize(F.col("l_extendedprice"), 6)).alias(
+                "t_price"
+            ),
+            _hilo_total(_quantize(rev, 6)).alias("t_disc"),
+            _hilo_total(_quantize(charge, 6)).alias("t_charge"),
+            _hilo_total(_quantize(F.col("l_discount"), 6)).alias("t_dcnt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    keys = ["l_returnflag", "l_linestatus"]
+    totals = ["t_qty", "t_price", "t_disc", "t_charge", "t_dcnt", "n"]
+    merged = (
+        partial(base)
+        .alias("b")
+        .join(partial(delta).alias("d"), keys, "full_outer")
+        .select(
+            *keys,
+            *[
+                (
+                    F.coalesce(F.col(f"b.{t}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{t}"), F.lit(0))
+                ).alias(t)
+                for t in totals
+            ],
+        )
+    )
+    fin = lambda t, dp: F.round(  # noqa: E731 — det_sum's finalize tail
+        F.col(t).cast("double") / F.lit(1e6), dp
+    )
+    fina = lambda t, dp: F.round(  # noqa: E731 — det_avg's finalize tail
+        F.col(t).cast("double") / F.lit(1e6) / F.col("n"), dp
+    )
+    return merged.select(
+        *keys,
+        fin("t_qty", 2).alias("sum_qty"),
+        fin("t_price", 2).alias("sum_base_price"),
+        fin("t_disc", 2).alias("sum_disc_price"),
+        fin("t_charge", 2).alias("sum_charge"),
+        fina("t_qty", 4).alias("avg_qty"),
+        fina("t_price", 4).alias("avg_price"),
+        fina("t_dcnt", 4).alias("avg_disc"),
+        F.col("n").cast("long").alias("count_order"),
+    )
+
+
 def _analyze_sql() -> str:
     parts = []
     for c, kind in ANALYZE_COLS:
@@ -493,6 +596,7 @@ def _analyze_sql() -> str:
 
 QUERIES = {
     "q_analyze_table": q_analyze_table,
+    "q1_incremental_refresh": q1_incremental_refresh,
     "q_customer_ltv": q_customer_ltv,
     "q_yearly_growth": q_yearly_growth,
     "q1_pricing_summary": q1_pricing_summary,
@@ -709,3 +813,7 @@ ORACLES = {
         GROUP BY ROLLUP (r_name, n_name)
     """,
 }
+
+
+# IVM correctness property: refresh output == full recompute.
+ORACLES["q1_incremental_refresh"] = ORACLES["q1_pricing_summary"]
