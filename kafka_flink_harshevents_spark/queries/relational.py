@@ -475,6 +475,57 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKETS = 16  # equi-height histogram buckets
+
+
+def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram over ``l_extendedprice`` — the other half
+    of CBO statistics next to `q_analyze_table` (Spark's ANALYZE ...
+    FOR COLUMNS builds exactly this for selectivity estimation; an
+    equi-WIDTH histogram like `ev_histogram` mis-sizes skewed columns,
+    equi-height by construction cannot): split the sorted column into
+    HIST_BUCKETS runs of (near-)equal row count and emit each bucket's
+    row count, distinct count and min/max bounds.
+
+    Bucket rule: ``floor((rn−1)·K/n)`` over the exact global rank —
+    pure integer arithmetic on the same total order (value, orderkey
+    tie-break) in both engines, so bucket membership is deterministic
+    even across duplicate values. The rank comes from the distributed
+    bucketed rank (`operators/ranking.py`) — no global-sort window, no
+    ntile over a single partition (the plan Spark's own ntile(K) would
+    produce here).
+
+    Scale shape: rank pass (value-range-keyed shuffles) + ONE keyed
+    aggregate over bucket ids; min/max emit as DECIMAL strings (the
+    `q_analyze_table` portability convention).
+    """
+    from kafka_flink_harshevents_spark.operators.ranking import (
+        with_exact_rank,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_orderkey") * 10 + F.col("l_linenumber").cast("long"),
+    )
+    li = li.toDF("v", "rid")
+    ranked = with_exact_rank(li, "v", "rid")
+    # pure INTEGER division — no float enters bucket assignment
+    bucket = F.expr(f"((rn - 1) * {HIST_BUCKETS}) div n").cast("long")
+    return (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("v").cast("long").alias("ndv"),
+            F.min(F.col("v").cast("decimal(18,2)")).cast("string").alias(
+                "lo_repr"
+            ),
+            F.max(F.col("v").cast("decimal(18,2)")).cast("string").alias(
+                "hi_repr"
+            ),
+        )
+    )
+
+
 IVM_DELTA_PCT = 10  # ~10% of lineitem plays the "newly arrived" delta
 
 
@@ -597,6 +648,7 @@ def _analyze_sql() -> str:
 QUERIES = {
     "q_analyze_table": q_analyze_table,
     "q1_incremental_refresh": q1_incremental_refresh,
+    "q_histogram_equiheight": q_histogram_equiheight,
     "q_customer_ltv": q_customer_ltv,
     "q_yearly_growth": q_yearly_growth,
     "q1_pricing_summary": q1_pricing_summary,
@@ -817,3 +869,20 @@ ORACLES = {
 
 # IVM correctness property: refresh output == full recompute.
 ORACLES["q1_incremental_refresh"] = ORACLES["q1_pricing_summary"]
+
+ORACLES["q_histogram_equiheight"] = f"""
+    WITH r AS (
+        SELECT l_extendedprice AS v,
+               row_number() OVER (
+                   ORDER BY l_extendedprice,
+                            l_orderkey * 10 + l_linenumber) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT CAST(((rn - 1) * {HIST_BUCKETS}) // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           CAST(min(CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS lo_repr,
+           CAST(max(CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS hi_repr
+    FROM r GROUP BY 1
+"""

@@ -606,7 +606,7 @@ EMPTY_REPRESENTATIVES = [
     "ev_count_min", "ev_decayed_counts", "doc_zorder_layout",
     "ev_scd2_intervals", "ev_session_overlap", "emb_matryoshka_recall",
     "doc_bigram_logprob", "doc_minhash_calibration", "q_analyze_table",
-    "q1_incremental_refresh",
+    "q1_incremental_refresh", "q_histogram_equiheight",
 ]
 
 
