@@ -2745,3 +2745,131 @@ def test_scd2_stream_rounds_midpoints_like_batch(spark, tmp_path):
         .first()["v"]
     )
     assert got == want == 2.13
+
+
+def test_scd2_store_survives_restart(spark, tmp_path):
+    """The open-version state must survive a query restart (T5/T6 for
+    the CDC-history path): stop after wave 1, restart from the same
+    checkpoint, and a wave-2 change must close the RECOVERED open
+    version with the correct version number and valid_from — without
+    re-emitting wave-1 rows (offsets recover too). JSON file sink: the
+    memory sink cannot recover from a checkpoint."""
+    import os
+
+    from kafka_flink_harshevents_spark.streaming.scd2 import scd2_stream
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def wave(fname, rows):
+        with open(src / fname, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    def start():
+        stream = spark.readStream.schema(
+            "user_id LONG, event_type STRING, event_id LONG,"
+            " value DOUBLE, ts TIMESTAMP"
+        ).json(str(src) + "/*.json")
+        return (
+            scd2_stream(stream)
+            .writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    def closed():
+        return spark.read.schema(
+            "user_id long, event_type string, version long,"
+            " valid_from_ms long, valid_to_ms long, value double,"
+            " n_late_dropped long"
+        ).json(sink).filter(F.col("user_id").isNotNull())
+
+    def r(e, t, eid, v, ts):
+        return {"user_id": e, "event_type": t, "event_id": eid,
+                "value": v, "ts": ts}
+
+    # wave 1: two versions for key (7, 'a') → one closed row
+    wave("w1.json", [
+        r(7, "a", 1, 1.0, "2026-01-01 00:01:00"),
+        r(7, "a", 2, 2.0, "2026-01-01 00:02:00"),
+    ])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert closed().count() == 1
+
+    # restart from the same checkpoint; wave 2 closes the open v2
+    wave("w2.json", [r(7, "a", 3, 3.0, "2026-01-01 00:03:00")])
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows = {(x["version"], x["valid_from_ms"] is not None, x["value"])
+                for x in closed().collect()}
+        # exactly two closed rows total: v1 (wave 1) + v2 (closed by
+        # the post-restart change from RECOVERED state, value 2.0)
+        assert len(rows) == 2 and (2, True, 2.0) in rows, rows
+    finally:
+        q.stop()
+
+
+def test_count_min_store_survives_restart(spark, tmp_path):
+    """Count-Min cell counters recover from the checkpoint: counts
+    accumulated before the stop keep counting after the restart (no
+    reset to zero, no double count of replayed offsets)."""
+    import os
+
+    from kafka_flink_harshevents_spark.streaming.countmin import (
+        count_min_snapshot,
+        count_min_stream,
+    )
+
+    src = tmp_path / "cm"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def wave(fname, ids):
+        with open(src / fname, "w") as f:
+            f.write("\n".join(json.dumps({"user_id": i}) for i in ids) + "\n")
+
+    def start():
+        stream = spark.readStream.schema("user_id LONG").json(
+            str(src) + "/*.json"
+        )
+        # file sinks reject update mode; foreachBatch is the
+        # checkpoint-recoverable escape hatch for update-mode stores
+        return (
+            count_min_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").json(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    wave("w1.json", [1, 1, 2])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wave("w2.json", [1, 3])
+    q = start()
+    try:
+        q.processAllAvailable()
+        log = spark.read.schema(
+            "d long, bucket long, cnt long, emit_seq long"
+        ).json(sink).filter(F.col("d").isNotNull())
+        snap = count_min_snapshot(log)
+        total = snap.agg(F.sum("cnt")).first()[0]
+        # 5 items × 4 rows each, accumulated ACROSS the restart
+        assert total == 20, total
+    finally:
+        q.stop()
