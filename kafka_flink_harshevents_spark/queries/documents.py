@@ -586,6 +586,81 @@ def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 5  # fixed PageRank iterations (unrolled in the oracle)
+PR_SCALE = 1_000_000_000  # nano-unit integer probability mass
+
+
+def doc_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-dup pair graph — the iterative-
+    algorithm family (CC in `operators/graph.py` converges a min-label
+    FOLD; PageRank iterates a weighted REDISTRIBUTION — the centrality
+    signal that surfaces hub/boilerplate documents inside big near-dup
+    neighborhoods, where plain degree over-counts cliques).
+
+    Engine-exact iteration: all mass lives in integer nano-units, each
+    step is pr' = (15·S) div (100·N) + Σ_in (85·pr(u)) div (100·deg(u))
+    — integer division only, so PR_ITERS steps are bit-identical in any
+    engine and under any partitioning, and the DuckDB oracle simply
+    UNROLLS the five steps as CTEs. (Floating-point PageRank would
+    diverge in the last ULPs per engine — the same reason k-means emits
+    a gate; integer fixed-point is what makes this one fully
+    row-hashable.)
+
+    Scale shape: per iteration ONE edges⋈ranks equi-join (both sides
+    keyed on the node id) + one grouped sum; the loop state is one row
+    per graph NODE (pair-graph-sized, never corpus-sized), re-planned
+    from a localCheckpoint each round like `doc_bpe_train`'s loop.
+    Dangling mass note: nodes in this graph have degree ≥ 1 by
+    construction (they come from pairs), so no dangling redistribution
+    is needed.
+    """
+    pairs = doc_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    edges = pairs.select(
+        F.col("da").alias("s"), F.col("db").alias("d")
+    ).unionByName(
+        pairs.select(F.col("db").alias("s"), F.col("da").alias("d"))
+    ).localCheckpoint()
+    nodes = edges.select(F.col("s").alias("node")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("pr_nano"),
+            F.lit(PR_ITERS).cast("long").alias("n_iters"),
+        )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    base = (15 * PR_SCALE) // (100 * n_nodes)
+    pr = nodes.withColumn(
+        "pr", F.lit(PR_SCALE // n_nodes).cast("long")
+    ).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, edges["s"] == pr["node"])
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("(85 * pr) div (100 * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(
+        "node",
+        F.col("pr").alias("pr_nano"),
+        F.lit(PR_ITERS).cast("long").alias("n_iters"),
+    )
+
+
 def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph —
     the operator a dedup pipeline actually ENDS with: every document
@@ -2889,6 +2964,7 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_minhash_calibration": doc_minhash_calibration,
+    "doc_neardup_pagerank": doc_neardup_pagerank,
     "doc_edit_distance_pairs": doc_edit_distance_pairs,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_sample_stratified": doc_sample_stratified,
@@ -3175,6 +3251,48 @@ def _minhash_calibration_sql() -> str:
     """
 
 
+def _pagerank_sql() -> str:
+    """Unrolled fixed-point PageRank oracle: PR_ITERS identical CTE
+    blocks over the shared minhash pair CTEs — integer nano-unit
+    arithmetic, so every step matches the Spark loop bit-for-bit."""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+        pr{k} AS (
+            SELECT nodes.node,
+                   CAST(CAST({15 * PR_SCALE} AS BIGINT) // (100 * nn.n)
+                        + COALESCE(infl.inflow, 0) AS BIGINT) AS pr
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.d AS node,
+                       sum((85 * p.pr) // (100 * dg.deg)) AS inflow
+                FROM edges e
+                JOIN pr{k - 1} p ON e.s = p.node
+                JOIN deg dg ON dg.s = e.s
+                GROUP BY e.d
+            ) infl ON infl.node = nodes.node
+        )""")
+    return f"""
+        WITH {_minhash_ctes()},
+        edges AS (
+            SELECT da AS s, db AS d FROM mh_pairs
+            UNION ALL
+            SELECT db AS s, da AS d FROM mh_pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+        pr0 AS (
+            SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS pr
+            FROM nodes, nn
+        ),
+        {", ".join(iters)}
+        SELECT node, pr AS pr_nano,
+               CAST({PR_ITERS} AS BIGINT) AS n_iters
+        FROM pr{PR_ITERS}
+    """
+
+
 def _zorder_sql() -> str:
     mask = (1 << ZORDER_BITS) - 1
     terms = []
@@ -3214,6 +3332,7 @@ def _zorder_sql() -> str:
 ORACLES = {
     "doc_zorder_layout": _zorder_sql(),
     "doc_minhash_calibration": _minhash_calibration_sql(),
+    "doc_neardup_pagerank": _pagerank_sql(),
     "doc_gopher_quality": f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         feats AS (

@@ -607,6 +607,7 @@ EMPTY_REPRESENTATIVES = [
     "ev_scd2_intervals", "ev_session_overlap", "emb_matryoshka_recall",
     "doc_bigram_logprob", "doc_minhash_calibration", "q_analyze_table",
     "q1_incremental_refresh", "q_histogram_equiheight",
+    "doc_neardup_pagerank",
 ]
 
 
@@ -727,6 +728,7 @@ PARTITIONING_REPRESENTATIVES = [
     "mm_phash_pairs",            # pigeonhole buckets
     "ev_count_min",              # CM sketch cells + top-n tie-break
     "doc_zorder_layout",         # tie-heavy distributed rank (256 z values)
+    "doc_neardup_pagerank",      # integer fixed-point iterative loop
 ]
 
 
