@@ -639,8 +639,8 @@ def _analyze_sql() -> str:
                    CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
                    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_nulls,
-                   CAST(min({expr}) AS VARCHAR) AS min_repr,
-                   CAST(max({expr}) AS VARCHAR) AS max_repr
+                   CAST(min({expr}) AS STRING) AS min_repr,
+                   CAST(max({expr}) AS STRING) AS max_repr
             FROM lineitem""")
     return " UNION ALL ".join(parts)
 
@@ -882,7 +882,7 @@ ORACLES["q_histogram_equiheight"] = f"""
     SELECT CAST(((rn - 1) * {HIST_BUCKETS}) // n AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT v) AS BIGINT) AS ndv,
-           CAST(min(CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS lo_repr,
-           CAST(max(CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS hi_repr
+           CAST(min(CAST(v AS DECIMAL(18,2))) AS STRING) AS lo_repr,
+           CAST(max(CAST(v AS DECIMAL(18,2))) AS STRING) AS hi_repr
     FROM r GROUP BY 1
 """

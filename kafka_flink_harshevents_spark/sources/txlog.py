@@ -1,0 +1,361 @@
+"""Transactional table layer over parquet — ACID MERGE for the K4 sink.
+
+The reference's consumer updates Mongo documents in place by id
+(kafkaConsumer.js:304-318 — K4 in SURVEY.md §2.2). The engine's
+bucket-partitioned emulation (`sinks.upsert_foreach_batch`) is correct
+for a single writer but not atomic: a reader that lists the output
+directory mid-rewrite sees a torn table, and two concurrent writers can
+silently interleave bucket overwrites. Real deployments reach for
+Delta/Iceberg here; neither ships in this container, so this module
+implements the minimal core of that idea from scratch — the same
+log-structured design published in the Delta Lake paper (Armbrust et
+al., VLDB 2020): immutable data files + an append-only JSON commit log
+with optimistic concurrency.
+
+Layout::
+
+    table_dir/
+      _txlog/00000000000000000001.json   one record per committed version
+      _staged-<uuid>/_pb=K/part-*.parquet   immutable data files
+                                          (bucket id also stored in-row)
+
+A data file is INVISIBLE until a commit record references it, so
+readers always see a consistent snapshot: the live file set of version
+V is ``union(add[1..V]) - union(remove[1..V])``.
+
+Commit protocol (single shared filesystem — HDFS/NFS/local all give
+atomic ``link``):
+
+1. read the latest version V (snapshot isolation — the whole
+   transaction computes against V's file set);
+2. write new data files under a fresh ``_staged-<uuid>/`` directory
+   (invisible — no reader lists the table root);
+3. serialize the commit record to ``_txlog/.tmp-<uuid>``;
+4. ``os.link(tmp, _txlog/<V+1>.json)`` — the filesystem's atomic
+   create-if-absent. If a concurrent writer already claimed V+1 the
+   link fails with EEXIST and the loser retries against the new
+   snapshot (optimistic concurrency control);
+5. unlink the tmp file.
+
+Crash safety: a writer that dies before step 4 leaves only an orphan
+staged directory and/or tmp file — never a torn commit. Readers ignore
+both (they only follow the log); ``vacuum`` reclaims them.
+
+Exactly-once streaming: commit records carry an optional
+``txn: {app_id, batch_id}`` marker. ``upsert_sink`` checks the latest
+committed batch_id for its app_id before writing — a replayed
+micro-batch (checkpoint recovery, T5/T6 in SURVEY §2.10) becomes a
+no-op instead of a duplicate MERGE, upgrading the sink from
+at-least-once to exactly-once without a broker-side transaction.
+
+Scale shape: the MERGE rewrite unit is one hash bucket (table size /
+``n_buckets``), touched buckets only — identical to the file-group
+compaction unit in Delta/Iceberg. The log itself is O(versions) tiny
+JSON files; snapshot reconstruction is a driver-side replay, O(total
+adds), the same cost Delta pays without checkpoints (a parquet
+checkpoint of the file list is the obvious extension and is not needed
+at this log length).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+_PAD = 20
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+def _version_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _LOG_DIR, f"{version:0{_PAD}d}.json")
+
+
+def _list_versions(table_dir: str) -> list[int]:
+    pat = os.path.join(table_dir, _LOG_DIR, "[0-9]" * _PAD + ".json")
+    return sorted(int(os.path.basename(p)[:_PAD]) for p in glob.glob(pat))
+
+
+def _read_record(table_dir: str, version: int) -> dict:
+    with open(_version_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _atomic_commit(table_dir: str, version: int, record: dict) -> None:
+    """Publish `record` as `version` or raise ConcurrentWriteError.
+
+    ``os.link`` is the atomic create-if-absent primitive: exactly one
+    writer can create the destination name; every other attempt gets
+    EEXIST. (``os.rename`` would silently overwrite — wrong tool.)
+    """
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _version_path(table_dir, version))
+    except FileExistsError as exc:
+        raise ConcurrentWriteError(
+            f"version {version} of {table_dir} was committed concurrently"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+
+
+class TxTable:
+    """A keyed, hash-bucketed table with atomic MERGE and time travel.
+
+    ``key_cols`` is the business key (the reference's Mongo ``_id``),
+    ``order_col`` breaks versions of one key (latest wins — the K4
+    update-by-id semantics), ``n_buckets`` is the rewrite granularity.
+    """
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table_dir = table_dir
+
+    # -- bootstrap ---------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        table_dir: str,
+        key_cols: tuple[str, ...],
+        order_col: str,
+        n_buckets: int = 16,
+    ) -> "TxTable":
+        t = cls(spark, table_dir)
+        if _list_versions(table_dir):
+            return t  # already initialized — metadata is immutable
+        _atomic_commit(
+            table_dir,
+            1,
+            {
+                "version": 1,
+                "op": "create",
+                "add": [],
+                "remove": [],
+                "meta": {
+                    "key_cols": list(key_cols),
+                    "order_col": order_col,
+                    "n_buckets": n_buckets,
+                },
+            },
+        )
+        return t
+
+    @property
+    def meta(self) -> dict:
+        return _read_record(self.table_dir, 1)["meta"]
+
+    # -- snapshots ---------------------------------------------------
+
+    def latest_version(self) -> int:
+        versions = _list_versions(self.table_dir)
+        if not versions:
+            raise FileNotFoundError(f"no transaction log at {self.table_dir}")
+        return versions[-1]
+
+    def _snapshot(self, version: int | None = None) -> tuple[int, list[dict], str | None]:
+        """Replay the log → (version, live add-entries, schema json)."""
+        target = self.latest_version() if version is None else version
+        live: dict[str, dict] = {}
+        schema_json: str | None = None
+        for v in _list_versions(self.table_dir):
+            if v > target:
+                break
+            rec = _read_record(self.table_dir, v)
+            for entry in rec["add"]:
+                live[entry["path"]] = entry
+            for path in rec["remove"]:
+                live.pop(path, None)
+            schema_json = rec.get("schema_json", schema_json)
+        return target, list(live.values()), schema_json
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel with ``version=``). Consistent by
+        construction: the file list comes from the log, never from a
+        directory listing, so an in-flight writer is invisible."""
+        _, live, schema_json = self._snapshot(version)
+        if not live:
+            if schema_json is None:
+                raise ValueError("empty table with no recorded schema")
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        paths = [os.path.join(self.table_dir, e["path"]) for e in live]
+        # recursiveFileLookup disables partition discovery — required
+        # because the explicit file list spans several _staged-* roots
+        # (discovery would see conflicting directory structures). The
+        # bucket id is stored IN the data (`_bucket`), so nothing is
+        # lost; it's internal layout, and the user snapshot drops it.
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(*paths)
+            .drop("_bucket")
+        )
+
+    # -- writes ------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[dict]:
+        """Write `df` (already carrying ``_bucket``) as invisible data
+        files; return add-entries [{path, bucket}...]."""
+        staged = f"_staged-{uuid.uuid4().hex}"
+        out = os.path.join(self.table_dir, staged)
+        # `_pb` is a copy of `_bucket` consumed by partitionBy (which
+        # strips its column from the files); `_bucket` itself stays in
+        # the data so explicit-file-list reads need no partition
+        # discovery.
+        (
+            df.withColumn("_pb", F.col("_bucket"))
+            .repartition("_pb")
+            .sortWithinPartitions(*self.meta["key_cols"])
+            .write.partitionBy("_pb")
+            .parquet(out)
+        )
+        entries = []
+        for p in glob.glob(os.path.join(out, "_pb=*", "*.parquet")):
+            bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+            rel = os.path.relpath(p, self.table_dir)
+            entries.append({"path": rel, "bucket": bucket})
+        return entries
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        m = self.meta
+        return df.withColumn(
+            "_bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in m["key_cols"]]), F.lit(m["n_buckets"])
+            ),
+        )
+
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        txn: dict | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Atomic MERGE: latest row per key wins across (existing ∪ df).
+
+        Optimistic concurrency: compute against snapshot V, attempt
+        commit at V+1; on conflict re-read and retry (the merge is
+        deterministic given a snapshot, so retries are safe). Returns
+        the committed version.
+        """
+        m = self.meta
+        incoming = self._with_bucket(df)
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            base_v, live, _ = self._snapshot()
+            touched = [
+                r["_bucket"]
+                for r in incoming.select("_bucket").distinct().collect()
+            ]
+            hit = [e for e in live if e["bucket"] in set(touched)]
+            if hit:
+                existing = self.spark.read.option(
+                    "recursiveFileLookup", "true"
+                ).parquet(*[os.path.join(self.table_dir, e["path"]) for e in hit])
+                merged = existing.unionByName(incoming)
+            else:
+                merged = incoming
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*m["key_cols"]).orderBy(
+                F.col(m["order_col"]).desc()
+            )
+            latest = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            added = self._stage(latest)
+            record = {
+                "version": base_v + 1,
+                "op": "merge",
+                "add": added,
+                "remove": [e["path"] for e in hit],
+                "schema_json": latest.drop("_bucket").schema.json(),
+            }
+            if txn:
+                record["txn"] = txn
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1
+            except ConcurrentWriteError as exc:
+                # lost the race: our staged files stay orphaned (vacuum
+                # reclaims them); recompute against the winner's snapshot
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
+    # -- exactly-once streaming ------------------------------------
+
+    def last_committed_batch(self, app_id: str) -> int:
+        """Highest batch_id committed under `app_id` (-1 if none)."""
+        best = -1
+        for v in _list_versions(self.table_dir):
+            rec = _read_record(self.table_dir, v)
+            t = rec.get("txn")
+            if t and t.get("app_id") == app_id:
+                best = max(best, int(t["batch_id"]))
+        return best
+
+    def upsert_sink(self, app_id: str):
+        """``foreachBatch`` function: idempotent transactional MERGE.
+
+        Checkpoint recovery replays the last micro-batch after a crash
+        (T6); the txn marker makes the replay a no-op, so the sink is
+        exactly-once end-to-end even though delivery is at-least-once.
+        """
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= self.last_committed_batch(app_id):
+                return  # replayed batch — already committed
+            if batch_df.isEmpty():
+                return
+            self.merge_upsert(
+                batch_df, txn={"app_id": app_id, "batch_id": int(batch_id)}
+            )
+
+        return apply
+
+    # -- maintenance -------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data files unreferenced by the newest `retain_versions`
+        snapshots, plus orphaned staged directories from crashed or
+        losing writers. Returns deleted paths (table-relative)."""
+        versions = _list_versions(self.table_dir)
+        keep_versions = versions[-retain_versions:]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            _, live, _ = self._snapshot(v)
+            referenced.update(e["path"] for e in live)
+        deleted: list[str] = []
+        for staged in glob.glob(os.path.join(self.table_dir, "_staged-*")):
+            for p in glob.glob(os.path.join(staged, "_pb=*", "*.parquet")):
+                rel = os.path.relpath(p, self.table_dir)
+                if rel not in referenced:
+                    os.unlink(p)
+                    deleted.append(rel)
+            # prune now-empty staged trees (losing writers leave whole dirs)
+            if not glob.glob(os.path.join(staged, "_pb=*", "*.parquet")):
+                shutil.rmtree(staged, ignore_errors=True)
+        for tmp in glob.glob(os.path.join(self.table_dir, _LOG_DIR, ".tmp-*")):
+            os.unlink(tmp)
+        return sorted(deleted)

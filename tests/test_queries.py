@@ -285,6 +285,24 @@ def test_freq_items_superset_of_true_heavy_hitters(spark):
 # verbatim through spark.sql — the SQL front-end is proven on the exact
 # same strings DuckDB verifies.
 _SPARK_SQL_TWINS = {
+    # DuckDB's exact integer division `//` is `DIV` in Spark SQL;
+    # everything else in the histogram oracle parses in both dialects.
+    "q_histogram_equiheight": """
+        WITH r AS (
+            SELECT l_extendedprice AS v,
+                   row_number() OVER (
+                       ORDER BY l_extendedprice,
+                                l_orderkey * 10 + l_linenumber) AS rn,
+                   count(*) OVER () AS n
+            FROM lineitem
+        )
+        SELECT CAST(((rn - 1) * 16) DIV n AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+               CAST(min(CAST(v AS DECIMAL(18,2))) AS STRING) AS lo_repr,
+               CAST(max(CAST(v AS DECIMAL(18,2))) AS STRING) AS hi_repr
+        FROM r GROUP BY 1
+    """,
     "q_customer_ltv": """
         WITH c AS (
             SELECT o_custkey,

@@ -1,0 +1,220 @@
+"""Transactional table layer (sources/txlog.py) — the ACID MERGE
+upgrade of the K4 update-by-id sink (kafkaConsumer.js:304-318).
+
+What must hold: snapshot isolation (readers never see a torn table),
+atomic commits with optimistic concurrency (exactly one winner per
+version), time travel, exactly-once micro-batch replay, crash-orphan
+tolerance, and the Delta-style rewrite-granularity guarantee (untouched
+buckets carry their files forward byte-for-byte)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kafka_flink_harshevents_spark.sources.txlog import (
+    ConcurrentWriteError,
+    TxTable,
+    _atomic_commit,
+    _list_versions,
+)
+
+
+def _mk(spark, tmp_path, n_buckets=8) -> TxTable:
+    return TxTable.create(
+        spark, str(tmp_path / "table"), key_cols=("k",), order_col="ver",
+        n_buckets=n_buckets,
+    )
+
+
+def _rows(t: TxTable, version=None):
+    return {
+        r["k"]: (r["v"], r["ver"]) for r in t.read(version=version).collect()
+    }
+
+
+def test_merge_latest_per_key_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v2 = t.merge_upsert(
+        spark.createDataFrame(
+            [("a", 1, 1), ("b", 10, 1), ("c", 100, 1)], "k string, v long, ver long"
+        )
+    )
+    v3 = t.merge_upsert(
+        spark.createDataFrame(
+            [("a", 2, 2), ("d", 1000, 1)], "k string, v long, ver long"
+        )
+    )
+    assert (v2, v3) == (2, 3)
+    # latest snapshot: a updated in place, others intact
+    assert _rows(t) == {"a": (2, 2), "b": (10, 1), "c": (100, 1), "d": (1000, 1)}
+    # time travel: version 2 predates the update
+    assert _rows(t, version=2) == {"a": (1, 1), "b": (10, 1), "c": (100, 1)}
+    # the internal bucket column never leaks into the user snapshot
+    assert "_bucket" not in t.read().columns
+
+
+def test_stale_order_col_loses(spark, tmp_path):
+    """MERGE is latest-wins on order_col, not last-write-wins: an
+    out-of-order replay carrying an OLDER version must not clobber."""
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([("a", 5, 5)], "k string, v long, ver long"))
+    t.merge_upsert(spark.createDataFrame([("a", 3, 3)], "k string, v long, ver long"))
+    assert _rows(t) == {"a": (5, 5)}
+
+
+def test_untouched_buckets_carry_files_forward(spark, tmp_path):
+    """The rewrite unit is the touched bucket: a merge that hits one
+    bucket must reference every other bucket's existing files unchanged
+    (same relative paths — no rewrite, no copy)."""
+    t = _mk(spark, tmp_path, n_buckets=8)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(f"k{i}", i, 1) for i in range(64)], "k string, v long, ver long"
+        )
+    )
+    _, live_before, _ = t._snapshot()
+    t.merge_upsert(spark.createDataFrame([("k0", -1, 2)], "k string, v long, ver long"))
+    _, live_after, _ = t._snapshot()
+    before = {e["path"]: e["bucket"] for e in live_before}
+    after = {e["path"]: e["bucket"] for e in live_after}
+    touched = {b for p, b in before.items() if p not in after}
+    assert len(touched) == 1  # exactly one bucket rewritten
+    carried = {p for p in before if p in after}
+    assert carried == {p for p, b in before.items() if b not in touched}
+    assert _rows(t)["k0"] == (-1, 2)
+
+
+def test_atomic_commit_one_winner(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _atomic_commit(t.table_dir, 2, {"version": 2, "op": "noop", "add": [], "remove": []})
+    with pytest.raises(ConcurrentWriteError):
+        _atomic_commit(
+            t.table_dir, 2, {"version": 2, "op": "noop", "add": [], "remove": []}
+        )
+    # the loser's tmp file must not linger in the log dir
+    assert not [
+        p for p in os.listdir(os.path.join(t.table_dir, "_txlog"))
+        if p.startswith(".tmp-")
+    ]
+
+
+def test_merge_retries_past_concurrent_writer(spark, tmp_path):
+    """Optimistic concurrency: if another writer claims V+1 between the
+    snapshot and the commit, merge_upsert recomputes against the new
+    snapshot and lands at V+2 — no lost update, no torn state."""
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame([("a", 1, 1)], "k string, v long, ver long"))
+    # simulate a concurrent writer winning version 3 with a real update
+    other = TxTable(spark, t.table_dir)
+    other.merge_upsert(
+        spark.createDataFrame([("b", 10, 1)], "k string, v long, ver long")
+    )
+    assert t.latest_version() == 3
+    v = t.merge_upsert(spark.createDataFrame([("c", 100, 1)], "k string, v long, ver long"))
+    assert v == 4
+    assert _rows(t) == {"a": (1, 1), "b": (10, 1), "c": (100, 1)}
+
+
+def test_upsert_sink_replay_is_noop(spark, tmp_path):
+    """T5/T6 exactly-once: checkpoint recovery re-delivers the last
+    micro-batch; the txn marker turns the replay into a no-op commit."""
+    t = _mk(spark, tmp_path)
+    sink = t.upsert_sink(app_id="app1")
+    b5 = spark.createDataFrame([("a", 1, 1)], "k string, v long, ver long")
+    sink(b5, 5)
+    v_after = t.latest_version()
+    sink(b5, 5)  # replayed batch
+    sink(b5, 4)  # even older replay
+    assert t.latest_version() == v_after  # no new commit
+    sink(spark.createDataFrame([("a", 2, 2)], "k string, v long, ver long"), 6)
+    assert _rows(t) == {"a": (2, 2)}
+    assert t.last_committed_batch("app1") == 6
+    assert t.last_committed_batch("other-app") == -1
+
+
+def test_orphans_invisible_and_vacuumed(spark, tmp_path):
+    """A writer that crashes before commit leaves a staged dir and a tmp
+    log file; readers never see them and vacuum reclaims them while
+    keeping every file the retained snapshots reference."""
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(f"k{i}", i, 1) for i in range(16)], "k string, v long, ver long"
+        )
+    )
+    # fake a crashed writer: staged data never committed + tmp record
+    orphan_dir = os.path.join(t.table_dir, "_staged-deadbeef", "_pb=0")
+    os.makedirs(orphan_dir)
+    spark.createDataFrame([("zz", 999, 9)], "k string, v long, ver long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(t.table_dir, "_staged-tmpwrite"))
+    # move one real parquet file into the orphan layout
+    src = [
+        p
+        for p in os.listdir(os.path.join(t.table_dir, "_staged-tmpwrite"))
+        if p.endswith(".parquet")
+    ][0]
+    os.rename(
+        os.path.join(t.table_dir, "_staged-tmpwrite", src),
+        os.path.join(orphan_dir, "part-orphan.parquet"),
+    )
+    with open(os.path.join(t.table_dir, "_txlog", ".tmp-crashed"), "w") as f:
+        json.dump({"half": "written"}, f)
+
+    snap = _rows(t)
+    assert "zz" not in snap and len(snap) == 16  # orphan invisible
+
+    t.merge_upsert(spark.createDataFrame([("k0", -1, 2)], "k string, v long, ver long"))
+    deleted = t.vacuum(retain_versions=1)
+    assert any("part-orphan.parquet" in p for p in deleted)
+    # the superseded bucket file from version 2 is also reclaimed
+    assert len(deleted) >= 2
+    assert not os.path.exists(os.path.join(t.table_dir, "_txlog", ".tmp-crashed"))
+    # latest snapshot unharmed
+    after = _rows(t)
+    assert after["k0"] == (-1, 2) and len(after) == 16
+
+
+def test_empty_table_reads_with_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # version 1 is the bare create record: no schema recorded yet -> error
+    with pytest.raises(ValueError):
+        t.read()
+    t.merge_upsert(spark.createDataFrame([("a", 1, 1)], "k string, v long, ver long"))
+    assert set(t.read().columns) == {"k", "v", "ver"}
+
+
+def test_streaming_end_to_end_exactly_once(spark, tmp_path):
+    """Full Structured Streaming path: file stream → foreachBatch
+    transactional MERGE; the table converges to latest-per-key and the
+    log shows one commit per non-empty micro-batch."""
+    import uuid as _uuid
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = _mk(spark, tmp_path)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    stream = spark.readStream.schema("k STRING, v LONG, ver LONG").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(t.upsert_sink(app_id="e2e"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .queryName(f"tx_{_uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        write("w1.jsonl", [{"k": "a", "v": 1, "ver": 1}, {"k": "b", "v": 10, "ver": 1}])
+        q.processAllAvailable()
+        write("w2.jsonl", [{"k": "a", "v": 2, "ver": 2}, {"k": "c", "v": 100, "ver": 1}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _rows(t) == {"a": (2, 2), "b": (10, 1), "c": (100, 1)}
+    commits = [v for v in _list_versions(t.table_dir)]
+    assert commits == [1, 2, 3]  # create + two micro-batches
