@@ -1065,7 +1065,77 @@ def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence matrix over (user, hour) groups — the
+    counting kernel behind association mining and PMI-based embedding
+    training (count how often types a and b fire for the same user in
+    the same hour, with the marginals needed to normalize). Emits
+    integer counts only (n_ab, n_a, n_b, n_groups): PMI itself is one
+    driver-side log away, and keeping the emission integral keeps it
+    bit-identical across engines.
+
+    Scale shape: the naive formulation self-joins the (user, hour,
+    type) relation — a shuffle whose output grows with co-occurrence
+    density. Here each (user, hour) group collapses FIRST
+    (``collect_set`` over a small closed type vocabulary, partial agg),
+    then pairs explode SCAN-LOCALLY from the sorted set (≤ t·(t-1)/2
+    per group for t distinct types) and recount into a pair-domain
+    aggregate that map-side-combines to at most |types|² rows per
+    partition. No self-join, no skew: a user with 10M events still
+    contributes ≤ one array per hour.
+    """
+    g = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+            "event_type",
+        )
+        .groupBy("user_id", "h")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    # three consumers (pairs / marginals / total) — materialize once
+    g = g.localCheckpoint()
+    pairs = g.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("types"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                        lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    co = pairs.groupBy("p.type_a", "p.type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    per_type = (
+        g.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    total = g.agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    return (
+        co.join(
+            F.broadcast(per_type.select(F.col("t").alias("type_a"),
+                                        F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("t").alias("type_b"),
+                                        F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select("type_a", "type_b", "n_ab", "n_a", "n_b", "n_groups")
+    )
+
+
 QUERIES = {
+    "ev_type_cooccurrence": ev_type_cooccurrence,
     "ev_type_counts": ev_type_counts,
     "ev_approx_distinct": ev_approx_distinct,
     "ev_kmv_distinct": ev_kmv_distinct,
@@ -1129,6 +1199,34 @@ def _enrich_vehicle_sql() -> str:
 
 
 ORACLES = {
+    "ev_type_cooccurrence": """
+        WITH g AS (
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+            FROM events
+        ),
+        co AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM g a JOIN g b
+              ON a.user_id = b.user_id AND a.h = b.h
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        pt AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+            FROM g GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_groups
+            FROM (SELECT DISTINCT user_id, h FROM g)
+        )
+        SELECT type_a, type_b, n_ab,
+               pa.n_t AS n_a, pb.n_t AS n_b, n_groups
+        FROM co
+        JOIN pt pa ON co.type_a = pa.event_type
+        JOIN pt pb ON co.type_b = pb.event_type
+        CROSS JOIN tot
+    """,
     "ev_count_min": f"""
         WITH ds(d) AS (VALUES {", ".join(f"({d})" for d in range(CM_DEPTH))}),
         cells AS (

@@ -718,7 +718,178 @@ def q12_shipping_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 1 << 16  # bloom filter bits (8 KiB bitmap — broadcasts anywhere)
+_BLOOM_SEEDS = (1, 2, 3, 5)  # k=4 hash functions via seeded xxhash64
+
+
+def bloom_prefilter(fact: DataFrame, fact_key: str, keys: DataFrame) -> DataFrame:
+    """Filter `fact` to rows whose `fact_key` MIGHT be in `keys` (one
+    column) using a distributed-built Bloom filter folded into the scan
+    as a constant bitmap. Guarantees: never drops a true match (no
+    false negatives); passes a false-positive fraction ≈
+    (1-e^(-kn/m))^k of the non-matching rows. Deterministic: seeded
+    xxhash64 positions, so the same inputs prune identically on any
+    cluster."""
+    kcol = keys.columns[0]
+    pos = keys.select(
+        F.explode(
+            F.array(*[
+                # seed cast to bigint: xxhash64 is type-sensitive and the
+                # probe side writes the seed as a long literal ({s}L)
+                F.pmod(F.xxhash64(F.lit(s).cast("bigint"), F.col(kcol)), F.lit(BLOOM_M))
+                for s in _BLOOM_SEEDS
+            ])
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            F.expr("pos DIV 64").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("word"))
+        .collect()
+    )
+    wmap = {int(r["w"]): int(r["word"]) for r in words}
+    bitmap = F.array(*[F.lit(wmap.get(i, 0)) for i in range(BLOOM_M // 64)])
+
+    might_contain = None
+    for s in _BLOOM_SEEDS:
+        p = f"pmod(xxhash64({s}L, {fact_key}), {BLOOM_M})"
+        hit = F.expr(
+            f"(element_at(_bm, CAST({p} DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST({p} % 64 AS INT))) != 0"
+        )
+        might_contain = hit if might_contain is None else (might_contain & hit)
+    return fact.withColumn("_bm", bitmap).filter(might_contain).drop("_bm")
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the explicit form of the
+    runtime filters engines inject when a selective dim side can prune
+    a fact scan before the shuffle (Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``, Trino's
+    dynamic filtering). Emits exact revenue per order priority for
+    BUILDING-segment customers; the bloom stage only REDUCES the fact
+    rows that reach the join, never changes the answer (no false
+    negatives by construction, false positives killed by the exact
+    semi-join that follows).
+
+    Build: dim keys explode to k=4 seeded-xxhash64 bit positions →
+    distinct → bitwise-OR per 64-bit word (partial agg; at most
+    m/64 = 1024 rows ever reach the driver, regardless of dim size).
+    Probe: the 8 KiB bitmap folds into the scan as a constant array
+    literal — membership is four element_at + AND ops inside
+    WholeStageCodegen, no join, no broadcast exchange. This is the
+    pattern for dims too big to broadcast-join raw but whose key
+    signature fits anywhere: at 100 TB the fact side drops ~selectivity
+    × volume before the one real shuffle.
+    """
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    keys = cust.select(F.col("c_custkey").alias("k"))
+    pruned = bloom_prefilter(load(spark, sf_dir, "orders"), "o_custkey", keys)
+    return (
+        pruned.join(keys, pruned["o_custkey"] == keys["k"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            det_sum("o_totalprice", 2).alias("revenue"),
+        )
+    )
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (the Deequ/Great-Expectations
+    verification pass every production pipeline runs before publishing
+    a table): PK uniqueness, two referential-integrity checks, value
+    ranges, and completeness — each emitted as
+    (check_name, n_checked, n_violations, passed).
+
+    Plan shape: the three lineitem row-level checks ride ONE scan (a
+    single aggregate computing all conditional sums, unpivoted
+    scan-local); each FK check is a left join + null-count aggregate
+    (AQE broadcasts the smaller key side); PK uniqueness is one
+    count-distinct aggregate. Nothing collects beyond the handful of
+    one-row results being unioned.
+    """
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+
+    pk = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_checked", "n_violations")
+
+    def fk(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str,
+           name: str) -> DataFrame:
+        return (
+            child.select(F.col(child_key))
+            .join(
+                parent.select(F.col(parent_key).alias("__pk")),
+                F.col(child_key) == F.col("__pk"),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_checked"),
+                F.sum(F.col("__pk").isNull().cast("int"))
+                .cast("long")
+                .alias("n_violations"),
+            )
+            .select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
+        )
+
+    fk_li = fk(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_fk_orders")
+    fk_or = fk(orders, "o_custkey", customer, "c_custkey", "orders_fk_customer")
+
+    row_checks = (
+        ("lineitem_qty_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("lineitem_price_positive", F.col("l_extendedprice") <= 0),
+        ("lineitem_discount_range",
+         (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+    )
+    one = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        *[
+            F.sum(cond.cast("int")).cast("long").alias(f"v_{i}")
+            for i, (_, cond) in enumerate(row_checks)
+        ],
+    )
+    li_rows = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col("n_checked"),
+                    F.col(f"v_{i}").alias("n_violations"),
+                )
+                for i, (name, _) in enumerate(row_checks)
+            ])
+        ).alias("s")
+    ).select("s.check_name", "s.n_checked", "s.n_violations")
+
+    complete = customer.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(F.col("c_name").isNull().cast("int")).cast("long").alias("n_violations"),
+    ).select(
+        F.lit("customer_name_complete").alias("check_name"), "n_checked", "n_violations"
+    )
+
+    audit = pk.unionByName(fk_li).unionByName(fk_or).unionByName(li_rows).unionByName(
+        complete
+    )
+    return audit.withColumn(
+        "passed", F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("long")
+    )
+
+
 QUERIES = {
+    "q_bloom_prune": q_bloom_prune,
+    "q_constraint_audit": q_constraint_audit,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
     "q12_shipping_priority_split": q12_shipping_priority_split,
@@ -741,6 +912,66 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The bloom stage is a pure reduction: the answer is the plain
+    # dim-filtered join. (The no-false-negative and FP-rate properties
+    # are pinned in tests/test_queries.py.)
+    "q_bloom_prune": f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               {det_sum_sql("o_totalprice", 2)} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority
+    """,
+    "q_constraint_audit": """
+        SELECT check_name, n_checked, n_violations,
+               CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS passed
+        FROM (
+            SELECT 'orders_pk_unique' AS check_name,
+                   CAST(count(*) AS BIGINT) AS n_checked,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_fk_orders',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+            UNION ALL
+            SELECT 'orders_fk_customer',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            UNION ALL
+            SELECT 'lineitem_qty_range',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_price_positive',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_extendedprice <= 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_discount_range',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'customer_name_complete',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM customer
+        )
+    """,
     "q11_important_parts": """
         WITH value AS (
             SELECT l_partkey,

@@ -626,6 +626,8 @@ EMPTY_REPRESENTATIVES = [
     "doc_bigram_logprob", "doc_minhash_calibration", "q_analyze_table",
     "q1_incremental_refresh", "q_histogram_equiheight",
     "doc_neardup_pagerank",
+    # round-4 third wave
+    "q_bloom_prune", "q_constraint_audit", "ev_type_cooccurrence",
 ]
 
 
@@ -692,11 +694,53 @@ def test_kmv_sketch_partitioning_invariant(spark):
 # Spark SQL with identical semantics — the SQL front-end proof extended
 # beyond the relational set (entries omitted here use DuckDB-only
 # functions: epoch_ms/strftime/arg_max/list_* lambdas).
+def test_bloom_prune_properties(spark):
+    """The Bloom prefilter's contract: (a) NO false negatives — every
+    true-matching fact row survives the prefilter; (b) the
+    false-positive passthrough stays under the analytic bound for
+    m=2^16/k=4; (c) the probe is scan-local — no join and no exchange
+    anywhere in the pruned plan (the bitmap rides the scan as a
+    constant)."""
+    import pyspark.sql.functions as F
+
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.relational_ext import (
+        BLOOM_M, _BLOOM_SEEDS, bloom_prefilter,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    keys = (
+        load(spark, sf01, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    orders = load(spark, sf01, "orders")
+    pruned = bloom_prefilter(orders, "o_custkey", keys)
+
+    n_keys = keys.count()
+    n_total = orders.count()
+    n_true = orders.join(keys, orders["o_custkey"] == keys["k"], "left_semi").count()
+    n_pruned = pruned.count()
+    n_true_surviving = pruned.join(
+        keys, pruned["o_custkey"] == keys["k"], "left_semi"
+    ).count()
+    assert n_true_surviving == n_true  # no false negatives
+    import math
+
+    k = len(_BLOOM_SEEDS)
+    expected_fp = (1 - math.exp(-k * n_keys / BLOOM_M)) ** k
+    fp_rate = (n_pruned - n_true) / max(1, n_total - n_true)
+    assert fp_rate <= max(0.02, 3 * expected_fp)
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
 _CROSS_DIALECT_SQL = [
     "doc_exact_dedup", "ev_approx_distinct", "ev_approx_quantile",
     "ev_cube", "ev_enrich_vehicle", "ev_histogram",
     "ev_percentile_by_type", "ev_percentile_stats", "ev_type_counts",
-    "ev_user_topk", "ev_value_band_join",
+    "ev_type_cooccurrence", "ev_user_topk", "ev_value_band_join",
 ]
 
 
