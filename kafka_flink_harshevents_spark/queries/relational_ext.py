@@ -800,6 +800,22 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_row_checks() -> tuple[tuple[str, F.Column], ...]:
+    """Row-level lineitem constraints — ONE shared definition consumed
+    by the batch audit entry below AND the streaming monitor
+    (streaming/audit.py), so the two surfaces cannot drift. A factory,
+    not a constant: classic PySpark refuses to build Column expressions
+    before a SparkContext exists, and the catalog modules import at
+    process start."""
+    return (
+        ("lineitem_qty_range",
+         (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("lineitem_price_positive", F.col("l_extendedprice") <= 0),
+        ("lineitem_discount_range",
+         (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+    )
+
+
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality constraint audit (the Deequ/Great-Expectations
     verification pass every production pipeline runs before publishing
@@ -846,12 +862,7 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fk_li = fk(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_fk_orders")
     fk_or = fk(orders, "o_custkey", customer, "c_custkey", "orders_fk_customer")
 
-    row_checks = (
-        ("lineitem_qty_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
-        ("lineitem_price_positive", F.col("l_extendedprice") <= 0),
-        ("lineitem_discount_range",
-         (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
-    )
+    row_checks = lineitem_row_checks()
     one = lineitem.agg(
         F.count(F.lit(1)).cast("long").alias("n_checked"),
         *[

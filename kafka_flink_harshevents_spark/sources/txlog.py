@@ -235,8 +235,15 @@ class TxTable:
         return entries
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
+        # NULL business keys are dropped JVM-side (the stream-store NULL
+        # hygiene convention): a NULL key is a malformed row the K4 path
+        # validates away upstream, and xxhash64(NULL) would otherwise
+        # produce a NULL bucket (an unparseable _pb partition dir).
         m = self.meta
-        return df.withColumn(
+        clean = df
+        for c in m["key_cols"]:
+            clean = clean.filter(F.col(c).isNotNull())
+        return clean.withColumn(
             "_bucket",
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in m["key_cols"]]), F.lit(m["n_buckets"])
@@ -299,6 +306,66 @@ class TxTable:
             except ConcurrentWriteError as exc:
                 # lost the race: our staged files stay orphaned (vacuum
                 # reclaims them); recompute against the winner's snapshot
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
+    def append(self, df: DataFrame, txn: dict | None = None,
+               max_retries: int = 5) -> int:
+        """Atomic blind insert — the K3 insert-event path
+        (kafkaConsumer.js Mongo insertOne) as a transactional append:
+        rows are staged as NEW files (no read-modify-write, no existing
+        file touched) and one commit makes them visible. Duplicate keys
+        are allowed (append-only event-log semantics); use
+        ``merge_upsert`` for keyed latest-wins tables. Conflicts just
+        re-claim the next version — the staged files are already
+        position-independent."""
+        staged = self._stage(self._with_bucket(df))
+        record_base = {
+            "op": "append",
+            "add": staged,
+            "remove": [],
+            "schema_json": df.schema.json(),
+        }
+        if txn:
+            record_base["txn"] = txn
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            try:
+                _atomic_commit(self.table_dir, v, {**record_base, "version": v})
+                return v
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
+    def compact(self, max_retries: int = 5) -> int:
+        """OPTIMIZE: rewrite the live file set into one file per bucket
+        — a LAYOUT-ONLY commit (the row multiset is preserved exactly;
+        latest-wins semantics stay where they belong, in merge_upsert).
+        Small files accumulate from appends; time travel to versions
+        before the compaction still sees the old layout until vacuum."""
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            base_v, live, schema_json = self._snapshot()
+            if not live:
+                return base_v
+            df = self.spark.read.option("recursiveFileLookup", "true").parquet(
+                *[os.path.join(self.table_dir, e["path"]) for e in live]
+            )
+            added = self._stage(df)
+            record = {
+                "version": base_v + 1,
+                "op": "compact",
+                "add": added,
+                "remove": [e["path"] for e in live],
+                "schema_json": schema_json,
+            }
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1
+            except ConcurrentWriteError as exc:
                 last_err = exc
                 continue
         raise last_err  # type: ignore[misc]

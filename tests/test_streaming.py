@@ -2873,3 +2873,80 @@ def test_count_min_store_survives_restart(spark, tmp_path):
         assert total == 20, total
     finally:
         q.stop()
+
+
+def test_streaming_constraint_audit_matches_batch(spark, tmp_path):
+    """Continuous data-quality monitor (streaming/audit.py): draining
+    the whole lineitem table through the stream yields EXACTLY the
+    batch `q_constraint_audit` rows for the stream-covered checks
+    (shared check definitions — drift is structural, parity proves the
+    wiring); a subsequently injected orphan row moves the FK counter
+    and nothing else."""
+    import json
+    import uuid as _uuid
+
+    from kafka_flink_harshevents_spark.queries.relational_ext import (
+        q_constraint_audit,
+    )
+    from kafka_flink_harshevents_spark.streaming.audit import (
+        FK_CHECK_NAME,
+        constraint_audit_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    rows = [r.asDict() for r in li.collect()]
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in chunk))
+
+    orders_static = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    stream = spark.readStream.schema(
+        "l_orderkey LONG, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE"
+    ).json(str(src))
+    name = f"audit_{_uuid.uuid4().hex[:8]}"
+    q = (
+        constraint_audit_stream(stream, orders_static)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["check_name"]: (r["n_checked"], r["n_violations"])
+            for r in spark.table(name).collect()
+        }
+        batch = {
+            r["check_name"]: (r["n_checked"], r["n_violations"])
+            for r in q_constraint_audit(spark, SF_DIR).collect()
+            if r["check_name"] in got
+        }
+        assert len(got) == 4 and got == batch
+
+        with open(src / "b9.jsonl", "w") as f:
+            f.write(
+                json.dumps(
+                    {"l_orderkey": 999_999_999_999, "l_quantity": 5.0,
+                     "l_extendedprice": 10.0, "l_discount": 0.05}
+                )
+            )
+        q.processAllAvailable()
+        got2 = {
+            r["check_name"]: (r["n_checked"], r["n_violations"])
+            for r in spark.table(name).collect()
+        }
+        fk_n, fk_v = batch[FK_CHECK_NAME]
+        assert got2[FK_CHECK_NAME] == (fk_n + 1, fk_v + 1)
+        for k, (n, v) in batch.items():
+            if k != FK_CHECK_NAME:
+                assert got2[k] == (n + 1, v)
+    finally:
+        q.stop()

@@ -218,3 +218,54 @@ def test_streaming_end_to_end_exactly_once(spark, tmp_path):
     assert _rows(t) == {"a": (2, 2), "b": (10, 1), "c": (100, 1)}
     commits = [v for v in _list_versions(t.table_dir)]
     assert commits == [1, 2, 3]  # create + two micro-batches
+
+
+def test_append_then_compact_preserves_multiset(spark, tmp_path):
+    """append = transactional blind insert (K3): duplicate keys allowed,
+    files accumulate; compact = layout-only rewrite to one file per
+    bucket — the row MULTISET is byte-identical before and after, and
+    pre-compaction versions still read the old layout."""
+    t = _mk(spark, tmp_path, n_buckets=4)
+    df1 = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1)], "k string, v long, ver long"
+    )
+    df2 = spark.createDataFrame(
+        [("a", 9, 2), ("c", 3, 1)], "k string, v long, ver long"
+    )
+    v2 = t.append(df1)
+    v3 = t.append(df2)
+    assert (v2, v3) == (2, 3)
+
+    def multiset(version=None):
+        return sorted(
+            (r["k"], r["v"], r["ver"]) for r in t.read(version=version).collect()
+        )
+
+    before = multiset()
+    assert before == [("a", 1, 1), ("a", 9, 2), ("b", 2, 1), ("c", 3, 1)]
+    _, live_before, _ = t._snapshot()
+    # key "a" hashes to one bucket: two appends -> two files there
+    from collections import Counter
+    per_bucket = Counter(e["bucket"] for e in live_before)
+    assert max(per_bucket.values()) >= 2
+
+    v4 = t.compact()
+    assert v4 == 4
+    assert multiset() == before  # layout-only
+    _, live_after, _ = t._snapshot()
+    assert Counter(e["bucket"] for e in live_after) == {
+        b: 1 for b in per_bucket
+    }  # one file per touched bucket
+    assert multiset(version=3) == before  # time travel pre-compaction
+
+    # merge after appends collapses to latest-per-key over everything
+    t.merge_upsert(spark.createDataFrame([("b", 7, 2)], "k string, v long, ver long"))
+    latest = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert latest == {"a": (9, 2), "b": (7, 2), "c": (3, 1)}
+
+
+def test_append_replay_is_noop_with_txn(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    df = spark.createDataFrame([("a", 1, 1)], "k string, v long, ver long")
+    t.append(df, txn={"app_id": "ap", "batch_id": 7})
+    assert t.last_committed_batch("ap") == 7
