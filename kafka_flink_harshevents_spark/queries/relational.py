@@ -517,6 +517,81 @@ def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVM_DELTA_PCT = 10  # ~10% of lineitem plays the "newly arrived" delta
 
+Q1_KEYS = ("l_returnflag", "l_linestatus")
+Q1_TOTALS = ("t_qty", "t_price", "t_disc", "t_charge", "t_dcnt", "n")
+
+
+def q1_partial_state(df: DataFrame, sign: F.Column | None = None) -> DataFrame:
+    """Per-group Q1 view state: det-sum hi/lo integer partials + count.
+    Associative and SIGNED-capable: with ``sign`` (+1/−1 per row) each
+    contribution is added or retracted — the form a change-data-feed
+    consumer needs (insert/update_postimage = +1,
+    delete/update_preimage = −1; see ``operators/ivm.py``). The hi/lo
+    decomposition is exact for negative quantities too
+    (hi·2^20 + pmod-lo ≡ q for any sign), so retraction is exact."""
+    from kafka_flink_harshevents_spark.queries._util import (
+        _hilo_total,
+        _quantize,
+    )
+
+    rev = _revenue()
+    charge = rev * (1 + F.col("l_tax"))
+    s = F.lit(1) if sign is None else sign
+
+    def q(c: F.Column) -> F.Column:
+        return _quantize(c, 6) * s
+
+    return df.groupBy(*Q1_KEYS).agg(
+        _hilo_total(q(F.col("l_quantity"))).alias("t_qty"),
+        _hilo_total(q(F.col("l_extendedprice"))).alias("t_price"),
+        _hilo_total(q(rev)).alias("t_disc"),
+        _hilo_total(q(charge)).alias("t_charge"),
+        _hilo_total(q(F.col("l_discount"))).alias("t_dcnt"),
+        F.sum(s).alias("n"),
+    )
+
+
+def q1_merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """base ⊕ delta: |groups|-sized full-outer join + integer adds —
+    exact because every total is an associative integer partial."""
+    return (
+        a.alias("b")
+        .join(b.alias("d"), list(Q1_KEYS), "full_outer")
+        .select(
+            *Q1_KEYS,
+            *[
+                (
+                    F.coalesce(F.col(f"b.{t}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{t}"), F.lit(0))
+                ).alias(t)
+                for t in Q1_TOTALS
+            ],
+        )
+    )
+
+
+def q1_finalize(state: DataFrame) -> DataFrame:
+    """The det_sum/det_avg finalize tail over stored partials — emits
+    the public Q1 summary schema. Groups whose count retracted to zero
+    (every contributing row deleted) drop out, matching a recompute."""
+    fin = lambda t, dp: F.round(  # noqa: E731 — det_sum's finalize tail
+        F.col(t).cast("double") / F.lit(1e6), dp
+    )
+    fina = lambda t, dp: F.round(  # noqa: E731 — det_avg's finalize tail
+        F.col(t).cast("double") / F.lit(1e6) / F.col("n"), dp
+    )
+    return state.filter(F.col("n") != 0).select(
+        *Q1_KEYS,
+        fin("t_qty", 2).alias("sum_qty"),
+        fin("t_price", 2).alias("sum_base_price"),
+        fin("t_disc", 2).alias("sum_disc_price"),
+        fin("t_charge", 2).alias("sum_charge"),
+        fina("t_qty", 4).alias("avg_qty"),
+        fina("t_price", 4).alias("avg_price"),
+        fina("t_dcnt", 4).alias("avg_disc"),
+        F.col("n").cast("long").alias("count_order"),
+    )
+
 
 def q1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (IVM) — refresh the Q1
@@ -541,11 +616,6 @@ def q1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups-sized merge — the whole point of IVM at 100 TB; no window,
     no recompute of the base scan in steady state.
     """
-    from kafka_flink_harshevents_spark.queries._util import (
-        _hilo_total,
-        _quantize,
-    )
-
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
@@ -567,55 +637,8 @@ def q1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = li.filter(unit >= IVM_DELTA_PCT)
     delta = li.filter(unit < IVM_DELTA_PCT)
-
-    def partial(df: DataFrame) -> DataFrame:
-        rev = _revenue()
-        charge = rev * (1 + F.col("l_tax"))
-        return df.groupBy("l_returnflag", "l_linestatus").agg(
-            _hilo_total(_quantize(F.col("l_quantity"), 6)).alias("t_qty"),
-            _hilo_total(_quantize(F.col("l_extendedprice"), 6)).alias(
-                "t_price"
-            ),
-            _hilo_total(_quantize(rev, 6)).alias("t_disc"),
-            _hilo_total(_quantize(charge, 6)).alias("t_charge"),
-            _hilo_total(_quantize(F.col("l_discount"), 6)).alias("t_dcnt"),
-            F.count(F.lit(1)).alias("n"),
-        )
-
-    keys = ["l_returnflag", "l_linestatus"]
-    totals = ["t_qty", "t_price", "t_disc", "t_charge", "t_dcnt", "n"]
-    merged = (
-        partial(base)
-        .alias("b")
-        .join(partial(delta).alias("d"), keys, "full_outer")
-        .select(
-            *keys,
-            *[
-                (
-                    F.coalesce(F.col(f"b.{t}"), F.lit(0))
-                    + F.coalesce(F.col(f"d.{t}"), F.lit(0))
-                ).alias(t)
-                for t in totals
-            ],
-        )
-    )
-    fin = lambda t, dp: F.round(  # noqa: E731 — det_sum's finalize tail
-        F.col(t).cast("double") / F.lit(1e6), dp
-    )
-    fina = lambda t, dp: F.round(  # noqa: E731 — det_avg's finalize tail
-        F.col(t).cast("double") / F.lit(1e6) / F.col("n"), dp
-    )
-    return merged.select(
-        *keys,
-        fin("t_qty", 2).alias("sum_qty"),
-        fin("t_price", 2).alias("sum_base_price"),
-        fin("t_disc", 2).alias("sum_disc_price"),
-        fin("t_charge", 2).alias("sum_charge"),
-        fina("t_qty", 4).alias("avg_qty"),
-        fina("t_price", 4).alias("avg_price"),
-        fina("t_dcnt", 4).alias("avg_disc"),
-        F.col("n").cast("long").alias("count_order"),
-    )
+    merged = q1_merge_states(q1_partial_state(base), q1_partial_state(delta))
+    return q1_finalize(merged)
 
 
 def _analyze_sql() -> str:

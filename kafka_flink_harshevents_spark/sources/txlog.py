@@ -404,11 +404,13 @@ class TxTable:
     # -- change data feed --------------------------------------------
 
     def table_changes(self, version: int) -> DataFrame:
-        """Change-data-feed for one commit (the Delta CDF idea): derive
-        row-level changes from the commit's pre-image (files it removed)
-        and post-image (files it added), classified as
-        ``insert`` / ``update`` / ``delete`` in a ``_change_type``
-        column (update rows carry the POST-image values).
+        """Change-data-feed for one commit (the Delta CDF contract):
+        derive row-level changes from the commit's pre-image (files it
+        removed) and post-image (files it added); ``_change_type`` is
+        ``insert`` / ``delete`` / ``update_preimage`` /
+        ``update_postimage`` — updates emit BOTH rows so downstream
+        incremental aggregation can subtract the old contribution and
+        add the new one (see ``operators/ivm.py``).
 
         No extra write-path cost: the feed is derived lazily from the
         immutable files the log already references — the same trick
@@ -425,6 +427,9 @@ class TxTable:
         rec = _read_record(self.table_dir, version)
         m = self.meta
         key_cols = m["key_cols"]
+        # change types follow Delta's CDF contract: updates emit BOTH
+        # an update_preimage and an update_postimage row — downstream
+        # incremental aggregation needs the preimage to subtract.
 
         def read_files(paths: list[str]) -> DataFrame | None:
             if not paths:
@@ -466,23 +471,26 @@ class TxTable:
                 F.struct(*[F.col(f"post.{c}") for c in val_cols])
             )
         )
-        change_type = (
-            F.when(pre_missing, F.lit("insert"))
-            .when(post_missing, F.lit("delete"))
-            .when(changed, F.lit("update"))
+        pre_struct = F.struct(*[F.col(f"pre.{c}").alias(c) for c in post.columns])
+        post_struct = F.struct(*[F.col(f"post.{c}").alias(c) for c in post.columns])
+
+        def tagged(row: F.Column, t: str) -> F.Column:
+            return F.struct(row.alias("r"), F.lit(t).alias("t"))
+
+        arr = (
+            F.when(pre_missing, F.array(tagged(post_struct, "insert")))
+            .when(post_missing, F.array(tagged(pre_struct, "delete")))
+            .when(
+                changed,
+                F.array(
+                    tagged(pre_struct, "update_preimage"),
+                    tagged(post_struct, "update_postimage"),
+                ),
+            )
+            .otherwise(F.array())  # carried rows drop out of the feed
         )
-        side = F.when(post_missing, F.lit("pre")).otherwise(F.lit("post"))
-        out_cols = [
-            F.when(side == "pre", F.col(f"pre.{c}"))
-            .otherwise(F.col(f"post.{c}"))
-            .alias(c)
-            for c in post.columns
-        ]
-        return (
-            joined.withColumn("_change_type", change_type)
-            .filter(F.col("_change_type").isNotNull())  # unchanged rows drop out
-            .select(*out_cols, "_change_type")
-        )
+        exploded = joined.select(F.explode(arr).alias("e"))
+        return exploded.select("e.r.*", F.col("e.t").alias("_change_type"))
 
     # -- maintenance -------------------------------------------------
 

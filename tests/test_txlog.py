@@ -272,11 +272,12 @@ def test_append_replay_is_noop_with_txn(spark, tmp_path):
 
 
 def test_table_changes_feed(spark, tmp_path):
-    """Change-data-feed (Delta CDF shape): per-commit row-level diffs
-    derived from the commit's own pre/post-image files — inserts and
-    updates classified, unchanged carried rows absent, append commits
-    pure inserts, compaction an empty feed; replaying the feeds in
-    order reconstructs the keyed snapshot exactly."""
+    """Change-data-feed (the Delta CDF contract): per-commit row-level
+    diffs derived from the commit's own pre/post-image files — inserts
+    classified, updates emitting BOTH update_preimage and
+    update_postimage rows, unchanged carried rows absent, append
+    commits pure inserts, compaction an empty feed; replaying the feeds
+    in order reconstructs the keyed snapshot exactly."""
     t = _mk(spark, tmp_path, n_buckets=2)  # few buckets -> carried rows exist
     v2 = t.merge_upsert(
         spark.createDataFrame(
@@ -288,25 +289,26 @@ def test_table_changes_feed(spark, tmp_path):
     )
 
     def feed(v):
-        return {
-            r["k"]: (r["v"], r["ver"], r["_change_type"])
+        return sorted(
+            (r["k"], r["v"], r["ver"], r["_change_type"])
             for r in t.table_changes(v).collect()
-        }
+        )
 
-    f2 = feed(v2)
-    assert f2 == {"a": (1, 1, "insert"), "b": (10, 1, "insert"),
-                  "c": (100, 1, "insert")}
+    assert feed(v2) == [("a", 1, 1, "insert"), ("b", 10, 1, "insert"),
+                        ("c", 100, 1, "insert")]
     f3 = feed(v3)
-    assert f3["a"] == (2, 2, "update")  # post-image values
-    assert f3["d"] == (7, 1, "insert")
-    # b / c were only carried (if their bucket was touched) — never in the feed
-    assert "b" not in f3 and "c" not in f3
+    assert ("a", 1, 1, "update_preimage") in f3
+    assert ("a", 2, 2, "update_postimage") in f3
+    assert ("d", 7, 1, "insert") in f3
+    # b / c were only carried — never in the feed
+    assert not [r for r in f3 if r[0] in ("b", "c")]
+    assert len(f3) == 3
 
     # replay the feeds in order -> exactly the latest snapshot
     replica: dict = {}
     for v in (v2, v3):
-        for k, (val, ver, ct) in feed(v).items():
-            if ct == "delete":
+        for k, val, ver, ct in feed(v):
+            if ct in ("delete", "update_preimage"):
                 replica.pop(k, None)
             else:
                 replica[k] = (val, ver)
@@ -321,3 +323,53 @@ def test_table_changes_feed(spark, tmp_path):
     v5 = t.compact()
     assert t.table_changes(v5).count() == 0  # layout-only
     assert t.table_changes(1).count() == 0  # create record
+
+
+def test_cdf_fed_view_maintenance_matches_recompute(spark, tmp_path):
+    """The full composition: TxTable commits → change feed → signed
+    partial deltas → merged view state. After EVERY commit (inserts,
+    then an update batch that changes measures), finalizing the
+    maintained state equals recomputing the Q1 aggregate from the
+    table snapshot — exact, because retraction happens in the same
+    integer partial space as addition."""
+    from kafka_flink_harshevents_spark.operators.ivm import q1_apply_changes
+    from kafka_flink_harshevents_spark.queries.relational import (
+        q1_finalize,
+        q1_partial_state,
+    )
+
+    schema = (
+        "l_orderkey long, l_linenumber long, ver long, l_returnflag string,"
+        " l_linestatus string, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double"
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "li"), key_cols=("l_orderkey", "l_linenumber"),
+        order_col="ver", n_buckets=4,
+    )
+
+    def rows(base, n, flag, ver=1, qmul=1.0):
+        return [
+            (base + i, 1, ver, flag, "O", 10.0 * qmul + i, 1000.0 + 7 * i,
+             0.05, 0.02)
+            for i in range(n)
+        ]
+
+    b1 = spark.createDataFrame(rows(0, 20, "N") + rows(100, 15, "R"), schema)
+    b2 = spark.createDataFrame(
+        rows(200, 10, "A") + rows(0, 5, "N", ver=2, qmul=3.0),  # 5 updates
+        schema,
+    )
+    state = None
+    for batch in (b1, b2):
+        v = t.merge_upsert(batch)
+        state = q1_apply_changes(state, t.table_changes(v)).localCheckpoint()
+        maintained = {
+            tuple(r[k] for k in ("l_returnflag", "l_linestatus")): tuple(r)
+            for r in q1_finalize(state).collect()
+        }
+        recomputed = {
+            tuple(r[k] for k in ("l_returnflag", "l_linestatus")): tuple(r)
+            for r in q1_finalize(q1_partial_state(t.read())).collect()
+        }
+        assert maintained == recomputed and len(maintained) >= 2
