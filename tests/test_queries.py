@@ -791,6 +791,7 @@ PARTITIONING_REPRESENTATIVES = [
     "ev_count_min",              # CM sketch cells + top-n tie-break
     "doc_zorder_layout",         # tie-heavy distributed rank (256 z values)
     "doc_neardup_pagerank",      # integer fixed-point iterative loop
+    "ev_type_cooccurrence",      # collect_set pair explosion (sorted sets)
 ]
 
 

@@ -373,3 +373,57 @@ def test_cdf_fed_view_maintenance_matches_recompute(spark, tmp_path):
             for r in q1_finalize(q1_partial_state(t.read())).collect()
         }
         assert maintained == recomputed and len(maintained) >= 2
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+# op = list of key indices to merge (None = compact). vers strictly
+# increase globally, so latest-wins is never decided by a tie.
+_ops = st.lists(
+    st.one_of(
+        st.lists(st.integers(0, 9), min_size=1, max_size=5, unique=True),
+        st.none(),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_ops)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txlog_model_property(spark, tmp_path_factory, ops):
+    """Model-based property: any sequence of merges (random key
+    subsets, strictly increasing versions) and compactions keeps (a)
+    the latest snapshot equal to a dict model after EVERY op, and (b)
+    every historical version readable and equal to its recorded model
+    state at the end (time travel over the whole log)."""
+    tmp = tmp_path_factory.mktemp("txprop")
+    t = TxTable.create(
+        spark, str(tmp / "t"), key_cols=("k",), order_col="ver", n_buckets=4
+    )
+    model: dict[str, tuple[int, int]] = {}
+    history: dict[int, dict] = {}
+    ver = 0
+    schema_known = False  # a pre-data table has no recorded read schema
+    for op in ops:
+        if op is None:
+            v = t.compact()
+        else:
+            rows = []
+            for ki in op:
+                ver += 1
+                rows.append((f"k{ki}", ki * 1000 + ver, ver))
+                model[f"k{ki}"] = (ki * 1000 + ver, ver)
+            v = t.merge_upsert(
+                spark.createDataFrame(rows, "k string, v long, ver long")
+            )
+            schema_known = True
+        if schema_known:
+            history[v] = dict(model)
+            assert _rows(t) == model  # latest snapshot after every commit
+    for v, snap in history.items():
+        assert _rows(t, version=v) == snap  # full-history time travel
