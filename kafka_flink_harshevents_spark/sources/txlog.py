@@ -457,6 +457,27 @@ class TxTable:
 
         pre = read_files(rec["remove"])
         val_cols = [c for c in post.columns if c not in key_cols]
+        # A merge commit's POST side holds exactly one row per key (the
+        # merge's latest-wins output), but the PRE side may hold
+        # duplicates of a key if earlier `append` commits landed copies
+        # in the touched buckets. Joining raw pre rows would then
+        # multiply against the single post row and double-count
+        # contributions downstream. Contract: the HIGHEST-order pre row
+        # per key pairs with the post row (carried if identical, update
+        # pair if not); every other duplicate pre row is a plain
+        # delete — the multiset delta of the two snapshots, exactly.
+        from pyspark.sql import Window
+
+        wk = Window.partitionBy(*key_cols).orderBy(
+            F.col(m["order_col"]).desc()
+        )
+        pre_ranked = pre.withColumn("_prn", F.row_number().over(wk))
+        extra_deletes = (
+            pre_ranked.filter(F.col("_prn") > 1)
+            .drop("_prn")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        pre = pre_ranked.filter(F.col("_prn") == 1).drop("_prn")
         joined = pre.alias("pre").join(
             post.alias("post"),
             [F.col(f"pre.{k}").eqNullSafe(F.col(f"post.{k}")) for k in key_cols],
@@ -490,7 +511,8 @@ class TxTable:
             .otherwise(F.array())  # carried rows drop out of the feed
         )
         exploded = joined.select(F.explode(arr).alias("e"))
-        return exploded.select("e.r.*", F.col("e.t").alias("_change_type"))
+        paired = exploded.select("e.r.*", F.col("e.t").alias("_change_type"))
+        return paired.unionByName(extra_deletes.select(*paired.columns))
 
     # -- maintenance -------------------------------------------------
 
@@ -514,6 +536,14 @@ class TxTable:
             # prune now-empty staged trees (losing writers leave whole dirs)
             if not glob.glob(os.path.join(staged, "_pb=*", "*.parquet")):
                 shutil.rmtree(staged, ignore_errors=True)
+        # tmp commit records: only reclaim STALE ones — an in-flight
+        # committer holds its tmp for milliseconds between write and
+        # link; deleting it from under the writer would fail that
+        # commit spuriously. One hour is orders of magnitude past any
+        # live commit, and crashed writers' tmps are older still.
+        import time
+
         for tmp in glob.glob(os.path.join(self.table_dir, _LOG_DIR, ".tmp-*")):
-            os.unlink(tmp)
+            if time.time() - os.path.getmtime(tmp) > 3600:
+                os.unlink(tmp)
         return sorted(deleted)

@@ -163,6 +163,9 @@ def test_orphans_invisible_and_vacuumed(spark, tmp_path):
     )
     with open(os.path.join(t.table_dir, "_txlog", ".tmp-crashed"), "w") as f:
         json.dump({"half": "written"}, f)
+    # vacuum only reclaims STALE tmp records (an in-flight commit holds
+    # a fresh one); backdate the crash artifact past the 1 h guard
+    os.utime(os.path.join(t.table_dir, "_txlog", ".tmp-crashed"), (0, 0))
 
     snap = _rows(t)
     assert "zz" not in snap and len(snap) == 16  # orphan invisible
@@ -427,3 +430,42 @@ def test_txlog_model_property(spark, tmp_path_factory, ops):
             assert _rows(t) == model  # latest snapshot after every commit
     for v, snap in history.items():
         assert _rows(t, version=v) == snap  # full-history time travel
+
+
+def test_table_changes_multiset_exact_over_append_duplicates(spark, tmp_path):
+    """The CDF multiset contract: when a merge's pre-image holds
+    DUPLICATE keys (appended copies), the feed is the exact multiset
+    delta — highest-order pre row pairs with the post row, every other
+    duplicate is a plain delete, and nothing double-counts. Verified by
+    signed-replay: Σ feed == snapshot_after − snapshot_before."""
+    from collections import Counter
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 10, 1)], "k string, v long, ver long"))
+    t.append(spark.createDataFrame(
+        [("a", 9, 9), ("c", 5, 1)], "k string, v long, ver long"))
+
+    def multiset(version):
+        return Counter(
+            (r["k"], r["v"], r["ver"]) for r in t.read(version=version).collect()
+        )
+
+    before = multiset(t.latest_version())
+    v = t.merge_upsert(
+        spark.createDataFrame([("b", 11, 2)], "k string, v long, ver long")
+    )
+    after = multiset(v)
+
+    delta = Counter()
+    for r in t.table_changes(v).collect():
+        sign = 1 if r["_change_type"] in ("insert", "update_postimage") else -1
+        delta[(r["k"], r["v"], r["ver"])] += sign
+    want = Counter(after)
+    want.subtract(before)
+    assert {k: c for k, c in delta.items() if c} == {
+        k: c for k, c in want.items() if c
+    }
+    # the duplicate 'a' rows collapse: feed must retract exactly ONE
+    # copy of ("a",1,1) iff a's bucket was touched, never ("a",9,9)
+    assert delta.get(("a", 9, 9), 0) >= 0
