@@ -139,6 +139,121 @@ def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the property that makes KMV/theta
+    sketches the scale answer for audience-overlap questions: two
+    sketches built independently (different partitions, days, or
+    streams) merge into valid sketches of the UNION (k smallest of the
+    combined hash sets) and estimate the INTERSECTION without ever
+    touching row data again (Beyer et al., SIGMOD 2007: among the k
+    smallest of the union, the fraction present in both input sketches
+    estimates Jaccard; × the union estimate gives |A∩B|).
+
+    Per unordered event-type pair (type_a < type_b): exact distinct-user
+    set sizes (n_a, n_b), exact intersection / union (the expensive
+    twins the sketch replaces), the merged-sketch estimates, and
+    factor-2 accuracy gates (intersection error measured against the
+    union size — the scale KMV's ρ·|A∪B| estimator is accurate to).
+    Every emitted value is a deterministic function of md5 hashes, so
+    the DuckDB oracle reproduces the ESTIMATES bit-for-bit, not just
+    the gates.
+
+    Scale shape: sketches come from the shared ``kmv_sketch`` pipeline
+    (window-ranked per salt — bounded memory at any cardinality); the
+    pair frame joins |types| rows of ≤ k hashes each (broadcast, tiny,
+    independent of corpus size), so merge + estimate are O(|types|²·k)
+    TOTAL — row data is touched exactly twice (sketch build + exact
+    twins), and the exact intersection collapses per user FIRST
+    (collect_set over the closed type vocabulary, the
+    ``ev_type_cooccurrence`` shape) — no user-keyed self-join, no
+    co-occurrence-density-sized shuffle. At 100 TB you'd drop the exact
+    twins and keep the sketch path: one distinct + one bounded-state
+    pass, mergeable across any partitioning.
+    """
+    e = load(spark, sf_dir, "events")
+    dist = e.select("event_type", "user_id").distinct()
+    # two consumers (sketch build + exact pair twins) — materialize once
+    dist = dist.localCheckpoint()
+    # |types| rows of ≤ k hashes — materialize once so the self-join
+    # below doesn't run the sketch build twice (plan-audited)
+    sk = kmv_sketch(dist, "event_type", "user_id").localCheckpoint()
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    tp = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    # exact intersection: per-user sorted type set → scan-local pair
+    # explosion (≤ |types|²/2 per user) → pair-domain count
+    per_user = dist.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("types"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                        lambda y: F.struct(
+                            x.alias("type_a"), y.alias("type_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy("p.type_a", "p.type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("inter_exact")
+    )
+    m = F.slice(F.array_sort(F.array_union("arr_a", "arr_b")), 1, KMV_K)
+    tp = tp.withColumn("m", m)
+    kth = F.element_at("m", F.size("m"))
+    u = F.conv(F.substring(kth, 1, 8), 16, 10).cast("long") / F.lit(
+        float(2**32)
+    )
+    est_u = F.when(
+        F.size("m") < KMV_K, F.size("m").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / u)
+    n_both = F.size(
+        F.array_intersect(F.array_intersect(F.col("m"), "arr_a"), "arr_b")
+    )
+    est_i = F.when(F.size("m") < KMV_K, n_both.cast("double")).otherwise(
+        (n_both.cast("double") / F.size("m")) * est_u
+    )
+    out = (
+        tp.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .withColumn(
+            "inter_exact", F.coalesce("inter_exact", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "union_exact",
+            (F.col("n_a") + F.col("n_b") - F.col("inter_exact")).cast("long"),
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "inter_exact",
+        "union_exact",
+        F.round(est_u, 4).alias("est_union"),
+        F.round(est_i, 4).alias("est_inter"),
+        (F.abs(est_u - F.col("union_exact")) * 2 <= F.col("union_exact")).alias(
+            "union_ok"
+        ),
+        (F.abs(est_i - F.col("inter_exact")) * 2 <= F.col("union_exact")).alias(
+            "inter_ok"
+        ),
+    )
+
+
 def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cardinality path, driver-verifiable: per event type,
     exact distinct users (value-hashed against the oracle) PLUS a
@@ -1139,6 +1254,7 @@ QUERIES = {
     "ev_type_counts": ev_type_counts,
     "ev_approx_distinct": ev_approx_distinct,
     "ev_kmv_distinct": ev_kmv_distinct,
+    "ev_kmv_set_ops": ev_kmv_set_ops,
     "ev_approx_quantile": ev_approx_quantile,
     "ev_attribution_last_touch": ev_attribution_last_touch,
     "ev_latest_by_key": ev_latest_by_key,
@@ -1397,6 +1513,88 @@ ORACLES = {
                round(e, 4) AS est_distinct,
                (abs(e - n_exact) * 2 <= n_exact) AS est_ok
         FROM est
+    """,
+    "ev_kmv_set_ops": f"""
+        WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
+        hs AS (
+            SELECT event_type,
+                   md5('kmv|' || CAST(user_id AS VARCHAR)) AS h
+            FROM dist
+        ),
+        r AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM hs
+        ),
+        sk AS (SELECT event_type, h FROM r WHERE rn <= {KMV_K}),
+        nn AS (
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n_exact
+            FROM r GROUP BY event_type
+        ),
+        tp AS (
+            SELECT x.event_type AS type_a, y.event_type AS type_b,
+                   x.n_exact AS n_a, y.n_exact AS n_b
+            FROM nn x JOIN nn y ON x.event_type < y.event_type
+        ),
+        ex AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS inter_exact
+            FROM dist a JOIN dist b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        mu AS (
+            SELECT tp.type_a, tp.type_b, s.h,
+                   max(CASE WHEN s.event_type = tp.type_a THEN 1 ELSE 0 END)
+                       AS in_a,
+                   max(CASE WHEN s.event_type = tp.type_b THEN 1 ELSE 0 END)
+                       AS in_b
+            FROM tp JOIN sk s ON s.event_type IN (tp.type_a, tp.type_b)
+            GROUP BY 1, 2, 3
+        ),
+        mr AS (
+            SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                         ORDER BY h) AS rn
+            FROM mu
+        ),
+        mm AS (
+            SELECT type_a, type_b,
+                   CAST(count(*) AS BIGINT) AS m_size,
+                   max(h) AS kth,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+            FROM mr WHERE rn <= {KMV_K} GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT tp.type_a, tp.type_b, tp.n_a, tp.n_b,
+                   COALESCE(ex.inter_exact, 0) AS inter_exact,
+                   tp.n_a + tp.n_b - COALESCE(ex.inter_exact, 0)
+                       AS union_exact,
+                   CASE WHEN mm.m_size < {KMV_K}
+                        THEN CAST(mm.m_size AS DOUBLE)
+                        ELSE {float(KMV_K - 1)} / (({hex8_int_sql('mm.kth')})
+                                                   / 4294967296.0)
+                   END AS e_u,
+                   mm.m_size, mm.n_both
+            FROM tp JOIN mm ON tp.type_a = mm.type_a
+                           AND tp.type_b = mm.type_b
+            LEFT JOIN ex ON tp.type_a = ex.type_a AND tp.type_b = ex.type_b
+        ),
+        fin AS (
+            SELECT *,
+                   CASE WHEN m_size < {KMV_K} THEN CAST(n_both AS DOUBLE)
+                        ELSE (CAST(n_both AS DOUBLE) / m_size) * e_u
+                   END AS e_i
+            FROM est
+        )
+        SELECT type_a, type_b, n_a, n_b,
+               CAST(inter_exact AS BIGINT) AS inter_exact,
+               CAST(union_exact AS BIGINT) AS union_exact,
+               round(e_u, 4) AS est_union, round(e_i, 4) AS est_inter,
+               (abs(e_u - union_exact) * 2 <= union_exact) AS union_ok,
+               (abs(e_i - inter_exact) * 2 <= union_exact) AS inter_ok
+        FROM fin
     """,
     "ev_type_counts": f"""
         SELECT event_type, count(*) AS n, {det_sum_sql("value", 2)} AS total_value

@@ -628,6 +628,7 @@ EMPTY_REPRESENTATIVES = [
     "doc_neardup_pagerank",
     # round-4 third wave
     "q_bloom_prune", "q_constraint_audit", "ev_type_cooccurrence",
+    "ev_kmv_set_ops",
 ]
 
 
@@ -792,6 +793,7 @@ PARTITIONING_REPRESENTATIVES = [
     "doc_zorder_layout",         # tie-heavy distributed rank (256 z values)
     "doc_neardup_pagerank",      # integer fixed-point iterative loop
     "ev_type_cooccurrence",      # collect_set pair explosion (sorted sets)
+    "ev_kmv_set_ops",            # merged sketches + pair-domain exact twins
 ]
 
 
