@@ -139,6 +139,59 @@ def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_merge_pairs(sk: DataFrame) -> DataFrame:
+    """KMV sketch MERGE: ``(event_type, arr)`` sketch frame → per
+    unordered type pair the merged union sketch and its estimates —
+    ``(type_a, type_b, m_size, kth_hash, n_both, est_u_raw,
+    est_i_raw)``, est columns unrounded so callers can gate on the
+    exact doubles before rounding for emit.
+
+    This is the query-time half of the theta-sketch-store pattern
+    (sketches kept per dimension — by a batch build or a streaming
+    state store — merged when a question is asked): union = k smallest
+    of the concatenated arrays; intersection = Beyer et al.'s
+    ρ·|A∪B| with ρ = the fraction of the union sketch present in both
+    inputs. Shared by the batch entry `ev_kmv_set_ops` and the
+    streaming snapshot path (`streaming/kmv.py::kmv_set_ops_snapshot`),
+    so stream and batch compute set algebra with ONE expression tree.
+
+    Scale: the input is |types| rows of ≤ k hashes — the broadcast
+    nested-loop pair join is O(|types|²) on kilobytes, independent of
+    corpus size.
+    """
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("arr").alias("arr_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("arr").alias("arr_b")
+    )
+    tp = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    m = F.slice(F.array_sort(F.array_union("arr_a", "arr_b")), 1, KMV_K)
+    tp = tp.withColumn("m", m)
+    kth = F.element_at("m", F.size("m"))
+    u = F.conv(F.substring(kth, 1, 8), 16, 10).cast("long") / F.lit(
+        float(2**32)
+    )
+    est_u = F.when(
+        F.size("m") < KMV_K, F.size("m").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / u)
+    n_both = F.size(
+        F.array_intersect(F.array_intersect(F.col("m"), "arr_a"), "arr_b")
+    )
+    est_i = F.when(F.size("m") < KMV_K, n_both.cast("double")).otherwise(
+        (n_both.cast("double") / F.size("m")) * est_u
+    )
+    return tp.select(
+        "type_a",
+        "type_b",
+        F.size("m").cast("long").alias("m_size"),
+        kth.alias("kth_hash"),
+        n_both.cast("long").alias("n_both"),
+        est_u.alias("est_u_raw"),
+        est_i.alias("est_i_raw"),
+    )
+
+
 def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch SET ALGEBRA — the property that makes KMV/theta
     sketches the scale answer for audience-overlap questions: two
@@ -175,19 +228,11 @@ def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (sketch build + exact pair twins) — materialize once
     dist = dist.localCheckpoint()
     # |types| rows of ≤ k hashes — materialize once so the self-join
-    # below doesn't run the sketch build twice (plan-audited)
+    # inside kmv_merge_pairs doesn't run the sketch build twice
+    # (plan-audited)
     sk = kmv_sketch(dist, "event_type", "user_id").localCheckpoint()
-    a = sk.select(
-        F.col("event_type").alias("type_a"),
-        F.col("arr").alias("arr_a"),
-        F.col("n_exact").alias("n_a"),
-    )
-    b = sk.select(
-        F.col("event_type").alias("type_b"),
-        F.col("arr").alias("arr_b"),
-        F.col("n_exact").alias("n_b"),
-    )
-    tp = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    merged = kmv_merge_pairs(sk.select("event_type", "arr"))
+    counts = sk.select("event_type", "n_exact")
     # exact intersection: per-user sorted type set → scan-local pair
     # explosion (≤ |types|²/2 per user) → pair-domain count
     per_user = dist.groupBy("user_id").agg(
@@ -211,23 +256,26 @@ def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = pairs.groupBy("p.type_a", "p.type_b").agg(
         F.count(F.lit(1)).cast("long").alias("inter_exact")
     )
-    m = F.slice(F.array_sort(F.array_union("arr_a", "arr_b")), 1, KMV_K)
-    tp = tp.withColumn("m", m)
-    kth = F.element_at("m", F.size("m"))
-    u = F.conv(F.substring(kth, 1, 8), 16, 10).cast("long") / F.lit(
-        float(2**32)
-    )
-    est_u = F.when(
-        F.size("m") < KMV_K, F.size("m").cast("double")
-    ).otherwise(F.lit(float(KMV_K - 1)) / u)
-    n_both = F.size(
-        F.array_intersect(F.array_intersect(F.col("m"), "arr_a"), "arr_b")
-    )
-    est_i = F.when(F.size("m") < KMV_K, n_both.cast("double")).otherwise(
-        (n_both.cast("double") / F.size("m")) * est_u
-    )
     out = (
-        tp.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        merged.join(
+            F.broadcast(
+                counts.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_exact").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_exact").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
         .withColumn(
             "inter_exact", F.coalesce("inter_exact", F.lit(0)).cast("long")
         )
@@ -236,6 +284,7 @@ def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") + F.col("n_b") - F.col("inter_exact")).cast("long"),
         )
     )
+    est_u, est_i = F.col("est_u_raw"), F.col("est_i_raw")
     return out.select(
         "type_a",
         "type_b",

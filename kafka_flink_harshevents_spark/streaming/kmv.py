@@ -95,6 +95,80 @@ def kmv_distinct_stream(
 
 
 # ---------------------------------------------------------------------------
+# Sketch-store + query-time set algebra — the streaming half of the
+# batch ev_kmv_set_ops entry.
+
+_SK_OUT_SCHEMA = "event_type string, arr array<string>, emit_seq long"
+
+
+def _kmv_sketch_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    arr, seq = state.get if state.exists else ([], 0)
+    merged = set(arr)
+    for pdf in pdfs:
+        merged.update(pdf["h"])
+    arr = sorted(merged)[:KMV_K]
+    seq += 1
+    state.update((arr, seq))
+    yield pd.DataFrame(
+        [(str(key[0]), arr, seq)], columns=["event_type", "arr", "emit_seq"]
+    )
+
+
+def kmv_sketch_stream(
+    events: DataFrame, key_col: str = "event_type", val_col: str = "user_id"
+) -> DataFrame:
+    """``events`` stream → update stream of per-group FULL sketch
+    snapshots ``(event_type, arr, emit_seq)`` — the sketch-STORE shape
+    (Druid/DataSketches theta-sketch pattern): the stream maintains one
+    bounded sketch per dimension value in parallel state (≤ k hash
+    strings each, one shuffle on the group key), and set-algebra
+    questions are answered at QUERY TIME by merging stored snapshots
+    (`kmv_set_ops_snapshot`) — no cross-key state, no single-task
+    bottleneck, and the same state bound as `kmv_distinct_stream`.
+
+    The distinct-estimate stream above emits only the kth hash;
+    this one emits the whole array because set algebra needs sketch
+    MEMBERSHIP (ρ = |union-sketch ∩ A ∩ B| / k), not just the kth
+    order statistic."""
+    hashed = events.select(
+        F.col(key_col).alias("event_type"),
+        F.md5(
+            F.concat(F.lit("kmv|"), F.col(val_col).cast("string"))
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _kmv_sketch_update,
+        _SK_OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def kmv_set_ops_snapshot(latest: DataFrame) -> DataFrame:
+    """Query-time set algebra over the latest stored sketch snapshots:
+    ``(event_type, arr)`` → per unordered type pair ``(type_a, type_b,
+    est_union, est_inter)``, 4dp-rounded exactly like the batch
+    `ev_kmv_set_ops` emit. Delegates to the SHARED
+    `queries.events.kmv_merge_pairs` expression tree, so stream-fed and
+    batch-built sketches answer overlap questions with bit-identical
+    arithmetic (pinned by
+    tests/test_streaming.py::test_streaming_kmv_set_ops_matches_batch).
+    """
+    from kafka_flink_harshevents_spark.queries.events import kmv_merge_pairs
+
+    merged = kmv_merge_pairs(latest.select("event_type", "arr"))
+    return merged.select(
+        "type_a",
+        "type_b",
+        F.round(F.col("est_u_raw"), 4).alias("est_union"),
+        F.round(F.col("est_i_raw"), 4).alias("est_inter"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic fixed-k reservoir — the streaming twin of
 # queries.documents.doc_sample_fixed_k.
 

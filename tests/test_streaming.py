@@ -1795,6 +1795,63 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
     assert want and got == want
 
 
+def test_streaming_kmv_set_ops_matches_batch(spark, tmp_path):
+    """Sketch-store pattern end-to-end: per-type KMV sketches built by
+    the STREAM (two arbitrary ingest waves), set algebra computed at
+    query time over the latest snapshots, must equal the batch
+    `ev_kmv_set_ops` estimates over the same data — sketch merge is a
+    pure function of the distinct value set, so stream-built and
+    batch-built sketches answer overlap questions identically."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.queries.events import ev_kmv_set_ops
+    from kafka_flink_harshevents_spark.streaming.kmv import (
+        kmv_set_ops_snapshot,
+        kmv_sketch_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select("event_type", "user_id")
+    src = tmp_path / "ev"
+    src.mkdir()
+    e.filter(F.col("user_id") % 2 == 0).coalesce(1).write.json(
+        str(src / "w1.json")
+    )
+    stream = spark.readStream.schema("event_type STRING, user_id LONG").json(
+        str(src) + "/*.json"
+    )
+    name = f"kmvso_{uuid.uuid4().hex[:8]}"
+    q = (
+        kmv_sketch_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        e.filter(F.col("user_id") % 2 == 1).coalesce(1).write.json(
+            str(src / "w2.json")
+        )
+        q.processAllAvailable()
+        latest = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.max_by("arr", "emit_seq").alias("arr"))
+        )
+        got = {
+            (r["type_a"], r["type_b"], r["est_union"], r["est_inter"])
+            for r in kmv_set_ops_snapshot(latest).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["type_a"], r["type_b"], r["est_union"], r["est_inter"])
+        for r in ev_kmv_set_ops(spark, SF_DIR).collect()
+    }
+    assert want and got == want
+
+
 def test_upsert_foreach_batch_fails_on_corrupt_store(spark, tmp_path):
     """The upsert sink treats ONLY the missing-path case as 'first
     batch'. A store that exists but cannot be read (corrupt footer)
