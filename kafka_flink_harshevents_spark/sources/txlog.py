@@ -59,8 +59,10 @@ at this log length).
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
+import math
 import os
 import shutil
 import uuid
@@ -71,6 +73,112 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txlog"
 _PAD = 20
+
+# Data-skipping stats: cap the per-file stat payload like Delta's
+# dataSkippingNumIndexedCols — the log stays O(files · STATS_MAX_COLS)
+# however wide the table is.
+STATS_MAX_COLS = 32
+_STATS_MAX_STR = 256  # longer string stats are dropped, never truncated
+
+
+def _stat_scalar(v):
+    """Parquet-footer stat → JSON-safe comparable scalar, or None.
+
+    Timestamps become epoch-microsecond ints (ISO strings would compare
+    wrong across fractional-second formats); non-finite floats and long
+    strings are dropped rather than stored wrong — a missing stat only
+    costs skipping opportunity, a WRONG stat costs correctness. String
+    maxima are kept only un-truncated for the same reason (a truncated
+    max underestimates the file's range and would wrongly skip it).
+    """
+    if isinstance(v, bool) or v is None:
+        return None  # booleans carry no useful range; never skip on them
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        epoch = datetime.datetime(1970, 1, 1)
+        return int((v - epoch) / datetime.timedelta(microseconds=1))
+    if isinstance(v, datetime.date):
+        return int((v - datetime.date(1970, 1, 1)).days)
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    return None
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file column stats from the parquet FOOTER — the file was just
+    written, its footer already holds row-group min/max/null-count, so
+    stats collection costs one metadata read, not a data scan (the same
+    place Iceberg/Delta get theirs). Returns ``{"rows": n, "cols":
+    {col: [min, max, null_count]}}``; any column or file that can't be
+    read safely simply has no stats (pruning then keeps the file)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    per_col: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name.startswith("_"):
+                continue  # nested leaves / internal layout columns
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                per_col[name] = [None, None, None]
+                continue
+            mn, mx = _stat_scalar(st.min), _stat_scalar(st.max)
+            nulls = st.null_count if st.has_null_count else None
+            cur = per_col.get(name)
+            if cur is None:
+                per_col[name] = [mn, mx, nulls]
+            else:
+                cur[0] = None if (cur[0] is None or mn is None) else min(cur[0], mn)
+                cur[1] = None if (cur[1] is None or mx is None) else max(cur[1], mx)
+                cur[2] = (
+                    None
+                    if (cur[2] is None or nulls is None)
+                    else cur[2] + nulls
+                )
+    cols = {
+        k: v
+        for k, v in sorted(per_col.items())[:STATS_MAX_COLS]
+        if not (v[0] is None and v[1] is None and v[2] is None)
+    }
+    return {"rows": md.num_rows, "cols": cols}
+
+
+def _file_may_match(entry: dict, prune: dict) -> bool:
+    """Conservative skip test: False ONLY when the file's recorded
+    [min, max] for some pruned column provably misses [lo, hi]. Missing
+    stats always keep the file — skipping is an optimization, the
+    actual predicate is still applied to every surviving row."""
+    cols = (entry.get("stats") or {}).get("cols") or {}
+    for col, (lo, hi) in prune.items():
+        s = cols.get(col)
+        if not s:
+            continue
+        mn, mx = s[0], s[1]
+        lo_c, hi_c = _stat_scalar(lo), _stat_scalar(hi)
+        try:
+            if lo_c is not None and mx is not None and mx < lo_c:
+                return False
+            if hi_c is not None and mn is not None and mn > hi_c:
+                return False
+        except TypeError:
+            continue  # incomparable bound/stat types — keep the file
+    return True
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -186,28 +294,80 @@ class TxTable:
             schema_json = rec.get("schema_json", schema_json)
         return target, list(live.values()), schema_json
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Snapshot read (time travel with ``version=``). Consistent by
         construction: the file list comes from the log, never from a
-        directory listing, so an in-flight writer is invisible."""
+        directory listing, so an in-flight writer is invisible.
+
+        ``prune`` is Delta/Iceberg-style DATA SKIPPING: a mapping
+        ``col → (lo, hi)`` (either bound None = unbounded). Files whose
+        commit-log [min, max] for a pruned column provably misses the
+        interval are never opened — at 100 TB this is the difference
+        between scanning a day and scanning the table for a time-range
+        query over an append-mostly log. The read stays EXACT: the same
+        interval predicates are applied to the surviving rows, so
+        pruning only removes whole files the predicate would have
+        filtered anyway (``prune_report`` exposes the skip counts;
+        correctness + skip behavior pinned in tests/test_txlog.py).
+        """
         _, live, schema_json = self._snapshot(version)
+        if prune:
+            live = [e for e in live if _file_may_match(e, prune)]
         if not live:
             if schema_json is None:
                 raise ValueError("empty table with no recorded schema")
-            return self.spark.createDataFrame(
+            empty = self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
+            return self._apply_prune(empty, prune) if prune else empty
         paths = [os.path.join(self.table_dir, e["path"]) for e in live]
         # recursiveFileLookup disables partition discovery — required
         # because the explicit file list spans several _staged-* roots
         # (discovery would see conflicting directory structures). The
         # bucket id is stored IN the data (`_bucket`), so nothing is
         # lost; it's internal layout, and the user snapshot drops it.
-        return (
+        df = (
             self.spark.read.option("recursiveFileLookup", "true")
             .parquet(*paths)
             .drop("_bucket")
         )
+        return self._apply_prune(df, prune) if prune else df
+
+    @staticmethod
+    def _apply_prune(df: DataFrame, prune: dict[str, tuple]) -> DataFrame:
+        """Row-level twin of the file-level skip: the interval predicates
+        as real Spark filters (pushed to the parquet scan by Catalyst),
+        so a pruned read is exact whatever the stats granularity."""
+        for col, (lo, hi) in prune.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def prune_report(
+        self, prune: dict[str, tuple], version: int | None = None
+    ) -> dict:
+        """Observability for the skip decision: how many live files the
+        snapshot has, how many a pruned read would open, and how many
+        rows the log says were skipped (None when a skipped file
+        predates stats collection)."""
+        _, live, _ = self._snapshot(version)
+        kept = [e for e in live if _file_may_match(e, prune)]
+        skipped = [e for e in live if not _file_may_match(e, prune)]
+        rows = [e.get("stats", {}).get("rows") for e in skipped]
+        return {
+            "files_total": len(live),
+            "files_read": len(kept),
+            "files_skipped": len(skipped),
+            "rows_skipped": (
+                None if any(r is None for r in rows) else sum(rows)
+            ),
+        }
 
     # -- writes ------------------------------------------------------
 
@@ -231,7 +391,9 @@ class TxTable:
         for p in glob.glob(os.path.join(out, "_pb=*", "*.parquet")):
             bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
             rel = os.path.relpath(p, self.table_dir)
-            entries.append({"path": rel, "bucket": bucket})
+            entries.append(
+                {"path": rel, "bucket": bucket, "stats": _file_stats(p)}
+            )
         return entries
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:

@@ -469,3 +469,73 @@ def test_table_changes_multiset_exact_over_append_duplicates(spark, tmp_path):
     # the duplicate 'a' rows collapse: feed must retract exactly ONE
     # copy of ("a",1,1) iff a's bucket was touched, never ("a",9,9)
     assert delta.get(("a", 9, 9), 0) >= 0
+
+
+def test_file_stats_recorded_on_commit(spark, tmp_path):
+    """Every staged file's add-entry carries footer-derived stats
+    (rows + per-column [min, max, null_count]) — the raw material for
+    data skipping, collected without a second data scan."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "k string, v long, ver long"))
+    _, live, _ = t._snapshot()
+    assert live
+    for e in live:
+        st = e["stats"]
+        assert st["rows"] >= 1
+        assert "_bucket" not in st["cols"]  # internal layout col excluded
+        vmin, vmax, nulls = st["cols"]["v"]
+        assert vmin is not None and vmin <= vmax
+        assert nulls == 0
+
+
+def test_pruned_read_exact_and_skips_files(spark, tmp_path):
+    """Time-range pruning over an append-only log: waves with disjoint
+    `ver` ranges land in files whose [min, max] don't overlap, so a
+    range read opens only the matching wave's files — and still returns
+    EXACTLY the rows a full-scan filter would."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    # three "days" of appends, 100 rows each, disjoint ver ranges
+    for day in range(3):
+        t.append(spark.createDataFrame(
+            [(f"k{day}_{i}", i, day * 1000 + i) for i in range(100)],
+            "k string, v long, ver long",
+        ))
+    prune = {"ver": (2000, 2999)}  # only day 2
+    got = sorted(
+        (r["k"], r["v"], r["ver"]) for r in t.read(prune=prune).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["ver"])
+        for r in t.read().filter("ver BETWEEN 2000 AND 2999").collect()
+    )
+    assert got == want and len(got) == 100
+    rep = t.prune_report(prune)
+    # day 0 and day 1 files are provably outside the range
+    assert rep["files_skipped"] >= rep["files_total"] // 2
+    assert rep["files_read"] + rep["files_skipped"] == rep["files_total"]
+    assert rep["rows_skipped"] == 200
+    # open-ended bound + string-keyed prune both stay exact
+    got_open = {r["ver"] for r in t.read(prune={"ver": (2000, None)}).collect()}
+    assert got_open == {2000 + i for i in range(100)}
+    assert t.read(prune={"k": ("k9", None)}).count() == 0
+
+
+def test_prune_missing_stats_keeps_file(spark, tmp_path):
+    """A file committed without stats (older writer, unreadable footer)
+    must never be skipped — missing stats cost opportunity, not rows."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame([("a", 1, 1)], "k string, v long, ver long"))
+    # simulate a stats-less legacy entry by rewriting the commit record
+    v = t.latest_version()
+    from kafka_flink_harshevents_spark.sources.txlog import _version_path
+    p = _version_path(t.table_dir, v)
+    rec = json.loads(open(p).read())
+    for e in rec["add"]:
+        e.pop("stats", None)
+    os.unlink(p)
+    with open(p, "w") as f:
+        json.dump(rec, f)
+    assert t.read(prune={"ver": (100, 200)}).count() == 0  # filter still exact
+    rep = t.prune_report({"ver": (100, 200)})
+    assert rep["files_skipped"] == 0 and rep["rows_skipped"] == 0
