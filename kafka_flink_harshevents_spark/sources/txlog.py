@@ -330,11 +330,15 @@ class TxTable:
         # (discovery would see conflicting directory structures). The
         # bucket id is stored IN the data (`_bucket`), so nothing is
         # lost; it's internal layout, and the user snapshot drops it.
-        df = (
-            self.spark.read.option("recursiveFileLookup", "true")
-            .parquet(*paths)
-            .drop("_bucket")
-        )
+        # the LOG is the schema authority (the Delta read-path contract):
+        # after add-column evolution the live set mixes old- and
+        # new-schema files; reading with the recorded schema makes old
+        # files yield NULL for the added columns, instead of the
+        # whichever-file-wins schema a bare parquet read would pick.
+        reader = self.spark.read.option("recursiveFileLookup", "true")
+        if schema_json is not None:
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        df = reader.parquet(*paths).drop("_bucket")
         return self._apply_prune(df, prune) if prune else df
 
     @staticmethod
@@ -412,11 +416,50 @@ class TxTable:
             ),
         )
 
+    def _schema_union_json(
+        self,
+        df: DataFrame,
+        snap_schema: str | None,
+        merge_schema: bool,
+        op: str,
+    ) -> str:
+        """The schema a commit must RECORD: the table's current schema
+        widened by the incoming frame's new columns (add-column
+        evolution). Fails fast on a name-set mismatch unless
+        ``merge_schema`` opts in, and always on a same-name type change
+        — type evolution would silently corrupt old files at read time,
+        so it is refused outright (the Delta position)."""
+        user_fields = [f for f in df.schema.fields if f.name != "_bucket"]
+        if snap_schema is None:
+            return StructType(user_fields).json()
+        old = StructType.fromJson(json.loads(snap_schema))
+        old_by_name = {f.name: f for f in old.fields}
+        for f in user_fields:
+            prev = old_by_name.get(f.name)
+            if prev is not None and prev.dataType != f.dataType:
+                raise ValueError(
+                    f"{op}: column {f.name!r} type change "
+                    f"{prev.dataType.simpleString()} → "
+                    f"{f.dataType.simpleString()} is not supported"
+                )
+        new_names = {f.name for f in user_fields}
+        if set(old_by_name) != new_names and not merge_schema:
+            raise ValueError(
+                f"{op}: schema mismatch — table has "
+                f"{sorted(old_by_name)}, incoming has {sorted(new_names)}; "
+                "pass merge_schema=True to add columns"
+            )
+        widened = list(old.fields) + [
+            f for f in user_fields if f.name not in old_by_name
+        ]
+        return StructType(widened).json()
+
     def merge_upsert(
         self,
         df: DataFrame,
         txn: dict | None = None,
         max_retries: int = 5,
+        merge_schema: bool = False,
     ) -> int:
         """Atomic MERGE: latest row per key wins across (existing ∪ df).
 
@@ -424,22 +467,51 @@ class TxTable:
         commit at V+1; on conflict re-read and retry (the merge is
         deterministic given a snapshot, so retries are safe). Returns
         the committed version.
+
+        ``merge_schema=True`` is Delta's ``mergeSchema`` ADD-COLUMN
+        evolution: incoming rows may carry columns the table lacks (and
+        vice versa) — the union is taken by name with NULLs filling
+        either side's gaps, and the commit records the WIDENED schema.
+        Only the touched buckets rewrite under the new schema; untouched
+        buckets keep their old files, and `read` reconciles the mix via
+        parquet schema merging (older files yield NULL for the new
+        column — exactly the Delta/Iceberg read-path contract). Without
+        the flag a schema mismatch fails fast (the default guards
+        against typo'd column names silently forking the schema).
         """
         m = self.meta
         incoming = self._with_bucket(df)
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
-            base_v, live, _ = self._snapshot()
+            base_v, live, snap_schema = self._snapshot()
             touched = [
                 r["_bucket"]
                 for r in incoming.select("_bucket").distinct().collect()
             ]
             hit = [e for e in live if e["bucket"] in set(touched)]
+            # validate/widen BEFORE staging — a schema mismatch must not
+            # write orphan files first
+            schema_rec = self._schema_union_json(
+                incoming, snap_schema, merge_schema, "merge_upsert"
+            )
             if hit:
-                existing = self.spark.read.option(
-                    "recursiveFileLookup", "true"
-                ).parquet(*[os.path.join(self.table_dir, e["path"]) for e in hit])
-                merged = existing.unionByName(incoming)
+                # read hit files under the LOG's schema (old files NULL-
+                # fill evolved columns) and recompute _bucket from the
+                # keys — same hash, and it spares the explicit schema
+                # from carrying internal layout fields
+                reader = self.spark.read.option("recursiveFileLookup", "true")
+                if snap_schema is not None:
+                    reader = reader.schema(
+                        StructType.fromJson(json.loads(snap_schema))
+                    )
+                existing = self._with_bucket(
+                    reader.parquet(
+                        *[os.path.join(self.table_dir, e["path"]) for e in hit]
+                    ).drop("_bucket")
+                )
+                merged = existing.unionByName(
+                    incoming, allowMissingColumns=merge_schema
+                )
             else:
                 merged = incoming
             from pyspark.sql import Window
@@ -458,7 +530,7 @@ class TxTable:
                 "op": "merge",
                 "add": added,
                 "remove": [e["path"] for e in hit],
-                "schema_json": latest.drop("_bucket").schema.json(),
+                "schema_json": schema_rec,
             }
             if txn:
                 record["txn"] = txn
@@ -473,7 +545,7 @@ class TxTable:
         raise last_err  # type: ignore[misc]
 
     def append(self, df: DataFrame, txn: dict | None = None,
-               max_retries: int = 5) -> int:
+               max_retries: int = 5, merge_schema: bool = False) -> int:
         """Atomic blind insert — the K3 insert-event path
         (kafkaConsumer.js Mongo insertOne) as a transactional append:
         rows are staged as NEW files (no read-modify-write, no existing
@@ -481,13 +553,23 @@ class TxTable:
         are allowed (append-only event-log semantics); use
         ``merge_upsert`` for keyed latest-wins tables. Conflicts just
         re-claim the next version — the staged files are already
-        position-independent."""
+        position-independent.
+
+        ``merge_schema=True`` = add-column evolution, same contract as
+        ``merge_upsert``: the commit records the WIDENED schema (old
+        fields + incoming's new ones), so the table never silently
+        narrows when an append carries fewer columns than the snapshot.
+        """
+        _, _, snap_schema = self._snapshot()
+        schema_rec = self._schema_union_json(
+            self._with_bucket(df), snap_schema, merge_schema, "append"
+        )
         staged = self._stage(self._with_bucket(df))
         record_base = {
             "op": "append",
             "add": staged,
             "remove": [],
-            "schema_json": df.schema.json(),
+            "schema_json": schema_rec,
         }
         if txn:
             record_base["txn"] = txn
@@ -513,8 +595,15 @@ class TxTable:
             base_v, live, schema_json = self._snapshot()
             if not live:
                 return base_v
-            df = self.spark.read.option("recursiveFileLookup", "true").parquet(
-                *[os.path.join(self.table_dir, e["path"]) for e in live]
+            reader = self.spark.read.option("recursiveFileLookup", "true")
+            if schema_json is not None:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            df = self._with_bucket(
+                reader.parquet(
+                    *[os.path.join(self.table_dir, e["path"]) for e in live]
+                ).drop("_bucket")
             )
             added = self._stage(df)
             record = {
@@ -596,7 +685,15 @@ class TxTable:
         def read_files(paths: list[str]) -> DataFrame | None:
             if not paths:
                 return None
-            return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            # the commit's recorded (widened) schema NULL-fills evolved
+            # columns in pre-image files, so update_preimage rows carry
+            # NULL where the old row had no value — the CDF contract
+            reader = self.spark.read.option("recursiveFileLookup", "true")
+            if rec.get("schema_json"):
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(rec["schema_json"]))
+                )
+            return reader.parquet(
                 *[os.path.join(self.table_dir, p) for p in paths]
             ).drop("_bucket")
 

@@ -539,3 +539,52 @@ def test_prune_missing_stats_keeps_file(spark, tmp_path):
     assert t.read(prune={"ver": (100, 200)}).count() == 0  # filter still exact
     rep = t.prune_report({"ver": (100, 200)})
     assert rep["files_skipped"] == 0 and rep["rows_skipped"] == 0
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Delta-style mergeSchema: a merge carrying a new column widens the
+    table; untouched old files NULL-fill at read time; time travel
+    still shows the pre-evolution schema; the default (no flag) fails
+    fast instead of forking the schema."""
+    t = _mk(spark, tmp_path, n_buckets=4)
+    v_old = t.merge_upsert(spark.createDataFrame(
+        [(f"k{i}", i, 1) for i in range(16)], "k string, v long, ver long"))
+    wide = spark.createDataFrame(
+        [("k0", 99, 2, "x")], "k string, v long, ver long, extra string")
+    with pytest.raises(Exception):
+        t.merge_upsert(wide)  # no flag → refuse
+    v_new = t.merge_upsert(wide, merge_schema=True)
+    snap = t.read()
+    assert snap.columns == ["k", "v", "ver", "extra"]
+    rows = {r["k"]: (r["v"], r["extra"]) for r in snap.collect()}
+    assert rows["k0"] == (99, "x")
+    # rows in buckets the evolving merge never touched NULL-fill
+    untouched = [kk for kk, (_, e) in rows.items() if e is None]
+    assert len(untouched) == 16 - sum(
+        1 for kk, (_, e) in rows.items() if e is not None
+    )
+    # time travel predates the evolution
+    assert t.read(version=v_old).columns == ["k", "v", "ver"]
+    # CDF: the update's preimage NULL-fills the evolved column
+    pre = [r for r in t.table_changes(v_new).collect()
+           if r["_change_type"] == "update_preimage"]
+    assert pre and pre[0]["extra"] is None and pre[0]["k"] == "k0"
+
+
+def test_schema_evolution_append_never_narrows(spark, tmp_path):
+    """An append with FEWER columns than the table records the WIDENED
+    schema (old ∪ new), so the snapshot keeps the evolved column; and a
+    same-name type change is refused outright."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1, "x")], "k string, v long, ver long, extra string"))
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([("b", 2, 2)], "k string, v long, ver long"))
+    t.append(spark.createDataFrame(
+        [("b", 2, 2)], "k string, v long, ver long"), merge_schema=True)
+    snap = {r["k"]: r["extra"] for r in t.read().collect()}
+    assert snap == {"a": "x", "b": None}
+    with pytest.raises(ValueError, match="type change"):
+        t.append(spark.createDataFrame(
+            [("c", "not-a-long", 3)], "k string, v string, ver long"),
+            merge_schema=True)
