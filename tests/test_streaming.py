@@ -3007,3 +3007,63 @@ def test_streaming_constraint_audit_matches_batch(spark, tmp_path):
                 assert got2[k] == (n + 1, v)
     finally:
         q.stop()
+
+
+def test_dynamic_rules_update_mid_stream(spark, tmp_path):
+    """Flink-broadcast-state semantics via foreachBatch + ACID rules
+    table: a rule committed mid-stream applies to every later element
+    without a restart, each output row records the rules version that
+    judged it, and replaying any wave in BATCH under its recorded
+    version reproduces the stream's verdicts exactly."""
+    from kafka_flink_harshevents_spark.sources.txlog import TxTable
+    from kafka_flink_harshevents_spark.streaming.rules import (
+        classify_with_rules,
+        dynamic_classify_sink,
+    )
+
+    rules = TxTable.create(
+        spark, str(tmp_path / "rules"), key_cols=("event_type",),
+        order_col="rule_ver", n_buckets=2,
+    )
+    v1 = rules.merge_upsert(spark.createDataFrame(
+        [("click", 50.0, 1)], "event_type string, threshold double, rule_ver long"))
+    src = tmp_path / "ev"
+    src.mkdir()
+    out_dir = str(tmp_path / "classified")
+    spark.createDataFrame(
+        [(1, "click", 40.0), (2, "click", 60.0), (3, "scroll", 99.0)],
+        "event_id long, event_type string, value double",
+    ).coalesce(1).write.json(str(src / "w1.json"))
+    stream = spark.readStream.schema(
+        "event_id LONG, event_type STRING, value DOUBLE"
+    ).json(str(src) + "/*.json")
+    q = (
+        stream.writeStream.foreachBatch(dynamic_classify_sink(rules, out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # live rule update: threshold 50 → 10, no stream restart
+        v2 = rules.merge_upsert(spark.createDataFrame(
+            [("click", 10.0, 2)],
+            "event_type string, threshold double, rule_ver long"))
+        spark.createDataFrame(
+            [(4, "click", 40.0)], "event_id long, event_type string, value double"
+        ).coalesce(1).write.json(str(src / "w2.json"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: (r["verdict"], r["rule_ver"], r["rules_version"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[1] == ("OK", 1, v1)          # 40 < 50 under rule v1
+    assert got[2] == ("VIOLATION", 1, v1)   # 60 ≥ 50
+    assert got[3] == (None, None, v1)       # no rule for scroll: pass-through
+    assert got[4] == ("VIOLATION", 2, v2)   # same value 40, new threshold 10
+    # batch replay under the RECORDED version reproduces the verdicts
+    wave2 = spark.createDataFrame(
+        [(4, "click", 40.0)], "event_id long, event_type string, value double")
+    replay = classify_with_rules(wave2, rules.read(version=v2)).collect()[0]
+    assert (replay["verdict"], replay["rule_ver"]) == got[4][:2]
