@@ -382,6 +382,128 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_GAP_MS = 7_200_000  # the consolidating ev_sessionize_2h gap
+PATH_MAX_STEPS = 8
+
+
+def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: sessionize each user's stream (2 h
+    inactivity gap — the consolidating ``ev_sessionize_2h`` variant),
+    read off the ordered sequence of event types (capped at the first
+    8 steps, the standard path-analysis truncation), and count how many
+    sessions / distinct users walked each path — the Sankey-diagram /
+    user-flow query every product-analytics engine ships.
+
+    Scale shape: :func:`~..operators.sessions.sessionize_rows` spends
+    ONE user_id exchange that the per-session aggregation reuses
+    (HashPartitioning(user_id) satisfies the (user_id, session_id)
+    clustering — no second shuffle before paths collapse). The
+    ``collect_list`` is per SESSION — bounded by the inactivity gap,
+    never by stream length — and ``slice(.., 8)`` caps the emitted
+    path. ``array_sort`` over (tms, event_id, type) structs pins a
+    total order shared with the oracle's ``ORDER BY tms, event_id``.
+    """
+    from kafka_flink_harshevents_spark.operators.sessions import sessionize_rows
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ts_millis("ts").alias("tms")
+    )
+    rows = sessionize_rows(
+        e, key_col="user_id", ts_col="tms", gap=PATH_GAP_MS, order_cols=("event_id",)
+    )
+    sess = rows.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tms", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                PATH_MAX_STEPS,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return sess.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def ev_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival–time analysis: for each (user, event_type) stream,
+    the gap to the previous same-type event, histogrammed by order of
+    magnitude (decimal digits of the millisecond gap — an exact integer
+    bucket, so the histogram is engine-stable by construction, unlike a
+    float ``log10`` whose last ULP could flip a bucket edge). Per
+    (type, magnitude) cell: event count and mean gap — the arrival-rate
+    profile behind capacity planning and anomaly baselines.
+
+    One (user_id, event_type)-keyed exchange feeds the lag window; the
+    histogram collapses map-side to |types| × ~8 magnitude cells. Mean
+    gap divides two exact BIGINTs, identical in both engines.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ts_millis("ts").alias("tms")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("tms", "event_id")
+    gaps = e.select(
+        "event_type", (F.col("tms") - F.lag("tms").over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy(
+        "event_type",
+        F.length(F.col("gap_ms").cast("string")).cast("long").alias("magnitude"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("gap_ms") / F.count(F.lit(1)), 2).alias("avg_gap_ms"),
+    )
+
+
+HLL_REL_ERR = 0.05  # default lgConfigK=12 gives ~1.6% — 3σ headroom
+
+
+def ev_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable sketch rollup — the Druid/Pinot ingestion-rollup
+    shape: per-(day, hour) HLL sketch partials built once at ingest
+    (``hll_sketch_agg``), then MERGED to daily uniques without touching
+    raw events again (``hll_union_agg``). This is the property that
+    makes sketch columns storable in rollup tables: union of partials
+    commutes with the aggregation.
+
+    Gate entry (estimates are sketch-implementation-specific): emits
+    per day the EXACT distinct count plus ``merge_ok`` — whether the
+    merged-sketch estimate lands within 5% of exact — so the driver
+    hash-checks the re-aggregation property itself each round.
+
+    Scale shape: partials collapse map-side to 24 rows/day whatever the
+    event volume; the merge and the exact-count join both key on day.
+    At 100 TB the exact branch is the expensive one — production keeps
+    only the sketch branch, which this entry proves is safe to do.
+    """
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        "user_id",
+    )
+    hourly = e.groupBy("day", "hr").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily = hourly.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.groupBy("day").agg(F.count_distinct("user_id").alias("exact_users"))
+    return exact.join(daily, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.lit(HLL_REL_ERR) * F.col("exact_users")
+        )
+        .cast("long")
+        .alias("merge_ok"),
+    )
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_pattern_match": ev_pattern_match,
@@ -391,6 +513,9 @@ QUERIES = {
     "ev_retention": ev_retention,
     "ev_anomaly_zscore": ev_anomaly_zscore,
     "ev_locf_resample": ev_locf_resample,
+    "ev_session_paths": ev_session_paths,
+    "ev_interarrival_hist": ev_interarrival_hist,
+    "ev_hll_partial_merge": ev_hll_partial_merge,
 }
 
 def _ab_sql() -> str:
@@ -434,6 +559,50 @@ def _ab_sql() -> str:
 
 
 ORACLES = {
+    "ev_session_paths": f"""
+        WITH t AS (
+            SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_ms(ts), event_id) AS pe
+            FROM events
+        ), s AS (
+            SELECT user_id, event_id, event_type, tms,
+                   CAST(sum(CASE WHEN pe IS NULL OR tms - pe > {PATH_GAP_MS}
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY tms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM t
+        ), p AS (
+            SELECT user_id, session_id,
+                   array_to_string(
+                       (list(event_type ORDER BY tms, event_id))[1:{PATH_MAX_STEPS}],
+                       '>') AS path
+            FROM s GROUP BY 1, 2
+        )
+        SELECT path, count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+        FROM p GROUP BY 1
+    """,
+    "ev_interarrival_hist": """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_ms(ts), event_id) AS gap_ms
+            FROM events
+        )
+        SELECT event_type,
+               CAST(length(CAST(gap_ms AS VARCHAR)) AS BIGINT) AS magnitude,
+               count(*) AS n,
+               round(sum(gap_ms) / count(*), 2) AS avg_gap_ms
+        FROM g WHERE gap_ms IS NOT NULL GROUP BY 1, 2
+    """,
+    "ev_hll_partial_merge": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS exact_users,
+               CAST(1 AS BIGINT) AS merge_ok
+        FROM events GROUP BY 1
+    """,
     "ev_markov_transitions": """
         WITH p AS (
             SELECT event_type AS cur,

@@ -2944,6 +2944,68 @@ def doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_PAIR_COUNT = 5
+
+
+def doc_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: pointwise mutual information over
+    adjacent word pairs — ``PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) )``
+    computed from corpus-wide bigram and unigram counts. The standard
+    phrase-mining signal (Church & Hanks 1990; the word2vec phrase
+    pass): high-PMI pairs are multiword units a tokenizer or phrase
+    vocabulary should keep together.
+
+    Engine-stability: counts are exact BIGINTs; the PMI double is
+    computed by BOTH engines from the identical expression tree
+    ``ln((c_xy/c_x) · (N/c_y))`` on exact-integer inputs (two correctly
+    rounded IEEE divisions + one product), rounded at 4dp. Pairs below
+    ``PMI_MIN_PAIR_COUNT`` are dropped on the exact count — no float
+    participates in row membership.
+
+    Scale shape: bigram emission is scan-local (``arrays_zip`` over two
+    slices — no posexplode self-join); the two count aggregates shuffle
+    on the pair / the word (map-side combined); unigram and total
+    tables attach via equi-joins that AQE broadcast-converts (the word
+    table is vocabulary-sized — bounded — and N is one row). Nothing
+    here is all-pairs: work ∝ corpus tokens.
+    """
+    w = _words(load(spark, sf_dir, "documents")).filter(F.size("ws") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cxy = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        _words(load(spark, sf_dir, "documents"))
+        .select(F.explode("ws").alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        cxy.filter(F.col("c_xy") >= PMI_MIN_PAIR_COUNT)
+        .join(uni.withColumnRenamed("wd", "w1").withColumnRenamed("c", "c_x"), "w1")
+        .join(uni.withColumnRenamed("wd", "w2").withColumnRenamed("c", "c_y"), "w2")
+        .join(F.broadcast(n_pairs))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("c_x"))
+                    * (F.col("n_total") / F.col("c_y"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_dsir_weights": doc_dsir_weights,
@@ -2995,6 +3057,7 @@ QUERIES = {
     "doc_bpe_encode": doc_bpe_encode,
     "doc_neardup_triangles": doc_neardup_triangles,
     "doc_zorder_layout": doc_zorder_layout,
+    "doc_collocation_pmi": doc_collocation_pmi,
 }
 
 
@@ -3330,6 +3393,34 @@ def _zorder_sql() -> str:
 
 
 ORACLES = {
+    "doc_collocation_pmi": f"""
+        WITH w AS (
+            SELECT string_split(text, ' ') AS ws
+            FROM documents WHERE len(string_split(text, ' ')) >= 2
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, len(ws)),
+                          i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS p
+            FROM w
+        ), px AS (
+            SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs
+        ), cxy AS (
+            SELECT w1, w2, count(*) AS c_xy FROM px GROUP BY 1, 2
+        ), uni AS (
+            SELECT unnest(ws) AS wd FROM (SELECT string_split(text, ' ') AS ws
+                                          FROM documents)
+        ), cu AS (
+            SELECT wd, count(*) AS c FROM uni GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS n_total FROM px
+        )
+        SELECT cxy.w1, cxy.w2, cxy.c_xy,
+               round(ln((cxy.c_xy / ux.c) * (n.n_total / uy.c)), 4) AS pmi
+        FROM cxy
+        JOIN cu ux ON cxy.w1 = ux.wd
+        JOIN cu uy ON cxy.w2 = uy.wd
+        CROSS JOIN n
+        WHERE cxy.c_xy >= {PMI_MIN_PAIR_COUNT}
+    """,
     "doc_zorder_layout": _zorder_sql(),
     "doc_minhash_calibration": _minhash_calibration_sql(),
     "doc_neardup_pagerank": _pagerank_sql(),

@@ -629,6 +629,9 @@ EMPTY_REPRESENTATIVES = [
     # round-4 third wave
     "q_bloom_prune", "q_constraint_audit", "ev_type_cooccurrence",
     "ev_kmv_set_ops",
+    # round-4 fifth wave
+    "ev_session_paths", "ev_interarrival_hist", "ev_hll_partial_merge",
+    "doc_collocation_pmi",
 ]
 
 
@@ -794,6 +797,8 @@ PARTITIONING_REPRESENTATIVES = [
     "doc_neardup_pagerank",      # integer fixed-point iterative loop
     "ev_type_cooccurrence",      # collect_set pair explosion (sorted sets)
     "ev_kmv_set_ops",            # merged sketches + pair-domain exact twins
+    "ev_session_paths",          # collect_list ordered only by array_sort
+    "doc_collocation_pmi",       # float ln over join-attached exact counts
 ]
 
 
@@ -816,3 +821,85 @@ def test_partitioning_invariance(spark, name):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
     assert run(3) == run(32), f"{name} emits partitioning-dependent rows"
+
+
+def test_session_paths_consistent_with_sessionize(spark):
+    """Path mining and the sessionize entry share the 2 h gap and the
+    (tms, event_id) total order, so the number of sessions agrees
+    exactly; every path is capped at PATH_MAX_STEPS steps."""
+    from kafka_flink_harshevents_spark.queries.analytics import (
+        PATH_MAX_STEPS,
+        ev_session_paths,
+    )
+    from kafka_flink_harshevents_spark.queries.events import ev_sessionize_2h
+
+    paths = ev_session_paths(spark, SF_DIR).collect()
+    n_sessions = sum(r["n_sessions"] for r in paths)
+    assert n_sessions == ev_sessionize_2h(spark, SF_DIR).count()
+    assert all(len(r["path"].split(">")) <= PATH_MAX_STEPS for r in paths)
+    assert all(r["n_users"] <= r["n_sessions"] for r in paths)
+
+
+def test_hll_partial_merge_equals_direct_sketch(spark):
+    """The property the entry's gate asserts against EXACT counts is
+    checked here against the sketch itself: merging hourly partials
+    must estimate the same as sketching the day directly (union of
+    partials commutes with aggregation — the rollup-table property)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.queries._util import load
+
+    e = load(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hr"), "user_id"
+    )
+    merged = (
+        e.groupBy("day", "hr")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = e.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    m = {r["day"]: r["est"] for r in merged.collect()}
+    d = {r["day"]: r["est"] for r in direct.collect()}
+    assert m == d, "hourly-partial merge diverged from direct daily sketch"
+
+
+def test_collocation_pmi_hand_computed(spark, tmp_path):
+    """PMI on a hand-built corpus: 'x y' always adjacent, 'a' a filler.
+    Counts and ln-ratio are verified against the closed form."""
+    import math
+
+    import duckdb
+
+    from kafka_flink_harshevents_spark.queries.documents import (
+        doc_collocation_pmi,
+    )
+
+    (tmp_path / "mini").mkdir()
+    out = str(tmp_path / "mini")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (0, 'x y a a a', 'en', 's', 9),
+                (1, 'a x y a a', 'en', 's', 9),
+                (2, 'a a x y a', 'en', 's', 9),
+                (3, 'a a a x y', 'en', 's', 9),
+                (4, 'x y x y a', 'en', 's', 9)
+            ) AS t(doc_id, text, lang, source, n_chars)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    rows = {
+        (r["w1"], r["w2"]): r for r in doc_collocation_pmi(spark, out).collect()
+    }
+    # 20 bigrams total; 'x y' occurs 6 times; c_x = c_y = 6 each of x,y.
+    xy = rows[("x", "y")]
+    assert xy["c_xy"] == 6
+    assert xy["pmi"] == round(math.log((6 / 6) * (20 / 6)), 4)
+    # filler-filler pair: c('a a') = 6 adjacencies (2+1+1+2+0 per doc),
+    # c_a = 13 occurrences.
+    aa = rows[("a", "a")]
+    assert aa["c_xy"] == 6
+    assert aa["pmi"] == round(math.log((6 / 13) * (20 / 13)), 4)
