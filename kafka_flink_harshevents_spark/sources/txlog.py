@@ -135,15 +135,24 @@ def _file_stats(path: str) -> dict:
             if "." in name or name.startswith("_"):
                 continue  # nested leaves / internal layout columns
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
                 per_col[name] = [None, None, None]
                 continue
-            mn, mx = _stat_scalar(st.min), _stat_scalar(st.max)
+            # an all-NULL row group has no min/max but may still carry
+            # an exact null count — keep it (metadata_aggregate needs
+            # it to tell "all NULL" apart from "stat dropped")
+            if st.has_min_max:
+                mn, mx = _stat_scalar(st.min), _stat_scalar(st.max)
+            else:
+                mn = mx = None
             nulls = st.null_count if st.has_null_count else None
             cur = per_col.get(name)
             if cur is None:
                 per_col[name] = [mn, mx, nulls]
             else:
+                # a row group without min/max poisons the FILE range
+                # only when it isn't provably all-NULL; since we can't
+                # see its row count here, stay conservative: unknown
                 cur[0] = None if (cur[0] is None or mn is None) else min(cur[0], mn)
                 cur[1] = None if (cur[1] is None or mx is None) else max(cur[1], mx)
                 cur[2] = (
@@ -372,6 +381,72 @@ class TxTable:
                 None if any(r is None for r in rows) else sum(rows)
             ),
         }
+
+    def metadata_aggregate(
+        self, columns: tuple[str, ...] = (), version: int | None = None
+    ) -> dict:
+        """Metadata-only aggregation: answer ``count(*)`` (and, per
+        requested column, ``min`` / ``max`` / null count) from the
+        COMMIT LOG alone — zero data files opened, zero Spark jobs (the
+        Delta/Iceberg ``SELECT count(*)`` fast path). Valid because the
+        log's remove-set granularity is whole files: every live file
+        contributes all of its rows, so footer row counts and min/max
+        compose exactly (parquet min/max excludes NULLs, matching SQL
+        aggregate semantics).
+
+        Exact-or-refuse contract: any live file missing the needed stat
+        (footer unreadable, string stat dropped at 256 chars, all-null
+        column chunk) turns THAT answer into ``None`` — never an
+        approximation. Timestamps/dates come back in the log's recorded
+        encoding (epoch-micros / days), the same scalars pruning
+        compares against.
+
+        Returns ``{"rows": n|None, "files": k, "cols": {col: {"min":
+        ..., "max": ..., "null_count": ...}}}``. At 100 TB this is a
+        driver-side O(live files) log replay — the difference between
+        answering a dashboard COUNT in milliseconds and scanning the
+        table.
+        """
+        _, live, _ = self._snapshot(version)
+        rows = [e.get("stats", {}).get("rows") for e in live]
+        out: dict = {
+            "rows": None if any(r is None for r in rows) else sum(rows),
+            "files": len(live),
+            "cols": {},
+        }
+        for col in columns:
+            mins: list = []
+            maxs: list = []
+            nulls: list = []
+            range_exact = True
+            for e in live:
+                st = e.get("stats") or {}
+                s = (st.get("cols") or {}).get(col)
+                if s is None:
+                    # no recorded stat at all — refuse everything
+                    range_exact = False
+                    nulls.append(None)
+                    continue
+                mn, mx, nc = s
+                all_null = nc is not None and nc == st.get("rows")
+                if mn is None or mx is None:
+                    # all-NULL files legitimately lack min/max and
+                    # contribute nothing to the range; anything else
+                    # (dropped string stat, unreadable) poisons it
+                    if not all_null:
+                        range_exact = False
+                else:
+                    mins.append(mn)
+                    maxs.append(mx)
+                nulls.append(nc)
+            out["cols"][col] = {
+                "min": min(mins) if range_exact and mins else None,
+                "max": max(maxs) if range_exact and maxs else None,
+                "null_count": (
+                    None if any(n is None for n in nulls) else sum(nulls)
+                ),
+            }
+        return out
 
     # -- writes ------------------------------------------------------
 

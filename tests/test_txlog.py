@@ -588,3 +588,66 @@ def test_schema_evolution_append_never_narrows(spark, tmp_path):
         t.append(spark.createDataFrame(
             [("c", "not-a-long", 3)], "k string, v string, ver long"),
             merge_schema=True)
+
+
+def test_metadata_aggregate_exact_or_refuse(spark, tmp_path):
+    """count(*) / min / max / null-count answered from the commit log
+    alone must equal the full-scan aggregates — across appends, a
+    MERGE rewrite, and time travel — and must REFUSE (None) rather
+    than approximate when a live file carries no stats."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", None, 2), ("c", 7, 3)],
+        "k string, v long, ver long"))
+    t.append(spark.createDataFrame(
+        [("d", -5, 4), ("e", None, 5)], "k string, v long, ver long"))
+    v_before = t.latest_version()
+    t.merge_upsert(spark.createDataFrame(
+        [("a", 100, 10), ("f", 3, 11)], "k string, v long, ver long"))
+
+    for version in (None, v_before):
+        meta = t.metadata_aggregate(("v", "k", "ver"), version=version)
+        df = t.read(version=version)
+        agg = df.selectExpr(
+            "count(*) AS n", "min(v) AS mn", "max(v) AS mx",
+            "sum(CAST(v IS NULL AS LONG)) AS nulls",
+            "min(k) AS kmn", "max(k) AS kmx",
+        ).collect()[0]
+        assert meta["rows"] == agg["n"]
+        assert meta["cols"]["v"] == {
+            "min": agg["mn"], "max": agg["mx"], "null_count": agg["nulls"],
+        }
+        assert meta["cols"]["k"]["min"] == agg["kmn"]
+        assert meta["cols"]["k"]["max"] == agg["kmx"]
+        assert meta["cols"]["ver"]["null_count"] == 0
+
+    # a column the log never saw refuses everything
+    ghost = t.metadata_aggregate(("nope",))["cols"]["nope"]
+    assert ghost == {"min": None, "max": None, "null_count": None}
+
+    # strip stats from one live entry → every answer refuses, none lies
+    v = t.latest_version()
+    from kafka_flink_harshevents_spark.sources.txlog import _version_path
+    p = _version_path(t.table_dir, v)
+    rec = json.loads(open(p).read())
+    rec["add"][0].pop("stats", None)
+    os.unlink(p)
+    with open(p, "w") as f:
+        json.dump(rec, f)
+    meta = t.metadata_aggregate(("v",))
+    assert meta["rows"] is None
+    assert meta["cols"]["v"] == {"min": None, "max": None, "null_count": None}
+
+
+def test_metadata_aggregate_all_null_file(spark, tmp_path):
+    """An all-NULL file has no min/max stat but a known null count: it
+    must not poison the range (it contributes nothing to min/max) and
+    the null count stays exact."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("a", 5, 1), ("b", 9, 2)], "k string, v long, ver long"))
+    t.append(spark.createDataFrame(
+        [("c", None, 3), ("d", None, 4)], "k string, v long, ver long"))
+    meta = t.metadata_aggregate(("v",))
+    assert meta["rows"] == 4
+    assert meta["cols"]["v"] == {"min": 5, "max": 9, "null_count": 2}
