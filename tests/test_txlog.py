@@ -651,3 +651,69 @@ def test_metadata_aggregate_all_null_file(spark, tmp_path):
     meta = t.metadata_aggregate(("v",))
     assert meta["rows"] == 4
     assert meta["cols"]["v"] == {"min": 5, "max": 9, "null_count": 2}
+
+
+def test_txlog_stream_source_exactly_once(spark, tmp_path):
+    """The table is ALSO a streaming source: committed appends arrive
+    as micro-batches stamped with their commit version; checkpoint
+    restart resumes from the recorded version with no duplicates;
+    compactions stream nothing; a MERGE rewrite is refused unless
+    ignorechanges=true (Delta's streaming-source contract)."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t = _mk(spark, tmp_path)  # version 1 = create
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1)], "k string, v long, ver long"))  # v2
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(opts=None):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        got: set = set()
+
+        def sink(batch_df, _bid):
+            got.update(
+                (r["k"], r["v"], r["ver"], r["_commit_version"])
+                for r in batch_df.collect()
+            )
+
+        reader = (
+            spark.readStream.format("txlog").option("tabledir", t.table_dir)
+        )
+        for k_, v_ in (opts or {}).items():
+            reader = reader.option(k_, v_)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    assert drain() == {("a", 1, 1, 2), ("b", 2, 1, 2)}
+
+    # new append streams exactly the new rows on restart
+    t.append(spark.createDataFrame([("c", 3, 2)], "k string, v long, ver long"))  # v3
+    assert drain() == {("c", 3, 2, 3)}
+
+    # compaction is data-preserving: nothing to stream
+    t.compact()  # v4
+    assert drain() == set()
+
+    # a MERGE rewrite refuses by default...
+    t.merge_upsert(spark.createDataFrame(
+        [("a", 99, 9)], "k string, v long, ver long"))  # v5
+    with pytest.raises(StreamingQueryException):
+        drain()
+    # ...and with ignorechanges the rewritten files stream through,
+    # including carried-over rows of the touched bucket (documented
+    # dedupe-downstream caveat), all stamped with the merge version
+    got = drain({"ignorechanges": "true"})
+    assert ("a", 99, 9, 5) in got
+    assert all(cv == 5 for (_, _, _, cv) in got)
