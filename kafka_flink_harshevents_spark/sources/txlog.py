@@ -696,6 +696,95 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def delete_where(
+        self,
+        predicate: str,
+        prune: dict[str, tuple] | None = None,
+        max_retries: int = 5,
+    ) -> tuple[int, int]:
+        """Row-level ``DELETE WHERE`` — the Delta/Iceberg copy-on-write
+        delete: rewrite ONLY the files that actually contain matching
+        rows, drop the matches, commit add(survivor files) +
+        remove(touched files) atomically. Untouched files (including
+        files in touched buckets with no matching row) carry forward
+        byte-for-byte. Returns ``(version, rows_deleted)``;
+        ``(current, 0)`` with NO commit when nothing matches.
+
+        Two phases, like Delta:
+        1. find touched files — one scan with the predicate pushed into
+           the parquet reader (row-group stats skip most files' data);
+           ``prune`` (col → (lo, hi), the ``read`` convention) skips
+           provably-unmatchable files at the LOG level first, so the
+           find scan opens only candidates;
+        2. rewrite the touched files minus matching rows, preserving
+           each row's bucket (``_bucket`` travels in the data).
+
+        The commit is a generic rewrite, so downstream machinery needs
+        no new cases: ``table_changes`` derives row-level ``delete``
+        entries from the pre/post multiset diff, time travel still sees
+        the rows before the commit, and the streaming source refuses
+        the commit unless ``ignorechanges=true`` (a delete is not an
+        append). At 100 TB cost ∝ touched files, never table size —
+        the reason copy-on-write deletes are tractable at all.
+        """
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            base_v, live, schema_json = self._snapshot()
+            cand = (
+                [e for e in live if _file_may_match(e, prune)]
+                if prune
+                else list(live)
+            )
+            if not cand:
+                return base_v, 0
+            reader = self.spark.read.option("recursiveFileLookup", "true")
+            if schema_json is not None:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            paths = [os.path.join(self.table_dir, e["path"]) for e in cand]
+            scan = reader.parquet(*paths)
+            # phase 1: which candidate files hold matches (predicate
+            # pushed down; result bounded by |candidate files|)
+            hits = {
+                r["_f"]  # URI form; entry paths (uuid-dirs) are unique
+                for r in scan.filter(predicate)
+                .select(F.input_file_name().alias("_f"))
+                .distinct()
+                .collect()
+            }
+            touched = [
+                e
+                for e in cand
+                if any(h.endswith("/" + e["path"]) for h in hits)
+            ]
+            if not touched:
+                return base_v, 0
+            t_paths = [os.path.join(self.table_dir, e["path"]) for e in touched]
+            t_scan = reader.parquet(*t_paths)
+            n_del = t_scan.filter(predicate).count()
+            # recompute _bucket from the keys (the recorded schema is
+            # user-facing; same hash → same bucket as the original file)
+            survivors = self._with_bucket(
+                t_scan.filter(f"NOT ({predicate})")
+            )
+            added = self._stage(survivors) if not survivors.isEmpty() else []
+            record = {
+                "version": base_v + 1,
+                "op": "delete",
+                "add": added,
+                "remove": [e["path"] for e in touched],
+                "schema_json": schema_json,
+                "predicate": predicate,
+            }
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1, n_del
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
     # -- exactly-once streaming ------------------------------------
 
     def last_committed_batch(self, app_id: str) -> int:

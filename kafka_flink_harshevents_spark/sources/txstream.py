@@ -19,11 +19,11 @@ Semantics per commit op (mirrors Delta's streaming-source contract):
 - ``append``  → the added files' rows are served, stamped with the
   commit version (``_commit_version``);
 - ``compact`` → skipped entirely (data-preserving rewrite, no change);
-- ``merge``   → refused by default (a rewrite is not an append-only
-  change); ``ignorechanges=true`` serves the rewritten files' rows —
-  which include carried-over unchanged rows of the touched buckets, so
-  downstream must dedupe on the business key (Delta's documented
-  ignoreChanges caveat, reproduced deliberately).
+- ``merge`` / ``delete`` → refused by default (a rewrite is not an
+  append-only change); ``ignorechanges=true`` serves the rewritten
+  files' rows — which include carried-over unchanged rows of the
+  touched buckets/files, so downstream must dedupe on the business key
+  (Delta's documented ignoreChanges caveat, reproduced deliberately).
 
 Scale shape: offsets are a single integer; ``partitions(start, end)``
 emits ONE InputPartition per staged file, so the actual parquet reads
@@ -137,12 +137,13 @@ class TxLogStreamReader(DataSourceStreamReader):
             op = rec.get("op")
             if op in ("create", "compact"):
                 continue  # no data change to stream
-            if op == "merge" and not self.ignore_changes:
+            if op in ("merge", "delete") and not self.ignore_changes:
                 raise ValueError(
                     f"txlog stream over {self.table_dir}: version {v} is a "
-                    "MERGE rewrite, not an append. Set ignorechanges=true "
-                    "to stream the rewritten rows (downstream must dedupe "
-                    "on the business key), or start past this version."
+                    f"{op.upper()} rewrite, not an append. Set "
+                    "ignorechanges=true to stream the rewritten rows "
+                    "(downstream must dedupe on the business key), or "
+                    "start past this version."
                 )
             for entry in rec["add"]:
                 parts.append(

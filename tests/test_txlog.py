@@ -717,3 +717,85 @@ def test_txlog_stream_source_exactly_once(spark, tmp_path):
     got = drain({"ignorechanges": "true"})
     assert ("a", 99, 9, 5) in got
     assert all(cv == 5 for (_, _, _, cv) in got)
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Row-level DELETE: only files containing matches rewrite (others
+    carry forward byte-for-byte), time travel still sees the deleted
+    rows, the CDF derives row-level deletes, and log-only aggregation
+    stays exact over the rewritten file set."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for day in range(3):
+        t.append(spark.createDataFrame(
+            [(f"k{day}_{i}", i, day * 1000 + i) for i in range(50)],
+            "k string, v long, ver long",
+        ))
+    _, live_before, _ = t._snapshot()
+    v_before = t.latest_version()
+
+    # no-op delete: nothing matches → no commit at all
+    v, n = t.delete_where("ver > 999999")
+    assert (v, n) == (v_before, 0)
+
+    # delete day-1 rows with even v; prune skips day-0/2 files entirely
+    v, n = t.delete_where(
+        "ver BETWEEN 1000 AND 1099 AND v % 2 = 0",
+        prune={"ver": (1000, 1099)},
+    )
+    assert v == v_before + 1 and n == 25
+    got = sorted(r["ver"] for r in t.read().filter("ver >= 1000 AND ver < 2000").collect())
+    assert got == [1000 + i for i in range(50) if i % 2 == 1]
+    assert t.read().count() == 125
+
+    # untouched files carried forward byte-for-byte (same paths)
+    _, live_after, _ = t._snapshot()
+    before_paths = {e["path"] for e in live_before}
+    after_paths = {e["path"] for e in live_after}
+    day1_touched = before_paths - after_paths
+    assert day1_touched and before_paths - day1_touched <= after_paths
+
+    # time travel: the pre-delete snapshot still has all 150 rows
+    assert t.read(version=v_before).count() == 150
+
+    # CDF for the delete commit: exactly the 25 deleted rows
+    feed = t.table_changes(v).collect()
+    deletes = [(r["k"], r["v"], r["ver"]) for r in feed if r["_change_type"] == "delete"]
+    assert sorted(v_ for (_, v_, _) in deletes) == sorted(
+        i for i in range(50) if i % 2 == 0)
+    assert all(r["_change_type"] == "delete" for r in feed)
+
+    # metadata-only aggregate stays exact over the rewritten file set
+    meta = t.metadata_aggregate(("ver",))
+    assert meta["rows"] == 125
+    assert meta["cols"]["ver"]["min"] == 0 and meta["cols"]["ver"]["max"] == 2049
+
+    # delete EVERYTHING in a bucket-file: whole-file removal, no add
+    v2, n2 = t.delete_where("ver >= 2000", prune={"ver": (2000, None)})
+    assert n2 == 50 and t.read().count() == 75
+
+
+def test_stream_source_refuses_delete_commit(spark, tmp_path):
+    """A DELETE rewrite is not an append: the streaming source must
+    refuse its version unless ignorechanges=true (same contract as
+    MERGE)."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 2)], "k string, v long, ver long"))
+    v, n = t.delete_where("k = 'a'")
+    assert n == 1
+    schema = _table_schema(t.table_dir)
+    rd = TxLogStreamReader({"tabledir": t.table_dir}, schema)
+    with pytest.raises(ValueError, match="DELETE rewrite"):
+        rd.partitions({"version": v - 1}, {"version": v})
+    rd_ok = TxLogStreamReader(
+        {"tabledir": t.table_dir, "ignorechanges": "true"}, schema
+    )
+    parts = rd_ok.partitions({"version": v - 1}, {"version": v})
+    # survivor file streams through, stamped with the delete version
+    rows = [row for p in parts for row in rd_ok.read(p)]
+    assert rows == [("b", 2, 2, v)]
