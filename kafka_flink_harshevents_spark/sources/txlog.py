@@ -203,6 +203,25 @@ def _list_versions(table_dir: str) -> list[int]:
     return sorted(int(os.path.basename(p)[:_PAD]) for p in glob.glob(pat))
 
 
+def _latest_checkpoint(table_dir: str, max_version: int) -> dict | None:
+    """Newest ``chk-*.json`` with version ≤ max_version, or None. An
+    unreadable checkpoint (partial write from a crashed process before
+    the atomic replace — shouldn't happen, but the log must survive
+    anything) is skipped: full replay is always a correct fallback."""
+    pat = os.path.join(table_dir, _LOG_DIR, "chk-" + "[0-9]" * _PAD + ".json")
+    best: dict | None = None
+    for p in glob.glob(pat):
+        v = int(os.path.basename(p)[4 : 4 + _PAD])
+        if v > max_version or (best is not None and v <= best["version"]):
+            continue
+        try:
+            with open(p) as f:
+                best = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return best
+
+
 def _read_record(table_dir: str, version: int) -> dict:
     with open(_version_path(table_dir, version)) as f:
         return json.load(f)
@@ -288,11 +307,25 @@ class TxTable:
         return versions[-1]
 
     def _snapshot(self, version: int | None = None) -> tuple[int, list[dict], str | None]:
-        """Replay the log → (version, live add-entries, schema json)."""
+        """Replay the log → (version, live add-entries, schema json).
+
+        Starts from the newest CHECKPOINT ≤ target when one exists
+        (``checkpoint()``), so replay cost is O(commits since the last
+        checkpoint), not O(log length) — the Delta ``_last_checkpoint``
+        mechanism. Without one, full replay (correct at any length,
+        just slower past ~10⁴ commits)."""
         target = self.latest_version() if version is None else version
         live: dict[str, dict] = {}
         schema_json: str | None = None
+        from_v = 0
+        chk = _latest_checkpoint(self.table_dir, target)
+        if chk is not None:
+            from_v = chk["version"]
+            live = {e["path"]: e for e in chk["live"]}
+            schema_json = chk.get("schema_json")
         for v in _list_versions(self.table_dir):
+            if v <= from_v:
+                continue
             if v > target:
                 break
             rec = _read_record(self.table_dir, v)
@@ -302,6 +335,74 @@ class TxTable:
                 live.pop(path, None)
             schema_json = rec.get("schema_json", schema_json)
         return target, list(live.values()), schema_json
+
+    def checkpoint(self) -> int:
+        """Materialize the current live-file list as a log checkpoint so
+        later snapshots replay from it instead of from version 1 —
+        Delta's checkpoint-parquet trick (JSON here; the shape, not the
+        format, is the point). Idempotent and race-safe: the content is
+        a pure function of the version, so concurrent writers produce
+        identical bytes and either rename winning is correct."""
+        v, live, schema_json = self._snapshot()
+        path = os.path.join(
+            self.table_dir, _LOG_DIR, f"chk-{v:0{_PAD}d}.json"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": v, "live": live, "schema_json": schema_json}, f
+            )
+        os.replace(tmp, path)
+        return v
+
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """RESTORE TO VERSION — roll the live state back to an earlier
+        snapshot as a NEW commit (history is append-only; nothing is
+        rewritten, so the bad period stays auditable and time travel
+        still reaches it). Fails if vacuum already reclaimed any file
+        the target snapshot references — the same irreversibility Delta
+        documents.
+
+        The commit is a generic rewrite (add = files to resurrect,
+        remove = files the rollback drops), so CDF derives the row-level
+        undo and the streaming source refuses it like any non-append
+        change.
+        """
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            base_v, cur_live, _ = self._snapshot()
+            if not 1 <= version <= base_v:
+                raise ValueError(
+                    f"cannot restore to {version}: log spans 1..{base_v}"
+                )
+            _, old_live, old_schema = self._snapshot(version)
+            missing = [
+                e["path"]
+                for e in old_live
+                if not os.path.exists(os.path.join(self.table_dir, e["path"]))
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot restore to {version}: vacuum reclaimed "
+                    f"{len(missing)} referenced file(s), e.g. {missing[0]}"
+                )
+            cur_paths = {e["path"] for e in cur_live}
+            old_paths = {e["path"] for e in old_live}
+            record = {
+                "version": base_v + 1,
+                "op": "restore",
+                "add": [e for e in old_live if e["path"] not in cur_paths],
+                "remove": sorted(cur_paths - old_paths),
+                "schema_json": old_schema,
+                "restored_version": version,
+            }
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
 
     def read(
         self,
@@ -862,6 +963,13 @@ class TxTable:
             ).drop("_bucket")
 
         post = read_files([e["path"] for e in rec["add"]])
+        if post is None and rec["op"] not in ("create", "compact") and rec["remove"]:
+            # pure-removal rewrite: a whole-file DELETE, or a RESTORE
+            # rolling back appends — every pre-image row is a delete
+            # (an empty post here previously read as "no changes",
+            # silently dropping the feed's retractions)
+            pre_only = read_files(rec["remove"])
+            return pre_only.withColumn("_change_type", F.lit("delete"))
         if rec["op"] in ("create", "compact") or post is None:
             # create commits carry no schema: borrow the nearest one
             schema_json = (

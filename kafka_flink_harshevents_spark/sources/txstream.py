@@ -137,10 +137,12 @@ class TxLogStreamReader(DataSourceStreamReader):
             op = rec.get("op")
             if op in ("create", "compact"):
                 continue  # no data change to stream
-            if op in ("merge", "delete") and not self.ignore_changes:
+            if op != "append" and not self.ignore_changes:
+                # merge / delete / restore / any future rewrite op:
+                # not an append-only change — refuse, don't guess
                 raise ValueError(
                     f"txlog stream over {self.table_dir}: version {v} is a "
-                    f"{op.upper()} rewrite, not an append. Set "
+                    f"{str(op).upper()} rewrite, not an append. Set "
                     "ignorechanges=true to stream the rewritten rows "
                     "(downstream must dedupe on the business key), or "
                     "start past this version."

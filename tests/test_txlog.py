@@ -799,3 +799,85 @@ def test_stream_source_refuses_delete_commit(spark, tmp_path):
     # survivor file streams through, stamped with the delete version
     rows = [row for p in parts for row in rd_ok.read(p)]
     assert rows == [("b", 2, 2, v)]
+
+
+def test_log_checkpoint_replay_equivalence(spark, tmp_path):
+    """A log checkpoint must be a pure optimization: snapshots (latest
+    AND time-travel, before or after the checkpoint version) are
+    byte-identical with and without it, and later commits replay on
+    top of it."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(f"w{i}_{j}", j, i * 10 + j) for j in range(20)],
+            "k string, v long, ver long"))
+    t.merge_upsert(spark.createDataFrame(
+        [("w0_0", 999, 99)], "k string, v long, ver long"))
+    pre = {v: sorted(map(tuple, t.read(version=v).collect()))
+           for v in range(2, t.latest_version() + 1)}
+
+    cv = t.checkpoint()
+    assert cv == t.latest_version()
+    t.append(spark.createDataFrame([("zz", 1, 1)], "k string, v long, ver long"))
+    t.delete_where("k = 'w1_3'")
+
+    # fresh handle replays through the checkpoint
+    t2 = TxTable(spark, t.table_dir)
+    for v, want in pre.items():  # time travel BELOW the checkpoint
+        assert sorted(map(tuple, t2.read(version=v).collect())) == want
+    assert t2.read().count() == 60  # 61 rows + zz - merge dup - deleted
+    # the checkpoint file exists and a corrupted one falls back cleanly
+    import glob as _g
+    chk = _g.glob(os.path.join(t.table_dir, "_txlog", "chk-*.json"))
+    assert len(chk) == 1
+    with open(chk[0], "w") as f:
+        f.write("{corrupt")
+    assert TxTable(spark, t.table_dir).read().count() == 60
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE: live state returns to the target snapshot via a NEW
+    commit; history stays reachable; the CDF of a pure-removal restore
+    is the exact multiset of deleted rows; restoring past vacuum fails
+    loudly."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 2)], "k string, v long, ver long"))  # v2
+    t.append(spark.createDataFrame(
+        [("c", 3, 3), ("d", 4, 4)], "k string, v long, ver long"))  # v3
+    t.delete_where("k = 'a'")                                      # v4
+
+    rv = t.restore(3)  # undo the delete
+    assert rv == 5
+    assert _rows(t) == {"a": (1, 1), "b": (2, 2), "c": (3, 3), "d": (4, 4)}
+    # CDF of the undo-delete: 'a' comes back (insert side of the diff)
+    feed = {(r["k"], r["_change_type"]) for r in t.table_changes(rv).collect()}
+    assert ("a", "insert") in feed
+
+    rv2 = t.restore(2)  # pure removal: drop wave 2 entirely
+    assert _rows(t) == {"a": (1, 1), "b": (2, 2)}
+    feed2 = [(r["k"], r["_change_type"]) for r in t.table_changes(rv2).collect()]
+    assert sorted(feed2) == [("c", "delete"), ("d", "delete")]
+    # the rolled-back period is still auditable via time travel
+    assert set(_rows(t, version=3)) == {"a", "b", "c", "d"}
+
+    with pytest.raises(ValueError, match="log spans"):
+        t.restore(99)
+
+    # vacuum reclaims wave-2's files → restore to v3 must refuse
+    t.vacuum(retain_versions=1)
+    with pytest.raises(ValueError, match="vacuum reclaimed"):
+        t.restore(3)
+
+
+def test_cdf_whole_file_delete_emits_deletes(spark, tmp_path):
+    """A DELETE that empties every touched file commits remove-only;
+    its CDF must still carry the row-level deletes (regression: an
+    empty post-image used to read as 'no changes')."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("x", 1, 1), ("y", 2, 2)], "k string, v long, ver long"))
+    v, n = t.delete_where("ver >= 1")  # everything goes
+    assert n == 2 and t.read().count() == 0
+    feed = [(r["k"], r["_change_type"]) for r in t.table_changes(v).collect()]
+    assert sorted(feed) == [("x", "delete"), ("y", "delete")]
