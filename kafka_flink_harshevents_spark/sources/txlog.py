@@ -886,6 +886,99 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def update_where(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        prune: dict[str, tuple] | None = None,
+        max_retries: int = 5,
+    ) -> tuple[int, int]:
+        """Row-level ``UPDATE ... SET ... WHERE`` — the copy-on-write
+        twin of :meth:`delete_where`: find the files that contain
+        matching rows (same two-phase, stats-pruned targeting), rewrite
+        them with the SET expressions applied to matching rows only,
+        commit atomically. ``assignments`` maps column → Spark SQL
+        expression (evaluated per matching row; non-matching rows in
+        touched files are carried unchanged). Key columns cannot be
+        assigned — rekeying a row is a delete + insert, not an update
+        (the MERGE path owns key identity).
+
+        Returns ``(version, rows_updated)``; no commit when nothing
+        matches. The change feed derives update_preimage /
+        update_postimage pairs from the generic pre/post diff, and the
+        streaming source refuses the commit unless ignorechanges —
+        both for free from the commit being a standard rewrite.
+        """
+        bad = set(assignments) & set(self.meta["key_cols"])
+        if bad:
+            raise ValueError(
+                f"cannot assign key column(s) {sorted(bad)}: rekeying is "
+                "a delete + insert (use delete_where + append/merge)"
+            )
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            base_v, live, schema_json = self._snapshot()
+            cand = (
+                [e for e in live if _file_may_match(e, prune)]
+                if prune
+                else list(live)
+            )
+            if not cand:
+                return base_v, 0
+            reader = self.spark.read.option("recursiveFileLookup", "true")
+            if schema_json is not None:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            paths = [os.path.join(self.table_dir, e["path"]) for e in cand]
+            scan = reader.parquet(*paths)
+            hits = {
+                r["_f"]
+                for r in scan.filter(predicate)
+                .select(F.input_file_name().alias("_f"))
+                .distinct()
+                .collect()
+            }
+            touched = [
+                e for e in cand if any(h.endswith("/" + e["path"]) for h in hits)
+            ]
+            if not touched:
+                return base_v, 0
+            t_paths = [os.path.join(self.table_dir, e["path"]) for e in touched]
+            t_scan = reader.parquet(*t_paths)
+            n_upd = t_scan.filter(predicate).count()
+            match = F.expr(predicate)
+            updated = t_scan.select(
+                *[
+                    (
+                        F.when(match, F.expr(assignments[c]))
+                        .otherwise(F.col(c))
+                        .cast(t_scan.schema[c].dataType)
+                        .alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in t_scan.columns
+                ]
+            )
+            added = self._stage(self._with_bucket(updated))
+            record = {
+                "version": base_v + 1,
+                "op": "update",
+                "add": added,
+                "remove": [e["path"] for e in touched],
+                "schema_json": schema_json,
+                "predicate": predicate,
+                "assignments": assignments,
+            }
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1, n_upd
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
     # -- exactly-once streaming ------------------------------------
 
     def last_committed_batch(self, app_id: str) -> int:
@@ -987,6 +1080,48 @@ class TxTable:
             return post.withColumn("_change_type", F.lit("insert"))
 
         pre = read_files(rec["remove"])
+        if rec["op"] != "merge":
+            # delete / update / restore rewrites: the key-based pairing
+            # below assumes the post-image holds ONE row per key (true
+            # only for merge commits); append-allowed duplicate keys
+            # would multiply through the join. These ops need no update
+            # pairing — emit the exact FULL-ROW multiset delta instead:
+            # per distinct row, |n_post - n_pre| copies as insert /
+            # delete. Cost: one hash agg per side over touched-file
+            # rows. Exact for ANY key multiplicity.
+            cols = post.columns
+            pc = pre.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_pre"))
+            qc = post.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_post"))
+            j = pc.alias("p").join(
+                qc.alias("q"),
+                [
+                    F.col(f"p.{c}").eqNullSafe(F.col(f"q.{c}"))
+                    for c in cols
+                ],
+                "full_outer",
+            ).select(
+                *[
+                    F.coalesce(F.col(f"p.{c}"), F.col(f"q.{c}")).alias(c)
+                    for c in cols
+                ],
+                (
+                    F.coalesce(F.col("q._n_post"), F.lit(0))
+                    - F.coalesce(F.col("p._n_pre"), F.lit(0))
+                ).alias("_d"),
+            )
+            return (
+                j.filter(F.col("_d") != 0)
+                .select(
+                    *cols,
+                    F.explode(
+                        F.expr("sequence(1, abs(_d))")
+                    ).alias("_i"),
+                    F.when(F.col("_d") > 0, F.lit("insert"))
+                    .otherwise(F.lit("delete"))
+                    .alias("_change_type"),
+                )
+                .drop("_i")
+            )
         val_cols = [c for c in post.columns if c not in key_cols]
         # A merge commit's POST side holds exactly one row per key (the
         # merge's latest-wins output), but the PRE side may hold

@@ -881,3 +881,51 @@ def test_cdf_whole_file_delete_emits_deletes(spark, tmp_path):
     assert n == 2 and t.read().count() == 0
     feed = [(r["k"], r["_change_type"]) for r in t.table_changes(v).collect()]
     assert sorted(feed) == [("x", "delete"), ("y", "delete")]
+
+
+def test_update_where_copy_on_write(spark, tmp_path):
+    """Row-level UPDATE: SET expressions apply to matching rows only,
+    untouched files carry forward, key columns are unassignable, and
+    the CDF is the exact full-row multiset delta even with duplicate
+    keys in touched files."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 2), ("b", 20, 3), ("c", 3, 4)],
+        "k string, v long, ver long"))  # note: duplicate key 'b'
+    v_before = t.latest_version()
+
+    # nothing matches → no commit
+    assert t.update_where("v > 999", {"v": "v + 1"}) == (v_before, 0)
+    # key columns refuse assignment
+    with pytest.raises(ValueError, match="key column"):
+        t.update_where("v = 1", {"k": "'z'"})
+
+    v, n = t.update_where("v >= 2", {"v": "v * 10", "ver": "ver + 100"})
+    assert n == 3
+    got = {(r["k"], r["v"], r["ver"]) for r in t.read().collect()}
+    assert got == {("a", 1, 1), ("b", 20, 102), ("b", 200, 103), ("c", 30, 104)}
+    # time travel sees the pre-update rows
+    assert {(r["k"], r["v"]) for r in t.read(version=v_before).collect()} == {
+        ("a", 1), ("b", 2), ("b", 20), ("c", 3)}
+
+    # CDF: exact multiset — 3 deletes (old images) + 3 inserts (new)
+    feed = [(r["k"], r["v"], r["_change_type"])
+            for r in t.table_changes(v).collect()]
+    assert sorted(f for f in feed if f[2] == "delete") == [
+        ("b", 2, "delete"), ("b", 20, "delete"), ("c", 3, "delete")]
+    assert sorted(f for f in feed if f[2] == "insert") == [
+        ("b", 20, "insert"), ("b", 200, "insert"), ("c", 30, "insert")]
+
+
+def test_cdf_delete_exact_with_duplicate_keys(spark, tmp_path):
+    """Deleting ONE copy of a duplicated key must feed exactly one
+    delete row — the full-row multiset diff, not a key join that would
+    multiply through the duplicates."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("x", 1, 1), ("x", 1, 2), ("x", 1, 3)], "k string, v long, ver long"))
+    v, n = t.delete_where("ver = 2")
+    assert n == 1
+    feed = [(r["k"], r["ver"], r["_change_type"])
+            for r in t.table_changes(v).collect()]
+    assert feed == [("x", 2, "delete")]
