@@ -2944,6 +2944,80 @@ def doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_DISCOUNT = 0.75  # the standard KN absolute discount (Chen & Goodman)
+
+
+def doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, Kneser–Ney rung — the top of
+    this repo's perplexity ladder (unigram → add-one bigram → KN
+    bigram). Interpolated KN (Kneser & Ney 1995; Chen & Goodman 1998)
+    replaces add-one smoothing with absolute discounting plus a
+    CONTINUATION back-off: ``P(w|v) = max(c(v,w)−D, 0)/c(v) +
+    (D·N1+(v,·)/c(v)) · (N1+(·,w)/N1+(··))`` — the back-off weights a
+    word by how many distinct contexts it FOLLOWS, not how often it
+    occurs, which is what makes KN the standard n-gram smoother (the
+    'Francisco' problem: frequent but single-context words stop leaking
+    probability mass). Per doc: average conditional log-prob of its
+    bigrams under the corpus's own KN model.
+
+    Determinism: every count is an exact long; the probability is a
+    fixed tree of IEEE ops (two divisions, one product, one sum, one
+    ln) on those longs, identical in DuckDB; per-doc sums use the hi/lo
+    quantization. No OOV path: the model is trained on the scored
+    corpus, so c(v,w) ≥ 1 and the discounted term ≥ (1−D)/c(v) > 0.
+
+    Plan: same ReusedExchange shape as `doc_bigram_logprob` — ONE
+    bigram explode feeds the (doc, bigram) pre-aggregate from which
+    bigram counts, context counts (+ distinct-successor N1+(v,·)),
+    continuation counts N1+(·,w) and the 1-row type total all derive;
+    scoring joins are bigram-/word-keyed, the total broadcasts.
+    """
+    d = _words(load(spark, sf_dir, "documents")).filter(F.size("ws") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS v, ws[i] AS w,"
+                " concat(ws[i-1], ' ', ws[i]) AS b))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.v", "x.w", "x.b")
+    dbg = bg.groupBy("doc_id", "v", "w", "b").agg(F.count(F.lit(1)).alias("c"))
+    cbw = dbg.groupBy("b").agg(
+        F.sum("c").alias("cbw"), F.max("v").alias("bv"), F.max("w").alias("bw")
+    )
+    cv = cbw.groupBy(F.col("bv").alias("v")).agg(
+        F.sum("cbw").alias("cv"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = cbw.groupBy(F.col("bw").alias("w")).agg(
+        F.count(F.lit(1)).alias("ncont")
+    )
+    ntypes = cbw.agg(F.count(F.lit(1)).alias("nt"))
+    p = F.greatest(F.col("cbw") - F.lit(KN_DISCOUNT), F.lit(0.0)) / F.col(
+        "cv"
+    ) + (F.lit(KN_DISCOUNT) * F.col("n1p") / F.col("cv")) * (
+        F.col("ncont") / F.col("nt")
+    )
+    score = F.col("c") * F.log(p)
+    return (
+        dbg.join(cbw.select("b", "cbw"), "b")
+        .join(cv, "v")
+        .join(cont, "w")
+        .join(F.broadcast(ntypes))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(
+                _hilo_total(_quantize(score, 9)).cast("double")
+                / F.lit(1e9)
+                / F.sum("c"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 PMI_MIN_PAIR_COUNT = 5
 
 
@@ -3058,6 +3132,7 @@ QUERIES = {
     "doc_neardup_triangles": doc_neardup_triangles,
     "doc_zorder_layout": doc_zorder_layout,
     "doc_collocation_pmi": doc_collocation_pmi,
+    "doc_kn_logprob": doc_kn_logprob,
 }
 
 
@@ -3393,6 +3468,42 @@ def _zorder_sql() -> str:
 
 
 ORACLES = {
+    "doc_kn_logprob": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT doc_id, ws[i] AS v, ws[i + 1] AS w,
+                   ws[i] || ' ' || ws[i + 1] AS b
+            FROM w, unnest(range(1, len(ws))) AS t(i)
+        ),
+        dbg AS (
+            SELECT doc_id, v, w, b, count(*) AS c FROM bg GROUP BY 1, 2, 3, 4
+        ),
+        cbw AS (
+            SELECT b, max(v) AS bv, max(w) AS bw, sum(c) AS cbw
+            FROM dbg GROUP BY 1
+        ),
+        cv AS (
+            SELECT bv AS v, sum(cbw) AS cv, count(*) AS n1p
+            FROM cbw GROUP BY 1
+        ),
+        cont AS (SELECT bw AS w, count(*) AS ncont FROM cbw GROUP BY 1),
+        nt AS (SELECT count(*) AS nt FROM cbw)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               round(CAST({_hilo_total_sql(
+                   "c * ln(greatest(cbw - 0.75, 0.0) / cv"
+                   " + (0.75 * n1p / cv) * (ncont * 1.0 / nt))", 9
+               )} AS DOUBLE) / 1e9 / sum(c), 4) AS avg_logprob
+        FROM dbg
+        JOIN (SELECT b, cbw FROM cbw) USING (b)
+        JOIN cv USING (v)
+        JOIN cont USING (w)
+        CROSS JOIN nt
+        GROUP BY doc_id
+    """,
     "doc_collocation_pmi": f"""
         WITH w AS (
             SELECT string_split(text, ' ') AS ws

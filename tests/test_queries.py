@@ -631,7 +631,7 @@ EMPTY_REPRESENTATIVES = [
     "ev_kmv_set_ops",
     # round-4 fifth wave
     "ev_session_paths", "ev_interarrival_hist", "ev_hll_partial_merge",
-    "doc_collocation_pmi",
+    "doc_collocation_pmi", "doc_kn_logprob",
 ]
 
 
@@ -903,3 +903,25 @@ def test_collocation_pmi_hand_computed(spark, tmp_path):
     aa = rows[("a", "a")]
     assert aa["c_xy"] == 6
     assert aa["pmi"] == round(math.log((6 / 13) * (20 / 13)), 4)
+
+
+def test_kn_beats_addone_on_seen_bigrams(spark):
+    """Interpolated KN discounts D=0.75 from seen bigrams instead of
+    add-one's V-sized smoothing tax, so on a corpus scored under its
+    own counts most docs' average logprob must be HIGHER than the
+    add-one rung's — the reason KN sits atop the ladder. (Not all:
+    docs dominated by rare single-context bigrams can dip below.)"""
+    from kafka_flink_harshevents_spark.queries.documents import (
+        doc_bigram_logprob,
+        doc_kn_logprob,
+    )
+
+    bi = {r["doc_id"]: r["avg_logprob"]
+          for r in doc_bigram_logprob(spark, SF_DIR).collect()}
+    kn = {r["doc_id"]: r["avg_logprob"]
+          for r in doc_kn_logprob(spark, SF_DIR).collect()}
+    assert set(kn) == set(bi)
+    better = sum(1 for d in kn if kn[d] >= bi[d])
+    assert better / len(kn) > 0.6, f"KN better on only {better}/{len(kn)}"
+    # every score is a finite negative log-probability
+    assert all(v < 0 for v in kn.values())
