@@ -3067,3 +3067,93 @@ def test_dynamic_rules_update_mid_stream(spark, tmp_path):
         [(4, "click", 40.0)], "event_id long, event_type string, value double")
     replay = classify_with_rules(wave2, rules.read(version=v2)).collect()[0]
     assert (replay["verdict"], replay["rule_ver"]) == got[4][:2]
+
+
+def test_streaming_session_paths_match_batch(spark, tmp_path):
+    """Closed sessions from the streaming path miner must equal the
+    batch sessionize+path derivation row-for-row (same 2 h gap, same
+    (tms, event_id) order, same 8-step cap) for every session the
+    stream has closed — i.e., all but each user's final (still-open)
+    session."""
+    import uuid as _uuid
+
+    from kafka_flink_harshevents_spark.operators.sessions import (
+        sessionize_rows,
+    )
+    from kafka_flink_harshevents_spark.queries._util import load, ts_millis
+    from kafka_flink_harshevents_spark.streaming.paths import (
+        PATH_GAP_MS,
+        PATH_MAX_STEPS,
+        session_paths_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", ts_millis("ts").alias("tms")
+    )
+    split = e.approxQuantile("tms", [0.6], 0.0)[0]
+    src = tmp_path / "ev"
+    src.mkdir()
+    e.filter(F.col("tms") <= split).coalesce(1).write.json(str(src / "w1.json"))
+    stream = spark.readStream.schema(
+        "user_id LONG, event_id LONG, event_type STRING, tms LONG"
+    ).json(str(src) + "/*.json")
+    name = f"paths_{_uuid.uuid4().hex[:8]}"
+    q = (
+        session_paths_stream(stream, ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        e.filter(F.col("tms") > split).coalesce(1).write.json(
+            str(src / "w2.json")
+        )
+        _drain(q)
+        got = {
+            (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["path"])
+            for r in spark.table(name).collect()
+        }
+        assert all(
+            r["closed_by"] == "gap" and r["n_late_dropped"] == 0
+            for r in spark.table(name).collect()
+        )
+    finally:
+        q.stop()
+
+    # batch expectation: per (user, session) path rows, minus each
+    # user's LAST session (still open in stream state)
+    rows = sessionize_rows(
+        e, key_col="user_id", ts_col="tms", gap=PATH_GAP_MS,
+        order_cols=("event_id",),
+    )
+    sess = rows.groupBy("user_id", "session_id").agg(
+        F.min("tms").alias("start_ms"),
+        F.max("tms").alias("end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tms", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                PATH_MAX_STEPS,
+            ),
+            ">",
+        ).alias("path"),
+    )
+    w = Window.partitionBy("user_id")
+    closed = sess.withColumn(
+        "last_sid", F.max("session_id").over(w)
+    ).filter(F.col("session_id") != F.col("last_sid"))
+    want = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["path"])
+        for r in closed.collect()
+    }
+    assert got == want and want, f"stream/batch path divergence ({len(got)} vs {len(want)})"
