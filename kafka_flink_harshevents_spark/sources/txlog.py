@@ -190,6 +190,11 @@ def _file_may_match(entry: dict, prune: dict) -> bool:
     return True
 
 
+class ConstraintViolation(ValueError):
+    """A write carried rows violating a table CHECK constraint; nothing
+    was staged or committed."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this transaction targeted."""
 
@@ -549,6 +554,90 @@ class TxTable:
             }
         return out
 
+    # -- CHECK constraints ------------------------------------------
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Current CHECK constraints (name → Spark SQL boolean expr),
+        replayed from the log like the schema — so they version with
+        the table and time travel sees the rules in force then."""
+        target = self.latest_version() if version is None else version
+        out: dict[str, str] = {}
+        for v in _list_versions(self.table_dir):
+            if v > target:
+                break
+            rec = _read_record(self.table_dir, v)
+            if "constraints" in rec:
+                out = dict(rec["constraints"])
+        return out
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT CHECK — a data contract enforced
+        at every subsequent write (append / merge / update): rows for
+        which ``expr`` is not TRUE are rejected BEFORE anything stages,
+        so a bad batch can never become a committed version (the
+        lakehouse quality gate, enforced at the storage boundary
+        instead of in every producer). The EXISTING table must already
+        satisfy the constraint — adding a rule the data violates would
+        make every later rewrite of old rows fail.
+        """
+        try:
+            bad = (
+                self.read()
+                .filter(f"NOT (({expr}) <=> TRUE)")
+                .limit(1)
+                .collect()
+            )
+        except ValueError:
+            bad = []  # empty table with no schema yet: nothing to violate
+        if bad:
+            raise ConstraintViolation(
+                f"existing rows violate {name} ({expr}): e.g. {bad[0]}"
+            )
+        cur = self.constraints()
+        cur[name] = expr
+        return self._commit_constraints(cur)
+
+    def drop_constraint(self, name: str) -> int:
+        cur = self.constraints()
+        cur.pop(name, None)
+        return self._commit_constraints(cur)
+
+    def _commit_constraints(self, constraints: dict[str, str]) -> int:
+        while True:
+            v = self.latest_version() + 1
+            try:
+                _atomic_commit(
+                    self.table_dir,
+                    v,
+                    {
+                        "version": v,
+                        "op": "set_constraints",
+                        "add": [],
+                        "remove": [],
+                        "constraints": constraints,
+                    },
+                )
+                return v
+            except ConcurrentWriteError:
+                continue
+
+    def _check_constraints(self, df: DataFrame, what: str) -> None:
+        """Reject ``df`` if any row fails any current constraint. The
+        null-safe ``<=> TRUE`` comparison makes NULL-valued predicates
+        violations (SQL CHECK semantics treat unknown as pass; a data
+        CONTRACT must not — a NULL in ``v >= 0`` is exactly the bad
+        row the gate exists to stop)."""
+        cons = self.constraints()
+        if not cons:
+            return
+        for name, expr in cons.items():
+            bad = df.filter(f"NOT (({expr}) <=> TRUE)").limit(1).collect()
+            if bad:
+                raise ConstraintViolation(
+                    f"{what} violates constraint {name} ({expr}): "
+                    f"e.g. {bad[0]}"
+                )
+
     # -- writes ------------------------------------------------------
 
     def _stage(self, df: DataFrame) -> list[dict]:
@@ -657,6 +746,7 @@ class TxTable:
         """
         m = self.meta
         incoming = self._with_bucket(df)
+        self._check_constraints(incoming, "merge_upsert batch")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live, snap_schema = self._snapshot()
@@ -740,6 +830,7 @@ class TxTable:
         schema_rec = self._schema_union_json(
             self._with_bucket(df), snap_schema, merge_schema, "append"
         )
+        self._check_constraints(df, "append batch")
         staged = self._stage(self._with_bucket(df))
         record_base = {
             "op": "append",
@@ -961,6 +1052,7 @@ class TxTable:
                     for c in t_scan.columns
                 ]
             )
+            self._check_constraints(updated, "update_where post-image")
             added = self._stage(self._with_bucket(updated))
             record = {
                 "version": base_v + 1,

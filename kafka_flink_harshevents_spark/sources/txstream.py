@@ -135,8 +135,11 @@ class TxLogStreamReader(DataSourceStreamReader):
                 continue
             rec = _read_record(self.table_dir, v)
             op = rec.get("op")
-            if op in ("create", "compact"):
-                continue  # no data change to stream
+            if op in ("create", "compact") or not (
+                rec.get("add") or rec.get("remove")
+            ):
+                continue  # no data change to stream (incl. metadata-only
+                # commits like set_constraints)
             if op != "append" and not self.ignore_changes:
                 # merge / delete / restore / any future rewrite op:
                 # not an append-only change — refuse, don't guess

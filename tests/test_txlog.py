@@ -929,3 +929,56 @@ def test_cdf_delete_exact_with_duplicate_keys(spark, tmp_path):
     feed = [(r["k"], r["ver"], r["_change_type"])
             for r in t.table_changes(v).collect()]
     assert feed == [("x", 2, "delete")]
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    """CHECK constraints are data contracts enforced at the storage
+    boundary: adding one validates existing rows, every later append /
+    merge / update rejects violating batches BEFORE anything commits
+    (including NULLs in the checked expression), dropping it re-opens
+    the gate, and constraint commits are invisible to the streaming
+    source."""
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 2)], "k string, v long, ver long"))
+    cv = t.add_constraint("v_nonneg", "v >= 0")
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+
+    # a violating append/merge/update leaves NO new version behind
+    before = t.latest_version()
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([("c", -5, 3)], "k string, v long, ver long"))
+    with pytest.raises(ConstraintViolation):
+        t.merge_upsert(spark.createDataFrame([("a", -1, 9)], "k string, v long, ver long"))
+    with pytest.raises(ConstraintViolation):  # NULL is a contract breach
+        t.append(spark.createDataFrame([("d", None, 4)], "k string, v long, ver long"))
+    with pytest.raises(ConstraintViolation):
+        t.update_where("k = 'a'", {"v": "v - 100"})
+    assert t.latest_version() == before
+    assert t.read().count() == 2
+
+    # valid writes flow; adding a rule the DATA violates is refused
+    t.append(spark.createDataFrame([("c", 7, 3)], "k string, v long, ver long"))
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("v_small", "v < 5")
+
+    # fresh handle sees the constraint; time travel sees none back then
+    assert TxTable(spark, t.table_dir).constraints() == {"v_nonneg": "v >= 0"}
+    assert t.constraints(version=2) == {}
+
+    # the metadata-only constraint commit streams NOTHING (and is not
+    # refused as a rewrite)
+    rd = TxLogStreamReader({"tabledir": t.table_dir}, _table_schema(t.table_dir))
+    assert rd.partitions({"version": cv - 1}, {"version": cv}) == []
+
+    t.drop_constraint("v_nonneg")
+    t.append(spark.createDataFrame([("e", -9, 5)], "k string, v long, ver long"))
+    assert t.read().filter("v < 0").count() == 1
