@@ -504,6 +504,59 @@ def ev_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_TIERS = 4
+
+
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing-analytics operator:
+    each user scored 1..4 on Recency (last activity), Frequency (event
+    count) and Monetary (exact value-cents total), quartiles assigned
+    by GLOBAL rank. Score k = ``(rank-1)·4 div n + 1`` — pure integer
+    arithmetic on the exact rank, so tier edges are engine-identical
+    (no float percentile, no ntile implementation differences).
+
+    Scale shape: one user_id aggregation collapses the stream to one
+    row per user; the three global ranks use the distributed bucketed
+    rank (`operators/ranking.py`) — NO unpartitioned Window, the
+    repo-wide rule. Monetary ranks on integer cents (per-row
+    quantization), so ordering never depends on float sum order.
+    """
+    from kafka_flink_harshevents_spark.operators.ranking import (
+        with_exact_rank,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", ts_millis("ts").alias("tms"), "value"
+    )
+    users = e.groupBy("user_id").agg(
+        F.max("tms").alias("last_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+    def tier(df: DataFrame, metric: str, out: str) -> DataFrame:
+        ranked = with_exact_rank(df, metric, "user_id")
+        # integer `div`: DuckDB CAST(double AS BIGINT) ROUNDS while
+        # Spark's cast truncates — avoid the float entirely
+        return ranked.withColumn(
+            out, F.expr(f"(rn - 1) * {RFM_TIERS} div n + 1")
+        ).drop("rn", "n")
+
+    scored = tier(tier(tier(users, "last_ms", "r_score"), "n_events", "f_score"), "cents", "m_score")
+    return scored.select(
+        "user_id",
+        "last_ms",
+        "n_events",
+        F.round(F.col("cents") / 100.0, 2).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_pattern_match": ev_pattern_match,
@@ -516,6 +569,7 @@ QUERIES = {
     "ev_session_paths": ev_session_paths,
     "ev_interarrival_hist": ev_interarrival_hist,
     "ev_hll_partial_merge": ev_hll_partial_merge,
+    "ev_rfm_segments": ev_rfm_segments,
 }
 
 def _ab_sql() -> str:
@@ -559,6 +613,31 @@ def _ab_sql() -> str:
 
 
 ORACLES = {
+    "ev_rfm_segments": f"""
+        WITH u AS (
+            SELECT user_id,
+                   max(epoch_ms(ts)) AS last_ms,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1
+        ), r AS (
+            SELECT *,
+                   (row_number() OVER (ORDER BY last_ms, user_id) - 1)
+                       * {RFM_TIERS} // count(*) OVER () + 1 AS r_score,
+                   (row_number() OVER (ORDER BY n_events, user_id) - 1)
+                       * {RFM_TIERS} // count(*) OVER () + 1 AS f_score,
+                   (row_number() OVER (ORDER BY cents, user_id) - 1)
+                       * {RFM_TIERS} // count(*) OVER () + 1 AS m_score
+            FROM u
+        )
+        SELECT user_id, last_ms, n_events,
+               round(cents / 100.0, 2) AS monetary,
+               CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               r_score || '-' || f_score || '-' || m_score AS segment
+        FROM r
+    """,
     "ev_session_paths": f"""
         WITH t AS (
             SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,

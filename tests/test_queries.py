@@ -631,7 +631,7 @@ EMPTY_REPRESENTATIVES = [
     "ev_kmv_set_ops",
     # round-4 fifth wave
     "ev_session_paths", "ev_interarrival_hist", "ev_hll_partial_merge",
-    "doc_collocation_pmi", "doc_kn_logprob",
+    "doc_collocation_pmi", "doc_kn_logprob", "ev_rfm_segments",
 ]
 
 
