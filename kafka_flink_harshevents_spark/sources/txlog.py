@@ -190,6 +190,38 @@ def _file_may_match(entry: dict, prune: dict) -> bool:
     return True
 
 
+def _multiset_delta(pre: DataFrame, post: DataFrame) -> DataFrame:
+    """Exact FULL-ROW multiset delta between two frames: per distinct
+    row, |n_post − n_pre| copies tagged insert / delete. Exact for ANY
+    key multiplicity (no key-uniqueness assumption). Cost: one hash agg
+    per side plus a null-safe full-outer join over distinct rows."""
+    cols = post.columns
+    pc = pre.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_pre"))
+    qc = post.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_post"))
+    j = pc.alias("p").join(
+        qc.alias("q"),
+        [F.col(f"p.{c}").eqNullSafe(F.col(f"q.{c}")) for c in cols],
+        "full_outer",
+    ).select(
+        *[F.coalesce(F.col(f"p.{c}"), F.col(f"q.{c}")).alias(c) for c in cols],
+        (
+            F.coalesce(F.col("q._n_post"), F.lit(0))
+            - F.coalesce(F.col("p._n_pre"), F.lit(0))
+        ).alias("_d"),
+    )
+    return (
+        j.filter(F.col("_d") != 0)
+        .select(
+            *cols,
+            F.explode(F.expr("sequence(1, abs(_d))")).alias("_i"),
+            F.when(F.col("_d") > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_change_type"),
+        )
+        .drop("_i")
+    )
+
+
 class ConstraintViolation(ValueError):
     """A write carried rows violating a table CHECK constraint; nothing
     was staged or committed."""
@@ -319,15 +351,28 @@ class TxTable:
         checkpoint), not O(log length) — the Delta ``_last_checkpoint``
         mechanism. Without one, full replay (correct at any length,
         just slower past ~10⁴ commits)."""
+        target, live, schema_json, _ = self._replay(version)
+        return target, list(live.values()), schema_json
+
+    def _replay(
+        self, version: int | None = None
+    ) -> tuple[int, dict[str, dict], str | None, dict[str, set]]:
+        """Full log replay → (version, live entries by path, schema,
+        deletion vectors by path). DV replay rules: a ``dv`` field on a
+        commit is a DELTA of newly deleted row positions (unioned in);
+        removing a file drops its vector; ``dv_full`` (restore commits)
+        replaces the whole DV state absolutely."""
         target = self.latest_version() if version is None else version
         live: dict[str, dict] = {}
         schema_json: str | None = None
+        dvs: dict[str, set] = {}
         from_v = 0
         chk = _latest_checkpoint(self.table_dir, target)
         if chk is not None:
             from_v = chk["version"]
             live = {e["path"]: e for e in chk["live"]}
             schema_json = chk.get("schema_json")
+            dvs = {p: set(v) for p, v in chk.get("dvs", {}).items()}
         for v in _list_versions(self.table_dir):
             if v <= from_v:
                 continue
@@ -336,10 +381,17 @@ class TxTable:
             rec = _read_record(self.table_dir, v)
             for entry in rec["add"]:
                 live[entry["path"]] = entry
+                dvs.pop(entry["path"], None)  # fresh file: clean vector
             for path in rec["remove"]:
                 live.pop(path, None)
+                dvs.pop(path, None)
+            if "dv_full" in rec:
+                dvs = {p: set(v) for p, v in rec["dv_full"].items()}
+            elif "dv" in rec:
+                for p, positions in rec["dv"].items():
+                    dvs.setdefault(p, set()).update(positions)
             schema_json = rec.get("schema_json", schema_json)
-        return target, list(live.values()), schema_json
+        return target, live, schema_json, dvs
 
     def checkpoint(self) -> int:
         """Materialize the current live-file list as a log checkpoint so
@@ -348,14 +400,20 @@ class TxTable:
         format, is the point). Idempotent and race-safe: the content is
         a pure function of the version, so concurrent writers produce
         identical bytes and either rename winning is correct."""
-        v, live, schema_json = self._snapshot()
+        v, live_map, schema_json, dvs = self._replay()
         path = os.path.join(
             self.table_dir, _LOG_DIR, f"chk-{v:0{_PAD}d}.json"
         )
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"version": v, "live": live, "schema_json": schema_json}, f
+                {
+                    "version": v,
+                    "live": list(live_map.values()),
+                    "schema_json": schema_json,
+                    "dvs": {p: sorted(s) for p, s in dvs.items()},
+                },
+                f,
             )
         os.replace(tmp, path)
         return v
@@ -380,7 +438,8 @@ class TxTable:
                 raise ValueError(
                     f"cannot restore to {version}: log spans 1..{base_v}"
                 )
-            _, old_live, old_schema = self._snapshot(version)
+            _, old_live_map, old_schema, old_dvs = self._replay(version)
+            old_live = list(old_live_map.values())
             missing = [
                 e["path"]
                 for e in old_live
@@ -398,6 +457,10 @@ class TxTable:
                 "op": "restore",
                 "add": [e for e in old_live if e["path"] not in cur_paths],
                 "remove": sorted(cur_paths - old_paths),
+                # absolute DV state of the target snapshot — replay
+                # replaces, so vectors added (or materialized) after
+                # the target roll back with the data
+                "dv_full": {p: sorted(s) for p, s in old_dvs.items()},
                 "schema_json": old_schema,
                 "restored_version": version,
             }
@@ -429,7 +492,8 @@ class TxTable:
         filtered anyway (``prune_report`` exposes the skip counts;
         correctness + skip behavior pinned in tests/test_txlog.py).
         """
-        _, live, schema_json = self._snapshot(version)
+        _, live_map, schema_json, dvs = self._replay(version)
+        live = list(live_map.values())
         if prune:
             live = [e for e in live if _file_may_match(e, prune)]
         if not live:
@@ -439,22 +503,66 @@ class TxTable:
                 [], StructType.fromJson(json.loads(schema_json))
             )
             return self._apply_prune(empty, prune) if prune else empty
-        paths = [os.path.join(self.table_dir, e["path"]) for e in live]
-        # recursiveFileLookup disables partition discovery — required
-        # because the explicit file list spans several _staged-* roots
-        # (discovery would see conflicting directory structures). The
-        # bucket id is stored IN the data (`_bucket`), so nothing is
-        # lost; it's internal layout, and the user snapshot drops it.
-        # the LOG is the schema authority (the Delta read-path contract):
-        # after add-column evolution the live set mixes old- and
-        # new-schema files; reading with the recorded schema makes old
-        # files yield NULL for the added columns, instead of the
-        # whichever-file-wins schema a bare parquet read would pick.
+        df = self._open_files(
+            [e["path"] for e in live], schema_json, dvs
+        ).drop("_bucket")
+        return self._apply_prune(df, prune) if prune else df
+
+    def _open_files(
+        self,
+        rel_paths: list[str],
+        schema_json: str | None,
+        dvs: dict[str, set] | None,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """The ONE reader every data path goes through: the given
+        table-relative files under the LOG's schema, with deletion
+        vectors applied (anti-join on the PHYSICAL row position from
+        ``_metadata.row_index``).
+
+        recursiveFileLookup disables partition discovery — the explicit
+        file list spans several ``_staged-*`` roots (discovery would see
+        conflicting directory structures); the bucket id travels IN the
+        data. The LOG is the schema authority (the Delta read-path
+        contract): after add-column evolution, old files NULL-fill
+        evolved columns. Files are matched to their vectors by the last
+        three path components (``_staged-<uuid>/_pb=N/part-*.parquet``
+        — uuid-unique), so the join is scheme-agnostic; the DV frame
+        broadcasts (bounded by the merge-on-read size guard + compact
+        cadence). Centralizing this is what makes merge-on-read safe:
+        a rewrite path that read a raw file would RESURRECT deleted
+        rows."""
         reader = self.spark.read.option("recursiveFileLookup", "true")
         if schema_json is not None:
-            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-        df = reader.parquet(*paths).drop("_bucket")
-        return self._apply_prune(df, prune) if prune else df
+            reader = reader.schema(
+                StructType.fromJson(json.loads(schema_json))
+            )
+        df = reader.parquet(
+            *[os.path.join(self.table_dir, p) for p in rel_paths]
+        )
+        dv_items = [
+            (p, int(i))
+            for p in rel_paths
+            for i in (dvs or {}).get(p, ())
+        ]
+        if not dv_items and not keep_meta:
+            return df
+        # ``keep_meta``: expose each row's table-relative file and
+        # physical position (``_file``, ``_rowpos``) — the DELETE/UPDATE
+        # find-scans need them, and they must come off the scan relation
+        # BEFORE any join (metadata columns don't survive one).
+        key = F.array_join(
+            F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3), "/"
+        )
+        df = df.withColumn("_file", key).withColumn(
+            "_rowpos", F.col("_metadata.row_index")
+        )
+        if dv_items:
+            dvdf = self.spark.createDataFrame(
+                dv_items, "_file string, _rowpos long"
+            )
+            df = df.join(F.broadcast(dvdf), ["_file", "_rowpos"], "left_anti")
+        return df if keep_meta else df.drop("_file", "_rowpos")
 
     @staticmethod
     def _apply_prune(df: DataFrame, prune: dict[str, tuple]) -> DataFrame:
@@ -475,10 +583,16 @@ class TxTable:
         snapshot has, how many a pruned read would open, and how many
         rows the log says were skipped (None when a skipped file
         predates stats collection)."""
-        _, live, _ = self._snapshot(version)
+        _, live_map, _, dvs = self._replay(version)
+        live = list(live_map.values())
         kept = [e for e in live if _file_may_match(e, prune)]
         skipped = [e for e in live if not _file_may_match(e, prune)]
-        rows = [e.get("stats", {}).get("rows") for e in skipped]
+        rows = [
+            None
+            if e.get("stats", {}).get("rows") is None
+            else e["stats"]["rows"] - len(dvs.get(e["path"], ()))
+            for e in skipped
+        ]
         return {
             "files_total": len(live),
             "files_read": len(kept),
@@ -513,8 +627,17 @@ class TxTable:
         answering a dashboard COUNT in milliseconds and scanning the
         table.
         """
-        _, live, _ = self._snapshot(version)
-        rows = [e.get("stats", {}).get("rows") for e in live]
+        _, live_map, _, dvs = self._replay(version)
+        live = list(live_map.values())
+        # deletion vectors are exact row subtractions; a DV'd file's
+        # column stats are NOT trustworthy (a deleted row may have been
+        # the min/max or a null), so those columns refuse below
+        rows = [
+            None
+            if e.get("stats", {}).get("rows") is None
+            else e["stats"]["rows"] - len(dvs.get(e["path"], ()))
+            for e in live
+        ]
         out: dict = {
             "rows": None if any(r is None for r in rows) else sum(rows),
             "files": len(live),
@@ -528,6 +651,8 @@ class TxTable:
             for e in live:
                 st = e.get("stats") or {}
                 s = (st.get("cols") or {}).get(col)
+                if dvs.get(e["path"]):
+                    s = None  # vector invalidates this file's col stats
                 if s is None:
                     # no recorded stat at all — refuse everything
                     range_exact = False
@@ -749,7 +874,8 @@ class TxTable:
         self._check_constraints(incoming, "merge_upsert batch")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
-            base_v, live, snap_schema = self._snapshot()
+            base_v, live_map, snap_schema, dvs = self._replay()
+            live = list(live_map.values())
             touched = [
                 r["_bucket"]
                 for r in incoming.select("_bucket").distinct().collect()
@@ -761,18 +887,12 @@ class TxTable:
                 incoming, snap_schema, merge_schema, "merge_upsert"
             )
             if hit:
-                # read hit files under the LOG's schema (old files NULL-
-                # fill evolved columns) and recompute _bucket from the
-                # keys — same hash, and it spares the explicit schema
-                # from carrying internal layout fields
-                reader = self.spark.read.option("recursiveFileLookup", "true")
-                if snap_schema is not None:
-                    reader = reader.schema(
-                        StructType.fromJson(json.loads(snap_schema))
-                    )
+                # read hit files under the LOG's schema via the DV-aware
+                # reader (deleted rows must not resurrect through the
+                # rewrite) and recompute _bucket from the keys
                 existing = self._with_bucket(
-                    reader.parquet(
-                        *[os.path.join(self.table_dir, e["path"]) for e in hit]
+                    self._open_files(
+                        [e["path"] for e in hit], snap_schema, dvs
                     ).drop("_bucket")
                 )
                 merged = existing.unionByName(
@@ -859,17 +979,16 @@ class TxTable:
         before the compaction still sees the old layout until vacuum."""
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
-            base_v, live, schema_json = self._snapshot()
+            base_v, live_map, schema_json, dvs = self._replay()
+            live = list(live_map.values())
             if not live:
                 return base_v
-            reader = self.spark.read.option("recursiveFileLookup", "true")
-            if schema_json is not None:
-                reader = reader.schema(
-                    StructType.fromJson(json.loads(schema_json))
-                )
+            # DV-aware read: compaction MATERIALIZES deletion vectors —
+            # the rewritten files hold only surviving rows and the
+            # replay drops the vectors with the removed files
             df = self._with_bucket(
-                reader.parquet(
-                    *[os.path.join(self.table_dir, e["path"]) for e in live]
+                self._open_files(
+                    [e["path"] for e in live], schema_json, dvs
                 ).drop("_bucket")
             )
             added = self._stage(df)
@@ -893,14 +1012,27 @@ class TxTable:
         predicate: str,
         prune: dict[str, tuple] | None = None,
         max_retries: int = 5,
+        mode: str = "copy_on_write",
+        max_dv_rows: int = 100_000,
     ) -> tuple[int, int]:
-        """Row-level ``DELETE WHERE`` — the Delta/Iceberg copy-on-write
-        delete: rewrite ONLY the files that actually contain matching
-        rows, drop the matches, commit add(survivor files) +
-        remove(touched files) atomically. Untouched files (including
-        files in touched buckets with no matching row) carry forward
-        byte-for-byte. Returns ``(version, rows_deleted)``;
-        ``(current, 0)`` with NO commit when nothing matches.
+        """Row-level ``DELETE WHERE`` — both lakehouse strategies:
+
+        - ``mode="copy_on_write"`` (default): rewrite ONLY the files
+          that actually contain matching rows, drop the matches, commit
+          add(survivor files) + remove(touched files) atomically.
+          Untouched files carry forward byte-for-byte.
+        - ``mode="merge_on_read"``: no data file is touched — the
+          commit records a DELETION VECTOR (per-file physical row
+          positions) and every reader anti-joins it out (the Delta DV /
+          Iceberg positional-delete shape). Right for small targeted
+          deletes (GDPR point lookups) where rewriting a 1 GB file to
+          drop 3 rows is the wrong trade; ``compact()`` later
+          MATERIALIZES the vectors. Falls back to copy-on-write when
+          the matches exceed ``max_dv_rows`` (a vector the size of the
+          file has no read-cost advantage).
+
+        Returns ``(version, rows_deleted)``; ``(current, 0)`` with NO
+        commit when nothing matches.
 
         Two phases, like Delta:
         1. find touched files — one scan with the predicate pushed into
@@ -921,7 +1053,8 @@ class TxTable:
         """
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
-            base_v, live, schema_json = self._snapshot()
+            base_v, live_map, schema_json, dvs = self._replay()
+            live = list(live_map.values())
             cand = (
                 [e for e in live if _file_may_match(e, prune)]
                 if prune
@@ -929,31 +1062,50 @@ class TxTable:
             )
             if not cand:
                 return base_v, 0
-            reader = self.spark.read.option("recursiveFileLookup", "true")
-            if schema_json is not None:
-                reader = reader.schema(
-                    StructType.fromJson(json.loads(schema_json))
-                )
-            paths = [os.path.join(self.table_dir, e["path"]) for e in cand]
-            scan = reader.parquet(*paths)
-            # phase 1: which candidate files hold matches (predicate
-            # pushed down; result bounded by |candidate files|)
-            hits = {
-                r["_f"]  # URI form; entry paths (uuid-dirs) are unique
-                for r in scan.filter(predicate)
-                .select(F.input_file_name().alias("_f"))
-                .distinct()
-                .collect()
+            cand_paths = [e["path"] for e in cand]
+            # phase 1: the find-scan (DV-aware — already-deleted rows
+            # must not match again) exposes each match's file + physical
+            # position; predicate pushes into the parquet read
+            scan = self._open_files(
+                cand_paths, schema_json, dvs, keep_meta=True
+            )
+            matches = scan.filter(predicate)
+            if mode == "merge_on_read":
+                pos = matches.select("_file", "_rowpos").collect()
+                if not pos:
+                    return base_v, 0
+                if len(pos) <= max_dv_rows:
+                    delta: dict[str, list[int]] = {}
+                    for r in pos:
+                        delta.setdefault(r["_file"], []).append(
+                            int(r["_rowpos"])
+                        )
+                    record = {
+                        "version": base_v + 1,
+                        "op": "delete",
+                        "add": [],
+                        "remove": [],
+                        "dv": {p: sorted(v) for p, v in delta.items()},
+                        "schema_json": schema_json,
+                        "predicate": predicate,
+                    }
+                    try:
+                        _atomic_commit(self.table_dir, base_v + 1, record)
+                        return base_v + 1, len(pos)
+                    except ConcurrentWriteError as exc:
+                        last_err = exc
+                        continue
+                # too many positions for a vector — rewrite instead
+            hit_files = {
+                r["_file"]
+                for r in matches.select("_file").distinct().collect()
             }
-            touched = [
-                e
-                for e in cand
-                if any(h.endswith("/" + e["path"]) for h in hits)
-            ]
+            touched = [e for e in cand if e["path"] in hit_files]
             if not touched:
                 return base_v, 0
-            t_paths = [os.path.join(self.table_dir, e["path"]) for e in touched]
-            t_scan = reader.parquet(*t_paths)
+            t_scan = self._open_files(
+                [e["path"] for e in touched], schema_json, dvs
+            )
             n_del = t_scan.filter(predicate).count()
             # recompute _bucket from the keys (the recorded schema is
             # user-facing; same hash → same bucket as the original file)
@@ -1008,7 +1160,8 @@ class TxTable:
             )
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
-            base_v, live, schema_json = self._snapshot()
+            base_v, live_map, schema_json, dvs = self._replay()
+            live = list(live_map.values())
             cand = (
                 [e for e in live if _file_may_match(e, prune)]
                 if prune
@@ -1016,27 +1169,22 @@ class TxTable:
             )
             if not cand:
                 return base_v, 0
-            reader = self.spark.read.option("recursiveFileLookup", "true")
-            if schema_json is not None:
-                reader = reader.schema(
-                    StructType.fromJson(json.loads(schema_json))
-                )
-            paths = [os.path.join(self.table_dir, e["path"]) for e in cand]
-            scan = reader.parquet(*paths)
-            hits = {
-                r["_f"]
+            scan = self._open_files(
+                [e["path"] for e in cand], schema_json, dvs, keep_meta=True
+            )
+            hit_files = {
+                r["_file"]
                 for r in scan.filter(predicate)
-                .select(F.input_file_name().alias("_f"))
+                .select("_file")
                 .distinct()
                 .collect()
             }
-            touched = [
-                e for e in cand if any(h.endswith("/" + e["path"]) for h in hits)
-            ]
+            touched = [e for e in cand if e["path"] in hit_files]
             if not touched:
                 return base_v, 0
-            t_paths = [os.path.join(self.table_dir, e["path"]) for e in touched]
-            t_scan = reader.parquet(*t_paths)
+            t_scan = self._open_files(
+                [e["path"] for e in touched], schema_json, dvs
+            )
             n_upd = t_scan.filter(predicate).count()
             match = F.expr(predicate)
             updated = t_scan.select(
@@ -1132,28 +1280,59 @@ class TxTable:
         # an update_preimage and an update_postimage row — downstream
         # incremental aggregation needs the preimage to subtract.
 
-        def read_files(paths: list[str]) -> DataFrame | None:
+        def read_files(
+            paths: list[str], dvs: dict[str, set] | None = None
+        ) -> DataFrame | None:
             if not paths:
                 return None
             # the commit's recorded (widened) schema NULL-fills evolved
             # columns in pre-image files, so update_preimage rows carry
             # NULL where the old row had no value — the CDF contract
-            reader = self.spark.read.option("recursiveFileLookup", "true")
-            if rec.get("schema_json"):
-                reader = reader.schema(
-                    StructType.fromJson(json.loads(rec["schema_json"]))
-                )
-            return reader.parquet(
-                *[os.path.join(self.table_dir, p) for p in paths]
+            return self._open_files(
+                paths, rec.get("schema_json"), dvs
             ).drop("_bucket")
 
+        if "dv" in rec:
+            # merge-on-read delete: the commit's DV DELTA rows ARE the
+            # change feed — read them by physical position (no diffing)
+            pre_dvs = self._replay(version - 1)[3]
+            dv_rows = [
+                (p, int(i)) for p, v in rec["dv"].items() for i in v
+            ]
+            src = self._open_files(
+                sorted(rec["dv"]), rec.get("schema_json"), pre_dvs,
+                keep_meta=True,
+            )
+            dvdf = self.spark.createDataFrame(
+                dv_rows, "_file string, _rowpos long"
+            )
+            return (
+                src.join(F.broadcast(dvdf), ["_file", "_rowpos"])
+                .drop("_file", "_rowpos", "_bucket")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+
+        if rec["op"] == "restore":
+            # a restore can change data through files AND vectors at
+            # once (a dv-only restore touches no file at all); the
+            # robust feed is the multiset delta of the two DV-aware
+            # SNAPSHOTS — table-bounded, acceptable for an admin op
+            return _multiset_delta(
+                self.read(version=version - 1), self.read(version=version)
+            )
+
+        # pre-images exclude rows already deleted by vectors BEFORE
+        # this commit — they left the table in an earlier version
+        pre_dvs = (
+            self._replay(version - 1)[3] if rec.get("remove") else None
+        )
         post = read_files([e["path"] for e in rec["add"]])
         if post is None and rec["op"] not in ("create", "compact") and rec["remove"]:
             # pure-removal rewrite: a whole-file DELETE, or a RESTORE
             # rolling back appends — every pre-image row is a delete
             # (an empty post here previously read as "no changes",
             # silently dropping the feed's retractions)
-            pre_only = read_files(rec["remove"])
+            pre_only = read_files(rec["remove"], pre_dvs)
             return pre_only.withColumn("_change_type", F.lit("delete"))
         if rec["op"] in ("create", "compact") or post is None:
             # create commits carry no schema: borrow the nearest one
@@ -1171,49 +1350,14 @@ class TxTable:
         if rec["op"] == "append" or not rec["remove"]:
             return post.withColumn("_change_type", F.lit("insert"))
 
-        pre = read_files(rec["remove"])
+        pre = read_files(rec["remove"], pre_dvs)
         if rec["op"] != "merge":
-            # delete / update / restore rewrites: the key-based pairing
-            # below assumes the post-image holds ONE row per key (true
-            # only for merge commits); append-allowed duplicate keys
-            # would multiply through the join. These ops need no update
-            # pairing — emit the exact FULL-ROW multiset delta instead:
-            # per distinct row, |n_post - n_pre| copies as insert /
-            # delete. Cost: one hash agg per side over touched-file
-            # rows. Exact for ANY key multiplicity.
-            cols = post.columns
-            pc = pre.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_pre"))
-            qc = post.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n_post"))
-            j = pc.alias("p").join(
-                qc.alias("q"),
-                [
-                    F.col(f"p.{c}").eqNullSafe(F.col(f"q.{c}"))
-                    for c in cols
-                ],
-                "full_outer",
-            ).select(
-                *[
-                    F.coalesce(F.col(f"p.{c}"), F.col(f"q.{c}")).alias(c)
-                    for c in cols
-                ],
-                (
-                    F.coalesce(F.col("q._n_post"), F.lit(0))
-                    - F.coalesce(F.col("p._n_pre"), F.lit(0))
-                ).alias("_d"),
-            )
-            return (
-                j.filter(F.col("_d") != 0)
-                .select(
-                    *cols,
-                    F.explode(
-                        F.expr("sequence(1, abs(_d))")
-                    ).alias("_i"),
-                    F.when(F.col("_d") > 0, F.lit("insert"))
-                    .otherwise(F.lit("delete"))
-                    .alias("_change_type"),
-                )
-                .drop("_i")
-            )
+            # delete / update rewrites: the key-based pairing below
+            # assumes the post-image holds ONE row per key (true only
+            # for merge commits); append-allowed duplicate keys would
+            # multiply through the join. These ops need no update
+            # pairing — emit the exact FULL-ROW multiset delta instead.
+            return _multiset_delta(pre, post)
         val_cols = [c for c in post.columns if c not in key_cols]
         # A merge commit's POST side holds exactly one row per key (the
         # merge's latest-wins output), but the PRE side may hold

@@ -135,6 +135,19 @@ class TxLogStreamReader(DataSourceStreamReader):
                 continue
             rec = _read_record(self.table_dir, v)
             op = rec.get("op")
+            if rec.get("dv") or rec.get("dv_full"):
+                # deletion-vector commits change data without touching
+                # files — a non-append change (refuse), and with
+                # ignorechanges there are no new files to serve (skip)
+                if not self.ignore_changes:
+                    raise ValueError(
+                        f"txlog stream over {self.table_dir}: version "
+                        f"{v} carries a deletion vector, not an append. "
+                        "Set ignorechanges=true to skip it, or start "
+                        "past this version."
+                    )
+                if not rec.get("add"):
+                    continue
             if op in ("create", "compact") or not (
                 rec.get("add") or rec.get("remove")
             ):

@@ -982,3 +982,87 @@ def test_check_constraints_gate_every_write_path(spark, tmp_path):
     t.drop_constraint("v_nonneg")
     t.append(spark.createDataFrame([("e", -9, 5)], "k string, v long, ver long"))
     assert t.read().filter("v < 0").count() == 1
+
+
+def test_merge_on_read_deletion_vectors(spark, tmp_path):
+    """DV deletes touch no data file: rows vanish from every read path
+    (snapshot, merge rewrite, metadata, prune report), vectors union
+    across commits and survive checkpoints, compact materializes them,
+    and restore rolls them back — with the CDF exact at every step."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [(f"k{i}", i, i) for i in range(10)], "k string, v long, ver long"))
+    _, live0, _ = t._snapshot()
+
+    v1, n1 = t.delete_where("v IN (2, 5)", mode="merge_on_read")
+    assert n1 == 2
+    _, live1, _ = t._snapshot()
+    assert {e["path"] for e in live0} == {e["path"] for e in live1}  # no file touched
+    assert {r["v"] for r in t.read().collect()} == set(range(10)) - {2, 5}
+    assert {r["v"] for r in t.read(version=v1 - 1).collect()} == set(range(10))
+    # CDF: exactly the two vector rows as deletes
+    feed = sorted((r["v"], r["_change_type"]) for r in t.table_changes(v1).collect())
+    assert feed == [(2, "delete"), (5, "delete")]
+    # metadata: exact rows, refused column stats for the DV'd file
+    meta = t.metadata_aggregate(("v",))
+    assert meta["rows"] == 8
+    assert meta["cols"]["v"]["min"] is None
+
+    # second vector unions; a repeated delete of a gone row is a no-op
+    v2, n2 = t.delete_where("v = 7", mode="merge_on_read")
+    assert n2 == 1
+    assert t.delete_where("v = 5", mode="merge_on_read") == (v2, 0)
+    assert t.read().count() == 7
+
+    # checkpoint carries the vectors for fresh readers
+    t.checkpoint()
+    assert TxTable(spark, t.table_dir).read().count() == 7
+
+    # a MERGE rewrite of the bucket must NOT resurrect DV'd rows
+    t.merge_upsert(spark.createDataFrame(
+        [("k0", 100, 99)], "k string, v long, ver long"))
+    vals = {r["v"] for r in t.read().collect()}
+    assert vals == {100, 1, 3, 4, 6, 8, 9}
+    # the rewrite materialized the vectors for its bucket (files changed)
+    assert t._replay()[3] == {}
+
+    # restore across the whole history resurrects vector-deleted rows
+    rv = t.restore(v1 - 1)
+    assert {r["v"] for r in t.read().collect()} == set(range(10))
+    ins = sorted(r["v"] for r in t.table_changes(rv).collect()
+                 if r["_change_type"] == "insert")
+    assert 2 in ins and 5 in ins and 7 in ins
+
+
+def test_merge_on_read_falls_back_when_vector_too_big(spark, tmp_path):
+    """A delete matching more rows than max_dv_rows rewrites files
+    instead — a vector the size of the file has no read advantage."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [(f"k{i}", i, i) for i in range(50)], "k string, v long, ver long"))
+    _, live0, _ = t._snapshot()
+    v, n = t.delete_where("v < 40", mode="merge_on_read", max_dv_rows=10)
+    assert n == 40
+    _, live1, _ = t._snapshot()
+    assert {e["path"] for e in live0} != {e["path"] for e in live1}  # rewritten
+    assert t._replay()[3] == {}  # no vector recorded
+    assert t.read().count() == 10
+
+
+def test_stream_source_refuses_dv_commit(spark, tmp_path):
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 2)], "k string, v long, ver long"))
+    v, _ = t.delete_where("k = 'a'", mode="merge_on_read")
+    schema = _table_schema(t.table_dir)
+    rd = TxLogStreamReader({"tabledir": t.table_dir}, schema)
+    with pytest.raises(ValueError, match="deletion vector"):
+        rd.partitions({"version": v - 1}, {"version": v})
+    rd_ok = TxLogStreamReader(
+        {"tabledir": t.table_dir, "ignorechanges": "true"}, schema)
+    assert rd_ok.partitions({"version": v - 1}, {"version": v}) == []
