@@ -946,26 +946,34 @@ class TxTable:
         fields + incoming's new ones), so the table never silently
         narrows when an append carries fewer columns than the snapshot.
         """
-        _, _, snap_schema = self._snapshot()
-        schema_rec = self._schema_union_json(
-            self._with_bucket(df), snap_schema, merge_schema, "append"
-        )
-        self._check_constraints(df, "append batch")
-        staged = self._stage(self._with_bucket(df))
-        record_base = {
-            "op": "append",
-            "add": staged,
-            "remove": [],
-            "schema_json": schema_rec,
-        }
-        if txn:
-            record_base["txn"] = txn
+        bucketed = self._with_bucket(df)
+        staged = self._stage(bucketed)  # position-independent: stage once
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
-            v = self.latest_version() + 1
+            # Schema and constraints are re-derived from the LATEST
+            # snapshot on every attempt: an append racing a concurrent
+            # merge_upsert(merge_schema=True) must not re-commit a
+            # schema_json computed before the race — replay treats the
+            # newest commit's schema as authoritative, so a stale
+            # narrower record would silently drop the column the other
+            # writer just added.
+            v, _, snap_schema = self._snapshot()
+            schema_rec = self._schema_union_json(
+                bucketed, snap_schema, merge_schema, "append"
+            )
+            self._check_constraints(df, "append batch")
+            record = {
+                "version": v + 1,
+                "op": "append",
+                "add": staged,
+                "remove": [],
+                "schema_json": schema_rec,
+            }
+            if txn:
+                record["txn"] = txn
             try:
-                _atomic_commit(self.table_dir, v, {**record_base, "version": v})
-                return v
+                _atomic_commit(self.table_dir, v + 1, record)
+                return v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
                 continue
@@ -1071,7 +1079,16 @@ class TxTable:
             )
             matches = scan.filter(predicate)
             if mode == "merge_on_read":
-                pos = matches.select("_file", "_rowpos").collect()
+                # Bound-probe BEFORE materializing positions: collect at
+                # most max_dv_rows+1 rows. A broad predicate (10⁹-row
+                # GDPR miss-estimate) must fall back to copy-on-write
+                # without ever shipping the full position set to the
+                # driver — the limit caps driver memory by construction.
+                pos = (
+                    matches.select("_file", "_rowpos")
+                    .limit(max_dv_rows + 1)
+                    .collect()
+                )
                 if not pos:
                     return base_v, 0
                 if len(pos) <= max_dv_rows:
@@ -1108,9 +1125,13 @@ class TxTable:
             )
             n_del = t_scan.filter(predicate).count()
             # recompute _bucket from the keys (the recorded schema is
-            # user-facing; same hash → same bucket as the original file)
+            # user-facing; same hash → same bucket as the original file).
+            # Survivors are rows where the predicate is NOT TRUE — the
+            # null-safe form keeps condition-NULL rows (SQL DELETE
+            # semantics: unknown never deletes), matching the DV path,
+            # which only removes rows the predicate proved TRUE.
             survivors = self._with_bucket(
-                t_scan.filter(f"NOT ({predicate})")
+                t_scan.filter(f"NOT (({predicate}) <=> TRUE)")
             )
             added = self._stage(survivors) if not survivors.isEmpty() else []
             record = {
@@ -1418,34 +1439,70 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files unreferenced by the newest `retain_versions`
         snapshots, plus orphaned staged directories from crashed or
-        losing writers. Returns deleted paths (table-relative)."""
+        losing writers. Returns deleted paths (table-relative).
+
+        ``grace_seconds`` is the Delta-style retention window applied to
+        NEVER-COMMITTED staged files: a data file no log version has
+        ever referenced is either a crashed writer's orphan or a
+        CONCURRENT writer's not-yet-committed stage — the two are
+        indistinguishable by path, so a file younger than the grace
+        period is skipped (reclaiming an in-flight stage would leave
+        that writer's winning commit pointing at deleted data). Crashed
+        orphans age past the window and are reclaimed on the next
+        vacuum. Files some PAST commit added (superseded by later
+        rewrites) cannot belong to an in-flight writer, so they are
+        reclaimed immediately once no retained snapshot references
+        them."""
+        import time
+
         versions = _list_versions(self.table_dir)
         keep_versions = versions[-retain_versions:]
         referenced: set[str] = set()
         for v in keep_versions:
             _, live, _ = self._snapshot(v)
             referenced.update(e["path"] for e in live)
+        # every path ANY commit ever added — committed-then-removed
+        # files are safe to reclaim with no age check
+        ever_committed: set[str] = set()
+        for v in versions:
+            rec = _read_record(self.table_dir, v)
+            ever_committed.update(e["path"] for e in rec.get("add", []))
+        now = time.time()
         deleted: list[str] = []
         for staged in glob.glob(os.path.join(self.table_dir, "_staged-*")):
             for p in glob.glob(os.path.join(staged, "_pb=*", "*.parquet")):
                 rel = os.path.relpath(p, self.table_dir)
-                if rel not in referenced:
-                    os.unlink(p)
-                    deleted.append(rel)
-            # prune now-empty staged trees (losing writers leave whole dirs)
-            if not glob.glob(os.path.join(staged, "_pb=*", "*.parquet")):
+                if rel in referenced:
+                    continue
+                if (
+                    rel not in ever_committed
+                    and now - os.path.getmtime(p) < grace_seconds
+                ):
+                    continue  # possibly an in-flight writer's stage
+                os.unlink(p)
+                deleted.append(rel)
+            # prune now-empty staged trees (losing writers leave whole
+            # dirs) — but only once past the grace window: an in-flight
+            # writer's tree is empty-looking between mkdir and write
+            if not glob.glob(os.path.join(staged, "_pb=*", "*.parquet")) and (
+                now - os.path.getmtime(staged) >= grace_seconds
+                or any(
+                    rel.startswith(os.path.basename(staged) + os.sep)
+                    for rel in ever_committed
+                )
+            ):
                 shutil.rmtree(staged, ignore_errors=True)
         # tmp commit records: only reclaim STALE ones — an in-flight
         # committer holds its tmp for milliseconds between write and
         # link; deleting it from under the writer would fail that
         # commit spuriously. One hour is orders of magnitude past any
         # live commit, and crashed writers' tmps are older still.
-        import time
-
         for tmp in glob.glob(os.path.join(self.table_dir, _LOG_DIR, ".tmp-*")):
-            if time.time() - os.path.getmtime(tmp) > 3600:
+            if now - os.path.getmtime(tmp) > 3600:
                 os.unlink(tmp)
         return sorted(deleted)

@@ -64,10 +64,15 @@ def dynamic_classify_sink(rules: TxTable, out_dir: str):
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Pin the snapshot to the stamped version: latest_version() and
+        # read() are two separate log replays, and a rule commit landing
+        # between them would stamp rows with a version that disagrees
+        # with the snapshot that classified them — breaking the replay
+        # contract the parity test depends on.
         v = rules.latest_version()
-        out = classify_with_rules(batch_df, rules.read()).withColumn(
-            "rules_version", F.lit(v).cast("long")
-        )
+        out = classify_with_rules(
+            batch_df, rules.read(version=v)
+        ).withColumn("rules_version", F.lit(v).cast("long"))
         out.write.mode("append").parquet(out_dir)
 
     return apply

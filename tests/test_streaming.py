@@ -3157,3 +3157,60 @@ def test_streaming_session_paths_match_batch(spark, tmp_path):
         for r in closed.collect()
     }
     assert got == want and want, f"stream/batch path divergence ({len(got)} vs {len(want)})"
+
+
+def test_dynamic_rules_version_stamp_pinned_under_race(spark, tmp_path):
+    """The audit contract: every output row's rules_version names the
+    snapshot that actually classified it. A rule commit landing between
+    the sink's latest_version() call and its rules read must not make
+    the stamp lie — the read is pinned to the stamped version."""
+    from kafka_flink_harshevents_spark.sources.txlog import TxTable
+    from kafka_flink_harshevents_spark.streaming.rules import (
+        classify_with_rules,
+        dynamic_classify_sink,
+    )
+
+    rules = TxTable.create(
+        spark, str(tmp_path / "rules"), key_cols=("event_type",),
+        order_col="rule_ver", n_buckets=2,
+    )
+    rules.merge_upsert(spark.createDataFrame(
+        [("click", 50.0, 1)],
+        "event_type string, threshold double, rule_ver long"))
+    out_dir = str(tmp_path / "classified")
+    apply = dynamic_classify_sink(rules, out_dir)
+
+    orig_read = TxTable.read
+    fired = {"done": False}
+
+    def racing_read(self, version=None, prune=None):
+        # a concurrent rule commit lands between latest_version() and
+        # this read — exactly the window the pin must close
+        if not fired["done"]:
+            fired["done"] = True
+            writer = TxTable(spark, self.table_dir)
+            writer.merge_upsert(spark.createDataFrame(
+                [("click", 10.0, 2)],
+                "event_type string, threshold double, rule_ver long"))
+        return orig_read(self, version=version, prune=prune)
+
+    TxTable.read = racing_read
+    try:
+        apply(spark.createDataFrame(
+            [(1, "click", 40.0)],
+            "event_id long, event_type string, value double"), 0)
+    finally:
+        TxTable.read = orig_read
+
+    row = spark.read.parquet(out_dir).collect()[0]
+    # batch replay under the STAMPED version must reproduce the verdict
+    replay = classify_with_rules(
+        spark.createDataFrame(
+            [(1, "click", 40.0)],
+            "event_id long, event_type string, value double"),
+        orig_read(rules, version=row["rules_version"]),
+    ).collect()[0]
+    assert (row["verdict"], row["rule_ver"]) == (
+        replay["verdict"], replay["rule_ver"])
+    # and concretely: stamped v1 ⇒ classified under threshold 50 ⇒ OK
+    assert row["rules_version"] == 2 and row["verdict"] == "OK"

@@ -163,9 +163,12 @@ def test_orphans_invisible_and_vacuumed(spark, tmp_path):
     )
     with open(os.path.join(t.table_dir, "_txlog", ".tmp-crashed"), "w") as f:
         json.dump({"half": "written"}, f)
-    # vacuum only reclaims STALE tmp records (an in-flight commit holds
-    # a fresh one); backdate the crash artifact past the 1 h guard
+    # vacuum only reclaims STALE artifacts (an in-flight writer holds
+    # fresh ones); backdate the crash artifacts past the 1 h guard —
+    # the never-committed staged file gets the same retention window
     os.utime(os.path.join(t.table_dir, "_txlog", ".tmp-crashed"), (0, 0))
+    os.utime(os.path.join(orphan_dir, "part-orphan.parquet"), (0, 0))
+    os.utime(os.path.dirname(orphan_dir), (0, 0))
 
     snap = _rows(t)
     assert "zz" not in snap and len(snap) == 16  # orphan invisible
@@ -1066,3 +1069,166 @@ def test_stream_source_refuses_dv_commit(spark, tmp_path):
     rd_ok = TxLogStreamReader(
         {"tabledir": t.table_dir, "ignorechanges": "true"}, schema)
     assert rd_ok.partitions({"version": v - 1}, {"version": v}) == []
+
+
+def test_delete_where_keeps_predicate_null_rows(spark, tmp_path):
+    """SQL DELETE semantics: a row where the condition evaluates to
+    NULL is NOT deleted (unknown never deletes). Both strategies must
+    agree, including when a NULL-condition row shares a file with a
+    real match (the copy-on-write rewrite path must carry it forward
+    as a survivor, not silently drop it)."""
+    for mode in ("copy_on_write", "merge_on_read"):
+        t = TxTable.create(
+            spark, str(tmp_path / f"table-{mode}"), key_cols=("k",),
+            order_col="ver", n_buckets=1,  # one file: NULL row shares it
+        )
+        t.append(spark.createDataFrame(
+            [("a", 1, 1), ("b", None, 1), ("c", 5, 1)],
+            "k string, v long, ver long"))
+        v, n = t.delete_where("v < 3", mode=mode)
+        assert n == 1, mode                      # only 'a' matches TRUE
+        snap = {r["k"]: r["v"] for r in t.read().collect()}
+        assert snap == {"b": None, "c": 5}, mode  # NULL row survives
+        # and it is counted nowhere: CDF shows exactly one delete
+        dels = [r for r in t.table_changes(v).collect()
+                if r["_change_type"] == "delete"]
+        assert [r["k"] for r in dels] == ["a"], mode
+
+
+def test_merge_on_read_probe_is_bounded(spark, tmp_path):
+    """The DV-vs-rewrite decision must never materialize an unbounded
+    position set driver-side: every collect of the (_file, _rowpos)
+    probe frame is capped at max_dv_rows + 1 rows even when the
+    predicate matches far more."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [(f"k{i}", i, i) for i in range(200)], "k string, v long, ver long"))
+    _DF = type(spark.range(1))  # the concrete DataFrame class in use
+    max_dv = 10
+    orig_collect = _DF.collect
+    seen: list[int] = []
+
+    def spy(self):
+        rows = orig_collect(self)
+        if set(self.columns) == {"_file", "_rowpos"}:
+            seen.append(len(rows))
+        return rows
+
+    _DF.collect = spy
+    try:
+        v, n = t.delete_where("v < 150", mode="merge_on_read",
+                              max_dv_rows=max_dv)
+    finally:
+        _DF.collect = orig_collect
+    assert n == 150 and t.read().count() == 50
+    assert seen and all(c <= max_dv + 1 for c in seen)
+
+
+def test_vacuum_spares_fresh_uncommitted_stage(spark, tmp_path):
+    """A concurrent writer's freshly staged (not-yet-committed) files
+    are inside the retention window — vacuum must not reclaim them, or
+    the writer's winning commit would reference deleted data. Committed-
+    then-superseded files carry no such risk and go immediately."""
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame(
+        [("a", 1, 1)], "k string, v long, ver long"))
+    # simulate a concurrent writer mid-commit: stage without committing
+    staged = t._stage(t._with_bucket(spark.createDataFrame(
+        [("z", 9, 9)], "k string, v long, ver long")))
+    assert staged
+    fresh = os.path.join(t.table_dir, staged[0]["path"])
+    deleted = t.vacuum(retain_versions=1)
+    assert os.path.exists(fresh)           # inside the grace window
+    assert all(staged[0]["path"] != p for p in deleted)
+    # the stub writer can still win its commit and the table reads clean
+    _atomic_commit(t.table_dir, t.latest_version() + 1, {
+        "version": t.latest_version() + 1, "op": "append",
+        "add": staged, "remove": [],
+        "schema_json": t._snapshot()[2],
+    })
+    snap = {r["k"]: r["v"] for r in t.read().collect()}
+    assert snap == {"a": 1, "z": 9}
+    # grace_seconds=0 opts into immediate reclamation (test hygiene)
+    t2 = _mk(spark, tmp_path / "t2")
+    t2.merge_upsert(spark.createDataFrame(
+        [("a", 1, 1)], "k string, v long, ver long"))
+    orphan = t2._stage(t2._with_bucket(spark.createDataFrame(
+        [("q", 7, 7)], "k string, v long, ver long")))
+    gone = t2.vacuum(retain_versions=1, grace_seconds=0)
+    assert orphan[0]["path"] in gone
+
+
+def test_append_race_never_narrows_schema(spark, tmp_path):
+    """An append racing a schema-widening commit must not re-commit its
+    pre-race (narrower) schema on retry: schema is recomputed from the
+    LATEST snapshot inside the retry loop. With merge_schema=True the
+    retried append records the widened schema; without it, the retry
+    fails loudly (schema mismatch) instead of silently narrowing."""
+    import kafka_flink_harshevents_spark.sources.txlog as txmod
+    from pyspark.sql.types import StructType
+
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame(
+        [("a", 1, 1)], "k string, v long, ver long"))
+    wide_json = StructType.fromJson(
+        json.loads(t._snapshot()[2])
+    ).add("extra", "long").json()
+
+    orig_commit = txmod._atomic_commit
+    fired = {"done": False}
+
+    def racing_commit(table_dir, version, record):
+        if not fired["done"] and record.get("op") == "append":
+            fired["done"] = True
+            # the concurrent widening commit wins this version...
+            orig_commit(table_dir, version, {
+                "version": version, "op": "append", "add": [],
+                "remove": [], "schema_json": wide_json,
+            })
+            # ...and the append loses the race
+            raise ConcurrentWriteError(f"version {version} taken")
+        return orig_commit(table_dir, version, record)
+
+    txmod._atomic_commit = racing_commit
+    try:
+        t.append(spark.createDataFrame(
+            [("b", 2, 2)], "k string, v long, ver long"),
+            merge_schema=True)
+    finally:
+        txmod._atomic_commit = orig_commit
+    # the committed schema kept the concurrently added column
+    cols = set(t.read().columns)
+    assert "extra" in cols, cols
+    snap = {r["k"]: r["v"] for r in t.read().collect()}
+    assert snap == {"a": 1, "b": 2}
+
+    # without merge_schema the retried append refuses rather than narrows
+    fired["done"] = False
+    wide2 = StructType.fromJson(
+        json.loads(t._snapshot()[2])
+    ).add("extra2", "long").json()
+
+    def racing_commit2(table_dir, version, record):
+        if not fired["done"] and record.get("op") == "append":
+            fired["done"] = True
+            orig_commit(table_dir, version, {
+                "version": version, "op": "append", "add": [],
+                "remove": [], "schema_json": wide2,
+            })
+            raise ConcurrentWriteError(f"version {version} taken")
+        return orig_commit(table_dir, version, record)
+
+    txmod._atomic_commit = racing_commit2
+    try:
+        with pytest.raises(ValueError, match="schema mismatch"):
+            t.append(spark.createDataFrame(
+                [("c", 3, 3, 0)],
+                "k string, v long, ver long, extra long"))
+    finally:
+        txmod._atomic_commit = orig_commit
+    # the concurrent widening commit stands; the losing append committed
+    # NOTHING (no row, no narrower schema record)
+    assert "extra2" in set(t.read().columns)
+    assert "c" not in {r["k"] for r in t.read().collect()}
+    rec_fields = {f["name"] for f in json.loads(t._snapshot()[2])["fields"]}
+    assert "extra2" in rec_fields
