@@ -1,0 +1,192 @@
+"""Catalog-facing correctness entries for the transactional table
+layer (``sources/txlog.py``) — the ACID substrate under the K3/K4
+Mongo-sink paths (reference kafkaConsumer.js:292-318).
+
+The txlog layer is exercised by 35+ unit tests, but those live outside
+the driver's per-round correctness sweep. These entries put MERGE /
+DELETE / CDF / time-travel / metadata-only aggregation semantics behind
+DuckDB-checkable oracles: each builds a small transactional table from
+``orders`` in a throwaway directory, mutates it through the real commit
+path, and emits a result the oracle can state DIRECTLY from the source
+table — so any drift in merge, delete, change-feed, or stats replay
+semantics breaks a per-round hash.
+
+Input volume is intentionally CONSTANT across scale factors
+(``o_orderkey <= 2000``): the entries verify transaction semantics, not
+scan throughput — the scan-side scale story is covered by the rest of
+the catalog, and file-count/commit-count here mirror real per-commit
+costs, which are independent of table size by design (cost ∝ touched
+buckets, never table size).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.queries._util import load
+from kafka_flink_harshevents_spark.sources.txlog import TxTable
+
+_KEY_CAP = 2000  # constant row universe at every SF (orders keys are dense)
+
+
+def _base_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → (k, st, amount_c, ver): integer cents (the catalog's
+    cross-engine money convention), version 1."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= _KEY_CAP)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("amount_c"),
+            F.lit(1).cast("long").alias("ver"),
+        )
+    )
+
+
+def _build_mutated_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[TxTable, int]:
+    """append(⅔ of keys) → merge_upsert(%3 inserts + %5 updates, +100
+    cents, ver 2) → delete_where(k %7 = 0). Returns (table, version of
+    the initial append) — three real commits through the ACID path."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txq-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=4,
+    )
+    v0 = t.append(base.filter(F.col("k") % 3 != 0))
+    t.merge_upsert(
+        base.filter((F.col("k") % 3 == 0) | (F.col("k") % 5 == 0)).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    t.delete_where("k % 7 = 0")
+    return t, v0
+
+
+def q_txlog_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct the table's FINAL state purely from the initial
+    snapshot plus the change-data-feed of every later commit — the
+    downstream-materialized-view contract (a consumer that applies CDF
+    deltas must converge to the table). The oracle states the final
+    state directly from ``orders``, so merge latest-wins, delete
+    row-accounting, and CDF pre/post-image pairing are all on the hash.
+    """
+    t, v0 = _build_mutated_table(spark, sf_dir)
+    latest = t.latest_version()
+    # CDF replay: initial snapshot at seq 0, each commit's changes at
+    # its own seq; per key keep the newest record (postimage/insert
+    # outranks preimage/delete within one commit), then keep the key
+    # only if that record says the row exists.
+    state = t.read(version=v0).select(
+        "k", "st", "amount_c", "ver",
+        F.lit(0).alias("_seq"), F.lit(1).alias("_alive"),
+    )
+    parts = [state]
+    for v in range(v0 + 1, latest + 1):
+        parts.append(
+            t.table_changes(v).select(
+                "k", "st", "amount_c", "ver",
+                F.lit(v).alias("_seq"),
+                F.col("_change_type")
+                .isin("insert", "update_postimage")
+                .cast("int")
+                .alias("_alive"),
+            )
+        )
+    log = parts[0]
+    for p in parts[1:]:
+        log = log.unionByName(p)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy(
+        F.col("_seq").desc(), F.col("_alive").desc()
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_alive") == 1))
+        .select("k", "st", "amount_c", "ver")
+    )
+
+
+def q_txlog_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-ONLY aggregation (count/min/max answered from commit-log
+    file stats, zero data-file reads) across a rewrite commit AND time
+    travel: one row comparing the post-delete snapshot with the initial
+    append's snapshot. The oracle recomputes both from ``orders``
+    directly, so stats recording on every write path, DV-free replay,
+    and time-travel replay are all on the hash."""
+    t, v0 = _build_mutated_table(spark, sf_dir)
+    now = t.metadata_aggregate(("k", "amount_c"))
+    before = t.metadata_aggregate(("k", "amount_c"), version=v0)
+    row = {
+        "rows_latest": now["rows"],
+        "min_k_latest": now["cols"]["k"]["min"],
+        "max_k_latest": now["cols"]["k"]["max"],
+        "max_amount_latest": now["cols"]["amount_c"]["max"],
+        "rows_v0": before["rows"],
+        "min_k_v0": before["cols"]["k"]["min"],
+        "max_k_v0": before["cols"]["k"]["max"],
+        "max_amount_v0": before["cols"]["amount_c"]["max"],
+    }
+    schema = ", ".join(f"{c} long" for c in row)
+    return spark.createDataFrame([tuple(row.values())], schema)
+
+
+QUERIES = {
+    "q_txlog_cdf_replay": q_txlog_cdf_replay,
+    "q_txlog_metadata_agg": q_txlog_metadata_agg,
+}
+
+# The mutation program in SQL terms (base = orders, k ≤ 2000, cents):
+#   state after append+merge: every key, amount +100 where k%3=0 or
+#   k%5=0 (merge inserts the %3 keys the append skipped, updates the
+#   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
+ORACLES = {
+    "q_txlog_cdf_replay": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                        THEN 100 ELSE 0 END AS amount_c,
+               CAST(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                         THEN 2 ELSE 1 END AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    "q_txlog_metadata_agg": f"""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     + CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                            THEN 100 ELSE 0 END AS amount_c
+            FROM orders WHERE o_orderkey <= {_KEY_CAP}
+        ), v0 AS (
+            SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c
+            FROM orders
+            WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 3 <> 0
+        )
+        SELECT (SELECT count(*) FROM base WHERE k % 7 <> 0) AS rows_latest,
+               (SELECT min(k) FROM base WHERE k % 7 <> 0) AS min_k_latest,
+               (SELECT max(k) FROM base WHERE k % 7 <> 0) AS max_k_latest,
+               (SELECT max(amount_c) FROM base WHERE k % 7 <> 0)
+                   AS max_amount_latest,
+               (SELECT count(*) FROM v0) AS rows_v0,
+               (SELECT min(k) FROM v0) AS min_k_v0,
+               (SELECT max(k) FROM v0) AS max_k_v0,
+               (SELECT max(amount_c) FROM v0) AS max_amount_v0
+    """,
+}
