@@ -153,6 +153,57 @@ def det_sum_sql(expr: str, dp: int = 2, frac: int = 6) -> str:
     )
 
 
+def det_total(col: str | F.Column, frac: int = 6) -> F.Column:
+    """Exact order-independent total of round(x·10^frac) as DECIMAL —
+    the RAW (unrounded, still-scaled) building block behind
+    :func:`det_sum`, for call sites that need the exact total itself:
+    ratio numerators/denominators (one double division at emit) and
+    exact max/equality picks. Per-row work is pure long arithmetic in
+    whole-stage codegen — the replacement for ``sum(cast(decimal(30)))``
+    hot paths (same class as the r03 ``doc_unigram_logprob`` fix).
+    ``det_total_sql`` is the DuckDB twin.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return _hilo_total(_quantize(c, frac))
+
+
+def det_total_sql(expr: str, frac: int = 6) -> str:
+    """DuckDB twin of :func:`det_total` — identical expression tree."""
+    return _hilo_total_sql(expr, frac)
+
+
+def det_sum_over(col, window, dp: int = 2, frac: int = 6) -> F.Column:
+    """Order-independent rounded sum over a WINDOW frame — the
+    :func:`det_sum` construction with each hi/lo partial summed
+    ``.over(window)``: frame membership is set by the frame bounds,
+    but tie order within a RANGE frame (and the combine order of the
+    window aggregate's buffer) must not move the emitted value. Per-row
+    work is long arithmetic; the decimal recombination happens once per
+    output row."""
+    c = F.col(col) if isinstance(col, str) else col
+    q = _quantize(c, frac)
+    lo = F.pmod(q, F.lit(_M))
+    hi = ((q - lo) / F.lit(_M)).cast("long")
+    tot = (
+        F.sum(hi).over(window).cast("decimal(27,0)") * _M
+        + F.sum(lo).over(window).cast("decimal(27,0)")
+    )
+    return F.round(tot.cast("double") / F.lit(float(10**frac)), dp)
+
+
+def det_sum_over_sql(expr: str, over: str, dp: int = 2, frac: int = 6) -> str:
+    """DuckDB twin of :func:`det_sum_over`; ``over`` is the full
+    ``OVER (...)`` clause text (or a named-window reference)."""
+    q = f"CAST(round(({expr}) * {float(10 ** frac)}) AS BIGINT)"
+    lo = f"(((({q}) % {_M}) + {_M}) % {_M})"
+    hi = f"CAST(((({q}) - {lo}) / {_M}) AS BIGINT)"
+    tot = (
+        f"(CAST(sum({hi}) {over} AS DECIMAL(27,0)) * {_M}"
+        f" + CAST(sum({lo}) {over} AS DECIMAL(27,0)))"
+    )
+    return f"round(CAST({tot} AS DOUBLE) / {float(10 ** frac)}, {dp})"
+
+
 def det_avg(col: str | F.Column, dp: int = 4, frac: int = 6) -> F.Column:
     """Order-independent rounded average — see :func:`det_sum`.
 

@@ -976,7 +976,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, doc) table (∝ matches), with a doc_id tie-break for a
     total order.
 
-    Determinism: per-(query,doc) scores sum per-term DECIMAL(30,9)
+    Determinism: per-(query,doc) scores sum per-term hi/lo 1e-9
     quantizations (combine-order exact); ranking and emission use the
     once-rounded double, ties broken on doc_id.
     """
@@ -1015,13 +1015,15 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(corpus))
         .groupBy("query_id", "doc_id")
         .agg(
-            F.sum((idf * tf_norm).cast("decimal(30,9)")).alias("s"),
+            # exact hi/lo long total of the per-term score quantized at
+            # 1e-9 (per-row long codegen, not BigDecimal partials)
+            _hilo_total(_quantize(idf * tf_norm, 9)).alias("s"),
             F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
         )
         .select(
             "query_id",
             "doc_id",
-            F.round(F.col("s").cast("double"), 4).alias("bm25"),
+            F.round(F.col("s").cast("double") / 1e9, 4).alias("bm25"),
             "n_terms_matched",
         )
     )
@@ -1054,12 +1056,12 @@ def _bm25_sql() -> str:
         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
         scored AS (
             SELECT query_id, tf.doc_id,
-                   round(CAST(sum(CAST((
-                       ln(1 + (n_docs - df.df + 0.5) / (df.df + 0.5))
-                       * (tf * ({BM25_K1} + 1))
-                         / (tf + {BM25_K1} * (1 - {BM25_B}
-                            + {BM25_B} * dl / avgdl))
-                   ) AS DECIMAL(30,9))) AS DOUBLE), 4) AS bm25,
+                   round(CAST({_hilo_total_sql(
+                       f"ln(1 + (n_docs - df.df + 0.5) / (df.df + 0.5))"
+                       f" * (tf * ({BM25_K1} + 1))"
+                       f" / (tf + {BM25_K1} * (1 - {BM25_B}"
+                       f" + {BM25_B} * dl / avgdl))", 9)}
+                   AS DOUBLE) / 1000000000.0, 4) AS bm25,
                    CAST(count(*) AS BIGINT) AS n_terms_matched
             FROM tf
             JOIN df USING (term)

@@ -24,7 +24,13 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import load, spread
+from kafka_flink_harshevents_spark.queries._util import (
+    _hilo_total,
+    _hilo_total_sql,
+    _quantize,
+    load,
+    spread,
+)
 
 N_QUERY_VECS = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -76,8 +82,11 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(
+            # exact hi/lo long total of 1e-9 quantizations — per-row
+            # long codegen replaces BigDecimal partials
             F.round(
-                F.sum(F.col("val").cast("decimal(30,9)")).cast("double")
+                _hilo_total(_quantize(F.col("val"), 9)).cast("double")
+                / 1e9
                 / F.count("val"),
                 6,
             ).alias("avg_val")
@@ -851,13 +860,15 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos")
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                _hilo_total(_quantize(F.col("v"), 12)).cast("double")
+                / 1e12
                 / F.count("v")
             ).alias("m"),
             (
-                F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).cast(
+                _hilo_total(_quantize(F.col("v") * F.col("v"), 12)).cast(
                     "double"
                 )
+                / 1e12
                 / F.count("v")
             ).alias("m2"),
             F.count("v").alias("n"),
@@ -955,7 +966,8 @@ def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 6).alias("mx"),
         F.round(
             F.sqrt(
-                F.sum((err * err).cast("decimal(30,12)")).cast("double")
+                _hilo_total(_quantize(err * err, 12)).cast("double")
+                / 1e12
                 / F.count(F.lit(1))
             ),
             6,
@@ -1097,10 +1109,15 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("p").cast("long").alias("pos"), "v")
     stats = ex.groupBy("pos").agg(
         (
-            F.sum(F.col("v").cast("decimal(30,9)")).cast("double") / F.count("v")
+            _hilo_total(_quantize(F.col("v"), 9)).cast("double")
+            / 1e9
+            / F.count("v")
         ).alias("mu"),
         (
-            F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).cast("double")
+            _hilo_total(_quantize(F.col("v") * F.col("v"), 12)).cast(
+                "double"
+            )
+            / 1e12
             / F.count("v")
         ).alias("ex2"),
     )
@@ -1309,9 +1326,10 @@ ORACLES = {
                FROM e CROSS JOIN range(1, {EMB_DIM} + 1) AS t(i)),
         stats AS (
             SELECT pos,
-                   CAST(sum(CAST(v AS DECIMAL(30,9))) AS DOUBLE) / count(v) AS mu,
-                   CAST(sum(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)
-                       / count(v) AS ex2
+                   CAST({_hilo_total_sql("v", 9)} AS DOUBLE)
+                       / 1000000000.0 / count(v) AS mu,
+                   CAST({_hilo_total_sql("v * v", 12)} AS DOUBLE)
+                       / 1000000000000.0 / count(v) AS ex2
             FROM ex GROUP BY pos
         ),
         s2 AS (SELECT pos, mu, ex2 - mu * mu AS var FROM stats),
@@ -1402,8 +1420,8 @@ ORACLES = {
     "emb_centroids": f"""
         WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-               round(CAST(sum(CAST(emb[i] AS DECIMAL(30,9))) AS DOUBLE)
-                     / count(emb[i]), 6) AS avg_val
+               round(CAST({_hilo_total_sql("emb[i]", 9)} AS DOUBLE)
+                     / 1000000000.0 / count(emb[i]), 6) AS avg_val
         FROM e, range(1, {EMB_DIM + 1}) t(i)
         GROUP BY label, i - 1
     """,
@@ -1417,11 +1435,12 @@ ORACLES = {
         SELECT x.pos,
                round(s.mn, 6) AS mn,
                round(s.mx, 6) AS mx,
-               round(sqrt(CAST(sum(CAST(pow(v - (s.mn
-                   + (CASE WHEN s.mx > s.mn
-                           THEN floor((v - s.mn) / (s.mx - s.mn) * {INT8_LEVELS} + 0.5)
-                           ELSE 0 END) * (s.mx - s.mn) / {INT8_LEVELS}), 2)
-                   AS DECIMAL(30,12))) AS DOUBLE) / count(*)), 6)
+               round(sqrt(CAST({_hilo_total_sql(
+                   f"pow(v - (s.mn"
+                   f" + (CASE WHEN s.mx > s.mn"
+                   f" THEN floor((v - s.mn) / (s.mx - s.mn) * {INT8_LEVELS} + 0.5)"
+                   f" ELSE 0 END) * (s.mx - s.mn) / {INT8_LEVELS}), 2)", 12)}
+                   AS DOUBLE) / 1000000000000.0 / count(*)), 6)
                    AS rmse,
                round(max(abs(v - (s.mn
                    + (CASE WHEN s.mx > s.mn

@@ -35,6 +35,8 @@ from kafka_flink_harshevents_spark.queries._util import (
     det_avg,
     det_avg_sql,
     det_sum,
+    det_sum_over,
+    det_sum_over_sql,
     det_sum_sql,
     hex8_int_sql,
     load,
@@ -518,8 +520,9 @@ def ev_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: a sliding double sum accumulates in row order, and tie
     order within a RANGE frame is engine-arbitrary — so the windowed
-    sum runs on exact DECIMAL quantizations (associative), cast to
-    double and rounded once at emit. One shuffle on user_id; the frame
+    sum runs on exact hi/lo long quantizations (associative, per-row
+    long codegen), recombined in decimal and rounded once at emit.
+    One shuffle on user_id; the frame
     is computed by the single Window operator with no self-join — the
     shape that survives a 100× scale-up (state per partition is the
     10-minute row span, not the history).
@@ -536,9 +539,7 @@ def ev_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_ms",
-        F.round(
-            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double"), 2
-        ).alias("trailing_10m_sum"),
+        det_sum_over("value", w, 2).alias("trailing_10m_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_10m_n"),
     )
 
@@ -1719,12 +1720,14 @@ ORACLES = {
                ) AS next_event_id
         FROM events
     """,
-    "ev_range_frame_sum": """
+    "ev_range_frame_sum": f"""
         SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-               round(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER (
-                   PARTITION BY user_id ORDER BY epoch_ms(ts)
-                   RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
-               ) AS DOUBLE), 2) AS trailing_10m_sum,
+               {det_sum_over_sql(
+                   "value",
+                   "OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) "
+                   "RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)",
+                   2,
+               )} AS trailing_10m_sum,
                CAST(count(*) OVER (
                    PARTITION BY user_id ORDER BY epoch_ms(ts)
                    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW

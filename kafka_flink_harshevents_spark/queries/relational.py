@@ -24,6 +24,8 @@ from kafka_flink_harshevents_spark.queries._util import (
     det_avg_sql,
     det_sum,
     det_sum_sql,
+    det_total,
+    det_total_sql,
     load,
     ts_millis,
 )
@@ -268,14 +270,13 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority,
                o_orderstatus,
                CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
                CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
                count(*) AS n_orders,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
-                   AS total_revenue
+               {det_sum_sql("o_totalprice", 2)} AS total_revenue
         FROM gs_orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderstatus), ())
@@ -299,9 +300,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("l_partkey") == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
+            # exact hi/lo long total (per-row long codegen, not
+            # BigDecimal); /1e6 unscales, /7.0 is the Q17 divisor
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
-                / 7.0,
+                det_total("l_extendedprice", 6).cast("double") / 1e6 / 7.0,
                 2,
             ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -680,14 +682,13 @@ QUERIES = {
 
 ORACLES = {
     "q_analyze_table": _analyze_sql(),
-    "q_grouping_sets": """
+    "q_grouping_sets": f"""
         SELECT o_orderpriority,
                o_orderstatus,
                CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
                CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
                count(*) AS n_orders,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
-                   AS total_revenue
+               {det_sum_sql("o_totalprice", 2)} AS total_revenue
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderstatus), ())
@@ -732,13 +733,13 @@ ORACLES = {
                CAST(floor(10.0 * (rn - 1) / n) AS BIGINT) AS spend_decile
         FROM r
     """,
-    "q17_small_quantity_revenue": """
+    "q17_small_quantity_revenue": f"""
         WITH half AS (
             SELECT l_partkey AS ak, avg(l_quantity) * 0.5 AS half_avg
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
-                     / 7.0, 2) AS avg_yearly,
+        SELECT round(CAST({det_total_sql("l_extendedprice", 6)} AS DOUBLE)
+                     / 1000000.0 / 7.0, 2) AS avg_yearly,
                count(*) AS n_lines
         FROM lineitem
         JOIN part ON l_partkey = p_partkey

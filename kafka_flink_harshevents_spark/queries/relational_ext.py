@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_flink_harshevents_spark.queries._util import det_sum, det_sum_sql, load
+from kafka_flink_harshevents_spark.queries._util import (
+    det_sum,
+    det_sum_sql,
+    det_total,
+    det_total_sql,
+    load,
+)
 
 
 def _revenue() -> F.Column:
@@ -138,13 +144,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n_supp, F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
+            # exact hi/lo long totals (scale cancels in the ratio): per-
+            # row work stays in long codegen instead of BigDecimal sums
             F.round(
-                F.sum(
+                det_total(
                     F.when(F.col("supp_nation") == "NATION_5", rev)
-                    .otherwise(0.0)
-                    .cast("decimal(30,6)")
+                    .otherwise(0.0),
+                    6,
                 ).cast("double")
-                / F.sum(rev.cast("decimal(30,6)")).cast("double"),
+                / det_total(rev, 6).cast("double"),
                 4,
             ).alias("mkt_share"),
             det_sum(rev, 2).alias("total_revenue"),
@@ -231,20 +239,19 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     rev = _revenue()
-    # both sums in exact DECIMAL so the ratio is combine-order
-    # independent (the ev_props_variant flake class); ONE double
-    # division + ONE round at emit
+    # both totals as exact hi/lo long sums so the ratio is combine-order
+    # independent (the ev_props_variant flake class) with per-row long
+    # arithmetic; ONE double division + ONE round at emit
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev)
-                    .otherwise(0.0)
-                    .cast("decimal(30,6)")
+                * det_total(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0),
+                    6,
                 ).cast("double")
-                / F.sum(rev.cast("decimal(30,6)")).cast("double"),
+                / det_total(rev, 6).cast("double"),
                 4,
             ).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -268,7 +275,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         l.groupBy(F.col("l_suppkey").alias("rk"))
-        .agg(F.sum(_revenue().cast("decimal(30,6)")).alias("total_rev"))
+        .agg(det_total(_revenue(), 6).alias("total_rev"))
     )
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
@@ -277,7 +284,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+            F.round(
+                F.col("total_rev").cast("double") / 1e6, 2
+            ).alias("total_revenue"),
         )
     )
 
@@ -462,14 +471,15 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(load(spark, sf_dir, "nation"))
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    # exact DECIMAL sums end to end: the rank comparisons, the share
-    # ratio, and the emitted round are then combine-order independent
-    # (double sums could mis-rank a near-tie run-to-run)
+    # exact integer totals end to end (hi/lo long sums recombined in
+    # DECIMAL): the rank comparisons, the share ratio, and the emitted
+    # round are combine-order independent (double sums could mis-rank a
+    # near-tie run-to-run) with per-row long arithmetic, not BigDecimal
     per_nation = (
         n.join(c, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev"))
+        .agg(det_total("o_totalprice", 6).alias("rev"))
     )
     total = per_nation.agg(F.sum("rev").alias("tot"))
     higher = per_nation.select(F.col("rev").alias("rev2")).distinct()
@@ -480,7 +490,7 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.join(F.broadcast(total)).select(
         "n_name",
-        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("rev").cast("double") / 1e6, 2).alias("revenue"),
         F.round(
             F.col("rev").cast("double") / F.col("tot").cast("double"), 6
         ).alias("rev_share"),
@@ -658,30 +668,28 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
     # The comparison is kept in INTEGER form: val·1000 > total is the
-    # same predicate as val > total·0.001, but multiplying the per-row
-    # decimal by 1000 BEFORE summing stays exact in both dialects —
-    # Spark's decimal(38,6)·0.001 would precision-cap the product back
-    # to scale 6 (HALF_UP at the 6th decimal — exactly the boundary
-    # flip this entry exists to kill), and DuckDB would width-overflow
-    # a post-aggregate DECIMAL(38,6)·1000 to DOUBLE.
+    # same predicate as val > total·0.001, but a post-aggregate ·0.001
+    # would precision-cap in Spark (HALF_UP at the 6th decimal —
+    # exactly the boundary flip this entry exists to kill). `val` is
+    # the exact hi/lo long total (scale-0 DECIMAL); the ·1000 runs
+    # post-aggregate at pinned widths — DECIMAL(34,0)·DECIMAL(4,0) →
+    # DECIMAL(38,0) in BOTH dialects, no width-overflow-to-DOUBLE.
     value = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "semi")
         .groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("val"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(30,6)") * 1000
-            ).alias("val1000"),
-        )
+        .agg(det_total("l_extendedprice", 6).alias("val"))
         .localCheckpoint()
+    )
+    val1000 = F.col("val").cast("decimal(34,0)") * F.lit(1000).cast(
+        "decimal(4,0)"
     )
     total = value.agg(F.sum("val").alias("total"))
     return (
         value.join(F.broadcast(total))
-        .filter(F.col("val1000") > F.col("total"))
+        .filter(val1000 > F.col("total"))
         .select(
             "l_partkey",
-            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+            F.round(F.col("val").cast("double") / 1e6, 2).alias("part_value"),
         )
     )
 
@@ -983,21 +991,20 @@ ORACLES = {
             FROM customer
         )
     """,
-    "q11_important_parts": """
+    "q11_important_parts": f"""
         WITH value AS (
             SELECT l_partkey,
-                   sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS val,
-                   sum(CAST(l_extendedprice AS DECIMAL(30,6)) * 1000)
-                       AS val1000
+                   {det_total_sql("l_extendedprice", 6)} AS val
             FROM lineitem
             WHERE l_suppkey IN
                   (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
             GROUP BY l_partkey
         )
         SELECT l_partkey,
-               round(CAST(val AS DOUBLE), 2) AS part_value
+               round(CAST(val AS DOUBLE) / 1000000.0, 2) AS part_value
         FROM value
-        WHERE val1000 > (SELECT sum(val) FROM value)
+        WHERE CAST(val AS DECIMAL(34,0)) * CAST(1000 AS DECIMAL(4,0))
+              > (SELECT sum(val) FROM value)
     """,
     "q12_shipping_priority_split": """
         SELECT l_returnflag AS ship_class,
@@ -1060,17 +1067,17 @@ ORACLES = {
             HAVING sum(l_quantity) > 50
         )
     """,
-    "q_nation_revenue_share": """
+    "q_nation_revenue_share": f"""
         WITH per_nation AS (
             SELECT n_name,
-                   sum(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+                   {det_total_sql("o_totalprice", 6)} AS rev
             FROM nation
             JOIN customer ON c_nationkey = n_nationkey
             JOIN orders   ON o_custkey = c_custkey
             GROUP BY n_name
         )
         SELECT n_name,
-               round(CAST(rev AS DOUBLE), 2) AS revenue,
+               round(CAST(rev AS DOUBLE) / 1000000.0, 2) AS revenue,
                round(CAST(rev AS DOUBLE)
                      / CAST(sum(rev) OVER () AS DOUBLE), 6) AS rev_share,
                CAST(dense_rank() OVER (ORDER BY rev DESC) AS BIGINT) AS rev_rank
@@ -1111,11 +1118,13 @@ ORACLES = {
     """,
     "q8_market_share": f"""
         SELECT year(o_orderdate) AS o_year,
-               round(CAST(sum(CAST((CASE WHEN ns.n_name = 'NATION_5'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END) AS DECIMAL(30,6))) AS DOUBLE)
-                     / CAST(sum(CAST((l_extendedprice * (1 - l_discount))
-                              AS DECIMAL(30,6))) AS DOUBLE), 4) AS mkt_share,
+               round(CAST({det_total_sql(
+                   "CASE WHEN ns.n_name = 'NATION_5' "
+                   "THEN l_extendedprice * (1 - l_discount) "
+                   "ELSE 0.0 END", 6)} AS DOUBLE)
+                     / CAST({det_total_sql(
+                         "l_extendedprice * (1 - l_discount)", 6
+                     )} AS DOUBLE), 4) AS mkt_share,
                {det_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS total_revenue
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
@@ -1167,12 +1176,14 @@ ORACLES = {
         )
         GROUP BY c_count
     """,
-    "q14_promo_revenue": """
-        SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
-                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                     AS DECIMAL(30,6))) AS DOUBLE), 4)
+    "q14_promo_revenue": f"""
+        SELECT round(100.0 * CAST({det_total_sql(
+                   "CASE WHEN p_type = 'PROMO' "
+                   "THEN l_extendedprice * (1 - l_discount) "
+                   "ELSE 0.0 END", 6)} AS DOUBLE)
+                     / CAST({det_total_sql(
+                         "l_extendedprice * (1 - l_discount)", 6
+                     )} AS DOUBLE), 4)
                    AS promo_revenue_pct,
                count(*) AS n_lines
         FROM lineitem
@@ -1180,18 +1191,19 @@ ORACLES = {
         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
     """,
-    "q15_top_supplier": """
+    "q15_top_supplier": f"""
         WITH rev AS (
             SELECT l_suppkey AS rk,
-                   sum(CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(30,6))) AS total_rev
+                   {det_total_sql("l_extendedprice * (1 - l_discount)", 6)}
+                       AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1997-04-01'
             GROUP BY l_suppkey
         )
         SELECT s_suppkey, s_name,
-               round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+               round(CAST(total_rev AS DOUBLE) / 1000000.0, 2)
+                   AS total_revenue
         FROM rev JOIN supplier ON rk = s_suppkey
         WHERE total_rev = (SELECT max(total_rev) FROM rev)
     """,
