@@ -522,7 +522,7 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization), so ordering never depends on float sum order.
     """
     from kafka_flink_harshevents_spark.operators.ranking import (
-        with_exact_rank,
+        with_exact_rank_grouped,
     )
 
     e = load(spark, sf_dir, "events").select(
@@ -533,16 +533,39 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
+    # the user frame is business-grain tiny (one row per user) but
+    # feeds THREE rank passes, each of which would otherwise re-scan
+    # and re-aggregate the events fact; materialize it once — at any
+    # scale this is ∝ users, never ∝ events
+    users = users.localCheckpoint(eager=True)
 
-    def tier(df: DataFrame, metric: str, out: str) -> DataFrame:
-        ranked = with_exact_rank(df, metric, "user_id")
-        # integer `div`: DuckDB CAST(double AS BIGINT) ROUNDS while
-        # Spark's cast truncates — avoid the float entirely
-        return ranked.withColumn(
-            out, F.expr(f"(rn - 1) * {RFM_TIERS} div n + 1")
-        ).drop("rn", "n")
-
-    scored = tier(tier(tier(users, "last_ms", "r_score"), "n_events", "f_score"), "cents", "m_score")
+    # ONE grouped-rank pass ranks all three metrics: stack the user
+    # frame to (user_id, metric, mval) and rank per metric group — the
+    # critical path is a single rank machine instead of three chained
+    # (or even three concurrent) ones. Metric values are exact in
+    # double (epoch-ms < 2^53, counts, cents), so ordering is
+    # unchanged; ties still break on user_id inside the group.
+    stacked = users.selectExpr(
+        "user_id",
+        "stack(3, 'r', CAST(last_ms AS DOUBLE),"
+        "         'f', CAST(n_events AS DOUBLE),"
+        "         'm', CAST(cents AS DOUBLE)) AS (metric, mval)",
+    )
+    ranked = with_exact_rank_grouped(stacked, "metric", "mval", "user_id")
+    # integer `div`: DuckDB CAST(double AS BIGINT) ROUNDS while
+    # Spark's cast truncates — avoid the float entirely
+    scores = ranked.select(
+        "user_id",
+        "metric",
+        F.expr(f"(rn - 1) * {RFM_TIERS} div n + 1").alias("score"),
+    )
+    wide = (
+        scores.groupBy("user_id")
+        .pivot("metric", ["r", "f", "m"])
+        .agg(F.first("score"))
+        .withColumnsRenamed({"r": "r_score", "f": "f_score", "m": "m_score"})
+    )
+    scored = users.join(wide, "user_id")
     return scored.select(
         "user_id",
         "last_ms",

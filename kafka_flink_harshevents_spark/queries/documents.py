@@ -620,7 +620,7 @@ def doc_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("db").alias("s"), F.col("da").alias("d"))
     ).localCheckpoint()
-    nodes = edges.select(F.col("s").alias("node")).distinct()
+    nodes = edges.select(F.col("s").alias("node")).distinct().localCheckpoint()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select(
@@ -628,15 +628,21 @@ def doc_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("pr_nano"),
             F.lit(PR_ITERS).cast("long").alias("n_iters"),
         )
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # degree is loop-invariant: attach it to the edges ONCE so each
+    # iteration is a single edges⋈ranks join + grouped sum (was two
+    # joins per round — 5 joins saved across the loop)
+    edges_deg = (
+        edges.join(
+            edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s"
+        ).localCheckpoint()
+    )
     base = (15 * PR_SCALE) // (100 * n_nodes)
     pr = nodes.withColumn(
         "pr", F.lit(PR_SCALE // n_nodes).cast("long")
     ).localCheckpoint()
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(pr, edges["s"] == pr["node"])
-            .join(deg, "s")
+            edges_deg.join(pr, edges_deg["s"] == pr["node"])
             .select(
                 F.col("d").alias("node"),
                 F.expr("(85 * pr) div (100 * deg)").alias("c"),
@@ -1919,7 +1925,12 @@ def doc_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-keyed join co-partitioned with the frequency aggregate; the
     two scalar totals broadcast; final rollup is one row per source.
     """
-    tok = spread(load(spark, sf_dir, "documents")).select(
+    # no spread() here: the per-(source, token) aggregate immediately
+    # shuffles anyway, so the pre-tokenize exchange only added a full
+    # text-copy pass for a 20-row output (r02 wall 0.45 s vs r04 1.5 s
+    # — the spread tax); scan-partition tokenization feeds the same
+    # co-partitioned aggregate tree
+    tok = load(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", " ")).alias("t")
     )
     st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("sc"))
@@ -2986,9 +2997,14 @@ def doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).select("doc_id", "x.v", "x.w", "x.b")
     dbg = bg.groupBy("doc_id", "v", "w", "b").agg(F.count(F.lit(1)).alias("c"))
+    # cbw is the bigram-TYPE table (vocabulary²-bounded, tiny next to
+    # the corpus) and feeds FOUR consumers (cv, cont, ntypes, the
+    # scoring join); materialize it once so the explode→dbg subtree
+    # runs a single time and the downstream aggregates are one wave
+    # over materialized rows
     cbw = dbg.groupBy("b").agg(
         F.sum("c").alias("cbw"), F.max("v").alias("bv"), F.max("w").alias("bw")
-    )
+    ).localCheckpoint(eager=True)
     cv = cbw.groupBy(F.col("bv").alias("v")).agg(
         F.sum("cbw").alias("cv"), F.count(F.lit(1)).alias("n1p")
     )
