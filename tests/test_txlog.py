@@ -1232,3 +1232,67 @@ def test_append_race_never_narrows_schema(spark, tmp_path):
     assert "c" not in {r["k"] for r in t.read().collect()}
     rec_fields = {f["name"] for f in json.loads(t._snapshot()[2])["fields"]}
     assert "extra2" in rec_fields
+
+
+def test_stream_ignorechanges_resumes_past_dv_and_compact(spark, tmp_path):
+    """The ignorechanges resume path across deletion vectors: a DV
+    commit streams nothing (no new files), later appends keep flowing,
+    and the compact() that MATERIALIZES the vectors must not resurrect
+    the deleted rows into the stream (compaction is data-preserving —
+    its rewritten files are never served)."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1), ("c", 3, 1)],
+        "k string, v long, ver long"))  # v2
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        got: list = []
+
+        def sink(batch_df, _bid):
+            got.extend(
+                (r["k"], r["v"], r["_commit_version"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            spark.readStream.format("txlog")
+            .option("tabledir", t.table_dir)
+            .option("ignorechanges", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    assert sorted(drain()) == [("a", 1, 2), ("b", 2, 2), ("c", 3, 2)]
+
+    # DV delete: no files added — the resumed stream emits nothing
+    v_dv, n = t.delete_where("k = 'b'", mode="merge_on_read")  # v3
+    assert n == 1 and t._replay()[3] != {}
+    assert drain() == []
+
+    # the stream keeps flowing past the DV commit
+    t.append(spark.createDataFrame(
+        [("d", 4, 1)], "k string, v long, ver long"))  # v4
+    assert drain() == [("d", 4, 4)]
+
+    # compaction materializes the vectors (rewrite) — still streams
+    # NOTHING: the deleted row must not resurrect via the new files
+    t.compact()  # v5
+    assert t._replay()[3] == {}  # vectors gone, physically applied
+    assert drain() == []
+
+    # and the post-compact table keeps streaming appends normally
+    t.append(spark.createDataFrame(
+        [("e", 5, 1)], "k string, v long, ver long"))  # v6
+    got = drain()
+    assert got == [("e", 5, 6)]
