@@ -765,22 +765,47 @@ class TxTable:
 
     # -- writes ------------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> list[dict]:
+    def _stage(
+        self,
+        df: DataFrame,
+        order_cols: tuple | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> list[dict]:
         """Write `df` (already carrying ``_bucket``) as invisible data
-        files; return add-entries [{path, bucket}...]."""
+        files; return add-entries [{path, bucket}...].
+
+        ``order_cols`` overrides the default within-bucket key sort
+        (the OPTIMIZE ZORDER path passes its Morton value);
+        ``max_rows_per_file`` splits each bucket into several files so
+        per-file footer stats cover NARROW value ranges — the lever
+        that turns clustering into data skipping."""
         staged = f"_staged-{uuid.uuid4().hex}"
         out = os.path.join(self.table_dir, staged)
         # `_pb` is a copy of `_bucket` consumed by partitionBy (which
         # strips its column from the files); `_bucket` itself stays in
         # the data so explicit-file-list reads need no partition
         # discovery.
-        (
+        # `_pb` leads the within-partition sort: FileFormatWriter
+        # requires task rows ordered by the partition columns and
+        # inserts its own (non-stable) sort when they are not — which
+        # would scramble the data ordering this sort establishes
+        w = (
             df.withColumn("_pb", F.col("_bucket"))
             .repartition("_pb")
-            .sortWithinPartitions(*self.meta["key_cols"])
-            .write.partitionBy("_pb")
-            .parquet(out)
+            .sortWithinPartitions(
+                "_pb", *(order_cols or self.meta["key_cols"])
+            )
         )
+        # a synthetic sort column (z-value) must not land in the files:
+        # the projection after the sort is exchange-free, so the
+        # within-partition order survives the drop
+        for c in order_cols or ():
+            if c not in df.columns or c.startswith("_z"):
+                w = w.drop(c)
+        writer = w.write.partitionBy("_pb")
+        if max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
+        writer.parquet(out)
         entries = []
         for p in glob.glob(os.path.join(out, "_pb=*", "*.parquet")):
             bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
@@ -1004,6 +1029,100 @@ class TxTable:
                 "version": base_v + 1,
                 "op": "compact",
                 "add": added,
+                "remove": [e["path"] for e in live],
+                "schema_json": schema_json,
+            }
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
+    def optimize_zorder(
+        self,
+        cols: tuple,
+        bits: int = 8,
+        max_rows_per_file: int = 1_000_000,
+        max_retries: int = 5,
+    ) -> int:
+        """OPTIMIZE ZORDER BY (Delta's multi-dimension clustering): a
+        LAYOUT-ONLY commit that rewrites the live set with each
+        bucket's rows ordered along the Morton curve of ``cols``
+        (numeric), split into ≤ ``max_rows_per_file``-row files. Each
+        file's parquet footer then carries NARROW min/max ranges on
+        every z-ordered column, so ``read(prune=...)`` / the log-level
+        ``_file_may_match`` skip most files for a range predicate on
+        ANY of the clustered dimensions — single-column sort only
+        serves its leading column. The row multiset is preserved
+        exactly; the commit records ``op="compact"`` (plus a zorder
+        note), so CDF, time travel and the streaming source treat it
+        as the data-preserving rewrite it is, with zero new cases.
+
+        Scale shape: the z-value is per-row shift/mask arithmetic on
+        linearly bucketized values (one 1-row global min/max aggregate
+        broadcast; no rank pass, no unpartitioned Window); the rewrite
+        is one repartition("_pb") + within-partition sort — the same
+        shuffle a plain compact pays. Degenerate constant columns get
+        level 0 everywhere (clustering no-op, correctness unaffected).
+        """
+        if not cols:
+            raise ValueError("optimize_zorder needs at least one column")
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            base_v, live_map, schema_json, dvs = self._replay()
+            live = list(live_map.values())
+            if not live:
+                return base_v
+            df = self._with_bucket(
+                self._open_files(
+                    [e["path"] for e in live], schema_json, dvs
+                ).drop("_bucket")
+            )
+            # global [min, max] per dimension — one broadcast row
+            mm = df.agg(
+                *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+                *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+            )
+            z = F.lit(0).cast("long")
+            withmm = df.join(F.broadcast(mm))
+            k = len(cols)
+            for j, c in enumerate(cols):
+                span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+                level = (
+                    F.when(
+                        span > 0,
+                        F.least(
+                            F.lit((1 << bits) - 1),
+                            F.floor(
+                                (F.col(c).cast("double") - F.col(f"__mn_{c}"))
+                                / span
+                                * (1 << bits)
+                            ),
+                        ),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                )
+                for i in range(bits):
+                    z = z + (
+                        F.shiftright(level, i).bitwiseAND(F.lit(1))
+                        * F.lit(1 << (i * k + j))
+                    ).cast("long")
+            staged = self._stage(
+                withmm.withColumn("_zv", z).drop(
+                    *[f"__mn_{c}" for c in cols],
+                    *[f"__mx_{c}" for c in cols],
+                ),
+                order_cols=("_zv",),
+                max_rows_per_file=max_rows_per_file,
+            )
+            record = {
+                "version": base_v + 1,
+                "op": "compact",
+                "zorder": {"cols": list(cols), "bits": bits},
+                "add": staged,
                 "remove": [e["path"] for e in live],
                 "schema_json": schema_json,
             }

@@ -1296,3 +1296,62 @@ def test_stream_ignorechanges_resumes_past_dv_and_compact(spark, tmp_path):
         [("e", 5, 1)], "k string, v long, ver long"))  # v6
     got = drain()
     assert got == [("e", 5, 6)]
+
+
+def test_optimize_zorder_improves_skipping_layout_only(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: layout-only (exact multiset preserved, time
+    travel intact, stream silent), and after clustering a range
+    predicate on EITHER z-ordered dimension prunes most files via the
+    recorded footer stats — the single big-file-per-bucket layout
+    before it could skip nothing."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+        _table_schema,
+        TxLogStreamReader,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    rows = [(f"k{i}", (i * 37) % 1000, (i * 91) % 1000, 1)
+            for i in range(4000)]
+    t.append(spark.createDataFrame(
+        rows, "k string, x long, y long, ver long"))
+    v_before = t.latest_version()
+    before = sorted((r["k"], r["x"], r["y"]) for r in t.read().collect())
+
+    rep0 = t.prune_report({"x": (100, 150)})
+    assert rep0["files_skipped"] == 0  # one wide file per bucket
+
+    v = t.optimize_zorder(("x", "y"), bits=6, max_rows_per_file=250)
+
+    # exact multiset preserved; time travel still sees the old layout
+    after = sorted((r["k"], r["x"], r["y"]) for r in t.read().collect())
+    assert after == before
+    assert sorted(
+        (r["k"], r["x"], r["y"])
+        for r in t.read(version=v_before).collect()
+    ) == before
+
+    # data skipping now real on BOTH dimensions
+    repx = t.prune_report({"x": (100, 150)})
+    repy = t.prune_report({"y": (100, 150)})
+    # 8 files/bucket at 3 z-prefix bits = quarter resolution per dim:
+    # a narrow range on either dim keeps ~1 quadrant + boundary files
+    assert repx["files_total"] >= 16  # split into many narrow files
+    assert repx["files_skipped"] >= repx["files_total"] // 3, repx
+    assert repy["files_skipped"] >= repy["files_total"] // 3, repy
+
+    # pruned read stays EXACT
+    got = sorted(
+        (r["k"], r["x"]) for r in
+        t.read(prune={"x": (100, 150)}).collect()
+    )
+    want = sorted((k, x) for (k, x, y) in before if 100 <= x <= 150)
+    assert got == want
+
+    # the z-value never leaks into the user schema
+    assert "_zv" not in t.read().columns
+
+    # streaming source treats it as the data-preserving rewrite it is
+    rd = TxLogStreamReader(
+        {"tabledir": t.table_dir}, _table_schema(t.table_dir))
+    assert rd.partitions({"version": v - 1}, {"version": v}) == []
