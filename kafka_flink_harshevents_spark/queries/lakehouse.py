@@ -145,9 +145,54 @@ def q_txlog_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([tuple(row.values())], schema)
 
 
+def q_txlog_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER correctness gate: build a table with two query
+    dimensions, cluster it along their Morton curve, and emit the
+    driver-hashable contract — the pruned range read returns EXACTLY
+    the rows SQL says (count oracled from ``orders`` directly), the
+    multiset survives the rewrite, and the clustered layout actually
+    skips files on a non-leading dimension (file counts themselves are
+    writer-specific, so they gate as booleans — the
+    `emb_knn_pq_recall` convention)."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= _KEY_CAP)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.round(F.col("o_totalprice") * 100).cast("long") % 1000)
+            .alias("x"),
+            (F.col("o_custkey") % 1000).alias("y"),
+        )
+    )
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txz-"),
+        key_cols=("k",),
+        order_col="k",
+        n_buckets=2,
+    )
+    t.append(base)
+    n_before = t.read().count()
+    t.optimize_zorder(("x", "y"), bits=6, max_rows_per_file=128)
+    pruned = t.read(prune={"y": (100, 200)})
+    rep = t.prune_report({"y": (100, 200)})
+    row = (
+        int(pruned.count()),
+        int(t.read().count() == n_before),
+        int(rep["files_skipped"] > 0),
+        int(rep["files_total"] > rep["files_read"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows_in_range long, multiset_preserved long, "
+        "skips_files long, reads_subset long",
+    )
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
+    "q_txlog_zorder_gate": q_txlog_zorder_gate,
 }
 
 # The mutation program in SQL terms (base = orders, k ≤ 2000, cents):
@@ -188,5 +233,14 @@ ORACLES = {
                (SELECT min(k) FROM v0) AS min_k_v0,
                (SELECT max(k) FROM v0) AS max_k_v0,
                (SELECT max(amount_c) FROM v0) AS max_amount_v0
+    """,
+    "q_txlog_zorder_gate": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows_in_range,
+               CAST(1 AS BIGINT) AS multiset_preserved,
+               CAST(1 AS BIGINT) AS skips_files,
+               CAST(1 AS BIGINT) AS reads_subset
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+          AND (o_custkey % 1000) BETWEEN 100 AND 200
     """,
 }
