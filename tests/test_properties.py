@@ -369,3 +369,63 @@ def test_tombstone_state_machine_properties(actions, splits):
     for r in rows:
         if r["action"] == "ingest" and r["batch_tomb_before"]:
             assert r["tombstoned_before"] == 1
+
+
+# -- deterministic-aggregation helpers: cross-engine + partitioning ---------
+
+_doubles = st.lists(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_doubles, st.integers(min_value=1, max_value=7))
+@settings(**_SETTINGS)
+def test_det_helpers_cross_engine_and_partitioning(spark, xs, parts):
+    """The det_sum/det_avg/det_total trees (hi/lo long quantization,
+    decimal recombination) must produce BIT-IDENTICAL emitted values
+    (a) between Spark and DuckDB running the *_sql twins, and (b) under
+    any partitioning of the input — the two properties every catalog
+    oracle hash depends on."""
+    import duckdb
+
+    from kafka_flink_harshevents_spark.queries._util import (
+        det_avg,
+        det_avg_sql,
+        det_sum,
+        det_sum_sql,
+        det_total,
+        det_total_sql,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(float(x),) for x in xs]
+
+    def spark_vals(n_parts):
+        df = spark.createDataFrame(rows, "v double").repartition(n_parts)
+        r = df.agg(
+            det_sum("v", 2).alias("s"),
+            det_avg("v", 4).alias("a"),
+            det_total("v", 6).cast("string").alias("t"),
+        ).collect()[0]
+        return (repr(r["s"]), repr(r["a"]), r["t"])
+
+    one = spark_vals(1)
+    many = spark_vals(parts)
+    assert one == many  # partitioning-invariant, bit-exact
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt (v DOUBLE)")
+    con.executemany("INSERT INTO tt VALUES (?)", rows)
+    ds, da, dt = con.execute(
+        f"SELECT {det_sum_sql('v', 2)}, {det_avg_sql('v', 4)}, "
+        f"CAST({det_total_sql('v', 6)} AS VARCHAR) FROM tt"
+    ).fetchone()
+    assert (repr(float(ds)), repr(float(da)), str(dt)) == one
