@@ -1886,9 +1886,11 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).select("doc_id", "x.v", "x.b")
     dbg = bg.groupBy("doc_id", "v", "b").agg(F.count(F.lit(1)).alias("c"))
+    # bigram-TYPE table (vocabulary²-bounded) feeds three consumers —
+    # materialize once, same trim as doc_kn_logprob
     cbw = dbg.groupBy("b").agg(
         F.sum("c").alias("cbw"), F.max("v").alias("bv")
-    )
+    ).localCheckpoint(eager=True)
     cv = cbw.groupBy(F.col("bv").alias("v")).agg(F.sum("cbw").alias("cv"))
     vocab = cv.agg(F.count(F.lit(1)).alias("vv"))
     score = F.col("c") * F.log(
