@@ -1355,3 +1355,43 @@ def test_optimize_zorder_improves_skipping_layout_only(spark, tmp_path):
     rd = TxLogStreamReader(
         {"tabledir": t.table_dir}, _table_schema(t.table_dir))
     assert rd.partitions({"version": v - 1}, {"version": v}) == []
+
+
+def test_optimize_zorder_empty_and_concurrent_race(spark, tmp_path):
+    """Edge semantics: z-ordering an empty table is a no-op (no
+    commit); a zorder racing a concurrent writer retries from the NEW
+    snapshot, so the winning layout contains the concurrently merged
+    rows (no lost update, optimistic-concurrency contract)."""
+    import kafka_flink_harshevents_spark.sources.txlog as txmod
+
+    t = _mk(spark, tmp_path)
+    assert t.optimize_zorder(("v",)) == t.latest_version()  # empty: no-op
+
+    t.append(spark.createDataFrame(
+        [(f"k{i}", i, 1) for i in range(100)], "k string, v long, ver long"))
+
+    orig_commit = txmod._atomic_commit
+    fired = {"done": False}
+
+    def racing_commit(table_dir, version, record):
+        if not fired["done"] and record.get("zorder"):
+            fired["done"] = True
+            # a concurrent merge wins this version before the zorder
+            other = TxTable(spark, table_dir)
+            txmod._atomic_commit = orig_commit
+            try:
+                other.merge_upsert(spark.createDataFrame(
+                    [("k0", -5, 9)], "k string, v long, ver long"))
+            finally:
+                txmod._atomic_commit = racing_commit
+            raise ConcurrentWriteError(f"version {version} taken")
+        return orig_commit(table_dir, version, record)
+
+    txmod._atomic_commit = racing_commit
+    try:
+        v = t.optimize_zorder(("v",), max_rows_per_file=25)
+    finally:
+        txmod._atomic_commit = orig_commit
+    snap = {r["k"]: r["v"] for r in t.read().collect()}
+    assert snap["k0"] == -5 and len(snap) == 100  # merged row survived
+    assert t.latest_version() == v
