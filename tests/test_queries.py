@@ -632,6 +632,9 @@ EMPTY_REPRESENTATIVES = [
     # round-4 fifth wave
     "ev_session_paths", "ev_interarrival_hist", "ev_hll_partial_merge",
     "doc_collocation_pmi", "doc_kn_logprob", "ev_rfm_segments",
+    # round-5 lakehouse entries (empty base: append commits schema only,
+    # merge/delete no-op, CDF loop empty, zorder no-ops)
+    "q_txlog_cdf_replay", "q_txlog_metadata_agg", "q_txlog_zorder_gate",
 ]
 
 
