@@ -21,7 +21,7 @@ from kafka_flink_harshevents_spark.queries import _MODULES  # noqa: E402
 GATES = {
     "doc_bpe_train", "doc_bpe_encode", "emb_knn_pq_recall", "emb_kmeans",
     "pipeline_derive_gate", "ev_approx_distinct", "ev_approx_quantile",
-    "ev_heavy_hitters",
+    "ev_heavy_hitters", "q_txlog_zorder_gate",
 }
 
 MAX = 155
