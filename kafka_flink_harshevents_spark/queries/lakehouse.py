@@ -61,7 +61,7 @@ def _build_mutated_table(
         tempfile.mkdtemp(prefix="txq-"),
         key_cols=("k",),
         order_col="ver",
-        n_buckets=4,
+        n_buckets=2,  # entry measures commit semantics, not file fan-out
     )
     v0 = t.append(base.filter(F.col("k") % 3 != 0))
     t.merge_upsert(
