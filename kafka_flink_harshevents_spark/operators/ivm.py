@@ -46,3 +46,57 @@ def q1_apply_changes(state: DataFrame | None, changes: DataFrame) -> DataFrame:
     if state is None:
         return delta
     return q1_merge_states(state, delta)
+
+
+# -- delta-join view maintenance -------------------------------------
+
+def join_view_delta(
+    changes: DataFrame, other: DataFrame, on: list[str]
+) -> DataFrame:
+    """Signed multiset delta of the JOIN view A ⋈ B from ONE side's
+    CDF rows — the classic incremental join-maintenance identity
+    ΔM = ΔA ⋈ B (resp. A ⋈ ΔB), with inserts/postimages contributing
+    +1 and deletes/preimages −1 per matched pair.
+
+    Exactly-once pairing contract (what makes the interleaved fold
+    land on the recomputed join): when applying one table's commit,
+    ``other`` must be the OTHER side's snapshot with exactly the
+    commits applied so far — then every (δa, δb) pair is counted once:
+    in δa ⋈ B if b was applied first, else in A ⋈ δb. Pin snapshots
+    with ``TxTable.read(version=...)`` when replaying a history.
+
+    Output: the join's user columns plus ``_mult`` (signed exact
+    multiplicity — duplicates are counts, never dropped). Cost per
+    commit ∝ |feed| ⋈ other — never |A| ⋈ |B|."""
+    sign = F.when(
+        F.col("_change_type").isin(*_ADDS), F.lit(1)
+    ).otherwise(F.lit(-1))
+    meta = [c for c in changes.columns if c.startswith("_")]
+    left = changes.withColumn("_sign", sign.cast("long")).drop(*meta)
+    joined = left.join(other, on)
+    cols = [c for c in joined.columns if c != "_sign"]
+    return (
+        joined.groupBy(*cols)
+        .agg(F.sum("_sign").alias("_mult"))
+        .filter(F.col("_mult") != 0)
+    )
+
+
+def apply_view_delta(
+    view: DataFrame | None, delta: DataFrame
+) -> DataFrame:
+    """Fold a signed multiset delta into the maintained view state
+    (None = empty view): rows group on every user column, signed
+    multiplicities add, zero-multiplicity rows vanish. Associative and
+    commutative over deltas with integer-exact counts, so any replay
+    order of the SAME delta sequence converges to identical state.
+    Cost ∝ |view groups| + |delta| (keyed aggregate — no base scan)."""
+    if view is None:
+        return delta
+    cols = [c for c in delta.columns if c != "_mult"]
+    return (
+        view.unionByName(delta)
+        .groupBy(*cols)
+        .agg(F.sum("_mult").cast("long").alias("_mult"))
+        .filter(F.col("_mult") != 0)
+    )

@@ -1395,3 +1395,84 @@ def test_optimize_zorder_empty_and_concurrent_race(spark, tmp_path):
     snap = {r["k"]: r["v"] for r in t.read().collect()}
     assert snap["k0"] == -5 and len(snap) == 100  # merged row survived
     assert t.latest_version() == v
+
+
+def test_join_view_maintenance_matches_recompute(spark, tmp_path):
+    """Delta-join IVM: a materialized A ⋈ B view maintained purely
+    from the two tables' CDF deltas (ΔA ⋈ B, A ⋈ ΔB — each side's
+    commits folded in order, joining the other side's applied
+    snapshot) must equal the full recompute as an exact MULTISET
+    (duplicate join pairs carry _mult > 1) across appends with
+    duplicate keys, a merge (update + insert), and deletes on both
+    sides."""
+    from kafka_flink_harshevents_spark.operators.ivm import (
+        apply_view_delta,
+        join_view_delta,
+    )
+
+    a = TxTable.create(
+        spark, str(tmp_path / "a"), key_cols=("ok",), order_col="ver",
+        n_buckets=2,
+    )
+    b = TxTable.create(
+        spark, str(tmp_path / "b"), key_cols=("ck",), order_col="ver",
+        n_buckets=2,
+    )
+    view = None
+
+    # the view's columns are the JOIN's user columns: project the
+    # order_col bookkeeping away on both sides so deltas from either
+    # table group on identical keys
+    def apply_a(version):
+        nonlocal view
+        other = b.read().drop("ver") if b.latest_version() > 1 else None
+        if other is None:
+            return  # empty B: delta is empty by definition
+        delta = join_view_delta(
+            a.table_changes(version).drop("ver"), other, ["ck"]
+        )
+        view = apply_view_delta(view, delta).localCheckpoint()
+
+    def apply_b(version):
+        nonlocal view
+        delta = join_view_delta(
+            b.table_changes(version).drop("ver"),
+            a.read().drop("ver"), ["ck"],
+        )
+        view = apply_view_delta(view, delta).localCheckpoint()
+
+    # A carries duplicate ck values (two orders per customer for ck=1)
+    va = a.append(spark.createDataFrame(
+        [(1, 1, 10, 1), (2, 1, 20, 1), (3, 2, 30, 1)],
+        "ok long, ck long, amt long, ver long"))
+    apply_a(va)                      # B still empty → no-op
+    vb = b.append(spark.createDataFrame(
+        [(1, "gold", 1), (2, "silver", 1)], "ck long, seg string, ver long"))
+    apply_b(vb)
+    vm = a.merge_upsert(spark.createDataFrame(
+        [(2, 1, 25, 2), (4, 2, 40, 1)],   # update ok=2, insert ok=4
+        "ok long, ck long, amt long, ver long"))
+    apply_a(vm)
+    vd, n = b.delete_where("ck = 2")      # drops customer 2 → ok 3,4 pairs
+    assert n == 1
+    apply_b(vd)
+    vda, n2 = a.delete_where("ok = 1")
+    assert n2 == 1
+    apply_a(vda)
+
+    def multiset(df, cols):
+        out: dict = {}
+        for r in df.collect():
+            k = tuple(r[c] for c in cols)
+            out[k] = out.get(k, 0) + (r["_mult"] if "_mult" in df.columns else 1)
+        return {k: v for k, v in out.items() if v}
+
+    cols = ["ck", "ok", "amt", "seg"]
+    got = multiset(view.select(*cols, "_mult"), cols)
+    want = multiset(
+        a.read().drop("ver").join(b.read().drop("ver"), "ck").select(*cols),
+        cols,
+    )
+    assert got == want and want  # non-vacuous
+    # concretely: only (ok=2 updated amt=25) ⋈ gold survives
+    assert got == {(1, 2, 25, "gold"): 1}
