@@ -82,6 +82,44 @@ def join_view_delta(
     )
 
 
+def aggregate_view_delta(
+    delta: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Signed GROUP BY delta over a join-view delta — composing the
+    two maintenance layers gives a maintained AGGREGATE-over-JOIN
+    materialized view (the full IVM story): each joined row
+    contributes ``_mult`` to the group's count and ``_mult · value``
+    to its sums, so retractions subtract exactly. Values must be
+    integer-exact (longs / pre-quantized cents — the repo's det-sum
+    convention), which is what makes add/retract land bit-identical
+    to recomputation. Fold the resulting deltas into state with
+    :func:`merge_aggregate_states` (columns ADD per group — not the
+    multiset merge of :func:`apply_view_delta`)."""
+    aggs = [F.sum("_mult").cast("long").alias("n_rows")] + [
+        F.sum(F.col(c) * F.col("_mult")).cast("long").alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    return delta.groupBy(*group_cols).agg(*aggs)
+
+
+def merge_aggregate_states(
+    state: DataFrame | None, delta: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Fold an aggregate delta into the maintained aggregate state:
+    group keys align, every other (integer) column adds; groups whose
+    row count reaches zero vanish. Associative/commutative — replay
+    order never changes the result."""
+    if state is None:
+        return delta.filter(F.col("n_rows") != 0)
+    val_cols = [c for c in delta.columns if c not in group_cols]
+    merged = (
+        state.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in val_cols])
+    )
+    return merged.filter(F.col("n_rows") != 0)
+
+
 def apply_view_delta(
     view: DataFrame | None, delta: DataFrame
 ) -> DataFrame:

@@ -1476,3 +1476,73 @@ def test_join_view_maintenance_matches_recompute(spark, tmp_path):
     assert got == want and want  # non-vacuous
     # concretely: only (ok=2 updated amt=25) ⋈ gold survives
     assert got == {(1, 2, 25, "gold"): 1}
+
+
+def test_aggregate_over_join_view_maintenance(spark, tmp_path):
+    """The full IVM composition: a maintained GROUP BY aggregate OVER
+    a join (per-segment order count + amount total), fed only by CDF
+    deltas from both base tables, equals the recomputed aggregate
+    after every commit — including a retraction that empties a group
+    (the group must vanish, not linger at zero)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.operators.ivm import (
+        aggregate_view_delta,
+        join_view_delta,
+        merge_aggregate_states,
+    )
+
+    a = TxTable.create(
+        spark, str(tmp_path / "a"), key_cols=("ok",), order_col="ver",
+        n_buckets=2,
+    )
+    b = TxTable.create(
+        spark, str(tmp_path / "b"), key_cols=("ck",), order_col="ver",
+        n_buckets=2,
+    )
+    state = None
+
+    def fold(delta):
+        nonlocal state
+        agg = aggregate_view_delta(delta, ["seg"], ["amt"])
+        state = merge_aggregate_states(state, agg, ["seg"]).localCheckpoint()
+
+    def recompute():
+        j = a.read().drop("ver").join(b.read().drop("ver"), "ck")
+        return {
+            r["seg"]: (r["n"], r["s"])
+            for r in j.groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("amt").cast("long").alias("s"),
+            )
+            .collect()
+        }
+
+    def snapshot():
+        return {
+            r["seg"]: (r["n_rows"], r["sum_amt"]) for r in state.collect()
+        }
+
+    vb = b.append(spark.createDataFrame(
+        [(1, "gold", 1), (2, "silver", 1)], "ck long, seg string, ver long"))
+    # B committed first against empty A: delta empty, nothing to fold
+    va = a.append(spark.createDataFrame(
+        [(1, 1, 10, 1), (2, 1, 20, 1), (3, 2, 30, 1)],
+        "ok long, ck long, amt long, ver long"))
+    fold(join_view_delta(
+        a.table_changes(va).drop("ver"), b.read().drop("ver"), ["ck"]))
+    assert snapshot() == recompute() == {"gold": (2, 30), "silver": (1, 30)}
+
+    vm = a.merge_upsert(spark.createDataFrame(
+        [(2, 1, 25, 2), (4, 2, 40, 1)],
+        "ok long, ck long, amt long, ver long"))
+    fold(join_view_delta(
+        a.table_changes(vm).drop("ver"), b.read().drop("ver"), ["ck"]))
+    assert snapshot() == recompute() == {"gold": (2, 35), "silver": (2, 70)}
+
+    # delete customer 2: the silver group must VANISH from the state
+    vd, _ = b.delete_where("ck = 2")
+    fold(join_view_delta(
+        b.table_changes(vd).drop("ver"), a.read().drop("ver"), ["ck"]))
+    assert snapshot() == recompute() == {"gold": (2, 35)}
