@@ -310,7 +310,16 @@ class TxTable:
         key_cols: tuple[str, ...],
         order_col: str,
         n_buckets: int = 16,
+        cdf: bool = False,
     ) -> "TxTable":
+        """``cdf=True`` is Delta's ``enableChangeDataFeed`` table
+        property: rewrite commits (merge / delete / update) MATERIALIZE
+        their row-level change feed as parquet at commit time, so
+        ``table_changes`` reads it back without re-deriving the diff
+        and the streaming source can serve a live change feed
+        (``readchangefeed=true``). Appends/compactions never
+        materialize — inserts are synthesized from the add files and
+        layout commits have an empty feed, exactly Delta's rule."""
         t = cls(spark, table_dir)
         if _list_versions(table_dir):
             return t  # already initialized — metadata is immutable
@@ -326,6 +335,7 @@ class TxTable:
                     "key_cols": list(key_cols),
                     "order_col": order_col,
                     "n_buckets": n_buckets,
+                    "cdf": bool(cdf),
                 },
             },
         )
@@ -815,6 +825,23 @@ class TxTable:
             )
         return entries
 
+    def _stage_cdf(self, version: int, record: dict) -> list[str]:
+        """Materialize a pending rewrite commit's change feed (cdf=True
+        tables): derive the rows from the staged record and write them
+        under ``_cdf-<uuid>/`` — OUTSIDE the ``_staged-*`` namespace so
+        vacuum's staged-orphan reclamation never touches committed
+        change files. Returns table-relative parquet paths to record as
+        ``cdf_files``. Cost ∝ the commit's touched buckets — the
+        write-time price Delta's enableChangeDataFeed pays."""
+        changes = self._changes_for(version, record)
+        out_rel = f"_cdf-{uuid.uuid4().hex}"
+        out = os.path.join(self.table_dir, out_rel)
+        changes.write.parquet(out)
+        return sorted(
+            os.path.relpath(p, self.table_dir)
+            for p in glob.glob(os.path.join(out, "*.parquet"))
+        )
+
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         # NULL business keys are dropped JVM-side (the stream-store NULL
         # hygiene convention): a NULL key is a malformed row the K4 path
@@ -945,6 +972,8 @@ class TxTable:
             }
             if txn:
                 record["txn"] = txn
+            if m.get("cdf"):
+                record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
                 _atomic_commit(self.table_dir, base_v + 1, record)
                 return base_v + 1
@@ -1225,6 +1254,10 @@ class TxTable:
                         "schema_json": schema_json,
                         "predicate": predicate,
                     }
+                    if self.meta.get("cdf"):
+                        record["cdf_files"] = self._stage_cdf(
+                            base_v + 1, record
+                        )
                     try:
                         _atomic_commit(self.table_dir, base_v + 1, record)
                         return base_v + 1, len(pos)
@@ -1261,6 +1294,8 @@ class TxTable:
                 "schema_json": schema_json,
                 "predicate": predicate,
             }
+            if self.meta.get("cdf"):
+                record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
                 _atomic_commit(self.table_dir, base_v + 1, record)
                 return base_v + 1, n_del
@@ -1351,6 +1386,8 @@ class TxTable:
                 "predicate": predicate,
                 "assignments": assignments,
             }
+            if self.meta.get("cdf"):
+                record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
                 _atomic_commit(self.table_dir, base_v + 1, record)
                 return base_v + 1, n_upd
@@ -1412,8 +1449,24 @@ class TxTable:
         ``append`` commits short-circuit to pure inserts (no pre-image
         read at all); layout-only ``compact`` commits return an empty
         feed by definition.
+
+        On a ``cdf=True`` table, rewrite commits carry MATERIALIZED
+        change files (written at commit time by the same derivation
+        below) — those read back directly, no diff re-run.
         """
         rec = _read_record(self.table_dir, version)
+        if rec.get("cdf_files"):
+            return self.spark.read.parquet(
+                *[os.path.join(self.table_dir, p) for p in rec["cdf_files"]]
+            )
+        return self._changes_for(version, rec)
+
+    def _changes_for(self, version: int, rec: dict) -> DataFrame:
+        """Derive the commit's change rows from its record. Callable
+        BEFORE the commit lands (files are staged first), which is how
+        ``cdf=True`` materializes the feed at write time with zero
+        duplicated diff logic — ``version`` is then the version being
+        attempted and ``version - 1`` the current snapshot."""
         m = self.meta
         key_cols = m["key_cols"]
         # change types follow Delta's CDF contract: updates emit BOTH

@@ -64,11 +64,16 @@ except ImportError:  # pragma: no cover - older pyspark
 
 
 VERSION_COL = "_commit_version"
+CHANGE_COL = "_change_type"
+_CTYPE_FROM_FILE = "@file"  # partition sentinel: read ctype column
 
 
-def _table_schema(table_dir: str) -> StructType:
+def _table_schema(table_dir: str, cdf: bool = False) -> StructType:
     """Latest recorded table schema (log-authoritative), minus the
-    internal ``_bucket`` layout column, plus the commit-version stamp."""
+    internal ``_bucket`` layout column, plus the commit-version stamp
+    (and, in change-feed mode, the ``_change_type`` column)."""
+    from pyspark.sql.types import StringType
+
     schema_json = None
     for v in _list_versions(table_dir):
         rec = _read_record(table_dir, v)
@@ -80,27 +85,46 @@ def _table_schema(table_dir: str) -> StructType:
         )
     base = StructType.fromJson(json.loads(schema_json))
     fields = [f for f in base.fields if f.name != "_bucket"]
+    if cdf:
+        fields = fields + [StructField(CHANGE_COL, StringType(), False)]
     return StructType(fields + [StructField(VERSION_COL, LongType(), False)])
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, version: int, columns: tuple[str, ...]):
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        columns: tuple[str, ...],
+        ctype: str | None = None,
+    ):
         self.path = path
         self.version = version
         self.columns = columns
+        # None = plain table stream (no change column); "@file" = read
+        # the materialized _change_type column; else a constant label
+        self.ctype = ctype
 
 
 class TxLogStreamSource(DataSource):
     """``format("txlog")`` — options: ``tabledir`` (required),
     ``startingversion`` (default 0 = from the beginning),
-    ``ignorechanges`` (default false)."""
+    ``ignorechanges`` (default false), ``readchangefeed`` (default
+    false — serve the row-level CHANGE FEED instead of the table:
+    appends arrive as inserts, and merge/delete/update commits on a
+    ``cdf=True`` table serve their materialized change files with
+    ``_change_type`` per row, the Delta readChangeFeed contract)."""
 
     @classmethod
     def name(cls) -> str:
         return "txlog"
 
     def schema(self) -> StructType:
-        return _table_schema(self.options["tabledir"])
+        return _table_schema(
+            self.options["tabledir"],
+            cdf=str(self.options.get("readchangefeed", "false")).lower()
+            == "true",
+        )
 
     def streamReader(self, schema) -> "TxLogStreamReader":
         return TxLogStreamReader(self.options, schema)
@@ -117,8 +141,13 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         self.columns = tuple(
-            f.name for f in schema.fields if f.name != VERSION_COL
+            f.name
+            for f in schema.fields
+            if f.name not in (VERSION_COL, CHANGE_COL)
         )
 
     def initialOffset(self) -> dict:
@@ -135,6 +164,33 @@ class TxLogStreamReader(DataSourceStreamReader):
                 continue
             rec = _read_record(self.table_dir, v)
             op = rec.get("op")
+            if self.read_change_feed:
+                if op == "append" and rec.get("add"):
+                    # inserts are synthesized from the add files — no
+                    # materialization needed (Delta's rule)
+                    for entry in rec["add"]:
+                        parts.append(_FilePartition(
+                            os.path.join(self.table_dir, entry["path"]),
+                            v, self.columns, ctype="insert",
+                        ))
+                elif rec.get("cdf_files"):
+                    for p in rec["cdf_files"]:
+                        parts.append(_FilePartition(
+                            os.path.join(self.table_dir, p),
+                            v, self.columns, ctype=_CTYPE_FROM_FILE,
+                        ))
+                elif op in ("create", "compact") or not (
+                    rec.get("add") or rec.get("remove") or rec.get("dv")
+                ):
+                    continue  # no data change (incl. metadata commits)
+                else:
+                    raise ValueError(
+                        f"txlog change feed over {self.table_dir}: "
+                        f"version {v} is a {str(op).upper()} with no "
+                        "materialized change files — create the table "
+                        "with cdf=True (or start past this version)"
+                    )
+                continue
             if rec.get("dv") or rec.get("dv_full"):
                 # deletion-vector commits change data without touching
                 # files — a non-append change (refuse), and with
@@ -187,6 +243,11 @@ class TxLogStreamReader(DataSourceStreamReader):
                 cols.append(table.column(c).to_pylist())
             else:  # pre-evolution file: NULL-fill the added column
                 cols.append([None] * n)
+        if partition.ctype is not None:  # change-feed mode
+            if partition.ctype == _CTYPE_FROM_FILE:
+                cols.append(table.column(CHANGE_COL).to_pylist())
+            else:
+                cols.append([partition.ctype] * n)
         ver = [partition.version] * n
         return iter(zip(*cols, ver))
 

@@ -1546,3 +1546,126 @@ def test_aggregate_over_join_view_maintenance(spark, tmp_path):
     fold(join_view_delta(
         b.table_changes(vd).drop("ver"), a.read().drop("ver"), ["ck"]))
     assert snapshot() == recompute() == {"gold": (2, 35)}
+
+
+def test_cdf_materialization_matches_derived(spark, tmp_path):
+    """cdf=True tables write their change feed at commit time; the
+    materialized rows must be the EXACT multiset the lazy derivation
+    produces, across merge (update+insert+dup-collapse), copy-on-write
+    delete and merge-on-read (DV) delete."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    from kafka_flink_harshevents_spark.sources.txlog import _read_record
+
+    t.append(spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("b", 10, 1), ("c", 100, 1)],
+        "k string, v long, ver long"))  # dup key 'a' via append
+    versions = []
+    versions.append(t.merge_upsert(spark.createDataFrame(
+        [("a", 3, 3), ("d", 7, 1)], "k string, v long, ver long")))
+    versions.append(t.delete_where("k = 'b'")[0])
+    versions.append(t.delete_where("k = 'c'", mode="merge_on_read")[0])
+    versions.append(t.update_where("k = 'd'", {"v": "v + 1"})[0])
+
+    def multiset(df):
+        out: dict = {}
+        for r in df.collect():
+            key = (r["k"], r["v"], r["ver"], r["_change_type"])
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    for v in versions:
+        rec = _read_record(t.table_dir, v)
+        assert rec.get("cdf_files"), f"version {v} did not materialize"
+        derived = t._changes_for(v, {k: x for k, x in rec.items()
+                                     if k != "cdf_files"})
+        assert multiset(t.table_changes(v)) == multiset(derived), v
+    # appends and compactions never materialize
+    va = t.append(spark.createDataFrame(
+        [("e", 5, 1)], "k string, v long, ver long"))
+    assert "cdf_files" not in _read_record(t.table_dir, va)
+    vc = t.compact()
+    assert "cdf_files" not in _read_record(t.table_dir, vc)
+
+
+def test_stream_readchangefeed_end_to_end(spark, tmp_path):
+    """readchangefeed=true serves the live row-level change feed:
+    appends as inserts, merges as pre/post pairs, deletes as deletes —
+    exactly once across checkpointed restarts; a rewrite on a non-CDF
+    table refuses with the enable-cdf hint."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        got: list = []
+
+        def sink(batch_df, _bid):
+            got.extend(
+                (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            spark.readStream.format("txlog")
+            .option("tabledir", t.table_dir)
+            .option("readchangefeed", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    v2 = t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 10, 1)], "k string, v long, ver long"))
+    assert drain() == [("a", 1, "insert", v2), ("b", 10, "insert", v2)]
+
+    v3 = t.merge_upsert(spark.createDataFrame(
+        [("a", 2, 2), ("c", 30, 1)], "k string, v long, ver long"))
+    assert drain() == sorted([
+        ("a", 1, "update_preimage", v3),
+        ("a", 2, "update_postimage", v3),
+        ("c", 30, "insert", v3),
+    ])
+
+    v4, n = t.delete_where("k = 'b'")
+    assert n == 1
+    assert drain() == [("b", 10, "delete", v4)]
+
+    # compaction: data-preserving → feeds nothing
+    t.compact()
+    assert drain() == []
+
+    # non-CDF table: the feed refuses a rewrite with the enable hint
+    t2 = TxTable.create(
+        spark, str(tmp_path / "t2"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t2.append(spark.createDataFrame([("x", 1, 1)], "k string, v long, ver long"))
+    t2.merge_upsert(spark.createDataFrame([("x", 2, 2)], "k string, v long, ver long"))
+    with pytest.raises(StreamingQueryException, match="cdf=True"):
+        q = (
+            spark.readStream.format("txlog")
+            .option("tabledir", t2.table_dir)
+            .option("readchangefeed", "true")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
