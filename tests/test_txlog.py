@@ -1669,3 +1669,106 @@ def test_stream_readchangefeed_end_to_end(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+
+
+def test_streaming_ivm_from_change_feed(spark, tmp_path):
+    """The complete lakehouse loop: ACID table → readchangefeed stream
+    → incrementally maintained materialized aggregate (foreachBatch
+    folding signed deltas). After appends, a merge and a delete — with
+    a stream restart in the middle — the maintained per-group state
+    equals the full recompute, exactly."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.operators.ivm import (
+        aggregate_view_delta,
+        merge_aggregate_states,
+    )
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+
+    def fold_batch(batch_df, _bid):
+        # signed delta straight from the change feed; versions within
+        # a batch can fold together — the merge is associative
+        delta = aggregate_view_delta(
+            batch_df.withColumn(
+                "_mult",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)).cast("long"),
+            ).select("grp", "amt", "_mult"),
+            ["grp"], ["amt"],
+        )
+        try:
+            prev = batch_df.sparkSession.read.parquet(state_dir + "/cur")
+        except Exception:
+            prev = None
+        merged = merge_aggregate_states(prev, delta, ["grp"])
+        merged.write.mode("overwrite").parquet(state_dir + "/nxt")
+        import shutil as _sh
+
+        _sh.rmtree(state_dir + "/cur", ignore_errors=True)
+        os.rename(state_dir + "/nxt", state_dir + "/cur")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog")
+            .option("tabledir", t.table_dir)
+            .option("readchangefeed", "true")
+            .load()
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def snapshot():
+        return {
+            r["grp"]: (r["n_rows"], r["sum_amt"])
+            for r in spark.read.parquet(state_dir + "/cur").collect()
+        }
+
+    def recompute():
+        return {
+            r["grp"]: (r["n"], r["s"])
+            for r in t.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("amt").cast("long").alias("s"),
+            )
+            .collect()
+        }
+
+    t.append(spark.createDataFrame(
+        [("a", "g1", 10, 1), ("b", "g1", 20, 1), ("c", "g2", 5, 1)],
+        "k string, grp string, amt long, ver long"))
+    drain()
+    assert snapshot() == recompute() == {"g1": (2, 30), "g2": (1, 5)}
+
+    # merge (update a, insert d) + delete of the whole g2 group, then
+    # a RESTARTED stream picks up both commits from the checkpoint
+    t.merge_upsert(spark.createDataFrame(
+        [("a", "g1", 15, 2), ("d", "g2", 40, 1)],
+        "k string, grp string, amt long, ver long"))
+    t.delete_where("k = 'c'")
+    drain()
+    assert snapshot() == recompute() == {"g1": (2, 35), "g2": (1, 40)}
+
+    # deleting the last g2 rows makes the group vanish from the state
+    t.delete_where("grp = 'g2'")
+    drain()
+    assert snapshot() == recompute() == {"g1": (2, 35)}
