@@ -127,7 +127,9 @@ def det_sum(col: str | F.Column, dp: int = 2, frac: int = 6) -> F.Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     tot = _hilo_total(_quantize(c, frac))
-    return F.round(tot.cast("double") / F.lit(float(10**frac)), dp)
+    # + 0.0 normalizes IEEE signed zero: DuckDB's round can emit -0.0
+    # where Spark's BigDecimal path emits +0.0 (hash-relevant)
+    return F.round(tot.cast("double") / F.lit(float(10**frac)), dp) + F.lit(0.0)
 
 
 def _hilo_total_sql(expr: str, frac: int) -> str:
@@ -148,8 +150,8 @@ def _hilo_total_sql(expr: str, frac: int) -> str:
 def det_sum_sql(expr: str, dp: int = 2, frac: int = 6) -> str:
     """DuckDB twin of :func:`det_sum` — identical expression tree."""
     return (
-        f"round(CAST({_hilo_total_sql(expr, frac)} AS DOUBLE)"
-        f" / {float(10 ** frac)}, {dp})"
+        f"(round(CAST({_hilo_total_sql(expr, frac)} AS DOUBLE)"
+        f" / {float(10 ** frac)}, {dp}) + 0.0)"
     )
 
 
@@ -188,7 +190,7 @@ def det_sum_over(col, window, dp: int = 2, frac: int = 6) -> F.Column:
         F.sum(hi).over(window).cast("decimal(27,0)") * _M
         + F.sum(lo).over(window).cast("decimal(27,0)")
     )
-    return F.round(tot.cast("double") / F.lit(float(10**frac)), dp)
+    return F.round(tot.cast("double") / F.lit(float(10**frac)), dp) + F.lit(0.0)
 
 
 def det_sum_over_sql(expr: str, over: str, dp: int = 2, frac: int = 6) -> str:
@@ -201,7 +203,7 @@ def det_sum_over_sql(expr: str, over: str, dp: int = 2, frac: int = 6) -> str:
         f"(CAST(sum({hi}) {over} AS DECIMAL(27,0)) * {_M}"
         f" + CAST(sum({lo}) {over} AS DECIMAL(27,0)))"
     )
-    return f"round(CAST({tot} AS DOUBLE) / {float(10 ** frac)}, {dp})"
+    return f"(round(CAST({tot} AS DOUBLE) / {float(10 ** frac)}, {dp}) + 0.0)"
 
 
 def det_avg(col: str | F.Column, dp: int = 4, frac: int = 6) -> F.Column:
@@ -215,14 +217,14 @@ def det_avg(col: str | F.Column, dp: int = 4, frac: int = 6) -> F.Column:
     tot = _hilo_total(_quantize(c, frac))
     return F.round(
         tot.cast("double") / F.lit(float(10**frac)) / F.count(c), dp
-    )
+    ) + F.lit(0.0)
 
 
 def det_avg_sql(expr: str, dp: int = 4, frac: int = 6) -> str:
     """DuckDB twin of :func:`det_avg` — identical expression tree."""
     return (
-        f"round(CAST({_hilo_total_sql(expr, frac)} AS DOUBLE)"
-        f" / {float(10 ** frac)} / count({expr}), {dp})"
+        f"(round(CAST({_hilo_total_sql(expr, frac)} AS DOUBLE)"
+        f" / {float(10 ** frac)} / count({expr}), {dp}) + 0.0)"
     )
 
 

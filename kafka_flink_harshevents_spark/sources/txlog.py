@@ -168,6 +168,114 @@ def _file_stats(path: str) -> dict:
     return {"rows": md.num_rows, "cols": cols}
 
 
+# Per-file bloom indexes for point-lookup skipping (the shape of
+# Delta's bloomFilterIndex / Parquet's split-block bloom filters —
+# neither readable from Python, so the bitmap lives in the commit log
+# next to the min/max stats it complements). Min/max prunes RANGES;
+# after enough churn every file's key range overlaps every other's and
+# a point lookup degenerates to a full scan — the bloom answers
+# "definitely not in this file" for equality predicates regardless of
+# range overlap. Sizing: ~12 bits/distinct key, k≈m/n·ln2 probes →
+# ~0.3 % false-positive rate, capped at 4 KiB/bitmap so the log entry
+# stays O(1) however large the file (a saturated bloom only loses
+# skipping, never correctness).
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 15
+_BLOOM_BITS_PER_KEY = 12
+_BLOOM_MAX_K = 8
+
+
+def _bloom_key_bytes(v) -> bytes | None:
+    """Canonical hash input for a lookup value — shared by build (in
+    the Arrow-batched stage job) and probe (driver-side skip test), so
+    the two sides agree by construction. Only exact-equality-meaningful
+    types participate: ints, strings, bytes, date/datetime (as the same
+    epoch ints the min/max stats use). Floats/bools/None return None —
+    no bloom bit, the probe then keeps the file."""
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return b"i:%d" % v
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    if isinstance(v, bytes):
+        return b"b:" + v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        e = _stat_scalar(v)
+        return None if e is None else b"i:%d" % e
+    return None
+
+
+def _bloom_hashes(data: bytes) -> tuple[int, int]:
+    """(h1, h2) for Kirsch–Mitzenmacher double hashing; h2 forced odd
+    so probe sequences cycle the whole power-of-two bitmap."""
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,
+    )
+
+
+def _bloom_build(values) -> dict | None:
+    """Distinct hashable values → ``{"m": bits, "k": probes, "b64":
+    bitmap}`` (None when nothing hashable — column all-NULL/floats)."""
+    import base64
+
+    keys = set()
+    for v in values:
+        kb = _bloom_key_bytes(v)
+        if kb is not None:
+            keys.add(kb)
+    if not keys:
+        return None
+    n = len(keys)
+    m = min(
+        _BLOOM_MAX_BITS,
+        max(_BLOOM_MIN_BITS, 1 << (n * _BLOOM_BITS_PER_KEY - 1).bit_length()),
+    )
+    k = max(1, min(_BLOOM_MAX_K, round(0.693 * m / n)))
+    bits = bytearray(m >> 3)
+    for kb in keys:
+        h1, h2 = _bloom_hashes(kb)
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """False ONLY when the bitmap proves the value absent."""
+    import base64
+
+    kb = _bloom_key_bytes(value)
+    if kb is None:
+        return True
+    m, k = int(bloom["m"]), int(bloom["k"])
+    bits = base64.b64decode(bloom["b64"])
+    h1, h2 = _bloom_hashes(kb)
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not (bits[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
+
+
+def _file_may_match_eq(entry: dict, eq: dict) -> bool:
+    """Equality skip test: a file survives a point lookup only if BOTH
+    its [min, max] range admits the value AND its bloom (when indexed)
+    may contain it. Missing stats/bloom keep the file."""
+    if not _file_may_match(entry, {c: (v, v) for c, v in eq.items()}):
+        return False
+    blooms = entry.get("bloom") or {}
+    for col, v in eq.items():
+        b = blooms.get(col)
+        if b is not None and not _bloom_may_contain(b, v):
+            return False
+    return True
+
+
 def _file_may_match(entry: dict, prune: dict) -> bool:
     """Conservative skip test: False ONLY when the file's recorded
     [min, max] for some pruned column provably misses [lo, hi]. Missing
@@ -311,6 +419,7 @@ class TxTable:
         order_col: str,
         n_buckets: int = 16,
         cdf: bool = False,
+        bloom_cols: tuple[str, ...] = (),
     ) -> "TxTable":
         """``cdf=True`` is Delta's ``enableChangeDataFeed`` table
         property: rewrite commits (merge / delete / update) MATERIALIZE
@@ -319,7 +428,13 @@ class TxTable:
         and the streaming source can serve a live change feed
         (``readchangefeed=true``). Appends/compactions never
         materialize — inserts are synthesized from the add files and
-        layout commits have an empty feed, exactly Delta's rule."""
+        layout commits have an empty feed, exactly Delta's rule.
+
+        ``bloom_cols`` is Delta's ``CREATE BLOOMFILTER INDEX``: every
+        staged file additionally records a per-column bloom bitmap in
+        its add-entry, and ``read(eq={col: value})`` skips files the
+        bloom proves can't hold the value — point lookups open O(1)
+        files on a bucketed key however many files min/max overlap."""
         t = cls(spark, table_dir)
         if _list_versions(table_dir):
             return t  # already initialized — metadata is immutable
@@ -336,6 +451,7 @@ class TxTable:
                     "order_col": order_col,
                     "n_buckets": n_buckets,
                     "cdf": bool(cdf),
+                    "bloom_cols": list(bloom_cols),
                 },
             },
         )
@@ -486,6 +602,7 @@ class TxTable:
         self,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        eq: dict | None = None,
     ) -> DataFrame:
         """Snapshot read (time travel with ``version=``). Consistent by
         construction: the file list comes from the log, never from a
@@ -501,22 +618,35 @@ class TxTable:
         pruning only removes whole files the predicate would have
         filtered anyway (``prune_report`` exposes the skip counts;
         correctness + skip behavior pinned in tests/test_txlog.py).
-        """
+
+        ``eq`` is the POINT-LOOKUP twin: ``col → value`` equality
+        predicates, skipped file-level via min/max AND the per-file
+        bloom bitmaps (tables created with ``bloom_cols``), then
+        re-applied row-level — exact whatever the bloom's
+        false-positive rate, since a false positive only opens a file
+        whose rows the equality filter then drops."""
         _, live_map, schema_json, dvs = self._replay(version)
         live = list(live_map.values())
         if prune:
             live = [e for e in live if _file_may_match(e, prune)]
+        if eq:
+            live = [e for e in live if _file_may_match_eq(e, eq)]
         if not live:
             if schema_json is None:
                 raise ValueError("empty table with no recorded schema")
-            empty = self.spark.createDataFrame(
+            df = self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-            return self._apply_prune(empty, prune) if prune else empty
-        df = self._open_files(
-            [e["path"] for e in live], schema_json, dvs
-        ).drop("_bucket")
-        return self._apply_prune(df, prune) if prune else df
+        else:
+            df = self._open_files(
+                [e["path"] for e in live], schema_json, dvs
+            ).drop("_bucket")
+        if prune:
+            df = self._apply_prune(df, prune)
+        if eq:
+            for col, v in eq.items():
+                df = df.filter(F.col(col) == F.lit(v))
+        return df
 
     def _open_files(
         self,
@@ -587,16 +717,26 @@ class TxTable:
         return df
 
     def prune_report(
-        self, prune: dict[str, tuple], version: int | None = None
+        self,
+        prune: dict[str, tuple],
+        version: int | None = None,
+        eq: dict | None = None,
     ) -> dict:
         """Observability for the skip decision: how many live files the
         snapshot has, how many a pruned read would open, and how many
         rows the log says were skipped (None when a skipped file
-        predates stats collection)."""
+        predates stats collection). ``eq`` adds the bloom/point-lookup
+        test exactly as ``read(eq=...)`` applies it."""
+
+        def keep(e: dict) -> bool:
+            if not _file_may_match(e, prune):
+                return False
+            return not eq or _file_may_match_eq(e, eq)
+
         _, live_map, _, dvs = self._replay(version)
         live = list(live_map.values())
-        kept = [e for e in live if _file_may_match(e, prune)]
-        skipped = [e for e in live if not _file_may_match(e, prune)]
+        kept = [e for e in live if keep(e)]
+        skipped = [e for e in live if not keep(e)]
         rows = [
             None
             if e.get("stats", {}).get("rows") is None
@@ -823,7 +963,72 @@ class TxTable:
             entries.append(
                 {"path": rel, "bucket": bucket, "stats": _file_stats(p)}
             )
+        bloom_cols = tuple(
+            c for c in (self.meta.get("bloom_cols") or ()) if c in df.columns
+        )
+        if bloom_cols and entries:
+            blooms = self._stage_blooms(out, bloom_cols)
+            for e in entries:
+                b = blooms.get(e["path"])
+                if b:
+                    e["bloom"] = b
         return entries
+
+    def _stage_blooms(
+        self, out_dir: str, bloom_cols: tuple[str, ...]
+    ) -> dict[str, dict[str, dict]]:
+        """One distributed job over the files just staged → per-file,
+        per-indexed-column bloom bitmaps, keyed by table-relative path.
+
+        Scale shape: the job is a column-pruned scan of ONLY the new
+        files' indexed columns, grouped by physical file (each group is
+        one file's rows — already colocated, the shuffle is a no-op
+        repartition by file), and the driver collects one ≤4 KiB bitmap
+        row per (file, column) — O(files added this commit), the same
+        order as the add-entries themselves. Hashing runs Arrow-batched
+        in executors, never driver-side."""
+        rel_of = F.array_join(
+            F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3), "/"
+        )
+        src = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .select(rel_of.alias("_file"), *bloom_cols)
+        )
+        cols = bloom_cols
+
+        def build(pdf):
+            import pandas as pd
+
+            rel = pdf["_file"].iloc[0]
+            rows = []
+            for c in cols:
+                b = _bloom_build(pdf[c].dropna().unique().tolist())
+                if b is not None:
+                    rows.append(
+                        (rel, c, int(b["m"]), int(b["k"]), b["b64"])
+                    )
+            return pd.DataFrame(
+                rows, columns=["_file", "col", "m", "k", "b64"]
+            )
+
+        collected = (
+            src.groupBy("_file")
+            .applyInPandas(
+                build, "_file string, col string, m long, k int, b64 string"
+            )
+            .collect()
+        )
+        out: dict[str, dict[str, dict]] = {}
+        for r in collected:
+            # the 3-component _file key IS the table-relative path
+            # (_staged-<uuid>/_pb=K/part-*.parquet, uuid-unique)
+            out.setdefault(r["_file"], {})[r["col"]] = {
+                "m": r["m"],
+                "k": r["k"],
+                "b64": r["b64"],
+            }
+        return out
 
     def _stage_cdf(self, version: int, record: dict) -> list[str]:
         """Materialize a pending rewrite commit's change feed (cdf=True

@@ -1772,3 +1772,90 @@ def test_streaming_ivm_from_change_feed(spark, tmp_path):
     t.delete_where("grp = 'g2'")
     drain()
     assert snapshot() == recompute() == {"g1": (2, 35)}
+
+
+def test_bloom_point_lookup_skips_and_stays_exact(spark, tmp_path):
+    """Bloom-indexed point lookup: `read(eq=...)` must return exactly
+    the matching rows AND provably open fewer files than the snapshot
+    holds — min/max can't help here because every appended batch spans
+    the full key range (interleaved keys), so any skipping observed is
+    the bloom's."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4, bloom_cols=("k", "tag"),
+    )
+    # two appends, each covering the whole numeric range → overlapping
+    # min/max on every file; distinct string keys per file via tag
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", i * 10, 1) for i in range(0, 200, 2)],
+        "k long, tag string, v long, ver long",
+    ))
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", i * 10, 1) for i in range(1, 200, 2)],
+        "k long, tag string, v long, ver long",
+    ))
+    rep = t.prune_report({}, eq={"tag": "tag42"})
+    assert rep["files_total"] == 8
+    # tag42 lives in exactly one append wave and one bucket; bloom must
+    # skip most files (conservatively allow a false positive or two)
+    assert rep["files_read"] <= 3
+    got = t.read(eq={"tag": "tag42"}).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(42, 420)]
+    # long-typed key lookup too
+    got = t.read(eq={"k": 43}).collect()
+    assert [(r["tag"], r["v"]) for r in got] == [("tag43", 430)]
+    # absent value: zero files opened, empty exact result
+    rep = t.prune_report({}, eq={"tag": "no-such-tag"})
+    assert rep["files_read"] == 0
+    assert t.read(eq={"tag": "no-such-tag"}).count() == 0
+
+
+def test_bloom_survives_rewrites_and_checkpoint(spark, tmp_path):
+    """Compaction restages files → blooms must be recomputed for the
+    new files; checkpointed replay must preserve them; a merge that
+    deletes a key's only row must stop matching after compact (the
+    bloom is per-file, so pre-compact the old file still says maybe —
+    conservative, filtered row-level)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, bloom_cols=("k",),
+    )
+    for wave in range(3):
+        t.append(spark.createDataFrame(
+            [(wave * 100 + i, wave, 1) for i in range(50)],
+            "k long, v long, ver long",
+        ))
+    t.compact()
+    _, live, _, _ = t._replay()
+    assert all("bloom" in e and "k" in e["bloom"] for e in live.values())
+    # post-compact: a key now lives in exactly its bucket's single file
+    rep = t.prune_report({}, eq={"k": 142})
+    assert rep["files_total"] == 2 and rep["files_read"] == 1
+    assert [r["v"] for r in t.read(eq={"k": 142}).collect()] == [1]
+    # checkpoint replay path carries the bitmaps
+    t.checkpoint()
+    t.append(spark.createDataFrame([(999, 9, 1)], "k long, v long, ver long"))
+    rep2 = t.prune_report({}, eq={"k": 142})
+    assert rep2["files_read"] == 1
+    # delete the key; merge-on-read DV keeps the file but the row is gone
+    t.delete_where("k = 142", mode="merge_on_read")
+    assert t.read(eq={"k": 142}).count() == 0
+
+
+def test_bloom_unsupported_types_and_unindexed_cols_keep_files(spark, tmp_path):
+    """eq on a column without a bloom (or a float value) must never
+    skip a file wrongly — missing index degrades to row-level filter
+    over min/max-surviving files only."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, bloom_cols=("k",),
+    )
+    t.append(spark.createDataFrame(
+        [(i, float(i) / 4, 1) for i in range(40)],
+        "k long, f double, ver long",
+    ))
+    # f is not bloom-indexed: correctness via row filter
+    assert [r["k"] for r in t.read(eq={"f": 2.5}).collect()] == [10]
+    # combined eq + range prune composes
+    got = t.read(prune={"k": (0, 20)}, eq={"k": 10}).collect()
+    assert [(r["k"],) for r in got] == [(10,)]
