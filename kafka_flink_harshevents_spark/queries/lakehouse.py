@@ -50,7 +50,7 @@ def _base_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_mutated_table(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, delete_mode: str = "copy_on_write"
 ) -> tuple[TxTable, int]:
     """append(⅔ of keys) → merge_upsert(%3 inserts + %5 updates, +100
     cents, ver 2) → delete_where(k %7 = 0). Returns (table, version of
@@ -72,7 +72,7 @@ def _build_mutated_table(
             F.lit(2).cast("long").alias("ver"),
         )
     )
-    t.delete_where("k % 7 = 0")
+    t.delete_where("k % 7 = 0", mode=delete_mode)
     return t, v0
 
 
@@ -189,10 +189,35 @@ def q_txlog_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered ``format("txlog")`` BATCH relation on the hash:
+    run the same three-commit mutation program — with the delete as a
+    MERGE-ON-READ deletion vector, so the vectors are live at read
+    time — then read the final snapshot through ``spark.read`` (Python
+    DataSource partition planning, executor-side pyarrow reads,
+    positional DV masking) instead of :meth:`TxTable.read`. The oracle
+    states the final state directly from ``orders``, so the
+    DataSource's replay/DV-masking path is driver-checked per round
+    exactly like the library path."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t, _ = _build_mutated_table(spark, sf_dir, delete_mode="merge_on_read")
+    return (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .load()
+        .select("k", "st", "amount_c", "ver")
+    )
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
     "q_txlog_zorder_gate": q_txlog_zorder_gate,
+    "q_txlog_datasource_read": q_txlog_datasource_read,
 }
 
 # The mutation program in SQL terms (base = orders, k ≤ 2000, cents):
@@ -233,6 +258,17 @@ ORACLES = {
                (SELECT min(k) FROM v0) AS min_k_v0,
                (SELECT max(k) FROM v0) AS max_k_v0,
                (SELECT max(amount_c) FROM v0) AS max_amount_v0
+    """,
+    "q_txlog_datasource_read": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                        THEN 100 ELSE 0 END AS amount_c,
+               CAST(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                         THEN 2 ELSE 1 END AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
     """,
     "q_txlog_zorder_gate": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_rows_in_range,

@@ -90,6 +90,12 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # Let Catalyst hand predicates to Python data sources
+        # (pushFilters) — the txlog batch reader turns them into
+        # commit-log min/max + bloom file skipping. Off by default in
+        # Spark 4.1; safe here because the reader returns every filter
+        # as unsupported (Spark re-applies them row-level).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -65,6 +65,7 @@ import json
 import math
 import os
 import shutil
+import struct
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -372,6 +373,49 @@ def _read_record(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _replay_log(
+    table_dir: str, target: int
+) -> tuple[int, dict[str, dict], str | None, dict[str, set]]:
+    """Log replay to ``target`` → (version, live entries by path,
+    schema json, deletion vectors by path). DV replay rules: a ``dv``
+    field on a commit is a DELTA of newly deleted row positions
+    (unioned in); removing a file drops its vector; ``dv_full``
+    (restore commits) replaces the whole DV state absolutely. Starts
+    from the newest checkpoint ≤ target when one exists, so cost is
+    O(commits since the last checkpoint). Module-level (no
+    SparkSession) so the ``format("txlog")`` DataSource readers can
+    plan partitions from the same authority as :class:`TxTable`."""
+    live: dict[str, dict] = {}
+    schema_json: str | None = None
+    dvs: dict[str, set] = {}
+    from_v = 0
+    chk = _latest_checkpoint(table_dir, target)
+    if chk is not None:
+        from_v = chk["version"]
+        live = {e["path"]: e for e in chk["live"]}
+        schema_json = chk.get("schema_json")
+        dvs = {p: set(v) for p, v in chk.get("dvs", {}).items()}
+    for v in _list_versions(table_dir):
+        if v <= from_v:
+            continue
+        if v > target:
+            break
+        rec = _read_record(table_dir, v)
+        for entry in rec["add"]:
+            live[entry["path"]] = entry
+            dvs.pop(entry["path"], None)  # fresh file: clean vector
+        for path in rec["remove"]:
+            live.pop(path, None)
+            dvs.pop(path, None)
+        if "dv_full" in rec:
+            dvs = {p: set(v) for p, v in rec["dv_full"].items()}
+        elif "dv" in rec:
+            for p, positions in rec["dv"].items():
+                dvs.setdefault(p, set()).update(positions)
+        schema_json = rec.get("schema_json", schema_json)
+    return target, live, schema_json, dvs
+
+
 def _atomic_commit(table_dir: str, version: int, record: dict) -> None:
     """Publish `record` as `version` or raise ConcurrentWriteError.
 
@@ -484,40 +528,11 @@ class TxTable:
         self, version: int | None = None
     ) -> tuple[int, dict[str, dict], str | None, dict[str, set]]:
         """Full log replay → (version, live entries by path, schema,
-        deletion vectors by path). DV replay rules: a ``dv`` field on a
-        commit is a DELTA of newly deleted row positions (unioned in);
-        removing a file drops its vector; ``dv_full`` (restore commits)
-        replaces the whole DV state absolutely."""
+        deletion vectors by path). Delegates to the module-level
+        :func:`_replay_log` (shared with the spark-session-free
+        DataSource readers in ``txstream.py``)."""
         target = self.latest_version() if version is None else version
-        live: dict[str, dict] = {}
-        schema_json: str | None = None
-        dvs: dict[str, set] = {}
-        from_v = 0
-        chk = _latest_checkpoint(self.table_dir, target)
-        if chk is not None:
-            from_v = chk["version"]
-            live = {e["path"]: e for e in chk["live"]}
-            schema_json = chk.get("schema_json")
-            dvs = {p: set(v) for p, v in chk.get("dvs", {}).items()}
-        for v in _list_versions(self.table_dir):
-            if v <= from_v:
-                continue
-            if v > target:
-                break
-            rec = _read_record(self.table_dir, v)
-            for entry in rec["add"]:
-                live[entry["path"]] = entry
-                dvs.pop(entry["path"], None)  # fresh file: clean vector
-            for path in rec["remove"]:
-                live.pop(path, None)
-                dvs.pop(path, None)
-            if "dv_full" in rec:
-                dvs = {p: set(v) for p, v in rec["dv_full"].items()}
-            elif "dv" in rec:
-                for p, positions in rec["dv"].items():
-                    dvs.setdefault(p, set()).update(positions)
-            schema_json = rec.get("schema_json", schema_json)
-        return target, live, schema_json, dvs
+        return _replay_log(self.table_dir, target)
 
     def checkpoint(self) -> int:
         """Materialize the current live-file list as a log checkpoint so
@@ -1883,3 +1898,122 @@ class TxTable:
             if now - os.path.getmtime(tmp) > 3600:
                 os.unlink(tmp)
         return sorted(deleted)
+
+
+# Pure-Python twin of Spark's ``xxhash64(...)`` expression (XXH64,
+# xxhash.com spec — public domain algorithm) so a WRITE path running
+# outside the JVM (the DataSource writer's executor tasks, which see
+# Arrow batches, not Spark columns) can assign each row the SAME bucket
+# ``_with_bucket`` computes with ``F.pmod(F.xxhash64(keys), n)``.
+# Parity is semantic, not cosmetic: add-entries label files with one
+# bucket, and merge_upsert trusts the label to find the files a key
+# could live in — a mislabeled row would silently escape later merges.
+# Parity with the JVM is pinned in tests over every supported key type.
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _U64
+        v2 = (seed + _XXP2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXP1) & _U64
+        while i + 32 <= n:
+            for _ in range(1):
+                k1 = int.from_bytes(data[i : i + 8], "little")
+                k2 = int.from_bytes(data[i + 8 : i + 16], "little")
+                k3 = int.from_bytes(data[i + 16 : i + 24], "little")
+                k4 = int.from_bytes(data[i + 24 : i + 32], "little")
+            v1 = (_rotl64((v1 + k1 * _XXP2) & _U64, 31) * _XXP1) & _U64
+            v2 = (_rotl64((v2 + k2 * _XXP2) & _U64, 31) * _XXP1) & _U64
+            v3 = (_rotl64((v3 + k3 * _XXP2) & _U64, 31) * _XXP1) & _U64
+            v4 = (_rotl64((v4 + k4 * _XXP2) & _U64, 31) * _XXP1) & _U64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _U64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _U64, 31) * _XXP1) & _U64
+            h = ((h * _XXP1) + _XXP4) & _U64
+    else:
+        h = (seed + _XXP5) & _U64
+    h = (h + n) & _U64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((k * _XXP2) & _U64, 31) * _XXP1) & _U64
+        h = ((_rotl64(h, 27) * _XXP1) + _XXP4) & _U64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h ^= (k * _XXP1) & _U64
+        h = ((_rotl64(h, 23) * _XXP2) + _XXP3) & _U64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _U64
+        h = (_rotl64(h, 11) * _XXP1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _U64
+    h ^= h >> 29
+    h = (h * _XXP3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64(values, seed: int = 42) -> int:
+    """``F.xxhash64(c1, c2, ...)`` for one row of Python values, SIGNED
+    64-bit like the Spark column. Spark's per-type encodings: ints ≤ 32
+    bits hash as the 4-byte LE word, longs (and timestamps) as the
+    8-byte LE word, strings as UTF-8 bytes, booleans as int 0/1, dates
+    as their epoch-day int, and NULL columns are SKIPPED (the running
+    seed carries through) — each column's hash seeds the next."""
+    h = seed
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            data = struct.pack("<i", int(v))
+        elif isinstance(v, int):
+            data = struct.pack("<q", v)
+        elif isinstance(v, str):
+            data = v.encode("utf-8")
+        elif isinstance(v, bytes):
+            data = v
+        elif isinstance(v, datetime.datetime):
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            )
+            vv = v if v.tzinfo else v.replace(tzinfo=datetime.timezone.utc)
+            data = struct.pack(
+                "<q", int((vv - epoch).total_seconds() * 1_000_000)
+            )
+        elif isinstance(v, datetime.date):
+            data = struct.pack(
+                "<i", (v - datetime.date(1970, 1, 1)).days
+            )
+        else:
+            raise TypeError(
+                f"spark_xxhash64: unsupported key type {type(v).__name__} "
+                "(supported: int/long, string, binary, bool, date, "
+                "timestamp)"
+            )
+        h = _xxh64(data, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bucket_of(key_values, n_buckets: int) -> int:
+    """``pmod(xxhash64(keys), n_buckets)`` for one row — the table's
+    bucket function, computable anywhere Python runs. Python's ``%``
+    on a positive modulus IS pmod (non-negative result)."""
+    return spark_xxhash64(key_values) % n_buckets

@@ -1,13 +1,22 @@
-"""Stream the transactional table (sources/txlog.py) as a Structured
-Streaming SOURCE — the Delta-as-a-stream-source shape: every committed
-append becomes a micro-batch, offsets are commit versions, and
-checkpoint recovery replays exactly the committed version range (the
-log is immutable, so replay is deterministic by construction).
+"""The transactional table (sources/txlog.py) as a registered Spark
+DataSource — ``format("txlog")`` for BOTH execution modes:
+
+- ``spark.readStream`` — the Delta-as-a-stream-source shape: every
+  committed append becomes a micro-batch, offsets are commit versions,
+  and checkpoint recovery replays exactly the committed version range
+  (the log is immutable, so replay is deterministic by construction);
+- ``spark.read`` — snapshot / time-travel / batch change-feed reads
+  with Catalyst filter pushdown mapped onto the commit log's min/max +
+  bloom file-skipping (:class:`TxLogBatchReader`).
 
     spark.dataSource.register(TxLogStreamSource)
     (spark.readStream.format("txlog")
          .option("tabledir", path)
          .load())
+    (spark.read.format("txlog")
+         .option("tabledir", path)
+         .load()
+         .filter("k = 42"))   # skips files via pushed filters
 
 This closes the loop the reference leaves implicit: its Mongo sink is a
 terminal store (kafkaConsumer.js:304-318), while a lakehouse table is
@@ -44,13 +53,17 @@ from collections.abc import Iterator
 from pyspark.sql.types import LongType, StructField, StructType
 
 from kafka_flink_harshevents_spark.sources.txlog import (
+    _file_may_match,
+    _file_may_match_eq,
     _list_versions,
     _read_record,
+    _replay_log,
 )
 
 try:
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceReader,
         DataSourceStreamReader,
         InputPartition,
     )
@@ -58,9 +71,24 @@ try:
     _HAS_PYDS = True
 except ImportError:  # pragma: no cover - older pyspark
     DataSource = object  # type: ignore[assignment,misc]
+    DataSourceReader = object  # type: ignore[assignment,misc]
     DataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
     _HAS_PYDS = False
+
+try:  # typed pushdown filters: pyspark >= 4.1 only
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    _HAS_PUSHDOWN = True
+except ImportError:  # pragma: no cover - older pyspark
+    _HAS_PUSHDOWN = False
 
 
 VERSION_COL = "_commit_version"
@@ -97,6 +125,7 @@ class _FilePartition(InputPartition):
         version: int,
         columns: tuple[str, ...],
         ctype: str | None = None,
+        dv: tuple[int, ...] = (),
     ):
         self.path = path
         self.version = version
@@ -104,16 +133,115 @@ class _FilePartition(InputPartition):
         # None = plain table stream (no change column); "@file" = read
         # the materialized _change_type column; else a constant label
         self.ctype = ctype
+        # physical row positions deleted by merge-on-read vectors —
+        # applied by the BATCH reader only (the stream refuses/skips DV
+        # commits, so its partitions always carry an empty tuple)
+        self.dv = dv
+
+
+def _change_partitions(
+    table_dir: str,
+    versions: list[int],
+    columns: tuple[str, ...],
+    ignore_changes: bool,
+    read_change_feed: bool,
+) -> list[_FilePartition]:
+    """Commit versions → file partitions, one per data/change file —
+    the single derivation both the STREAM reader (offset range,
+    exclusive start) and the BATCH change-feed reader (inclusive
+    version range, Delta's ``table_changes`` batch contract) plan
+    from, so the two surfaces can never disagree on which commits
+    yield which rows."""
+    parts: list[_FilePartition] = []
+    for v in versions:
+        rec = _read_record(table_dir, v)
+        op = rec.get("op")
+        if read_change_feed:
+            if op == "append" and rec.get("add"):
+                # inserts are synthesized from the add files — no
+                # materialization needed (Delta's rule)
+                for entry in rec["add"]:
+                    parts.append(_FilePartition(
+                        os.path.join(table_dir, entry["path"]),
+                        v, columns, ctype="insert",
+                    ))
+            elif rec.get("cdf_files"):
+                for p in rec["cdf_files"]:
+                    parts.append(_FilePartition(
+                        os.path.join(table_dir, p),
+                        v, columns, ctype=_CTYPE_FROM_FILE,
+                    ))
+            elif op in ("create", "compact") or not (
+                rec.get("add") or rec.get("remove") or rec.get("dv")
+            ):
+                continue  # no data change (incl. metadata commits)
+            else:
+                raise ValueError(
+                    f"txlog change feed over {table_dir}: "
+                    f"version {v} is a {str(op).upper()} with no "
+                    "materialized change files — create the table "
+                    "with cdf=True (or start past this version)"
+                )
+            continue
+        if rec.get("dv") or rec.get("dv_full"):
+            # deletion-vector commits change data without touching
+            # files — a non-append change (refuse), and with
+            # ignorechanges there are no new files to serve (skip)
+            if not ignore_changes:
+                raise ValueError(
+                    f"txlog stream over {table_dir}: version "
+                    f"{v} carries a deletion vector, not an append. "
+                    "Set ignorechanges=true to skip it, or start "
+                    "past this version."
+                )
+            if not rec.get("add"):
+                continue
+        if op in ("create", "compact") or not (
+            rec.get("add") or rec.get("remove")
+        ):
+            continue  # no data change to stream (incl. metadata-only
+            # commits like set_constraints)
+        if op != "append" and not ignore_changes:
+            # merge / delete / restore / any future rewrite op:
+            # not an append-only change — refuse, don't guess
+            raise ValueError(
+                f"txlog stream over {table_dir}: version {v} is a "
+                f"{str(op).upper()} rewrite, not an append. Set "
+                "ignorechanges=true to stream the rewritten rows "
+                "(downstream must dedupe on the business key), or "
+                "start past this version."
+            )
+        for entry in rec["add"]:
+            parts.append(
+                _FilePartition(
+                    os.path.join(table_dir, entry["path"]),
+                    v,
+                    columns,
+                )
+            )
+    return parts
 
 
 class TxLogStreamSource(DataSource):
-    """``format("txlog")`` — options: ``tabledir`` (required),
-    ``startingversion`` (default 0 = from the beginning),
-    ``ignorechanges`` (default false), ``readchangefeed`` (default
-    false — serve the row-level CHANGE FEED instead of the table:
-    appends arrive as inserts, and merge/delete/update commits on a
-    ``cdf=True`` table serve their materialized change files with
-    ``_change_type`` per row, the Delta readChangeFeed contract)."""
+    """``format("txlog")`` — one registered format serving BOTH
+    ``spark.readStream`` (micro-batches of committed appends, offsets =
+    commit versions) and ``spark.read`` (snapshot / time-travel / batch
+    change-feed reads with log-level file skipping).
+
+    Shared options: ``tabledir`` (required), ``readchangefeed``
+    (default false — serve the row-level CHANGE FEED instead of the
+    table: appends arrive as inserts, and merge/delete/update commits
+    on a ``cdf=True`` table serve their materialized change files with
+    ``_change_type`` per row, the Delta readChangeFeed contract).
+
+    Stream-only: ``startingversion`` (default 0 = from the beginning),
+    ``ignorechanges`` (default false).
+
+    Batch-only: ``version`` (time travel, default latest);
+    in change-feed mode ``startingversion``/``endingversion`` bound the
+    INCLUSIVE commit range (Delta's batch CDF contract); ``skipreport``
+    (path) writes the file-skipping decision as JSON for
+    observability/tests."""
 
     @classmethod
     def name(cls) -> str:
@@ -128,6 +256,9 @@ class TxLogStreamSource(DataSource):
 
     def streamReader(self, schema) -> "TxLogStreamReader":
         return TxLogStreamReader(self.options, schema)
+
+    def reader(self, schema) -> "TxLogBatchReader":
+        return TxLogBatchReader(self.options, schema)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -158,76 +289,18 @@ class TxLogStreamReader(DataSourceStreamReader):
         return {"version": versions[-1] if versions else self.start_version}
 
     def partitions(self, start: dict, end: dict) -> list:
-        parts: list[_FilePartition] = []
-        for v in _list_versions(self.table_dir):
-            if not (start["version"] < v <= end["version"]):
-                continue
-            rec = _read_record(self.table_dir, v)
-            op = rec.get("op")
-            if self.read_change_feed:
-                if op == "append" and rec.get("add"):
-                    # inserts are synthesized from the add files — no
-                    # materialization needed (Delta's rule)
-                    for entry in rec["add"]:
-                        parts.append(_FilePartition(
-                            os.path.join(self.table_dir, entry["path"]),
-                            v, self.columns, ctype="insert",
-                        ))
-                elif rec.get("cdf_files"):
-                    for p in rec["cdf_files"]:
-                        parts.append(_FilePartition(
-                            os.path.join(self.table_dir, p),
-                            v, self.columns, ctype=_CTYPE_FROM_FILE,
-                        ))
-                elif op in ("create", "compact") or not (
-                    rec.get("add") or rec.get("remove") or rec.get("dv")
-                ):
-                    continue  # no data change (incl. metadata commits)
-                else:
-                    raise ValueError(
-                        f"txlog change feed over {self.table_dir}: "
-                        f"version {v} is a {str(op).upper()} with no "
-                        "materialized change files — create the table "
-                        "with cdf=True (or start past this version)"
-                    )
-                continue
-            if rec.get("dv") or rec.get("dv_full"):
-                # deletion-vector commits change data without touching
-                # files — a non-append change (refuse), and with
-                # ignorechanges there are no new files to serve (skip)
-                if not self.ignore_changes:
-                    raise ValueError(
-                        f"txlog stream over {self.table_dir}: version "
-                        f"{v} carries a deletion vector, not an append. "
-                        "Set ignorechanges=true to skip it, or start "
-                        "past this version."
-                    )
-                if not rec.get("add"):
-                    continue
-            if op in ("create", "compact") or not (
-                rec.get("add") or rec.get("remove")
-            ):
-                continue  # no data change to stream (incl. metadata-only
-                # commits like set_constraints)
-            if op != "append" and not self.ignore_changes:
-                # merge / delete / restore / any future rewrite op:
-                # not an append-only change — refuse, don't guess
-                raise ValueError(
-                    f"txlog stream over {self.table_dir}: version {v} is a "
-                    f"{str(op).upper()} rewrite, not an append. Set "
-                    "ignorechanges=true to stream the rewritten rows "
-                    "(downstream must dedupe on the business key), or "
-                    "start past this version."
-                )
-            for entry in rec["add"]:
-                parts.append(
-                    _FilePartition(
-                        os.path.join(self.table_dir, entry["path"]),
-                        v,
-                        self.columns,
-                    )
-                )
-        return parts
+        versions = [
+            v
+            for v in _list_versions(self.table_dir)
+            if start["version"] < v <= end["version"]
+        ]
+        return _change_partitions(
+            self.table_dir,
+            versions,
+            self.columns,
+            self.ignore_changes,
+            self.read_change_feed,
+        )
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         # Executor-side: one file, read via pyarrow off the shared
@@ -253,3 +326,178 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the checkpoint; the log needs no ack
+
+
+class TxLogBatchReader(DataSourceReader):
+    """``spark.read.format("txlog")`` — the table (or its change feed)
+    as a BATCH relation, planned from the commit log.
+
+    Why this exists next to :meth:`TxTable.read`: the method is the
+    throughput path (it hands the pruned file list to Spark's native
+    parquet scan — JVM column readers, whole-stage codegen), while this
+    reader is the INTEGRATION surface — any consumer that speaks
+    ``spark.read.format(...)`` gets snapshot isolation, time travel,
+    deletion-vector masking, batch CDF, and Catalyst-driven file
+    skipping without importing the library. Filter pushdown
+    (``pushFilters``, Spark 4.1) maps Catalyst predicates onto the
+    SAME log-level min/max + bloom skip tests ``TxTable.read`` uses:
+
+    - ``EqualTo`` / ``In`` → per-file bloom + range test
+      (``_file_may_match_eq`` — tables created with ``bloom_cols``
+      skip on equality regardless of range overlap);
+    - ``GreaterThan[OrEqual]`` / ``LessThan[OrEqual]`` → half-open
+      range test against the footer min/max in the add-entry.
+
+    EVERY filter is returned as unsupported, so Spark re-applies them
+    row-level: skipping only drops whole files the predicate would have
+    filtered anyway — exact whatever the bloom false-positive rate or
+    stats granularity (the same conservative contract as
+    ``TxTable.read(prune=..., eq=...)``).
+
+    Scale shape: planning is one driver-side log replay (O(commits
+    since the last checkpoint)) + an O(live files) in-memory skip pass;
+    one InputPartition per surviving file, read executor-side via
+    pyarrow. Deletion vectors ride in their file's partition (bounded
+    by ``max_dv_rows`` × compact cadence) and are masked positionally
+    — the reader-side half of merge-on-read.
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.table_dir = options["tabledir"]
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        self.version = (
+            int(options["version"]) if options.get("version") else None
+        )
+        if self.read_change_feed and self.version is not None:
+            raise ValueError(
+                "txlog batch read: `version` applies to snapshot reads; "
+                "bound a change-feed read with startingversion/"
+                "endingversion instead"
+            )
+        self.starting_version = int(options.get("startingversion", "1"))
+        self.ending_version = (
+            int(options["endingversion"])
+            if options.get("endingversion")
+            else None
+        )
+        self.skip_report = options.get("skipreport")
+        self.columns = tuple(
+            f.name
+            for f in schema.fields
+            if f.name not in (VERSION_COL, CHANGE_COL)
+        )
+        # pushed skip constraints: [(col, lo, hi)] ranges (None = open
+        # bound, non-strict — conservative for the strict comparators)
+        # and [(col, (v, ...))] equality candidate sets
+        self._ranges: list[tuple[str, object, object]] = []
+        self._eq_sets: list[tuple[str, tuple]] = []
+
+    def pushFilters(self, filters):  # noqa: N802 - pyspark API name
+        if _HAS_PUSHDOWN and not self.read_change_feed:
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                if not attr or len(attr) != 1:
+                    continue
+                col = attr[0]
+                if isinstance(f, EqualTo):
+                    self._eq_sets.append((col, (f.value,)))
+                elif isinstance(f, In):
+                    self._eq_sets.append((col, tuple(f.value)))
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self._ranges.append((col, f.value, None))
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self._ranges.append((col, None, f.value))
+        # hand every filter back: Spark re-applies them row-level, so
+        # file skipping stays a pure optimization
+        return filters
+
+    def _keep(self, entry: dict) -> bool:
+        for col, lo, hi in self._ranges:
+            if not _file_may_match(entry, {col: (lo, hi)}):
+                return False
+        for col, values in self._eq_sets:
+            if not any(
+                _file_may_match_eq(entry, {col: v}) for v in values
+            ):
+                return False
+        return True
+
+    def partitions(self) -> list:
+        if self.read_change_feed:
+            versions = [
+                v
+                for v in _list_versions(self.table_dir)
+                if self.starting_version
+                <= v
+                <= (
+                    self.ending_version
+                    if self.ending_version is not None
+                    else float("inf")
+                )
+            ]
+            return _change_partitions(
+                self.table_dir,
+                versions,
+                self.columns,
+                ignore_changes=False,
+                read_change_feed=True,
+            )
+        versions = _list_versions(self.table_dir)
+        if not versions:
+            raise FileNotFoundError(
+                f"no transaction log at {self.table_dir}"
+            )
+        target = self.version if self.version is not None else versions[-1]
+        _, live_map, _, dvs = _replay_log(self.table_dir, target)
+        live = list(live_map.values())
+        kept = [e for e in live if self._keep(e)]
+        if self.skip_report:
+            with open(self.skip_report, "w") as f:
+                json.dump(
+                    {
+                        "version": target,
+                        "files_total": len(live),
+                        "files_read": len(kept),
+                    },
+                    f,
+                )
+        return [
+            _FilePartition(
+                os.path.join(self.table_dir, e["path"]),
+                target,  # batch rows are stamped with the SNAPSHOT
+                # version being read (not per-file provenance — the
+                # checkpointed replay doesn't retain add-versions)
+                self.columns,
+                dv=tuple(sorted(dvs.get(e["path"], ()))),
+            )
+            for e in kept
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        # Executor-side, like the stream reader — plus positional
+        # deletion-vector masking and NULL-fill for pre-evolution files.
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        if partition.dv:
+            drop = set(partition.dv)
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in drop]
+            )
+        names = set(table.column_names)
+        n = table.num_rows
+        cols = []
+        for c in partition.columns:
+            if c in names:
+                cols.append(table.column(c).to_pylist())
+            else:  # pre-evolution file: NULL-fill the added column
+                cols.append([None] * n)
+        if partition.ctype is not None:  # change-feed mode
+            if partition.ctype == _CTYPE_FROM_FILE:
+                cols.append(table.column(CHANGE_COL).to_pylist())
+            else:
+                cols.append([partition.ctype] * n)
+        ver = [partition.version] * n
+        return iter(zip(*cols, ver))

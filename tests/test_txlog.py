@@ -1859,3 +1859,188 @@ def test_bloom_unsupported_types_and_unindexed_cols_keep_files(spark, tmp_path):
     # combined eq + range prune composes
     got = t.read(prune={"k": (0, 20)}, eq={"k": 10}).collect()
     assert [(r["k"],) for r in got] == [(10,)]
+
+
+def _register_txlog(spark):
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+
+
+def test_batch_datasource_matches_table_read(spark, tmp_path):
+    """`spark.read.format("txlog")` must serve exactly the snapshot
+    `TxTable.read()` serves — across appends, a MERGE rewrite, a
+    merge-on-read DV delete (positional masking in the DataSource
+    reader), and time travel via the `version` option."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    v0 = t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(30)], "k long, v long, ver long"))
+    t.merge_upsert(spark.createDataFrame(
+        [(i, i * 10 + 5, 2) for i in range(0, 30, 3)],
+        "k long, v long, ver long"))
+    t.delete_where("k % 7 = 1", mode="merge_on_read")
+
+    def via_ds(**opts):
+        r = spark.read.format("txlog").option("tabledir", t.table_dir)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    got = via_ds()
+    latest = t.latest_version()
+    assert got.columns == ["k", "v", "ver", "_commit_version"]
+    assert set(r["_commit_version"] for r in got.collect()) == {latest}
+    assert (
+        sorted(map(tuple, got.drop("_commit_version").collect()))
+        == sorted(map(tuple, t.read().collect()))
+    )
+    # time travel
+    tt = via_ds(version=str(v0)).drop("_commit_version")
+    assert sorted(map(tuple, tt.collect())) == sorted(
+        map(tuple, t.read(version=v0).collect())
+    )
+
+
+def test_batch_datasource_filter_pushdown_skips_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """Catalyst predicates reach the commit log: an equality filter on
+    a bloom-indexed column must open strictly fewer files than the
+    snapshot holds (observed via the skipreport option) while returning
+    the exact rows; range and IN filters skip via min/max; every filter
+    is re-applied row-level so results stay exact."""
+    import json as _json
+
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4, bloom_cols=("tag",),
+    )
+    # two appends, both spanning the full numeric range (min/max can't
+    # distinguish them) but with disjoint tag sets (bloom can)
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", 1) for i in range(0, 200, 2)],
+        "k long, tag string, ver long"))
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", 1) for i in range(1, 200, 2)],
+        "k long, tag string, ver long"))
+    rep = str(tmp_path / "rep.json")
+    base = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("skipreport", rep)
+        .load()
+    )
+    got = base.filter(F.col("tag") == "tag42").drop("_commit_version")
+    assert [(r["k"], r["tag"]) for r in got.collect()] == [(42, "tag42")]
+    skip = _json.load(open(rep))
+    assert skip["files_total"] == 8
+    assert skip["files_read"] <= 3  # bloom skipping, fp slack
+    # IN-list: union of candidates, still skipping
+    got = base.filter(F.col("tag").isin("tag42", "tag43")).count()
+    assert got == 2
+    assert _json.load(open(rep))["files_read"] <= 6
+    # range filter prunes via min/max after a sort-layout compact
+    t2 = TxTable.create(
+        spark, str(tmp_path / "t2"), key_cols=("k",), order_col="k",
+        n_buckets=2,
+    )
+    for lo in (0, 100, 200, 300):
+        t2.append(spark.createDataFrame(
+            [(i, 1) for i in range(lo, lo + 100)], "k long, ver long"))
+    rep2 = str(tmp_path / "rep2.json")
+    d2 = (
+        spark.read.format("txlog")
+        .option("tabledir", t2.table_dir)
+        .option("skipreport", rep2)
+        .load()
+        .filter((F.col("k") >= 150) & (F.col("k") < 250))
+    )
+    assert d2.count() == 100
+    skip2 = _json.load(open(rep2))
+    assert skip2["files_read"] < skip2["files_total"]
+
+
+def test_batch_datasource_change_feed_range(spark, tmp_path):
+    """Batch CDF (`readchangefeed` + inclusive version bounds) must
+    reproduce `table_changes(v)` for each commit in the range — the
+    Delta `table_changes(start, end)` batch contract over the same
+    partitions the stream serves."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    v_a = t.append(spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 1)], "k long, s string, ver long"))
+    t.merge_upsert(spark.createDataFrame(
+        [(2, "y2", 2), (3, "z", 2)], "k long, s string, ver long"))
+    v_d, _ = t.delete_where("k = 1")
+    feed = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", str(v_a))
+        .option("endingversion", str(v_d))
+        .load()
+    )
+    assert set(feed.columns) == {"k", "s", "ver", "_change_type",
+                                 "_commit_version"}
+    want = []
+    for v in range(v_a, v_d + 1):
+        want += [
+            tuple(r) + (v,)
+            for r in t.table_changes(v)
+            .select("k", "s", "ver", "_change_type")
+            .collect()
+        ]
+    got = [
+        tuple(r)
+        for r in feed.select(
+            "k", "s", "ver", "_change_type", "_commit_version"
+        ).collect()
+    ]
+    assert sorted(got, key=str) == sorted(want, key=str)
+    # bounded sub-range serves only that commit's changes
+    only_merge = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", str(v_a + 1))
+        .option("endingversion", str(v_a + 1))
+        .load()
+    )
+    assert only_merge.count() == t.table_changes(v_a + 1).count()
+
+
+def test_batch_datasource_schema_evolution_null_fill(spark, tmp_path):
+    """Pre-evolution files read through the DataSource NULL-fill the
+    added column, exactly like `TxTable.read`."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame([(1, 1)], "k long, ver long"))
+    t.merge_upsert(
+        spark.createDataFrame([(2, 2, "new", 9.5)],
+                              "k long, ver long, s string, f double"),
+        merge_schema=True,
+    )
+    got = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .load()
+        .drop("_commit_version")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[1]["s"] is None and rows[2]["s"] == "new"
