@@ -213,11 +213,50 @@ def q_txlog_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``df.write.format("txlog")`` path on the hash: stage the
+    base frame through the DataSource writer (Python-side xxhash64
+    bucket assignment, per-task staging, one atomic commit), then run
+    a library MERGE over it — the merge trusts the writer's bucket
+    labels to FIND the rows it must rewrite, so a single mislabeled
+    bucket leaves a stale duplicate and breaks the hash. The oracle
+    states the merged state directly from ``orders``."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txw-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=4,
+    )
+    (
+        base.write.format("txlog")
+        .option("tabledir", t.table_dir)
+        .mode("append")
+        .save()
+    )
+    t.merge_upsert(
+        base.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
     "q_txlog_zorder_gate": q_txlog_zorder_gate,
     "q_txlog_datasource_read": q_txlog_datasource_read,
+    "q_txlog_writer_roundtrip": q_txlog_writer_roundtrip,
 }
 
 # The mutation program in SQL terms (base = orders, k ≤ 2000, cents):
@@ -269,6 +308,17 @@ ORACLES = {
                          THEN 2 ELSE 1 END AS BIGINT) AS ver
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    "q_txlog_writer_roundtrip": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+                 AS amount_c,
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                    AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
     """,
     "q_txlog_zorder_gate": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_rows_in_range,

@@ -1080,7 +1080,7 @@ class TxTable:
 
     def _schema_union_json(
         self,
-        df: DataFrame,
+        df: DataFrame | StructType,
         snap_schema: str | None,
         merge_schema: bool,
         op: str,
@@ -1090,8 +1090,11 @@ class TxTable:
         evolution). Fails fast on a name-set mismatch unless
         ``merge_schema`` opts in, and always on a same-name type change
         — type evolution would silently corrupt old files at read time,
-        so it is refused outright (the Delta position)."""
-        user_fields = [f for f in df.schema.fields if f.name != "_bucket"]
+        so it is refused outright (the Delta position). Accepts a
+        DataFrame or a bare StructType (the DataSource writer has only
+        the latter)."""
+        schema = df if isinstance(df, StructType) else df.schema
+        user_fields = [f for f in schema.fields if f.name != "_bucket"]
         if snap_schema is None:
             return StructType(user_fields).json()
         old = StructType.fromJson(json.loads(snap_schema))

@@ -53,27 +53,34 @@ from collections.abc import Iterator
 from pyspark.sql.types import LongType, StructField, StructType
 
 from kafka_flink_harshevents_spark.sources.txlog import (
+    _bloom_build,
     _file_may_match,
     _file_may_match_eq,
+    _file_stats,
     _list_versions,
     _read_record,
     _replay_log,
+    bucket_of,
 )
 
 try:
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceArrowWriter,
         DataSourceReader,
         DataSourceStreamReader,
         InputPartition,
+        WriterCommitMessage,
     )
 
     _HAS_PYDS = True
 except ImportError:  # pragma: no cover - older pyspark
     DataSource = object  # type: ignore[assignment,misc]
+    DataSourceArrowWriter = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
     DataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
+    WriterCommitMessage = object  # type: ignore[assignment,misc]
     _HAS_PYDS = False
 
 try:  # typed pushdown filters: pyspark >= 4.1 only
@@ -259,6 +266,9 @@ class TxLogStreamSource(DataSource):
 
     def reader(self, schema) -> "TxLogBatchReader":
         return TxLogBatchReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> "TxLogBatchWriter":
+        return TxLogBatchWriter(self.options, schema, overwrite)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -501,3 +511,235 @@ class TxLogBatchReader(DataSourceReader):
                 cols.append([partition.ctype] * n)
         ver = [partition.version] * n
         return iter(zip(*cols, ver))
+
+
+class _TxWriteMessage(WriterCommitMessage):
+    """Per-task commit message: the add-entries (path/bucket/stats/
+    bloom) for the files the task staged. Plain attribute class —
+    must be picklable."""
+
+    def __init__(self, entries: list):
+        self.entries = entries
+
+
+class TxLogBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("txlog").mode("append")`` — the table as a
+    writable Spark format, with the write running as a REAL two-phase
+    commit through the existing log:
+
+    1. executor tasks (Arrow batches, no JVM column access) bucket
+       each row with the pure-Python twin of the table's bucket
+       function (``bucket_of`` — JVM-parity pinned in tests; a
+       mislabeled bucket would silently escape later merges), write
+       one parquet file per bucket under a job-unique ``_staged-*``
+       root, and return their add-entries (footer stats + blooms, the
+       same metadata ``TxTable._stage`` records) as commit messages;
+    2. the driver commits ONE atomic append covering every task's
+       files — readers see all of the write or none of it, exactly the
+       guarantee ``TxTable.append`` gives, now behind the standard
+       writer API. Task retries/speculation are safe for free: a
+       failed task's files are never referenced, and ``abort()``
+       removes the orphaned stage (vacuum would reclaim it anyway).
+
+    Options: ``tabledir`` (required, table must exist —
+    ``TxTable.create`` owns keys/bucketing/constraints metadata);
+    ``mergeschema`` (add-column evolution, the append contract);
+    ``txnappid``/``txnbatchid`` (idempotent writes: a replayed
+    (app, batch) commits nothing, the foreachBatch exactly-once
+    convention). ``mode("overwrite")`` is refused — rewrites belong to
+    ``delete_where``/``merge_upsert``, which keep CDF/time-travel
+    semantics honest.
+
+    Scale shape: bucketing/sorting/stats run per-task on Arrow data;
+    driver work is O(files) metadata + one commit, and the constraint
+    check (when the table declares CHECKs) is one distributed scan of
+    ONLY the staged files."""
+
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        if overwrite:
+            raise ValueError(
+                "txlog write: mode('overwrite') is not supported — use "
+                "delete_where/merge_upsert for rewrites (they keep CDF "
+                "and time-travel semantics); writer is append-only"
+            )
+        self.table_dir = options["tabledir"]
+        self.merge_schema = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
+        self.txn = None
+        if options.get("txnappid") is not None:
+            self.txn = {
+                "app_id": options["txnappid"],
+                "batch_id": int(options.get("txnbatchid", "0")),
+            }
+        meta = _read_record(self.table_dir, 1)["meta"]
+        self.key_cols = tuple(meta["key_cols"])
+        self.n_buckets = int(meta["n_buckets"])
+        self.bloom_cols = tuple(meta.get("bloom_cols") or ())
+        # CHECK constraints, captured at plan time and enforced IN THE
+        # TASKS (DuckDB over each task's Arrow data — the commit hook
+        # runs in a Python worker with no SparkSession, so the
+        # append()-style distributed Spark check isn't available
+        # there; task-side enforcement is also the scalable placement:
+        # it fans out with the data and fails the job before commit)
+        from kafka_flink_harshevents_spark.sources.txlog import TxTable
+
+        self.constraints = dict(
+            TxTable(None, self.table_dir).constraints()
+        )
+        missing = [c for c in self.key_cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"txlog write: frame lacks key column(s) {missing}"
+            )
+        self.schema = StructType(
+            [f for f in schema.fields if f.name != "_bucket"]
+        )
+        # one job-unique staged root, chosen driver-side so every
+        # task's files land under it and abort() can reclaim them all
+        import uuid
+
+        self.staged = f"_staged-{uuid.uuid4().hex}"
+
+    def write(self, iterator) -> "_TxWriteMessage":
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _TxWriteMessage([])
+        table = pa.Table.from_batches(batches)
+        if "_bucket" in table.column_names:
+            table = table.drop_columns(["_bucket"])
+        if self.constraints:
+            self._check_constraints_arrow(table)
+        keys = [table.column(c).to_pylist() for c in self.key_cols]
+        buckets = [
+            bucket_of(vals, self.n_buckets) for vals in zip(*keys)
+        ]
+        table = table.append_column(
+            "_bucket", pa.array(buckets, pa.int64())
+        )
+        entries: list[dict] = []
+        for b in sorted(set(buckets)):
+            idx = [i for i, x in enumerate(buckets) if x == b]
+            sub = table.take(idx).sort_by(
+                [(c, "ascending") for c in self.key_cols]
+            )
+            d = os.path.join(self.table_dir, self.staged, f"_pb={b}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(sub, path)
+            rel = os.path.relpath(path, self.table_dir)
+            entry = {"path": rel, "bucket": b, "stats": _file_stats(path)}
+            blooms = {}
+            for c in self.bloom_cols:
+                if c in sub.column_names:
+                    bl = _bloom_build(sub.column(c).to_pylist())
+                    if bl is not None:
+                        blooms[c] = bl
+            if blooms:
+                entry["bloom"] = blooms
+            entries.append(entry)
+        return _TxWriteMessage(entries)
+
+    def _check_constraints_arrow(self, table) -> None:
+        """Task-side CHECK enforcement: DuckDB over the task's Arrow
+        data, with the same null-safe semantics as
+        ``TxTable._check_constraints`` (`(expr) <=> TRUE` ↔ DuckDB's
+        ``IS NOT DISTINCT FROM TRUE`` — a NULL predicate is a
+        violation, the data-contract position). Constraint expressions
+        must live in the portable SQL subset both engines share
+        (comparisons/arithmetic/boolean logic — the practical CHECK
+        vocabulary); the library write paths (`append`/`merge_upsert`)
+        evaluate the same expressions in Spark, and the cross-path
+        agreement is pinned in tests."""
+        import duckdb
+
+        from kafka_flink_harshevents_spark.sources.txlog import (
+            ConstraintViolation,
+        )
+
+        con = duckdb.connect()
+        con.register("_w", table)
+        for name, expr in self.constraints.items():
+            bad = con.execute(
+                f"SELECT * FROM _w WHERE NOT (({expr}) "
+                "IS NOT DISTINCT FROM TRUE) LIMIT 1"
+            ).fetchall()
+            if bad:
+                raise ConstraintViolation(
+                    f"txlog datasource write violates constraint "
+                    f"{name} ({expr}): e.g. {bad[0]}"
+                )
+
+    def commit(self, messages) -> None:
+        # Runs in a Python worker with NO SparkSession — everything
+        # here is commit-log metadata work (replay, schema union,
+        # atomic link), which is exactly why it can be spark-free.
+        import shutil
+
+        from kafka_flink_harshevents_spark.sources.txlog import (
+            ConcurrentWriteError,
+            TxTable,
+            _atomic_commit,
+        )
+
+        entries = [
+            e for m in messages if m is not None for e in m.entries
+        ]
+        t = TxTable(None, self.table_dir)
+        if self.txn is not None and self.txn[
+            "batch_id"
+        ] <= t.last_committed_batch(self.txn["app_id"]):
+            # replayed idempotent write: drop the stage, commit nothing
+            shutil.rmtree(
+                os.path.join(self.table_dir, self.staged),
+                ignore_errors=True,
+            )
+            return
+        last_err = None
+        for _ in range(5):
+            v, _, snap_schema = t._snapshot()
+            schema_rec = t._schema_union_json(
+                self.schema, snap_schema, self.merge_schema,
+                "txlog datasource write",
+            )
+            if entries and t.constraints() != self.constraints:
+                # a constraint landed between plan and commit: the
+                # task-side checks ran against a stale rule set —
+                # refuse rather than admit unchecked rows (rare race;
+                # the stage is reclaimed, the caller retries)
+                shutil.rmtree(
+                    os.path.join(self.table_dir, self.staged),
+                    ignore_errors=True,
+                )
+                raise RuntimeError(
+                    "txlog datasource write: table constraints changed "
+                    "during the write; staged files discarded — retry"
+                )
+            record = {
+                "version": v + 1,
+                "op": "append",
+                "add": entries,
+                "remove": [],
+                "schema_json": schema_rec,
+            }
+            if self.txn is not None:
+                record["txn"] = self.txn
+            try:
+                _atomic_commit(self.table_dir, v + 1, record)
+                return
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.table_dir, self.staged), ignore_errors=True
+        )

@@ -9,6 +9,7 @@ buckets carry their files forward byte-for-byte)."""
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 
@@ -2044,3 +2045,142 @@ def test_batch_datasource_schema_evolution_null_fill(spark, tmp_path):
     )
     rows = {r["k"]: r for r in got.collect()}
     assert rows[1]["s"] is None and rows[2]["s"] == "new"
+
+
+def test_datasource_writer_two_phase_append(spark, tmp_path):
+    """`df.write.format("txlog").mode("append")` must be an atomic
+    append: executor-staged files + one driver commit. The written
+    rows must land in the SAME buckets the JVM bucket function
+    assigns (python xxhash64 twin) — proven the way it matters: a
+    later merge_upsert must FIND and update writer-written rows, and
+    the per-file bucket labels must match a JVM recomputation."""
+    from pyspark.sql import functions as F
+
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k", "s"), order_col="ver",
+        n_buckets=8, bloom_cols=("s",),
+    )
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i * 10, 1) for i in range(500)],
+        "k long, s string, v long, ver long",
+    ).repartition(4)
+    (
+        df.write.format("txlog")
+        .option("tabledir", t.table_dir)
+        .mode("append")
+        .save()
+    )
+    assert sorted(map(tuple, t.read().collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # bucket labels in the log match the JVM bucket of the file's rows
+    _, live, _, _ = t._replay()
+    opened = t._open_files([e["path"] for e in live.values()], None, None)
+    bad = (
+        opened.withColumn(
+            "_jvm",
+            F.pmod(F.xxhash64("k", "s"), F.lit(8)),
+        )
+        .filter(F.col("_jvm") != F.col("_bucket"))
+        .count()
+    )
+    assert bad == 0
+    # merge finds writer-written rows (bucket-targeted rewrite)
+    t.merge_upsert(spark.createDataFrame(
+        [(7, "s7", 999, 2)], "k long, s string, v long, ver long"))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[7] == 999 and got[8] == 80
+    # blooms recorded by the python writer serve point lookups
+    rep = t.prune_report({}, eq={"s": "s7"})
+    assert rep["files_read"] < rep["files_total"]
+    # overwrite mode is refused
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overwrite"):
+        (
+            df.write.format("txlog")
+            .option("tabledir", t.table_dir)
+            .mode("overwrite")
+            .save()
+        )
+
+
+def test_datasource_writer_txn_idempotent_and_constraints(spark, tmp_path):
+    """txnappid/txnbatchid make a replayed write a no-op (exactly-once
+    convention); a CHECK-constraint violation aborts the commit with
+    the table unchanged."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    df = spark.createDataFrame([(1, 5, 1), (2, 6, 1)],
+                               "k long, v long, ver long")
+
+    def write(frame, **opts):
+        w = frame.write.format("txlog").option("tabledir", t.table_dir)
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode("append").save()
+
+    write(df, txnappid="job-a", txnbatchid="0")
+    write(df, txnappid="job-a", txnbatchid="0")  # replay: no-op
+    assert t.read().count() == 2
+    write(df, txnappid="job-a", txnbatchid="1")  # next batch: appends
+    assert t.read().count() == 4
+    # constraints gate the DataSource write path too
+    t.add_constraint("v_pos", "v >= 0")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="v_pos"):
+        write(spark.createDataFrame([(9, -1, 1)],
+                                    "k long, v long, ver long"))
+    assert t.read().filter("v < 0").count() == 0
+    # schema evolution through the writer
+    write(
+        spark.createDataFrame([(10, 1, 1, "x")],
+                              "k long, v long, ver long, extra string"),
+        mergeschema="true",
+    )
+    rows = {r["k"]: r["extra"] for r in t.read().collect()}
+    assert rows[10] == "x" and rows[1] is None
+
+
+def test_python_xxhash64_twin_matches_jvm(spark):
+    """The pure-Python xxhash64 twin (writer-side bucket assignment)
+    must agree with Spark's `xxhash64` expression bit-for-bit across
+    every supported key type — longs (full signed range), unicode
+    strings (incl. empty and >32-byte), booleans, dates, NULLs, and
+    multi-column seed chaining — and `bucket_of` must agree with
+    `pmod(xxhash64(...), n)`."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        bucket_of,
+        spark_xxhash64,
+    )
+
+    random.seed(7)
+    rows = []
+    for i in range(300):
+        k = random.randrange(-(2**62), 2**62)
+        s = "".join(
+            chr(random.randrange(32, 0x2FF))
+            for _ in range(random.randrange(0, 80))
+        )
+        b = random.random() < 0.5
+        d = datetime.date(2000 + i % 30, 1 + i % 12, 1 + i % 28)
+        rows.append((k, s, b, d, None if i % 7 == 0 else i))
+    df = spark.createDataFrame(
+        rows, "k long, s string, b boolean, d date, n long"
+    )
+    got = df.select(
+        F.xxhash64("k", "s", "b", "d", "n").alias("h"),
+        F.pmod(F.xxhash64("k", "s"), F.lit(16)).alias("bk"),
+    ).collect()
+    for r, row in zip(rows, got):
+        assert spark_xxhash64(list(r)) == row["h"]
+        assert bucket_of([r[0], r[1]], 16) == row["bk"]
