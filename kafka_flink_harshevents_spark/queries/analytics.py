@@ -14,6 +14,10 @@ scale-first:
                          last-observation-carried-forward
 - ev_pattern_match     — CEP sequence match (click FOLLOWED BY purchase
                          within 30 min), every match emitted
+- ev_quantile_sketch_rollup — re-aggregatable bottom-k quantile sketch
+                         (hourly partials merged globally, gated vs
+                         exact ranks — the order-statistics twin of
+                         ev_hll_partial_merge)
 
 Scale notes: every wide op here keys on ``user_id`` (the natural,
 high-cardinality stream key — same partitioning discipline as the
@@ -504,6 +508,102 @@ def ev_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSK_K = 1024  # bottom-k sample size (rank error ~ 0.5/sqrt(K) ≈ 1.6%)
+QSK_TOL = 0.05  # gate tolerance: ~3 sigma at K=1024, flat across q
+QSK_QS = (0.5, 0.9, 0.99)
+
+
+def ev_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable QUANTILE rollup — the order-statistics twin of
+    ``ev_hll_partial_merge``: per-(day, hour) BOTTOM-K sketches built
+    at ingest, merged to a global sketch without touching raw events
+    again, quantiles estimated from the merged sketch and gated
+    against exact ranks.
+
+    The sketch is a bottom-k sample under a deterministic row hash
+    (Bar-Yossef et al.'s KMV construction repurposed for uniform
+    sampling): keep the K rows with the smallest ``xxhash64(row)``.
+    Hash-determinism buys two properties RNG sampling lacks — the
+    merge is EXACTLY associative (bottom-K of a union = bottom-K of
+    the parts' bottom-Ks, so partials commute with rollup by
+    construction, not approximately), and the whole estimate is a pure
+    function of the data, so the driver can hash-check the gate every
+    round. Estimation error is the uniform-sample bound
+    ~``sqrt(q(1-q)/K)``; K = 1024 keeps it well inside the 5% gate.
+
+    Gate entry (sample quantiles are sketch-specific): per q in
+    {0.5, 0.9, 0.99} emits the exact row count and ``rank_ok`` —
+    whether the estimate's EXACT rank lands within ``QSK_TOL``·n of
+    q·n.
+
+    Scale shape: hourly partials are a keyed Window over (day, hr) —
+    shuffle ∝ events once, state K rows per group; the merge sorts
+    only hours×K partial rows (bounded, never raw data); the exact
+    branch (one broadcast join pass for ranks) exists only to gate —
+    production keeps the sketch branch, which this entry proves safe.
+    At 100 TB partials live in the rollup table next to the HLL
+    column, and re-aggregation cost is ∝ groups, not rows.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "value",
+        F.xxhash64("user_id", "ts", "value", "event_type").alias("_h"),
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    )
+    w = Window.partitionBy("day", "hr").orderBy("_h")
+    partials = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QSK_K)
+        .select("value", "_h")
+    )
+    # merge: global bottom-K of the partials (bounded: hours × K rows)
+    merged = partials.orderBy("_h").limit(QSK_K)
+    arr = merged.agg(F.sort_array(F.collect_list("value")).alias("vs"))
+    ests = arr.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(str(q)).alias("q"),
+                        F.element_at(
+                            "vs",
+                            F.least(
+                                (F.floor(F.lit(q) * F.size("vs")) + 1),
+                                F.size("vs").cast("long"),
+                            ).cast("int"),
+                        ).alias("est"),
+                    )
+                    for q in QSK_QS
+                ]
+            )
+        ).alias("e")
+    ).select("e.q", "e.est")
+    vals = load(spark, sf_dir, "events").select("value")
+    ranks = (
+        vals.crossJoin(F.broadcast(ests))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias(
+                "rank_est"
+            ),
+        )
+    )
+    return ranks.select(
+        "q",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.abs(
+                F.col("rank_est").cast("double")
+                - F.expr("CAST(q AS DOUBLE)") * F.col("n")
+            )
+            <= F.lit(QSK_TOL) * F.col("n")
+        )
+        .cast("long")
+        .alias("rank_ok"),
+    )
+
+
 RFM_TIERS = 4
 
 
@@ -592,6 +692,7 @@ QUERIES = {
     "ev_session_paths": ev_session_paths,
     "ev_interarrival_hist": ev_interarrival_hist,
     "ev_hll_partial_merge": ev_hll_partial_merge,
+    "ev_quantile_sketch_rollup": ev_quantile_sketch_rollup,
     "ev_rfm_segments": ev_rfm_segments,
 }
 
@@ -636,6 +737,18 @@ def _ab_sql() -> str:
 
 
 ORACLES = {
+    "ev_quantile_sketch_rollup": """
+        SELECT q, n, rank_ok FROM (
+            SELECT '0.5' AS q, CAST(count(*) AS BIGINT) AS n,
+                   CAST(1 AS BIGINT) AS rank_ok FROM events
+            UNION ALL
+            SELECT '0.9', CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT '0.99', CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
+            FROM events
+        )
+    """,
     "ev_rfm_segments": f"""
         WITH u AS (
             SELECT user_id,
