@@ -1892,6 +1892,46 @@ class TxTable:
                 )
             ):
                 shutil.rmtree(staged, ignore_errors=True)
+        # change-feed files: a commit OLDER than the oldest retained
+        # snapshot is no longer time-travelable (its data files were
+        # just reclaimed), so its materialized change files are dead
+        # weight too — without this, a cdf=True table leaks one _cdf-*
+        # tree per rewrite forever. Commits >= the oldest retained
+        # version keep their feeds (batch/stream CDF reads over the
+        # retained range must still serve). Never-committed _cdf-*
+        # trees (crashed writer between stage and commit) follow the
+        # same grace-window rule as staged orphans.
+        oldest_kept = keep_versions[0] if keep_versions else 0
+        cdf_live: set[str] = set()
+        cdf_dead: set[str] = set()
+        for v in versions:
+            rec = _read_record(self.table_dir, v)
+            for rel in rec.get("cdf_files", ()):
+                (cdf_live if v >= oldest_kept else cdf_dead).add(rel)
+        for rel in sorted(cdf_dead - cdf_live):
+            p = os.path.join(self.table_dir, rel)
+            if os.path.exists(p):
+                os.unlink(p)
+                deleted.append(rel)
+        cdf_committed_roots = {
+            rel.split(os.sep, 1)[0] for rel in (cdf_live | cdf_dead)
+        }
+        for cdir in glob.glob(os.path.join(self.table_dir, "_cdf-*")):
+            base = os.path.basename(cdir)
+            if base in cdf_committed_roots:
+                # committed tree: prune it only once fully emptied
+                if not glob.glob(os.path.join(cdir, "*.parquet")) and (
+                    base not in {
+                        r.split(os.sep, 1)[0] for r in cdf_live
+                    }
+                ):
+                    shutil.rmtree(cdir, ignore_errors=True)
+                continue
+            if now - os.path.getmtime(cdir) >= grace_seconds:
+                # never committed and past the in-flight grace window
+                for p in glob.glob(os.path.join(cdir, "*.parquet")):
+                    deleted.append(os.path.relpath(p, self.table_dir))
+                shutil.rmtree(cdir, ignore_errors=True)
         # tmp commit records: only reclaim STALE ones — an in-flight
         # committer holds its tmp for milliseconds between write and
         # link; deleting it from under the writer would fail that

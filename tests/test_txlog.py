@@ -2184,3 +2184,42 @@ def test_python_xxhash64_twin_matches_jvm(spark):
     for r, row in zip(rows, got):
         assert spark_xxhash64(list(r)) == row["h"]
         assert bucket_of([r[0], r[1]], 16) == row["bk"]
+
+
+def test_vacuum_reclaims_dead_cdf_files(spark, tmp_path):
+    """cdf=True tables must not leak change files forever: vacuum
+    reclaims _cdf-* files of commits OLDER than the oldest retained
+    snapshot, keeps feeds in the retained range serveable, and applies
+    the staged-orphan grace window to never-committed _cdf trees."""
+    import glob as _glob
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(10)], "k long, v long, ver long"))
+    v_d1, _ = t.delete_where("k = 1")           # cdf files (old)
+    t.merge_upsert(spark.createDataFrame(
+        [(2, 99, 2)], "k long, v long, ver long"))
+    v_d2, _ = t.delete_where("k = 3")           # cdf files (recent)
+    n_before = len(_glob.glob(str(tmp_path / "t" / "_cdf-*" / "*.parquet")))
+    assert n_before >= 3
+    # retain only the last 2 snapshots: v_d1's and the merge's feeds
+    # predate the oldest retained snapshot -> reclaimed
+    deleted = t.vacuum(retain_versions=2)
+    assert any("_cdf-" in p for p in deleted)
+    # the retained-range feed still serves
+    assert t.table_changes(v_d2).count() > 0
+    # the vacuumed feed is gone from disk
+    n_after = len(_glob.glob(str(tmp_path / "t" / "_cdf-*" / "*.parquet")))
+    assert n_after < n_before
+    # an orphaned (never-committed) _cdf tree: fresh -> kept, aged -> gone
+    orphan = tmp_path / "t" / "_cdf-deadbeef"
+    orphan.mkdir()
+    (orphan / "x.parquet").write_bytes(b"junk")
+    t.vacuum(retain_versions=1)
+    assert orphan.exists()  # inside grace window
+    os.utime(orphan, (1, 1))
+    t.vacuum(retain_versions=1)
+    assert not orphan.exists()
