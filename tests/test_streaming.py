@@ -3214,3 +3214,61 @@ def test_dynamic_rules_version_stamp_pinned_under_race(spark, tmp_path):
         replay["verdict"], replay["rule_ver"])
     # and concretely: stamped v1 ⇒ classified under threshold 50 ⇒ OK
     assert row["rules_version"] == 2 and row["verdict"] == "OK"
+
+
+def test_streaming_bottomk_quantiles_match_batch(spark, tmp_path):
+    """The streaming bottom-k quantile snapshot after two ingest waves
+    must equal the batch twin over the full data — the merge ("union,
+    keep K smallest hashes") is batching-insensitive because the kept
+    set is a pure function of the row set. Parquet waves keep doubles
+    and the precomputed hash bit-exact across the stream boundary."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.streaming.quantiles import (
+        bottomk_quantile_batch,
+        bottomk_quantile_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select(
+        "event_type",
+        "value",
+        F.xxhash64("user_id", "ts", "value", "event_type").alias("_h"),
+    )
+    src = tmp_path / "ev"
+    src.mkdir()
+    e.filter(F.col("_h") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "w1.parquet")
+    )
+    stream = spark.readStream.schema(
+        "event_type STRING, value DOUBLE, _h LONG"
+    ).parquet(str(src) + "/*.parquet")
+    name = f"bq_{uuid.uuid4().hex[:8]}"
+    q = (
+        bottomk_quantile_stream(stream, hash_cols=("_h",))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        e.filter(F.col("_h") % 2 != 0).coalesce(1).write.parquet(
+            str(src / "w2.parquet")
+        )
+        q.processAllAvailable()
+        latest = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.max_by(
+                    F.struct("n_in_sketch", "q5", "q9", "q99"), "emit_seq"
+                ).alias("s")
+            )
+            .select("event_type", "s.n_in_sketch", "s.q5", "s.q9", "s.q99")
+        )
+        got = {tuple(r) for r in latest.collect()}
+    finally:
+        q.stop()
+    want = {tuple(r) for r in bottomk_quantile_batch(e).collect()}
+    assert got == want and len(want) > 0
