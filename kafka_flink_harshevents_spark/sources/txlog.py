@@ -503,7 +503,29 @@ class TxTable:
 
     @property
     def meta(self) -> dict:
-        return _read_record(self.table_dir, 1)["meta"]
+        """Current table metadata. Keys/order/cdf/bloom are immutable
+        (create-time), but ``n_buckets`` EVOLVES via :meth:`rebucket`
+        — later commits may carry a ``meta_update`` patch, replayed in
+        order over the create record (checkpoints snapshot the merged
+        meta, so the replay is O(commits since checkpoint), like every
+        other snapshot read)."""
+        return self.meta_at(None)
+
+    def meta_at(self, version: int | None) -> dict:
+        target = self.latest_version() if version is None else version
+        m = dict(_read_record(self.table_dir, 1)["meta"])
+        from_v = 1
+        chk = _latest_checkpoint(self.table_dir, target)
+        if chk is not None and "meta" in chk:
+            m = dict(chk["meta"])
+            from_v = chk["version"]
+        for v in _list_versions(self.table_dir):
+            if v <= from_v or v > target:
+                continue
+            rec = _read_record(self.table_dir, v)
+            if "meta_update" in rec:
+                m.update(rec["meta_update"])
+        return m
 
     # -- snapshots ---------------------------------------------------
 
@@ -553,6 +575,9 @@ class TxTable:
                     "live": list(live_map.values()),
                     "schema_json": schema_json,
                     "dvs": {p: sorted(s) for p, s in dvs.items()},
+                    # merged meta as of v, so meta_at() replays from
+                    # here instead of walking every record
+                    "meta": self.meta_at(v),
                 },
                 f,
             )
@@ -1144,11 +1169,15 @@ class TxTable:
         the flag a schema mismatch fails fast (the default guards
         against typo'd column names silently forking the schema).
         """
-        m = self.meta
-        incoming = self._with_bucket(df)
-        self._check_constraints(incoming, "merge_upsert batch")
+        self._check_constraints(df, "merge_upsert batch")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
+            # meta and bucketing re-derived PER ATTEMPT: a rebucket()
+            # landing between attempts changes n_buckets, and a retry
+            # that kept the old bucket ids would mislabel its files
+            # (rows silently escaping later merges)
+            m = self.meta
+            incoming = self._with_bucket(df)
             base_v, live_map, snap_schema, dvs = self._replay()
             live = list(live_map.values())
             touched = [
@@ -1223,6 +1252,7 @@ class TxTable:
         fields + incoming's new ones), so the table never silently
         narrows when an append carries fewer columns than the snapshot.
         """
+        staged_n = self.meta["n_buckets"]
         bucketed = self._with_bucket(df)
         staged = self._stage(bucketed)  # position-independent: stage once
         last_err: ConcurrentWriteError | None = None
@@ -1234,6 +1264,13 @@ class TxTable:
             # newest commit's schema as authoritative, so a stale
             # narrower record would silently drop the column the other
             # writer just added.
+            if self.meta["n_buckets"] != staged_n:
+                # a rebucket() won a race: the staged files carry
+                # bucket labels under the OLD modulus — restage under
+                # the new one (old files become vacuumable orphans)
+                staged_n = self.meta["n_buckets"]
+                bucketed = self._with_bucket(df)
+                staged = self._stage(bucketed)
             v, _, snap_schema = self._snapshot()
             schema_rec = self._schema_union_json(
                 bucketed, snap_schema, merge_schema, "append"
@@ -1251,6 +1288,71 @@ class TxTable:
             try:
                 _atomic_commit(self.table_dir, v + 1, record)
                 return v + 1
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
+    def rebucket(self, n_buckets: int, max_retries: int = 5) -> int:
+        """Bucket-count EVOLUTION — the table-lifecycle operation a
+        growing deployment needs when the create-time bucket count no
+        longer fits the data (the problem Delta's liquid clustering
+        exists to solve; classic hash-bucketed tables force a full
+        manual migration). One layout-only commit rewrites the live
+        set under the new ``pmod(xxhash64(keys), n_buckets)`` and
+        patches the table meta via a ``meta_update`` record, replayed
+        like schema: every later write buckets under the new modulus,
+        time travel before the commit still sees (and correctly reads)
+        the old layout, CDF is empty (compact rule — the multiset is
+        preserved exactly), and the streaming source skips it.
+
+        Concurrent writers are safe by the same optimistic machinery
+        as every other commit: a writer that staged under the old
+        modulus loses the version race and re-stages (append's
+        restage guard / merge's per-attempt rebucketing / the
+        DataSource writer's plan-vs-commit check).
+
+        Scale shape: one full rewrite — repartition on the new bucket
+        + within-bucket key sort, the same shuffle a compact() pays.
+        That cost is inherent to changing the hash modulus; what the
+        commit buys is that it happens ONCE, online, instead of as a
+        stop-the-world table migration."""
+        if n_buckets < 1:
+            raise ValueError("rebucket: n_buckets must be >= 1")
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            base_v, live_map, schema_json, dvs = self._replay()
+            live = list(live_map.values())
+            if self.meta["n_buckets"] == n_buckets:
+                return base_v  # already there — no-op, no commit
+            df = self._open_files(
+                [e["path"] for e in live], schema_json, dvs
+            ).drop("_bucket") if live else None
+            if df is None:
+                added = []
+            else:
+                rebucketed = df.withColumn(
+                    "_bucket",
+                    F.pmod(
+                        F.xxhash64(
+                            *[F.col(c) for c in self.meta["key_cols"]]
+                        ),
+                        F.lit(n_buckets),
+                    ),
+                )
+                added = self._stage(rebucketed)
+            record = {
+                "version": base_v + 1,
+                "op": "compact",  # layout-only: multiset preserved
+                "note": f"rebucket {self.meta['n_buckets']} -> {n_buckets}",
+                "add": added,
+                "remove": [e["path"] for e in live],
+                "schema_json": schema_json,
+                "meta_update": {"n_buckets": int(n_buckets)},
+            }
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
                 continue

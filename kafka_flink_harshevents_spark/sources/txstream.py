@@ -490,6 +490,8 @@ class TxLogBatchReader(DataSourceReader):
         # deletion-vector masking and NULL-fill for pre-evolution files.
         import pyarrow.parquet as pq
 
+        if partition is None:  # zero-partition plan (everything skipped
+            return iter(())  # or an empty change-feed range)
         table = pq.read_table(partition.path)
         if partition.dv:
             drop = set(partition.dv)
@@ -572,7 +574,10 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 "app_id": options["txnappid"],
                 "batch_id": int(options.get("txnbatchid", "0")),
             }
-        meta = _read_record(self.table_dir, 1)["meta"]
+        from kafka_flink_harshevents_spark.sources.txlog import TxTable
+
+        t = TxTable(None, self.table_dir)
+        meta = t.meta  # REPLAYED meta — n_buckets may have evolved
         self.key_cols = tuple(meta["key_cols"])
         self.n_buckets = int(meta["n_buckets"])
         self.bloom_cols = tuple(meta.get("bloom_cols") or ())
@@ -582,11 +587,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         # append()-style distributed Spark check isn't available
         # there; task-side enforcement is also the scalable placement:
         # it fans out with the data and fails the job before commit)
-        from kafka_flink_harshevents_spark.sources.txlog import TxTable
-
-        self.constraints = dict(
-            TxTable(None, self.table_dir).constraints()
-        )
+        self.constraints = dict(t.constraints())
         missing = [c for c in self.key_cols if c not in schema.fieldNames()]
         if missing:
             raise ValueError(
@@ -718,6 +719,19 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 )
                 raise RuntimeError(
                     "txlog datasource write: table constraints changed "
+                    "during the write; staged files discarded — retry"
+                )
+            if entries and t.meta["n_buckets"] != self.n_buckets:
+                # a rebucket() landed between plan and commit: the
+                # tasks bucketed rows under the OLD modulus, and
+                # committing mislabeled files would let rows escape
+                # later merges — discard and make the caller retry
+                shutil.rmtree(
+                    os.path.join(self.table_dir, self.staged),
+                    ignore_errors=True,
+                )
+                raise RuntimeError(
+                    "txlog datasource write: table was rebucketed "
                     "during the write; staged files discarded — retry"
                 )
             record = {

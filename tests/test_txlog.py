@@ -2223,3 +2223,103 @@ def test_vacuum_reclaims_dead_cdf_files(spark, tmp_path):
     os.utime(orphan, (1, 1))
     t.vacuum(retain_versions=1)
     assert not orphan.exists()
+
+
+def test_rebucket_evolves_bucket_count(spark, tmp_path):
+    """rebucket(): layout-only multiset-preserving commit that patches
+    n_buckets via a replayed meta_update — later writes bucket under
+    the new modulus (labels JVM-verified), merges still find every
+    row, time travel sees the old layout, the stream skips the commit,
+    and checkpoints carry the merged meta."""
+    from pyspark.sql import functions as F
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(100)], "k long, v long, ver long"))
+    v_pre = t.latest_version()
+    before = sorted(map(tuple, t.read().collect()))
+    v_rb = t.rebucket(8)
+    assert t.meta["n_buckets"] == 8
+    assert sorted(map(tuple, t.read().collect())) == before  # multiset
+    # files are labeled under the new modulus, and labels are truthful
+    _, live, _, _ = t._replay()
+    assert {e["bucket"] for e in live.values()} <= set(range(8))
+    opened = t._open_files([e["path"] for e in live.values()], None, None)
+    assert opened.withColumn(
+        "_jvm", F.pmod(F.xxhash64("k"), F.lit(8))
+    ).filter("_jvm != _bucket").count() == 0
+    # merge + append after the rebucket use the new modulus and hit
+    t.merge_upsert(spark.createDataFrame(
+        [(5, 999, 2)], "k long, v long, ver long"))
+    t.append(spark.createDataFrame(
+        [(200, 200, 1)], "k long, v long, ver long"))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == 999 and got[200] == 200 and len(got) == 101
+    # time travel before the rebucket: old layout, same rows
+    assert sorted(map(tuple, t.read(version=v_pre).collect())) == before
+    assert t.meta_at(v_pre)["n_buckets"] == 2
+    # idempotent no-op
+    assert t.rebucket(8) == t.latest_version()
+    # checkpoint carries the merged meta (replay from checkpoint)
+    t.checkpoint()
+    assert t.meta["n_buckets"] == 8
+    # streaming source: the rebucket commit streams nothing
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    feed = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", str(v_rb))
+        .option("endingversion", str(v_rb))
+        .load()
+    )
+    assert feed.count() == 0
+
+
+def test_append_restages_after_rebucket_race(spark, tmp_path, monkeypatch):
+    """An append that staged files under the old bucket modulus and
+    then LOSES the commit race to a rebucket must RESTAGE under the
+    new modulus on retry — committing the stale labels would let rows
+    silently escape later merges."""
+    import kafka_flink_harshevents_spark.sources.txlog as tx
+    from pyspark.sql import functions as F
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(20)], "k long, v long, ver long"))
+    real = tx._atomic_commit
+    state = {"fired": False}
+
+    def racy(table_dir, version, record):
+        if record.get("op") == "append" and not state["fired"]:
+            state["fired"] = True
+            # a concurrent writer rebuckets FIRST, stealing the version
+            tx.TxTable(spark, table_dir).rebucket(8)
+        return real(table_dir, version, record)
+
+    monkeypatch.setattr(tx, "_atomic_commit", racy)
+    t.append(spark.createDataFrame(
+        [(100 + i, i, 1) for i in range(20)], "k long, v long, ver long"))
+    monkeypatch.setattr(tx, "_atomic_commit", real)
+    assert state["fired"] and t.meta["n_buckets"] == 8
+    # every live file's labels are truthful under the NEW modulus
+    _, live, _, _ = t._replay()
+    opened = t._open_files([e["path"] for e in live.values()], None, None)
+    assert opened.withColumn(
+        "_jvm", F.pmod(F.xxhash64("k"), F.lit(8))
+    ).filter("_jvm != _bucket").count() == 0
+    # and a merge on a raced-append key actually replaces the row
+    t.merge_upsert(spark.createDataFrame(
+        [(110, 888, 2)], "k long, v long, ver long"))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[110] == 888 and len(got) == 40
