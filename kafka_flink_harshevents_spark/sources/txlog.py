@@ -1358,24 +1358,60 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
-    def compact(self, max_retries: int = 5) -> int:
-        """OPTIMIZE: rewrite the live file set into one file per bucket
-        — a LAYOUT-ONLY commit (the row multiset is preserved exactly;
+    def compact(
+        self, max_retries: int = 5, small_file_rows: int | None = None
+    ) -> int:
+        """OPTIMIZE: rewrite live files into one file per bucket — a
+        LAYOUT-ONLY commit (the row multiset is preserved exactly;
         latest-wins semantics stay where they belong, in merge_upsert).
         Small files accumulate from appends; time travel to versions
-        before the compaction still sees the old layout until vacuum."""
+        before the compaction still sees the old layout until vacuum.
+
+        ``small_file_rows`` switches to Delta-OPTIMIZE-style PARTIAL
+        bin-packing — the only shape that survives 100 TB, where a
+        full-table rewrite per compaction is its own denial of
+        service: only files that are actually fragmentation get
+        rewritten — files smaller than the threshold (or with missing
+        row stats), plus any file carrying a deletion vector (the
+        rewrite MATERIALIZES it). A bucket rewrites only when that
+        buys something: ≥2 small files to merge, or ≥1 vectored file
+        to clean. Untouched files (and their absence from add/remove)
+        carry forward byte-for-byte — including any OTHER bucket's
+        deletion vectors, which replay keeps because their files stay
+        live. Cost ∝ fragmented bytes, never table size."""
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live_map, schema_json, dvs = self._replay()
             live = list(live_map.values())
             if not live:
                 return base_v
+            if small_file_rows is None:
+                touched = live
+            else:
+                by_bucket: dict[int, list[dict]] = {}
+                for e in live:
+                    by_bucket.setdefault(e["bucket"], []).append(e)
+                touched = []
+                for es in by_bucket.values():
+                    cand = [
+                        e
+                        for e in es
+                        if (e.get("stats") or {}).get("rows") is None
+                        or e["stats"]["rows"] < small_file_rows
+                        or e["path"] in dvs
+                    ]
+                    if len(cand) >= 2 or any(
+                        e["path"] in dvs for e in cand
+                    ):
+                        touched.extend(cand)
+                if not touched:
+                    return base_v  # nothing fragmented — no-op commit
             # DV-aware read: compaction MATERIALIZES deletion vectors —
             # the rewritten files hold only surviving rows and the
             # replay drops the vectors with the removed files
             df = self._with_bucket(
                 self._open_files(
-                    [e["path"] for e in live], schema_json, dvs
+                    [e["path"] for e in touched], schema_json, dvs
                 ).drop("_bucket")
             )
             added = self._stage(df)
@@ -1383,7 +1419,7 @@ class TxTable:
                 "version": base_v + 1,
                 "op": "compact",
                 "add": added,
-                "remove": [e["path"] for e in live],
+                "remove": [e["path"] for e in touched],
                 "schema_json": schema_json,
             }
             try:

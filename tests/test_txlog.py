@@ -2323,3 +2323,48 @@ def test_append_restages_after_rebucket_race(spark, tmp_path, monkeypatch):
         [(110, 888, 2)], "k long, v long, ver long"))
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[110] == 888 and len(got) == 40
+
+
+def test_partial_compact_bin_packing(spark, tmp_path):
+    """compact(small_file_rows=N): only fragmentation rewrites — small
+    files merge per bucket, big files carry forward byte-identical,
+    DV-carrying files materialize their vectors, and untouched
+    buckets' vectors keep applying. Cost ∝ fragmented bytes."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    # one BIG append (per-bucket files >= threshold) ...
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(2000)], "k long, v long, ver long"))
+    _, live0, _, _ = t._replay()
+    big_paths = set(live0)
+    # ... then several small appends (fragmentation)
+    for w in range(3):
+        t.append(spark.createDataFrame(
+            [(10_000 + w * 10 + i, w, 1) for i in range(6)],
+            "k long, v long, ver long"))
+    before = sorted(map(tuple, t.read().collect()))
+    _, live1, _, _ = t._replay()
+    assert len(live1) > len(big_paths) + 4  # fragmented
+    v = t.compact(small_file_rows=500)
+    _, live2, _, _ = t._replay()
+    # big files untouched byte-for-byte (same paths still live)
+    assert big_paths <= set(live2)
+    # small files merged: at most one extra file per bucket now
+    assert len(live2) <= len(big_paths) + 2
+    assert sorted(map(tuple, t.read().collect())) == before
+    # nothing fragmented anymore -> no-op, no new commit
+    assert t.compact(small_file_rows=500) == v
+    # a DV on a BIG file makes that file (alone) compaction-eligible:
+    # the rewrite materializes the vector, other big files stay put
+    t.delete_where("k = 5", mode="merge_on_read")
+    _, _, _, dvs = t._replay()
+    assert dvs  # vector recorded
+    t.compact(small_file_rows=500)
+    _, live3, _, dvs3 = t._replay()
+    assert not dvs3  # materialized
+    got = sorted(map(tuple, t.read().collect()))
+    assert got == [r for r in before if r[0] != 5]
+    # untouched big files from the OTHER bucket still live
+    assert any(p in live3 for p in big_paths)
