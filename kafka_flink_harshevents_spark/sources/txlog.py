@@ -564,6 +564,23 @@ class TxTable:
         a pure function of the version, so concurrent writers produce
         identical bytes and either rename winning is correct."""
         v, live_map, schema_json, dvs = self._replay()
+        # per-app txn high-water marks as of v: previous checkpoint's
+        # map + forward scan (the same incremental shape as the live
+        # set), so checkpointing itself stays O(commits since last)
+        txns: dict[str, int] = {}
+        from_v = 0
+        prev = _latest_checkpoint(self.table_dir, v)
+        if prev is not None and "txns" in prev:
+            txns = dict(prev["txns"])
+            from_v = prev["version"]
+        for vv in _list_versions(self.table_dir):
+            if vv <= from_v or vv > v:
+                continue
+            t = _read_record(self.table_dir, vv).get("txn")
+            if t and "app_id" in t:
+                txns[t["app_id"]] = max(
+                    int(txns.get(t["app_id"], -1)), int(t["batch_id"])
+                )
         path = os.path.join(
             self.table_dir, _LOG_DIR, f"chk-{v:0{_PAD}d}.json"
         )
@@ -575,9 +592,12 @@ class TxTable:
                     "live": list(live_map.values()),
                     "schema_json": schema_json,
                     "dvs": {p: sorted(s) for p, s in dvs.items()},
-                    # merged meta as of v, so meta_at() replays from
-                    # here instead of walking every record
+                    # merged meta / constraints / txn marks as of v, so
+                    # meta_at(), constraints() and last_committed_batch()
+                    # replay from here instead of walking every record
                     "meta": self.meta_at(v),
+                    "constraints": self.constraints(v),
+                    "txns": txns,
                 },
                 f,
             )
@@ -874,10 +894,21 @@ class TxTable:
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """Current CHECK constraints (name → Spark SQL boolean expr),
         replayed from the log like the schema — so they version with
-        the table and time travel sees the rules in force then."""
+        the table and time travel sees the rules in force then.
+        Checkpoint-aware: replay cost is O(commits since the last
+        checkpoint), not O(log length) — this runs per micro-batch in
+        sinks, so the full-log walk would become per-trigger driver
+        work at 10⁵ commits."""
         target = self.latest_version() if version is None else version
         out: dict[str, str] = {}
+        from_v = 0
+        chk = _latest_checkpoint(self.table_dir, target)
+        if chk is not None and "constraints" in chk:
+            out = dict(chk["constraints"])
+            from_v = chk["version"]
         for v in _list_versions(self.table_dir):
+            if v <= from_v:
+                continue
             if v > target:
                 break
             rec = _read_record(self.table_dir, v)
@@ -1760,9 +1791,24 @@ class TxTable:
     # -- exactly-once streaming ------------------------------------
 
     def last_committed_batch(self, app_id: str) -> int:
-        """Highest batch_id committed under `app_id` (-1 if none)."""
+        """Highest batch_id committed under `app_id` (-1 if none).
+        Checkpoint-aware (checkpoints snapshot the per-app high-water
+        marks): this runs once per micro-batch in the exactly-once
+        sinks, so it must not walk the whole log."""
         best = -1
+        from_v = 0
+        target = (
+            _list_versions(self.table_dir)[-1]
+            if _list_versions(self.table_dir)
+            else 0
+        )
+        chk = _latest_checkpoint(self.table_dir, target)
+        if chk is not None and "txns" in chk:
+            best = int(chk["txns"].get(app_id, -1))
+            from_v = chk["version"]
         for v in _list_versions(self.table_dir):
+            if v <= from_v:
+                continue
             rec = _read_record(self.table_dir, v)
             t = rec.get("txn")
             if t and t.get("app_id") == app_id:

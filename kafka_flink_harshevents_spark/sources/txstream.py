@@ -106,13 +106,15 @@ _CTYPE_FROM_FILE = "@file"  # partition sentinel: read ctype column
 def _table_schema(table_dir: str, cdf: bool = False) -> StructType:
     """Latest recorded table schema (log-authoritative), minus the
     internal ``_bucket`` layout column, plus the commit-version stamp
-    (and, in change-feed mode, the ``_change_type`` column)."""
+    (and, in change-feed mode, the ``_change_type`` column).
+    Checkpoint-aware via ``_replay_log`` — stream planning calls this,
+    so it must not walk a 10⁵-commit log."""
     from pyspark.sql.types import StringType
 
-    schema_json = None
-    for v in _list_versions(table_dir):
-        rec = _read_record(table_dir, v)
-        schema_json = rec.get("schema_json", schema_json)
+    versions = _list_versions(table_dir)
+    schema_json = (
+        _replay_log(table_dir, versions[-1])[2] if versions else None
+    )
     if schema_json is None:
         raise ValueError(
             f"{table_dir}: no schema recorded yet — commit at least one "

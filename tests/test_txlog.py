@@ -2368,3 +2368,39 @@ def test_partial_compact_bin_packing(spark, tmp_path):
     assert got == [r for r in before if r[0] != 5]
     # untouched big files from the OTHER bucket still live
     assert any(p in live3 for p in big_paths)
+
+
+def test_checkpoint_carries_constraints_and_txn_marks(spark, tmp_path):
+    """constraints() and last_committed_batch() replay from the newest
+    checkpoint (they run per micro-batch in sinks — O(full log) there
+    becomes per-trigger driver work): marks and rules recorded before
+    a checkpoint must survive replay THROUGH it, and post-checkpoint
+    commits still override."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(
+        spark.createDataFrame([(1, 5, 1)], "k long, v long, ver long"),
+        txn={"app_id": "job-a", "batch_id": 3},
+    )
+    t.add_constraint("v_pos", "v >= 0")
+    t.checkpoint()
+    # pre-checkpoint state visible through the checkpoint
+    assert t.last_committed_batch("job-a") == 3
+    assert t.constraints() == {"v_pos": "v >= 0"}
+    # post-checkpoint commits override
+    t.append(
+        spark.createDataFrame([(2, 6, 1)], "k long, v long, ver long"),
+        txn={"app_id": "job-a", "batch_id": 7},
+    )
+    t.add_constraint("v_cap", "v <= 100")
+    assert t.last_committed_batch("job-a") == 7
+    assert set(t.constraints()) == {"v_pos", "v_cap"}
+    # a second checkpoint folds the increments; next reads use it
+    t.checkpoint()
+    assert t.last_committed_batch("job-a") == 7
+    assert t.last_committed_batch("other") == -1
+    assert set(t.constraints()) == {"v_pos", "v_cap"}
+    # time travel still sees the rules in force then
+    assert t.constraints(version=2) == {}
