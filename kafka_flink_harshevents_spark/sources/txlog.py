@@ -1267,6 +1267,102 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def apply_cdc(
+        self,
+        df: DataFrame,
+        op_col: str = "op",
+        delete_label: str = "D",
+        txn: dict | None = None,
+        max_retries: int = 5,
+        merge_schema: bool = False,
+    ) -> int:
+        """Apply a CDC batch — one atomic commit resolving a mixed
+        insert/update/DELETE change set against the table (the Delta
+        ``APPLY CHANGES`` / ``MERGE WHEN MATCHED THEN DELETE`` shape;
+        ``merge_upsert`` alone cannot retract a key). ``df`` carries
+        the table columns plus ``op_col``: rows labeled
+        ``delete_label`` retract their key, everything else upserts.
+
+        Ordering contract (late-CDC safe): per key, existing row and
+        every incoming change compete by ``order_col`` — the HIGHEST
+        wins, incoming beating existing on ties (a replayed change
+        must win over the row it produced). If the winner is a delete,
+        the key leaves the table; an out-of-order delete older than
+        the current row is correctly ignored, exactly Delta's
+        sequence-number semantics.
+
+        Commits ``op="merge"``, so CDF materialization, time travel,
+        and the streaming source need zero new cases: a retracted key
+        is simply absent from the post-image and the key-paired diff
+        emits its ``delete`` row. Cost ∝ touched buckets, like every
+        keyed write."""
+        upserts = df.filter(F.col(op_col) != F.lit(delete_label)).drop(
+            op_col
+        )
+        self._check_constraints(upserts, "apply_cdc batch")
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            m = self.meta
+            incoming = self._with_bucket(df.withColumnRenamed(op_col, "_op"))
+            base_v, live_map, snap_schema, dvs = self._replay()
+            live = list(live_map.values())
+            touched = {
+                r["_bucket"]
+                for r in incoming.select("_bucket").distinct().collect()
+            }
+            hit = [e for e in live if e["bucket"] in touched]
+            schema_rec = self._schema_union_json(
+                incoming.drop("_op"), snap_schema, merge_schema,
+                "apply_cdc",
+            )
+            inc = incoming.withColumn("_src", F.lit(1))
+            if hit:
+                existing = self._with_bucket(
+                    self._open_files(
+                        [e["path"] for e in hit], snap_schema, dvs
+                    ).drop("_bucket")
+                ).withColumn("_op", F.lit(None).cast("string")).withColumn(
+                    "_src", F.lit(0)
+                )
+                merged = existing.unionByName(
+                    inc, allowMissingColumns=merge_schema
+                )
+            else:
+                merged = inc
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*m["key_cols"]).orderBy(
+                F.col(m["order_col"]).desc(), F.col("_src").desc()
+            )
+            latest = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                # winner is a delete -> the key leaves the table
+                .filter(
+                    ~F.col("_op").eqNullSafe(F.lit(delete_label))
+                )
+                .drop("_rn", "_op", "_src")
+            )
+            added = self._stage(latest)  # _bucket travels in `latest`
+            record = {
+                "version": base_v + 1,
+                "op": "merge",
+                "add": added,
+                "remove": [e["path"] for e in hit],
+                "schema_json": schema_rec,
+            }
+            if txn:
+                record["txn"] = txn
+            if m.get("cdf"):
+                record["cdf_files"] = self._stage_cdf(base_v + 1, record)
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
     def append(self, df: DataFrame, txn: dict | None = None,
                max_retries: int = 5, merge_schema: bool = False) -> int:
         """Atomic blind insert — the K3 insert-event path

@@ -2404,3 +2404,49 @@ def test_checkpoint_carries_constraints_and_txn_marks(spark, tmp_path):
     assert set(t.constraints()) == {"v_pos", "v_cap"}
     # time travel still sees the rules in force then
     assert t.constraints(version=2) == {}
+
+
+def test_apply_cdc_mixed_ops(spark, tmp_path):
+    """apply_cdc: one atomic commit resolving inserts, updates and
+    DELETES with late-CDC ordering semantics — the winner per key by
+    order_col decides presence, incoming beats existing on ties, and
+    an out-of-order delete older than the current row is ignored."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a", 2), (2, "b", 2), (3, "c", 2), (4, "d", 2)],
+        "k long, s string, ver long"))
+    v = t.apply_cdc(spark.createDataFrame(
+        [
+            (2, "b2", 3, "U"),    # update
+            (3, None, 3, "D"),    # delete
+            (5, "e", 3, "I"),     # insert
+            (4, None, 1, "D"),    # LATE delete (older than row) -> ignored
+            (6, "f1", 3, "I"),    # insert then...
+            (6, None, 4, "D"),    # ...deleted in the same batch
+        ],
+        "k long, s string, ver long, op string"))
+    got = {r["k"]: (r["s"], r["ver"]) for r in t.read().collect()}
+    assert got == {1: ("a", 2), 2: ("b2", 3), 4: ("d", 2), 5: ("e", 3)}
+    # CDF derives the retraction and the update pair with no new cases
+    ch = {(r["k"], r["_change_type"]) for r in t.table_changes(v).collect()}
+    assert (3, "delete") in ch
+    assert (2, "update_preimage") in ch and (2, "update_postimage") in ch
+    assert (5, "insert") in ch
+    assert not any(k == 4 for k, _ in ch)  # untouched key, carried row
+    # delete of a missing key: no-op row-wise, still a clean commit
+    t.apply_cdc(spark.createDataFrame(
+        [(99, None, 9, "D")], "k long, s string, ver long, op string"))
+    assert t.read().count() == 4
+    # constraints gate the upsert rows (delete rows exempt)
+    t.add_constraint("s_set", "s IS NOT NULL")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="s_set"):
+        t.apply_cdc(spark.createDataFrame(
+            [(7, None, 9, "I")], "k long, s string, ver long, op string"))
+    t.apply_cdc(spark.createDataFrame(
+        [(1, None, 9, "D")], "k long, s string, ver long, op string"))
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 4, 5]
