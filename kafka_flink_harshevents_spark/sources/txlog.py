@@ -1930,6 +1930,31 @@ class TxTable:
 
         return apply
 
+    def cdc_sink(
+        self, app_id: str, op_col: str = "op", delete_label: str = "D"
+    ):
+        """``foreachBatch`` function: idempotent transactional CDC
+        apply — ``upsert_sink``'s delete-aware sibling. A live change
+        stream (inserts/updates/DELETES, e.g. a CDC feed or the
+        delete-propagation stream) maintains the keyed table
+        exactly-once: checkpoint-recovery replays are no-ops via the
+        txn marker, and each micro-batch lands as ONE atomic
+        :meth:`apply_cdc` commit with full late-CDC ordering."""
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= self.last_committed_batch(app_id):
+                return  # replayed batch — already committed
+            if batch_df.isEmpty():
+                return
+            self.apply_cdc(
+                batch_df,
+                op_col=op_col,
+                delete_label=delete_label,
+                txn={"app_id": app_id, "batch_id": int(batch_id)},
+            )
+
+        return apply
+
     # -- change data feed --------------------------------------------
 
     def table_changes(self, version: int) -> DataFrame:

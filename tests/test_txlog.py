@@ -2450,3 +2450,47 @@ def test_apply_cdc_mixed_ops(spark, tmp_path):
     t.apply_cdc(spark.createDataFrame(
         [(1, None, 9, "D")], "k long, s string, ver long, op string"))
     assert sorted(r["k"] for r in t.read().collect()) == [2, 4, 5]
+
+
+def test_cdc_sink_streaming_exactly_once(spark, tmp_path):
+    """cdc_sink: a live I/U/D change stream maintains the keyed table
+    through foreachBatch, exactly-once — replayed batches are no-ops,
+    and the final state equals the batch CDC resolution of the full
+    change sequence (deletes included)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, s string, ver long"))
+    sink = t.cdc_sink(app_id="cdc1")
+    b1 = spark.createDataFrame(
+        [(2, "b2", 2, "U"), (3, "c", 2, "I")],
+        "k long, s string, ver long, op string")
+    sink(b1, 0)
+    v_after = t.latest_version()
+    sink(b1, 0)  # checkpoint-recovery replay: no-op
+    assert t.latest_version() == v_after
+    sink(spark.createDataFrame(
+        [(1, None, 3, "D"), (3, "c2", 3, "U")],
+        "k long, s string, ver long, op string"), 1)
+    got = {r["k"]: r["s"] for r in t.read().collect()}
+    assert got == {2: "b2", 3: "c2"}
+    # end-to-end through a real stream: file source -> foreachBatch
+    src = tmp_path / "chg"
+    src.mkdir()
+    spark.createDataFrame(
+        [(2, None, 4, "D"), (4, "d", 4, "I")],
+        "k long, s string, ver long, op string",
+    ).coalesce(1).write.json(str(src / "w1.json"))
+    q = (
+        spark.readStream.schema("k long, s string, ver long, op string")
+        .json(str(src) + "/*.json")
+        .writeStream.foreachBatch(t.cdc_sink(app_id="cdc-stream"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["s"] for r in t.read().collect()}
+    assert got == {3: "c2", 4: "d"}
