@@ -251,12 +251,63 @@ def q_txlog_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``apply_cdc`` on the hash: append the base, then apply ONE mixed
+    CDC batch — updates (%5 keys, +100 cents, ver 2), deletes (%7
+    keys, ver 2), late deletes that must be IGNORED (%11 keys at ver
+    0, older than the rows they target), and inserts (keys shifted
+    above the cap) — and read the final state. The oracle states the
+    same resolution directly from ``orders``, so per-key winner
+    ordering, delete retraction, and late-change suppression are all
+    driver-checked each round. Deletes carry ver 3, so on the %35
+    overlap (update ver 2 + delete ver 3) the delete wins per the
+    ordering contract — the oracle's `%% 7 <> 0` states the same."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txc-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base)
+    updates = base.filter(F.col("k") % 5 == 0).select(
+        "k", "st",
+        (F.col("amount_c") + 100).alias("amount_c"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit("U").alias("op"),
+    )
+    deletes = base.filter(F.col("k") % 7 == 0).select(
+        "k", "st", "amount_c",
+        F.lit(3).cast("long").alias("ver"),
+        F.lit("D").alias("op"),
+    )
+    late_deletes = base.filter(F.col("k") % 11 == 0).select(
+        "k", "st", "amount_c",
+        F.lit(0).cast("long").alias("ver"),  # older than every row
+        F.lit("D").alias("op"),
+    )
+    inserts = base.filter(F.col("k") % 13 == 0).select(
+        (F.col("k") + 1_000_000).alias("k"),
+        "st", "amount_c",
+        F.lit(2).cast("long").alias("ver"),
+        F.lit("I").alias("op"),
+    )
+    t.apply_cdc(
+        updates.unionByName(deletes)
+        .unionByName(late_deletes)
+        .unionByName(inserts)
+    )
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
     "q_txlog_zorder_gate": q_txlog_zorder_gate,
     "q_txlog_datasource_read": q_txlog_datasource_read,
     "q_txlog_writer_roundtrip": q_txlog_writer_roundtrip,
+    "q_txlog_cdc_apply": q_txlog_cdc_apply,
 }
 
 # The mutation program in SQL terms (base = orders, k ≤ 2000, cents):
@@ -308,6 +359,26 @@ ORACLES = {
                          THEN 2 ELSE 1 END AS BIGINT) AS ver
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    "q_txlog_cdc_apply": f"""
+        SELECT k, st, amount_c, ver FROM (
+            SELECT o_orderkey AS k,
+                   o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+                     AS amount_c,
+                   CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS ver
+            FROM orders
+            WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + 1000000 AS k,
+                   o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+                   CAST(2 AS BIGINT) AS ver
+            FROM orders
+            WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 13 = 0
+        )
     """,
     "q_txlog_writer_roundtrip": f"""
         SELECT o_orderkey AS k,
