@@ -1798,22 +1798,36 @@ class TxTable:
         assignments: dict[str, str],
         prune: dict[str, tuple] | None = None,
         max_retries: int = 5,
+        mode: str = "copy_on_write",
+        max_dv_rows: int = 100_000,
     ) -> tuple[int, int]:
-        """Row-level ``UPDATE ... SET ... WHERE`` — the copy-on-write
-        twin of :meth:`delete_where`: find the files that contain
-        matching rows (same two-phase, stats-pruned targeting), rewrite
-        them with the SET expressions applied to matching rows only,
-        commit atomically. ``assignments`` maps column → Spark SQL
-        expression (evaluated per matching row; non-matching rows in
-        touched files are carried unchanged). Key columns cannot be
-        assigned — rekeying a row is a delete + insert, not an update
-        (the MERGE path owns key identity).
+        """Row-level ``UPDATE ... SET ... WHERE`` — the update twin of
+        :meth:`delete_where`, with BOTH lakehouse strategies:
+
+        - ``mode="copy_on_write"`` (default): find the files that
+          contain matching rows (same two-phase, stats-pruned
+          targeting), rewrite them with the SET expressions applied to
+          matching rows only, commit atomically. Non-matching rows in
+          touched files carry unchanged.
+        - ``mode="merge_on_read"``: no touched file rewrites — ONE
+          commit records a deletion vector over the old positions AND
+          adds a file holding just the updated rows (Delta's
+          DV-update shape: an update is a positional delete plus an
+          insert of the post-image). Right for small targeted updates
+          in huge files; falls back to copy-on-write past
+          ``max_dv_rows`` (same bound-probe discipline as the delete).
+          ``compact()`` later materializes the vectors.
+
+        ``assignments`` maps column → Spark SQL expression. Key
+        columns cannot be assigned — rekeying a row is a delete +
+        insert, not an update (the MERGE path owns key identity).
 
         Returns ``(version, rows_updated)``; no commit when nothing
-        matches. The change feed derives update_preimage /
-        update_postimage pairs from the generic pre/post diff, and the
-        streaming source refuses the commit unless ignorechanges —
-        both for free from the commit being a standard rewrite.
+        matches. The change feed derives the exact full-row multiset
+        delta in both modes (pre = the vectored/rewritten rows, post =
+        the added rows), and the streaming source refuses the commit
+        unless ignorechanges — for free from the commit shapes already
+        handled.
         """
         bad = set(assignments) & set(self.meta["key_cols"])
         if bad:
@@ -1835,6 +1849,64 @@ class TxTable:
             scan = self._open_files(
                 [e["path"] for e in cand], schema_json, dvs, keep_meta=True
             )
+            if mode == "merge_on_read":
+                # bound-probe BEFORE materializing positions (the
+                # delete path's driver-memory discipline)
+                pos = (
+                    scan.filter(predicate)
+                    .select("_file", "_rowpos")
+                    .limit(max_dv_rows + 1)
+                    .collect()
+                )
+                if not pos:
+                    return base_v, 0
+                if len(pos) <= max_dv_rows:
+                    delta: dict[str, list[int]] = {}
+                    for r in pos:
+                        delta.setdefault(r["_file"], []).append(
+                            int(r["_rowpos"])
+                        )
+                    matched = scan.filter(predicate).drop(
+                        "_file", "_rowpos"
+                    )
+                    post = matched.select(
+                        *[
+                            (
+                                F.expr(assignments[c])
+                                .cast(matched.schema[c].dataType)
+                                .alias(c)
+                                if c in assignments
+                                else F.col(c)
+                            )
+                            for c in matched.columns
+                            if c != "_bucket"
+                        ]
+                    )
+                    self._check_constraints(
+                        post, "update_where post-image"
+                    )
+                    added = self._stage(self._with_bucket(post))
+                    record = {
+                        "version": base_v + 1,
+                        "op": "update",
+                        "add": added,
+                        "remove": [],
+                        "dv": {p: sorted(v) for p, v in delta.items()},
+                        "schema_json": schema_json,
+                        "predicate": predicate,
+                        "assignments": assignments,
+                    }
+                    if self.meta.get("cdf"):
+                        record["cdf_files"] = self._stage_cdf(
+                            base_v + 1, record
+                        )
+                    try:
+                        _atomic_commit(self.table_dir, base_v + 1, record)
+                        return base_v + 1, len(pos)
+                    except ConcurrentWriteError as exc:
+                        last_err = exc
+                        continue
+                # too many positions for a vector — rewrite instead
             hit_files = {
                 r["_file"]
                 for r in scan.filter(predicate)
@@ -2027,11 +2099,17 @@ class TxTable:
             dvdf = self.spark.createDataFrame(
                 dv_rows, "_file string, _rowpos long"
             )
-            return (
-                src.join(F.broadcast(dvdf), ["_file", "_rowpos"])
-                .drop("_file", "_rowpos", "_bucket")
-                .withColumn("_change_type", F.lit("delete"))
-            )
+            pre = src.join(
+                F.broadcast(dvdf), ["_file", "_rowpos"]
+            ).drop("_file", "_rowpos", "_bucket")
+            if rec.get("add"):
+                # merge-on-read UPDATE: the vectored rows are the
+                # pre-images, the added file holds the post-images —
+                # emit the exact full-row multiset delta (the same
+                # convention as copy-on-write update/delete rewrites)
+                post = read_files([e["path"] for e in rec["add"]])
+                return _multiset_delta(pre, post)
+            return pre.withColumn("_change_type", F.lit("delete"))
 
         if rec["op"] == "restore":
             # a restore can change data through files AND vectors at

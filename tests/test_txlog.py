@@ -20,6 +20,7 @@ from kafka_flink_harshevents_spark.sources.txlog import (
     TxTable,
     _atomic_commit,
     _list_versions,
+    _read_record,
 )
 
 
@@ -2494,3 +2495,53 @@ def test_cdc_sink_streaming_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: r["s"] for r in t.read().collect()}
     assert got == {3: "c2", 4: "d"}
+
+
+def test_update_where_merge_on_read(spark, tmp_path):
+    """DV-based UPDATE: one commit = deletion vector over the old
+    positions + an added file with the post-image rows; no touched
+    file rewrites. Reads see the updated values, CDF emits the exact
+    ± multiset, compaction materializes, and the size bound falls
+    back to copy-on-write."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(100)], "k long, v long, ver long"))
+    _, live0, _, _ = t._replay()
+    v, n = t.update_where(
+        "k % 10 = 3", {"v": "v + 1"}, mode="merge_on_read")
+    assert n == 10
+    _, live1, _, dvs1 = t._replay()
+    # no original file rewritten; one new file per touched bucket; DVs live
+    assert set(live0) <= set(live1) and dvs1
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[3] == 31 and got[13] == 131 and got[4] == 40
+    assert len(got) == 100
+    # CDF: exact ± multiset for the updated rows only
+    ch = [(r["k"], r["v"], r["_change_type"])
+          for r in t.table_changes(v).collect()]
+    assert (3, 30, "delete") in ch and (3, 31, "insert") in ch
+    assert len(ch) == 20
+    # compact materializes the vectors; values survive
+    t.compact()
+    _, _, _, dvs2 = t._replay()
+    assert not dvs2
+    assert {r["k"]: r["v"] for r in t.read().collect()} == got
+    # bound fallback: tiny max_dv_rows -> copy-on-write (no dv recorded)
+    v2, n2 = t.update_where(
+        "k % 2 = 0", {"v": "v + 1000"}, mode="merge_on_read",
+        max_dv_rows=5)
+    assert n2 == 50
+    rec = _read_record(t.table_dir, v2)
+    assert "dv" not in rec and rec["remove"]
+    got2 = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got2[4] == 1040 and got2[3] == 31
+    # constraints gate the post-image in DV mode too
+    t.add_constraint("v_cap", "v <= 100000")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="v_cap"):
+        t.update_where("k = 1", {"v": "v + 10000000"},
+                       mode="merge_on_read")
