@@ -422,7 +422,16 @@ def _atomic_commit(table_dir: str, version: int, record: dict) -> None:
     ``os.link`` is the atomic create-if-absent primitive: exactly one
     writer can create the destination name; every other attempt gets
     EEXIST. (``os.rename`` would silently overwrite — wrong tool.)
+
+    Every record is stamped with the committing writer's wall clock
+    (``ts``, epoch seconds) — Delta's in-commit-timestamp shape, the
+    basis for TIMESTAMP AS OF time travel. Readers clamp to the
+    running maximum, so cross-writer clock skew can blur WHICH commit
+    a borderline timestamp resolves to, never break monotonicity.
     """
+    import time
+
+    record.setdefault("ts", time.time())
     log_dir = os.path.join(table_dir, _LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -658,11 +667,36 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution: the newest version whose
+        commit timestamp (clamped to the running maximum, so skewed
+        writer clocks can never make time travel non-monotonic) is
+        ≤ ``ts``. Raises if the table's first commit is later. Linear
+        record scan — an interactive/admin operation, not a
+        per-trigger path (the per-trigger replays are the
+        checkpoint-aware ones)."""
+        best: int | None = None
+        cummax = float("-inf")
+        for v in _list_versions(self.table_dir):
+            rec_ts = _read_record(self.table_dir, v).get("ts")
+            if rec_ts is not None:
+                cummax = max(cummax, float(rec_ts))
+            if cummax <= ts:
+                best = v
+            else:
+                break  # clamped stamps are monotone — done
+        if best is None:
+            raise ValueError(
+                f"{self.table_dir}: no commit at or before timestamp {ts}"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
         eq: dict | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """Snapshot read (time travel with ``version=``). Consistent by
         construction: the file list comes from the log, never from a
@@ -685,6 +719,12 @@ class TxTable:
         re-applied row-level — exact whatever the bloom's
         false-positive rate, since a false positive only opens a file
         whose rows the equality filter then drops."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "read: pass version OR timestamp, not both"
+                )
+            version = self.version_at_timestamp(timestamp)
         _, live_map, schema_json, dvs = self._replay(version)
         live = list(live_map.values())
         if prune:

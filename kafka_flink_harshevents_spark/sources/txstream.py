@@ -127,6 +127,23 @@ def _table_schema(table_dir: str, cdf: bool = False) -> StructType:
     return StructType(fields + [StructField(VERSION_COL, LongType(), False)])
 
 
+def _newest_version_before(table_dir: str, ts: float) -> int:
+    """Newest version whose skew-clamped commit timestamp is strictly
+    before ``ts`` (0 when the table's history starts at or after it) —
+    the exclusive-start offset for ``startingtimestamp`` reads."""
+    best = 0
+    cummax = float("-inf")
+    for v in _list_versions(table_dir):
+        rec_ts = _read_record(table_dir, v).get("ts")
+        if rec_ts is not None:
+            cummax = max(cummax, float(rec_ts))
+        if cummax < ts:
+            best = v
+        else:
+            break
+    return best
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -281,6 +298,13 @@ class TxLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: StructType) -> None:
         self.table_dir = options["tabledir"]
         self.start_version = int(options.get("startingversion", "0"))
+        if options.get("startingtimestamp") is not None:
+            # serve every commit whose (skew-clamped) stamp is >= ts:
+            # the exclusive start offset is the newest version strictly
+            # BEFORE it (0 = table predates nothing — serve all)
+            self.start_version = _newest_version_before(
+                self.table_dir, float(options["startingtimestamp"])
+            )
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
@@ -382,6 +406,20 @@ class TxLogBatchReader(DataSourceReader):
         self.version = (
             int(options["version"]) if options.get("version") else None
         )
+        if options.get("timestamp") is not None:
+            # TIMESTAMP AS OF for snapshot reads
+            if self.version is not None or self.read_change_feed:
+                raise ValueError(
+                    "txlog batch read: `timestamp` is a snapshot-read "
+                    "option, exclusive with `version`/`readchangefeed`"
+                )
+            from kafka_flink_harshevents_spark.sources.txlog import (
+                TxTable,
+            )
+
+            self.version = TxTable(None, self.table_dir).version_at_timestamp(
+                float(options["timestamp"])
+            )
         if self.read_change_feed and self.version is not None:
             raise ValueError(
                 "txlog batch read: `version` applies to snapshot reads; "
@@ -389,6 +427,14 @@ class TxLogBatchReader(DataSourceReader):
                 "endingversion instead"
             )
         self.starting_version = int(options.get("startingversion", "1"))
+        if options.get("startingtimestamp") is not None:
+            # inclusive CDF range start: first commit at/after the stamp
+            self.starting_version = (
+                _newest_version_before(
+                    self.table_dir, float(options["startingtimestamp"])
+                )
+                + 1
+            )
         self.ending_version = (
             int(options["endingversion"])
             if options.get("endingversion")

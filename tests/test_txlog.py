@@ -2545,3 +2545,63 @@ def test_update_where_merge_on_read(spark, tmp_path):
     with _pytest.raises(Exception, match="v_cap"):
         t.update_where("k = 1", {"v": "v + 10000000"},
                        mode="merge_on_read")
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: every commit is stamped at publish; reads and
+    the DataSource resolve a wall-clock instant to the newest commit
+    at or before it (skew-clamped); streams/CDF take a timestamp as
+    their starting point."""
+    import time as _time
+
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame([(1, 1)], "k long, ver long"))
+    ts_mid = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, 1)], "k long, ver long"))
+    v2 = t.latest_version()
+    # library surface
+    assert t.version_at_timestamp(ts_mid) == v2 - 1
+    assert [r["k"] for r in t.read(timestamp=ts_mid).collect()] == [1]
+    assert sorted(
+        r["k"] for r in t.read(timestamp=_time.time()).collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError, match="no commit"):
+        t.version_at_timestamp(0.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, timestamp=ts_mid)
+    # DataSource snapshot read by timestamp
+    got = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("timestamp", str(ts_mid))
+        .load()
+    )
+    assert [r["k"] for r in got.collect()] == [1]
+    # batch CDF from a timestamp: only the second append's insert
+    feed = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingtimestamp", str(ts_mid))
+        .load()
+    )
+    assert [(r["k"], r["_change_type"]) for r in feed.collect()] == [
+        (2, "insert")
+    ]
+    # skew clamp: a commit stamped in the PAST cannot rewind history
+    t.append(spark.createDataFrame([(3, 1)], "k long, ver long"))
+    import json as _json
+
+    p = os.path.join(t.table_dir, "_txlog",
+                     f"{t.latest_version():020d}.json")
+    rec = _json.load(open(p))
+    rec["ts"] = 1.0  # skewed writer clock
+    _json.dump(rec, open(p, "w"))
+    t.append(spark.createDataFrame([(4, 1)], "k long, ver long"))
+    # the clamped sequence keeps ts_mid resolving to the same snapshot
+    assert t.version_at_timestamp(ts_mid) == v2 - 1
