@@ -667,6 +667,44 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY — one row per commit, newest first:
+        version, op, commit timestamp (epoch seconds + ISO string),
+        files added/removed, DV'd positions, predicate (deletes/
+        updates), txn marker, and note (rebucket/zorder). The audit
+        surface time travel navigates by; reads only the log records
+        (no data files)."""
+        rows = []
+        for v in _list_versions(self.table_dir):
+            rec = _read_record(self.table_dir, v)
+            txn = rec.get("txn") or {}
+            rows.append((
+                v,
+                rec.get("op", "create" if v == 1 else None),
+                float(rec["ts"]) if rec.get("ts") is not None else None,
+                (
+                    datetime.datetime.fromtimestamp(
+                        float(rec["ts"]), tz=datetime.timezone.utc
+                    ).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+                    if rec.get("ts") is not None
+                    else None
+                ),
+                len(rec.get("add", [])),
+                len(rec.get("remove", [])),
+                sum(len(p) for p in (rec.get("dv") or {}).values()),
+                rec.get("predicate"),
+                txn.get("app_id"),
+                int(txn["batch_id"]) if "batch_id" in txn else None,
+                rec.get("note"),
+            ))
+        return self.spark.createDataFrame(
+            list(reversed(rows)),
+            "version long, op string, ts double, ts_iso string, "
+            "files_added int, files_removed int, dv_positions long, "
+            "predicate string, txn_app string, txn_batch long, "
+            "note string",
+        )
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose
         commit timestamp (clamped to the running maximum, so skewed

@@ -2605,3 +2605,31 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     t.append(spark.createDataFrame([(4, 1)], "k long, ver long"))
     # the clamped sequence keeps ts_mid resolving to the same snapshot
     assert t.version_at_timestamp(ts_mid) == v2 - 1
+
+
+def test_history_describes_commits(spark, tmp_path):
+    """history(): newest-first audit rows with op, stamps, file/DV
+    accounting, predicates and txn markers — log-only, no data reads."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(
+        spark.createDataFrame([(1, 1), (2, 1)], "k long, ver long"),
+        txn={"app_id": "j", "batch_id": 4},
+    )
+    t.delete_where("k = 1", mode="merge_on_read")
+    t.rebucket(4)
+    h = t.history().collect()
+    assert [r["version"] for r in h] == [4, 3, 2, 1]
+    by_v = {r["version"]: r for r in h}
+    assert by_v[1]["op"] == "create"
+    assert by_v[2]["op"] == "append" and by_v[2]["txn_app"] == "j"
+    assert by_v[2]["txn_batch"] == 4
+    assert by_v[3]["op"] == "delete" and by_v[3]["dv_positions"] == 1
+    assert by_v[3]["predicate"] == "k = 1"
+    assert by_v[4]["note"] == "rebucket 2 -> 4"
+    assert all(r["ts"] is not None and r["ts_iso"].endswith("Z") for r in h)
+    # monotone timestamps (single writer)
+    ts = [r["ts"] for r in reversed(h)]
+    assert ts == sorted(ts)
