@@ -613,6 +613,69 @@ class TxTable:
         os.replace(tmp, path)
         return v
 
+    def clone_to(
+        self, dest_dir: str, version: int | None = None
+    ) -> "TxTable":
+        """SHALLOW CLONE — a new, independently-writable table whose
+        initial commit REFERENCES this table's live files (absolute
+        paths) instead of copying them: a zero-copy dev/test snapshot
+        of a 100 TB production table, created in O(metadata). The
+        clone carries the source's schema, meta (keys/buckets/cdf/
+        bloom), and the deletion vectors in force at ``version``
+        (keyed by path suffix — the read join normalizes, so vectors
+        keep masking through the absolute references).
+
+        Independence: every WRITE to the clone stages files under the
+        clone's own directory; merges/deletes rewrite touched source
+        references into clone-local files, and ``compact()`` fully
+        DETACHES it (no absolute reference survives a full rewrite).
+        The source is never modified. The one documented hazard is
+        Delta's own: ``vacuum`` on the SOURCE can reclaim files a
+        clone still references — clones are snapshots for dev/test,
+        not replicas. (The clone's own vacuum only scans clone-local
+        ``_staged-*`` trees, so it can never reclaim source files.)
+
+        The clone commit is not an append: a stream over the clone
+        should start past it (``startingversion``), exactly like a
+        RESTORE."""
+        src_v, live_map, schema_json, dvs = self._replay(version)
+        m = self.meta_at(src_v)
+        dest = TxTable.create(
+            self.spark,
+            dest_dir,
+            key_cols=tuple(m["key_cols"]),
+            order_col=m["order_col"],
+            n_buckets=int(m["n_buckets"]),
+            cdf=bool(m.get("cdf")),
+            bloom_cols=tuple(m.get("bloom_cols") or ()),
+        )
+        if _list_versions(dest_dir) != [1]:
+            raise ValueError(
+                f"clone_to: {dest_dir} is not a fresh table directory"
+            )
+        entries = []
+        for e in live_map.values():
+            e2 = dict(e)
+            e2["path"] = os.path.abspath(
+                os.path.join(self.table_dir, e["path"])
+            )
+            entries.append(e2)
+        record = {
+            "version": 2,
+            "op": "clone",
+            "add": entries,
+            "remove": [],
+            "schema_json": schema_json,
+            "note": f"shallow clone of {self.table_dir}@{src_v}",
+        }
+        if dvs:
+            record["dv_full"] = {
+                os.path.abspath(os.path.join(self.table_dir, p)): sorted(v)
+                for p, v in dvs.items()
+            }
+        _atomic_commit(dest_dir, 2, record)
+        return dest
+
     def restore(self, version: int, max_retries: int = 5) -> int:
         """RESTORE TO VERSION — roll the live state back to an earlier
         snapshot as a NEW commit (history is append-only; nothing is
@@ -819,7 +882,12 @@ class TxTable:
             *[os.path.join(self.table_dir, p) for p in rel_paths]
         )
         dv_items = [
-            (p, int(i))
+            # normalize to the 3-component suffix the metadata join key
+            # uses — identical to the listed path for table-local files,
+            # and the ONLY stable key for a shallow clone's absolute
+            # source paths (an unnormalized key would silently skip the
+            # vector and resurrect deleted rows)
+            ("/".join(p.split("/")[-3:]), int(i))
             for p in rel_paths
             for i in (dvs or {}).get(p, ())
         ]
@@ -2162,6 +2230,23 @@ class TxTable:
             return self._open_files(
                 paths, rec.get("schema_json"), dvs
             ).drop("_bucket")
+
+        if rec.get("op") == "clone" and rec.get("add"):
+            # a clone's feed is its VISIBLE initial state: the
+            # referenced files with the cloned deletion vectors applied
+            # (unmasked reads would resurrect hidden rows as inserts)
+            dv_full = {
+                p: set(v) for p, v in (rec.get("dv_full") or {}).items()
+            }
+            return (
+                self._open_files(
+                    [e["path"] for e in rec["add"]],
+                    rec.get("schema_json"),
+                    dv_full,
+                )
+                .drop("_bucket")
+                .withColumn("_change_type", F.lit("insert"))
+            )
 
         if "dv" in rec:
             # merge-on-read delete: the commit's DV DELTA rows ARE the

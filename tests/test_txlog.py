@@ -2633,3 +2633,56 @@ def test_history_describes_commits(spark, tmp_path):
     # monotone timestamps (single writer)
     ts = [r["ts"] for r in reversed(h)]
     assert ts == sorted(ts)
+
+
+def test_shallow_clone_zero_copy(spark, tmp_path):
+    """SHALLOW CLONE: a metadata-only snapshot referencing the source's
+    files — same data (deletion vectors included), independent writes
+    (clone merges never touch the source), compact() detaches, clone
+    vacuum never reclaims source files."""
+    import glob as _glob
+
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    src.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(50)], "k long, v long, ver long"))
+    src.delete_where("k = 7", mode="merge_on_read")  # DV must travel
+    src_files = set(_glob.glob(str(tmp_path / "src" / "_staged-*" / "*" / "*")))
+    want = sorted(map(tuple, src.read().collect()))
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero-copy: no data files under the clone dir yet
+    assert not _glob.glob(str(tmp_path / "clone" / "_staged-*"))
+    assert sorted(map(tuple, clone.read().collect())) == want  # DV applied
+    # CDF of the clone commit = the visible initial state
+    assert clone.table_changes(2).count() == 49
+    # independent writes: clone-local staging, source untouched
+    clone.merge_upsert(spark.createDataFrame(
+        [(3, 999, 2)], "k long, v long, ver long"))
+    clone.append(spark.createDataFrame(
+        [(100, 1, 1)], "k long, v long, ver long"))
+    assert sorted(map(tuple, src.read().collect())) == want
+    assert set(
+        _glob.glob(str(tmp_path / "src" / "_staged-*" / "*" / "*"))
+    ) == src_files
+    got = {r["k"]: r["v"] for r in clone.read().collect()}
+    assert got[3] == 999 and got[100] == 1 and 7 not in got
+    # clone vacuum never reclaims source files
+    clone.checkpoint()
+    clone.vacuum(retain_versions=1, grace_seconds=0.0)
+    assert set(
+        _glob.glob(str(tmp_path / "src" / "_staged-*" / "*" / "*"))
+    ) == src_files
+    assert sorted(map(tuple, src.read().collect())) == want
+    # compact() detaches: no absolute reference survives
+    clone.compact()
+    _, live, _, _ = clone._replay()
+    assert all(not os.path.isabs(p) for p in live)
+    assert {r["k"]: r["v"] for r in clone.read().collect()} == got
+    # refuse cloning onto a non-fresh table
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fresh"):
+        src.clone_to(str(tmp_path / "clone"))
