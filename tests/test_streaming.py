@@ -3272,3 +3272,59 @@ def test_streaming_bottomk_quantiles_match_batch(spark, tmp_path):
         q.stop()
     want = {tuple(r) for r in bottomk_quantile_batch(e).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_bottomk_quantiles_survive_restart(spark, tmp_path):
+    """T5/T6 for the quantile sketch: stop after one wave, restart from
+    the SAME checkpoint, ingest the second wave — the final snapshot
+    must equal the batch twin over the full data (state recovered, no
+    double-count, batching-insensitive merge)."""
+    from kafka_flink_harshevents_spark.queries._util import load
+    from kafka_flink_harshevents_spark.streaming.quantiles import (
+        bottomk_quantile_batch,
+        bottomk_quantile_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select(
+        "event_type",
+        "value",
+        F.xxhash64("user_id", "ts", "value", "event_type").alias("_h"),
+    )
+    src = tmp_path / "ev"
+    src.mkdir()
+    out: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            key = r["event_type"]
+            cur = out.get(key)
+            if cur is None or r["emit_seq"] >= cur["emit_seq"]:
+                out[key] = r.asDict()
+
+    def run_wave():
+        stream = spark.readStream.schema(
+            "event_type STRING, value DOUBLE, _h LONG"
+        ).parquet(str(src) + "/*.parquet")
+        q = (
+            bottomk_quantile_stream(stream, hash_cols=("_h",))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    e.filter(F.col("_h") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "w1.parquet"))
+    run_wave()  # wave 1, then the query STOPS (availableNow)
+    e.filter(F.col("_h") % 2 != 0).coalesce(1).write.parquet(
+        str(src / "w2.parquet"))
+    run_wave()  # restart from the same checkpoint
+    got = {
+        (k, v["n_in_sketch"], v["q5"], v["q9"], v["q99"])
+        for k, v in out.items()
+    }
+    want = {tuple(r) for r in bottomk_quantile_batch(e).collect()}
+    assert got == want and len(want) > 0
