@@ -768,6 +768,65 @@ class TxTable:
             "note string",
         )
 
+    def drop_columns(self, cols: tuple[str, ...]) -> int:
+        """ALTER TABLE DROP COLUMN — METADATA-ONLY: one commit records
+        the narrowed schema; no data file is touched (the log is the
+        schema authority, so every reader projects the column out —
+        the physical bytes age out as rewrites/compactions naturally
+        restage files). Time travel before the commit still sees the
+        column.
+
+        Key/order columns are undroppable; a column any CHECK
+        constraint mentions must be un-constrained first. The dropped
+        NAME is retired permanently (``meta.dropped_cols``): re-adding
+        it would RESURRECT stale values from old files that still
+        physically carry it — refusing is the Delta position absent
+        column-mapping physical ids."""
+        cols = tuple(cols)
+        protected = set(self.meta["key_cols"]) | {self.meta["order_col"]}
+        bad = set(cols) & protected
+        if bad:
+            raise ValueError(
+                f"cannot drop key/order column(s) {sorted(bad)}"
+            )
+        for name, expr in self.constraints().items():
+            hit = [c for c in cols if c in expr]
+            if hit:
+                raise ValueError(
+                    f"column(s) {hit} are referenced by constraint "
+                    f"{name} ({expr}) — drop the constraint first"
+                )
+        while True:
+            v, _, snap_schema = self._snapshot()
+            if snap_schema is None:
+                raise ValueError("no recorded schema to drop from")
+            old = StructType.fromJson(json.loads(snap_schema))
+            missing = set(cols) - {f.name for f in old.fields}
+            if missing:
+                raise ValueError(
+                    f"column(s) {sorted(missing)} not in table schema"
+                )
+            narrowed = StructType(
+                [f for f in old.fields if f.name not in cols]
+            )
+            dropped = sorted(
+                set(self.meta.get("dropped_cols") or ()) | set(cols)
+            )
+            record = {
+                "version": v + 1,
+                "op": "drop_columns",
+                "add": [],
+                "remove": [],
+                "schema_json": narrowed.json(),
+                "meta_update": {"dropped_cols": dropped},
+                "note": f"drop columns {sorted(cols)}",
+            }
+            try:
+                _atomic_commit(self.table_dir, v + 1, record)
+                return v + 1
+            except ConcurrentWriteError:
+                continue  # metadata-only: recompute and retry
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose
         commit timestamp (clamped to the running maximum, so skewed
@@ -1297,6 +1356,15 @@ class TxTable:
         the latter)."""
         schema = df if isinstance(df, StructType) else df.schema
         user_fields = [f for f in schema.fields if f.name != "_bucket"]
+        retired = set(self.meta.get("dropped_cols") or ())
+        resurrect = [f.name for f in user_fields if f.name in retired]
+        if resurrect:
+            raise ValueError(
+                f"{op}: column(s) {sorted(resurrect)} were dropped — "
+                "re-adding the name would resurrect stale values from "
+                "old files that still physically carry it; use a new "
+                "column name"
+            )
         if snap_schema is None:
             return StructType(user_fields).json()
         old = StructType.fromJson(json.loads(snap_schema))

@@ -2686,3 +2686,51 @@ def test_shallow_clone_zero_copy(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="fresh"):
         src.clone_to(str(tmp_path / "clone"))
+
+
+def test_drop_columns_metadata_only(spark, tmp_path):
+    """DROP COLUMN is metadata-only: one commit narrows the schema and
+    every read projects the column out (no file rewritten); time
+    travel still sees it; key/order/constrained columns refuse; the
+    dropped NAME is retired (re-adding would resurrect stale values)."""
+    import glob as _glob
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(1, "x", 9.5, 1), (2, "y", 8.5, 1)],
+        "k long, s string, junk double, ver long"))
+    files_before = set(_glob.glob(str(tmp_path / "t" / "_staged-*" / "*" / "*")))
+    v_pre = t.latest_version()
+    v = t.drop_columns(("junk",))
+    # metadata-only: same files on disk
+    assert set(
+        _glob.glob(str(tmp_path / "t" / "_staged-*" / "*" / "*"))
+    ) == files_before
+    assert t.read().columns == ["k", "s", "ver"]
+    assert "junk" in t.read(version=v_pre).columns  # time travel
+    # CDF/stream: nothing changed
+    assert t.table_changes(v).count() == 0
+    # writes proceed with the narrowed schema; rewrites shed the bytes
+    t.merge_upsert(spark.createDataFrame(
+        [(1, "x2", 2)], "k long, s string, ver long"))
+    got = {r["k"]: r["s"] for r in t.read().collect()}
+    assert got == {1: "x2", 2: "y"}
+    # re-adding the retired name is refused on every write path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resurrect"):
+        t.append(
+            spark.createDataFrame(
+                [(3, "z", 1.0, 1)], "k long, s string, junk double, ver long"
+            ),
+            merge_schema=True,
+        )
+    # protected columns refuse
+    with _pytest.raises(ValueError, match="key/order"):
+        t.drop_columns(("k",))
+    t.add_constraint("s_set", "s IS NOT NULL")
+    with _pytest.raises(ValueError, match="constraint"):
+        t.drop_columns(("s",))
