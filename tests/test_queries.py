@@ -928,3 +928,26 @@ def test_kn_beats_addone_on_seen_bigrams(spark):
     assert better / len(kn) > 0.6, f"KN better on only {better}/{len(kn)}"
     # every score is a finite negative log-probability
     assert all(v < 0 for v in kn.values())
+
+
+def test_correctness_window_names_resolve():
+    """Every name in the driver-window ordering must exist in the
+    catalog (a typo would silently drop the entry from the 50-entry
+    correctness window), every windowed entry must carry an oracle
+    unless it is a designed rows-only entry, and query/oracle key sets
+    must line up."""
+    from kafka_flink_harshevents_spark.queries import (
+        _WINDOW_FIRST,
+        all_oracles,
+        all_queries,
+    )
+
+    qs, osql = all_queries(), all_oracles()
+    missing = [n for n in _WINDOW_FIRST if n not in qs]
+    assert not missing, f"window names not in catalog: {missing}"
+    assert len(set(_WINDOW_FIRST)) == len(_WINDOW_FIRST)  # no dups
+    rows_only = set(qs) - set(osql)
+    assert rows_only <= {"emb_knn_pq", "pipeline_derive"}, rows_only
+    assert set(osql) <= set(qs)  # no orphan oracles
+    window = list(qs)[:50]
+    assert len(window) == 50
