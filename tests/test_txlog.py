@@ -2734,3 +2734,61 @@ def test_drop_columns_metadata_only(spark, tmp_path):
     t.add_constraint("s_set", "s IS NOT NULL")
     with _pytest.raises(ValueError, match="constraint"):
         t.drop_columns(("s",))
+
+
+def test_datasource_writer_guards_and_empty_write(spark, tmp_path):
+    """Plan-vs-commit guards: a rebucket or constraint change landing
+    between the writer's planning and its commit must discard the
+    stage and refuse (committing would mislabel buckets / admit
+    unchecked rows). Also: an all-empty write commits cleanly with no
+    files."""
+    import glob as _glob
+
+    import pyarrow as pa
+
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogBatchWriter,
+        _TxWriteMessage,
+    )
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long"))
+    schema = t.read().schema
+
+    def staged_writer():
+        w = TxLogBatchWriter({"tabledir": t.table_dir}, schema, False)
+        batch = pa.RecordBatch.from_pydict(
+            {"k": [10, 11], "v": [1, 2], "ver": [1, 1]}
+        )
+        msg = w.write(iter([batch]))
+        assert msg.entries
+        return w, msg
+
+    # rebucket between plan and commit -> refused, stage reclaimed
+    w, msg = staged_writer()
+    t.rebucket(8)
+    with pytest.raises(RuntimeError, match="rebucketed"):
+        w.commit([msg])
+    assert not _glob.glob(os.path.join(t.table_dir, w.staged, "*"))
+    assert t.read().count() == 1
+    # constraint change between plan and commit -> refused
+    w, msg = staged_writer()
+    t.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(RuntimeError, match="constraints changed"):
+        w.commit([msg])
+    assert t.read().count() == 1
+    # clean write still works after both guards fired
+    w, msg = staged_writer()
+    w.commit([msg])
+    assert t.read().count() == 3
+    # empty write: no entries, clean commit, schema intact
+    w2 = TxLogBatchWriter({"tabledir": t.table_dir}, schema, False)
+    w2.commit([_TxWriteMessage([])])
+    assert t.read().count() == 3
+    # abort reclaims a stage
+    w3, _ = staged_writer()
+    w3.abort([])
+    assert not _glob.glob(os.path.join(t.table_dir, w3.staged, "*"))
