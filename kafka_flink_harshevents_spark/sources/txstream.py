@@ -183,13 +183,18 @@ def _change_partitions(
         rec = _read_record(table_dir, v)
         op = rec.get("op")
         if read_change_feed:
-            if op == "append" and rec.get("add"):
+            if op in ("append", "clone") and rec.get("add"):
                 # inserts are synthesized from the add files — no
-                # materialization needed (Delta's rule)
+                # materialization needed (Delta's rule). A clone's
+                # initial state serves the same way, with its cloned
+                # deletion vectors masked per file (unmasked reads
+                # would resurrect rows the clone never showed).
+                dvf = rec.get("dv_full") or {}
                 for entry in rec["add"]:
                     parts.append(_FilePartition(
                         os.path.join(table_dir, entry["path"]),
                         v, columns, ctype="insert",
+                        dv=tuple(sorted(dvf.get(entry["path"], ()))),
                     ))
             elif rec.get("cdf_files"):
                 for p in rec["cdf_files"]:
@@ -243,6 +248,11 @@ def _change_partitions(
                     os.path.join(table_dir, entry["path"]),
                     v,
                     columns,
+                    # a clone commit served under ignorechanges must
+                    # mask its cloned vectors; plain appends have none
+                    dv=tuple(sorted(
+                        (rec.get("dv_full") or {}).get(entry["path"], ())
+                    )),
                 )
             )
     return parts
@@ -344,6 +354,11 @@ class TxLogStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
+        if partition.dv:  # clone commits carry vectors to mask
+            drop = set(partition.dv)
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in drop]
+            )
         names = set(table.column_names)
         cols = []
         n = table.num_rows

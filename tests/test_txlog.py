@@ -2792,3 +2792,55 @@ def test_datasource_writer_guards_and_empty_write(spark, tmp_path):
     w3, _ = staged_writer()
     w3.abort([])
     assert not _glob.glob(os.path.join(t.table_dir, w3.staged, "*"))
+
+
+def test_clone_serves_through_datasource_feeds(spark, tmp_path):
+    """A clone's initial commit must serve through the DataSource CDF
+    (as masked inserts — parity with library table_changes) and
+    through an ignorechanges stream without resurrecting rows its
+    cloned deletion vectors hide."""
+    _register_txlog(spark)
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    src.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(20)], "k long, v long, ver long"))
+    src.delete_where("k = 3", mode="merge_on_read")
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # batch CDF over the clone commit: 19 masked inserts, k=3 absent
+    feed = (
+        spark.read.format("txlog")
+        .option("tabledir", clone.table_dir)
+        .option("readchangefeed", "true")
+        .load()
+    )
+    rows = feed.collect()
+    assert len(rows) == 19
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert 3 not in {r["k"] for r in rows}
+    # ignorechanges stream over the clone: same 19 rows, no resurrection
+    got = (
+        spark.read.format("txlog")
+        .option("tabledir", clone.table_dir)
+        .load()
+    )
+    assert got.count() == 19 and 3 not in {r["k"] for r in got.collect()}
+    import uuid as _uuid
+
+    name = f"cl_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("txlog")
+        .option("tabledir", clone.table_dir)
+        .option("ignorechanges", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        srows = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert len(srows) == 19 and 3 not in {r["k"] for r in srows}
