@@ -673,6 +673,14 @@ class TxTable:
                 os.path.abspath(os.path.join(self.table_dir, p)): sorted(v)
                 for p, v in dvs.items()
             }
+        if m.get("dropped_cols"):
+            # retired names must stay retired IN THE CLONE: its
+            # referenced files still physically carry the dropped
+            # column, so re-adding the name there would resurrect the
+            # same stale values the source guards against
+            record["meta_update"] = {
+                "dropped_cols": list(m["dropped_cols"])
+            }
         _atomic_commit(dest_dir, 2, record)
         return dest
 

@@ -2844,3 +2844,26 @@ def test_clone_serves_through_datasource_feeds(spark, tmp_path):
     finally:
         q.stop()
     assert len(srows) == 19 and 3 not in {r["k"] for r in srows}
+
+
+def test_clone_inherits_retired_column_names(spark, tmp_path):
+    """A clone of a table with dropped columns must keep the names
+    retired: its referenced files still physically carry the column,
+    so re-adding the name in the clone would resurrect stale values."""
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    src.append(spark.createDataFrame(
+        [(1, "secret", 1)], "k long, pii string, ver long"))
+    src.drop_columns(("pii",))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert clone.read().columns == ["k", "ver"]
+    assert clone.meta.get("dropped_cols") == ["pii"]
+    with pytest.raises(ValueError, match="resurrect"):
+        clone.append(
+            spark.createDataFrame(
+                [(2, "leak", 1)], "k long, pii string, ver long"
+            ),
+            merge_schema=True,
+        )
