@@ -2867,3 +2867,75 @@ def test_clone_inherits_retired_column_names(spark, tmp_path):
             ),
             merge_schema=True,
         )
+
+
+_new_ops = st.lists(
+    st.one_of(
+        # CDC batch: per key an I/U (upsert) or D (retract)
+        st.lists(
+            st.tuples(st.integers(0, 7), st.sampled_from(["U", "D"])),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        ),
+        st.sampled_from(["dvdel", "dvupd", "rebucket2", "rebucket8",
+                         "compact_small"]),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@given(ops=_new_ops, target=st.integers(0, 7))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txlog_model_property_new_ops(spark, tmp_path_factory, ops, target):
+    """Model-based property over the ROUND-5 write surface: any
+    interleaving of CDC batches (upserts + retractions), merge-on-read
+    DV deletes and DV updates, bucket-count evolution and partial
+    compaction keeps the snapshot equal to a dict model after every
+    commit, and the final compaction (vector materialization + layout
+    change) preserves it exactly."""
+    tmp = tmp_path_factory.mktemp("txprop2")
+    t = TxTable.create(
+        spark, str(tmp / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4,
+    )
+    t.append(spark.createDataFrame(
+        [(f"k{i}", i * 100, 0) for i in range(4)],
+        "k string, v long, ver long"))
+    model = {f"k{i}": (i * 100, 0) for i in range(4)}
+    ver = 0
+    for op in ops:
+        if op == "dvdel":
+            t.delete_where(f"k = 'k{target}'", mode="merge_on_read")
+            model.pop(f"k{target}", None)
+        elif op == "dvupd":
+            if f"k{target}" in model:
+                t.update_where(
+                    f"k = 'k{target}'", {"v": "v + 7"},
+                    mode="merge_on_read",
+                )
+                v0, kv = model[f"k{target}"]
+                model[f"k{target}"] = (v0 + 7, kv)
+        elif op == "rebucket2":
+            t.rebucket(2)
+        elif op == "rebucket8":
+            t.rebucket(8)
+        elif op == "compact_small":
+            t.compact(small_file_rows=10)
+        else:  # CDC batch
+            rows = []
+            for ki, kind in op:
+                ver += 1
+                rows.append((f"k{ki}", ki * 1000 + ver, ver, kind))
+                if kind == "D":
+                    model.pop(f"k{ki}", None)
+                else:
+                    model[f"k{ki}"] = (ki * 1000 + ver, ver)
+            t.apply_cdc(spark.createDataFrame(
+                rows, "k string, v long, ver long, op string"))
+        assert _rows(t) == model
+    t.compact()
+    assert _rows(t) == model
