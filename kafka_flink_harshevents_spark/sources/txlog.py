@@ -473,6 +473,7 @@ class TxTable:
         n_buckets: int = 16,
         cdf: bool = False,
         bloom_cols: tuple[str, ...] = (),
+        generated_cols: dict[str, str] | None = None,
     ) -> "TxTable":
         """``cdf=True`` is Delta's ``enableChangeDataFeed`` table
         property: rewrite commits (merge / delete / update) MATERIALIZE
@@ -487,10 +488,25 @@ class TxTable:
         staged file additionally records a per-column bloom bitmap in
         its add-entry, and ``read(eq={col: value})`` skips files the
         bloom proves can't hold the value — point lookups open O(1)
-        files on a bucketed key however many files min/max overlap."""
+        files on a bucketed key however many files min/max overlap.
+
+        ``generated_cols`` is Delta's GENERATED ALWAYS AS: column →
+        Spark SQL expression over the other columns. Library write
+        paths COMPUTE the column when the incoming frame lacks it and
+        REFUSE a frame that carries mismatching values (a generated
+        column is a contract, not a default); the classic use is a
+        derived date column whose file stats then drive pruning. The
+        DataSource writer refuses such tables (its tasks see Arrow,
+        not Spark expressions) — write through the library API."""
         t = cls(spark, table_dir)
         if _list_versions(table_dir):
             return t  # already initialized — metadata is immutable
+        gen = dict(generated_cols or {})
+        bad = set(gen) & (set(key_cols) | {order_col})
+        if bad:
+            raise ValueError(
+                f"generated_cols cannot cover key/order columns {sorted(bad)}"
+            )
         _atomic_commit(
             table_dir,
             1,
@@ -505,10 +521,33 @@ class TxTable:
                     "n_buckets": n_buckets,
                     "cdf": bool(cdf),
                     "bloom_cols": list(bloom_cols),
+                    "generated_cols": gen,
                 },
             },
         )
         return t
+
+    def _with_generated(self, df: DataFrame, op: str) -> DataFrame:
+        """Enforce GENERATED ALWAYS AS on a write frame: compute each
+        generated column the frame lacks; refuse a frame carrying one
+        whose values diverge from the expression (null-safe compare —
+        a generated column is a contract the table guarantees to every
+        reader, so a writer may not override it)."""
+        gen = self.meta.get("generated_cols") or {}
+        for name, expr in gen.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+                continue
+            bad = df.filter(
+                ~F.col(name).eqNullSafe(F.expr(expr))
+            ).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"{op}: column {name!r} is GENERATED ALWAYS AS "
+                    f"({expr}) — the incoming frame carries a diverging "
+                    f"value: e.g. {bad[0]}"
+                )
+        return df
 
     @property
     def meta(self) -> dict:
@@ -1422,6 +1461,7 @@ class TxTable:
         the flag a schema mismatch fails fast (the default guards
         against typo'd column names silently forking the schema).
         """
+        df = self._with_generated(df, "merge_upsert")
         self._check_constraints(df, "merge_upsert batch")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
@@ -1518,6 +1558,7 @@ class TxTable:
         is simply absent from the post-image and the key-paired diff
         emits its ``delete`` row. Cost ∝ touched buckets, like every
         keyed write."""
+        df = self._with_generated(df, "apply_cdc")
         upserts = df.filter(F.col(op_col) != F.lit(delete_label)).drop(
             op_col
         )
@@ -1601,6 +1642,7 @@ class TxTable:
         fields + incoming's new ones), so the table never silently
         narrows when an append carries fewer columns than the snapshot.
         """
+        df = self._with_generated(df, "append")
         staged_n = self.meta["n_buckets"]
         bucketed = self._with_bucket(df)
         staged = self._stage(bucketed)  # position-independent: stage once
@@ -2051,11 +2093,18 @@ class TxTable:
         unless ignorechanges — for free from the commit shapes already
         handled.
         """
-        bad = set(assignments) & set(self.meta["key_cols"])
+        m0 = self.meta
+        bad = set(assignments) & set(m0["key_cols"])
         if bad:
             raise ValueError(
                 f"cannot assign key column(s) {sorted(bad)}: rekeying is "
                 "a delete + insert (use delete_where + append/merge)"
+            )
+        badg = set(assignments) & set(m0.get("generated_cols") or ())
+        if badg:
+            raise ValueError(
+                f"cannot assign GENERATED column(s) {sorted(badg)} — "
+                "they are always derived from their expression"
             )
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):

@@ -641,6 +641,13 @@ class TxLogBatchWriter(DataSourceArrowWriter):
 
         t = TxTable(None, self.table_dir)
         meta = t.meta  # REPLAYED meta — n_buckets may have evolved
+        if meta.get("generated_cols"):
+            raise ValueError(
+                "txlog write: this table declares GENERATED columns — "
+                "the DataSource writer's tasks see Arrow batches, not "
+                "Spark expressions; write through TxTable.append/"
+                "merge_upsert, which compute and enforce them"
+            )
         self.key_cols = tuple(meta["key_cols"])
         self.n_buckets = int(meta["n_buckets"])
         self.bloom_cols = tuple(meta.get("bloom_cols") or ())

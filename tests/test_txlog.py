@@ -2939,3 +2939,59 @@ def test_txlog_model_property_new_ops(spark, tmp_path_factory, ops, target):
         assert _rows(t) == model
     t.compact()
     assert _rows(t) == model
+
+
+def test_generated_columns_computed_and_enforced(spark, tmp_path):
+    """GENERATED ALWAYS AS: writes lacking the column get it computed;
+    writes carrying diverging values are refused; updates may not
+    assign it; its per-file stats serve pruning like any column; the
+    DataSource writer refuses the table with a pointer to the library
+    path."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+        generated_cols={"day": "CAST(ts AS DATE)"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, datetime.datetime(2026, 1, 5, 10), 1),
+         (2, datetime.datetime(2026, 3, 9, 23), 1)],
+        "k long, ts timestamp, ver long"))
+    got = {r["k"]: str(r["day"]) for r in t.read().collect()}
+    assert got == {1: "2026-01-05", 2: "2026-03-09"}
+    # merge computes it too (frame lacks the column)
+    t.merge_upsert(spark.createDataFrame(
+        [(2, datetime.datetime(2026, 7, 1, 1), 2)],
+        "k long, ts timestamp, ver long"))
+    got = {r["k"]: str(r["day"]) for r in t.read().collect()}
+    assert got[2] == "2026-07-01"
+    # a diverging explicit value is refused
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        t.append(spark.createDataFrame(
+            [(3, datetime.datetime(2026, 1, 1), datetime.date(1999, 1, 1), 1)],
+            "k long, ts timestamp, day date, ver long"))
+    # a CONSISTENT explicit value passes (idempotent re-ingest)
+    t.append(spark.createDataFrame(
+        [(3, datetime.datetime(2026, 2, 2), datetime.date(2026, 2, 2), 1)],
+        "k long, ts timestamp, day date, ver long"))
+    assert t.read().count() == 3
+    # updates cannot assign it
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.update_where("k = 1", {"day": "DATE '2000-01-01'"})
+    # stats-driven pruning on the generated column
+    rep = t.prune_report(
+        {"day": (datetime.date(2026, 3, 1), datetime.date(2026, 3, 31))}
+    )
+    assert rep["files_read"] < rep["files_total"]
+    # DataSource writer refuses with guidance
+    with pytest.raises(Exception, match="GENERATED"):
+        (
+            spark.createDataFrame(
+                [(9, datetime.datetime(2026, 1, 1), 1)],
+                "k long, ts timestamp, ver long",
+            )
+            .write.format("txlog")
+            .option("tabledir", t.table_dir)
+            .mode("append")
+            .save()
+        )
