@@ -203,6 +203,12 @@ def q_txlog_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         TxLogStreamSource,
     )
 
+    # The reader implements pushFilters(), which Spark refuses to plan
+    # unless this conf is on — and the conf is SESSION state, so it must
+    # be set HERE, not in session.py: the driver (and any other caller)
+    # runs catalog entries on its own vanilla SparkSession (the
+    # CORRECTNESS_r05 crash). Runtime-settable, verified.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxLogStreamSource)
     t, _ = _build_mutated_table(spark, sf_dir, delete_mode="merge_on_read")
     return (
@@ -301,6 +307,75 @@ def q_txlog_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_clone_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE independence on the hash, both directions: clone
+    the appended base table, DELETE on the source, MERGE on the clone,
+    and emit both final states tagged. A delete leaking into the clone,
+    a merge leaking into the source, or a broken absolute-path file
+    reference in the clone's initial commit all break the hash. The
+    source table declares a GENERATED column the clone must inherit
+    (clone_to propagates generated_cols): the clone-side merge frame
+    LACKS the column, so the clone computing it per its own metadata is
+    also on the hash."""
+    base = _base_frame(spark, sf_dir)
+    src = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txsrc-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+        generated_cols={"amount_band": "CAST(amount_c % 97 AS BIGINT)"},
+    )
+    src.append(base)  # frame lacks amount_band -> computed at write
+    clone = src.clone_to(tempfile.mkdtemp(prefix="txcl-"))
+    src.delete_where("k % 7 = 0")
+    clone.merge_upsert(
+        base.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    cols = ("k", "st", "amount_c", "amount_band", "ver")
+    return (
+        src.read().select(*cols).withColumn("side", F.lit("src"))
+        .unionByName(
+            clone.read().select(*cols).withColumn("side", F.lit("clone"))
+        )
+    )
+
+
+def q_txlog_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS on the hash: a table declaring a generated
+    column is appended AND merged with frames that LACK it — both write
+    paths must compute it from the declared expression — and the final
+    state (including the generated values after latest-wins merge
+    resolution) is stated by the oracle directly from ``orders``. A
+    write path that forgets to compute, computes against the wrong
+    expression, or loses the column through the merge rewrite breaks
+    the hash."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txg-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+        generated_cols={"amount_band": "CAST(amount_c % 97 AS BIGINT)"},
+    )
+    t.append(base.filter(F.col("k") % 3 != 0))
+    t.merge_upsert(
+        base.filter((F.col("k") % 3 == 0) | (F.col("k") % 5 == 0)).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    return t.read().select("k", "st", "amount_c", "amount_band", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -308,6 +383,8 @@ QUERIES = {
     "q_txlog_datasource_read": q_txlog_datasource_read,
     "q_txlog_writer_roundtrip": q_txlog_writer_roundtrip,
     "q_txlog_cdc_apply": q_txlog_cdc_apply,
+    "q_txlog_clone_isolation": q_txlog_clone_isolation,
+    "q_txlog_generated_cols": q_txlog_generated_cols,
 }
 
 # The mutation program in SQL terms (base = orders, k ≤ 2000, cents):
@@ -388,6 +465,46 @@ ORACLES = {
                  AS amount_c,
                CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
                     AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+    """,
+    "q_txlog_clone_isolation": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) % 97
+                    AS BIGINT) AS amount_band,
+               CAST(1 AS BIGINT) AS ver,
+               'src' AS side
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+                 AS amount_c,
+               CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END) % 97
+                    AS BIGINT) AS amount_band,
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                    AS BIGINT) AS ver,
+               'clone' AS side
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+    """,
+    "q_txlog_generated_cols": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                        THEN 100 ELSE 0 END AS amount_c,
+               CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                        THEN 100 ELSE 0 END) % 97
+                    AS BIGINT) AS amount_band,
+               CAST(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                         THEN 2 ELSE 1 END AS BIGINT) AS ver
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP}
     """,

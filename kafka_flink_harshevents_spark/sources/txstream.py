@@ -60,7 +60,7 @@ from kafka_flink_harshevents_spark.sources.txlog import (
     _list_versions,
     _read_record,
     _replay_log,
-    bucket_of,
+    bucket_batch,
 )
 
 try:
@@ -101,6 +101,53 @@ except ImportError:  # pragma: no cover - older pyspark
 VERSION_COL = "_commit_version"
 CHANGE_COL = "_change_type"
 _CTYPE_FROM_FILE = "@file"  # partition sentinel: read ctype column
+
+
+def _partition_batches(partition: "_FilePartition", schema: StructType):
+    """Executor-side file → Arrow RecordBatches in the declared output
+    schema — the shared read kernel of BOTH readers. Rows never pass
+    through the Python interpreter: deletion vectors apply as ONE
+    vectorized boolean ``filter``, pre-evolution files NULL-fill the
+    added columns as typed Arrow arrays, ``_change_type`` /
+    ``_commit_version`` append as constant (or file-read) Arrow
+    columns, and the assembled table is CAST to the exact Arrow schema
+    Spark expects (``to_arrow_schema``), so type drift between the
+    parquet footer and the declared schema (e.g. timestamp units)
+    resolves inside Arrow."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if partition is None:  # zero-partition plan (everything skipped
+        return iter(())  # or an empty change-feed range)
+    target = to_arrow_schema(schema)
+    table = pq.read_table(partition.path)
+    if partition.dv:  # merge-on-read / cloned deletion vectors
+        mask = np.ones(table.num_rows, dtype=bool)
+        mask[list(partition.dv)] = False
+        table = table.filter(pa.array(mask))
+    n = table.num_rows
+    names = set(table.column_names)
+    arrays = []
+    for field in target:  # target order == declared schema order
+        if field.name == VERSION_COL:
+            arrays.append(
+                pa.array(np.full(n, partition.version, dtype=np.int64))
+            )
+        elif field.name == CHANGE_COL:
+            if partition.ctype == _CTYPE_FROM_FILE:
+                arrays.append(table.column(CHANGE_COL))
+            else:
+                arrays.append(
+                    pa.nulls(n, pa.string()).fill_null(partition.ctype)
+                )
+        elif field.name in names:
+            arrays.append(table.column(field.name))
+        else:  # pre-evolution file: NULL-fill the added column
+            arrays.append(pa.nulls(n, field.type))
+    out = pa.table(arrays, names=[f.name for f in target]).cast(target)
+    return iter(out.to_batches())
 
 
 def _table_schema(table_dir: str, cdf: bool = False) -> StructType:
@@ -326,6 +373,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             for f in schema.fields
             if f.name not in (VERSION_COL, CHANGE_COL)
         )
+        self._schema = schema
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -348,32 +396,12 @@ class TxLogStreamReader(DataSourceStreamReader):
             self.read_change_feed,
         )
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition) -> Iterator:
         # Executor-side: one file, read via pyarrow off the shared
-        # filesystem — the driver never touches row data.
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.path)
-        if partition.dv:  # clone commits carry vectors to mask
-            drop = set(partition.dv)
-            table = table.take(
-                [i for i in range(table.num_rows) if i not in drop]
-            )
-        names = set(table.column_names)
-        cols = []
-        n = table.num_rows
-        for c in partition.columns:
-            if c in names:
-                cols.append(table.column(c).to_pylist())
-            else:  # pre-evolution file: NULL-fill the added column
-                cols.append([None] * n)
-        if partition.ctype is not None:  # change-feed mode
-            if partition.ctype == _CTYPE_FROM_FILE:
-                cols.append(table.column(CHANGE_COL).to_pylist())
-            else:
-                cols.append([partition.ctype] * n)
-        ver = [partition.version] * n
-        return iter(zip(*cols, ver))
+        # filesystem and served as Arrow RecordBatches — the driver
+        # never touches row data and neither does the Python
+        # interpreter (see _partition_batches).
+        return _partition_batches(partition, self._schema)
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the checkpoint; the log needs no ack
@@ -461,6 +489,7 @@ class TxLogBatchReader(DataSourceReader):
             for f in schema.fields
             if f.name not in (VERSION_COL, CHANGE_COL)
         )
+        self._schema = schema
         # pushed skip constraints: [(col, lo, hi)] ranges (None = open
         # bound, non-strict — conservative for the strict comparators)
         # and [(col, (v, ...))] equality candidate sets
@@ -548,34 +577,11 @@ class TxLogBatchReader(DataSourceReader):
             for e in kept
         ]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        # Executor-side, like the stream reader — plus positional
-        # deletion-vector masking and NULL-fill for pre-evolution files.
-        import pyarrow.parquet as pq
-
-        if partition is None:  # zero-partition plan (everything skipped
-            return iter(())  # or an empty change-feed range)
-        table = pq.read_table(partition.path)
-        if partition.dv:
-            drop = set(partition.dv)
-            table = table.take(
-                [i for i in range(table.num_rows) if i not in drop]
-            )
-        names = set(table.column_names)
-        n = table.num_rows
-        cols = []
-        for c in partition.columns:
-            if c in names:
-                cols.append(table.column(c).to_pylist())
-            else:  # pre-evolution file: NULL-fill the added column
-                cols.append([None] * n)
-        if partition.ctype is not None:  # change-feed mode
-            if partition.ctype == _CTYPE_FROM_FILE:
-                cols.append(table.column(CHANGE_COL).to_pylist())
-            else:
-                cols.append([partition.ctype] * n)
-        ver = [partition.version] * n
-        return iter(zip(*cols, ver))
+    def read(self, partition: _FilePartition) -> Iterator:
+        # Executor-side, like the stream reader — Arrow RecordBatches
+        # with vectorized deletion-vector masking and typed NULL-fill
+        # for pre-evolution files (see _partition_batches).
+        return _partition_batches(partition, self._schema)
 
 
 class _TxWriteMessage(WriterCommitMessage):
@@ -593,9 +599,10 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     commit through the existing log:
 
     1. executor tasks (Arrow batches, no JVM column access) bucket
-       each row with the pure-Python twin of the table's bucket
-       function (``bucket_of`` — JVM-parity pinned in tests; a
-       mislabeled bucket would silently escape later merges), write
+       each row with the vectorized numpy twin of the table's bucket
+       function (``bucket_batch`` — JVM-parity pinned in tests,
+       including declared-width int dispatch; a mislabeled bucket
+       would silently escape later merges), write
        one parquet file per bucket under a job-unique ``_staged-*``
        root, and return their add-entries (footer stats + blooms, the
        same metadata ``TxTable._stage`` records) as commit messages;
@@ -675,6 +682,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     def write(self, iterator) -> "_TxWriteMessage":
         import uuid
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -686,17 +694,25 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             table = table.drop_columns(["_bucket"])
         if self.constraints:
             self._check_constraints_arrow(table)
-        keys = [table.column(c).to_pylist() for c in self.key_cols]
-        buckets = [
-            bucket_of(vals, self.n_buckets) for vals in zip(*keys)
-        ]
+        # vectorized bucket assignment (numpy xxhash64 over the Arrow
+        # key columns, dispatched on declared width — JVM-parity pinned
+        # in tests), then ONE stable argsort groups rows by bucket:
+        # O(n log n) total, no per-row Python and no O(rows × buckets)
+        # selection scan
+        buckets = bucket_batch(table, self.key_cols, self.n_buckets)
         table = table.append_column(
             "_bucket", pa.array(buckets, pa.int64())
         )
+        order = np.argsort(buckets, kind="stable")
+        sorted_b = buckets[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_b[1:] != sorted_b[:-1]]
+        )
+        ends = np.r_[starts[1:], len(sorted_b)]
         entries: list[dict] = []
-        for b in sorted(set(buckets)):
-            idx = [i for i, x in enumerate(buckets) if x == b]
-            sub = table.take(idx).sort_by(
+        for s, e in zip(starts, ends):
+            b = int(sorted_b[s])
+            sub = table.take(pa.array(order[s:e])).sort_by(
                 [(c, "ascending") for c in self.key_cols]
             )
             d = os.path.join(self.table_dir, self.staged, f"_pb={b}")

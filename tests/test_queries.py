@@ -942,12 +942,44 @@ def test_correctness_window_names_resolve():
         all_queries,
     )
 
+    from kafka_flink_harshevents_spark.queries import _WINDOW_NEVER
+
     qs, osql = all_queries(), all_oracles()
     missing = [n for n in _WINDOW_FIRST if n not in qs]
     assert not missing, f"window names not in catalog: {missing}"
     assert len(set(_WINDOW_FIRST)) == len(_WINDOW_FIRST)  # no dups
     rows_only = set(qs) - set(osql)
-    assert rows_only <= {"emb_knn_pq", "pipeline_derive"}, rows_only
+    assert rows_only <= set(_WINDOW_NEVER), rows_only
     assert set(osql) <= set(qs)  # no orphan oracles
     window = list(qs)[:50]
     assert len(window) == 50
+    # the driver records a no-oracle window entry as a RED row (r01,
+    # r05) — every entry inside the 50-entry window MUST have an
+    # oracle, and the designed rows-only entries must sit at the very
+    # END of the catalog, permanently outside any window
+    no_oracle_in_window = [n for n in window if n not in osql]
+    assert not no_oracle_in_window, no_oracle_in_window
+    tail = list(qs)[-len(_WINDOW_NEVER):]
+    assert sorted(tail) == sorted(_WINDOW_NEVER), tail
+
+
+def test_lakehouse_entries_survive_vanilla_session_confs(spark):
+    """The driver runs catalog entries on its OWN SparkSession, not the
+    repo's (`session.py` confs absent) — `q_txlog_datasource_read`
+    crashed r05 because the Python-DataSource filter-pushdown conf was
+    only set at session build. Emulate the drift by FORCING the conf
+    off, then run every lakehouse entry end-to-end: each must
+    (re)establish whatever session state it needs."""
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        from kafka_flink_harshevents_spark.queries import lakehouse
+
+        for name, fn in lakehouse.QUERIES.items():
+            df = fn(spark, SF_DIR)
+            assert df.count() > 0, name
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", prev
+            )

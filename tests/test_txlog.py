@@ -802,7 +802,13 @@ def test_stream_source_refuses_delete_commit(spark, tmp_path):
     )
     parts = rd_ok.partitions({"version": v - 1}, {"version": v})
     # survivor file streams through, stamped with the delete version
-    rows = [row for p in parts for row in rd_ok.read(p)]
+    # (read() yields Arrow RecordBatches in declared-schema order)
+    rows = [
+        tuple(r.values())
+        for p in parts
+        for b in rd_ok.read(p)
+        for r in b.to_pylist()
+    ]
     assert rows == [("b", 2, 2, v)]
 
 
@@ -2995,3 +3001,236 @@ def test_generated_columns_computed_and_enforced(spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+# -- round 6: declared-width hashing, generated-col lifecycle, CDC ties
+
+
+def test_xxhash64_twin_int_width_dispatch(spark):
+    """Spark hashes IntegerType/ShortType/ByteType via the 4-byte
+    hashInt path, NOT the 8-byte long path — the scalar twin must
+    follow the DECLARED type (the `types` markers), and the vectorized
+    `bucket_batch` must dispatch on the Arrow width. A bare `<q` pack
+    of an int-typed key would mislabel buckets and let rows silently
+    escape later merges (ADVICE r05 #1)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        bucket_batch,
+        bucket_of,
+        spark_type_marker,
+        spark_xxhash64,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") - 250).cast("int").alias("ki"),
+        (F.col("id") % 120 - 60).cast("smallint").alias("ks"),
+        (F.col("id") % 250 - 125).cast("tinyint").alias("kb"),
+        F.col("id").alias("kl"),
+    )
+    markers = [spark_type_marker(f.dataType) for f in df.schema.fields]
+    assert markers == ["i4", "i4", "i4", "i8"]
+    expect = df.select(
+        F.xxhash64("ki", "ks", "kb", "kl").alias("h"),
+        F.pmod(F.xxhash64("ki", "ks", "kb", "kl"), F.lit(16))
+        .cast("long")
+        .alias("bk"),
+    ).collect()
+    rows = df.collect()
+    for r, e in zip(rows, expect):
+        vals = [r["ki"], r["ks"], r["kb"], r["kl"]]
+        assert spark_xxhash64(vals, types=markers) == e["h"]
+        assert bucket_of(vals, 16, types=markers) == e["bk"]
+        # without markers the int columns take the wrong (8-byte) path
+        assert spark_xxhash64(vals) != e["h"]
+    got = bucket_batch(df.toArrow(), ("ki", "ks", "kb", "kl"), 16)
+    assert list(got) == [e["bk"] for e in expect]
+
+
+def test_bucket_batch_matches_jvm_across_types(spark):
+    """Vectorized bucket assignment parity with `pmod(xxhash64(...),n)`
+    across every supported key type — ints of all widths, longs,
+    unicode strings, booleans, dates, timestamps — with NULLs carrying
+    the running seed through, exactly like the JVM."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_harshevents_spark.sources.txlog import bucket_batch
+
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") * 7919 - 1000).cast("int"))
+        .alias("ki"),
+        F.col("id").alias("kl"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.concat(F.lit("ué"), (F.col("id") % 37).cast("string")))
+        .alias("kstr"),
+        (F.col("id") % 2 == 0).alias("kb"),
+        F.date_add(F.to_date(F.lit("2020-01-01")), (F.col("id") % 900).cast("int")).alias("kd"),
+        F.timestamp_millis(F.col("id") * 1000000).alias("kt"),
+    )
+    keys = ("ki", "kl", "kstr", "kb", "kd", "kt")
+    expect = [
+        r["bk"]
+        for r in df.select(
+            F.pmod(F.xxhash64(*keys), F.lit(32)).cast("long").alias("bk")
+        ).collect()
+    ]
+    got = bucket_batch(df.toArrow(), keys, 32)
+    assert list(got) == expect
+
+
+def test_datasource_writer_int_key_buckets_merge_correctly(spark, tmp_path):
+    """The ADVICE r05 #1 failure scenario end-to-end: a table whose key
+    column is INT-typed (not long), written through the DataSource
+    writer, then merged through the library path. The merge trusts the
+    writer's bucket labels to find rows it must rewrite — a 4-byte/
+    8-byte hash-path mismatch leaves stale duplicates behind."""
+    from pyspark.sql import functions as F
+
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=8,
+    )
+    base = spark.range(0, 300).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    (
+        base.write.format("txlog")
+        .option("tabledir", t.table_dir)
+        .mode("append")
+        .save()
+    )
+    t.merge_upsert(
+        spark.range(0, 300, 3).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 10 + 5).alias("v"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    rows = t.read().collect()
+    assert len(rows) == 300  # no stale duplicates
+    got = {r["k"]: (r["v"], r["ver"]) for r in rows}
+    for k in range(300):
+        if k % 3 == 0:
+            assert got[k] == (k * 10 + 5, 2), k
+        else:
+            assert got[k] == (k * 10, 1), k
+
+
+def test_drop_generated_column_retires_rule(spark, tmp_path):
+    """Dropping a GENERATED column must retire its generation rule
+    with it (meta_update narrows generated_cols) — otherwise every
+    later write re-adds the retired name and is refused by the
+    resurrection guard, leaving the table permanently unwritable
+    (ADVICE r05 #2)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, generated_cols={"band": "CAST(v % 10 AS BIGINT)"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 17, 1), (2, 23, 1)], "k long, v long, ver long"))
+    assert {r["band"] for r in t.read().collect()} == {7, 3}
+    t.drop_columns(("band",))
+    assert "band" not in t.meta.get("generated_cols", {})
+    assert "band" not in t.read().columns
+    # the table stays writable: append and merge no longer compute it
+    t.append(spark.createDataFrame([(3, 31, 1)], "k long, v long, ver long"))
+    t.merge_upsert(spark.createDataFrame(
+        [(1, 99, 2)], "k long, v long, ver long"))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 99, 2: 23, 3: 31}
+    # the name stays retired (resurrection guard unchanged)
+    with pytest.raises(ValueError, match="band"):
+        t.append(spark.createDataFrame(
+            [(4, 1, 5, 1)], "k long, v long, band long, ver long"),
+            merge_schema=True)
+    # time travel before the drop still shows the generated values
+    assert "band" in t.read(version=2).columns
+
+
+def test_drop_base_of_generated_column_refused(spark, tmp_path):
+    """Dropping a BASE column a surviving generated expression
+    references is refused (the rule would be uncomputable and every
+    write would fail analysis) — unless the generated column is
+    dropped in the same call."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, generated_cols={"band": "CAST(v % 10 AS BIGINT)"},
+    )
+    t.append(spark.createDataFrame([(1, 17, 1)], "k long, v long, ver long"))
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.drop_columns(("v",))
+    # dropping both together is fine: the rule retires with the column
+    t.drop_columns(("v", "band"))
+    assert t.read().columns == ["k", "ver"]
+    t.append(spark.createDataFrame([(2, 1)], "k long, ver long"))
+    assert t.read().count() == 2
+
+
+def test_clone_propagates_generated_cols(spark, tmp_path):
+    """clone_to must carry generated_cols (ADVICE r05 #3): the clone
+    computes the column for frames that lack it and refuses diverging
+    values, exactly like the source."""
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), key_cols=("k",), order_col="ver",
+        n_buckets=2, generated_cols={"band": "CAST(v % 10 AS BIGINT)"},
+    )
+    src.append(spark.createDataFrame(
+        [(1, 17, 1)], "k long, v long, ver long"))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert clone.meta.get("generated_cols") == {
+        "band": "CAST(v % 10 AS BIGINT)"
+    }
+    clone.merge_upsert(spark.createDataFrame(
+        [(2, 23, 1)], "k long, v long, ver long"))
+    got = {r["k"]: r["band"] for r in clone.read().collect()}
+    assert got == {1: 7, 2: 3}
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        clone.append(spark.createDataFrame(
+            [(3, 1, 99, 1)], "k long, v long, band long, ver long"))
+    # the source is untouched
+    assert {r["k"] for r in src.read().collect()} == {1}
+
+
+def test_apply_cdc_equal_order_ties_deterministic(spark, tmp_path):
+    """Two incoming changes for one key at EQUAL order_col must resolve
+    deterministically (ADVICE r05 #4): a delete beats an upsert at the
+    same sequence number, and replaying the same batch onto an
+    identical table converges to the identical state."""
+    def build(d):
+        t = TxTable.create(
+            spark, str(tmp_path / d), key_cols=("k",), order_col="ver",
+            n_buckets=2,
+        )
+        t.append(spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1), (3, 30, 1)],
+            "k long, v long, ver long"))
+        return t
+
+    # delete + update for k=1 at the same ver: delete wins
+    batch = spark.createDataFrame(
+        [(1, 99, 2, "U"), (1, 10, 2, "D"),
+         # two equal-rank upserts for k=2: stable content-hash winner
+         (2, 41, 2, "U"), (2, 42, 2, "U")],
+        "k long, v long, ver long, op string",
+    )
+    states = []
+    for d in ("a", "b"):
+        t = build(d)
+        t.apply_cdc(batch)
+        states.append(sorted(map(tuple, t.read().collect())))
+    assert states[0] == states[1]  # replay-deterministic
+    keys = {r[0] for r in states[0]}
+    assert 1 not in keys  # delete won the tie
+    assert 3 in keys
+    v2 = [r for r in states[0] if r[0] == 2][0][1]
+    assert v2 in (41, 42)
+    # a second replay of the SAME batch over the post-state is a no-op
+    t = build("c")
+    t.apply_cdc(batch)
+    before = sorted(map(tuple, t.read().collect()))
+    t.apply_cdc(batch)
+    assert sorted(map(tuple, t.read().collect())) == before
