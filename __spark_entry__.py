@@ -6,10 +6,13 @@
               text analysis), as (spark, sf_dir) -> DataFrame callables.
 ``oracle_sql`` — DuckDB-dialect twins; the two keys missing here
               (emb_knn_pq raw rows — iterative k-means training;
-              pipeline_derive — generator-based) get the rows-only
-              check, and each carries a separately-oracled gate entry
-              (`emb_knn_pq_recall`) or parity tests. `emb_knn_lsh` is
-              fully oracled (deterministic hyperplanes inlined).
+              pipeline_derive — generator-based) are designed
+              rows-only and PINNED to the catalog tail, permanently
+              outside the driver's 50-entry window; their hashable
+              contracts live in the oracled gate entries
+              (`emb_knn_pq_recall`, `pipeline_derive_gate`).
+              `emb_knn_lsh` is fully oracled (deterministic
+              hyperplanes inlined).
 """
 
 from __future__ import annotations

@@ -50,7 +50,10 @@ def _base_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_mutated_table(
-    spark: SparkSession, sf_dir: str, delete_mode: str = "copy_on_write"
+    spark: SparkSession,
+    sf_dir: str,
+    delete_mode: str = "copy_on_write",
+    cdf: bool = False,
 ) -> tuple[TxTable, int]:
     """append(⅔ of keys) → merge_upsert(%3 inserts + %5 updates, +100
     cents, ver 2) → delete_where(k %7 = 0). Returns (table, version of
@@ -62,6 +65,7 @@ def _build_mutated_table(
         key_cols=("k",),
         order_col="ver",
         n_buckets=2,  # entry measures commit semantics, not file fan-out
+        cdf=cdf,
     )
     v0 = t.append(base.filter(F.col("k") % 3 != 0))
     t.merge_upsert(
@@ -80,35 +84,45 @@ def q_txlog_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconstruct the table's FINAL state purely from the initial
     snapshot plus the change-data-feed of every later commit — the
     downstream-materialized-view contract (a consumer that applies CDF
-    deltas must converge to the table). The oracle states the final
-    state directly from ``orders``, so merge latest-wins, delete
-    row-accounting, and CDF pre/post-image pairing are all on the hash.
-    """
-    t, v0 = _build_mutated_table(spark, sf_dir)
-    latest = t.latest_version()
+    deltas must converge to the table). The feed is read through the
+    BATCH change-feed DataSource in ONE plan over the whole commit
+    range (``readchangefeed`` + ``startingversion`` — the IVM-consumer
+    shape; plan size stays O(1) however long the history, vs O(commits)
+    for per-version ``table_changes`` unions). The oracle states the
+    final state directly from ``orders``, so merge latest-wins, delete
+    row-accounting, CDF materialization at commit time, and the
+    DataSource feed-serving path are all on the hash."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxLogStreamSource)
+    t, v0 = _build_mutated_table(spark, sf_dir, cdf=True)
     # CDF replay: initial snapshot at seq 0, each commit's changes at
-    # its own seq; per key keep the newest record (postimage/insert
-    # outranks preimage/delete within one commit), then keep the key
-    # only if that record says the row exists.
+    # its own commit version; per key keep the newest record
+    # (postimage/insert outranks preimage/delete within one commit),
+    # then keep the key only if that record says the row exists.
     state = t.read(version=v0).select(
         "k", "st", "amount_c", "ver",
-        F.lit(0).alias("_seq"), F.lit(1).alias("_alive"),
+        F.lit(0).cast("long").alias("_seq"), F.lit(1).alias("_alive"),
     )
-    parts = [state]
-    for v in range(v0 + 1, latest + 1):
-        parts.append(
-            t.table_changes(v).select(
-                "k", "st", "amount_c", "ver",
-                F.lit(v).alias("_seq"),
-                F.col("_change_type")
-                .isin("insert", "update_postimage")
-                .cast("int")
-                .alias("_alive"),
-            )
+    changes = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", str(v0 + 1))
+        .load()
+        .select(
+            "k", "st", "amount_c", "ver",
+            F.col("_commit_version").alias("_seq"),
+            F.col("_change_type")
+            .isin("insert", "update_postimage")
+            .cast("int")
+            .alias("_alive"),
         )
-    log = parts[0]
-    for p in parts[1:]:
-        log = log.unionByName(p)
+    )
+    log = state.unionByName(changes)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("k").orderBy(
@@ -376,8 +390,68 @@ def q_txlog_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "amount_band", "ver")
 
 
+def q_txlog_restore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION on the hash: append the full base, DELETE a
+    slice, MERGE another, then roll back to the initial append — the
+    final state must equal the untouched base exactly (the restore
+    commit's add/remove/dv bookkeeping is generic-rewrite replay, so
+    any drift in resurrected-file accounting breaks the hash). History
+    stays append-only: the restore is a NEW commit on top of the bad
+    period, which time travel still reaches."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txr-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    v0 = t.append(base)
+    t.delete_where("k % 7 = 0")
+    t.merge_upsert(
+        base.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    t.restore(v0)
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
+def q_txlog_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DROP COLUMN on the hash: append the base, drop a
+    non-key column (metadata-only commit — old files still physically
+    carry it and every reader must project it out), then append MORE
+    rows under the narrowed schema — the table must stay writable and
+    the final state must union pre-drop rows (column projected away)
+    with post-drop rows. The oracle states both halves from ``orders``.
+    """
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txd-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base)
+    t.drop_columns(("st",))
+    t.append(
+        base.filter(F.col("k") % 13 == 0).select(
+            (F.col("k") + 1_000_000).alias("k"),
+            "amount_c",
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    return t.read().select("k", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
+    "q_txlog_restore_gate": q_txlog_restore_gate,
+    "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
     "q_txlog_zorder_gate": q_txlog_zorder_gate,
     "q_txlog_datasource_read": q_txlog_datasource_read,
@@ -467,6 +541,27 @@ ORACLES = {
                     AS BIGINT) AS ver
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP}
+    """,
+    "q_txlog_restore_gate": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(1 AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+    """,
+    "q_txlog_drop_column": f"""
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(1 AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+        UNION ALL
+        SELECT o_orderkey + 1000000 AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(2 AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 13 = 0
     """,
     "q_txlog_clone_isolation": f"""
         SELECT o_orderkey AS k,
