@@ -2764,9 +2764,13 @@ def spark_xxhash64(values, seed: int = 42, types=None) -> int:
                 1970, 1, 1, tzinfo=datetime.timezone.utc
             )
             vv = v if v.tzinfo else v.replace(tzinfo=datetime.timezone.utc)
-            data = struct.pack(
-                "<q", int((vv - epoch).total_seconds() * 1_000_000)
-            )
+            # exact integer micros — total_seconds() is a float and
+            # drops sub-ms precision once the magnitude passes ~2^53/1e6
+            d = vv - epoch
+            micros = (
+                d.days * 86_400 + d.seconds
+            ) * 1_000_000 + d.microseconds
+            data = struct.pack("<q", micros)
         elif isinstance(v, datetime.date):
             data = struct.pack(
                 "<i", (v - datetime.date(1970, 1, 1)).days

@@ -3067,8 +3067,13 @@ def test_bucket_batch_matches_jvm_across_types(spark):
         (F.col("id") % 2 == 0).alias("kb"),
         F.date_add(F.to_date(F.lit("2020-01-01")), (F.col("id") % 900).cast("int")).alias("kd"),
         F.timestamp_millis(F.col("id") * 1000000).alias("kt"),
+        # sub-ms micros far from epoch: catches float-precision drift
+        # in any seconds→micros conversion (exact int path required)
+        F.timestamp_micros(
+            F.col("id") * 1_000_000_000_000 + F.col("id") % 997
+        ).alias("ktu"),
     )
-    keys = ("ki", "kl", "kstr", "kb", "kd", "kt")
+    keys = ("ki", "kl", "kstr", "kb", "kd", "kt", "ktu")
     expect = [
         r["bk"]
         for r in df.select(
@@ -3234,3 +3239,91 @@ def test_apply_cdc_equal_order_ties_deterministic(spark, tmp_path):
     before = sorted(map(tuple, t.read().collect()))
     t.apply_cdc(batch)
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.data())
+def test_bucket_batch_property_matches_scalar_twin(data):
+    """Property: the vectorized numpy bucket assignment equals the
+    scalar twin (whose JVM parity is pinned separately) for ANY mix of
+    typed key columns — extreme ints at both 4- and 8-byte declared
+    widths, unicode/empty strings, bools, dates, timestamps, NULLs in
+    any position. No Spark session needed: the scalar twin is the
+    reference."""
+    import pyarrow as pa
+
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        bucket_batch,
+        bucket_of,
+    )
+
+    n = data.draw(st.integers(min_value=0, max_value=40))
+
+    col_kinds = data.draw(
+        st.lists(
+            st.sampled_from(["i32", "i64", "str", "bool", "date", "ts"]),
+            min_size=1,
+            max_size=4,
+        )
+    )
+
+    def draw_col(kind):
+        if kind == "i32":
+            vals = st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            )
+            return pa.int32(), "i4", vals
+        if kind == "i64":
+            vals = st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            )
+            return pa.int64(), "i8", vals
+        if kind == "str":
+            return pa.string(), None, st.one_of(st.none(), st.text(max_size=40))
+        if kind == "bool":
+            return pa.bool_(), None, st.one_of(st.none(), st.booleans())
+        if kind == "date":
+            return (
+                pa.date32(),
+                None,
+                st.one_of(
+                    st.none(),
+                    st.dates(
+                        min_value=datetime.date(1900, 1, 1),
+                        max_value=datetime.date(2200, 1, 1),
+                    ),
+                ),
+            )
+        return (
+            pa.timestamp("us"),
+            None,
+            st.one_of(
+                st.none(),
+                st.datetimes(
+                    min_value=datetime.datetime(1970, 1, 2),
+                    max_value=datetime.datetime(2200, 1, 1),
+                ),
+            ),
+        )
+
+    arrays, markers, pycols = [], [], []
+    for kind in col_kinds:
+        at, marker, strat = draw_col(kind)
+        col = [data.draw(strat) for _ in range(n)]
+        arrays.append(pa.array(col, type=at))
+        markers.append(marker)
+        pycols.append(col)
+    names = [f"c{i}" for i in range(len(arrays))]
+    tbl = pa.table(dict(zip(names, arrays)))
+    got = list(bucket_batch(tbl, tuple(names), 16))
+    want = [
+        bucket_of([c[i] for c in pycols], 16, types=markers)
+        for i in range(n)
+    ]
+    assert got == want
