@@ -613,6 +613,17 @@ class TxLogBatchWriter(DataSourceArrowWriter):
        failed task's files are never referenced, and ``abort()``
        removes the orphaned stage (vacuum would reclaim it anyway).
 
+    Concurrency: commits go through the same optimistic-concurrency
+    log protocol as the library paths — concurrent writers serialize,
+    the loser replans its commit record against the new snapshot (data
+    files never conflict; plan-time constraint/bucket drift refuses,
+    see below). Multi-threaded DRIVERS must use
+    ``pyspark.InheritableThread`` and set the active session in each
+    thread (a bare thread's pinned JVM thread has no active session,
+    so Spark's lookup never reaches the session's Python DataSource
+    registry) — pinned in
+    ``test_datasource_concurrent_writes_both_commit``.
+
     Options: ``tabledir`` (required, table must exist —
     ``TxTable.create`` owns keys/bucketing/constraints metadata);
     ``mergeschema`` (add-column evolution, the append contract);

@@ -3327,3 +3327,57 @@ def test_bucket_batch_property_matches_scalar_twin(data):
         for i in range(n)
     ]
     assert got == want
+
+
+def test_datasource_concurrent_writes_both_commit(spark, tmp_path):
+    """Two simultaneous ``df.write.format("txlog")`` jobs against one
+    table: the loser of the version race must RETRY from the new
+    snapshot inside the writer's commit hook (optimistic concurrency,
+    same contract as the library paths) — both writes land, in some
+    serial order, with no lost rows and no torn state.
+
+    Multi-threaded-driver recipe (classic PySpark): use
+    ``pyspark.InheritableThread`` AND set the active session in the
+    thread — a bare thread's pinned JVM thread has no active session,
+    so Spark's datasource lookup never consults the session's Python
+    DataSource registry and fails with DATA_SOURCE_NOT_FOUND."""
+    from pyspark import InheritableThread
+
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4,
+    )
+    errs: list = []
+
+    def write(lo: int, hi: int) -> None:
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(  # noqa: E501
+                spark._jsparkSession
+            )
+            (
+                spark.range(lo, hi)
+                .selectExpr(
+                    "id AS k", "id * 2 AS v", "CAST(1 AS LONG) AS ver"
+                )
+                .write.format("txlog")
+                .option("tabledir", t.table_dir)
+                .mode("append")
+                .save()
+            )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [
+        InheritableThread(target=write, args=(0, 500)),
+        InheritableThread(target=write, args=(500, 1000)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.latest_version() == 3  # create + two serialized appends
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 1000
+    assert all(got[k] == k * 2 for k in (0, 499, 500, 999))
