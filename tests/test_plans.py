@@ -310,3 +310,31 @@ def test_catalog_wide_no_cartesian_products(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_catalog_wide_no_unpartitioned_windows(spark):
+    """Global invariant, swept over EVERY catalog entry: no Window
+    with an EMPTY partition spec — Spark moves all rows into ONE
+    partition for such windows (it warns exactly this), which is the
+    classic 100 TB plan-killer. Global ranks must go through the
+    bucketed exact-rank machine (`operators/ranking.py`); per-group
+    windows must key on the group. The sweep walks the optimized
+    LOGICAL plan, so AQE wrapping can't hide a hit."""
+    from kafka_flink_harshevents_spark.queries import all_queries
+
+    def empty_part_windows(node) -> int:
+        hits = 0
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                hits += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            hits += empty_part_windows(it.next())
+        return hits
+
+    offenders = []
+    for name, fn in all_queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        if empty_part_windows(plan):
+            offenders.append(name)
+    assert not offenders, f"unpartitioned Window in: {offenders}"
