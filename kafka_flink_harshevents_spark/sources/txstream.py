@@ -318,7 +318,20 @@ class TxLogStreamSource(DataSource):
     ``_change_type`` per row, the Delta readChangeFeed contract).
 
     Stream-only: ``startingversion`` (default 0 = from the beginning),
-    ``ignorechanges`` (default false).
+    ``ignorechanges`` (default false), ``maxfilespertrigger`` (default
+    0 = unbounded) — cap the number of data/change FILES a micro-batch
+    serves, Delta's trigger-sizing knob: a backfill over a long
+    history proceeds in bounded batches instead of one giant first
+    batch, and a burst of upstream commits never produces a runaway
+    trigger. Whole commits only — a single commit larger than the cap
+    still serves alone in one batch, so progress is always made. The
+    Python DataSource API has no admission control, so the cap is
+    reader-side pacing (monotonic offer floor; restart-safe because
+    the engine restores the checkpointed batch into the reader before
+    the first new offer — pinned in tests). One caveat: a
+    ``Trigger.AvailableNow`` run captures a single offer at start, so
+    it drains ONE capped batch per run — drain a backlog with
+    processing-time triggers.
 
     Batch-only: ``version`` (time travel, default latest);
     in change-feed mode ``startingversion``/``endingversion`` bound the
@@ -374,15 +387,59 @@ class TxLogStreamReader(DataSourceStreamReader):
             if f.name not in (VERSION_COL, CHANGE_COL)
         )
         self._schema = schema
+        self.max_files = int(options.get("maxfilespertrigger", "0") or 0)
+        # newest version already offered to (or planned by) the engine
+        # in THIS process — the pacing floor for maxfilespertrigger.
+        # Offsets must only move forward, so every floor update is
+        # monotonic. Restart safety: before the first latestOffset of
+        # a restarted run, MicroBatchExecution restores the last
+        # planned batch — partitions(start, end) for an uncommitted
+        # batch, partitions(end, end) + commit(end) for a committed
+        # one (observed and pinned in tests) — so the floor is at the
+        # checkpointed offset before pacing ever engages; a paced
+        # offer can never land BEHIND the checkpoint and re-serve
+        # already-committed commits.
+        self._floor: int | None = None
+
+    def _raise_floor(self, v: int) -> None:
+        if self._floor is None or v > self._floor:
+            self._floor = v
 
     def initialOffset(self) -> dict:
+        self._raise_floor(self.start_version)
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         versions = _list_versions(self.table_dir)
-        return {"version": versions[-1] if versions else self.start_version}
+        latest = versions[-1] if versions else self.start_version
+        if self.max_files <= 0:
+            return {"version": latest}
+        if self._floor is None:
+            # first call of a FRESH stream (the engine asks for the
+            # latest offset even before initialOffset) — pace from the
+            # configured start
+            self._floor = self.start_version
+        end, files = self._floor, 0
+        for v in versions:
+            if v <= self._floor:
+                continue
+            rec = _read_record(self.table_dir, v)
+            n = len(rec.get("add") or []) + len(rec.get("cdf_files") or [])
+            if files > 0 and files + n > self.max_files:
+                break
+            end, files = v, files + n
+            if files >= self.max_files:
+                break
+        self._floor = end
+        return {"version": end}
+
+    def commit(self, end: dict) -> None:
+        # progress lives in the checkpoint; the log needs no ack — but
+        # the committed offset is a pacing floor (restart safety)
+        self._raise_floor(int(end["version"]))
 
     def partitions(self, start: dict, end: dict) -> list:
+        self._raise_floor(int(end["version"]))
         versions = [
             v
             for v in _list_versions(self.table_dir)
@@ -402,9 +459,6 @@ class TxLogStreamReader(DataSourceStreamReader):
         # never touches row data and neither does the Python
         # interpreter (see _partition_batches).
         return _partition_batches(partition, self._schema)
-
-    def commit(self, end: dict) -> None:
-        pass  # progress lives in the checkpoint; the log needs no ack
 
 
 class TxLogBatchReader(DataSourceReader):

@@ -3381,3 +3381,72 @@ def test_datasource_concurrent_writes_both_commit(spark, tmp_path):
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert len(got) == 1000
     assert all(got[k] == k * 2 for k in (0, 499, 500, 999))
+
+
+def test_stream_maxfilespertrigger_paces_batches(spark, tmp_path):
+    """`maxfilespertrigger` bounds each micro-batch to whole commits
+    whose file count fits the cap: six 2-file appends with a cap of 2
+    must drain as SIX one-commit batches (not one 12-file batch), with
+    no row lost or duplicated; an uncapped drain of the same table is
+    one batch. A commit BIGGER than the cap still serves (progress
+    guarantee)."""
+    _register_txlog(spark)
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for i in range(6):
+        t.append(spark.createDataFrame(
+            [(f"k{i}-{j}", i, 1) for j in range(4)],
+            "k string, v long, ver long"))
+
+    def drain(ckpt, opts):
+        batches: list[set] = []
+
+        def sink(bdf, _bid):
+            rows = {(r["k"], r["_commit_version"]) for r in bdf.collect()}
+            if rows:
+                batches.append(rows)
+
+        reader = (
+            spark.readStream.format("txlog")
+            .option("tabledir", t.table_dir)
+        )
+        for k_, v_ in opts.items():
+            reader = reader.option(k_, v_)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return batches
+
+    capped = drain("c1", {"maxfilespertrigger": "2"})
+    assert len(capped) == 6
+    for b in capped:
+        assert len({cv for _, cv in b}) == 1  # one commit per batch
+    all_rows = set().union(*capped)
+    assert len(all_rows) == 24  # nothing lost, nothing duplicated
+
+    uncapped = drain("c2", {})
+    assert len(uncapped) == 1 and set().union(*uncapped) == all_rows
+
+    # cap smaller than one commit: whole-commit progress, still 6
+    tiny = drain("c3", {"maxfilespertrigger": "1"})
+    assert len(tiny) == 6 and set().union(*tiny) == all_rows
+
+    # RESTART safety: resume the capped checkpoint after two more
+    # appends — pacing must continue from the checkpointed offset
+    # (no re-served commits, no lost rows), one commit per batch
+    for i in (6, 7):
+        t.append(spark.createDataFrame(
+            [(f"k{i}-{j}", i, 1) for j in range(4)],
+            "k string, v long, ver long"))
+    resumed = drain("c1", {"maxfilespertrigger": "2"})
+    assert len(resumed) == 2
+    new_rows = set().union(*resumed)
+    assert len(new_rows) == 8
+    assert not (new_rows & all_rows)  # nothing re-served
