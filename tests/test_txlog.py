@@ -3450,3 +3450,33 @@ def test_stream_maxfilespertrigger_paces_batches(spark, tmp_path):
     new_rows = set().union(*resumed)
     assert len(new_rows) == 8
     assert not (new_rows & all_rows)  # nothing re-served
+
+
+def test_stream_latest_version_tails_incrementally(spark, tmp_path):
+    """`latestOffset` must track new commits appearing AFTER the reader
+    was created — the incremental existence-probe path (one full
+    listing on first call, O(new commits) stats per call after) has to
+    agree with a fresh directory listing at every step."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long"))
+    rd = TxLogStreamReader({"tabledir": t.table_dir}, _table_schema(t.table_dir))
+    assert rd.latestOffset() == {"version": 2}
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(10 + i, 1, 1)], "k long, v long, ver long"))
+        assert rd.latestOffset() == {"version": 3 + i}
+    # paced reader tails the same way
+    rp = TxLogStreamReader(
+        {"tabledir": t.table_dir, "maxfilespertrigger": "1"},
+        _table_schema(t.table_dir),
+    )
+    rp.initialOffset()
+    offs = [rp.latestOffset()["version"] for _ in range(5)]
+    assert offs == [2, 3, 4, 5, 5]  # one commit per offer, then parked
+    t.append(spark.createDataFrame([(99, 1, 1)], "k long, v long, ver long"))
+    assert rp.latestOffset() == {"version": 6}
