@@ -331,6 +331,21 @@ def _multiset_delta(pre: DataFrame, post: DataFrame) -> DataFrame:
     )
 
 
+def _expr_mentions(expr: str, col: str) -> bool:
+    """Whether a SQL expression references ``col`` as an identifier —
+    word-boundary and case-insensitive (Spark resolves identifiers
+    case-insensitively), so dropping column ``c`` is not refused
+    because an expression mentions ``amount_c``, while an expression
+    written ``V % 10`` still guards column ``v``. Conservative for
+    quoted/backticked identifiers (a mention inside a string literal
+    counts as a reference — refusal is the safe direction)."""
+    import re
+
+    return re.search(
+        rf"\b{re.escape(col)}\b", expr, re.IGNORECASE
+    ) is not None
+
+
 class ConstraintViolation(ValueError):
     """A write carried rows violating a table CHECK constraint; nothing
     was staged or committed."""
@@ -847,7 +862,7 @@ class TxTable:
                 f"cannot drop key/order column(s) {sorted(bad)}"
             )
         for name, expr in self.constraints().items():
-            hit = [c for c in cols if c in expr]
+            hit = [c for c in cols if _expr_mentions(expr, c)]
             if hit:
                 raise ValueError(
                     f"column(s) {hit} are referenced by constraint "
@@ -858,7 +873,7 @@ class TxTable:
             n: e for n, e in gen.items() if n not in cols
         }
         for name, expr in surviving_gen.items():
-            hit = [c for c in cols if c in expr]
+            hit = [c for c in cols if _expr_mentions(expr, c)]
             if hit:
                 raise ValueError(
                     f"column(s) {hit} are referenced by GENERATED "

@@ -442,7 +442,14 @@ class TxLogStreamReader(DataSourceStreamReader):
         end, files = self._floor, 0
         for v in range(self._floor + 1, latest + 1):
             rec = _read_record(self.table_dir, v)
-            n = len(rec.get("add") or []) + len(rec.get("cdf_files") or [])
+            # count what THIS stream mode will actually serve: the
+            # change feed serves a rewrite's materialized cdf files
+            # (falling back to add files for appends/clones, which
+            # synthesize inserts); the plain stream serves add files
+            if self.read_change_feed and rec.get("cdf_files"):
+                n = len(rec["cdf_files"])
+            else:
+                n = len(rec.get("add") or [])
             if files > 0 and files + n > self.max_files:
                 break
             end, files = v, files + n
@@ -458,11 +465,15 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list:
         self._raise_floor(int(end["version"]))
-        versions = [
-            v
-            for v in _list_versions(self.table_dir)
-            if start["version"] < v <= end["version"]
-        ]
+        # versions are contiguous by the commit protocol, and every
+        # offset in (start, end] was offered from committed versions —
+        # enumerate the range directly instead of re-listing the whole
+        # log directory per micro-batch (same listFrom economics as
+        # _latest_version; a gap would mean a corrupted log and fails
+        # loudly at _read_record)
+        versions = list(
+            range(start["version"] + 1, end["version"] + 1)
+        )
         return _change_partitions(
             self.table_dir,
             versions,
@@ -773,6 +784,8 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         if not batches:
             return _TxWriteMessage([])
         table = pa.Table.from_batches(batches)
+        if table.num_rows == 0:  # non-empty batch list, zero rows
+            return _TxWriteMessage([])
         if "_bucket" in table.column_names:
             table = table.drop_columns(["_bucket"])
         if self.constraints:

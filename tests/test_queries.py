@@ -971,11 +971,17 @@ def test_lakehouse_entries_survive_vanilla_session_confs(spark):
     off, then run every lakehouse entry end-to-end: each must
     (re)establish whatever session state it needs."""
     prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
     try:
         from kafka_flink_harshevents_spark.queries import lakehouse
 
         for name, fn in lakehouse.QUERIES.items():
+            # re-force the drift BEFORE every entry — an earlier entry
+            # re-enabling the conf must not mask a later entry that
+            # forgot to (the first version of this test did exactly
+            # that and would have let the r05 crash ship again)
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", "false"
+            )
             df = fn(spark, SF_DIR)
             assert df.count() > 0, name
     finally:

@@ -3480,3 +3480,108 @@ def test_stream_latest_version_tails_incrementally(spark, tmp_path):
     assert offs == [2, 3, 4, 5, 5]  # one commit per offer, then parked
     t.append(spark.createDataFrame([(99, 1, 1)], "k long, v long, ver long"))
     assert rp.latestOffset() == {"version": 6}
+
+
+def test_drop_columns_identifier_matching(spark, tmp_path):
+    """The drop guards must match column IDENTIFIERS, not substrings:
+    dropping column `c` is legal when an expression mentions
+    `amount_c`; an expression written `V % 10` still guards column
+    `v` (Spark resolves identifiers case-insensitively)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+        generated_cols={"band": "CAST(V % 10 AS BIGINT)"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 17, 3, 1)], "k long, v long, c long, ver long"))
+    # `c` is a substring of nothing-as-identifier in the expression:
+    # dropping it must NOT be refused
+    t.drop_columns(("c",))
+    assert "c" not in t.read().columns
+    # the expression says `V`, the column is `v`: still guarded
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.drop_columns(("v",))
+    # same identifier semantics for the CHECK-constraint guard
+    t2 = TxTable.create(
+        spark, str(tmp_path / "t2"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t2.append(spark.createDataFrame(
+        [(1, 17, 3, 1)], "k long, amount_c long, c long, ver long"))
+    t2.add_constraint("pos", "AMOUNT_C > 0")
+    t2.drop_columns(("c",))  # not refused by the amount_c mention
+    with pytest.raises(ValueError, match="constraint"):
+        t2.drop_columns(("amount_c",))  # case-insensitive guard
+
+
+def test_datasource_writer_zero_row_task(spark, tmp_path):
+    """A writer task handed RecordBatches that total ZERO rows must
+    return an empty commit message, not crash — Spark can produce
+    empty-but-present Arrow batches for a task after filtering."""
+    import pyarrow as pa
+
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogBatchWriter,
+    )
+    from pyspark.sql.types import StructType
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long"))
+    schema = StructType.fromDDL("k long, v long, ver long")
+    w = TxLogBatchWriter({"tabledir": t.table_dir}, schema, False)
+    empty = pa.RecordBatch.from_arrays(
+        [pa.array([], pa.int64())] * 3, names=["k", "v", "ver"]
+    )
+    msg = w.write(iter([empty]))
+    assert msg.entries == []
+
+
+def test_stream_pacing_counts_served_files_per_mode(spark, tmp_path):
+    """maxfilespertrigger must count the files the MODE actually
+    serves: the change feed serves a rewrite's materialized cdf files
+    (not its add files); the plain stream serves add files (never cdf
+    files) — otherwise batches systematically under-fill the cap."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    # v2: append 2 files; v3: merge touching ONE bucket (1 add file,
+    # 1 cdf file); v4: append 2 files
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(8)], "k long, v long, ver long"))
+    t.merge_upsert(spark.createDataFrame(
+        [(0, 99, 2)], "k long, v long, ver long"))
+    t.append(spark.createDataFrame(
+        [(10 + i, i, 1) for i in range(8)], "k long, v long, ver long"))
+
+    rec3 = _read_record(t.table_dir, 3)
+    assert len(rec3.get("cdf_files") or []) >= 1
+
+    # change-feed pacing: cap 2 -> v2 alone (2 insert files), then v3
+    # (its cdf files) + as much of v4 as fits
+    rd = TxLogStreamReader(
+        {"tabledir": t.table_dir, "readchangefeed": "true",
+         "maxfilespertrigger": "2"},
+        _table_schema(t.table_dir, cdf=True),
+    )
+    rd.initialOffset()
+    first = rd.latestOffset()["version"]
+    assert first == 2
+    # plain stream with ignorechanges: cap 2 -> v2, then v3's single
+    # add file + nothing more fits only if v4 has >1 files
+    rp = TxLogStreamReader(
+        {"tabledir": t.table_dir, "ignorechanges": "true",
+         "maxfilespertrigger": "2"},
+        _table_schema(t.table_dir),
+    )
+    rp.initialOffset()
+    assert rp.latestOffset()["version"] == 2
+    # v3 has 1 add file; v4 has 2 -> 1+2 > 2, so the next offer stops
+    # at v3 (cdf files of v3 must NOT count against the plain stream)
+    assert rp.latestOffset()["version"] == 3
+    assert rp.latestOffset()["version"] == 4

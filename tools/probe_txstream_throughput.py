@@ -177,8 +177,8 @@ def main() -> None:
         for t in [warm] + tables:
             shutil.rmtree(t.table_dir, ignore_errors=True)
         return {
-            f"write_{tag}_s": round(min(writes), 2),
-            f"read_{tag}_s": round(min(reads), 2),
+            f"write_{tag}_s": min(writes),
+            f"read_{tag}_s": min(reads),
         }
 
     out: dict = {"n_rows": n_rows, "files": 64}
@@ -210,11 +210,11 @@ def main() -> None:
     tbl = base.coalesce(1).toArrow()
     t0 = time.monotonic()
     bucket_batch(tbl, ("k",), 16)
-    out["kern_bucket_vec_s"] = round(time.monotonic() - t0, 2)
+    out["kern_bucket_vec_s"] = time.monotonic() - t0
     t0 = time.monotonic()
     keys = [tbl.column("k").to_pylist()]
     [bucket_of(vals, 16) for vals in zip(*keys)]
-    out["kern_bucket_row_s"] = round(time.monotonic() - t0, 2)
+    out["kern_bucket_row_s"] = time.monotonic() - t0
 
     t_k = make_table("kern")
     (
@@ -237,21 +237,26 @@ def main() -> None:
     rd = txstream.TxLogBatchReader({"tabledir": t_k.table_dir}, schema)
     t0 = time.monotonic()
     n = sum(b.num_rows for b in new_read(rd, part))
-    out["kern_read_vec_s"] = round(time.monotonic() - t0, 2)
+    out["kern_read_vec_s"] = time.monotonic() - t0
     t0 = time.monotonic()
     rows = list(_old_batch_read(rd, part))
     pa.RecordBatch.from_arrays(  # the worker-side tuple→Arrow step
         [pa.array(list(c)) for c in zip(*rows)],
         names=list(cols) + [txstream.VERSION_COL],
     )
-    out["kern_read_row_s"] = round(time.monotonic() - t0, 2)
+    out["kern_read_row_s"] = time.monotonic() - t0
     shutil.rmtree(t_k.table_dir, ignore_errors=True)
+    # ratios from the RAW times (rounded wall values can be 0.0 at
+    # small n_rows and would divide-by-zero), then round for display
     out["kern_bucket_speedup"] = round(
         out["kern_bucket_row_s"] / out["kern_bucket_vec_s"], 1
     )
     out["kern_read_speedup"] = round(
         out["kern_read_row_s"] / out["kern_read_vec_s"], 1
     )
+    for k in list(out):
+        if k.endswith("_s"):
+            out[k] = round(out[k], 4)
     print(json.dumps(out))
 
 
