@@ -3585,3 +3585,71 @@ def test_stream_pacing_counts_served_files_per_mode(spark, tmp_path):
     # at v3 (cdf files of v3 must NOT count against the plain stream)
     assert rp.latestOffset()["version"] == 3
     assert rp.latestOffset()["version"] == 4
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(st.data())
+def test_stream_pacing_property(spark, tmp_path_factory, data):
+    """Model-based pacing property: for ANY commit history (appends of
+    varying width, optional merges) and ANY cap, repeatedly calling
+    latestOffset must (a) only move forward, (b) cover every commit
+    exactly once when the offers are chained into batches, (c) never
+    exceed the cap per batch except for a single oversized commit,
+    and (d) park at the true latest."""
+    tmp = tmp_path_factory.mktemp("pace")
+    t = TxTable.create(
+        spark, str(tmp / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4,
+    )
+    n_commits = data.draw(st.integers(min_value=1, max_value=6))
+    base_key = 0
+    for _ in range(n_commits):
+        width = data.draw(st.integers(min_value=1, max_value=4))
+        rows = [(base_key + j, 1, 1) for j in range(width * 3)]
+        base_key += width * 3
+        t.append(
+            spark.createDataFrame(rows, "k long, v long, ver long")
+            .repartition(width)
+        )
+    cap = data.draw(st.integers(min_value=1, max_value=6))
+
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    rd = TxLogStreamReader(
+        {"tabledir": t.table_dir, "maxfilespertrigger": str(cap)},
+        _table_schema(t.table_dir),
+    )
+    prev = rd.initialOffset()["version"]
+    latest = t.latest_version()
+    seen: list[tuple[int, int]] = []
+    for _ in range(n_commits + 3):  # enough offers to drain
+        cur = rd.latestOffset()["version"]
+        assert cur >= prev  # (a) monotonic
+        if cur > prev:
+            seen.append((prev, cur))
+        prev = cur
+    assert prev == latest  # (d) drained
+    # (b) chained coverage: ranges tile (start_version, latest]
+    assert seen[0][0] == 0 and seen[-1][1] == latest
+    for (s1, e1), (s2, e2) in zip(seen, seen[1:]):
+        assert e1 == s2
+    # (c) per-batch file count within cap unless the batch carries a
+    # SINGLE data commit (oversized commits serve alone — progress
+    # guarantee; zero-file commits like create ride along for free)
+    for s, e in seen:
+        per_commit = [
+            len(_read_record(t.table_dir, v).get("add") or [])
+            for v in range(s + 1, e + 1)
+        ]
+        if sum(1 for n in per_commit if n > 0) > 1:
+            assert sum(per_commit) <= cap, (s, e, per_commit, cap)
