@@ -336,13 +336,17 @@ def _expr_mentions(expr: str, col: str) -> bool:
     word-boundary and case-insensitive (Spark resolves identifiers
     case-insensitively), so dropping column ``c`` is not refused
     because an expression mentions ``amount_c``, while an expression
-    written ``V % 10`` still guards column ``v``. Conservative for
-    quoted/backticked identifiers (a mention inside a string literal
-    counts as a reference — refusal is the safe direction)."""
+    written ``V % 10`` still guards column ``v``. Boundaries are
+    lookarounds rather than ``\\b`` so names with non-word edge
+    characters (backtick-quoted exotics like ``pct%``) still match —
+    ``\\b`` finds no boundary between two non-word chars and would
+    silently let the drop through, bricking later writes. Conservative
+    for quoted identifiers and string literals (a mention counts as a
+    reference — refusal is the safe direction)."""
     import re
 
     return re.search(
-        rf"\b{re.escape(col)}\b", expr, re.IGNORECASE
+        rf"(?<!\w){re.escape(col)}(?!\w)", expr, re.IGNORECASE
     ) is not None
 
 

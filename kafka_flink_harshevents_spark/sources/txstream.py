@@ -442,11 +442,18 @@ class TxLogStreamReader(DataSourceStreamReader):
         end, files = self._floor, 0
         for v in range(self._floor + 1, latest + 1):
             rec = _read_record(self.table_dir, v)
-            # count what THIS stream mode will actually serve: the
-            # change feed serves a rewrite's materialized cdf files
-            # (falling back to add files for appends/clones, which
-            # synthesize inserts); the plain stream serves add files
-            if self.read_change_feed and rec.get("cdf_files"):
+            # count what THIS stream mode will actually serve,
+            # mirroring _change_partitions: layout commits
+            # (create / compact / rebucket / zorder, all op="compact")
+            # serve NOTHING in either mode — counting their rewritten
+            # files would waste a whole trigger on an empty batch per
+            # compaction; the change feed serves a rewrite's
+            # materialized cdf files (falling back to add files for
+            # appends/clones, which synthesize inserts); the plain
+            # stream serves add files
+            if rec.get("op") in ("create", "compact"):
+                n = 0
+            elif self.read_change_feed and rec.get("cdf_files"):
                 n = len(rec["cdf_files"])
             else:
                 n = len(rec.get("add") or [])

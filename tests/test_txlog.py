@@ -3653,3 +3653,44 @@ def test_stream_pacing_property(spark, tmp_path_factory, data):
         ]
         if sum(1 for n in per_commit if n > 0) > 1:
             assert sum(per_commit) <= cap, (s, e, per_commit, cap)
+
+
+def test_expr_mentions_exotic_identifiers():
+    """The guard matcher must catch names with non-word edge chars
+    (backtick-quoted exotics): `\\b` finds no boundary between two
+    non-word characters and would silently let the drop through."""
+    from kafka_flink_harshevents_spark.sources.txlog import _expr_mentions
+
+    assert _expr_mentions("`pct%` > 0", "pct%")
+    assert _expr_mentions("`a-b` + 1", "a-b")
+    assert not _expr_mentions("CAST(amount_c % 97 AS BIGINT)", "c")
+    assert not _expr_mentions("pct > 0", "pct%")
+    assert _expr_mentions("V % 10", "v")  # case-insensitive
+
+
+def test_stream_pacing_skips_layout_commits(spark, tmp_path):
+    """Layout commits (compact / rebucket / zorder) serve nothing in
+    either stream mode, so pacing must count them as ZERO files — a
+    64-file compaction must not burn a whole trigger on an empty
+    micro-batch while a real append waits behind it."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(8)], "k long, v long, ver long"))  # v2
+    t.compact()                                                      # v3
+    t.append(spark.createDataFrame(
+        [(100, 1, 1)], "k long, v long, ver long"))                  # v4
+    rd = TxLogStreamReader(
+        {"tabledir": t.table_dir, "maxfilespertrigger": "2",
+         "ignorechanges": "true"},
+        _table_schema(t.table_dir),
+    )
+    rd.initialOffset()
+    # one offer must ride over the compact and reach the next append
+    # (v2: 2 files = cap; then v3 compact rides free with v4)
+    assert rd.latestOffset()["version"] == 2
+    assert rd.latestOffset()["version"] == 4
