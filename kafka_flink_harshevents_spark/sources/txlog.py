@@ -1329,7 +1329,16 @@ class TxTable:
             bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
             rel = os.path.relpath(p, self.table_dir)
             entries.append(
-                {"path": rel, "bucket": bucket, "stats": _file_stats(p)}
+                {
+                    "path": rel,
+                    "bucket": bucket,
+                    "stats": _file_stats(p),
+                    # physical size, recorded once at stage time:
+                    # consumed by byte-based stream pacing (and any
+                    # future size-aware compaction policy) without a
+                    # stat call per planning pass
+                    "bytes": os.path.getsize(p),
+                }
             )
         bloom_cols = tuple(
             c for c in (self.meta.get("bloom_cols") or ()) if c in df.columns

@@ -319,9 +319,11 @@ class TxLogStreamSource(DataSource):
     ``_change_type`` per row, the Delta readChangeFeed contract).
 
     Stream-only: ``startingversion`` (default 0 = from the beginning),
-    ``ignorechanges`` (default false), ``maxfilespertrigger`` (default
-    0 = unbounded) — cap the number of data/change FILES a micro-batch
-    serves, Delta's trigger-sizing knob: a backfill over a long
+    ``ignorechanges`` (default false), ``maxfilespertrigger`` /
+    ``maxbytespertrigger`` (default 0 = unbounded; either or both) —
+    cap the FILES / BYTES a micro-batch serves (byte sizes from the
+    add-entries' recorded ``bytes``), Delta's trigger-sizing knobs: a
+    backfill over a long
     history proceeds in bounded batches instead of one giant first
     batch, and a burst of upstream commits never produces a runaway
     trigger. Whole commits only — a single commit larger than the cap
@@ -389,6 +391,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         )
         self._schema = schema
         self.max_files = int(options.get("maxfilespertrigger", "0") or 0)
+        self.max_bytes = int(options.get("maxbytespertrigger", "0") or 0)
         # newest version already offered to (or planned by) the engine
         # in THIS process — the pacing floor for maxfilespertrigger.
         # Offsets must only move forward, so every floor update is
@@ -432,14 +435,14 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = self._latest_version()
-        if self.max_files <= 0:
+        if self.max_files <= 0 and self.max_bytes <= 0:
             return {"version": latest}
         if self._floor is None:
             # first call of a FRESH stream (the engine asks for the
             # latest offset even before initialOffset) — pace from the
             # configured start
             self._floor = self.start_version
-        end, files = self._floor, 0
+        end, files, size = self._floor, 0, 0
         for v in range(self._floor + 1, latest + 1):
             rec = _read_record(self.table_dir, v)
             # count what THIS stream mode will actually serve,
@@ -450,17 +453,27 @@ class TxLogStreamReader(DataSourceStreamReader):
             # compaction; the change feed serves a rewrite's
             # materialized cdf files (falling back to add files for
             # appends/clones, which synthesize inserts); the plain
-            # stream serves add files
+            # stream serves add files. Byte sizes come from the
+            # add-entries' recorded `bytes` (cdf files and entries
+            # written before the field count 0 — the file cap still
+            # bounds them).
             if rec.get("op") in ("create", "compact"):
-                n = 0
+                n, nb = 0, 0
             elif self.read_change_feed and rec.get("cdf_files"):
-                n = len(rec["cdf_files"])
+                n, nb = len(rec["cdf_files"]), 0
             else:
-                n = len(rec.get("add") or [])
-            if files > 0 and files + n > self.max_files:
+                add = rec.get("add") or []
+                n = len(add)
+                nb = sum(int(e.get("bytes") or 0) for e in add)
+            if files > 0 and (
+                (self.max_files and files + n > self.max_files)
+                or (self.max_bytes and size + nb > self.max_bytes)
+            ):
                 break
-            end, files = v, files + n
-            if files >= self.max_files:
+            end, files, size = v, files + n, size + nb
+            if (self.max_files and files >= self.max_files) or (
+                self.max_bytes and size >= self.max_bytes
+            ):
                 break
         self._floor = end
         return {"version": end}
@@ -823,7 +836,12 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
             pq.write_table(sub, path)
             rel = os.path.relpath(path, self.table_dir)
-            entry = {"path": rel, "bucket": b, "stats": _file_stats(path)}
+            entry = {
+                "path": rel,
+                "bucket": b,
+                "stats": _file_stats(path),
+                "bytes": os.path.getsize(path),
+            }
             blooms = {}
             for c in self.bloom_cols:
                 if c in sub.column_names:

@@ -3694,3 +3694,54 @@ def test_stream_pacing_skips_layout_commits(spark, tmp_path):
     # (v2: 2 files = cap; then v3 compact rides free with v4)
     assert rd.latestOffset()["version"] == 2
     assert rd.latestOffset()["version"] == 4
+
+
+def test_stream_maxbytespertrigger_paces_by_size(spark, tmp_path):
+    """`maxbytespertrigger` paces on the add-entries' recorded file
+    sizes: a cap of one commit's bytes drains a multi-append backlog
+    one commit per offer; a huge byte cap leaves pacing to the file
+    cap (or unbounded). Add-entries must carry `bytes` at stage time
+    in both write paths."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    _register_txlog(spark)
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            [(10 * i + j, j, 1) for j in range(6)],
+            "k long, v long, ver long"))
+    # entries record physical size (library path)
+    rec = _read_record(t.table_dir, 2)
+    sizes = [e.get("bytes") for e in rec["add"]]
+    assert all(isinstance(b, int) and b > 0 for b in sizes)
+    # the DataSource writer records bytes too
+    (
+        spark.createDataFrame([(100, 1, 1)], "k long, v long, ver long")
+        .write.format("txlog")
+        .option("tabledir", t.table_dir)
+        .mode("append")
+        .save()
+    )
+    rec_ds = _read_record(t.table_dir, t.latest_version())
+    assert all(int(e.get("bytes") or 0) > 0 for e in rec_ds["add"])
+
+    per_commit = sum(sizes)
+    rd = TxLogStreamReader(
+        {"tabledir": t.table_dir,
+         "maxbytespertrigger": str(per_commit)},
+        _table_schema(t.table_dir),
+    )
+    rd.initialOffset()
+    offers = [rd.latestOffset()["version"] for _ in range(6)]
+    # one append per offer until drained (v2..v6), then parked
+    assert offers == [2, 3, 4, 5, 6, 6]
+    # a byte cap far above the backlog: single offer to latest
+    rd2 = TxLogStreamReader(
+        {"tabledir": t.table_dir, "maxbytespertrigger": str(10**12)},
+        _table_schema(t.table_dir),
+    )
+    rd2.initialOffset()
+    assert rd2.latestOffset()["version"] == t.latest_version()
