@@ -331,6 +331,19 @@ def _multiset_delta(pre: DataFrame, post: DataFrame) -> DataFrame:
     )
 
 
+def _add_entry(table_dir: str, path: str, bucket: int) -> dict:
+    """One add-entry for a freshly staged data file — the single
+    construction BOTH write paths (library ``_stage``, DataSource
+    writer) share, so the entry shape (path / bucket / footer stats /
+    physical bytes) can never drift between them."""
+    return {
+        "path": os.path.relpath(path, table_dir),
+        "bucket": bucket,
+        "stats": _file_stats(path),
+        "bytes": os.path.getsize(path),
+    }
+
+
 def _expr_mentions(expr: str, col: str) -> bool:
     """Whether a SQL expression references ``col`` as an identifier —
     word-boundary and case-insensitive (Spark resolves identifiers
@@ -1327,19 +1340,10 @@ class TxTable:
         entries = []
         for p in glob.glob(os.path.join(out, "_pb=*", "*.parquet")):
             bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
-            rel = os.path.relpath(p, self.table_dir)
-            entries.append(
-                {
-                    "path": rel,
-                    "bucket": bucket,
-                    "stats": _file_stats(p),
-                    # physical size, recorded once at stage time:
-                    # consumed by byte-based stream pacing (and any
-                    # future size-aware compaction policy) without a
-                    # stat call per planning pass
-                    "bytes": os.path.getsize(p),
-                }
-            )
+            # physical size recorded once at stage time: consumed by
+            # byte-based stream pacing (and any future size-aware
+            # compaction policy) without a stat call per planning pass
+            entries.append(_add_entry(self.table_dir, p, bucket))
         bloom_cols = tuple(
             c for c in (self.meta.get("bloom_cols") or ()) if c in df.columns
         )
@@ -1413,16 +1417,24 @@ class TxTable:
         under ``_cdf-<uuid>/`` — OUTSIDE the ``_staged-*`` namespace so
         vacuum's staged-orphan reclamation never touches committed
         change files. Returns table-relative parquet paths to record as
-        ``cdf_files``. Cost ∝ the commit's touched buckets — the
-        write-time price Delta's enableChangeDataFeed pays."""
+        ``cdf_files`` (and stamps their physical sizes into the record
+        as ``cdf_bytes``, so byte-based stream pacing can budget feed
+        batches like it budgets add files). Cost ∝ the commit's touched
+        buckets — the write-time price Delta's enableChangeDataFeed
+        pays."""
         changes = self._changes_for(version, record)
         out_rel = f"_cdf-{uuid.uuid4().hex}"
         out = os.path.join(self.table_dir, out_rel)
         changes.write.parquet(out)
-        return sorted(
+        paths = sorted(
             os.path.relpath(p, self.table_dir)
             for p in glob.glob(os.path.join(out, "*.parquet"))
         )
+        record["cdf_bytes"] = {
+            rel: os.path.getsize(os.path.join(self.table_dir, rel))
+            for rel in paths
+        }
+        return paths
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         # NULL business keys are dropped JVM-side (the stream-store NULL

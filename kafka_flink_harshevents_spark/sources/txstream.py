@@ -53,10 +53,10 @@ from collections.abc import Iterator
 from pyspark.sql.types import LongType, StructField, StructType
 
 from kafka_flink_harshevents_spark.sources.txlog import (
+    _add_entry,
     _bloom_build,
     _file_may_match,
     _file_may_match_eq,
-    _file_stats,
     _list_versions,
     _read_record,
     _replay_log,
@@ -320,9 +320,12 @@ class TxLogStreamSource(DataSource):
 
     Stream-only: ``startingversion`` (default 0 = from the beginning),
     ``ignorechanges`` (default false), ``maxfilespertrigger`` /
-    ``maxbytespertrigger`` (default 0 = unbounded; either or both) —
-    cap the FILES / BYTES a micro-batch serves (byte sizes from the
-    add-entries' recorded ``bytes``), Delta's trigger-sizing knobs: a
+    ``maxbytespertrigger`` (default 0 = unbounded; either or both;
+    non-positive disables that cap) — cap the FILES / BYTES a
+    micro-batch serves (byte sizes from the add-entries' recorded
+    ``bytes`` and the record's ``cdf_bytes``; entries committed before
+    those fields existed count 0 bytes, so pair a file cap with the
+    byte cap over pre-upgrade history), Delta's trigger-sizing knobs: a
     backfill over a long
     history proceeds in bounded batches instead of one giant first
     batch, and a burst of upstream commits never produces a runaway
@@ -390,8 +393,14 @@ class TxLogStreamReader(DataSourceStreamReader):
             if f.name not in (VERSION_COL, CHANGE_COL)
         )
         self._schema = schema
-        self.max_files = int(options.get("maxfilespertrigger", "0") or 0)
-        self.max_bytes = int(options.get("maxbytespertrigger", "0") or 0)
+        # non-positive = unbounded (so "-1 disables this cap" composes
+        # with the other cap instead of degenerating to 1-commit batches)
+        self.max_files = max(
+            0, int(options.get("maxfilespertrigger", "0") or 0)
+        )
+        self.max_bytes = max(
+            0, int(options.get("maxbytespertrigger", "0") or 0)
+        )
         # newest version already offered to (or planned by) the engine
         # in THIS process — the pacing floor for maxfilespertrigger.
         # Offsets must only move forward, so every floor update is
@@ -454,13 +463,17 @@ class TxLogStreamReader(DataSourceStreamReader):
             # materialized cdf files (falling back to add files for
             # appends/clones, which synthesize inserts); the plain
             # stream serves add files. Byte sizes come from the
-            # add-entries' recorded `bytes` (cdf files and entries
-            # written before the field count 0 — the file cap still
-            # bounds them).
+            # add-entries' recorded `bytes` / the record's `cdf_bytes`
+            # (entries written before those fields count 0 — keep the
+            # file cap alongside for such histories).
             if rec.get("op") in ("create", "compact"):
                 n, nb = 0, 0
             elif self.read_change_feed and rec.get("cdf_files"):
-                n, nb = len(rec["cdf_files"]), 0
+                n = len(rec["cdf_files"])
+                nb = sum(
+                    int(b or 0)
+                    for b in (rec.get("cdf_bytes") or {}).values()
+                )
             else:
                 add = rec.get("add") or []
                 n = len(add)
@@ -835,13 +848,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
             pq.write_table(sub, path)
-            rel = os.path.relpath(path, self.table_dir)
-            entry = {
-                "path": rel,
-                "bucket": b,
-                "stats": _file_stats(path),
-                "bytes": os.path.getsize(path),
-            }
+            entry = _add_entry(self.table_dir, path, b)
             blooms = {}
             for c in self.bloom_cols:
                 if c in sub.column_names:

@@ -3745,3 +3745,55 @@ def test_stream_maxbytespertrigger_paces_by_size(spark, tmp_path):
     )
     rd2.initialOffset()
     assert rd2.latestOffset()["version"] == t.latest_version()
+    # progress guarantee: a commit BIGGER than the byte cap serves
+    # alone, one commit per offer — never a stalled offer floor
+    rd3 = TxLogStreamReader(
+        {"tabledir": t.table_dir,
+         "maxbytespertrigger": str(per_commit // 2)},
+        _table_schema(t.table_dir),
+    )
+    rd3.initialOffset()
+    offers = [rd3.latestOffset()["version"] for _ in range(6)]
+    assert offers[:5] == [2, 3, 4, 5, 6] and offers[5] == 6
+    # "-1 disables this cap" composes with the other cap instead of
+    # degenerating to one-commit batches
+    rd4 = TxLogStreamReader(
+        {"tabledir": t.table_dir, "maxfilespertrigger": "-1",
+         "maxbytespertrigger": str(10**12)},
+        _table_schema(t.table_dir),
+    )
+    rd4.initialOffset()
+    assert rd4.latestOffset()["version"] == t.latest_version()
+
+
+def test_stream_pacing_bytes_cover_change_feed(spark, tmp_path):
+    """Rewrite commits on cdf=True tables record `cdf_bytes`, so a
+    byte-only cap paces the CHANGE FEED too — one rewrite's feed per
+    offer at a one-feed-sized cap."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(8)], "k long, v long, ver long"))
+    for j in (2, 3, 4):
+        t.merge_upsert(spark.createDataFrame(
+            [(0, 100 + j, j)], "k long, v long, ver long"))
+    rec = _read_record(t.table_dir, 3)
+    feed_bytes = sum(rec["cdf_bytes"].values())
+    assert feed_bytes > 0
+    rd = TxLogStreamReader(
+        {"tabledir": t.table_dir, "readchangefeed": "true",
+         "maxbytespertrigger": str(feed_bytes)},
+        _table_schema(t.table_dir, cdf=True),
+    )
+    rd.initialOffset()
+    offers = [rd.latestOffset()["version"] for _ in range(5)]
+    # v2 (append feed = inserts from add files) then one merge feed per
+    # offer, then parked
+    assert offers == [2, 3, 4, 5, 5]
