@@ -871,34 +871,39 @@ class TxTable:
         physically carry it — refusing is the Delta position absent
         column-mapping physical ids."""
         cols = tuple(cols)
-        meta = self.meta
-        protected = set(meta["key_cols"]) | {meta["order_col"]}
-        bad = set(cols) & protected
-        if bad:
-            raise ValueError(
-                f"cannot drop key/order column(s) {sorted(bad)}"
-            )
-        for name, expr in self.constraints().items():
-            hit = [c for c in cols if _expr_mentions(expr, c)]
-            if hit:
-                raise ValueError(
-                    f"column(s) {hit} are referenced by constraint "
-                    f"{name} ({expr}) — drop the constraint first"
-                )
-        gen = dict(meta.get("generated_cols") or {})
-        surviving_gen = {
-            n: e for n, e in gen.items() if n not in cols
-        }
-        for name, expr in surviving_gen.items():
-            hit = [c for c in cols if _expr_mentions(expr, c)]
-            if hit:
-                raise ValueError(
-                    f"column(s) {hit} are referenced by GENERATED "
-                    f"column {name} ({expr}) — drop the generated "
-                    "column in the same call or not at all"
-                )
-        gen_changed = surviving_gen != gen
         while True:
+            # Validation runs INSIDE the retry loop against fresh meta:
+            # a concurrent commit (e.g. another drop_columns retiring a
+            # different generated column, or add_constraint) must be
+            # re-checked on retry, or the losing writer would commit a
+            # meta_update built from its stale pre-race snapshot.
+            meta = self.meta
+            protected = set(meta["key_cols"]) | {meta["order_col"]}
+            bad = set(cols) & protected
+            if bad:
+                raise ValueError(
+                    f"cannot drop key/order column(s) {sorted(bad)}"
+                )
+            for name, expr in self.constraints().items():
+                hit = [c for c in cols if _expr_mentions(expr, c)]
+                if hit:
+                    raise ValueError(
+                        f"column(s) {hit} are referenced by constraint "
+                        f"{name} ({expr}) — drop the constraint first"
+                    )
+            gen = dict(meta.get("generated_cols") or {})
+            surviving_gen = {
+                n: e for n, e in gen.items() if n not in cols
+            }
+            for name, expr in surviving_gen.items():
+                hit = [c for c in cols if _expr_mentions(expr, c)]
+                if hit:
+                    raise ValueError(
+                        f"column(s) {hit} are referenced by GENERATED "
+                        f"column {name} ({expr}) — drop the generated "
+                        "column in the same call or not at all"
+                    )
+            gen_changed = surviving_gen != gen
             v, _, snap_schema = self._snapshot()
             if snap_schema is None:
                 raise ValueError("no recorded schema to drop from")
@@ -912,7 +917,7 @@ class TxTable:
                 [f for f in old.fields if f.name not in cols]
             )
             dropped = sorted(
-                set(self.meta.get("dropped_cols") or ()) | set(cols)
+                set(meta.get("dropped_cols") or ()) | set(cols)
             )
             meta_update: dict = {"dropped_cols": dropped}
             if gen_changed:

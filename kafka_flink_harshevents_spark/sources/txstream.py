@@ -306,6 +306,51 @@ def _change_partitions(
     return parts
 
 
+def _served_sizes(
+    table_dir: str,
+    rec: dict,
+    read_change_feed: bool,
+    size_cache: dict | None = None,
+) -> tuple[int, int]:
+    """(files, bytes) the stream will SERVE from this commit — the
+    pacing twin of :func:`_change_partitions`, with the branch order
+    mirrored exactly (append/clone add-files take precedence over
+    cdf_files in change-feed mode, layout commits serve nothing), so
+    ``maxfilespertrigger``/``maxbytespertrigger`` always budget the
+    same file set the batch actually reads.
+
+    Entries committed before the ``bytes``/``cdf_bytes`` fields
+    existed are lazily ``os.path.getsize``-backfilled (one stat per
+    legacy file, memoized in ``size_cache``), so a byte-only cap
+    paces pre-upgrade history instead of admitting the whole backlog
+    as 0 bytes."""
+
+    def fsize(relpath: str, recorded) -> int:
+        if recorded:
+            return int(recorded)
+        if size_cache is not None and relpath in size_cache:
+            return size_cache[relpath]
+        try:
+            n = os.path.getsize(os.path.join(table_dir, relpath))
+        except OSError:
+            n = 0
+        if size_cache is not None:
+            size_cache[relpath] = n
+        return n
+
+    op = rec.get("op")
+    if op in ("create", "compact"):
+        return 0, 0
+    if read_change_feed and not (
+        op in ("append", "clone") and rec.get("add")
+    ):
+        cdf = rec.get("cdf_files") or []
+        cb = rec.get("cdf_bytes") or {}
+        return len(cdf), sum(fsize(p, cb.get(p)) for p in cdf)
+    add = rec.get("add") or []
+    return len(add), sum(fsize(e["path"], e.get("bytes")) for e in add)
+
+
 class TxLogStreamSource(DataSource):
     """``format("txlog")`` — one registered format serving BOTH
     ``spark.readStream`` (micro-batches of committed appends, offsets =
@@ -324,8 +369,9 @@ class TxLogStreamSource(DataSource):
     non-positive disables that cap) — cap the FILES / BYTES a
     micro-batch serves (byte sizes from the add-entries' recorded
     ``bytes`` and the record's ``cdf_bytes``; entries committed before
-    those fields existed count 0 bytes, so pair a file cap with the
-    byte cap over pre-upgrade history), Delta's trigger-sizing knobs: a
+    those fields existed are lazily stat-backfilled, one memoized
+    ``getsize`` per legacy file, so byte-only pacing bounds
+    pre-upgrade history too), Delta's trigger-sizing knobs: a
     backfill over a long
     history proceeds in bounded batches instead of one giant first
     batch, and a burst of upstream commits never produces a runaway
@@ -414,6 +460,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         # already-committed commits.
         self._floor: int | None = None
         self._known_latest: int | None = None  # incremental-tail cache
+        self._size_cache: dict[str, int] = {}  # legacy-entry stat memo
 
     def _raise_floor(self, v: int) -> None:
         if self._floor is None or v > self._floor:
@@ -454,30 +501,17 @@ class TxLogStreamReader(DataSourceStreamReader):
         end, files, size = self._floor, 0, 0
         for v in range(self._floor + 1, latest + 1):
             rec = _read_record(self.table_dir, v)
-            # count what THIS stream mode will actually serve,
-            # mirroring _change_partitions: layout commits
-            # (create / compact / rebucket / zorder, all op="compact")
-            # serve NOTHING in either mode — counting their rewritten
-            # files would waste a whole trigger on an empty batch per
-            # compaction; the change feed serves a rewrite's
-            # materialized cdf files (falling back to add files for
-            # appends/clones, which synthesize inserts); the plain
-            # stream serves add files. Byte sizes come from the
-            # add-entries' recorded `bytes` / the record's `cdf_bytes`
-            # (entries written before those fields count 0 — keep the
-            # file cap alongside for such histories).
-            if rec.get("op") in ("create", "compact"):
-                n, nb = 0, 0
-            elif self.read_change_feed and rec.get("cdf_files"):
-                n = len(rec["cdf_files"])
-                nb = sum(
-                    int(b or 0)
-                    for b in (rec.get("cdf_bytes") or {}).values()
-                )
-            else:
-                add = rec.get("add") or []
-                n = len(add)
-                nb = sum(int(e.get("bytes") or 0) for e in add)
+            # count what THIS stream mode will actually serve — the
+            # shared _served_sizes mirror of _change_partitions'
+            # branch order (layout commits serve nothing; change feed
+            # prefers an append/clone's add files over cdf_files;
+            # legacy entries without recorded sizes are lazily
+            # stat-backfilled so byte-only pacing still bounds
+            # pre-upgrade history)
+            n, nb = _served_sizes(
+                self.table_dir, rec, self.read_change_feed,
+                self._size_cache,
+            )
             if files > 0 and (
                 (self.max_files and files + n > self.max_files)
                 or (self.max_bytes and size + nb > self.max_bytes)

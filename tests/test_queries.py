@@ -989,3 +989,7 @@ def test_lakehouse_entries_survive_vanilla_session_confs(spark):
             spark.conf.set(
                 "spark.sql.python.filterPushdown.enabled", prev
             )
+        else:
+            # previously unset: unset it again, or whatever the last
+            # lakehouse entry left behind leaks into the shared session
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")

@@ -3797,3 +3797,123 @@ def test_stream_pacing_bytes_cover_change_feed(spark, tmp_path):
     # v2 (append feed = inserts from add files) then one merge feed per
     # offer, then parked
     assert offers == [2, 3, 4, 5, 5]
+
+
+def test_stream_byte_pacing_backfills_legacy_entries(spark, tmp_path):
+    """A history written before add-entries recorded `bytes` must
+    still pace correctly under a byte-only cap: sizes are lazily
+    stat-backfilled (os.path.getsize, memoized), not counted as 0 —
+    0-byte counting would admit the entire backlog in one unbounded
+    first batch."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            [(10 * i + j, j, 1) for j in range(6)],
+            "k long, v long, ver long"))
+    # emulate a pre-upgrade log: strip the size fields in place
+    from kafka_flink_harshevents_spark.sources.txlog import _version_path
+
+    sizes = {}
+    for v in range(2, t.latest_version() + 1):
+        p = _version_path(t.table_dir, v)
+        with open(p) as f:
+            rec = json.load(f)
+        total = 0
+        for e in rec.get("add") or []:
+            b = e.pop("bytes", None)
+            assert b, (v, e)
+            total += int(b)
+        sizes[v] = total
+        with open(p, "w") as f:
+            json.dump(rec, f)
+    per_commit = sizes[2]
+    rd = TxLogStreamReader(
+        {"tabledir": t.table_dir,
+         "maxbytespertrigger": str(per_commit)},
+        _table_schema(t.table_dir),
+    )
+    rd.initialOffset()
+    offers = [rd.latestOffset()["version"] for _ in range(6)]
+    # byte cap alone paces the legacy backlog one commit per offer
+    assert offers == [2, 3, 4, 5, 5, 5]
+    # the stat results are memoized per file
+    assert len(rd._size_cache) > 0
+
+
+def test_drop_columns_recomputes_meta_on_concurrent_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Two concurrent drop_columns each retiring a DIFFERENT generated
+    column: the loser's retry must rebuild `meta_update` from the
+    fresh post-race meta, not its pre-race snapshot — a stale
+    snapshot would re-declare the other writer's dropped generated
+    column, and later writes would re-inject a retired column."""
+    import kafka_flink_harshevents_spark.sources.txlog as txmod
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+        generated_cols={"g1": "v + 1", "g2": "v + 2"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+
+    real_commit = txmod._atomic_commit
+    raced = {"done": False}
+
+    def inject(table_dir, version, record):
+        if not raced["done"] and record.get("op") == "drop_columns":
+            raced["done"] = True
+            # a concurrent writer wins the race for this version,
+            # dropping the OTHER generated column first
+            TxTable(spark, t.table_dir).drop_columns(("g1",))
+        return real_commit(table_dir, version, record)
+
+    monkeypatch.setattr(txmod, "_atomic_commit", inject)
+    t.drop_columns(("g2",))
+    monkeypatch.setattr(txmod, "_atomic_commit", real_commit)
+
+    meta = t.meta
+    assert meta.get("generated_cols") == {}, meta
+    assert sorted(meta.get("dropped_cols") or []) == ["g1", "g2"]
+    # writes after the race must not re-inject a retired column
+    t.append(spark.createDataFrame(
+        [(3, 30, 2)], "k long, v long, ver long"))
+    assert set(t.read().columns) == {"k", "v", "ver"}
+
+
+def test_served_sizes_mirrors_change_partition_branch_order(tmp_path):
+    """Pacing must budget the SAME file set `_change_partitions`
+    serves. The sharp edge: in change-feed mode an append/clone with
+    add files is served from the ADD files (inserts) even if the
+    record also carried `cdf_files` — the pacing twin must prefer the
+    same branch, not count the cdf side."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        _served_sizes,
+    )
+
+    rec = {
+        "op": "append",
+        "add": [{"path": "a.parquet", "bytes": 10},
+                {"path": "b.parquet", "bytes": 20}],
+        "cdf_files": ["c1.parquet", "c2.parquet", "c3.parquet"],
+        "cdf_bytes": {"c1.parquet": 7, "c2.parquet": 7, "c3.parquet": 7},
+    }
+    # change-feed mode: add branch wins (2 files / 30 bytes), exactly
+    # as _change_partitions serves it
+    assert _served_sizes(str(tmp_path), rec, True) == (2, 30)
+    assert _served_sizes(str(tmp_path), rec, False) == (2, 30)
+    # a rewrite (no add) serves its materialized feed
+    rw = {"op": "merge", "add": [], "remove": ["x"],
+          "cdf_files": ["c1.parquet"], "cdf_bytes": {"c1.parquet": 7}}
+    assert _served_sizes(str(tmp_path), rw, True) == (1, 7)
+    # layout commits serve nothing in either mode
+    for op in ("create", "compact"):
+        lay = {"op": op, "add": [{"path": "z.parquet", "bytes": 99}]}
+        assert _served_sizes(str(tmp_path), lay, True) == (0, 0)
+        assert _served_sizes(str(tmp_path), lay, False) == (0, 0)
