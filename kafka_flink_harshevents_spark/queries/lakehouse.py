@@ -448,8 +448,57 @@ def q_txlog_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "amount_c", "ver")
 
 
+def q_txlog_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-aware OPTIMIZE gate: fragment the base across 8 small
+    appends per bucket, put a merge-on-read deletion vector on one
+    slice, then ``compact(target_bytes=...)`` — the policy must
+    bin-pack small files toward the target (fewer, bigger files; the
+    smallest live file strictly grows), materialize the vector, and
+    preserve the row multiset exactly. Rows/sum are oracled directly
+    from ``orders``; the layout properties gate as booleans (file
+    sizes are writer-specific — the `emb_knn_pq_recall` convention)."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txb-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    for m in range(8):  # eight small appends → fragmentation
+        t.append(base.filter(F.col("k") % 8 == m))
+    t.delete_where("k % 7 = 0", mode="merge_on_read")
+    _, live_before, _ = t._snapshot()
+    sizes_before = [int(e["bytes"]) for e in live_before]
+    # target scales with the observed fragment size, so the gate is
+    # SF-independent: each bin packs ~3 fragments
+    target = 3 * max(sizes_before) + 1
+    t.compact(target_bytes=target)
+    _, live_after, _ = t._snapshot()
+    _, _, _, dvs = t._replay()
+    sizes_after = [int(e["bytes"]) for e in live_after]
+    final = t.read()
+    agg = final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("amount_c").cast("long").alias("sum_amount_c"),
+    ).first()
+    row = (
+        int(agg["n_rows"]),
+        int(agg["sum_amount_c"]),
+        int(len(live_after) < len(live_before)),
+        int(min(sizes_after) > min(sizes_before)),
+        int(not dvs),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, sum_amount_c long, files_reduced long, "
+        "min_file_grew long, dv_materialized long",
+    )
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
+    "q_txlog_compact_binpack": q_txlog_compact_binpack,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -466,6 +515,16 @@ QUERIES = {
 #   k%5=0 (merge inserts the %3 keys the append skipped, updates the
 #   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
 ORACLES = {
+    "q_txlog_compact_binpack": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_amount_c,
+               CAST(1 AS BIGINT) AS files_reduced,
+               CAST(1 AS BIGINT) AS min_file_grew,
+               CAST(1 AS BIGINT) AS dv_materialized
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
     "q_txlog_cdf_replay": f"""
         SELECT o_orderkey AS k,
                o_orderstatus AS st,

@@ -1306,6 +1306,8 @@ class TxTable:
         df: DataFrame,
         order_cols: tuple | None = None,
         max_rows_per_file: int | None = None,
+        bin_col: str | None = None,
+        bin_to_bucket: dict[int, int] | None = None,
     ) -> list[dict]:
         """Write `df` (already carrying ``_bucket``) as invisible data
         files; return add-entries [{path, bucket}...].
@@ -1314,40 +1316,48 @@ class TxTable:
         (the OPTIMIZE ZORDER path passes its Morton value);
         ``max_rows_per_file`` splits each bucket into several files so
         per-file footer stats cover NARROW value ranges — the lever
-        that turns clustering into data skipping."""
+        that turns clustering into data skipping. ``bin_col`` +
+        ``bin_to_bucket`` override the physical grouping: rows are laid
+        out one file per BIN id instead of per bucket (the size-aware
+        compaction path packs several small same-bucket files into one
+        output), with the add-entry's bucket resolved through the
+        map — each bin must hold rows of exactly one bucket."""
         staged = f"_staged-{uuid.uuid4().hex}"
         out = os.path.join(self.table_dir, staged)
-        # `_pb` is a copy of `_bucket` consumed by partitionBy (which
-        # strips its column from the files); `_bucket` itself stays in
-        # the data so explicit-file-list reads need no partition
-        # discovery.
+        # `_pb` is a copy of `_bucket` (or the bin id) consumed by
+        # partitionBy (which strips its column from the files);
+        # `_bucket` itself stays in the data so explicit-file-list
+        # reads need no partition discovery.
         # `_pb` leads the within-partition sort: FileFormatWriter
         # requires task rows ordered by the partition columns and
         # inserts its own (non-stable) sort when they are not — which
         # would scramble the data ordering this sort establishes
         w = (
-            df.withColumn("_pb", F.col("_bucket"))
+            df.withColumn("_pb", F.col(bin_col or "_bucket"))
             .repartition("_pb")
             .sortWithinPartitions(
                 "_pb", *(order_cols or self.meta["key_cols"])
             )
         )
-        # a synthetic sort column (z-value) must not land in the files:
-        # the projection after the sort is exchange-free, so the
-        # within-partition order survives the drop
+        # synthetic layout columns (z-value, bin id) must not land in
+        # the files: the projection after the sort is exchange-free,
+        # so the within-partition order survives the drop
         for c in order_cols or ():
             if c not in df.columns or c.startswith("_z"):
                 w = w.drop(c)
+        if bin_col:
+            w = w.drop(bin_col)
         writer = w.write.partitionBy("_pb")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
         writer.parquet(out)
         entries = []
         for p in glob.glob(os.path.join(out, "_pb=*", "*.parquet")):
-            bucket = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+            pb = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+            bucket = bin_to_bucket[pb] if bin_to_bucket is not None else pb
             # physical size recorded once at stage time: consumed by
-            # byte-based stream pacing (and any future size-aware
-            # compaction policy) without a stat call per planning pass
+            # byte-based stream pacing and the size-aware compaction
+            # policy without a stat call per planning pass
             entries.append(_add_entry(self.table_dir, p, bucket))
         bloom_cols = tuple(
             c for c in (self.meta.get("bloom_cols") or ()) if c in df.columns
@@ -1839,7 +1849,10 @@ class TxTable:
         raise last_err  # type: ignore[misc]
 
     def compact(
-        self, max_retries: int = 5, small_file_rows: int | None = None
+        self,
+        max_retries: int = 5,
+        small_file_rows: int | None = None,
+        target_bytes: int | None = None,
     ) -> int:
         """OPTIMIZE: rewrite live files into one file per bucket — a
         LAYOUT-ONLY commit (the row multiset is preserved exactly;
@@ -1858,17 +1871,80 @@ class TxTable:
         to clean. Untouched files (and their absence from add/remove)
         carry forward byte-for-byte — including any OTHER bucket's
         deletion vectors, which replay keeps because their files stay
-        live. Cost ∝ fragmented bytes, never table size."""
+        live. Cost ∝ fragmented bytes, never table size.
+
+        ``target_bytes`` is the SIZE-AWARE policy (Delta OPTIMIZE's
+        file-size contract, driven by the physical ``bytes`` every
+        add-entry records at stage time): per bucket, files smaller
+        than the target (plus DV carriers) are first-fit-decreasing
+        bin-packed into bins whose input sizes sum to ≤ target, and
+        each bin rewrites into ONE output file — already-compact
+        files (≥ target) are never rewritten, and a bin that would
+        rewrite a single vector-free file is dropped as no-gain. The
+        whole rewrite is one job: a broadcast file→bin map joined on
+        the scan's file identity, repartitioned by bin — shuffle
+        volume ∝ fragmented bytes only. Mutually exclusive with
+        ``small_file_rows``."""
+        if small_file_rows is not None and target_bytes is not None:
+            raise ValueError(
+                "pass small_file_rows OR target_bytes, not both"
+            )
+
+        def ebytes(e: dict) -> int:
+            b = e.get("bytes")
+            if b:
+                return int(b)
+            try:  # legacy entry (pre-`bytes` log): stat once
+                return os.path.getsize(
+                    os.path.join(self.table_dir, e["path"])
+                )
+            except OSError:
+                return 0
+
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live_map, schema_json, dvs = self._replay()
             live = list(live_map.values())
             if not live:
                 return base_v
-            if small_file_rows is None:
+            bins: list[tuple[int, list[dict]]] | None = None
+            if target_bytes is not None:
+                by_bucket: dict[int, list[dict]] = {}
+                for e in live:
+                    by_bucket.setdefault(e["bucket"], []).append(e)
+                bins = []
+                for bucket, es in sorted(by_bucket.items()):
+                    cand = [
+                        e for e in es
+                        if ebytes(e) < target_bytes or e["path"] in dvs
+                    ]
+                    if not (
+                        len(cand) >= 2
+                        or any(e["path"] in dvs for e in cand)
+                    ):
+                        continue
+                    cand.sort(key=ebytes, reverse=True)
+                    packed: list[list] = []  # [size, [entries]]
+                    for e in cand:
+                        for b in packed:
+                            if b[0] + ebytes(e) <= target_bytes:
+                                b[0] += ebytes(e)
+                                b[1].append(e)
+                                break
+                        else:
+                            packed.append([ebytes(e), [e]])
+                    bins.extend(
+                        (bucket, b[1]) for b in packed
+                        if len(b[1]) > 1
+                        or any(e["path"] in dvs for e in b[1])
+                    )
+                if not bins:
+                    return base_v  # every bucket already compact
+                touched = [e for _, es in bins for e in es]
+            elif small_file_rows is None:
                 touched = live
             else:
-                by_bucket: dict[int, list[dict]] = {}
+                by_bucket = {}
                 for e in live:
                     by_bucket.setdefault(e["bucket"], []).append(e)
                 touched = []
@@ -1889,12 +1965,42 @@ class TxTable:
             # DV-aware read: compaction MATERIALIZES deletion vectors —
             # the rewritten files hold only surviving rows and the
             # replay drops the vectors with the removed files
-            df = self._with_bucket(
-                self._open_files(
-                    [e["path"] for e in touched], schema_json, dvs
-                ).drop("_bucket")
-            )
-            added = self._stage(df)
+            if bins is not None:
+                # one file per BIN: join the scan's per-row file
+                # identity to a broadcast file→bin map, lay out by bin
+                bin_to_bucket: dict[int, int] = {}
+                file_to_bin: list[tuple[str, int]] = []
+                for bid, (bucket, es) in enumerate(bins):
+                    bin_to_bucket[bid] = bucket
+                    for e in es:
+                        file_to_bin.append(
+                            ("/".join(e["path"].split("/")[-3:]), bid)
+                        )
+                src = self._open_files(
+                    [e["path"] for e in touched], schema_json, dvs,
+                    keep_meta=True,
+                )
+                bindf = self.spark.createDataFrame(
+                    file_to_bin, "_file string, _bin int"
+                )
+                df = (
+                    src.join(F.broadcast(bindf), "_file", "inner")
+                    .drop("_file", "_rowpos")
+                )
+                # the log schema excludes `_bucket` (it travels in the
+                # data) — recompute it like the per-bucket path does,
+                # so bin outputs stay explicit-file-list readable
+                df = self._with_bucket(df.drop("_bucket"))
+                added = self._stage(
+                    df, bin_col="_bin", bin_to_bucket=bin_to_bucket
+                )
+            else:
+                df = self._with_bucket(
+                    self._open_files(
+                        [e["path"] for e in touched], schema_json, dvs
+                    ).drop("_bucket")
+                )
+                added = self._stage(df)
             record = {
                 "version": base_v + 1,
                 "op": "compact",
@@ -1902,6 +2008,8 @@ class TxTable:
                 "remove": [e["path"] for e in touched],
                 "schema_json": schema_json,
             }
+            if target_bytes is not None:
+                record["note"] = f"binpack target_bytes={int(target_bytes)}"
             try:
                 _atomic_commit(self.table_dir, base_v + 1, record)
                 return base_v + 1

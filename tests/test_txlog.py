@@ -3845,6 +3845,84 @@ def test_stream_byte_pacing_backfills_legacy_entries(spark, tmp_path):
     assert len(rd._size_cache) > 0
 
 
+def test_compact_target_bytes_binpacks_small_files(spark, tmp_path):
+    """Size-aware OPTIMIZE: files below `target_bytes` bin-pack per
+    bucket into ≤target-input-size bins, one output file per bin;
+    already-compact files are never rewritten; the row multiset is
+    preserved exactly."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for i in range(6):
+        t.append(spark.createDataFrame(
+            [(10 * i + j, j, 1) for j in range(8)],
+            "k long, v long, ver long"))
+    _, live_before, _ = t._snapshot()
+    sizes = [e["bytes"] for e in live_before]
+    assert all(b > 0 for b in sizes)
+    before_rows = _rows(t)
+    files_before = len(live_before)
+    # target = 3 small files' worth per bin → 2 bins per bucket
+    target = max(sizes) * 3 + 1
+    v = t.compact(target_bytes=target)
+    _, live_after, _ = t._snapshot()
+    assert len(live_after) < files_before
+    # bins were capped by input size: ≥2 output files per bucket
+    per_bucket: dict[int, int] = {}
+    for e in live_after:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert all(n == 2 for n in per_bucket.values()), per_bucket
+    assert _rows(t) == before_rows
+    # every surviving file still maps rows to its recorded bucket
+    rec = _read_record(t.table_dir, v)
+    assert rec["op"] == "compact" and "binpack" in rec.get("note", "")
+    for e in rec["add"]:
+        df = spark.read.parquet(os.path.join(t.table_dir, e["path"]))
+        assert df.select("_bucket").distinct().collect()[0][0] == e["bucket"]
+    # merged outputs are SMALLER than their input sums, so further
+    # passes may keep merging — but the policy must CONVERGE (to one
+    # ≥2-input merge per bucket at most) and then no-op forever
+    for _ in range(3):
+        nv = t.compact(target_bytes=target)
+        if nv == v:
+            break
+        v = nv
+    assert t.compact(target_bytes=target) == v
+    assert _rows(t) == before_rows
+
+
+def test_compact_target_bytes_skips_compact_files_and_cleans_dvs(
+    spark, tmp_path
+):
+    """A file at/above the target never rewrites (read amplification
+    already fine); a small file carrying a deletion vector rewrites
+    even alone (the rewrite materializes the vector)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=1,
+    )
+    # one big file (many rows), then one small append
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(4000)], "k long, v long, ver long"))
+    _, live, _ = t._snapshot()
+    big = live[0]
+    t.append(spark.createDataFrame(
+        [(9001, 1, 1)], "k long, v long, ver long"))
+    # target below the big file's size: only candidates are smalls,
+    # and ONE lone small file without a DV is a no-gain bin → no-op
+    v0 = t.latest_version()
+    assert t.compact(target_bytes=big["bytes"]) == v0
+    # delete one row from the big file → DV; now the big file is a
+    # candidate despite its size and rewrites, materializing the DV
+    t.delete_where("k = 5")
+    before = _rows(t)
+    v = t.compact(target_bytes=big["bytes"])
+    assert v > v0
+    assert _rows(t) == before
+    _, _, _, dvs = t._replay()
+    assert not dvs  # vector materialized away
+    with pytest.raises(ValueError):
+        t.compact(small_file_rows=10, target_bytes=100)
+
+
 def test_drop_columns_recomputes_meta_on_concurrent_retry(
     spark, tmp_path, monkeypatch
 ):
