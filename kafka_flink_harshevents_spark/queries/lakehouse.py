@@ -496,9 +496,99 @@ def q_txlog_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN (column mapping) on the hash: append
+    the base, rename a data column (metadata-only — old files keep the
+    physical name), append MORE rows under the NEW logical name, then
+    MERGE through the renamed schema. The final read must union
+    pre-rename files (resolved through the mapping) with post-rename
+    files and the merge's rewrite — the oracle states the whole state
+    from ``orders`` under the new name, so mapping resolution on every
+    read/write path is on the hash."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txn-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base)
+    t.rename_column("amount_c", "amount_cents")
+    t.append(
+        base.filter(F.col("k") % 13 == 0).select(
+            (F.col("k") + 1_000_000).alias("k"),
+            "st",
+            F.col("amount_c").alias("amount_cents"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    t.merge_upsert(
+        base.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_cents"),
+            F.lit(3).cast("long").alias("ver"),
+        )
+    )
+    return t.read().select("k", "st", "amount_cents", "ver")
+
+
+def q_txlog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING on the hash: append the base with an INT amount
+    column, then append rows whose amounts need LONG (merge_schema
+    widens the recorded schema; the int files stay narrow on disk and
+    upcast at scan), then MERGE updates through the widened schema.
+    The final state — int-era rows, long-era rows, and merged rewrites
+    all read back as BIGINT — is stated by the oracle from ``orders``,
+    so the widening union, the mixed-width scan upcast, and the merge
+    rewrite are all driver-checked."""
+    base_int = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= _KEY_CAP)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("int")
+            .alias("amount_c"),
+            F.lit(1).cast("long").alias("ver"),
+        )
+    )
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txt-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base_int)
+    t.append(
+        base_int.filter(F.col("k") % 13 == 0).select(
+            (F.col("k") + 1_000_000).alias("k"),
+            "st",
+            (F.col("amount_c").cast("long") + 100_000_000_000)
+            .alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        ),
+        merge_schema=True,
+    )
+    t.merge_upsert(
+        base_int.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c").cast("long") + 100).alias("amount_c"),
+            F.lit(3).cast("long").alias("ver"),
+        )
+    )
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
+    "q_txlog_rename_column": q_txlog_rename_column,
+    "q_txlog_type_widening": q_txlog_type_widening,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -524,6 +614,43 @@ ORACLES = {
                CAST(1 AS BIGINT) AS dv_materialized
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    "q_txlog_type_widening": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+                 AS amount_c,
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN 3 ELSE 1 END
+                    AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+        UNION ALL
+        SELECT o_orderkey + 1000000 AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + 100000000000 AS amount_c,
+               CAST(2 AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 13 = 0
+    """,
+    "q_txlog_rename_column": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+                 AS amount_cents,
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN 3 ELSE 1 END
+                    AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+        UNION ALL
+        SELECT o_orderkey + 1000000 AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_cents,
+               CAST(2 AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 13 = 0
     """,
     "q_txlog_cdf_replay": f"""
         SELECT o_orderkey AS k,

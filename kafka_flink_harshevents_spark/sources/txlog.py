@@ -70,7 +70,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_txlog"
 _PAD = 20
@@ -342,6 +342,26 @@ def _add_entry(table_dir: str, path: str, bucket: int) -> dict:
         "stats": _file_stats(path),
         "bytes": os.path.getsize(path),
     }
+
+
+# Safe type WIDENINGS (narrow, wide): every reader upcasts losslessly
+# at scan time — Spark's parquet readers (SPARK-40876, 4.0+) and the
+# DataSource's Arrow cast both support them — so the log can record the
+# wide type while old files keep the narrow physical encoding (Delta's
+# typeWidening feature set, minus the decimal/date rows we don't carry).
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+}
+
+
+def _widens_to(narrow, wide) -> bool:
+    """True when a column physically encoded as `narrow` reads
+    losslessly under a declared `wide` schema."""
+    return (narrow.typeName(), wide.typeName()) in _WIDENINGS
 
 
 def _expr_mentions(expr: str, col: str) -> bool:
@@ -748,14 +768,19 @@ class TxTable:
                 os.path.abspath(os.path.join(self.table_dir, p)): sorted(v)
                 for p, v in dvs.items()
             }
+        inherit_meta = {}
         if m.get("dropped_cols"):
             # retired names must stay retired IN THE CLONE: its
             # referenced files still physically carry the dropped
             # column, so re-adding the name there would resurrect the
             # same stale values the source guards against
-            record["meta_update"] = {
-                "dropped_cols": list(m["dropped_cols"])
-            }
+            inherit_meta["dropped_cols"] = list(m["dropped_cols"])
+        if m.get("column_mapping"):
+            # the clone references the source's PHYSICAL files — it
+            # must resolve renamed columns through the same mapping
+            inherit_meta["column_mapping"] = dict(m["column_mapping"])
+        if inherit_meta:
+            record["meta_update"] = inherit_meta
         _atomic_commit(dest_dir, 2, record)
         return dest
 
@@ -937,6 +962,95 @@ class TxTable:
             except ConcurrentWriteError:
                 continue  # metadata-only: recompute and retry
 
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN via COLUMN MAPPING — METADATA-ONLY
+        (Delta's columnMapping name-mode contract): one commit records
+        the schema under the new LOGICAL name plus a mapping
+        ``logical → physical``, where the physical name is fixed
+        forever at column creation. Old files stay readable with zero
+        rewrites — every reader resolves the logical column through
+        the mapping to the physical parquet column; files written
+        AFTER the rename keep writing the physical name, so old and
+        new files are byte-compatible and the mapping never forks.
+
+        Refused: key/order/bloom columns (their names thread through
+        bucketing/index metadata), GENERATED columns and columns any
+        CHECK constraint or generation expression mentions (the stored
+        expressions reference the old name — drop the rule first, the
+        same position as drop_columns), a ``new`` that collides with a
+        live logical name, a retired (dropped) name, or any PHYSICAL
+        name — re-using a physical name would make new files carry two
+        columns with one parquet name."""
+        if old == new:
+            raise ValueError("rename_column: old and new are the same")
+        while True:
+            # fresh meta per attempt — same concurrent-retry discipline
+            # as drop_columns
+            meta = self.meta
+            protected = set(meta["key_cols"]) | {meta["order_col"]}
+            protected |= set(meta.get("bloom_cols") or ())
+            if old in protected:
+                raise ValueError(
+                    f"cannot rename key/order/bloom column {old!r}"
+                )
+            gen = dict(meta.get("generated_cols") or {})
+            if old in gen:
+                raise ValueError(
+                    f"cannot rename GENERATED column {old!r} — its "
+                    "generation rule is keyed by name; drop and "
+                    "re-declare it"
+                )
+            for name, expr in {**self.constraints(), **gen}.items():
+                if _expr_mentions(expr, old):
+                    raise ValueError(
+                        f"column {old!r} is referenced by {name} "
+                        f"({expr}) — drop the rule first"
+                    )
+            mapping = dict(meta.get("column_mapping") or {})
+            v, _, snap_schema = self._snapshot()
+            if snap_schema is None:
+                raise ValueError("no recorded schema to rename in")
+            sch = StructType.fromJson(json.loads(snap_schema))
+            names = {f.name for f in sch.fields}
+            if old not in names:
+                raise ValueError(f"column {old!r} not in table schema")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if new in set(meta.get("dropped_cols") or ()):
+                raise ValueError(
+                    f"column name {new!r} was dropped and is retired"
+                )
+            physicals = {mapping.get(f.name, f.name) for f in sch.fields}
+            if new in physicals - {mapping.get(old, old)}:
+                raise ValueError(
+                    f"column name {new!r} is the PHYSICAL name of "
+                    "another column — old files carry it"
+                )
+            mapping = {k: p for k, p in mapping.items() if k != old}
+            mapping[new] = meta.get("column_mapping", {}).get(old, old)
+            renamed = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable, f.metadata)
+                    if f.name == old
+                    else f
+                    for f in sch.fields
+                ]
+            )
+            record = {
+                "version": v + 1,
+                "op": "rename_column",
+                "add": [],
+                "remove": [],
+                "schema_json": renamed.json(),
+                "meta_update": {"column_mapping": mapping},
+                "note": f"rename column {old} -> {new}",
+            }
+            try:
+                _atomic_commit(self.table_dir, v + 1, record)
+                return v + 1
+            except ConcurrentWriteError:
+                continue  # metadata-only: recompute and retry
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose
         commit timestamp (clamped to the running maximum, so skewed
@@ -997,10 +1111,16 @@ class TxTable:
             version = self.version_at_timestamp(timestamp)
         _, live_map, schema_json, dvs = self._replay(version)
         live = list(live_map.values())
+        mapping = self.meta_at(version).get("column_mapping") or {}
+        # file stats/blooms are keyed by PHYSICAL column name — the
+        # skip tests translate; the row-level re-application below
+        # stays on the logical frame
         if prune:
-            live = [e for e in live if _file_may_match(e, prune)]
+            pprune = {mapping.get(c, c): b for c, b in prune.items()}
+            live = [e for e in live if _file_may_match(e, pprune)]
         if eq:
-            live = [e for e in live if _file_may_match_eq(e, eq)]
+            peq = {mapping.get(c, c): v for c, v in eq.items()}
+            live = [e for e in live if _file_may_match_eq(e, peq)]
         if not live:
             if schema_json is None:
                 raise ValueError("empty table with no recorded schema")
@@ -1009,7 +1129,8 @@ class TxTable:
             )
         else:
             df = self._open_files(
-                [e["path"] for e in live], schema_json, dvs
+                [e["path"] for e in live], schema_json, dvs,
+                mapping=mapping,
             ).drop("_bucket")
         if prune:
             df = self._apply_prune(df, prune)
@@ -1024,6 +1145,7 @@ class TxTable:
         schema_json: str | None,
         dvs: dict[str, set] | None,
         keep_meta: bool = False,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """The ONE reader every data path goes through: the given
         table-relative files under the LOG's schema, with deletion
@@ -1041,12 +1163,36 @@ class TxTable:
         broadcasts (bounded by the merge-on-read size guard + compact
         cadence). Centralizing this is what makes merge-on-read safe:
         a rewrite path that read a raw file would RESURRECT deleted
-        rows."""
+        rows.
+
+        ``mapping`` is the COLUMN-MAPPING resolution (rename_column):
+        logical → physical names, defaulting to the table's current
+        mapping and restricted to the logical names the given schema
+        actually declares — files are read under PHYSICAL names and
+        renamed back, so a rename never touches data files. A
+        time-travel schema from before the rename carries the old
+        logical (= physical) name and resolves untouched."""
+        if mapping is None:
+            mapping = self.meta.get("column_mapping") or {}
         reader = self.spark.read.option("recursiveFileLookup", "true")
+        rename_back: dict[str, str] = {}
         if schema_json is not None:
-            reader = reader.schema(
-                StructType.fromJson(json.loads(schema_json))
+            logical = StructType.fromJson(json.loads(schema_json))
+            rename_back = {
+                mapping[f.name]: f.name
+                for f in logical.fields
+                if mapping.get(f.name, f.name) != f.name
+            }
+            physical = StructType(
+                [
+                    StructField(
+                        mapping.get(f.name, f.name),
+                        f.dataType, f.nullable, f.metadata,
+                    )
+                    for f in logical.fields
+                ]
             )
+            reader = reader.schema(physical)
         df = reader.parquet(
             *[os.path.join(self.table_dir, p) for p in rel_paths]
         )
@@ -1060,8 +1206,13 @@ class TxTable:
             for p in rel_paths
             for i in (dvs or {}).get(p, ())
         ]
+        def to_logical(d: DataFrame) -> DataFrame:
+            for ph, lg in rename_back.items():
+                d = d.withColumnRenamed(ph, lg)
+            return d
+
         if not dv_items and not keep_meta:
-            return df
+            return to_logical(df)
         # ``keep_meta``: expose each row's table-relative file and
         # physical position (``_file``, ``_rowpos``) — the DELETE/UPDATE
         # find-scans need them, and they must come off the scan relation
@@ -1077,6 +1228,7 @@ class TxTable:
                 dv_items, "_file string, _rowpos long"
             )
             df = df.join(F.broadcast(dvdf), ["_file", "_rowpos"], "left_anti")
+        df = to_logical(df)
         return df if keep_meta else df.drop("_file", "_rowpos")
 
     @staticmethod
@@ -1102,6 +1254,10 @@ class TxTable:
         rows the log says were skipped (None when a skipped file
         predates stats collection). ``eq`` adds the bloom/point-lookup
         test exactly as ``read(eq=...)`` applies it."""
+
+        mapping = self.meta_at(version).get("column_mapping") or {}
+        prune = {mapping.get(c, c): b for c, b in prune.items()}
+        eq = {mapping.get(c, c): v for c, v in (eq or {}).items()} or None
 
         def keep(e: dict) -> bool:
             if not _file_may_match(e, prune):
@@ -1154,6 +1310,8 @@ class TxTable:
         """
         _, live_map, _, dvs = self._replay(version)
         live = list(live_map.values())
+        # stats are keyed by PHYSICAL name — resolve renamed logicals
+        mapping = self.meta_at(version).get("column_mapping") or {}
         # deletion vectors are exact row subtractions; a DV'd file's
         # column stats are NOT trustworthy (a deleted row may have been
         # the min/max or a null), so those columns refuse below
@@ -1175,7 +1333,7 @@ class TxTable:
             range_exact = True
             for e in live:
                 st = e.get("stats") or {}
-                s = (st.get("cols") or {}).get(col)
+                s = (st.get("cols") or {}).get(mapping.get(col, col))
                 if dvs.get(e["path"]):
                     s = None  # vector invalidates this file's col stats
                 if s is None:
@@ -1322,6 +1480,7 @@ class TxTable:
         compaction path packs several small same-bucket files into one
         output), with the add-entry's bucket resolved through the
         map — each bin must hold rows of exactly one bucket."""
+        meta = self.meta
         staged = f"_staged-{uuid.uuid4().hex}"
         out = os.path.join(self.table_dir, staged)
         # `_pb` is a copy of `_bucket` (or the bin id) consumed by
@@ -1336,7 +1495,7 @@ class TxTable:
             df.withColumn("_pb", F.col(bin_col or "_bucket"))
             .repartition("_pb")
             .sortWithinPartitions(
-                "_pb", *(order_cols or self.meta["key_cols"])
+                "_pb", *(order_cols or meta["key_cols"])
             )
         )
         # synthetic layout columns (z-value, bin id) must not land in
@@ -1347,6 +1506,18 @@ class TxTable:
                 w = w.drop(c)
         if bin_col:
             w = w.drop(bin_col)
+        # column mapping: files always carry PHYSICAL names (the
+        # rename_column contract) — an exchange-free projection after
+        # the sort
+        for lg, ph in (meta.get("column_mapping") or {}).items():
+            if ph != lg and lg in w.columns:
+                if ph in w.columns:
+                    raise ValueError(
+                        f"column {ph!r} is the PHYSICAL name of "
+                        f"renamed column {lg!r} — a frame cannot "
+                        "carry both names"
+                    )
+                w = w.withColumnRenamed(lg, ph)
         writer = w.write.partitionBy("_pb")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
@@ -1360,7 +1531,7 @@ class TxTable:
             # policy without a stat call per planning pass
             entries.append(_add_entry(self.table_dir, p, bucket))
         bloom_cols = tuple(
-            c for c in (self.meta.get("bloom_cols") or ()) if c in df.columns
+            c for c in (meta.get("bloom_cols") or ()) if c in df.columns
         )
         if bloom_cols and entries:
             blooms = self._stage_blooms(out, bloom_cols)
@@ -1476,15 +1647,23 @@ class TxTable:
     ) -> str:
         """The schema a commit must RECORD: the table's current schema
         widened by the incoming frame's new columns (add-column
-        evolution). Fails fast on a name-set mismatch unless
-        ``merge_schema`` opts in, and always on a same-name type change
-        — type evolution would silently corrupt old files at read time,
-        so it is refused outright (the Delta position). Accepts a
+        evolution) and, under ``merge_schema``, by safe TYPE WIDENINGS
+        (int ladder → long, float → double — Delta's typeWidening):
+        the log records the wide type and old files keep their narrow
+        physical encoding, upcast losslessly at scan time by Spark's
+        parquet readers and the DataSource's Arrow cast. An incoming
+        frame NARROWER than the table needs no schema change at all
+        (its files read under the wide log schema). Key/order columns
+        never widen — the bucket hash is width-dispatched, so a widened
+        key would silently re-bucket. Any other same-name type change
+        is refused outright (narrowing or incompatible types would
+        corrupt old files at read time — the Delta position). Accepts a
         DataFrame or a bare StructType (the DataSource writer has only
         the latter)."""
         schema = df if isinstance(df, StructType) else df.schema
         user_fields = [f for f in schema.fields if f.name != "_bucket"]
-        retired = set(self.meta.get("dropped_cols") or ())
+        meta = self.meta
+        retired = set(meta.get("dropped_cols") or ())
         resurrect = [f.name for f in user_fields if f.name in retired]
         if resurrect:
             raise ValueError(
@@ -1493,28 +1672,72 @@ class TxTable:
                 "old files that still physically carry it; use a new "
                 "column name"
             )
+        mapping = meta.get("column_mapping") or {}
+        phys_taken = {p for lg, p in mapping.items() if p != lg}
+        shadow = [
+            f.name for f in user_fields
+            if f.name in phys_taken and f.name not in mapping
+        ]
+        if shadow:
+            raise ValueError(
+                f"{op}: column(s) {sorted(shadow)} are the PHYSICAL "
+                "name of a renamed column — old files carry the name; "
+                "use a different column name"
+            )
         if snap_schema is None:
             return StructType(user_fields).json()
         old = StructType.fromJson(json.loads(snap_schema))
         old_by_name = {f.name: f for f in old.fields}
+        new_by_name = {f.name: f for f in user_fields}
+        frozen = set(meta["key_cols"]) | {meta["order_col"]}
+        widen_to: dict[str, StructField] = {}
         for f in user_fields:
             prev = old_by_name.get(f.name)
-            if prev is not None and prev.dataType != f.dataType:
-                raise ValueError(
-                    f"{op}: column {f.name!r} type change "
-                    f"{prev.dataType.simpleString()} → "
-                    f"{f.dataType.simpleString()} is not supported"
-                )
-        new_names = {f.name for f in user_fields}
-        if set(old_by_name) != new_names and not merge_schema:
+            if prev is None or prev.dataType == f.dataType:
+                continue
+            if _widens_to(f.dataType, prev.dataType):
+                continue  # incoming is narrower: reads upcast, the
+                # recorded (wide) schema already covers it
+            if _widens_to(prev.dataType, f.dataType):
+                if f.name in frozen:
+                    raise ValueError(
+                        f"{op}: cannot widen key/order column "
+                        f"{f.name!r} — the bucket hash is "
+                        "width-dispatched; widened keys would "
+                        "silently re-bucket"
+                    )
+                if not merge_schema:
+                    raise ValueError(
+                        f"{op}: column {f.name!r} widening "
+                        f"{prev.dataType.simpleString()} → "
+                        f"{f.dataType.simpleString()} requires "
+                        "merge_schema=True"
+                    )
+                widen_to[f.name] = f
+                continue
+            raise ValueError(
+                f"{op}: column {f.name!r} type change "
+                f"{prev.dataType.simpleString()} → "
+                f"{f.dataType.simpleString()} is not supported"
+            )
+        if set(old_by_name) != set(new_by_name) and not merge_schema:
             raise ValueError(
                 f"{op}: schema mismatch — table has "
-                f"{sorted(old_by_name)}, incoming has {sorted(new_names)}; "
+                f"{sorted(old_by_name)}, incoming has "
+                f"{sorted(new_by_name)}; "
                 "pass merge_schema=True to add columns"
             )
-        widened = list(old.fields) + [
-            f for f in user_fields if f.name not in old_by_name
-        ]
+        widened = [
+            StructField(
+                f0.name,
+                widen_to[f0.name].dataType,
+                f0.nullable or widen_to[f0.name].nullable,
+                f0.metadata,
+            )
+            if f0.name in widen_to
+            else f0
+            for f0 in old.fields
+        ] + [f for f in user_fields if f.name not in old_by_name]
         return StructType(widened).json()
 
     def merge_upsert(

@@ -130,6 +130,9 @@ def _partition_batches(partition: "_FilePartition", schema: StructType):
         table = table.filter(pa.array(mask))
     n = table.num_rows
     names = set(table.column_names)
+    # column mapping (rename_column): files carry PHYSICAL names —
+    # resolve each declared logical column through the mapping
+    mapping = dict(getattr(partition, "mapping", ()) or ())
     arrays = []
     for field in target:  # target order == declared schema order
         if field.name == VERSION_COL:
@@ -143,8 +146,8 @@ def _partition_batches(partition: "_FilePartition", schema: StructType):
                 arrays.append(
                     pa.nulls(n, pa.string()).fill_null(partition.ctype)
                 )
-        elif field.name in names:
-            arrays.append(table.column(field.name))
+        elif mapping.get(field.name, field.name) in names:
+            arrays.append(table.column(mapping.get(field.name, field.name)))
         else:  # pre-evolution file: NULL-fill the added column
             arrays.append(pa.nulls(n, field.type))
     out = pa.table(arrays, names=[f.name for f in target]).cast(target)
@@ -175,6 +178,19 @@ def _table_schema(table_dir: str, cdf: bool = False) -> StructType:
     return StructType(fields + [StructField(VERSION_COL, LongType(), False)])
 
 
+def _column_mapping(
+    table_dir: str, version: int | None = None
+) -> tuple[tuple[str, str], ...]:
+    """(logical, physical) rename pairs from the table meta at
+    ``version`` (latest when None) — spark-free (the meta replay is
+    pure log reading), shipped into file partitions as a hashable
+    tuple."""
+    from kafka_flink_harshevents_spark.sources.txlog import TxTable
+
+    m = TxTable(None, table_dir).meta_at(version).get("column_mapping")
+    return tuple(sorted((m or {}).items()))
+
+
 def _newest_version_before(table_dir: str, ts: float) -> int:
     """Newest version whose skew-clamped commit timestamp is strictly
     before ``ts`` (0 when the table's history starts at or after it) —
@@ -200,6 +216,7 @@ class _FilePartition(InputPartition):
         columns: tuple[str, ...],
         ctype: str | None = None,
         dv: tuple[int, ...] = (),
+        mapping: tuple[tuple[str, str], ...] = (),
     ):
         self.path = path
         self.version = version
@@ -211,6 +228,9 @@ class _FilePartition(InputPartition):
         # applied by the BATCH reader only (the stream refuses/skips DV
         # commits, so its partitions always carry an empty tuple)
         self.dv = dv
+        # column-mapping pairs (logical, physical) for renamed columns
+        # — tuple-of-pairs so the partition stays picklable/hashable
+        self.mapping = mapping
 
 
 def _change_partitions(
@@ -219,6 +239,7 @@ def _change_partitions(
     columns: tuple[str, ...],
     ignore_changes: bool,
     read_change_feed: bool,
+    mapping: tuple[tuple[str, str], ...] = (),
 ) -> list[_FilePartition]:
     """Commit versions → file partitions, one per data/change file —
     the single derivation both the STREAM reader (offset range,
@@ -243,12 +264,14 @@ def _change_partitions(
                         os.path.join(table_dir, entry["path"]),
                         v, columns, ctype="insert",
                         dv=tuple(sorted(dvf.get(entry["path"], ()))),
+                        mapping=mapping,
                     ))
             elif rec.get("cdf_files"):
                 for p in rec["cdf_files"]:
                     parts.append(_FilePartition(
                         os.path.join(table_dir, p),
                         v, columns, ctype=_CTYPE_FROM_FILE,
+                        mapping=mapping,
                     ))
             elif op in ("create", "compact") or not (
                 rec.get("add") or rec.get("remove") or rec.get("dv")
@@ -301,6 +324,7 @@ def _change_partitions(
                     dv=tuple(sorted(
                         (rec.get("dv_full") or {}).get(entry["path"], ())
                     )),
+                    mapping=mapping,
                 )
             )
     return parts
@@ -461,6 +485,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         self._floor: int | None = None
         self._known_latest: int | None = None  # incremental-tail cache
         self._size_cache: dict[str, int] = {}  # legacy-entry stat memo
+        # column mapping frozen at stream start, matching the frozen
+        # schema: renamed logicals resolve to the physical parquet
+        # names (which never change), pre-rename logicals ARE physical
+        self._mapping = _column_mapping(self.table_dir)
 
     def _raise_floor(self, v: int) -> None:
         if self._floor is None or v > self._floor:
@@ -547,6 +575,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             self.columns,
             self.ignore_changes,
             self.read_change_feed,
+            mapping=self._mapping,
         )
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -645,6 +674,9 @@ class TxLogBatchReader(DataSourceReader):
         # and [(col, (v, ...))] equality candidate sets
         self._ranges: list[tuple[str, object, object]] = []
         self._eq_sets: list[tuple[str, tuple]] = []
+        # column mapping at the read version: file stats/blooms and
+        # parquet columns are keyed by PHYSICAL name
+        self._cmap = _column_mapping(self.table_dir, self.version)
 
     def pushFilters(self, filters):  # noqa: N802 - pyspark API name
         if _HAS_PUSHDOWN and not self.read_change_feed:
@@ -666,12 +698,14 @@ class TxLogBatchReader(DataSourceReader):
         return filters
 
     def _keep(self, entry: dict) -> bool:
+        cmap = dict(self._cmap)
         for col, lo, hi in self._ranges:
-            if not _file_may_match(entry, {col: (lo, hi)}):
+            if not _file_may_match(entry, {cmap.get(col, col): (lo, hi)}):
                 return False
         for col, values in self._eq_sets:
             if not any(
-                _file_may_match_eq(entry, {col: v}) for v in values
+                _file_may_match_eq(entry, {cmap.get(col, col): v})
+                for v in values
             ):
                 return False
         return True
@@ -695,6 +729,7 @@ class TxLogBatchReader(DataSourceReader):
                 self.columns,
                 ignore_changes=False,
                 read_change_feed=True,
+                mapping=self._cmap,
             )
         versions = _list_versions(self.table_dir)
         if not versions:
@@ -723,6 +758,7 @@ class TxLogBatchReader(DataSourceReader):
                 # checkpointed replay doesn't retain add-versions)
                 self.columns,
                 dv=tuple(sorted(dvs.get(e["path"], ()))),
+                mapping=self._cmap,
             )
             for e in kept
         ]
@@ -819,6 +855,15 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         self.key_cols = tuple(meta["key_cols"])
         self.n_buckets = int(meta["n_buckets"])
         self.bloom_cols = tuple(meta.get("bloom_cols") or ())
+        # column mapping: tasks rename logical → physical just before
+        # writing (files always carry physical names); key/bloom
+        # columns are refused from renaming, so bucketing and bloom
+        # building stay on identical names
+        self.column_mapping = {
+            lg: ph
+            for lg, ph in (meta.get("column_mapping") or {}).items()
+            if lg != ph
+        }
         # CHECK constraints, captured at plan time and enforced IN THE
         # TASKS (DuckDB over each task's Arrow data — the commit hook
         # runs in a Python worker with no SparkSession, so the
@@ -881,6 +926,13 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             d = os.path.join(self.table_dir, self.staged, f"_pb={b}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            if self.column_mapping:
+                sub = sub.rename_columns(
+                    [
+                        self.column_mapping.get(c, c)
+                        for c in sub.column_names
+                    ]
+                )
             pq.write_table(sub, path)
             entry = _add_entry(self.table_dir, path, b)
             blooms = {}

@@ -3965,6 +3965,257 @@ def test_drop_columns_recomputes_meta_on_concurrent_retry(
     assert set(t.read().columns) == {"k", "v", "ver"}
 
 
+def test_rename_column_metadata_only_mixed_files(spark, tmp_path):
+    """RENAME via column mapping: metadata-only (no file rewrites);
+    files written BEFORE the rename (physical name = old) and AFTER
+    (still the physical name) read back under the new logical name in
+    one union; time travel before the rename still shows the old
+    name."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    v1 = t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(6)], "k long, v long, ver long"))
+    files_before = {e["path"] for e in t._snapshot()[1]}
+    rv = t.rename_column("v", "val")
+    # metadata-only: same live files
+    assert {e["path"] for e in t._snapshot()[1]} == files_before
+    # append under the NEW logical name
+    t.append(spark.createDataFrame(
+        [(100 + i, i * 10 + 5, 2) for i in range(3)],
+        "k long, val long, ver long"))
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got[3] == 30 and got[101] == 15 and len(got) == 9
+    assert set(t.read().columns) == {"k", "val", "ver"}
+    # new files physically carry the OLD (physical) name
+    rec = _read_record(t.table_dir, t.latest_version())
+    pdf = spark.read.parquet(
+        os.path.join(t.table_dir, rec["add"][0]["path"])
+    )
+    assert "v" in pdf.columns and "val" not in pdf.columns
+    # time travel to before the rename shows the old logical name
+    assert set(t.read(version=v1).columns) == {"k", "v", "ver"}
+    assert {r["k"]: r["v"] for r in t.read(version=v1).collect()}[3] == 30
+    # writes through the old name now fail (schema mismatch)
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame(
+            [(999, 1, 3)], "k long, v long, ver long"))
+    assert rv > v1
+
+
+def test_rename_column_guards(spark, tmp_path):
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, bloom_cols=("st",),
+        generated_cols={"g": "v + 1"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 2, "a", 1)], "k long, v long, st string, ver long"))
+    t.add_constraint("pos_ver", "ver > 0")
+    with pytest.raises(ValueError):
+        t.rename_column("k", "kk")        # key
+    with pytest.raises(ValueError):
+        t.rename_column("ver", "version")  # order + constraint
+    with pytest.raises(ValueError):
+        t.rename_column("st", "status")   # bloom
+    with pytest.raises(ValueError):
+        t.rename_column("g", "gg")        # generated
+    with pytest.raises(ValueError):
+        t.rename_column("v", "g")  # collision with a live logical name
+    with pytest.raises(ValueError):
+        t.rename_column("missing", "x")
+    # legitimate rename works, then re-using the PHYSICAL name refuses
+    t2 = _mk(spark, tmp_path, n_buckets=2)
+    t2.append(spark.createDataFrame(
+        [(1, 2, 1)], "k long, v long, ver long"))
+    t2.rename_column("v", "val")
+    with pytest.raises(ValueError):
+        # mergeschema adding a column named like the retired physical
+        t2.append(
+            spark.createDataFrame(
+                [(2, 3, 4, 1)], "k long, val long, v long, ver long"
+            ),
+            merge_schema=True,
+        )
+    # renaming BACK to the physical name is allowed (it's this
+    # column's own physical name — files agree)
+    t2.rename_column("val", "v")
+    assert {r["k"]: r["v"] for r in t2.read().collect()} == {1: 2}
+
+
+def test_rename_column_merge_prune_and_clone(spark, tmp_path):
+    """After a rename: merges resolve correctly, stats-based pruning
+    still skips files (stats are keyed by physical name), and a clone
+    inherits the mapping."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(10)], "k long, v long, ver long"))
+    t.rename_column("v", "val")
+    t.merge_upsert(spark.createDataFrame(
+        [(3, 999, 2)], "k long, val long, ver long"))
+    got = _rows_named(t)
+    assert got[3] == (999, 2) and got[4] == (40, 1)
+    # pruning on the renamed column still skips (stats physical)
+    t.append(spark.createDataFrame(
+        [(1000 + i, 100000 + i, 3) for i in range(5)],
+        "k long, val long, ver long"))
+    rep = t.prune_report({"val": (100000, None)})
+    assert rep["files_skipped"] > 0
+    pruned = {r["k"] for r in t.read(prune={"val": (100000, None)}).collect()}
+    assert pruned == {1000 + i for i in range(5)}
+    # metadata aggregate resolves the renamed column's stats
+    agg = t.metadata_aggregate(("val",))
+    assert agg["cols"]["val"]["max"] == 100004
+    # clone inherits the mapping and reads the source's physical files
+    clone = t.clone_to(str(tmp_path / "clone"))
+    cgot = _rows_named(clone)
+    assert cgot[3] == (999, 2) and len(cgot) == 15
+
+
+def _rows_named(t):
+    return {
+        r["k"]: (r["val"], r["ver"]) for r in t.read().collect()
+    }
+
+
+def test_rename_column_datasource_roundtrip(spark, tmp_path):
+    """The format("txlog") surfaces honor column mapping: batch read
+    resolves renamed logicals from physical files, the writer writes
+    physical names, and the stream serves renamed columns."""
+    _register_txlog(spark)
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(6)], "k long, v long, ver long"))
+    t.rename_column("v", "val")
+    # DataSource writer under the new logical name
+    (
+        spark.createDataFrame([(100, 555, 2)], "k long, val long, ver long")
+        .write.format("txlog")
+        .option("tabledir", t.table_dir)
+        .mode("append")
+        .save()
+    )
+    rec = _read_record(t.table_dir, t.latest_version())
+    pdf = spark.read.parquet(
+        os.path.join(t.table_dir, rec["add"][0]["path"])
+    )
+    assert "v" in pdf.columns  # physical name on disk
+    # batch read through the DataSource
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    got = {
+        r["k"]: r["val"]
+        for r in spark.read.format("txlog")
+        .option("tabledir", t.table_dir).load().collect()
+    }
+    assert got[3] == 30 and got[100] == 555 and len(got) == 7
+    # pushed filter on the renamed column still skips files and stays
+    # exact
+    sub = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir).load()
+        .filter("val = 555")
+        .collect()
+    )
+    assert [r["k"] for r in sub] == [100]
+    # stream serves the renamed column
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _partition_batches,
+        _table_schema,
+    )
+
+    schema = _table_schema(t.table_dir)
+    rd = TxLogStreamReader({"tabledir": t.table_dir}, schema)
+    parts = rd.partitions({"version": 1}, {"version": t.latest_version()})
+    rows = []
+    for p in parts:
+        for b in _partition_batches(p, schema):
+            rows.extend(b.to_pylist())
+    got_s = {r["k"]: r["val"] for r in rows}
+    assert got_s[3] == 30 and got_s[100] == 555
+
+
+def test_type_widening_on_append(spark, tmp_path):
+    """Type widening (int→long, float→double) under merge_schema: the
+    log records the WIDE type, old files keep their narrow physical
+    encoding and upcast at scan time; a narrower incoming frame after
+    the widening needs no schema change at all."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(1, 10, 1.5, 1)], "k long, v int, x float, ver long"))
+    # widening without the flag refuses
+    with pytest.raises(ValueError, match="requires merge_schema"):
+        t.append(spark.createDataFrame(
+            [(2, 20, 2.5, 1)], "k long, v long, x double, ver long"))
+    t.append(
+        spark.createDataFrame(
+            [(2, 2**40, 2.5, 1)], "k long, v long, x double, ver long"),
+        merge_schema=True,
+    )
+    df = t.read()
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert dict(df.dtypes)["x"] == "double"
+    got = {r["k"]: (r["v"], r["x"]) for r in df.collect()}
+    assert got[1] == (10, 1.5) and got[2] == (2**40, 2.5)
+    # a narrow frame still appends (upcast at read, no schema change)
+    t.append(spark.createDataFrame(
+        [(3, 30, 3.5, 1)], "k long, v int, x float, ver long"))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[3] == 30 and len(got) == 3
+    # merge across mixed-width files resolves latest-wins
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, 2**41, 9.0, 2)], "k long, v long, x double, ver long"),
+    )
+    got = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got[1] == (2**41, 2)
+    # incompatible change still refuses
+    with pytest.raises(ValueError, match="not supported"):
+        t.append(
+            spark.createDataFrame(
+                [(4, "s", 1.0, 1)], "k long, v string, x double, ver long"
+            ),
+            merge_schema=True,
+        )
+
+
+def test_type_widening_key_column_refused(spark, tmp_path):
+    """A widened KEY column would flip the width-dispatched bucket
+    hash (hashInt vs hashLong paths) and silently re-bucket — refuse."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame([(1, 1, 1)], "k int, v long, ver long"))
+    with pytest.raises(ValueError, match="key/order"):
+        t.append(
+            spark.createDataFrame([(2, 2, 1)], "k long, v long, ver long"),
+            merge_schema=True,
+        )
+
+
+def test_type_widening_datasource_read(spark, tmp_path):
+    """format("txlog") over mixed-width files: the Arrow kernel casts
+    narrow physical columns to the wide declared schema."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(1, 10, 1)], "k long, v int, ver long"))
+    t.append(
+        spark.createDataFrame([(2, 2**40, 1)], "k long, v long, ver long"),
+        merge_schema=True,
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = spark.read.format("txlog").option("tabledir", t.table_dir).load()
+    assert dict(df.dtypes)["v"] == "bigint"
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got == {1: 10, 2: 2**40}
+
+
 def test_served_sizes_mirrors_change_partition_branch_order(tmp_path):
     """Pacing must budget the SAME file set `_change_partitions`
     serves. The sharp edge: in change-feed mode an append/clone with
