@@ -796,8 +796,22 @@ class TxTable:
         remove = files the rollback drops), so CDF derives the row-level
         undo and the streaming source refuses it like any non-append
         change.
+
+        SCHEMA-COUPLED meta reverts with the data: ``n_buckets`` (the
+        resurrected files carry bucket labels under the modulus in
+        force at the target — keeping a later rebucket's modulus would
+        silently mis-route merges), ``column_mapping``, ``dropped_cols``
+        and ``generated_cols`` (the restored schema may re-expose names
+        a later rename/drop retired — stale guards would refuse every
+        write matching the table's own restored schema). Governance
+        meta (CHECK constraints) is NOT reverted — Delta's RESTORE
+        position: data rolls back, table properties stay.
         """
         last_err: ConcurrentWriteError | None = None
+        _SCHEMA_META = (
+            "n_buckets", "column_mapping", "dropped_cols",
+            "generated_cols",
+        )
         for _ in range(max_retries):
             base_v, cur_live, _ = self._snapshot()
             if not 1 <= version <= base_v:
@@ -830,6 +844,15 @@ class TxTable:
                 "schema_json": old_schema,
                 "restored_version": version,
             }
+            cur_meta = self.meta
+            old_meta = self.meta_at(version)
+            revert = {
+                k: old_meta.get(k)
+                for k in _SCHEMA_META
+                if cur_meta.get(k) != old_meta.get(k)
+            }
+            if revert:
+                record["meta_update"] = revert
             try:
                 _atomic_commit(self.table_dir, base_v + 1, record)
                 return base_v + 1
@@ -1026,8 +1049,9 @@ class TxTable:
                     f"column name {new!r} is the PHYSICAL name of "
                     "another column — old files carry it"
                 )
+            old_phys = mapping.get(old, old)
             mapping = {k: p for k, p in mapping.items() if k != old}
-            mapping[new] = meta.get("column_mapping", {}).get(old, old)
+            mapping[new] = old_phys
             renamed = StructType(
                 [
                     StructField(new, f.dataType, f.nullable, f.metadata)
@@ -1609,6 +1633,12 @@ class TxTable:
         buckets — the write-time price Delta's enableChangeDataFeed
         pays."""
         changes = self._changes_for(version, record)
+        # change files follow the same contract as data files: PHYSICAL
+        # column names on disk, so the DataSource change-feed reader
+        # resolves renamed columns through the one mapping
+        for lg, ph in (self.meta.get("column_mapping") or {}).items():
+            if ph != lg and lg in changes.columns:
+                changes = changes.withColumnRenamed(lg, ph)
         out_rel = f"_cdf-{uuid.uuid4().hex}"
         out = os.path.join(self.table_dir, out_rel)
         changes.write.parquet(out)
@@ -1695,17 +1725,21 @@ class TxTable:
             prev = old_by_name.get(f.name)
             if prev is None or prev.dataType == f.dataType:
                 continue
+            if f.name in frozen:
+                # EITHER direction: the bucket hash is width-dispatched
+                # (hashInt vs hashLong), so a key/order column whose
+                # incoming width differs — wider OR narrower — would
+                # silently re-bucket its rows past later merges
+                raise ValueError(
+                    f"{op}: key/order column {f.name!r} must arrive "
+                    f"as {prev.dataType.simpleString()} (got "
+                    f"{f.dataType.simpleString()}) — the bucket hash "
+                    "is width-dispatched; cast the frame first"
+                )
             if _widens_to(f.dataType, prev.dataType):
                 continue  # incoming is narrower: reads upcast, the
                 # recorded (wide) schema already covers it
             if _widens_to(prev.dataType, f.dataType):
-                if f.name in frozen:
-                    raise ValueError(
-                        f"{op}: cannot widen key/order column "
-                        f"{f.name!r} — the bucket hash is "
-                        "width-dispatched; widened keys would "
-                        "silently re-bucket"
-                    )
                 if not merge_schema:
                     raise ValueError(
                         f"{op}: column {f.name!r} widening "
@@ -2113,16 +2147,23 @@ class TxTable:
                 "pass small_file_rows OR target_bytes, not both"
             )
 
+        _size_memo: dict[str, int] = {}
+
         def ebytes(e: dict) -> int:
             b = e.get("bytes")
             if b:
                 return int(b)
-            try:  # legacy entry (pre-`bytes` log): stat once
-                return os.path.getsize(
-                    os.path.join(self.table_dir, e["path"])
-                )
-            except OSError:
-                return 0
+            # legacy entry (pre-`bytes` log): stat once per path — the
+            # packing loop re-queries sizes O(bins) times per file
+            p = e["path"]
+            if p not in _size_memo:
+                try:
+                    _size_memo[p] = os.path.getsize(
+                        os.path.join(self.table_dir, p)
+                    )
+                except OSError:
+                    _size_memo[p] = 0
+            return _size_memo[p]
 
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
@@ -2379,6 +2420,10 @@ class TxTable:
         append). At 100 TB cost ∝ touched files, never table size —
         the reason copy-on-write deletes are tractable at all.
         """
+        if prune:
+            # file stats are keyed by PHYSICAL name (column mapping)
+            _m = self.meta.get("column_mapping") or {}
+            prune = {_m.get(c, c): b for c, b in prune.items()}
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live_map, schema_json, dvs = self._replay()
@@ -2526,6 +2571,10 @@ class TxTable:
                 f"cannot assign GENERATED column(s) {sorted(badg)} — "
                 "they are always derived from their expression"
             )
+        if prune:
+            # file stats are keyed by PHYSICAL name (column mapping)
+            _m = self.meta.get("column_mapping") or {}
+            prune = {_m.get(c, c): b for c, b in prune.items()}
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live_map, schema_json, dvs = self._replay()
@@ -2747,9 +2796,16 @@ class TxTable:
         """
         rec = _read_record(self.table_dir, version)
         if rec.get("cdf_files"):
-            return self.spark.read.parquet(
+            df = self.spark.read.parquet(
                 *[os.path.join(self.table_dir, p) for p in rec["cdf_files"]]
             )
+            # change files carry PHYSICAL names — resolve back to the
+            # logical names in force at that commit
+            mapping = self.meta_at(version).get("column_mapping") or {}
+            for lg, ph in mapping.items():
+                if ph != lg and ph in df.columns:
+                    df = df.withColumnRenamed(ph, lg)
+            return df
         return self._changes_for(version, rec)
 
     def _changes_for(self, version: int, rec: dict) -> DataFrame:

@@ -674,9 +674,14 @@ class TxLogBatchReader(DataSourceReader):
         # and [(col, (v, ...))] equality candidate sets
         self._ranges: list[tuple[str, object, object]] = []
         self._eq_sets: list[tuple[str, tuple]] = []
-        # column mapping at the read version: file stats/blooms and
-        # parquet columns are keyed by PHYSICAL name
-        self._cmap = _column_mapping(self.table_dir, self.version)
+        # column mapping for resolving the declared schema to PHYSICAL
+        # file columns/stats/blooms. The declared schema is always the
+        # LATEST snapshot's logical names (the DataSource schema() API
+        # has no version axis), so the mapping must be the latest too —
+        # a version-scoped mapping would miss renames that happened
+        # after the time-travel target and NULL-fill the column.
+        self._cmap = _column_mapping(self.table_dir)
+        self._cmap_dict = dict(self._cmap)
 
     def pushFilters(self, filters):  # noqa: N802 - pyspark API name
         if _HAS_PUSHDOWN and not self.read_change_feed:
@@ -698,7 +703,7 @@ class TxLogBatchReader(DataSourceReader):
         return filters
 
     def _keep(self, entry: dict) -> bool:
-        cmap = dict(self._cmap)
+        cmap = self._cmap_dict
         for col, lo, hi in self._ranges:
             if not _file_may_match(entry, {cmap.get(col, col): (lo, hi)}):
                 return False

@@ -4216,6 +4216,133 @@ def test_type_widening_datasource_read(spark, tmp_path):
     assert got == {1: 10, 2: 2**40}
 
 
+def test_type_change_key_column_refused_both_directions(spark, tmp_path):
+    """A key column arriving NARROWER is as dangerous as wider — the
+    width-dispatched bucket hash (hashInt vs hashLong) would file the
+    rows in the wrong bucket and later merges would never find them."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long"))
+    with pytest.raises(ValueError, match="width-dispatched"):
+        t.append(spark.createDataFrame(
+            [(2, 2, 1)], "k int, v long, ver long"))
+    with pytest.raises(ValueError, match="width-dispatched"):
+        t.merge_upsert(spark.createDataFrame(
+            [(2, 2, 2)], "k int, v long, ver long"))
+
+
+def test_rename_column_cdf_feed(spark, tmp_path):
+    """Change-feed after a rename: materialized change files carry
+    PHYSICAL names on disk but read back under the logical name in
+    both the library (`table_changes`) and the DataSource change-feed
+    reader — a mapping miss would silently NULL the renamed column for
+    every CDC consumer."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(6)], "k long, v long, ver long"))
+    t.rename_column("v", "val")
+    mv = t.merge_upsert(spark.createDataFrame(
+        [(3, 999, 2)], "k long, val long, ver long"))
+    # library read of the materialized feed
+    feed = t.table_changes(mv)
+    rows = {(r["_change_type"], r["k"]): r["val"] for r in feed.collect()}
+    assert rows[("update_preimage", 3)] == 30
+    assert rows[("update_postimage", 3)] == 999
+    # the change file itself carries the PHYSICAL name
+    rec = _read_record(t.table_dir, mv)
+    raw = spark.read.parquet(
+        os.path.join(t.table_dir, rec["cdf_files"][0])
+    )
+    assert "v" in raw.columns and "val" not in raw.columns
+    # DataSource batch change feed resolves the mapping too
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ds = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", str(mv))
+        .option("endingversion", str(mv))
+        .load()
+    )
+    got = {(r["_change_type"], r["k"]): r["val"] for r in ds.collect()}
+    assert got[("update_preimage", 3)] == 30
+    assert got[("update_postimage", 3)] == 999
+
+
+def test_restore_reverts_schema_coupled_meta(spark, tmp_path):
+    """RESTORE to a pre-rename/pre-rebucket version must revert the
+    column mapping (stale guards would refuse writes matching the
+    restored schema) and n_buckets (resurrected files carry labels
+    under the old modulus — a later rebucket's modulus would mis-route
+    merges)."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    v1 = t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(8)], "k long, v long, ver long"))
+    t.rename_column("v", "val")
+    t.rebucket(4)
+    t.restore(v1)
+    meta = t.meta
+    assert not (meta.get("column_mapping") or {})
+    assert meta["n_buckets"] == 2
+    # the table is writable again under its own restored schema
+    t.append(spark.createDataFrame(
+        [(100, 1, 2)], "k long, v long, ver long"))
+    # and merges route to the right (old-modulus) buckets
+    t.merge_upsert(spark.createDataFrame(
+        [(3, 999, 3)], "k long, v long, ver long"))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[3] == 999 and got[100] == 1 and len(got) == 9
+    assert sorted(t.read().columns) == ["k", "v", "ver"]
+
+
+def test_datasource_time_travel_after_rename(spark, tmp_path):
+    """The batch DataSource declares the LATEST logical schema even
+    for time-travel reads, so the mapping must be latest too — a
+    version-scoped mapping would NULL-fill the renamed column when
+    reading a pre-rename snapshot."""
+    _register_txlog(spark)
+    t = _mk(spark, tmp_path, n_buckets=2)
+    v1 = t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(4)], "k long, v long, ver long"))
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame(
+        [(100, 5, 2)], "k long, val long, ver long"))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("version", str(v1))
+        .load()
+    )
+    got = {r["k"]: r["val"] for r in df.collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30}  # no NULL-fill
+
+
+def test_delete_where_prune_translates_renamed_column(spark, tmp_path):
+    """delete_where(prune=...) must keep skipping files after a rename
+    (stats are keyed by physical name)."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(10)], "k long, v long, ver long"))
+    t.append(spark.createDataFrame(
+        [(100 + i, 1000 + i, 1) for i in range(10)],
+        "k long, v long, ver long"))
+    t.rename_column("v", "val")
+    _, nrows = t.delete_where("val >= 1000", prune={"val": (1000, None)})
+    assert nrows == 10
+    rec = _read_record(t.table_dir, t.latest_version())
+    # the low-range file was provably unmatchable and never rewritten
+    assert len(rec["remove"]) == 1
+    got = {r["k"] for r in t.read().collect()}
+    assert got == set(range(10))
+
+
 def test_served_sizes_mirrors_change_partition_branch_order(tmp_path):
     """Pacing must budget the SAME file set `_change_partitions`
     serves. The sharp edge: in change-feed mode an append/clone with
