@@ -364,6 +364,22 @@ def _widens_to(narrow, wide) -> bool:
     return (narrow.typeName(), wide.typeName()) in _WIDENINGS
 
 
+def _rename_columns(df: DataFrame, pairs) -> DataFrame:
+    """Apply (src, dst) column renames where src exists — the single
+    walk every column-mapping translation site shares (logical →
+    physical before a write, physical → logical after a read)."""
+    for a, b in pairs:
+        if a != b and a in df.columns:
+            df = df.withColumnRenamed(a, b)
+    return df
+
+
+def _map_stat_keys(d: dict, mapping: dict) -> dict:
+    """Translate a prune/eq dict's LOGICAL column keys to the PHYSICAL
+    names file stats and blooms are recorded under."""
+    return {mapping.get(c, c): v for c, v in d.items()}
+
+
 def _expr_mentions(expr: str, col: str) -> bool:
     """Whether a SQL expression references ``col`` as an identifier —
     word-boundary and case-insensitive (Spark resolves identifiers
@@ -813,12 +829,38 @@ class TxTable:
             "generated_cols",
         )
         for _ in range(max_retries):
-            base_v, cur_live, _ = self._snapshot()
+            base_v, cur_live, cur_schema = self._snapshot()
             if not 1 <= version <= base_v:
                 raise ValueError(
                     f"cannot restore to {version}: log spans 1..{base_v}"
                 )
             _, old_live_map, old_schema, old_dvs = self._replay(version)
+            cur_names = (
+                {f.name for f in
+                 StructType.fromJson(json.loads(cur_schema)).fields}
+                if cur_schema else set()
+            )
+            restored_names = (
+                {f.name for f in
+                 StructType.fromJson(json.loads(old_schema)).fields}
+                if old_schema else set()
+            )
+            # constraints are governance and survive the restore — but
+            # one referencing a column the restored schema LACKS would
+            # fail every subsequent write; refuse up front (the same
+            # drop-the-rule-first position as rename/drop_columns)
+            for cname, expr in self.constraints().items():
+                gone = [
+                    c for c in cur_names - restored_names
+                    if _expr_mentions(expr, c)
+                ]
+                if gone:
+                    raise ValueError(
+                        f"cannot restore to {version}: constraint "
+                        f"{cname} ({expr}) references column(s) "
+                        f"{sorted(gone)} the restored schema lacks — "
+                        "drop the constraint first"
+                    )
             old_live = list(old_live_map.values())
             missing = [
                 e["path"]
@@ -853,6 +895,23 @@ class TxTable:
             }
             if revert:
                 record["meta_update"] = revert
+            if cur_meta.get("cdf"):
+                # cdf=True tables materialize EVERY rewrite's feed —
+                # restore included, or the DataSource change-feed
+                # consumers hard-fail at this commit. A restore whose
+                # endpoints have different column sets has no
+                # representable row-level feed (the Delta position:
+                # CDF ranges cannot cross schema changes) — refuse.
+                if cur_names != restored_names:
+                    raise ValueError(
+                        f"cannot restore to {version} on a cdf=True "
+                        "table across a schema change "
+                        f"({sorted(cur_names ^ restored_names)} "
+                        "differ) — the change feed cannot represent "
+                        "it; drop-column/rename history must be "
+                        "restored on non-CDF tables"
+                    )
+                record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
                 _atomic_commit(self.table_dir, base_v + 1, record)
                 return base_v + 1
@@ -1140,11 +1199,15 @@ class TxTable:
         # skip tests translate; the row-level re-application below
         # stays on the logical frame
         if prune:
-            pprune = {mapping.get(c, c): b for c, b in prune.items()}
-            live = [e for e in live if _file_may_match(e, pprune)]
+            live = [
+                e for e in live
+                if _file_may_match(e, _map_stat_keys(prune, mapping))
+            ]
         if eq:
-            peq = {mapping.get(c, c): v for c, v in eq.items()}
-            live = [e for e in live if _file_may_match_eq(e, peq)]
+            live = [
+                e for e in live
+                if _file_may_match_eq(e, _map_stat_keys(eq, mapping))
+            ]
         if not live:
             if schema_json is None:
                 raise ValueError("empty table with no recorded schema")
@@ -1231,9 +1294,7 @@ class TxTable:
             for i in (dvs or {}).get(p, ())
         ]
         def to_logical(d: DataFrame) -> DataFrame:
-            for ph, lg in rename_back.items():
-                d = d.withColumnRenamed(ph, lg)
-            return d
+            return _rename_columns(d, rename_back.items())
 
         if not dv_items and not keep_meta:
             return to_logical(df)
@@ -1280,8 +1341,8 @@ class TxTable:
         test exactly as ``read(eq=...)`` applies it."""
 
         mapping = self.meta_at(version).get("column_mapping") or {}
-        prune = {mapping.get(c, c): b for c, b in prune.items()}
-        eq = {mapping.get(c, c): v for c, v in (eq or {}).items()} or None
+        prune = _map_stat_keys(prune, mapping)
+        eq = _map_stat_keys(eq, mapping) if eq else None
 
         def keep(e: dict) -> bool:
             if not _file_may_match(e, prune):
@@ -1636,9 +1697,9 @@ class TxTable:
         # change files follow the same contract as data files: PHYSICAL
         # column names on disk, so the DataSource change-feed reader
         # resolves renamed columns through the one mapping
-        for lg, ph in (self.meta.get("column_mapping") or {}).items():
-            if ph != lg and lg in changes.columns:
-                changes = changes.withColumnRenamed(lg, ph)
+        changes = _rename_columns(
+            changes, (self.meta.get("column_mapping") or {}).items()
+        )
         out_rel = f"_cdf-{uuid.uuid4().hex}"
         out = os.path.join(self.table_dir, out_rel)
         changes.write.parquet(out)
@@ -1721,17 +1782,20 @@ class TxTable:
         new_by_name = {f.name: f for f in user_fields}
         frozen = set(meta["key_cols"]) | {meta["order_col"]}
         widen_to: dict[str, StructField] = {}
+        key_set = set(meta["key_cols"])
         for f in user_fields:
             prev = old_by_name.get(f.name)
             if prev is None or prev.dataType == f.dataType:
                 continue
-            if f.name in frozen:
+            if f.name in key_set:
                 # EITHER direction: the bucket hash is width-dispatched
-                # (hashInt vs hashLong), so a key/order column whose
-                # incoming width differs — wider OR narrower — would
-                # silently re-bucket its rows past later merges
+                # (hashInt vs hashLong), so a KEY column whose incoming
+                # width differs — wider OR narrower — would silently
+                # re-bucket its rows past later merges. (The order
+                # column is never hashed: a narrower incoming order
+                # value upcasts like any data column below.)
                 raise ValueError(
-                    f"{op}: key/order column {f.name!r} must arrive "
+                    f"{op}: key column {f.name!r} must arrive "
                     f"as {prev.dataType.simpleString()} (got "
                     f"{f.dataType.simpleString()}) — the bucket hash "
                     "is width-dispatched; cast the frame first"
@@ -1740,6 +1804,11 @@ class TxTable:
                 continue  # incoming is narrower: reads upcast, the
                 # recorded (wide) schema already covers it
             if _widens_to(prev.dataType, f.dataType):
+                if f.name in frozen:
+                    raise ValueError(
+                        f"{op}: cannot widen key/order column "
+                        f"{f.name!r}"
+                    )
                 if not merge_schema:
                     raise ValueError(
                         f"{op}: column {f.name!r} widening "
@@ -2422,8 +2491,9 @@ class TxTable:
         """
         if prune:
             # file stats are keyed by PHYSICAL name (column mapping)
-            _m = self.meta.get("column_mapping") or {}
-            prune = {_m.get(c, c): b for c, b in prune.items()}
+            prune = _map_stat_keys(
+                prune, self.meta.get("column_mapping") or {}
+            )
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live_map, schema_json, dvs = self._replay()
@@ -2573,8 +2643,9 @@ class TxTable:
             )
         if prune:
             # file stats are keyed by PHYSICAL name (column mapping)
-            _m = self.meta.get("column_mapping") or {}
-            prune = {_m.get(c, c): b for c, b in prune.items()}
+            prune = _map_stat_keys(
+                prune, self.meta.get("column_mapping") or {}
+            )
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live_map, schema_json, dvs = self._replay()
@@ -2802,10 +2873,9 @@ class TxTable:
             # change files carry PHYSICAL names — resolve back to the
             # logical names in force at that commit
             mapping = self.meta_at(version).get("column_mapping") or {}
-            for lg, ph in mapping.items():
-                if ph != lg and ph in df.columns:
-                    df = df.withColumnRenamed(ph, lg)
-            return df
+            return _rename_columns(
+                df, [(ph, lg) for lg, ph in mapping.items()]
+            )
         return self._changes_for(version, rec)
 
     def _changes_for(self, version: int, rec: dict) -> DataFrame:
@@ -2879,9 +2949,16 @@ class TxTable:
             # a restore can change data through files AND vectors at
             # once (a dv-only restore touches no file at all); the
             # robust feed is the multiset delta of the two DV-aware
-            # SNAPSHOTS — table-bounded, acceptable for an admin op
+            # SNAPSHOTS — table-bounded, acceptable for an admin op.
+            # At WRITE-time materialization the commit hasn't landed,
+            # and replay silently stops at the last committed version
+            # (which would yield an empty delta) — the post-state IS
+            # the restored snapshot, so read that instead.
+            post_v = version
+            if not os.path.exists(_version_path(self.table_dir, version)):
+                post_v = rec["restored_version"]
             return _multiset_delta(
-                self.read(version=version - 1), self.read(version=version)
+                self.read(version=version - 1), self.read(version=post_v)
             )
 
         # pre-images exclude rows already deleted by vectors BEFORE

@@ -178,16 +178,17 @@ def _table_schema(table_dir: str, cdf: bool = False) -> StructType:
     return StructType(fields + [StructField(VERSION_COL, LongType(), False)])
 
 
-def _column_mapping(
-    table_dir: str, version: int | None = None
-) -> tuple[tuple[str, str], ...]:
-    """(logical, physical) rename pairs from the table meta at
-    ``version`` (latest when None) — spark-free (the meta replay is
-    pure log reading), shipped into file partitions as a hashable
-    tuple."""
+def _column_mapping(table_dir: str) -> tuple[tuple[str, str], ...]:
+    """(logical, physical) rename pairs from the LATEST table meta —
+    spark-free (the meta replay is pure log reading), shipped into
+    file partitions as a hashable tuple. Deliberately latest-only:
+    the DataSource always declares the latest logical schema, so a
+    version-scoped mapping would miss later renames and NULL-fill the
+    column (the bug class pinned in
+    test_datasource_time_travel_after_rename)."""
     from kafka_flink_harshevents_spark.sources.txlog import TxTable
 
-    m = TxTable(None, table_dir).meta_at(version).get("column_mapping")
+    m = TxTable(None, table_dir).meta.get("column_mapping")
     return tuple(sorted((m or {}).items()))
 
 

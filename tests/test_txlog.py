@@ -4188,7 +4188,7 @@ def test_type_widening_key_column_refused(spark, tmp_path):
         n_buckets=2,
     )
     t.append(spark.createDataFrame([(1, 1, 1)], "k int, v long, ver long"))
-    with pytest.raises(ValueError, match="key/order"):
+    with pytest.raises(ValueError, match="width-dispatched"):
         t.append(
             spark.createDataFrame([(2, 2, 1)], "k long, v long, ver long"),
             merge_schema=True,
@@ -4341,6 +4341,113 @@ def test_delete_where_prune_translates_renamed_column(spark, tmp_path):
     assert len(rec["remove"]) == 1
     got = {r["k"] for r in t.read().collect()}
     assert got == set(range(10))
+
+
+def test_restore_materializes_cdf_feed(spark, tmp_path):
+    """On a cdf=True table every rewrite materializes its feed —
+    restore included, or change-feed consumers hard-fail at the
+    commit. The restore's feed is the row-level undo (delta between
+    the pre-restore state and the restored snapshot)."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    v1 = t.append(spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(4)], "k long, v long, ver long"))
+    t.merge_upsert(spark.createDataFrame(
+        [(1, 999, 2)], "k long, v long, ver long"))
+    rv = t.restore(v1)
+    rec = _read_record(t.table_dir, rv)
+    assert rec.get("cdf_files"), rec
+    feed = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in t.table_changes(rv).collect()
+    }
+    # the undo (full-row multiset delta): 999 retracted, 10 restored
+    assert feed[("delete", 1)] == 999
+    assert feed[("insert", 1)] == 10
+    # the DataSource change feed serves the restore commit
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ds = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", str(rv))
+        .load()
+    )
+    got = {(r["_change_type"], r["k"]): r["v"] for r in ds.collect()}
+    assert got[("insert", 1)] == 10 and got[("delete", 1)] == 999
+
+
+def test_restore_refusals(spark, tmp_path):
+    """Restore refuses (a) on a cdf=True table across a schema change
+    (no representable feed), and (b) when a surviving constraint
+    references a column the restored schema lacks."""
+    _register_txlog(spark)
+    t = TxTable.create(
+        spark, str(tmp_path / "a"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    v1 = t.append(spark.createDataFrame(
+        [(1, 2, 1)], "k long, v long, ver long"))
+    t.append(
+        spark.createDataFrame([(2, 3, 4, 1)],
+                              "k long, v long, w long, ver long"),
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="schema change"):
+        t.restore(v1)
+    # non-CDF table: same program restores fine
+    t2 = TxTable.create(
+        spark, str(tmp_path / "b"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    v1 = t2.append(spark.createDataFrame(
+        [(1, 2, 1)], "k long, v long, ver long"))
+    t2.append(
+        spark.createDataFrame([(2, 3, 4, 1)],
+                              "k long, v long, w long, ver long"),
+        merge_schema=True,
+    )
+    t2.add_constraint("w_pos", "w IS NULL OR w > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t2.restore(v1)
+    t2.drop_constraint("w_pos")
+    t2.restore(v1)
+    assert set(t2.read().columns) == {"k", "v", "ver"}
+    # writable post-restore
+    t2.append(spark.createDataFrame([(5, 6, 2)], "k long, v long, ver long"))
+    assert len(t2.read().collect()) == 2
+
+
+def test_order_col_arrives_narrower_ok(spark, tmp_path):
+    """The order column is never bucket-hashed: a frame carrying it
+    narrower than the table's declared type upcasts like any data
+    column (pre-widening behavior preserved); only KEY columns refuse
+    width changes in both directions."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long"))
+    t.append(spark.createDataFrame([(2, 2, 2)], "k long, v long, ver int"))
+    t.merge_upsert(spark.createDataFrame(
+        [(1, 99, 3)], "k long, v long, ver int"))
+    got = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got == {1: (99, 3), 2: (2, 2)}
+    # widening the order column is still refused
+    with pytest.raises(ValueError, match="key/order"):
+        t2 = TxTable.create(
+            spark, str(tmp_path / "t2"), key_cols=("k",), order_col="ver",
+            n_buckets=2,
+        )
+        t2.append(spark.createDataFrame(
+            [(1, 1, 1)], "k long, v long, ver int"))
+        t2.append(
+            spark.createDataFrame([(2, 2, 2)], "k long, v long, ver long"),
+            merge_schema=True,
+        )
 
 
 def test_served_sizes_mirrors_change_partition_branch_order(tmp_path):
