@@ -584,11 +584,42 @@ def q_txlog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE ... replaceWhere on the hash: append the base,
+    then atomically re-derive the ``k % 3 = 0`` slice (new amounts,
+    version 2) by predicate — rows outside the slice must carry
+    forward byte-identically (including same-file neighbors rewritten
+    as survivors), and the replaced slice must hold EXACTLY the new
+    rows. The oracle states both halves from ``orders``, so slice
+    ownership, survivor rewriting, and the predicate guard are all
+    driver-checked."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txrw-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base)
+    t.replace_where(
+        base.filter(F.col("k") % 3 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 500).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        ),
+        "k % 3 = 0",
+    )
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
     "q_txlog_rename_column": q_txlog_rename_column,
     "q_txlog_type_widening": q_txlog_type_widening,
+    "q_txlog_replace_where": q_txlog_replace_where,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -614,6 +645,17 @@ ORACLES = {
                CAST(1 AS BIGINT) AS dv_materialized
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    "q_txlog_replace_where": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END
+                 AS amount_c,
+               CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END
+                    AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
     """,
     "q_txlog_type_widening": f"""
         SELECT o_orderkey AS k,

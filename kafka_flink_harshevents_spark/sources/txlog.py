@@ -2591,6 +2591,108 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        predicate: str,
+        prune: dict[str, tuple] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """``INSERT OVERWRITE ... replaceWhere`` (Delta's
+        predicate-scoped overwrite): atomically replace EXACTLY the
+        rows matching ``predicate`` with ``df`` — the idempotent
+        backfill pattern (re-derive one day/region/source by predicate
+        without touching its neighbors; re-running the same replace is
+        a no-op drift-wise because the slice is fully owned by the
+        write).
+
+        Incoming rows that do NOT satisfy the predicate are REFUSED
+        (Delta's check: writing outside the declared slice would
+        silently corrupt data the caller never claimed). The commit is
+        one generic rewrite — remove = files containing matches (their
+        non-matching survivor rows are rewritten), add = survivor
+        rewrites + the staged incoming data — so CDF, time travel,
+        vacuum and the streaming source need zero new cases (the
+        stream refuses it like any rewrite unless ``ignorechanges``).
+        An empty matched slice degrades to a plain atomic append of
+        ``df``. Cost ∝ touched files + incoming bytes, never table
+        size. ``prune`` skips provably-unmatchable files at the log
+        level before the find-scan, exactly the ``delete_where``
+        convention."""
+        df = self._with_generated(df, "replace_where")
+        self._check_constraints(df, "replace_where batch")
+        outside = df.filter(f"NOT (({predicate}) <=> TRUE)").limit(1).collect()
+        if outside:
+            raise ValueError(
+                f"replace_where: incoming row(s) do not satisfy the "
+                f"predicate ({predicate}) — e.g. {outside[0]}; the "
+                "write may only produce rows inside the replaced slice"
+            )
+        if prune:
+            prune = _map_stat_keys(
+                prune, self.meta.get("column_mapping") or {}
+            )
+        staged_n = self.meta["n_buckets"]
+        incoming = self._stage(self._with_bucket(df))
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            if self.meta["n_buckets"] != staged_n:
+                # a rebucket won a race — restage under the new modulus
+                # (append's convention; old files become orphans)
+                staged_n = self.meta["n_buckets"]
+                incoming = self._stage(self._with_bucket(df))
+            base_v, live_map, schema_json, dvs = self._replay()
+            live = list(live_map.values())
+            cand = (
+                [e for e in live if _file_may_match(e, prune)]
+                if prune
+                else list(live)
+            )
+            touched: list[dict] = []
+            added: list[dict] = list(incoming)
+            if cand:
+                scan = self._open_files(
+                    [e["path"] for e in cand], schema_json, dvs,
+                    keep_meta=True,
+                )
+                hit_files = {
+                    r["_file"]
+                    for r in scan.filter(predicate)
+                    .select("_file").distinct().collect()
+                }
+                touched = [e for e in cand if e["path"] in hit_files]
+                if touched:
+                    t_scan = self._open_files(
+                        [e["path"] for e in touched], schema_json, dvs
+                    )
+                    # survivors: predicate NOT TRUE (null-safe — an
+                    # unknown predicate never replaces, SQL semantics)
+                    survivors = self._with_bucket(
+                        t_scan.filter(f"NOT (({predicate}) <=> TRUE)")
+                    )
+                    if not survivors.isEmpty():
+                        added = self._stage(survivors) + added
+            schema_rec = self._schema_union_json(
+                df, schema_json, False, "replace_where"
+            )
+            record = {
+                "version": base_v + 1,
+                "op": "replace",
+                "add": added,
+                "remove": [e["path"] for e in touched],
+                "schema_json": schema_rec,
+                "predicate": predicate,
+            }
+            if self.meta.get("cdf"):
+                record["cdf_files"] = self._stage_cdf(base_v + 1, record)
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
     def update_where(
         self,
         predicate: str,

@@ -4450,6 +4450,81 @@ def test_order_col_arrives_narrower_ok(spark, tmp_path):
         )
 
 
+def test_replace_where_overwrites_slice_atomically(spark, tmp_path):
+    """replaceWhere: exactly the predicate's slice is replaced — rows
+    outside it (including same-file neighbors, which rewrite as
+    survivors) carry forward; untouched files are never rewritten;
+    the time-travel view still shows the pre-replace state."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    v1 = t.append(spark.createDataFrame(
+        [(i, i % 3, i * 10, 1) for i in range(12)],
+        "k long, src long, v long, ver long"))
+    files_v1 = {e["path"] for e in t._snapshot()[1]}
+    # re-derive src=1 with new values (and a different row count)
+    rv = t.replace_where(
+        spark.createDataFrame(
+            [(100 + i, 1, 7_000 + i, 2) for i in range(2)],
+            "k long, src long, v long, ver long"),
+        "src = 1",
+    )
+    got = {r["k"]: (r["src"], r["v"]) for r in t.read().collect()}
+    old_keep = {i: (i % 3, i * 10) for i in range(12) if i % 3 != 1}
+    assert got == {**old_keep, 100: (1, 7000), 101: (1, 7001)}
+    # time travel still sees the original slice
+    before = {r["k"] for r in t.read(version=v1).collect()}
+    assert before == set(range(12))
+    rec = _read_record(t.table_dir, rv)
+    assert rec["op"] == "replace" and rec["predicate"] == "src = 1"
+    # only files that actually held src=1 rows were removed
+    assert set(rec["remove"]) <= files_v1
+    # idempotent backfill: re-running the same replace converges
+    t.replace_where(
+        spark.createDataFrame(
+            [(100 + i, 1, 7_000 + i, 2) for i in range(2)],
+            "k long, src long, v long, ver long"),
+        "src = 1",
+    )
+    assert {r["k"]: (r["src"], r["v"]) for r in t.read().collect()} == got
+
+
+def test_replace_where_guards_and_edges(spark, tmp_path):
+    """Incoming rows outside the predicate are refused; an empty
+    matched slice degrades to a plain append; cdf=True tables
+    materialize the replace's feed."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(1, 1, 10, 1), (2, 2, 20, 1)], "k long, src long, v long, ver long"))
+    with pytest.raises(ValueError, match="do not satisfy"):
+        t.replace_where(
+            spark.createDataFrame(
+                [(9, 2, 1, 1)], "k long, src long, v long, ver long"),
+            "src = 1",
+        )
+    # empty slice -> plain insert
+    rv = t.replace_where(
+        spark.createDataFrame(
+            [(5, 5, 50, 1)], "k long, src long, v long, ver long"),
+        "src = 5",
+    )
+    rec = _read_record(t.table_dir, rv)
+    assert rec["remove"] == [] and rec["add"]
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 5}
+    # cdf feed of a real replace: old slice deleted, new inserted
+    rv = t.replace_where(
+        spark.createDataFrame(
+            [(10, 1, 11, 2)], "k long, src long, v long, ver long"),
+        "src = 1",
+    )
+    feed = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in t.table_changes(rv).collect()
+    }
+    assert feed[("delete", 1)] == 10 and feed[("insert", 10)] == 11
+
+
 def test_served_sizes_mirrors_change_partition_branch_order(tmp_path):
     """Pacing must budget the SAME file set `_change_partitions`
     serves. The sharp edge: in change-feed mode an append/clone with
