@@ -437,6 +437,114 @@ def test_txlog_model_property(spark, tmp_path_factory, ops):
         assert _rows(t, version=v) == snap  # full-history time travel
 
 
+# schema-evolution ops: merge random keys / rename a data column /
+# drop a data column / restore to a random earlier version. Fresh
+# rename targets come from an unbounded counter so the generator never
+# trips the retired-name or collision guards it isn't trying to test.
+_evo_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"),
+                  st.lists(st.integers(0, 7), min_size=1, max_size=4,
+                           unique=True)),
+        st.tuples(st.just("rename"), st.integers(0, 9)),
+        st.tuples(st.just("drop"), st.integers(0, 9)),
+        st.tuples(st.just("restore"), st.integers(0, 9)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@given(ops=_evo_ops)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_schema_evolution_model_property(spark, tmp_path_factory, ops):
+    """Model-based property over the SCHEMA-EVOLUTION surface: any
+    interleaving of merges, column renames (column mapping), column
+    drops (metadata-only), and restores keeps the read state equal to
+    a plain dict/schema model after every commit — column values must
+    follow their column through renames, vanish through drops, and
+    come back through restores (which also revert the mapping/retired
+    meta, or later writes would break)."""
+    import copy
+
+    tmp = tmp_path_factory.mktemp("txevo")
+    t = TxTable.create(
+        spark, str(tmp / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    cols = ["c0", "c1"]  # current logical data columns
+    model: dict[int, dict] = {}  # key -> {col: value}
+    ver = 0
+    next_name = 0
+    history: list[tuple[int, list, dict]] = []  # (version, cols, model)
+    # seed so every later op has data and a recorded schema
+    ver += 1
+    seed = [(0, 100, 200, ver)]
+    v = t.merge_upsert(spark.createDataFrame(
+        seed, "k long, c0 long, c1 long, ver long"))
+    model[0] = {"c0": 100, "c1": 200}
+    history.append((v, list(cols), copy.deepcopy(model)))
+
+    def check():
+        assert set(t.read().columns) == {"k", "ver", *cols}
+        got = {
+            r["k"]: {c: r[c] for c in cols} for r in t.read().collect()
+        }
+        assert got == model, (cols, got, model)
+
+    for op in ops:
+        kind = op[0]
+        if kind == "merge":
+            rows = []
+            for ki in op[1]:
+                ver += 1
+                vals = {c: ki * 1000 + ver + j for j, c in enumerate(cols)}
+                rows.append((ki, *[vals[c] for c in cols], ver))
+                model[ki] = vals
+            schema = ", ".join(
+                ["k long"] + [f"{c} long" for c in cols] + ["ver long"]
+            )
+            v = t.merge_upsert(spark.createDataFrame(rows, schema))
+        elif kind == "rename":
+            if not cols:
+                continue
+            old = cols[op[1] % len(cols)]
+            new = f"n{next_name}"
+            next_name += 1
+            v = t.rename_column(old, new)
+            cols[cols.index(old)] = new
+            for row in model.values():
+                row[new] = row.pop(old)
+        elif kind == "drop":
+            if len(cols) < 2:
+                continue  # keep at least one data col interesting
+            gone = cols[op[1] % len(cols)]
+            v = t.drop_columns((gone,))
+            cols.remove(gone)
+            for row in model.values():
+                row.pop(gone, None)
+        else:  # restore
+            tv, tcols, tmodel = history[op[1] % len(history)]
+            v = t.restore(tv)
+            cols = list(tcols)
+            model = copy.deepcopy(tmodel)
+        history.append((v, list(cols), copy.deepcopy(model)))
+        check()
+    # the table stays writable whatever the evolution path was
+    ver += 1
+    rows = [(99, *[9000 + j for j in range(len(cols))], ver)]
+    schema = ", ".join(
+        ["k long"] + [f"{c} long" for c in cols] + ["ver long"]
+    )
+    t.merge_upsert(spark.createDataFrame(rows, schema))
+    model[99] = {c: 9000 + j for j, c in enumerate(cols)}
+    check()
+
+
 def test_table_changes_multiset_exact_over_append_duplicates(spark, tmp_path):
     """The CDF multiset contract: when a merge's pre-image holds
     DUPLICATE keys (appended copies), the feed is the exact multiset
