@@ -3161,11 +3161,18 @@ class TxTable:
     # -- maintenance -------------------------------------------------
 
     def vacuum(
-        self, retain_versions: int = 1, grace_seconds: float = 3600.0
+        self,
+        retain_versions: int = 1,
+        grace_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data files unreferenced by the newest `retain_versions`
         snapshots, plus orphaned staged directories from crashed or
         losing writers. Returns deleted paths (table-relative).
+        ``dry_run=True`` (Delta's VACUUM ... DRY RUN) returns the same
+        list without deleting anything — the pre-flight check before
+        an irreversible reclaim (a vacuumed file breaks time travel
+        and clone references past it).
 
         ``grace_seconds`` is the Delta-style retention window applied to
         NEVER-COMMITTED staged files: a data file no log version has
@@ -3205,12 +3212,15 @@ class TxTable:
                     and now - os.path.getmtime(p) < grace_seconds
                 ):
                     continue  # possibly an in-flight writer's stage
-                os.unlink(p)
+                if not dry_run:
+                    os.unlink(p)
                 deleted.append(rel)
             # prune now-empty staged trees (losing writers leave whole
             # dirs) — but only once past the grace window: an in-flight
             # writer's tree is empty-looking between mkdir and write
-            if not glob.glob(os.path.join(staged, "_pb=*", "*.parquet")) and (
+            if not dry_run and not glob.glob(
+                os.path.join(staged, "_pb=*", "*.parquet")
+            ) and (
                 now - os.path.getmtime(staged) >= grace_seconds
                 or any(
                     rel.startswith(os.path.basename(staged) + os.sep)
@@ -3237,7 +3247,8 @@ class TxTable:
         for rel in sorted(cdf_dead - cdf_live):
             p = os.path.join(self.table_dir, rel)
             if os.path.exists(p):
-                os.unlink(p)
+                if not dry_run:
+                    os.unlink(p)
                 deleted.append(rel)
         cdf_committed_roots = {
             rel.split(os.sep, 1)[0] for rel in (cdf_live | cdf_dead)
@@ -3246,7 +3257,9 @@ class TxTable:
             base = os.path.basename(cdir)
             if base in cdf_committed_roots:
                 # committed tree: prune it only once fully emptied
-                if not glob.glob(os.path.join(cdir, "*.parquet")) and (
+                if not dry_run and not glob.glob(
+                    os.path.join(cdir, "*.parquet")
+                ) and (
                     base not in {
                         r.split(os.sep, 1)[0] for r in cdf_live
                     }
@@ -3257,14 +3270,15 @@ class TxTable:
                 # never committed and past the in-flight grace window
                 for p in glob.glob(os.path.join(cdir, "*.parquet")):
                     deleted.append(os.path.relpath(p, self.table_dir))
-                shutil.rmtree(cdir, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(cdir, ignore_errors=True)
         # tmp commit records: only reclaim STALE ones — an in-flight
         # committer holds its tmp for milliseconds between write and
         # link; deleting it from under the writer would fail that
         # commit spuriously. One hour is orders of magnitude past any
         # live commit, and crashed writers' tmps are older still.
         for tmp in glob.glob(os.path.join(self.table_dir, _LOG_DIR, ".tmp-*")):
-            if now - os.path.getmtime(tmp) > 3600:
+            if not dry_run and now - os.path.getmtime(tmp) > 3600:
                 os.unlink(tmp)
         return sorted(deleted)
 

@@ -4633,6 +4633,26 @@ def test_replace_where_guards_and_edges(spark, tmp_path):
     assert feed[("delete", 1)] == 10 and feed[("insert", 10)] == 11
 
 
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN: the same reclaim list as a real vacuum, with
+    nothing deleted — the pre-flight before an irreversible reclaim."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(i, i, 1) for i in range(8)], "k long, v long, ver long"))
+    t.merge_upsert(spark.createDataFrame(
+        [(0, 99, 2)], "k long, v long, ver long"))
+    would = t.vacuum(retain_versions=1, dry_run=True)
+    assert would  # the merge superseded at least one file
+    for rel in would:
+        assert os.path.exists(os.path.join(t.table_dir, rel)), rel
+    # time travel still works after a dry run
+    assert len(_rows(t, version=2)) == 8
+    real = t.vacuum(retain_versions=1)
+    assert real == would
+    for rel in real:
+        assert not os.path.exists(os.path.join(t.table_dir, rel)), rel
+
+
 def test_served_sizes_mirrors_change_partition_branch_order(tmp_path):
     """Pacing must budget the SAME file set `_change_partitions`
     serves. The sharp edge: in change-feed mode an append/clone with
