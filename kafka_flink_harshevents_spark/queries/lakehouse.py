@@ -585,7 +585,8 @@ def q_txlog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INSERT OVERWRITE ... replaceWhere on the hash: append the base,
+    """INSERT OVERWRITE with a replaceWhere predicate on the hash:
+    append the base,
     then atomically re-derive the ``k % 3 = 0`` slice (new amounts,
     version 2) by predicate — rows outside the slice must carry
     forward byte-identically (including same-file neighbors rewritten

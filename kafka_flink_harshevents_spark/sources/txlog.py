@@ -2620,27 +2620,55 @@ class TxTable:
         level before the find-scan, exactly the ``delete_where``
         convention."""
         df = self._with_generated(df, "replace_where")
-        self._check_constraints(df, "replace_where batch")
-        outside = df.filter(f"NOT (({predicate}) <=> TRUE)").limit(1).collect()
-        if outside:
-            raise ValueError(
-                f"replace_where: incoming row(s) do not satisfy the "
-                f"predicate ({predicate}) — e.g. {outside[0]}; the "
-                "write may only produce rows inside the replaced slice"
-            )
         if prune:
             prune = _map_stat_keys(
                 prune, self.meta.get("column_mapping") or {}
             )
+
+        def stage_and_guard() -> list[dict]:
+            staged = self._stage(self._with_bucket(df))
+            if not staged:
+                return staged
+            # The slice-ownership guard runs on the STAGED bytes, not
+            # the incoming frame: a non-deterministic frame (rand(),
+            # re-read of a mutating source) could pass a frame-side
+            # check in one Spark job and still stage out-of-slice rows
+            # in the write job — what commits is what must be checked.
+            # Staged files carry PHYSICAL names; read them back under
+            # the frame's logical schema so the predicate resolves.
+            logical = StructType(
+                [f for f in df.schema.fields if f.name != "_bucket"]
+            )
+            staged_df = self._open_files(
+                [e["path"] for e in staged], logical.json(), None
+            )
+            outside = (
+                staged_df.filter(f"NOT (({predicate}) <=> TRUE)")
+                .limit(1)
+                .collect()
+            )
+            if outside:
+                raise ValueError(
+                    f"replace_where: staged row(s) do not satisfy the "
+                    f"predicate ({predicate}) — e.g. {outside[0]}; the "
+                    "write may only produce rows inside the replaced "
+                    "slice"
+                )
+            return staged
+
         staged_n = self.meta["n_buckets"]
-        incoming = self._stage(self._with_bucket(df))
+        incoming = stage_and_guard()
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
+            # constraints re-checked per attempt: an add_constraint
+            # landing between attempts must gate this write (append's
+            # convention)
+            self._check_constraints(df, "replace_where batch")
             if self.meta["n_buckets"] != staged_n:
                 # a rebucket won a race — restage under the new modulus
                 # (append's convention; old files become orphans)
                 staged_n = self.meta["n_buckets"]
-                incoming = self._stage(self._with_bucket(df))
+                incoming = stage_and_guard()
             base_v, live_map, schema_json, dvs = self._replay()
             live = list(live_map.values())
             cand = (

@@ -4633,6 +4633,44 @@ def test_replace_where_guards_and_edges(spark, tmp_path):
     assert feed[("delete", 1)] == 10 and feed[("insert", 10)] == 11
 
 
+def test_replace_where_rechecks_constraints_on_retry(
+    spark, tmp_path, monkeypatch
+):
+    """A CHECK constraint committed between replace_where's first
+    attempt and its retry must gate the retry — constraints are
+    re-checked per attempt (append's convention), not once up front."""
+    import kafka_flink_harshevents_spark.sources.txlog as txmod
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 1, 10, 1)], "k long, src long, v long, ver long"))
+
+    real_commit = txmod._atomic_commit
+    raced = {"done": False}
+
+    def inject(table_dir, version, record):
+        if not raced["done"] and record.get("op") == "replace":
+            raced["done"] = True
+            # a concurrent writer wins this version with a constraint
+            # the incoming replace rows violate
+            TxTable(spark, t.table_dir).add_constraint("v_pos", "v > 0")
+        return real_commit(table_dir, version, record)
+
+    monkeypatch.setattr(txmod, "_atomic_commit", inject)
+    with pytest.raises(ConstraintViolation):
+        t.replace_where(
+            spark.createDataFrame(
+                [(5, 1, -1, 2)], "k long, src long, v long, ver long"),
+            "src = 1",
+        )
+    monkeypatch.setattr(txmod, "_atomic_commit", real_commit)
+    # the table is untouched: the losing replace never committed
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: 10}
+
+
 def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     """VACUUM DRY RUN: the same reclaim list as a real vacuum, with
     nothing deleted — the pre-flight before an irreversible reclaim."""
