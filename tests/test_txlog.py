@@ -4671,6 +4671,25 @@ def test_replace_where_rechecks_constraints_on_retry(
     assert {r["k"]: r["v"] for r in t.read().collect()} == {1: 10}
 
 
+def test_rename_mapping_survives_checkpoint(spark, tmp_path):
+    """Log checkpoints snapshot merged meta — the column mapping must
+    replay from a checkpoint identically in the library path AND the
+    spark-free DataSource meta replay, or reads after checkpoint+rename
+    would NULL-fill the renamed column."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        _column_mapping,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame([(1, 10, 1)], "k long, v long, ver long"))
+    t.rename_column("v", "val")
+    t.checkpoint()
+    t.append(spark.createDataFrame([(2, 20, 2)], "k long, val long, ver long"))
+    assert t.meta.get("column_mapping") == {"val": "v"}
+    assert _column_mapping(t.table_dir) == (("val", "v"),)
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 20}
+
+
 def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     """VACUUM DRY RUN: the same reclaim list as a real vacuum, with
     nothing deleted — the pre-flight before an irreversible reclaim."""
