@@ -4690,6 +4690,63 @@ def test_rename_mapping_survives_checkpoint(spark, tmp_path):
     assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 20}
 
 
+def test_stream_schema_changes_mid_stream(spark, tmp_path):
+    """A LIVE stream's schema is frozen at start. A rename mid-stream
+    keeps serving under the old logical name (old logical == physical,
+    and post-rename files still carry the physical name). A widen
+    mid-stream is LOSSLESS-OR-LOUD: in-range values flow through the
+    frozen narrow schema, the first out-of-range value raises (Arrow
+    safe cast) instead of silently truncating — the operator restarts
+    the stream to adopt the widened schema (Delta's position)."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _partition_batches,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame([(1, 10, 1)], "k long, v long, ver long"))
+    schema = _table_schema(t.table_dir)  # frozen: has "v"
+    rd = TxLogStreamReader({"tabledir": t.table_dir}, schema)
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame(
+        [(2, 20, 2)], "k long, val long, ver long"))
+    rows = []
+    for p in rd.partitions({"version": 1},
+                           {"version": t.latest_version()}):
+        for b in _partition_batches(p, schema):
+            rows.extend(b.to_pylist())
+    assert {r["k"]: r["v"] for r in rows} == {1: 10, 2: 20}
+
+    t2 = TxTable.create(
+        spark, str(tmp_path / "w"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t2.append(spark.createDataFrame([(1, 10, 1)], "k long, v int, ver long"))
+    schema2 = _table_schema(t2.table_dir)  # frozen: v int
+    rd2 = TxLogStreamReader({"tabledir": t2.table_dir}, schema2)
+    t2.append(
+        spark.createDataFrame([(2, 2**40, 2)], "k long, v long, ver long"),
+        merge_schema=True,
+    )
+    import pyarrow as pa
+
+    with pytest.raises(pa.ArrowInvalid):
+        for p in rd2.partitions({"version": 1},
+                                {"version": t2.latest_version()}):
+            for b in _partition_batches(p, schema2):
+                b.to_pylist()
+    # a fresh stream picks up the widened schema and serves everything
+    schema3 = _table_schema(t2.table_dir)
+    rd3 = TxLogStreamReader({"tabledir": t2.table_dir}, schema3)
+    rows3 = []
+    for p in rd3.partitions({"version": 1},
+                            {"version": t2.latest_version()}):
+        for b in _partition_batches(p, schema3):
+            rows3.extend(b.to_pylist())
+    assert {r["k"]: r["v"] for r in rows3} == {1: 10, 2: 2**40}
+
+
 def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     """VACUUM DRY RUN: the same reclaim list as a real vacuum, with
     nothing deleted — the pre-flight before an irreversible reclaim."""
