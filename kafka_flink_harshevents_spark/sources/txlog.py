@@ -2771,6 +2771,32 @@ class TxTable:
                 f"cannot assign GENERATED column(s) {sorted(badg)} — "
                 "they are always derived from their expression"
             )
+        # GENERATED ALWAYS AS: updating a base column a generation
+        # expression references must RECOMPUTE the generated column on
+        # the matched rows (a stale stored value would contradict the
+        # declared expression — and its file stats would mis-prune)
+        gen_recompute = {
+            gname: gexpr
+            for gname, gexpr in (m0.get("generated_cols") or {}).items()
+            if any(_expr_mentions(gexpr, a) for a in assignments)
+        }
+
+        def with_regenerated(df: DataFrame, flag: str | None) -> DataFrame:
+            """Recompute generated columns from the POST-assignment
+            values — a second projection, so the expressions see the
+            updated base columns, restricted to matched rows when a
+            `flag` column marks them."""
+            for gname, gexpr in gen_recompute.items():
+                if gname not in df.columns:
+                    continue
+                new = F.expr(gexpr).cast(df.schema[gname].dataType)
+                df = df.withColumn(
+                    gname,
+                    F.when(F.col(flag), new).otherwise(F.col(gname))
+                    if flag
+                    else new,
+                )
+            return df
         if prune:
             # file stats are keyed by PHYSICAL name (column mapping)
             prune = _map_stat_keys(
@@ -2823,6 +2849,7 @@ class TxTable:
                             if c != "_bucket"
                         ]
                     )
+                    post = with_regenerated(post, None)
                     self._check_constraints(
                         post, "update_where post-image"
                     )
@@ -2863,6 +2890,11 @@ class TxTable:
             )
             n_upd = t_scan.filter(predicate).count()
             match = F.expr(predicate)
+            # the predicate and the SET expressions both evaluate on
+            # the PRE-update row (one projection); the matched-row
+            # flag rides along so the generated-column recompute (a
+            # SECOND projection, over post-assignment values) touches
+            # exactly the updated rows
             updated = t_scan.select(
                 *[
                     (
@@ -2874,8 +2906,10 @@ class TxTable:
                         else F.col(c)
                     )
                     for c in t_scan.columns
-                ]
+                ],
+                match.alias("_matched"),
             )
+            updated = with_regenerated(updated, "_matched").drop("_matched")
             self._check_constraints(updated, "update_where post-image")
             added = self._stage(self._with_bucket(updated))
             record = {

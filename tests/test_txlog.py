@@ -4747,6 +4747,29 @@ def test_stream_schema_changes_mid_stream(spark, tmp_path):
     assert {r["k"]: r["v"] for r in rows3} == {1: 10, 2: 2**40}
 
 
+@pytest.mark.parametrize("mode", ["copy_on_write", "merge_on_read"])
+def test_update_where_recomputes_generated_columns(spark, tmp_path, mode):
+    """GENERATED ALWAYS AS under UPDATE: setting a base column a
+    generation expression references must RECOMPUTE the generated
+    column on the matched rows (a stale stored value contradicts the
+    declared expression and mis-prunes); unmatched rows keep their
+    values untouched."""
+    t = TxTable.create(
+        spark, str(tmp_path / mode), key_cols=("k",), order_col="ver",
+        n_buckets=1,
+        generated_cols={"band": "CAST(v % 97 AS BIGINT)"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+    t.update_where("k = 1", {"v": "v + 1000"}, mode=mode)
+    got = {r["k"]: (r["v"], r["band"]) for r in t.read().collect()}
+    assert got[1] == (1010, 1010 % 97), got
+    assert got[2] == (20, 20 % 97)
+    # assigning the generated column itself still refuses
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.update_where("k = 1", {"band": "1"}, mode=mode)
+
+
 def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     """VACUUM DRY RUN: the same reclaim list as a real vacuum, with
     nothing deleted — the pre-flight before an irreversible reclaim."""
