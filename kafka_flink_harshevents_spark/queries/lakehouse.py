@@ -615,12 +615,57 @@ def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO on the hash: append the base, then merge
+    a source of the ``k % 5 = 0`` keys (+100 cents, version 2) UNION
+    shifted ``k % 13 = 0`` insert keys, with ``matched_condition =
+    "t.st = 'F'"`` — ONLY matched rows whose target status is F
+    update; every other matched row must keep its target value
+    byte-identically, and the unmatched source keys insert. The oracle
+    states the clause resolution directly from ``orders``, so the
+    conditional-clause semantics (condition-gated update, keep-on-
+    false, insert) are driver-checked."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txm-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base)
+    src = (
+        base.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "st",
+                "amount_c",
+                F.lit(2).cast("long").alias("ver"),
+            )
+        )
+    )
+    t.merge_into(
+        src,
+        when_matched="update",
+        matched_condition="t.st = 'F'",
+        when_not_matched="insert",
+    )
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
     "q_txlog_rename_column": q_txlog_rename_column,
     "q_txlog_type_widening": q_txlog_type_widening,
     "q_txlog_replace_where": q_txlog_replace_where,
+    "q_txlog_merge_into": q_txlog_merge_into,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -646,6 +691,24 @@ ORACLES = {
                CAST(1 AS BIGINT) AS dv_materialized
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    "q_txlog_merge_into": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 5 = 0 AND o_orderstatus = 'F'
+                        THEN 100 ELSE 0 END AS amount_c,
+               CAST(CASE WHEN o_orderkey % 5 = 0 AND o_orderstatus = 'F'
+                         THEN 2 ELSE 1 END AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+        UNION ALL
+        SELECT o_orderkey + 1000000 AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(2 AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 13 = 0
     """,
     "q_txlog_replace_where": f"""
         SELECT o_orderkey AS k,

@@ -1936,6 +1936,219 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched: str | None = "update",
+        update_set: dict[str, str] | None = None,
+        matched_condition: str | None = None,
+        when_not_matched: str | None = "insert",
+        not_matched_condition: str | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Conditional ``MERGE INTO`` (Delta's full clause surface, ON =
+        key equality): one atomic commit applying
+
+        - WHEN MATCHED [AND ``matched_condition``] THEN
+          ``when_matched`` = ``"update"`` (apply ``update_set`` — col →
+          SQL over ``s.*``/``t.*``; unassigned columns keep the target
+          value; ``update_set=None`` takes the source row wholesale) or
+          ``"delete"`` (retract the row) or ``None`` (matches keep the
+          target row — insert-only merge);
+        - WHEN NOT MATCHED [AND ``not_matched_condition``] THEN
+          ``when_not_matched`` = ``"insert"`` (the source row) or
+          ``None`` (drop it).
+
+        A matched row whose condition is FALSE keeps the target value —
+        Delta's clause-condition contract. Conditions and SET
+        expressions reference the two sides as ``s.<col>`` / ``t.<col>``.
+        EVERY target copy of a matched key takes the action (append
+        duplicates included — the join semantics, not latest-wins;
+        ``merge_upsert`` owns latest-wins). A source with two rows for
+        one key is REFUSED (Delta's multiple-matches error: the result
+        would be order-dependent). Key columns are unassignable;
+        GENERATED columns are recomputed on updated rows and computed
+        on inserts.
+
+        Scale shape: identical to ``merge_upsert`` — only the touched
+        buckets' files rewrite (cost ∝ source keys' buckets, never
+        table size); the commit is a generic rewrite so CDF (exact
+        multiset delta), time travel, vacuum, and the stream's rewrite
+        refusal all apply with zero new cases."""
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(
+                "when_matched must be 'update', 'delete', or None"
+            )
+        if when_not_matched not in ("insert", None):
+            raise ValueError("when_not_matched must be 'insert' or None")
+        m0 = self.meta
+        key_cols = list(m0["key_cols"])
+        gen = dict(m0.get("generated_cols") or {})
+        if update_set:
+            bad = set(update_set) & set(key_cols)
+            if bad:
+                raise ValueError(
+                    f"cannot assign key column(s) {sorted(bad)}: "
+                    "rekeying is a delete + insert"
+                )
+            badg = set(update_set) & set(gen)
+            if badg:
+                raise ValueError(
+                    f"cannot assign GENERATED column(s) {sorted(badg)} "
+                    "— they are always derived from their expression"
+                )
+        source = self._with_generated(source, "merge_into")
+        dup = (
+            source.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter("_n > 1")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge_into: the source has multiple rows for key "
+                f"{tuple(dup[0][k] for k in key_cols)} — the merge "
+                "result would be order-dependent (Delta's "
+                "multiple-matches refusal); pre-aggregate the source"
+            )
+        # clause conditions are null-safe: an UNKNOWN condition means
+        # the clause does NOT apply (the row is kept / not inserted),
+        # never that it actions — SQL's three-valued WHERE discipline
+        mcond = (
+            F.expr(matched_condition).eqNullSafe(F.lit(True))
+            if matched_condition
+            else F.lit(True)
+        )
+        ncond = (
+            F.expr(not_matched_condition).eqNullSafe(F.lit(True))
+            if not_matched_condition
+            else F.lit(True)
+        )
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            self._check_constraints(source, "merge_into source")
+            m = self.meta
+            src_b = self._with_bucket(source)
+            base_v, live_map, snap_schema, dvs = self._replay()
+            live = list(live_map.values())
+            schema_rec = self._schema_union_json(
+                src_b, snap_schema, False, "merge_into"
+            )
+            cols = [
+                f.name
+                for f in StructType.fromJson(json.loads(schema_rec)).fields
+                if f.name != "_bucket"
+            ]
+            touched = {
+                r["_bucket"]
+                for r in src_b.select("_bucket").distinct().collect()
+            }
+            hit = [e for e in live if e["bucket"] in touched]
+            s_m = src_b.drop("_bucket").withColumn("_s", F.lit(1))
+            if hit:
+                tgt = self._open_files(
+                    [e["path"] for e in hit], snap_schema, dvs
+                ).drop("_bucket")
+                t_m = tgt.withColumn("_t", F.lit(1))
+                joined = t_m.alias("t").join(
+                    s_m.alias("s"),
+                    [
+                        F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                        for k in key_cols
+                    ],
+                    "full_outer",
+                )
+            else:
+                # empty/untouched target side: synthesize the s-only
+                # shape so the clause logic below is the single path
+                empty_t = self.spark.createDataFrame(
+                    [], s_m.schema
+                ).withColumnRenamed("_s", "_t")
+                joined = empty_t.alias("t").join(
+                    s_m.alias("s"),
+                    [
+                        F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                        for k in key_cols
+                    ],
+                    "full_outer",
+                )
+            is_m = F.col("t._t").isNotNull() & F.col("s._s").isNotNull()
+            is_t = F.col("t._t").isNotNull() & F.col("s._s").isNull()
+            is_s = F.col("s._s").isNotNull() & F.col("t._t").isNull()
+            keep = is_t
+            if when_matched == "delete":
+                keep = keep | (is_m & ~mcond)
+            else:
+                keep = keep | is_m
+            if when_not_matched == "insert":
+                keep = keep | (is_s & ncond)
+            upd = (
+                (is_m & mcond)
+                if when_matched == "update"
+                else F.lit(False)
+            )
+
+            def value_of(c: str):
+                if update_set is None:
+                    u = F.col(f"s.{c}")
+                else:
+                    u = (
+                        F.expr(update_set[c])
+                        if c in update_set
+                        else F.col(f"t.{c}")
+                    )
+                return (
+                    F.when(upd, u)
+                    .when(is_s, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                )
+
+            types = {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(schema_rec)).fields
+            }
+            out = joined.filter(keep).select(
+                *[value_of(c).cast(types[c]).alias(c) for c in cols],
+                upd.alias("_upd"),
+            )
+            # GENERATED ALWAYS AS: recompute on updated rows from the
+            # post-assignment values (second projection); inserts were
+            # computed by _with_generated, kept rows carry through
+            if when_matched == "update":
+                for gname, gexpr in gen.items():
+                    if gname in out.columns:
+                        out = out.withColumn(
+                            gname,
+                            F.when(
+                                F.col("_upd"),
+                                F.expr(gexpr).cast(types[gname]),
+                            ).otherwise(F.col(gname)),
+                        )
+            out = out.drop("_upd")
+            self._check_constraints(out, "merge_into result")
+            added = self._stage(self._with_bucket(out))
+            record = {
+                "version": base_v + 1,
+                "op": "merge_into",
+                "add": added,
+                "remove": [e["path"] for e in hit],
+                "schema_json": schema_rec,
+                "note": (
+                    f"merge_into matched={when_matched} "
+                    f"not_matched={when_not_matched}"
+                ),
+            }
+            if m.get("cdf"):
+                record["cdf_files"] = self._stage_cdf(base_v + 1, record)
+            try:
+                _atomic_commit(self.table_dir, base_v + 1, record)
+                return base_v + 1
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
     def apply_cdc(
         self,
         df: DataFrame,

@@ -4770,6 +4770,91 @@ def test_update_where_recomputes_generated_columns(spark, tmp_path, mode):
         t.update_where("k = 1", {"band": "1"}, mode=mode)
 
 
+def test_merge_into_clause_surface(spark, tmp_path):
+    """Conditional MERGE INTO: matched+condition rows update via SET
+    expressions over s./t., matched rows failing the condition keep
+    the target value, unmatched source rows insert (optionally
+    conditioned), and everything commits atomically with time travel
+    intact."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    v1 = t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1), (3, 30, 1)], "k long, v long, ver long"))
+    src = spark.createDataFrame(
+        [(1, 100, 2),   # matched, condition true (s.v > t.v) -> update
+         (2, 5, 2),     # matched, condition FALSE -> keep target
+         (9, 90, 2),    # not matched -> insert
+         (8, -1, 2)],   # not matched, insert condition false -> dropped
+        "k long, v long, ver long")
+    t.merge_into(
+        src,
+        when_matched="update",
+        update_set={"v": "t.v + s.v", "ver": "s.ver"},
+        matched_condition="s.v > t.v",
+        when_not_matched="insert",
+        not_matched_condition="s.v >= 0",
+    )
+    got = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got == {1: (110, 2), 2: (20, 1), 3: (30, 1), 9: (90, 2)}
+    # time travel still shows the pre-merge state
+    assert {r["k"] for r in t.read(version=v1).collect()} == {1, 2, 3}
+    rec = _read_record(t.table_dir, t.latest_version())
+    assert rec["op"] == "merge_into"
+    # update_set=None takes the source row wholesale
+    t.merge_into(spark.createDataFrame(
+        [(3, 333, 3)], "k long, v long, ver long"))
+    assert {r["k"]: r["v"] for r in t.read().collect()}[3] == 333
+
+
+def test_merge_into_delete_duplicates_and_guards(spark, tmp_path):
+    """WHEN MATCHED DELETE retracts every target copy of the key
+    (append duplicates included); a multi-row-per-key source refuses;
+    key/generated assignment refuses; cdf tables materialize the
+    feed."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+        generated_cols={"band": "CAST(v % 97 AS BIGINT)"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+    t.append(spark.createDataFrame(
+        [(1, 11, 2)], "k long, v long, ver long"))  # duplicate key 1
+    mv = t.merge_into(
+        spark.createDataFrame([(1, 0, 3)], "k long, v long, ver long"),
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {2}  # BOTH copies of key 1 retracted
+    feed = {(r["_change_type"], r["v"]) for r in t.table_changes(mv).collect()}
+    assert ("delete", 10) in feed and ("delete", 11) in feed
+    # generated col recomputed on conditional update
+    t.merge_into(
+        spark.createDataFrame([(2, 2000, 4)], "k long, v long, ver long"),
+        update_set={"v": "s.v"},
+    )
+    row = [r for r in t.read().collect() if r["k"] == 2][0]
+    assert row["v"] == 2000 and row["band"] == 2000 % 97
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge_into(spark.createDataFrame(
+            [(5, 1, 1), (5, 2, 2)], "k long, v long, ver long"))
+    with pytest.raises(ValueError, match="key column"):
+        t.merge_into(
+            spark.createDataFrame([(2, 1, 5)], "k long, v long, ver long"),
+            update_set={"k": "s.k + 1"},
+        )
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.merge_into(
+            spark.createDataFrame([(2, 1, 5)], "k long, v long, ver long"),
+            update_set={"band": "1"},
+        )
+    # empty-table / no-hit path: pure inserts
+    t2 = _mk(spark, tmp_path, n_buckets=2)
+    t2.merge_into(spark.createDataFrame(
+        [(7, 70, 1)], "k long, v long, ver long"))
+    assert {r["k"]: r["v"] for r in t2.read().collect()} == {7: 70}
+
+
 def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     """VACUUM DRY RUN: the same reclaim list as a real vacuum, with
     nothing deleted — the pre-flight before an irreversible reclaim."""
