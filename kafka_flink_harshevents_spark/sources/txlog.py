@@ -1981,6 +1981,21 @@ class TxTable:
             )
         if when_not_matched not in ("insert", None):
             raise ValueError("when_not_matched must be 'insert' or None")
+        # inapplicable clause parameters are BUGS in the call, not
+        # no-ops — silently ignoring them would hide a caller who
+        # meant when_matched='update' (Delta refuses them too)
+        if update_set is not None and when_matched != "update":
+            raise ValueError(
+                "update_set requires when_matched='update'"
+            )
+        if matched_condition is not None and when_matched is None:
+            raise ValueError(
+                "matched_condition requires a when_matched clause"
+            )
+        if not_matched_condition is not None and when_not_matched is None:
+            raise ValueError(
+                "not_matched_condition requires when_not_matched='insert'"
+            )
         m0 = self.meta
         key_cols = list(m0["key_cols"])
         gen = dict(m0.get("generated_cols") or {})
@@ -2027,7 +2042,10 @@ class TxTable:
         )
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
-            self._check_constraints(source, "merge_into source")
+            # constraints are checked on the RESULT below (the only
+            # rows that get written) — source rows that never land
+            # (deletes, condition-gated) may carry any values, the
+            # apply_cdc convention
             m = self.meta
             src_b = self._with_bucket(source)
             base_v, live_map, snap_schema, dvs = self._replay()
@@ -2035,11 +2053,17 @@ class TxTable:
             schema_rec = self._schema_union_json(
                 src_b, snap_schema, False, "merge_into"
             )
-            cols = [
-                f.name
-                for f in StructType.fromJson(json.loads(schema_rec)).fields
-                if f.name != "_bucket"
-            ]
+            rec_schema = StructType.fromJson(json.loads(schema_rec))
+            cols = [f.name for f in rec_schema.fields if f.name != "_bucket"]
+            types = {f.name: f.dataType for f in rec_schema.fields}
+            if update_set:
+                unknown = set(update_set) - set(cols)
+                if unknown:
+                    raise ValueError(
+                        f"merge_into: update_set assigns unknown "
+                        f"column(s) {sorted(unknown)} — table columns "
+                        f"are {sorted(cols)}"
+                    )
             touched = {
                 r["_bucket"]
                 for r in src_b.select("_bucket").distinct().collect()
@@ -2047,32 +2071,23 @@ class TxTable:
             hit = [e for e in live if e["bucket"] in touched]
             s_m = src_b.drop("_bucket").withColumn("_s", F.lit(1))
             if hit:
-                tgt = self._open_files(
+                t_m = self._open_files(
                     [e["path"] for e in hit], snap_schema, dvs
-                ).drop("_bucket")
-                t_m = tgt.withColumn("_t", F.lit(1))
-                joined = t_m.alias("t").join(
-                    s_m.alias("s"),
-                    [
-                        F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-                        for k in key_cols
-                    ],
-                    "full_outer",
-                )
+                ).drop("_bucket").withColumn("_t", F.lit(1))
             else:
                 # empty/untouched target side: synthesize the s-only
                 # shape so the clause logic below is the single path
-                empty_t = self.spark.createDataFrame(
+                t_m = self.spark.createDataFrame(
                     [], s_m.schema
                 ).withColumnRenamed("_s", "_t")
-                joined = empty_t.alias("t").join(
-                    s_m.alias("s"),
-                    [
-                        F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-                        for k in key_cols
-                    ],
-                    "full_outer",
-                )
+            joined = t_m.alias("t").join(
+                s_m.alias("s"),
+                [
+                    F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                    for k in key_cols
+                ],
+                "full_outer",
+            )
             is_m = F.col("t._t").isNotNull() & F.col("s._s").isNotNull()
             is_t = F.col("t._t").isNotNull() & F.col("s._s").isNull()
             is_s = F.col("s._s").isNotNull() & F.col("t._t").isNull()
@@ -2104,10 +2119,6 @@ class TxTable:
                     .otherwise(F.col(f"t.{c}"))
                 )
 
-            types = {
-                f.name: f.dataType
-                for f in StructType.fromJson(json.loads(schema_rec)).fields
-            }
             out = joined.filter(keep).select(
                 *[value_of(c).cast(types[c]).alias(c) for c in cols],
                 upd.alias("_upd"),

@@ -4848,6 +4848,27 @@ def test_merge_into_delete_duplicates_and_guards(spark, tmp_path):
             spark.createDataFrame([(2, 1, 5)], "k long, v long, ver long"),
             update_set={"band": "1"},
         )
+    # inapplicable clause params are refused, not silently ignored
+    src5 = spark.createDataFrame([(2, 1, 5)], "k long, v long, ver long")
+    with pytest.raises(ValueError, match="update_set requires"):
+        t.merge_into(src5, when_matched="delete", update_set={"v": "1"})
+    with pytest.raises(ValueError, match="matched_condition requires"):
+        t.merge_into(src5, when_matched=None, matched_condition="1=1")
+    with pytest.raises(ValueError, match="not_matched_condition"):
+        t.merge_into(src5, when_not_matched=None,
+                     not_matched_condition="1=1")
+    # typo'd SET column refuses instead of silently changing nothing
+    with pytest.raises(ValueError, match="unknown"):
+        t.merge_into(src5, update_set={"vv": "s.v"})
+    # tombstone sources may carry values a CHECK would refuse — only
+    # the WRITTEN result is constraint-checked
+    t.add_constraint("v_nonneg", "v >= 0")
+    t.merge_into(
+        spark.createDataFrame([(2, -1, 9)], "k long, v long, ver long"),
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert 2 not in {r["k"] for r in t.read().collect()}
     # empty-table / no-hit path: pure inserts
     t2 = _mk(spark, tmp_path, n_buckets=2)
     t2.merge_into(spark.createDataFrame(
