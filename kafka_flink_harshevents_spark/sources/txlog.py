@@ -1944,6 +1944,7 @@ class TxTable:
         matched_condition: str | None = None,
         when_not_matched: str | None = "insert",
         not_matched_condition: str | None = None,
+        txn: dict | None = None,
         max_retries: int = 5,
     ) -> int:
         """Conditional ``MERGE INTO`` (Delta's full clause surface, ON =
@@ -2150,6 +2151,8 @@ class TxTable:
                     f"not_matched={when_not_matched}"
                 ),
             }
+            if txn:
+                record["txn"] = txn
             if m.get("cdf"):
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
@@ -3222,6 +3225,27 @@ class TxTable:
                 op_col=op_col,
                 delete_label=delete_label,
                 txn={"app_id": app_id, "batch_id": int(batch_id)},
+            )
+
+        return apply
+
+    def merge_into_sink(self, app_id: str, **merge_kwargs):
+        """``foreachBatch`` function: idempotent transactional
+        CONDITIONAL MERGE — each micro-batch lands as one atomic
+        :meth:`merge_into` commit with the given clause configuration
+        (``when_matched`` / ``update_set`` / conditions forwarded
+        verbatim); checkpoint-recovery replays are no-ops via the txn
+        marker, the ``upsert_sink`` exactly-once contract."""
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= self.last_committed_batch(app_id):
+                return  # replayed batch — already committed
+            if batch_df.isEmpty():
+                return
+            self.merge_into(
+                batch_df,
+                txn={"app_id": app_id, "batch_id": int(batch_id)},
+                **merge_kwargs,
             )
 
         return apply

@@ -4876,6 +4876,34 @@ def test_merge_into_delete_duplicates_and_guards(spark, tmp_path):
     assert {r["k"]: r["v"] for r in t2.read().collect()} == {7: 70}
 
 
+def test_merge_into_sink_exactly_once(spark, tmp_path):
+    """foreachBatch conditional-merge sink: each micro-batch is one
+    atomic merge_into commit with the configured clauses; a replayed
+    (app, batch) is a no-op via the txn marker."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+    sink = t.merge_into_sink(
+        "app-mi",
+        when_matched="update",
+        update_set={"v": "t.v + s.v", "ver": "s.ver"},
+        matched_condition="s.ver > t.ver",
+    )
+    b0 = spark.createDataFrame(
+        [(1, 100, 2), (9, 90, 2)], "k long, v long, ver long")
+    sink(b0, 0)
+    got = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got == {1: (110, 2), 2: (20, 1), 9: (90, 2)}
+    v_after = t.latest_version()
+    # exact replay of the same batch id: no commit, no double-apply
+    sink(b0, 0)
+    assert t.latest_version() == v_after
+    assert {r["k"]: r["v"] for r in t.read().collect()}[1] == 110
+    # the next batch applies
+    sink(spark.createDataFrame([(1, 1, 3)], "k long, v long, ver long"), 1)
+    assert {r["k"]: r["v"] for r in t.read().collect()}[1] == 111
+
+
 def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     """VACUUM DRY RUN: the same reclaim list as a real vacuum, with
     nothing deleted — the pre-flight before an irreversible reclaim."""
