@@ -659,6 +659,59 @@ def q_txlog_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with Delta's FULL clause surface in one commit: an
+    ORDERED two-clause WHEN MATCHED list (conditional DELETE takes
+    precedence over conditional UPDATE — first-true-wins per row, rows
+    neither clause claims keep their target value), a conditioned WHEN
+    NOT MATCHED insert, and WHEN NOT MATCHED BY SOURCE UPDATE (the
+    sync-two-tables idiom — every target row outside the source's keys
+    is examined, full-scan semantics). The oracle states the entire
+    clause resolution directly from ``orders``, so clause precedence,
+    keep-on-no-winner, condition-gated insert, and the by-source
+    full-scan are all driver-checked."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txmcl-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base)
+    src = (
+        base.filter(F.col("k") % 4 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 77).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "st",
+                "amount_c",
+                F.lit(2).cast("long").alias("ver"),
+            )
+        )
+    )
+    t.merge_into(
+        src,
+        when_matched=[
+            {"action": "delete", "condition": "t.st = 'F' AND s.k % 8 = 0"},
+            {"action": "update",
+             "set": {"amount_c": "s.amount_c", "ver": "s.ver"},
+             "condition": "t.st = 'O'"},
+        ],
+        when_not_matched="insert",
+        not_matched_condition="s.k % 2 = 1",
+        when_not_matched_by_source="update",
+        by_source_set={"ver": "t.ver + 10"},
+        by_source_condition="t.st = 'P'",
+    )
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
@@ -666,6 +719,7 @@ QUERIES = {
     "q_txlog_type_widening": q_txlog_type_widening,
     "q_txlog_replace_where": q_txlog_replace_where,
     "q_txlog_merge_into": q_txlog_merge_into,
+    "q_txlog_merge_clauses": q_txlog_merge_clauses,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -691,6 +745,26 @@ ORACLES = {
                CAST(1 AS BIGINT) AS dv_materialized
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    "q_txlog_merge_clauses": f"""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c
+            FROM orders WHERE o_orderkey <= {_KEY_CAP}
+        )
+        SELECT k, st,
+               CASE WHEN k % 4 = 0 AND st = 'O'
+                    THEN amount_c + 77 ELSE amount_c END AS amount_c,
+               CAST(CASE WHEN k % 4 = 0 AND st = 'O' THEN 2
+                         WHEN k % 4 <> 0 AND st = 'P' THEN 11
+                         ELSE 1 END AS BIGINT) AS ver
+        FROM base
+        WHERE NOT (k % 4 = 0 AND st = 'F' AND k % 8 = 0)
+        UNION ALL
+        SELECT k + 1000000 AS k, st, amount_c, CAST(2 AS BIGINT) AS ver
+        FROM base
+        WHERE k % 11 = 0 AND k % 2 = 1
     """,
     "q_txlog_merge_into": f"""
         SELECT o_orderkey AS k,

@@ -1939,108 +1939,237 @@ class TxTable:
     def merge_into(
         self,
         source: DataFrame,
-        when_matched: str | None = "update",
+        when_matched="update",  # str | None | list of clause dicts
         update_set: dict[str, str] | None = None,
         matched_condition: str | None = None,
         when_not_matched: str | None = "insert",
         not_matched_condition: str | None = None,
+        when_not_matched_by_source: str | None = None,
+        by_source_set: dict[str, str] | None = None,
+        by_source_condition: str | None = None,
         txn: dict | None = None,
         max_retries: int = 5,
     ) -> int:
-        """Conditional ``MERGE INTO`` (Delta's full clause surface, ON =
-        key equality): one atomic commit applying
+        """Conditional ``MERGE INTO`` (Delta's clause surface, ON = key
+        equality): one atomic commit applying
 
-        - WHEN MATCHED [AND ``matched_condition``] THEN
-          ``when_matched`` = ``"update"`` (apply ``update_set`` — col →
-          SQL over ``s.*``/``t.*``; unassigned columns keep the target
-          value; ``update_set=None`` takes the source row wholesale) or
-          ``"delete"`` (retract the row) or ``None`` (matches keep the
-          target row — insert-only merge);
-        - WHEN NOT MATCHED [AND ``not_matched_condition``] THEN
-          ``when_not_matched`` = ``"insert"`` (the source row) or
-          ``None`` (drop it).
+        - WHEN MATCHED clauses — ``when_matched`` is either the legacy
+          scalar form (``"update"`` with ``update_set`` /
+          ``matched_condition``, ``"delete"``, or ``None``) or an
+          ORDERED clause list ``[{"action": "update"|"delete",
+          "set": {...}|None, "condition": sql|None}, ...]``: per
+          matched row the FIRST clause whose condition is TRUE wins
+          (Delta's clause-precedence rule); every clause but the last
+          must carry a condition (an unconditional clause would make
+          later ones unreachable — Delta refuses the same). A matched
+          row no clause claims keeps the target value. ``set`` maps
+          col → SQL over ``s.*``/``t.*``; unassigned columns keep the
+          target value; ``set=None`` takes the source row wholesale.
+        - WHEN NOT MATCHED [AND ``not_matched_condition``, over
+          ``s.*``] THEN ``when_not_matched`` = ``"insert"`` (the
+          source row) or ``None`` (drop it). One insert clause —
+          Delta's multi-insert-clause form is not expressible here.
+        - WHEN NOT MATCHED BY SOURCE [AND ``by_source_condition``]
+          THEN ``when_not_matched_by_source`` = ``"delete"`` or
+          ``"update"`` (with ``by_source_set``) — the sync-two-tables
+          idiom: target rows NO source row matches are deleted /
+          updated. Conditions and SET expressions here reference
+          ``t.*`` ONLY (there is no source row — Delta's rule; a
+          ``s.``-reference is refused up front). NOTE the scale cost,
+          same as Delta documents: a by-source clause must examine
+          EVERY target row, so the merge scans and rewrites the whole
+          table instead of only the source keys' buckets.
 
-        A matched row whose condition is FALSE keeps the target value —
-        Delta's clause-condition contract. Conditions and SET
-        expressions reference the two sides as ``s.<col>`` / ``t.<col>``.
+        Conditions are null-safe (UNKNOWN = clause does not apply).
         EVERY target copy of a matched key takes the action (append
-        duplicates included — the join semantics, not latest-wins;
-        ``merge_upsert`` owns latest-wins). A source with two rows for
-        one key is REFUSED (Delta's multiple-matches error: the result
-        would be order-dependent). Key columns are unassignable;
-        GENERATED columns are recomputed on updated rows and computed
-        on inserts.
+        duplicates included — join semantics, not latest-wins;
+        ``merge_upsert`` owns latest-wins). Sources with several rows
+        per key are REFUSED only when those rows would act on the same
+        TARGET row via a matched clause (Delta's multiple-matches
+        error); duplicate keys that match nothing simply insert —
+        insert-only merges accept any source. The source is pinned
+        with ``localCheckpoint`` before the duplicate check, so a
+        non-deterministic source (``rand()``, a re-read of a mutating
+        table) cannot pass the check yet write different rows — the
+        same source materialization Delta performs. Key columns are
+        unassignable; GENERATED columns are recomputed on updated rows
+        and computed on inserts. A merge with no clause at all is
+        refused.
 
-        Scale shape: identical to ``merge_upsert`` — only the touched
-        buckets' files rewrite (cost ∝ source keys' buckets, never
-        table size); the commit is a generic rewrite so CDF (exact
+        Scale shape: without a by-source clause, identical to
+        ``merge_upsert`` — only the touched buckets' files rewrite
+        (cost ∝ source keys' buckets, never table size); an
+        insert-only merge (no matched/by-source clause) rewrites
+        NOTHING — it appends the anti-joined rows, Delta's insert-only
+        fast path. The commit is a generic rewrite so CDF (exact
         multiset delta), time travel, vacuum, and the stream's rewrite
         refusal all apply with zero new cases."""
-        if when_matched not in ("update", "delete", None):
+        import re
+
+        # ---- clause normalization: scalar legacy form → clause list
+        if isinstance(when_matched, (list, tuple)):
+            if update_set is not None or matched_condition is not None:
+                raise ValueError(
+                    "merge_into: with a when_matched clause LIST, put "
+                    "set/condition inside each clause dict — the "
+                    "update_set/matched_condition parameters are the "
+                    "single-clause form"
+                )
+            clauses = [dict(c) for c in when_matched]
+        elif when_matched is None:
+            if update_set is not None:
+                raise ValueError(
+                    "update_set requires when_matched='update'"
+                )
+            if matched_condition is not None:
+                raise ValueError(
+                    "matched_condition requires a when_matched clause"
+                )
+            clauses = []
+        elif when_matched in ("update", "delete"):
+            # inapplicable clause parameters are BUGS in the call, not
+            # no-ops — silently ignoring them would hide a caller who
+            # meant when_matched='update' (Delta refuses them too)
+            if update_set is not None and when_matched != "update":
+                raise ValueError(
+                    "update_set requires when_matched='update'"
+                )
+            clauses = [{
+                "action": when_matched,
+                "set": update_set,
+                "condition": matched_condition,
+            }]
+        else:
             raise ValueError(
-                "when_matched must be 'update', 'delete', or None"
+                "when_matched must be 'update', 'delete', None, or a "
+                "clause list"
             )
+        for i, cl in enumerate(clauses):
+            extra = set(cl) - {"action", "set", "condition"}
+            if extra:
+                raise ValueError(
+                    f"merge_into: unknown clause key(s) {sorted(extra)}"
+                )
+            if cl.get("action") not in ("update", "delete"):
+                raise ValueError(
+                    "each when_matched clause action must be 'update' "
+                    "or 'delete'"
+                )
+            if cl.get("action") == "delete" and cl.get("set") is not None:
+                raise ValueError(
+                    "a 'delete' clause takes no 'set'"
+                )
+            cl.setdefault("set", None)
+            cl.setdefault("condition", None)
+            if i < len(clauses) - 1 and not cl["condition"]:
+                raise ValueError(
+                    "every WHEN MATCHED clause except the last needs a "
+                    "condition — an unconditional clause makes later "
+                    "clauses unreachable (Delta's clause-list rule)"
+                )
         if when_not_matched not in ("insert", None):
             raise ValueError("when_not_matched must be 'insert' or None")
-        # inapplicable clause parameters are BUGS in the call, not
-        # no-ops — silently ignoring them would hide a caller who
-        # meant when_matched='update' (Delta refuses them too)
-        if update_set is not None and when_matched != "update":
-            raise ValueError(
-                "update_set requires when_matched='update'"
-            )
-        if matched_condition is not None and when_matched is None:
-            raise ValueError(
-                "matched_condition requires a when_matched clause"
-            )
         if not_matched_condition is not None and when_not_matched is None:
             raise ValueError(
                 "not_matched_condition requires when_not_matched='insert'"
             )
+        if when_not_matched_by_source not in (None, "update", "delete"):
+            raise ValueError(
+                "when_not_matched_by_source must be 'update', "
+                "'delete', or None"
+            )
+        if by_source_set is not None and when_not_matched_by_source != "update":
+            raise ValueError(
+                "by_source_set requires when_not_matched_by_source="
+                "'update'"
+            )
+        if when_not_matched_by_source == "update" and not by_source_set:
+            raise ValueError(
+                "when_not_matched_by_source='update' requires "
+                "by_source_set — there is no source row to take "
+                "values from"
+            )
+        if by_source_condition is not None and when_not_matched_by_source is None:
+            raise ValueError(
+                "by_source_condition requires a "
+                "when_not_matched_by_source clause"
+            )
+        for ex in list((by_source_set or {}).values()) + (
+            [by_source_condition] if by_source_condition else []
+        ):
+            if re.search(r"(?<![A-Za-z0-9_])s\s*\.", ex):
+                raise ValueError(
+                    "by-source clauses reference t.* only — no source "
+                    f"row exists for those target rows (got {ex!r}); "
+                    "Delta refuses source references here too"
+                )
+        if not clauses and when_not_matched is None \
+                and when_not_matched_by_source is None:
+            raise ValueError(
+                "merge_into: no clause at all — nothing to do"
+            )
         m0 = self.meta
         key_cols = list(m0["key_cols"])
         gen = dict(m0.get("generated_cols") or {})
-        if update_set:
-            bad = set(update_set) & set(key_cols)
+        all_sets = [
+            cl["set"] for cl in clauses
+            if cl["action"] == "update" and cl["set"]
+        ]
+        if by_source_set:
+            all_sets.append(by_source_set)
+        for st in all_sets:
+            bad = set(st) & set(key_cols)
             if bad:
                 raise ValueError(
                     f"cannot assign key column(s) {sorted(bad)}: "
                     "rekeying is a delete + insert"
                 )
-            badg = set(update_set) & set(gen)
+            badg = set(st) & set(gen)
             if badg:
                 raise ValueError(
                     f"cannot assign GENERATED column(s) {sorted(badg)} "
                     "— they are always derived from their expression"
                 )
-        source = self._with_generated(source, "merge_into")
-        dup = (
-            source.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter("_n > 1")
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                "merge_into: the source has multiple rows for key "
-                f"{tuple(dup[0][k] for k in key_cols)} — the merge "
-                "result would be order-dependent (Delta's "
-                "multiple-matches refusal); pre-aggregate the source"
+        # pin the source: the duplicate check below and the staged
+        # write must see the SAME rows even for non-deterministic
+        # sources (rand(), re-reads of mutating tables) — lazy local
+        # checkpoint materializes at the first job and every later
+        # job (including commit retries) reads the materialization
+        source = self._with_generated(
+            source, "merge_into"
+        ).localCheckpoint(eager=False)
+        # Delta's multiple-matches error fires only when several
+        # source rows would act on the SAME target row — so dup keys
+        # are only fatal if (a) a matched clause exists and (b) the
+        # key matches the target; the existence probe keeps the
+        # common no-dup case to one cheap aggregate
+        dup_keys = None
+        if clauses:
+            dk = (
+                source.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter("_n > 1")
+                .drop("_n")
             )
-        # clause conditions are null-safe: an UNKNOWN condition means
-        # the clause does NOT apply (the row is kept / not inserted),
-        # never that it actions — SQL's three-valued WHERE discipline
-        mcond = (
-            F.expr(matched_condition).eqNullSafe(F.lit(True))
-            if matched_condition
-            else F.lit(True)
-        )
-        ncond = (
-            F.expr(not_matched_condition).eqNullSafe(F.lit(True))
-            if not_matched_condition
-            else F.lit(True)
-        )
+            if dk.limit(1).collect():
+                dup_keys = dk
+        def _nullsafe(cond: str | None):
+            # clause conditions are null-safe: an UNKNOWN condition
+            # means the clause does NOT apply — SQL's three-valued
+            # WHERE discipline
+            return (
+                F.expr(cond).eqNullSafe(F.lit(True))
+                if cond else F.lit(True)
+            )
+
+        ncond = _nullsafe(not_matched_condition)
+        bscond = _nullsafe(by_source_condition)
+        upd_idx = [
+            i for i, cl in enumerate(clauses) if cl["action"] == "update"
+        ]
+        del_idx = [
+            i for i, cl in enumerate(clauses) if cl["action"] == "delete"
+        ]
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             # constraints are checked on the RESULT below (the only
@@ -2057,11 +2186,11 @@ class TxTable:
             rec_schema = StructType.fromJson(json.loads(schema_rec))
             cols = [f.name for f in rec_schema.fields if f.name != "_bucket"]
             types = {f.name: f.dataType for f in rec_schema.fields}
-            if update_set:
-                unknown = set(update_set) - set(cols)
+            for st in all_sets:
+                unknown = set(st) - set(cols)
                 if unknown:
                     raise ValueError(
-                        f"merge_into: update_set assigns unknown "
+                        f"merge_into: SET assigns unknown "
                         f"column(s) {sorted(unknown)} — table columns "
                         f"are {sorted(cols)}"
                     )
@@ -2069,7 +2198,13 @@ class TxTable:
                 r["_bucket"]
                 for r in src_b.select("_bucket").distinct().collect()
             }
-            hit = [e for e in live if e["bucket"] in touched]
+            # a by-source clause must examine EVERY target row (any
+            # row may be unmatched) — the whole table is in scope,
+            # Delta's documented full-scan cost for this clause
+            if when_not_matched_by_source:
+                hit = live
+            else:
+                hit = [e for e in live if e["bucket"] in touched]
             s_m = src_b.drop("_bucket").withColumn("_s", F.lit(1))
             if hit:
                 t_m = self._open_files(
@@ -2081,53 +2216,103 @@ class TxTable:
                 t_m = self.spark.createDataFrame(
                     [], s_m.schema
                 ).withColumnRenamed("_s", "_t")
-            joined = t_m.alias("t").join(
-                s_m.alias("s"),
-                [
-                    F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-                    for k in key_cols
-                ],
-                "full_outer",
-            )
-            is_m = F.col("t._t").isNotNull() & F.col("s._s").isNotNull()
-            is_t = F.col("t._t").isNotNull() & F.col("s._s").isNull()
-            is_s = F.col("s._s").isNotNull() & F.col("t._t").isNull()
-            keep = is_t
-            if when_matched == "delete":
-                keep = keep | (is_m & ~mcond)
-            else:
-                keep = keep | is_m
-            if when_not_matched == "insert":
-                keep = keep | (is_s & ncond)
-            upd = (
-                (is_m & mcond)
-                if when_matched == "update"
-                else F.lit(False)
-            )
-
-            def value_of(c: str):
-                if update_set is None:
-                    u = F.col(f"s.{c}")
-                else:
-                    u = (
-                        F.expr(update_set[c])
-                        if c in update_set
-                        else F.col(f"t.{c}")
+            if dup_keys is not None and hit:
+                clash = t_m.join(
+                    dup_keys,
+                    [t_m[k].eqNullSafe(dup_keys[k]) for k in key_cols],
+                    "left_semi",
+                ).limit(1).collect()
+                if clash:
+                    raise ValueError(
+                        "merge_into: the source has multiple rows for "
+                        f"key {tuple(clash[0][k] for k in key_cols)} "
+                        "which matches the target — the merge result "
+                        "would be order-dependent (Delta's "
+                        "multiple-matches refusal); pre-aggregate the "
+                        "source"
                     )
-                return (
-                    F.when(upd, u)
-                    .when(is_s, F.col(f"s.{c}"))
-                    .otherwise(F.col(f"t.{c}"))
+            if clauses:
+                out = self._merge_clause_plan(
+                    t_m, s_m, key_cols, cols, types, clauses,
+                    upd_idx, del_idx,
+                    when_not_matched, ncond,
+                    when_not_matched_by_source, by_source_set, bscond,
                 )
+            else:
+                # no matched clause: inserts come from a key anti-join
+                # (no join multiplication on duplicate source keys),
+                # and the target side only rewrites for a by-source
+                # clause — a pure insert-only merge rewrites NOTHING
+                # (Delta's insert-only fast path)
+                ins = None
+                if when_not_matched == "insert":
+                    ins = s_m.drop("_s").alias("s")
+                    if hit:
+                        tk = t_m.select(*key_cols)
+                        ins = ins.join(
+                            tk,
+                            [
+                                F.col(f"s.{k}").eqNullSafe(tk[k])
+                                for k in key_cols
+                            ],
+                            "left_anti",
+                        )
+                    ins = ins.filter(ncond).select(
+                        *[
+                            F.col(f"s.{c}").cast(types[c]).alias(c)
+                            for c in cols
+                        ],
+                        F.lit(False).alias("_upd"),
+                    )
+                if when_not_matched_by_source:
+                    s_keys = (
+                        src_b.select(*key_cols).distinct()
+                        .withColumn("_sk", F.lit(1))
+                    )
+                    tf = t_m.drop("_t").alias("t").join(
+                        s_keys,
+                        [
+                            F.col(f"t.{k}").eqNullSafe(s_keys[k])
+                            for k in key_cols
+                        ],
+                        "left",
+                    )
+                    bs_hit = F.col("_sk").isNull() & bscond
+                    if when_not_matched_by_source == "delete":
+                        out = tf.filter(~bs_hit).select(
+                            *[
+                                F.col(f"t.{c}").cast(types[c]).alias(c)
+                                for c in cols
+                            ],
+                            F.lit(False).alias("_upd"),
+                        )
+                    else:
+                        def tval(c: str):
+                            u = (
+                                F.expr(by_source_set[c])
+                                if c in by_source_set
+                                else F.col(f"t.{c}")
+                            )
+                            return F.when(bs_hit, u).otherwise(
+                                F.col(f"t.{c}")
+                            )
 
-            out = joined.filter(keep).select(
-                *[value_of(c).cast(types[c]).alias(c) for c in cols],
-                upd.alias("_upd"),
-            )
+                        out = tf.select(
+                            *[
+                                tval(c).cast(types[c]).alias(c)
+                                for c in cols
+                            ],
+                            bs_hit.alias("_upd"),
+                        )
+                    if ins is not None:
+                        out = out.unionByName(ins)
+                else:
+                    hit = []  # insert-only: no rewrite, pure append
+                    out = ins
             # GENERATED ALWAYS AS: recompute on updated rows from the
             # post-assignment values (second projection); inserts were
             # computed by _with_generated, kept rows carry through
-            if when_matched == "update":
+            if upd_idx or when_not_matched_by_source == "update":
                 for gname, gexpr in gen.items():
                     if gname in out.columns:
                         out = out.withColumn(
@@ -2147,8 +2332,9 @@ class TxTable:
                 "remove": [e["path"] for e in hit],
                 "schema_json": schema_rec,
                 "note": (
-                    f"merge_into matched={when_matched} "
-                    f"not_matched={when_not_matched}"
+                    f"merge_into matched={[c['action'] for c in clauses]} "
+                    f"not_matched={when_not_matched} "
+                    f"by_source={when_not_matched_by_source}"
                 ),
             }
             if txn:
@@ -2162,6 +2348,98 @@ class TxTable:
                 last_err = exc
                 continue
         raise last_err  # type: ignore[misc]
+
+    @staticmethod
+    def _merge_clause_plan(
+        t_m: DataFrame,
+        s_m: DataFrame,
+        key_cols: list[str],
+        cols: list[str],
+        types: dict,
+        clauses: list[dict],
+        upd_idx: list[int],
+        del_idx: list[int],
+        when_not_matched: str | None,
+        ncond,
+        when_not_matched_by_source: str | None,
+        by_source_set: dict[str, str] | None,
+        bscond,
+    ) -> DataFrame:
+        """The matched-clause merge plan: ONE full-outer join on the
+        keys, a first-true-condition clause index per matched row
+        (Delta's ordered-clause precedence), and a single projection
+        resolving every output column — no per-clause passes over the
+        target. Valid only under the multiple-matches refusal (≤ 1
+        source row per matched target row)."""
+        joined = t_m.alias("t").join(
+            s_m.alias("s"),
+            [
+                F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                for k in key_cols
+            ],
+            "full_outer",
+        )
+        is_m = F.col("t._t").isNotNull() & F.col("s._s").isNotNull()
+        is_t = F.col("t._t").isNotNull() & F.col("s._s").isNull()
+        is_s = F.col("s._s").isNotNull() & F.col("t._t").isNull()
+
+        def _nullsafe(cond: str | None):
+            return (
+                F.expr(cond).eqNullSafe(F.lit(True))
+                if cond else F.lit(True)
+            )
+
+        # winning clause index: first clause whose condition holds
+        chain = None
+        for i, cl in enumerate(clauses):
+            c = _nullsafe(cl["condition"])
+            chain = (F.when if chain is None else chain.when)(c, F.lit(i))
+        cidx = chain.otherwise(F.lit(None).cast("int"))
+        # cidx is NULL when NO clause claims the row — isin() on NULL
+        # is UNKNOWN, and an UNKNOWN drop-flag would silently drop the
+        # row through `keep & ~drop`; eqNullSafe pins it to False
+        matched_del = (
+            (is_m & cidx.isin(del_idx).eqNullSafe(F.lit(True)))
+            if del_idx else F.lit(False)
+        )
+        upd = (
+            (is_m & cidx.isin(upd_idx).eqNullSafe(F.lit(True)))
+            if upd_idx else F.lit(False)
+        )
+        bs_upd = (
+            (is_t & bscond)
+            if when_not_matched_by_source == "update"
+            else F.lit(False)
+        )
+        drop = matched_del
+        if when_not_matched_by_source == "delete":
+            drop = drop | (is_t & bscond)
+        keep = (is_t | is_m) & ~drop
+        if when_not_matched == "insert":
+            keep = keep | (is_s & ncond)
+
+        def value_of(c: str):
+            w = F.when(is_s, F.col(f"s.{c}"))
+            for i in upd_idx:
+                st = clauses[i]["set"]
+                u = (
+                    F.col(f"s.{c}") if st is None
+                    else (F.expr(st[c]) if c in st else F.col(f"t.{c}"))
+                )
+                w = w.when(is_m & (cidx == i), u)
+            if when_not_matched_by_source == "update":
+                u = (
+                    F.expr(by_source_set[c])
+                    if c in by_source_set
+                    else F.col(f"t.{c}")
+                )
+                w = w.when(bs_upd, u)
+            return w.otherwise(F.col(f"t.{c}"))
+
+        return joined.filter(keep).select(
+            *[value_of(c).cast(types[c]).alias(c) for c in cols],
+            (upd | bs_upd).alias("_upd"),
+        )
 
     def apply_cdc(
         self,

@@ -4835,9 +4835,19 @@ def test_merge_into_delete_duplicates_and_guards(spark, tmp_path):
     )
     row = [r for r in t.read().collect() if r["k"] == 2][0]
     assert row["v"] == 2000 and row["band"] == 2000 % 97
+    # Delta's multiple-matches error fires only when the duplicate
+    # source rows MATCH a target row — key 2 is live here
     with pytest.raises(ValueError, match="multiple rows"):
         t.merge_into(spark.createDataFrame(
-            [(5, 1, 1), (5, 2, 2)], "k long, v long, ver long"))
+            [(2, 1, 5), (2, 2, 6)], "k long, v long, ver long"))
+    # duplicate keys that match NOTHING insert (both copies), even
+    # with a matched clause configured — the insert-only-dup case
+    # Delta accepts
+    t.merge_into(spark.createDataFrame(
+        [(5, 1, 5), (5, 2, 6)], "k long, v long, ver long"))
+    assert sorted(
+        r["v"] for r in t.read().filter("k = 5").collect()
+    ) == [1, 2]
     with pytest.raises(ValueError, match="key column"):
         t.merge_into(
             spark.createDataFrame([(2, 1, 5)], "k long, v long, ver long"),
@@ -4874,6 +4884,171 @@ def test_merge_into_delete_duplicates_and_guards(spark, tmp_path):
     t2.merge_into(spark.createDataFrame(
         [(7, 70, 1)], "k long, v long, ver long"))
     assert {r["k"]: r["v"] for r in t2.read().collect()} == {7: 70}
+
+
+def test_merge_into_clause_list_precedence(spark, tmp_path):
+    """Ordered WHEN MATCHED clause list: per row the FIRST clause whose
+    condition holds wins (Delta's precedence rule); a row no clause
+    claims keeps the target value; non-last unconditional clauses and
+    legacy kwargs alongside a list are refused."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1), (3, 30, 1), (4, 40, 1)],
+        "k long, v long, ver long"))
+    src = spark.createDataFrame(
+        [(1, 100, 2),   # clause1 false, clause2 true -> v = 10+100
+         (2, 5, 2),     # clause1+2 false -> catch-all update v=0
+         (3, -1, 2),    # clause1 true -> delete
+         (9, 90, 2)],   # unmatched -> insert
+        "k long, v long, ver long")
+    t.merge_into(
+        src,
+        when_matched=[
+            {"action": "delete", "condition": "s.v < 0"},
+            {"action": "update", "set": {"v": "t.v + s.v", "ver": "s.ver"},
+             "condition": "s.v > t.v"},
+            {"action": "update", "set": {"v": "0"}},
+        ],
+    )
+    assert _rows(t) == {
+        1: (110, 2), 2: (0, 1), 4: (40, 1), 9: (90, 2)
+    }
+    with pytest.raises(ValueError, match="except the last"):
+        t.merge_into(src, when_matched=[
+            {"action": "update"},
+            {"action": "delete", "condition": "s.v < 0"},
+        ])
+    with pytest.raises(ValueError, match="clause LIST"):
+        t.merge_into(src, when_matched=[{"action": "update"}],
+                     update_set={"v": "1"})
+    with pytest.raises(ValueError, match="takes no 'set'"):
+        t.merge_into(src, when_matched=[
+            {"action": "delete", "set": {"v": "1"}}])
+    with pytest.raises(ValueError, match="unknown clause key"):
+        t.merge_into(src, when_matched=[
+            {"action": "update", "sets": {"v": "1"}}])
+    # a matched row NO clause claims keeps the target value even when
+    # every clause is conditional (the keep-on-no-winner path)
+    t2 = _mk(spark, tmp_path / "t2", n_buckets=2)
+    t2.append(spark.createDataFrame(
+        [(1, 10, 1)], "k long, v long, ver long"))
+    t2.merge_into(
+        spark.createDataFrame([(1, 5, 2)], "k long, v long, ver long"),
+        when_matched=[
+            {"action": "update", "set": None, "condition": "s.v > t.v"},
+        ],
+        when_not_matched=None,
+    )
+    assert _rows(t2) == {1: (10, 1)}
+
+
+def test_merge_into_not_matched_by_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (the sync-two-tables idiom): target
+    rows no source key matches delete or update, matched/inserted rows
+    follow their own clauses, and the full-scan semantics hold across
+    every bucket — not only the source keys' buckets."""
+    t = _mk(spark, tmp_path, n_buckets=4)  # spread across buckets
+    t.append(spark.createDataFrame(
+        [(i, 10 * i, 1) for i in range(1, 9)], "k long, v long, ver long"))
+    src = spark.createDataFrame(
+        [(1, 111, 2), (2, 222, 2), (9, 999, 2)], "k long, v long, ver long")
+    # delete stale target rows above a threshold; keep small ones
+    t.merge_into(
+        src,
+        when_matched="update",
+        when_not_matched="insert",
+        when_not_matched_by_source="delete",
+        by_source_condition="t.v >= 40",
+    )
+    assert _rows(t) == {
+        1: (111, 2), 2: (222, 2), 3: (30, 1), 9: (999, 2)
+    }
+    # by-source UPDATE stamps unmatched survivors; generated columns
+    # recompute on those rows
+    t2 = TxTable.create(
+        spark, str(tmp_path / "t2"), key_cols=("k",), order_col="ver",
+        n_buckets=2, generated_cols={"band": "CAST(v % 97 AS BIGINT)"},
+    )
+    t2.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+    t2.merge_into(
+        spark.createDataFrame([(1, 300, 2)], "k long, v long, ver long"),
+        when_matched="update",
+        when_not_matched=None,
+        when_not_matched_by_source="update",
+        by_source_set={"v": "t.v + 1000", "ver": "t.ver + 1"},
+    )
+    got = {r["k"]: (r["v"], r["ver"], r["band"])
+           for r in t2.read().collect()}
+    assert got == {1: (300, 2, 300 % 97), 2: (1020, 2, 1020 % 97)}
+    # guards: s.-references, set-less update, set-with-delete, orphan
+    # condition, no clause at all
+    with pytest.raises(ValueError, match="t\\.\\* only"):
+        t2.merge_into(src, when_not_matched_by_source="delete",
+                      by_source_condition="s.v > 0")
+    with pytest.raises(ValueError, match="requires[\\s\\S]*by_source_set"):
+        t2.merge_into(src, when_not_matched_by_source="update")
+    with pytest.raises(ValueError, match="by_source_set requires"):
+        t2.merge_into(src, when_not_matched_by_source="delete",
+                      by_source_set={"v": "1"})
+    with pytest.raises(ValueError, match="by_source_condition requires"):
+        t2.merge_into(src, by_source_condition="t.v > 0")
+    with pytest.raises(ValueError, match="no clause"):
+        t2.merge_into(src, when_matched=None, when_not_matched=None)
+
+
+def test_merge_into_insert_only_fast_path(spark, tmp_path):
+    """An insert-only merge (no matched/by-source clause) must rewrite
+    NOTHING: the commit removes zero files (Delta's insert-only fast
+    path), matched source rows are simply dropped, and duplicate
+    unmatched keys insert every copy."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+    v = t.merge_into(
+        spark.createDataFrame(
+            [(1, 999, 2),             # matched -> dropped, target kept
+             (7, 70, 2), (7, 71, 2),  # dup unmatched -> both insert
+             (8, -1, 2)],             # condition false -> dropped
+            "k long, v long, ver long"),
+        when_matched=None,
+        not_matched_condition="s.v >= 0",
+    )
+    rec = _read_record(t.table_dir, v)
+    assert rec["op"] == "merge_into" and rec["remove"] == []
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 10), (2, 20), (7, 70), (7, 71)]
+
+
+def test_merge_into_source_materialized_once(spark, tmp_path):
+    """The source is pinned (localCheckpoint) before the duplicate
+    check: its rows are computed exactly ONCE however many jobs the
+    merge runs, so a non-deterministic source cannot pass the check
+    yet write different rows — the Delta materializeSource contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1)], "k long, v long, ver long"))
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(v):
+        acc.add(1)
+        return v
+
+    cnt = F.udf(counting, LongType())
+    src = spark.range(4).select(
+        cnt(F.col("id") + 1).alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit(2).alias("ver"),
+    )
+    t.merge_into(src, when_matched="update")
+    assert _rows(t) == {
+        1: (0, 2), 2: (100, 2), 3: (200, 2), 4: (300, 2)
+    }
+    # one evaluation per source row — not one per downstream job
+    assert acc.value == 4, acc.value
 
 
 def test_merge_into_sink_exactly_once(spark, tmp_path):
