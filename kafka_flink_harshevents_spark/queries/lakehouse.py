@@ -452,11 +452,14 @@ def q_txlog_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-aware OPTIMIZE gate: fragment the base across 8 small
     appends per bucket, put a merge-on-read deletion vector on one
     slice, then ``compact(target_bytes=...)`` — the policy must
-    bin-pack small files toward the target (fewer, bigger files; the
-    smallest live file strictly grows), materialize the vector, and
-    preserve the row multiset exactly. Rows/sum are oracled directly
-    from ``orders``; the layout properties gate as booleans (file
-    sizes are writer-specific — the `emb_knn_pq_recall` convention)."""
+    bin-pack small files toward the target (fewer files whose MEAN
+    size strictly grows — the robust layout property: first-fit-
+    decreasing may legitimately leave a singleton leftover bin that
+    compact drops as no-gain, so a ``min``-based gate could
+    spuriously tie), materialize the vector, and preserve the row
+    multiset exactly. Rows/sum are oracled directly from ``orders``;
+    the layout properties gate as booleans (file sizes are
+    writer-specific — the `emb_knn_pq_recall` convention)."""
     base = _base_frame(spark, sf_dir)
     t = TxTable.create(
         spark,
@@ -486,13 +489,16 @@ def q_txlog_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(agg["n_rows"]),
         int(agg["sum_amount_c"]),
         int(len(live_after) < len(live_before)),
-        int(min(sizes_after) > min(sizes_before)),
+        int(
+            sum(sizes_after) * len(sizes_before)
+            > sum(sizes_before) * len(sizes_after)
+        ),
         int(not dvs),
     )
     return spark.createDataFrame(
         [row],
         "n_rows long, sum_amount_c long, files_reduced long, "
-        "min_file_grew long, dv_materialized long",
+        "mean_file_grew long, dv_materialized long",
     )
 
 
@@ -741,7 +747,7 @@ ORACLES = {
                CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS sum_amount_c,
                CAST(1 AS BIGINT) AS files_reduced,
-               CAST(1 AS BIGINT) AS min_file_grew,
+               CAST(1 AS BIGINT) AS mean_file_grew,
                CAST(1 AS BIGINT) AS dv_materialized
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0

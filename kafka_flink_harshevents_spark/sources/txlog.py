@@ -899,17 +899,32 @@ class TxTable:
                 # cdf=True tables materialize EVERY rewrite's feed —
                 # restore included, or the DataSource change-feed
                 # consumers hard-fail at this commit. A restore whose
-                # endpoints have different column sets has no
+                # endpoints differ in column set OR TYPE has no
                 # representable row-level feed (the Delta position:
                 # CDF ranges cannot cross schema changes) — refuse.
-                if cur_names != restored_names:
+                # Types matter as much as names: a restore across a
+                # type widening (same names, long→int) would diff a
+                # long-typed pre frame against an int-typed post frame
+                # and stage change files whose values overflow the
+                # restored narrow schema.
+                def _typed(sj: str | None) -> set:
+                    if sj is None:
+                        return set()
+                    return {
+                        (f.name, f.dataType.simpleString())
+                        for f in StructType.fromJson(json.loads(sj)).fields
+                    }
+
+                cur_t, old_t = _typed(cur_schema), _typed(old_schema)
+                if cur_t != old_t:
                     raise ValueError(
                         f"cannot restore to {version} on a cdf=True "
                         "table across a schema change "
-                        f"({sorted(cur_names ^ restored_names)} "
-                        "differ) — the change feed cannot represent "
-                        "it; drop-column/rename history must be "
-                        "restored on non-CDF tables"
+                        f"({sorted(c for c, _ in cur_t ^ old_t)} "
+                        "differ in name or type) — the change feed "
+                        "cannot represent it; drop-column/rename/"
+                        "widening history must be restored on non-CDF "
+                        "tables"
                     )
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
@@ -1044,7 +1059,9 @@ class TxTable:
             except ConcurrentWriteError:
                 continue  # metadata-only: recompute and retry
 
-    def rename_column(self, old: str, new: str) -> int:
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 5
+    ) -> int:
         """ALTER TABLE RENAME COLUMN via COLUMN MAPPING — METADATA-ONLY
         (Delta's columnMapping name-mode contract): one commit records
         the schema under the new LOGICAL name plus a mapping
@@ -1065,9 +1082,12 @@ class TxTable:
         columns with one parquet name."""
         if old == new:
             raise ValueError("rename_column: old and new are the same")
-        while True:
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
             # fresh meta per attempt — same concurrent-retry discipline
-            # as drop_columns
+            # (and the same bounded ``max_retries`` convention) as
+            # every other mutating op; metadata-only, but unbounded
+            # spinning under pathological contention is still wrong
             meta = self.meta
             protected = set(meta["key_cols"]) | {meta["order_col"]}
             protected |= set(meta.get("bloom_cols") or ())
@@ -1131,8 +1151,10 @@ class TxTable:
             try:
                 _atomic_commit(self.table_dir, v + 1, record)
                 return v + 1
-            except ConcurrentWriteError:
+            except ConcurrentWriteError as exc:
+                last_err = exc
                 continue  # metadata-only: recompute and retry
+        raise last_err  # type: ignore[misc]
 
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose
@@ -3554,19 +3576,40 @@ class TxTable:
         On a ``cdf=True`` table, rewrite commits carry MATERIALIZED
         change files (written at commit time by the same derivation
         below) — those read back directly, no diff re-run.
+
+        NAMING CONTRACT: the feed is served under the table's LATEST
+        logical column names, whatever names were in force when the
+        commit landed — the same convention as the ``format("txlog")``
+        change-feed DataSource (whose declared schema is always the
+        latest) and as Delta, so one commit range reads identically
+        through both APIs across a rename. A column dropped after the
+        commit keeps its commit-time name (it has no latest name).
         """
         rec = _read_record(self.table_dir, version)
+        latest_map = self.meta.get("column_mapping") or {}
         if rec.get("cdf_files"):
             df = self.spark.read.parquet(
                 *[os.path.join(self.table_dir, p) for p in rec["cdf_files"]]
             )
-            # change files carry PHYSICAL names — resolve back to the
-            # logical names in force at that commit
-            mapping = self.meta_at(version).get("column_mapping") or {}
+            # change files carry PHYSICAL names — resolve to the
+            # LATEST logical names (see naming contract above)
             return _rename_columns(
-                df, [(ph, lg) for lg, ph in mapping.items()]
+                df, [(ph, lg) for lg, ph in latest_map.items()]
             )
-        return self._changes_for(version, rec)
+        df = self._changes_for(version, rec)
+        # the derived feed carries the commit-time logical names —
+        # translate commit-logical → physical → latest-logical
+        commit_map = self.meta_at(version).get("column_mapping") or {}
+        inv_latest = {ph: lg for lg, ph in latest_map.items()}
+        pairs = []
+        for c in df.columns:
+            if c == "_change_type":
+                continue
+            ph = commit_map.get(c, c)
+            tgt = inv_latest.get(ph, ph)
+            if tgt != c:
+                pairs.append((c, tgt))
+        return _rename_columns(df, pairs)
 
     def _changes_for(self, version: int, rec: dict) -> DataFrame:
         """Derive the commit's change rows from its record. Callable

@@ -408,7 +408,15 @@ class TxLogStreamSource(DataSource):
     the first new offer — pinned in tests). One caveat: a
     ``Trigger.AvailableNow`` run captures a single offer at start, so
     it drains ONE capped batch per run — drain a backlog with
-    processing-time triggers.
+    processing-time triggers (or repeated AvailableNow runs, which
+    step one capped batch each). This is ENGINE-imposed: pyspark 4.1's
+    ``PythonMicroBatchStream`` implements neither
+    ``SupportsTriggerAvailableNow`` nor ``SupportsAdmissionControl``,
+    so no ``reportLatestOffset``/``readLimit`` path exists for a
+    Python source and the AvailableNow wrapper freezes the first paced
+    offer (contract pinned in
+    ``test_available_now_drains_one_capped_batch_per_run`` — an
+    engine upgrade changing the call pattern fails that test).
 
     Batch-only: ``version`` (time travel, default latest);
     in change-feed mode ``startingversion``/``endingversion`` bound the
@@ -552,7 +560,22 @@ class TxLogStreamReader(DataSourceStreamReader):
             ):
                 break
         self._floor = end
+        self._trim_size_cache()
         return {"version": end}
+
+    _SIZE_CACHE_MAX = 4096
+
+    def _trim_size_cache(self) -> None:
+        """Bound the legacy-entry stat memo over a long-lived stream:
+        pacing only scans FORWARD from the floor, so entries for
+        commits the floor has passed are never consulted again — and
+        dict insertion order means the oldest keys are exactly those.
+        Evicting live-range keys is harmless (a re-stat, not an
+        error), so a simple FIFO cap is safe."""
+        excess = len(self._size_cache) - self._SIZE_CACHE_MAX
+        if excess > 0:
+            for k in list(self._size_cache)[:excess]:
+                del self._size_cache[k]
 
     def commit(self, end: dict) -> None:
         # progress lives in the checkpoint; the log needs no ack — but

@@ -545,6 +545,166 @@ def test_schema_evolution_model_property(spark, tmp_path_factory, ops):
     check()
 
 
+# concurrent DATA-op stress model: two threads each run a random
+# program of merge_into / append / delete_where / replace_where /
+# compact against ONE table; OCC must serialize them — the final
+# table equals the ops applied in COMMIT-VERSION order to a dict
+# model, and every loser's retry converges. (The r05-r07 race bugs —
+# append schema-race, drop_columns stale retry, rebucket restage —
+# were each found one at a time; this hunts the class.)
+_conc_op = st.one_of(
+    st.tuples(st.just("merge"),
+              st.lists(st.integers(0, 19), min_size=1, max_size=4,
+                       unique=True)),
+    st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("delete"), st.sampled_from([2, 3, 5, 7])),
+    st.tuples(st.just("replace"), st.sampled_from([3, 4, 5])),
+    st.tuples(st.just("compact"), st.none()),
+)
+_conc_programs = st.tuples(
+    st.lists(_conc_op, min_size=1, max_size=3),
+    st.lists(_conc_op, min_size=1, max_size=3),
+)
+
+
+@given(programs=_conc_programs)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_concurrent_data_ops_serialize_property(
+    spark, tmp_path_factory, programs
+):
+    """OCC linearizability over the DATA-mutation surface: whatever
+    interleaving two concurrent threads produce, the committed history
+    has unique versions, every op converges within its retry budget,
+    and replaying the ops in commit-version order through a plain dict
+    model reproduces both the final table AND each unambiguous
+    intermediate snapshot (time travel)."""
+    import threading
+
+    from pyspark import InheritableThread
+
+    tmp = tmp_path_factory.mktemp("txconc")
+    t = TxTable.create(
+        spark, str(tmp / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    seed_rows = [(k, k * 10, 1) for k in range(20)]
+    v_seed = t.append(spark.createDataFrame(
+        seed_rows, "k long, v long, ver long"))
+    lock = threading.Lock()
+    ctr = {"ver": 1, "key": 1000}
+    committed: list[tuple[int, int, str, object]] = []  # (v, seq, kind, payload)
+    errs: list = []
+    seq_ctr = {"n": 0}
+
+    def fresh(n_keys: int) -> list[tuple[int, int, int]]:
+        with lock:
+            rows = []
+            for _ in range(n_keys):
+                ctr["ver"] += 1
+                ctr["key"] += 1
+                rows.append((ctr["key"], ctr["key"] * 7, ctr["ver"]))
+            return rows
+
+    def vals(keys: list[int]) -> list[tuple[int, int, int]]:
+        with lock:
+            rows = []
+            for k in keys:
+                ctr["ver"] += 1
+                rows.append((k, k * 100 + ctr["ver"], ctr["ver"]))
+            return rows
+
+    def record(v: int, kind: str, payload) -> None:
+        with lock:
+            seq_ctr["n"] += 1
+            committed.append((v, seq_ctr["n"], kind, payload))
+
+    def run(ops) -> None:
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(  # noqa: E501
+                spark._jsparkSession
+            )
+            for kind, arg in ops:
+                if kind == "merge":
+                    rows = vals(arg)
+                    v = t.merge_into(
+                        spark.createDataFrame(
+                            rows, "k long, v long, ver long"),
+                        max_retries=25,
+                    )
+                    record(v, kind, rows)
+                elif kind == "append":
+                    rows = fresh(arg)
+                    v = t.append(
+                        spark.createDataFrame(
+                            rows, "k long, v long, ver long"),
+                        max_retries=25,
+                    )
+                    record(v, kind, rows)
+                elif kind == "delete":
+                    v, _n = t.delete_where(
+                        f"k % {arg} = 0", max_retries=25)
+                    record(v, kind, arg)
+                elif kind == "replace":
+                    rows = vals([arg, 2 * arg, 3 * arg])
+                    v = t.replace_where(
+                        spark.createDataFrame(
+                            rows, "k long, v long, ver long"),
+                        f"k % {arg} = 0",
+                        max_retries=25,
+                    )
+                    record(v, kind, (arg, rows))
+                else:
+                    v = t.compact(max_retries=25)
+                    record(v, kind, None)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [InheritableThread(target=run, args=(p,)) for p in programs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    def apply(model: dict, kind: str, payload) -> None:
+        if kind in ("merge", "append"):
+            for k, v, ver in payload:
+                model[k] = (v, ver)
+        elif kind == "delete":
+            for k in [k for k in model if k % payload == 0]:
+                del model[k]
+        elif kind == "replace":
+            m, rows = payload
+            for k in [k for k in model if k % m == 0]:
+                del model[k]
+            for k, v, ver in rows:
+                model[k] = (v, ver)
+        # compact: layout-only
+
+    # ops that COMMITTED claim unique versions; a no-op return (e.g. a
+    # delete matching nothing, a compact with nothing fragmented)
+    # reuses the base version and is order-independent by construction
+    # (no-op in the table ⟺ no-op in the model when the invariant
+    # holds), so sorting by (version, arrival) is a serialization
+    model: dict[int, tuple[int, int]] = {
+        k: (v, ver) for k, v, ver in seed_rows
+    }
+    snapshots: dict[int, dict] = {}
+    claims: dict[int, int] = {}
+    for v, _seq, kind, payload in sorted(committed):
+        apply(model, kind, payload)
+        snapshots[v] = dict(model)
+        claims[v] = claims.get(v, 0) + 1
+    assert _rows(t) == model, (committed, model)
+    for v, snap in snapshots.items():
+        if claims[v] == 1 and v > v_seed:
+            assert _rows(t, version=v) == snap, (v, committed)
+
+
 def test_table_changes_multiset_exact_over_append_duplicates(spark, tmp_path):
     """The CDF multiset contract: when a merge's pre-image holds
     DUPLICATE keys (appended copies), the feed is the exact multiset
@@ -3560,6 +3720,69 @@ def test_stream_maxfilespertrigger_paces_batches(spark, tmp_path):
     assert not (new_rows & all_rows)  # nothing re-served
 
 
+def test_available_now_drains_one_capped_batch_per_run(spark, tmp_path):
+    """PINNED ENGINE CONTRACT (the pacing caveat in txstream.py): a
+    ``Trigger.AvailableNow`` run of a PACED txlog stream drains exactly
+    ONE capped batch per run. This is engine-imposed, not a reader
+    choice: pyspark 4.1's ``PythonMicroBatchStream`` implements neither
+    ``SupportsTriggerAvailableNow`` nor ``SupportsAdmissionControl``
+    (verified by inspection — no ``reportLatestOffset``/``readLimit``
+    path exists for Python sources), so MicroBatchExecution wraps the
+    stream and captures the reader's paced ``latestOffset`` ONCE at
+    start. Repeated AvailableNow runs against one checkpoint therefore
+    step through the backlog one capped batch at a time (each run
+    resumes from the committed floor), and an UNCAPPED AvailableNow
+    run drains everything in one batch. If a Spark upgrade starts
+    calling for more offers per AvailableNow run, this test fails —
+    update the pacing docs in txstream.py and reconsider the caveat."""
+    _register_txlog(spark)
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(f"k{i}-{j}", i, 1) for j in range(4)],
+            "k string, v long, ver long"))
+
+    def run_once(ckpt, opts):
+        batches: list[set] = []
+
+        def sink(bdf, _bid):
+            rows = {(r["k"], r["_commit_version"]) for r in bdf.collect()}
+            if rows:
+                batches.append(rows)
+
+        reader = (
+            spark.readStream.format("txlog")
+            .option("tabledir", t.table_dir)
+        )
+        for k_, v_ in opts.items():
+            reader = reader.option(k_, v_)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return batches
+
+    # capped: one commit (2 files ≤ cap) per RUN, three runs to drain
+    seen: set = set()
+    for run in range(3):
+        got = run_once("ck_capped", {"maxfilespertrigger": "2"})
+        assert len(got) == 1, (run, got)  # exactly one batch per run
+        (batch,) = got
+        assert len({cv for _, cv in batch}) == 1  # one commit
+        assert not (batch & seen)
+        seen |= batch
+    assert len(seen) == 12  # backlog fully drained, nothing lost
+    # a fourth run finds nothing new
+    assert run_once("ck_capped", {"maxfilespertrigger": "2"}) == []
+    # uncapped AvailableNow: the whole backlog in one batch
+    full = run_once("ck_full", {})
+    assert len(full) == 1 and set().union(*full) == seen
+
+
 def test_stream_latest_version_tails_incrementally(spark, tmp_path):
     """`latestOffset` must track new commits appearing AFTER the reader
     was created — the incremental existence-probe path (one full
@@ -4073,6 +4296,63 @@ def test_drop_columns_recomputes_meta_on_concurrent_retry(
     assert set(t.read().columns) == {"k", "v", "ver"}
 
 
+def test_rename_column_bounded_retries(spark, tmp_path, monkeypatch):
+    """rename_column follows the max_retries convention of every other
+    mutating op: a lost race retries against fresh meta and succeeds;
+    permanent contention raises ConcurrentWriteError instead of
+    spinning forever."""
+    import kafka_flink_harshevents_spark.sources.txlog as txmod
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1)], "k long, v long, ver long"))
+
+    real_commit = txmod._atomic_commit
+    raced = {"done": False}
+
+    def inject(table_dir, version, record):
+        if not raced["done"] and record.get("op") == "rename_column":
+            raced["done"] = True
+            TxTable(spark, t.table_dir).append(spark.createDataFrame(
+                [(2, 20, 1)], "k long, v long, ver long"))
+        return real_commit(table_dir, version, record)
+
+    monkeypatch.setattr(txmod, "_atomic_commit", inject)
+    t.rename_column("v", "val")
+    monkeypatch.setattr(txmod, "_atomic_commit", real_commit)
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: 10, 2: 20}
+
+    def always_lose(table_dir, version, record):
+        if record.get("op") == "rename_column":
+            raise ConcurrentWriteError("synthetic contention")
+        return real_commit(table_dir, version, record)
+
+    monkeypatch.setattr(txmod, "_atomic_commit", always_lose)
+    with pytest.raises(ConcurrentWriteError):
+        t.rename_column("val", "cents", max_retries=3)
+
+
+def test_restore_cdf_refuses_across_type_widening(spark, tmp_path):
+    """The cdf=True restore refusal compares TYPES, not just names: a
+    restore across an int→long widening has no representable feed (the
+    staged long pre-frame would diff against a restored int schema)
+    and must be refused up front, like a rename/drop crossing."""
+    from pyspark.sql import functions as F
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    v1 = t.append(spark.createDataFrame(
+        [(1, 1, 1)], "k long, v int, ver long"))
+    t.append(
+        spark.createDataFrame([(2, 2, 1)], "k long, v long, ver long"),
+        merge_schema=True,  # int → long widening, same column names
+    )
+    with pytest.raises(ValueError, match="name or type"):
+        t.restore(v1)
+
+
 def test_rename_column_metadata_only_mixed_files(spark, tmp_path):
     """RENAME via column mapping: metadata-only (no file rewrites);
     files written BEFORE the rename (physical name = old) and AFTER
@@ -4381,6 +4661,44 @@ def test_rename_column_cdf_feed(spark, tmp_path):
     got = {(r["_change_type"], r["k"]): r["val"] for r in ds.collect()}
     assert got[("update_preimage", 3)] == 30
     assert got[("update_postimage", 3)] == 999
+    # CROSS-SURFACE NAMING CONTRACT: rename AGAIN, then re-read the
+    # SAME commit through both APIs — both serve the LATEST logical
+    # name (the Delta convention), not the name in force at commit
+    # time, so a consumer mixing the two surfaces sees one schema
+    t.rename_column("val", "cents")
+    lib = t.table_changes(mv)
+    assert "cents" in lib.columns and "val" not in lib.columns
+    ds2 = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", str(mv))
+        .option("endingversion", str(mv))
+        .load()
+    )
+    assert "cents" in ds2.columns and "val" not in ds2.columns
+    lrows = {(r["_change_type"], r["k"]): r["cents"] for r in lib.collect()}
+    drows = {(r["_change_type"], r["k"]): r["cents"] for r in ds2.collect()}
+    assert lrows == drows
+    assert lrows[("update_postimage", 3)] == 999
+
+
+def test_table_changes_derived_feed_serves_latest_names(spark, tmp_path):
+    """The DERIVED (non-materialized) feed obeys the same latest-name
+    contract: a non-CDF table's table_changes for a pre-rename commit
+    serves the post-rename name — commit-logical → physical → latest-
+    logical translation, not the commit-time name."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+    v = t.merge_upsert(spark.createDataFrame(
+        [(1, 111, 2)], "k long, v long, ver long"))
+    t.rename_column("v", "val")
+    feed = t.table_changes(v)
+    assert "val" in feed.columns and "v" not in feed.columns
+    rows = {(r["_change_type"], r["k"]): r["val"] for r in feed.collect()}
+    assert rows[("update_preimage", 1)] == 10
+    assert rows[("update_postimage", 1)] == 111
 
 
 def test_restore_reverts_schema_coupled_meta(spark, tmp_path):
