@@ -64,6 +64,7 @@ import glob
 import json
 import math
 import os
+import re
 import shutil
 import struct
 import uuid
@@ -392,11 +393,19 @@ def _expr_mentions(expr: str, col: str) -> bool:
     silently let the drop through, bricking later writes. Conservative
     for quoted identifiers and string literals (a mention counts as a
     reference — refusal is the safe direction)."""
-    import re
-
     return re.search(
         rf"(?<!\w){re.escape(col)}(?!\w)", expr, re.IGNORECASE
     ) is not None
+
+
+def _nullsafe_true(cond: str | None):
+    """A clause condition as a null-safe boolean column: UNKNOWN means
+    the clause does NOT apply (the row is kept / not inserted), never
+    that it actions — SQL's three-valued WHERE discipline. ``None`` =
+    unconditional."""
+    return (
+        F.expr(cond).eqNullSafe(F.lit(True)) if cond else F.lit(True)
+    )
 
 
 class ConstraintViolation(ValueError):
@@ -2026,8 +2035,6 @@ class TxTable:
         fast path. The commit is a generic rewrite so CDF (exact
         multiset delta), time travel, vacuum, and the stream's rewrite
         refusal all apply with zero new cases."""
-        import re
-
         # ---- clause normalization: scalar legacy form → clause list
         if isinstance(when_matched, (list, tuple)):
             if update_set is not None or matched_condition is not None:
@@ -2119,7 +2126,12 @@ class TxTable:
         for ex in list((by_source_set or {}).values()) + (
             [by_source_condition] if by_source_condition else []
         ):
-            if re.search(r"(?<![A-Za-z0-9_])s\s*\.", ex):
+            # case-insensitive: Spark resolves the `s` alias however
+            # it is cased, so `S.v` would otherwise slip past and
+            # silently NULL the by-source rows (the source side is
+            # all-NULL for them); conservative on string literals
+            # containing "s." — refusal is the safe direction
+            if re.search(r"(?<![A-Za-z0-9_])s\s*\.", ex, re.IGNORECASE):
                 raise ValueError(
                     "by-source clauses reference t.* only — no source "
                     f"row exists for those target rows (got {ex!r}); "
@@ -2175,17 +2187,8 @@ class TxTable:
             )
             if dk.limit(1).collect():
                 dup_keys = dk
-        def _nullsafe(cond: str | None):
-            # clause conditions are null-safe: an UNKNOWN condition
-            # means the clause does NOT apply — SQL's three-valued
-            # WHERE discipline
-            return (
-                F.expr(cond).eqNullSafe(F.lit(True))
-                if cond else F.lit(True)
-            )
-
-        ncond = _nullsafe(not_matched_condition)
-        bscond = _nullsafe(by_source_condition)
+        ncond = _nullsafe_true(not_matched_condition)
+        bscond = _nullsafe_true(by_source_condition)
         upd_idx = [
             i for i, cl in enumerate(clauses) if cl["action"] == "update"
         ]
@@ -2216,16 +2219,18 @@ class TxTable:
                         f"column(s) {sorted(unknown)} — table columns "
                         f"are {sorted(cols)}"
                     )
-            touched = {
-                r["_bucket"]
-                for r in src_b.select("_bucket").distinct().collect()
-            }
             # a by-source clause must examine EVERY target row (any
             # row may be unmatched) — the whole table is in scope,
-            # Delta's documented full-scan cost for this clause
+            # Delta's documented full-scan cost for this clause, and
+            # the touched-bucket scan job is skipped (its result
+            # would be dead weight on every retry)
             if when_not_matched_by_source:
                 hit = live
             else:
+                touched = {
+                    r["_bucket"]
+                    for r in src_b.select("_bucket").distinct().collect()
+                }
                 hit = [e for e in live if e["bucket"] in touched]
             s_m = src_b.drop("_bucket").withColumn("_s", F.lit(1))
             if hit:
@@ -2405,16 +2410,10 @@ class TxTable:
         is_t = F.col("t._t").isNotNull() & F.col("s._s").isNull()
         is_s = F.col("s._s").isNotNull() & F.col("t._t").isNull()
 
-        def _nullsafe(cond: str | None):
-            return (
-                F.expr(cond).eqNullSafe(F.lit(True))
-                if cond else F.lit(True)
-            )
-
         # winning clause index: first clause whose condition holds
         chain = None
         for i, cl in enumerate(clauses):
-            c = _nullsafe(cl["condition"])
+            c = _nullsafe_true(cl["condition"])
             chain = (F.when if chain is None else chain.when)(c, F.lit(i))
         cidx = chain.otherwise(F.lit(None).cast("int"))
         # cidx is NULL when NO clause claims the row — isin() on NULL
@@ -3598,7 +3597,17 @@ class TxTable:
             )
         df = self._changes_for(version, rec)
         # the derived feed carries the commit-time logical names —
-        # translate commit-logical → physical → latest-logical
+        # translate commit-logical → physical → latest-logical. The
+        # as-of meta replay is O(version); skip it when the latest
+        # mapping is empty: then physical ≡ latest logical for every
+        # live column and the translation is a no-op. Known edge,
+        # accepted: a non-CDF table whose rename was later reverted
+        # by a restore (latest mapping emptied) serves THIS feed
+        # under the commit-time name — the column is value-degenerate
+        # there anyway (the commit schema NULL-fills it against the
+        # physical files), so no consumer can rely on it either way
+        if not latest_map:
+            return df
         commit_map = self.meta_at(version).get("column_mapping") or {}
         inv_latest = {ph: lg for lg, ph in latest_map.items()}
         pairs = []

@@ -28,6 +28,11 @@ Semantics per commit op (mirrors Delta's streaming-source contract):
 - ``append``  → the added files' rows are served, stamped with the
   commit version (``_commit_version``);
 - ``compact`` → skipped entirely (data-preserving rewrite, no change);
+- add-only commits (no removed files, no deletion-vector delta, no
+  ``dv_full`` state replacement — e.g. an insert-only ``merge_into``)
+  → served as appends whatever the op name (Delta's remove-based
+  rule); restores never qualify — their DV-state replacement can
+  resurrect/retract rows even with an empty map;
 - ``merge`` / ``delete`` → refused by default (a rewrite is not an
   append-only change); ``ignorechanges=true`` serves the rewritten
   files' rows — which include carried-over unchanged rows of the
@@ -234,6 +239,21 @@ class _FilePartition(InputPartition):
         self.mapping = mapping
 
 
+def _is_add_only(rec: dict) -> bool:
+    """Append-EQUIVALENT commit test, shared verbatim by the partition
+    planner and its pacing twin (the two must never disagree on what a
+    commit serves): a commit that only ADDS files — no removed files,
+    no deletion-vector delta, and no ``dv_full`` STATE REPLACEMENT —
+    cannot have changed or retracted an existing row, whatever its op
+    name (Delta's remove-based rule). ``dv_full`` is a key-presence
+    test, not truthiness: a restore always records the key and an
+    EMPTY map still replaces the current DV state, which can resurrect
+    rows — not an append."""
+    return bool(rec.get("add")) and not (
+        rec.get("remove") or rec.get("dv")
+    ) and "dv_full" not in rec
+
+
 def _change_partitions(
     table_dir: str,
     versions: list[int],
@@ -252,8 +272,13 @@ def _change_partitions(
     for v in versions:
         rec = _read_record(table_dir, v)
         op = rec.get("op")
+        # append-EQUIVALENT commits (e.g. the insert-only merge_into
+        # fast path) stream like any append instead of killing the
+        # query; restores never qualify — they carry a dv_full state
+        # replacement that can resurrect/retract rows (_is_add_only)
+        add_only = _is_add_only(rec)
         if read_change_feed:
-            if op in ("append", "clone") and rec.get("add"):
+            if (op in ("append", "clone") or add_only) and rec.get("add"):
                 # inserts are synthesized from the add files — no
                 # materialization needed (Delta's rule). A clone's
                 # initial state serves the same way, with its cloned
@@ -276,8 +301,13 @@ def _change_partitions(
                     ))
             elif op in ("create", "compact") or not (
                 rec.get("add") or rec.get("remove") or rec.get("dv")
+                or "dv_full" in rec
             ):
-                continue  # no data change (incl. metadata commits)
+                # no data change (incl. metadata commits). A dv_full
+                # key IS a data change even with no add/remove — a
+                # dv-only restore resurrects/retracts rows by state
+                # replacement and must not be silently skipped
+                continue
             else:
                 raise ValueError(
                     f"txlog change feed over {table_dir}: "
@@ -286,10 +316,13 @@ def _change_partitions(
                     "with cdf=True (or start past this version)"
                 )
             continue
-        if rec.get("dv") or rec.get("dv_full"):
+        if rec.get("dv") or "dv_full" in rec:
             # deletion-vector commits change data without touching
             # files — a non-append change (refuse), and with
-            # ignorechanges there are no new files to serve (skip)
+            # ignorechanges there are no new files to serve (skip).
+            # Key-presence for dv_full: an EMPTY map still REPLACES
+            # the current DV state (a restore clearing vectors
+            # resurrects rows), so it must refuse like any rewrite
             if not ignore_changes:
                 raise ValueError(
                     f"txlog stream over {table_dir}: version "
@@ -304,9 +337,10 @@ def _change_partitions(
         ):
             continue  # no data change to stream (incl. metadata-only
             # commits like set_constraints)
-        if op != "append" and not ignore_changes:
-            # merge / delete / restore / any future rewrite op:
-            # not an append-only change — refuse, don't guess
+        if op != "append" and not add_only and not ignore_changes:
+            # merge / delete / restore / any future rewrite op that
+            # REMOVES files: not an append-only change — refuse,
+            # don't guess (add-only commits passed above)
             raise ValueError(
                 f"txlog stream over {table_dir}: version {v} is a "
                 f"{str(op).upper()} rewrite, not an append. Set "
@@ -366,8 +400,12 @@ def _served_sizes(
     op = rec.get("op")
     if op in ("create", "compact"):
         return 0, 0
+    # the SAME _is_add_only predicate the partition planner applies —
+    # an add-only commit serves its add files in BOTH modes, whatever
+    # the op name
     if read_change_feed and not (
-        op in ("append", "clone") and rec.get("add")
+        (op in ("append", "clone") or _is_add_only(rec))
+        and rec.get("add")
     ):
         cdf = rec.get("cdf_files") or []
         cb = rec.get("cdf_bytes") or {}

@@ -1080,6 +1080,120 @@ def test_stream_source_refuses_delete_commit(spark, tmp_path):
     assert rows == [("b", 2, 2, v)]
 
 
+def test_stream_serves_insert_only_merge_as_append(spark, tmp_path):
+    """An add-only commit (the insert-only merge_into fast path:
+    remove=[], no dv delta) is append-EQUIVALENT — the stream serves
+    it WITHOUT ignorechanges (Delta's remove-based rule) in both table
+    and change-feed modes, the pacing twin counts the same files, and
+    a merge that actually rewrites still refuses."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _served_sizes,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1)], "k string, v long, ver long"))
+    v_ins = t.merge_into(
+        spark.createDataFrame(
+            [("b", 2, 2), ("c", 3, 2)], "k string, v long, ver long"),
+        when_matched=None,
+    )
+    rec = _read_record(t.table_dir, v_ins)
+    assert rec["op"] == "merge_into" and rec["remove"] == []
+    schema = _table_schema(t.table_dir)
+    rd = TxLogStreamReader({"tabledir": t.table_dir}, schema)
+    parts = rd.partitions({"version": v_ins - 1}, {"version": v_ins})
+    rows = {
+        tuple(r.values())
+        for p in parts
+        for b in rd.read(p)
+        for r in b.to_pylist()
+    }
+    assert rows == {("b", 2, 2, v_ins), ("c", 3, 2, v_ins)}
+    # pacing twin mirrors: add files counted in BOTH modes
+    n, nb = _served_sizes(t.table_dir, rec, False)
+    assert n == len(rec["add"]) and nb > 0
+    assert _served_sizes(t.table_dir, rec, True) == (n, nb)
+    # change-feed mode synthesizes inserts from the add files (no
+    # cdf=True needed for an insert-only commit)
+    cfs = _table_schema(t.table_dir, cdf=True)
+    rdc = TxLogStreamReader(
+        {"tabledir": t.table_dir, "readchangefeed": "true"}, cfs)
+    rowsc = [
+        r
+        for p in rdc.partitions(
+            {"version": v_ins - 1}, {"version": v_ins})
+        for b in rdc.read(p)
+        for r in b.to_pylist()
+    ]
+    assert len(rowsc) == 2
+    assert all(r["_change_type"] == "insert" for r in rowsc)
+    # a merge that rewrites (matched update) still refuses
+    vm = t.merge_into(spark.createDataFrame(
+        [("a", 9, 3)], "k string, v long, ver long"))
+    with pytest.raises(ValueError, match="MERGE_INTO rewrite"):
+        rd.partitions({"version": vm - 1}, {"version": vm})
+
+
+def test_stream_refuses_restore_dv_state_replacement(spark, tmp_path):
+    """RESTORE commits never count as append-equivalent, however
+    add-only their file lists look: the record's ``dv_full`` key
+    REPLACES the deletion-vector state (an EMPTY map included — that
+    is how a restore resurrects dv-deleted rows), so serving the
+    commit as an append would silently drop row changes. Both shapes
+    must refuse without ignorechanges: the dv-only restore (no
+    add/remove at all — previously silently SKIPPED as 'no data
+    change') and the file-add-only restore."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamReader,
+        _is_add_only,
+        _served_sizes,
+        _table_schema,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=1)
+    v2 = t.append(spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1)], "k string, v long, ver long"))
+    t.delete_where("k = 'a'", mode="merge_on_read")  # dv delta
+    v4 = t.restore(v2)  # dv-only restore: add=[], remove=[], dv_full={}
+    rec = _read_record(t.table_dir, v4)
+    assert rec["op"] == "restore"
+    assert not rec["add"] and not rec["remove"]
+    assert "dv_full" in rec and rec["dv_full"] == {}
+    assert not _is_add_only(rec)
+    schema = _table_schema(t.table_dir)
+    rd = TxLogStreamReader({"tabledir": t.table_dir}, schema)
+    with pytest.raises(ValueError, match="deletion vector"):
+        rd.partitions({"version": v4 - 1}, {"version": v4})
+    # file-add-only restore (resurrecting a whole removed file)
+    v5 = t.append(spark.createDataFrame(
+        [("c", 3, 1)], "k string, v long, ver long"))
+    t.delete_where("k = 'c'")  # whole-file removal
+    v7 = t.restore(v5)
+    rec7 = _read_record(t.table_dir, v7)
+    assert rec7["add"] and not rec7["remove"] and "dv_full" in rec7
+    assert not _is_add_only(rec7)
+    with pytest.raises(ValueError, match="deletion vector"):
+        rd.partitions({"version": v7 - 1}, {"version": v7})
+    # pacing twin: the refusing commit is still budgeted by its add
+    # files (the stream dies at plan time anyway; pacing must not
+    # under-count a commit the planner would serve under ignorechanges)
+    n, _nb = _served_sizes(t.table_dir, rec7, False)
+    assert n == len(rec7["add"])
+    # ignorechanges: the resurrected file serves, masked by dv_full
+    rd_ok = TxLogStreamReader(
+        {"tabledir": t.table_dir, "ignorechanges": "true"}, schema)
+    rows = [
+        tuple(r.values())
+        for p in rd_ok.partitions({"version": v7 - 1}, {"version": v7})
+        for b in rd_ok.read(p)
+        for r in b.to_pylist()
+    ]
+    assert rows == [("c", 3, 1, v7)]
+
+
 def test_log_checkpoint_replay_equivalence(spark, tmp_path):
     """A log checkpoint must be a pure optimization: snapshots (latest
     AND time-travel, before or after the checkpoint version) are
@@ -5304,6 +5418,12 @@ def test_merge_into_not_matched_by_source(spark, tmp_path):
     with pytest.raises(ValueError, match="t\\.\\* only"):
         t2.merge_into(src, when_not_matched_by_source="delete",
                       by_source_condition="s.v > 0")
+    # Spark resolves aliases case-insensitively, so `S.v` must be
+    # refused too — it would otherwise resolve to the all-NULL source
+    # side and silently NULL every by-source-updated row
+    with pytest.raises(ValueError, match="t\\.\\* only"):
+        t2.merge_into(src, when_not_matched_by_source="update",
+                      by_source_set={"v": "S.v + 1000"})
     with pytest.raises(ValueError, match="requires[\\s\\S]*by_source_set"):
         t2.merge_into(src, when_not_matched_by_source="update")
     with pytest.raises(ValueError, match="by_source_set requires"):
