@@ -408,6 +408,39 @@ def _nullsafe_true(cond: str | None):
     )
 
 
+def _ins_clause_idx(ins_clauses: list[dict]):
+    """First-true WHEN NOT MATCHED clause index as a column (NULL =
+    no clause claims the row — it is dropped), evaluated over the
+    ``s`` alias; shared by the joined merge plan and the insert-only
+    fast path so the two can never disagree on clause precedence."""
+    chain = None
+    for j, cl in enumerate(ins_clauses):
+        c = _nullsafe_true(cl["condition"])
+        chain = (F.when if chain is None else chain.when)(c, F.lit(j))
+    return chain.otherwise(F.lit(None).cast("int"))
+
+
+def _ins_value_of(
+    c: str, icidx, ins_clauses: list[dict], key_cols, types: dict
+):
+    """Insert value for column ``c`` under the winning clause:
+    ``values=None`` → the source row; an assigned-values clause takes
+    unassigned KEY columns from the source (the ON-clause alignment —
+    a NULL key would be silently dropped by bucket hygiene) and NULL
+    for every other unassigned column (SQL INSERT semantics)."""
+    w = None
+    for j, cl in enumerate(ins_clauses):
+        vals = cl["values"]
+        if vals is None or c in key_cols and c not in vals:
+            u = F.col(f"s.{c}")
+        elif c in vals:
+            u = F.expr(vals[c])
+        else:
+            u = F.lit(None).cast(types[c])
+        w = (F.when if w is None else w.when)(icidx == j, u)
+    return w.otherwise(F.lit(None).cast(types[c]))
+
+
 class ConstraintViolation(ValueError):
     """A write carried rows violating a table CHECK constraint; nothing
     was staged or committed."""
@@ -843,6 +876,7 @@ class TxTable:
                 raise ValueError(
                     f"cannot restore to {version}: log spans 1..{base_v}"
                 )
+            _, _, _, cur_dvs = self._replay()
             _, old_live_map, old_schema, old_dvs = self._replay(version)
             cur_names = (
                 {f.name for f in
@@ -888,13 +922,23 @@ class TxTable:
                 "op": "restore",
                 "add": [e for e in old_live if e["path"] not in cur_paths],
                 "remove": sorted(cur_paths - old_paths),
-                # absolute DV state of the target snapshot — replay
-                # replaces, so vectors added (or materialized) after
-                # the target roll back with the data
-                "dv_full": {p: sorted(s) for p, s in old_dvs.items()},
                 "schema_json": old_schema,
                 "restored_version": version,
             }
+            if {p: set(v) for p, v in old_dvs.items()} != {
+                p: set(v) for p, v in cur_dvs.items()
+            }:
+                # absolute DV state of the target snapshot — replay
+                # replaces, so vectors added (or materialized) after
+                # the target roll back with the data. Recorded ONLY
+                # when the state actually changes: replay keeps the
+                # (equal) current state either way, and the streaming
+                # planner treats dv_full key-presence as a data change
+                # — an unconditional key would make a no-op restore
+                # (idempotent recovery re-run) kill a tailing stream
+                record["dv_full"] = {
+                    p: sorted(s) for p, s in old_dvs.items()
+                }
             cur_meta = self.meta
             old_meta = self.meta_at(version)
             revert = {
@@ -1973,11 +2017,12 @@ class TxTable:
         when_matched="update",  # str | None | list of clause dicts
         update_set: dict[str, str] | None = None,
         matched_condition: str | None = None,
-        when_not_matched: str | None = "insert",
+        when_not_matched="insert",  # str | None | list of clause dicts
         not_matched_condition: str | None = None,
         when_not_matched_by_source: str | None = None,
         by_source_set: dict[str, str] | None = None,
         by_source_condition: str | None = None,
+        merge_schema: bool = False,
         txn: dict | None = None,
         max_retries: int = 5,
     ) -> int:
@@ -1996,10 +2041,19 @@ class TxTable:
           row no clause claims keeps the target value. ``set`` maps
           col → SQL over ``s.*``/``t.*``; unassigned columns keep the
           target value; ``set=None`` takes the source row wholesale.
-        - WHEN NOT MATCHED [AND ``not_matched_condition``, over
-          ``s.*``] THEN ``when_not_matched`` = ``"insert"`` (the
-          source row) or ``None`` (drop it). One insert clause —
-          Delta's multi-insert-clause form is not expressible here.
+        - WHEN NOT MATCHED clauses — ``when_not_matched`` is either
+          the scalar form (``"insert"`` [AND ``not_matched_condition``]
+          = the source row, or ``None`` = drop unmatched source rows)
+          or an ORDERED clause list ``[{"values": {...}|None,
+          "condition": sql|None}, ...]`` (Delta's multi-insert form):
+          first TRUE condition wins, rows no clause claims are
+          dropped. ``values`` maps col → SQL over ``s.*`` (conditions
+          too — a ``t.``-reference is refused: no target row exists);
+          ``values=None`` inserts the source row; assigned-but-absent
+          columns come from the source for KEY columns (the ON-clause
+          alignment — a NULL key would be silently dropped by bucket
+          hygiene) and NULL for the rest, SQL INSERT semantics.
+          GENERATED columns are recomputed on custom-valued inserts.
         - WHEN NOT MATCHED BY SOURCE [AND ``by_source_condition``]
           THEN ``when_not_matched_by_source`` = ``"delete"`` or
           ``"update"`` (with ``by_source_set``) — the sync-two-tables
@@ -2026,6 +2080,14 @@ class TxTable:
         unassignable; GENERATED columns are recomputed on updated rows
         and computed on inserts. A merge with no clause at all is
         refused.
+
+        ``merge_schema=True`` enables SCHEMA EVOLUTION under merge
+        (Delta's autoMerge): the commit schema is the union of table
+        and source — new source columns are added (pre-existing
+        target rows carry NULL), safe type widenings apply, and a
+        source NARROWER than the table is accepted with the missing
+        columns kept from the target on updates (``SET *`` maps by
+        name, Delta's rule) and NULL-filled on inserts.
 
         Scale shape: without a by-source clause, identical to
         ``merge_upsert`` — only the touched buckets' files rewrite
@@ -2096,12 +2158,72 @@ class TxTable:
                     "condition — an unconditional clause makes later "
                     "clauses unreachable (Delta's clause-list rule)"
                 )
-        if when_not_matched not in ("insert", None):
-            raise ValueError("when_not_matched must be 'insert' or None")
-        if not_matched_condition is not None and when_not_matched is None:
+        if isinstance(when_not_matched, (list, tuple)):
+            if not_matched_condition is not None:
+                raise ValueError(
+                    "merge_into: with a when_not_matched clause LIST, "
+                    "put conditions inside each clause dict — "
+                    "not_matched_condition is the single-clause form"
+                )
+            ins_clauses = [dict(c) for c in when_not_matched]
+            if not ins_clauses:
+                raise ValueError(
+                    "merge_into: empty when_not_matched clause list — "
+                    "pass None to drop unmatched source rows"
+                )
+        elif when_not_matched == "insert":
+            ins_clauses = [
+                {"values": None, "condition": not_matched_condition}
+            ]
+        elif when_not_matched is None:
+            if not_matched_condition is not None:
+                raise ValueError(
+                    "not_matched_condition requires "
+                    "when_not_matched='insert'"
+                )
+            ins_clauses = []
+        else:
             raise ValueError(
-                "not_matched_condition requires when_not_matched='insert'"
+                "when_not_matched must be 'insert', None, or a "
+                "clause list"
             )
+        for j, cl in enumerate(ins_clauses):
+            extra = set(cl) - {"values", "condition"}
+            if extra:
+                raise ValueError(
+                    f"merge_into: unknown insert-clause key(s) "
+                    f"{sorted(extra)}"
+                )
+            cl.setdefault("values", None)
+            cl.setdefault("condition", None)
+            if cl["values"] is not None and not isinstance(
+                cl["values"], dict
+            ):
+                raise ValueError(
+                    "insert-clause 'values' must be a col → SQL dict "
+                    "or None (insert the source row)"
+                )
+            if j < len(ins_clauses) - 1 and not cl["condition"]:
+                raise ValueError(
+                    "every WHEN NOT MATCHED clause except the last "
+                    "needs a condition — an unconditional clause makes "
+                    "later clauses unreachable (Delta's clause-list "
+                    "rule)"
+                )
+            for ex in list((cl["values"] or {}).values()) + (
+                [cl["condition"]] if cl["condition"] else []
+            ):
+                # no target row exists for a not-matched source row —
+                # a t.-reference would resolve to the all-NULL target
+                # side (or fail outright on the insert-only fast
+                # path); case-insensitive like the s.-guard
+                if re.search(
+                    r"(?<![A-Za-z0-9_])t\s*\.", ex, re.IGNORECASE
+                ):
+                    raise ValueError(
+                        "not-matched clauses reference s.* only — no "
+                        f"target row exists for those rows (got {ex!r})"
+                    )
         if when_not_matched_by_source not in (None, "update", "delete"):
             raise ValueError(
                 "when_not_matched_by_source must be 'update', "
@@ -2137,7 +2259,7 @@ class TxTable:
                     f"row exists for those target rows (got {ex!r}); "
                     "Delta refuses source references here too"
                 )
-        if not clauses and when_not_matched is None \
+        if not clauses and not ins_clauses \
                 and when_not_matched_by_source is None:
             raise ValueError(
                 "merge_into: no clause at all — nothing to do"
@@ -2159,6 +2281,13 @@ class TxTable:
                     "rekeying is a delete + insert"
                 )
             badg = set(st) & set(gen)
+            if badg:
+                raise ValueError(
+                    f"cannot assign GENERATED column(s) {sorted(badg)} "
+                    "— they are always derived from their expression"
+                )
+        for cl in ins_clauses:
+            badg = set(cl["values"] or {}) & set(gen)
             if badg:
                 raise ValueError(
                     f"cannot assign GENERATED column(s) {sorted(badg)} "
@@ -2187,13 +2316,16 @@ class TxTable:
             )
             if dk.limit(1).collect():
                 dup_keys = dk
-        ncond = _nullsafe_true(not_matched_condition)
         bscond = _nullsafe_true(by_source_condition)
         upd_idx = [
             i for i, cl in enumerate(clauses) if cl["action"] == "update"
         ]
         del_idx = [
             i for i, cl in enumerate(clauses) if cl["action"] == "delete"
+        ]
+        custom_ins = [
+            j for j, cl in enumerate(ins_clauses)
+            if cl["values"] is not None
         ]
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
@@ -2206,16 +2338,18 @@ class TxTable:
             base_v, live_map, snap_schema, dvs = self._replay()
             live = list(live_map.values())
             schema_rec = self._schema_union_json(
-                src_b, snap_schema, False, "merge_into"
+                src_b, snap_schema, merge_schema, "merge_into"
             )
             rec_schema = StructType.fromJson(json.loads(schema_rec))
             cols = [f.name for f in rec_schema.fields if f.name != "_bucket"]
             types = {f.name: f.dataType for f in rec_schema.fields}
-            for st in all_sets:
+            for st in all_sets + [
+                cl["values"] for cl in ins_clauses if cl["values"]
+            ]:
                 unknown = set(st) - set(cols)
                 if unknown:
                     raise ValueError(
-                        f"merge_into: SET assigns unknown "
+                        f"merge_into: SET/values assigns unknown "
                         f"column(s) {sorted(unknown)} — table columns "
                         f"are {sorted(cols)}"
                     )
@@ -2243,6 +2377,18 @@ class TxTable:
                 t_m = self.spark.createDataFrame(
                     [], s_m.schema
                 ).withColumnRenamed("_s", "_t")
+            # schema evolution: align BOTH sides to the commit's union
+            # schema — new source columns NULL-fill on pre-existing
+            # target rows, a narrower source NULL-fills its missing
+            # columns (kept from the target on updates via src_cols
+            # dispatch, NULL on inserts — the Delta SET */INSERT *
+            # by-name mapping)
+            src_cols = {c for c in s_m.columns if c != "_s"}
+            for c in cols:
+                if c not in s_m.columns:
+                    s_m = s_m.withColumn(c, F.lit(None).cast(types[c]))
+                if c not in t_m.columns:
+                    t_m = t_m.withColumn(c, F.lit(None).cast(types[c]))
             if dup_keys is not None and hit:
                 clash = t_m.join(
                     dup_keys,
@@ -2261,8 +2407,8 @@ class TxTable:
             if clauses:
                 out = self._merge_clause_plan(
                     t_m, s_m, key_cols, cols, types, clauses,
-                    upd_idx, del_idx,
-                    when_not_matched, ncond,
+                    upd_idx, del_idx, src_cols,
+                    ins_clauses, custom_ins,
                     when_not_matched_by_source, by_source_set, bscond,
                 )
             else:
@@ -2272,11 +2418,11 @@ class TxTable:
                 # clause — a pure insert-only merge rewrites NOTHING
                 # (Delta's insert-only fast path)
                 ins = None
-                if when_not_matched == "insert":
-                    ins = s_m.drop("_s").alias("s")
+                if ins_clauses:
+                    insf = s_m.drop("_s").alias("s")
                     if hit:
                         tk = t_m.select(*key_cols)
-                        ins = ins.join(
+                        insf = insf.join(
                             tk,
                             [
                                 F.col(f"s.{k}").eqNullSafe(tk[k])
@@ -2284,12 +2430,21 @@ class TxTable:
                             ],
                             "left_anti",
                         )
-                    ins = ins.filter(ncond).select(
+                    icidx = _ins_clause_idx(ins_clauses)
+                    ins = insf.filter(icidx.isNotNull()).select(
                         *[
-                            F.col(f"s.{c}").cast(types[c]).alias(c)
+                            _ins_value_of(
+                                c, icidx, ins_clauses, key_cols,
+                                types,
+                            ).cast(types[c]).alias(c)
                             for c in cols
                         ],
-                        F.lit(False).alias("_upd"),
+                        (
+                            icidx.isin(custom_ins).eqNullSafe(
+                                F.lit(True)
+                            )
+                            if custom_ins else F.lit(False)
+                        ).alias("_upd"),
                     )
                 if when_not_matched_by_source:
                     s_keys = (
@@ -2339,7 +2494,8 @@ class TxTable:
             # GENERATED ALWAYS AS: recompute on updated rows from the
             # post-assignment values (second projection); inserts were
             # computed by _with_generated, kept rows carry through
-            if upd_idx or when_not_matched_by_source == "update":
+            if upd_idx or custom_ins \
+                    or when_not_matched_by_source == "update":
                 for gname, gexpr in gen.items():
                     if gname in out.columns:
                         out = out.withColumn(
@@ -2360,7 +2516,7 @@ class TxTable:
                 "schema_json": schema_rec,
                 "note": (
                     f"merge_into matched={[c['action'] for c in clauses]} "
-                    f"not_matched={when_not_matched} "
+                    f"not_matched={len(ins_clauses)}-clause "
                     f"by_source={when_not_matched_by_source}"
                 ),
             }
@@ -2386,18 +2542,20 @@ class TxTable:
         clauses: list[dict],
         upd_idx: list[int],
         del_idx: list[int],
-        when_not_matched: str | None,
-        ncond,
+        src_cols: set,
+        ins_clauses: list[dict],
+        custom_ins: list[int],
         when_not_matched_by_source: str | None,
         by_source_set: dict[str, str] | None,
         bscond,
     ) -> DataFrame:
         """The matched-clause merge plan: ONE full-outer join on the
-        keys, a first-true-condition clause index per matched row
-        (Delta's ordered-clause precedence), and a single projection
-        resolving every output column — no per-clause passes over the
-        target. Valid only under the multiple-matches refusal (≤ 1
-        source row per matched target row)."""
+        keys, a first-true-condition clause index per matched row AND
+        per unmatched source row (Delta's ordered-clause precedence on
+        both sides), and a single projection resolving every output
+        column — no per-clause passes over the target. Valid only
+        under the multiple-matches refusal (≤ 1 source row per matched
+        target row)."""
         joined = t_m.alias("t").join(
             s_m.alias("s"),
             [
@@ -2436,30 +2594,50 @@ class TxTable:
         if when_not_matched_by_source == "delete":
             drop = drop | (is_t & bscond)
         keep = (is_t | is_m) & ~drop
-        if when_not_matched == "insert":
-            keep = keep | (is_s & ncond)
+        icidx = _ins_clause_idx(ins_clauses) if ins_clauses else None
+        if icidx is not None:
+            keep = keep | (is_s & icidx.isNotNull())
+        ins_regen = (
+            (is_s & icidx.isin(custom_ins).eqNullSafe(F.lit(True)))
+            if custom_ins else F.lit(False)
+        )
 
         def value_of(c: str):
-            w = F.when(is_s, F.col(f"s.{c}"))
+            w = None
+            if icidx is not None:
+                w = F.when(
+                    is_s, _ins_value_of(c, icidx, ins_clauses,
+                                        key_cols, types)
+                )
             for i in upd_idx:
                 st = clauses[i]["set"]
-                u = (
-                    F.col(f"s.{c}") if st is None
-                    else (F.expr(st[c]) if c in st else F.col(f"t.{c}"))
+                if st is None:
+                    # SET *: by-name mapping — source columns update,
+                    # table columns the source lacks keep the target
+                    # value (Delta's schema-evolution rule)
+                    u = (
+                        F.col(f"s.{c}") if c in src_cols
+                        else F.col(f"t.{c}")
+                    )
+                else:
+                    u = F.expr(st[c]) if c in st else F.col(f"t.{c}")
+                w = (F.when if w is None else w.when)(
+                    is_m & (cidx == i), u
                 )
-                w = w.when(is_m & (cidx == i), u)
             if when_not_matched_by_source == "update":
                 u = (
                     F.expr(by_source_set[c])
                     if c in by_source_set
                     else F.col(f"t.{c}")
                 )
-                w = w.when(bs_upd, u)
+                w = (F.when if w is None else w.when)(bs_upd, u)
+            if w is None:
+                return F.col(f"t.{c}")
             return w.otherwise(F.col(f"t.{c}"))
 
         return joined.filter(keep).select(
             *[value_of(c).cast(types[c]).alias(c) for c in cols],
-            (upd | bs_upd).alias("_upd"),
+            (upd | bs_upd | ins_regen).alias("_upd"),
         )
 
     def apply_cdc(

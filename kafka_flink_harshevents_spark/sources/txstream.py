@@ -327,8 +327,10 @@ def _change_partitions(
                 raise ValueError(
                     f"txlog stream over {table_dir}: version "
                     f"{v} carries a deletion vector, not an append. "
-                    "Set ignorechanges=true to skip it, or start "
-                    "past this version."
+                    "Set ignorechanges=true to continue (vector-only "
+                    "commits are skipped; any ADDED files are served "
+                    "and downstream must dedupe on the business key), "
+                    "or start past this version."
                 )
             if not rec.get("add"):
                 continue

@@ -1137,15 +1137,18 @@ def test_stream_serves_insert_only_merge_as_append(spark, tmp_path):
         rd.partitions({"version": vm - 1}, {"version": vm})
 
 
-def test_stream_refuses_restore_dv_state_replacement(spark, tmp_path):
-    """RESTORE commits never count as append-equivalent, however
-    add-only their file lists look: the record's ``dv_full`` key
-    REPLACES the deletion-vector state (an EMPTY map included — that
-    is how a restore resurrects dv-deleted rows), so serving the
-    commit as an append would silently drop row changes. Both shapes
-    must refuse without ignorechanges: the dv-only restore (no
-    add/remove at all — previously silently SKIPPED as 'no data
-    change') and the file-add-only restore."""
+def test_stream_restore_dv_state_replacement_contract(spark, tmp_path):
+    """RESTORE vs the stream, all three shapes: (1) a restore that
+    CHANGES the deletion-vector state records ``dv_full`` (an EMPTY
+    map included — that is how it resurrects dv-deleted rows) and
+    must refuse without ignorechanges, whether dv-only or
+    file-add-only — serving it as an append would silently drop row
+    changes (the dv-only shape was previously silently SKIPPED as
+    'no data change'); (2) a NO-OP restore (state already equal —
+    idempotent recovery re-run) records no dv_full and the planner
+    skips it without killing the stream; (3) a restore that
+    resurrects a whole file with NO dv change is genuinely
+    append-equivalent and serves its rows."""
     from kafka_flink_harshevents_spark.sources.txstream import (
         TxLogStreamReader,
         _is_add_only,
@@ -1156,42 +1159,78 @@ def test_stream_refuses_restore_dv_state_replacement(spark, tmp_path):
     t = _mk(spark, tmp_path, n_buckets=1)
     v2 = t.append(spark.createDataFrame(
         [("a", 1, 1), ("b", 2, 1)], "k string, v long, ver long"))
-    t.delete_where("k = 'a'", mode="merge_on_read")  # dv delta
-    v4 = t.restore(v2)  # dv-only restore: add=[], remove=[], dv_full={}
-    rec = _read_record(t.table_dir, v4)
-    assert rec["op"] == "restore"
-    assert not rec["add"] and not rec["remove"]
-    assert "dv_full" in rec and rec["dv_full"] == {}
-    assert not _is_add_only(rec)
+    v3 = t.append(spark.createDataFrame(
+        [("c", 3, 1)], "k string, v long, ver long"))
+    t.delete_where("k = 'c'")  # v4: whole-file removal of the c-file
+    t.delete_where("k = 'a'", mode="merge_on_read")  # v5: dv delta
+    # (1) restore to v3: resurrects the c-file AND clears the a-vector
+    # — file-add-only in add/remove terms, but dv state changes
+    v6 = t.restore(v3)
+    rec6 = _read_record(t.table_dir, v6)
+    assert rec6["op"] == "restore"
+    assert rec6["add"] and not rec6["remove"]
+    assert "dv_full" in rec6 and rec6["dv_full"] == {}
+    assert not _is_add_only(rec6)
     schema = _table_schema(t.table_dir)
     rd = TxLogStreamReader({"tabledir": t.table_dir}, schema)
     with pytest.raises(ValueError, match="deletion vector"):
-        rd.partitions({"version": v4 - 1}, {"version": v4})
-    # file-add-only restore (resurrecting a whole removed file)
-    v5 = t.append(spark.createDataFrame(
-        [("c", 3, 1)], "k string, v long, ver long"))
-    t.delete_where("k = 'c'")  # whole-file removal
-    v7 = t.restore(v5)
-    rec7 = _read_record(t.table_dir, v7)
-    assert rec7["add"] and not rec7["remove"] and "dv_full" in rec7
-    assert not _is_add_only(rec7)
-    with pytest.raises(ValueError, match="deletion vector"):
-        rd.partitions({"version": v7 - 1}, {"version": v7})
-    # pacing twin: the refusing commit is still budgeted by its add
-    # files (the stream dies at plan time anyway; pacing must not
-    # under-count a commit the planner would serve under ignorechanges)
-    n, _nb = _served_sizes(t.table_dir, rec7, False)
-    assert n == len(rec7["add"])
-    # ignorechanges: the resurrected file serves, masked by dv_full
+        rd.partitions({"version": v6 - 1}, {"version": v6})
+    # pacing twin still budgets the refusing commit by its add files
+    # (ignorechanges would serve them; pacing must not under-count)
+    n, _nb = _served_sizes(t.table_dir, rec6, False)
+    assert n == len(rec6["add"])
+    # ignorechanges: the resurrected file serves
     rd_ok = TxLogStreamReader(
         {"tabledir": t.table_dir, "ignorechanges": "true"}, schema)
     rows = [
         tuple(r.values())
-        for p in rd_ok.partitions({"version": v7 - 1}, {"version": v7})
+        for p in rd_ok.partitions({"version": v6 - 1}, {"version": v6})
         for b in rd_ok.read(p)
         for r in b.to_pylist()
     ]
-    assert rows == [("c", 3, 1, v7)]
+    assert rows == [("c", 3, 1, v6)]
+    # dv-only restore: vector a row, then roll it back — file sets
+    # equal, dv state differs → dv_full ({}) recorded, refuses,
+    # never silently skips as 'no data change'
+    t.delete_where("k = 'b'", mode="merge_on_read")  # v7: dv delta
+    v8 = t.restore(v6)
+    rec8 = _read_record(t.table_dir, v8)
+    assert not rec8["add"] and not rec8["remove"]
+    assert "dv_full" in rec8 and rec8["dv_full"] == {}
+    with pytest.raises(ValueError, match="deletion vector"):
+        rd.partitions({"version": v8 - 1}, {"version": v8})
+    # (2) NO-OP restore: same target again — state already equal, so
+    # no dv_full is recorded and the stream just skips the version
+    v9 = t.restore(v6)
+    rec9 = _read_record(t.table_dir, v9)
+    assert not rec9["add"] and not rec9["remove"]
+    assert "dv_full" not in rec9
+    assert rd.partitions({"version": v9 - 1}, {"version": v9}) == []
+    # (3) file-resurrecting restore with NO dv change: append-
+    # equivalent, serves without ignorechanges
+    t2 = TxTable.create(
+        spark, str(tmp_path / "t2"), key_cols=("k",), order_col="ver",
+        n_buckets=1,
+    )
+    t2.append(spark.createDataFrame(
+        [("x", 1, 1)], "k string, v long, ver long"))
+    w3 = t2.append(spark.createDataFrame(
+        [("y", 2, 1)], "k string, v long, ver long"))
+    t2.delete_where("k = 'y'")  # whole-file removal, no dv
+    w5 = t2.restore(w3)
+    rec_w5 = _read_record(t2.table_dir, w5)
+    assert rec_w5["add"] and not rec_w5["remove"]
+    assert "dv_full" not in rec_w5
+    assert _is_add_only(rec_w5)
+    rd2 = TxLogStreamReader(
+        {"tabledir": t2.table_dir}, _table_schema(t2.table_dir))
+    rows2 = [
+        tuple(r.values())
+        for p in rd2.partitions({"version": w5 - 1}, {"version": w5})
+        for b in rd2.read(p)
+        for r in b.to_pylist()
+    ]
+    assert rows2 == [("y", 2, 1, w5)]
 
 
 def test_log_checkpoint_replay_equivalence(spark, tmp_path):
@@ -5456,6 +5495,110 @@ def test_merge_into_insert_only_fast_path(spark, tmp_path):
     assert rec["op"] == "merge_into" and rec["remove"] == []
     got = sorted((r["k"], r["v"]) for r in t.read().collect())
     assert got == [(1, 10), (2, 20), (7, 70), (7, 71)]
+
+
+def test_merge_into_insert_clause_list(spark, tmp_path):
+    """Ordered WHEN NOT MATCHED clause list (Delta's multi-insert
+    form): first TRUE condition wins, values dicts construct the row
+    (unassigned KEY columns come from the source, unassigned data
+    columns are NULL), rows no clause claims are dropped, GENERATED
+    columns recompute on custom-valued inserts — on BOTH the
+    insert-only fast path and the joined plan."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, generated_cols={"band": "CAST(v % 97 AS BIGINT)"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 10, 1)], "k long, v long, ver long"))
+    src = spark.createDataFrame(
+        [(1, 999, 2),   # matched -> kept (no matched clause)
+         (5, 50, 2),    # clause0 (v >= 50) -> wholesale insert
+         (6, 7, 2),     # clause1 (catch-all >= 0) -> custom values
+         (7, -5, 2)],   # no clause -> dropped
+        "k long, v long, ver long")
+    v = t.merge_into(
+        src,
+        when_matched=None,
+        when_not_matched=[
+            {"values": None, "condition": "s.v >= 50"},
+            {"values": {"v": "s.v * 1000"}, "condition": "s.v >= 0"},
+        ],
+    )
+    rec = _read_record(t.table_dir, v)
+    assert rec["remove"] == []  # still the insert-only fast path
+    got = {r["k"]: (r["v"], r["ver"], r["band"])
+           for r in t.read().collect()}
+    assert got == {
+        1: (10, 1, 10 % 97),
+        5: (50, 2, 50 % 97),
+        6: (7000, None, 7000 % 97),  # unassigned ver -> NULL; gen
+        # recomputed from the INSERTED value, key taken from source
+    }, got
+    # the JOINED plan (matched clause present) resolves the same list
+    src2 = spark.createDataFrame(
+        [(1, 11, 3), (8, 80, 3), (9, 3, 3)], "k long, v long, ver long")
+    t.merge_into(
+        src2,
+        when_matched="update",
+        when_not_matched=[
+            {"values": None, "condition": "s.v >= 50"},
+            {"values": {"v": "s.v * 1000", "ver": "s.ver"},
+             "condition": "s.v >= 0"},
+        ],
+    )
+    got2 = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got2[1] == (11, 3) and got2[8] == (80, 3)
+    assert got2[9] == (3000, 3)
+    # guards
+    with pytest.raises(ValueError, match="s\\.\\* only"):
+        t.merge_into(src2, when_not_matched=[
+            {"values": {"v": "t.v + 1"}}])
+    with pytest.raises(ValueError, match="except the last"):
+        t.merge_into(src2, when_not_matched=[
+            {"values": None},
+            {"values": None, "condition": "s.v > 0"}])
+    with pytest.raises(ValueError, match="unknown"):
+        t.merge_into(src2, when_not_matched=[{"values": {"zz": "1"}}])
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.merge_into(src2, when_not_matched=[{"values": {"band": "1"}}])
+    with pytest.raises(ValueError, match="single-clause form"):
+        t.merge_into(src2, when_not_matched=[{"values": None}],
+                     not_matched_condition="s.v > 0")
+    with pytest.raises(ValueError, match="empty when_not_matched"):
+        t.merge_into(src2, when_not_matched=[])
+
+
+def test_merge_into_schema_evolution(spark, tmp_path):
+    """merge_schema=True under MERGE (Delta's autoMerge): new source
+    columns join the schema (pre-existing target rows NULL-fill), a
+    NARROWER source keeps target values on SET * updates (by-name
+    mapping) and NULL-fills its inserts, and without the flag the
+    mismatch refuses."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+    src = spark.createDataFrame(
+        [(1, 100, 2, "a"), (9, 90, 2, "b")],
+        "k long, v long, ver long, tag string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.merge_into(src)
+    t.merge_into(src, merge_schema=True)
+    got = {r["k"]: (r["v"], r["ver"], r["tag"])
+           for r in t.read().collect()}
+    assert got == {
+        1: (100, 2, "a"),   # wholesale update carries the new column
+        2: (20, 1, None),   # untouched target row NULL-fills
+        9: (90, 2, "b"),    # insert carries it
+    }
+    # narrower source: SET * keeps target values for absent columns,
+    # inserts NULL-fill them
+    src2 = spark.createDataFrame([(2, 3), (11, 3)], "k long, ver long")
+    t.merge_into(src2, merge_schema=True)
+    got2 = {r["k"]: (r["v"], r["ver"], r["tag"])
+            for r in t.read().collect()}
+    assert got2[2] == (20, 3, None)     # v, tag kept; ver updated
+    assert got2[11] == (None, 3, None)  # insert NULL-fills
+    assert got2[1] == (100, 2, "a")
 
 
 def test_merge_into_source_materialized_once(spark, tmp_path):
