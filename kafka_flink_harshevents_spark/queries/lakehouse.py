@@ -718,6 +718,66 @@ def q_txlog_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with SCHEMA EVOLUTION plus Delta's multi-insert clause
+    list: the first merge adds a new ``flag`` column under
+    ``merge_schema=True`` (wholesale updates carry it, untouched rows
+    NULL-fill — surfaced as '-' so the hash is NULL-free), the second
+    merge routes unmatched rows through an ORDERED insert-clause list
+    (even-cent rows insert wholesale, the catch-all clause constructs
+    the row from SQL values). The oracle states every branch from
+    ``orders``, so evolution NULL-fill, SET-*-by-name, insert-clause
+    precedence, and values-construction are all driver-checked."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txme-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base)
+    src1 = (
+        base.filter(F.col("k") % 6 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 9).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+            F.lit("e").alias("flag"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 17 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "st",
+                "amount_c",
+                F.lit(2).cast("long").alias("ver"),
+                F.lit("i").alias("flag"),
+            )
+        )
+    )
+    t.merge_into(src1, merge_schema=True)
+    src2 = base.filter(F.col("k") % 19 == 0).select(
+        (F.col("k") + 2_000_000).alias("k"),
+        "st",
+        "amount_c",
+        F.lit(3).cast("long").alias("ver"),
+        F.lit("z").alias("flag"),
+    )
+    t.merge_into(
+        src2,
+        when_matched=None,
+        when_not_matched=[
+            {"values": None, "condition": "s.amount_c % 2 = 0"},
+            {"values": {"amount_c": "s.amount_c * 2", "st": "'x'",
+                        "ver": "s.ver + 10"}},
+        ],
+    )
+    return t.read().select(
+        "k", "st", "amount_c", "ver",
+        F.coalesce("flag", F.lit("-")).alias("flag"),
+    )
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
@@ -726,6 +786,7 @@ QUERIES = {
     "q_txlog_replace_where": q_txlog_replace_where,
     "q_txlog_merge_into": q_txlog_merge_into,
     "q_txlog_merge_clauses": q_txlog_merge_clauses,
+    "q_txlog_merge_evolution": q_txlog_merge_evolution,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -751,6 +812,31 @@ ORACLES = {
                CAST(1 AS BIGINT) AS dv_materialized
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    "q_txlog_merge_evolution": f"""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c
+            FROM orders WHERE o_orderkey <= {_KEY_CAP}
+        )
+        SELECT k, st,
+               amount_c + CASE WHEN k % 6 = 0 THEN 9 ELSE 0 END
+                 AS amount_c,
+               CAST(CASE WHEN k % 6 = 0 THEN 2 ELSE 1 END AS BIGINT)
+                 AS ver,
+               CASE WHEN k % 6 = 0 THEN 'e' ELSE '-' END AS flag
+        FROM base
+        UNION ALL
+        SELECT k + 1000000 AS k, st, amount_c, CAST(2 AS BIGINT), 'i'
+        FROM base WHERE k % 17 = 0
+        UNION ALL
+        SELECT k + 2000000 AS k, st, amount_c, CAST(3 AS BIGINT), 'z'
+        FROM base WHERE k % 19 = 0 AND amount_c % 2 = 0
+        UNION ALL
+        SELECT k + 2000000 AS k, 'x' AS st, amount_c * 2 AS amount_c,
+               CAST(13 AS BIGINT) AS ver, '-' AS flag
+        FROM base WHERE k % 19 = 0 AND amount_c % 2 <> 0
     """,
     "q_txlog_merge_clauses": f"""
         WITH base AS (
