@@ -398,6 +398,20 @@ def _expr_mentions(expr: str, col: str) -> bool:
     ) is not None
 
 
+def _alias_ref(expr: str, alias: str) -> bool:
+    """Whether a SQL expression references ``<alias>.<col>`` — case-
+    insensitive (Spark resolves aliases case-insensitively) and
+    backtick-aware (``` `t`.v ``` is the same reference quoted; a
+    naked-identifier regex would let it slip through and silently
+    NULL the guarded rows). Conservative on string literals containing
+    the pattern — refusal is the safe direction."""
+    return re.search(
+        rf"(?<![A-Za-z0-9_])`?{re.escape(alias)}`?\s*\.",
+        expr,
+        re.IGNORECASE,
+    ) is not None
+
+
 def _nullsafe_true(cond: str | None):
     """A clause condition as a null-safe boolean column: UNKNOWN means
     the clause does NOT apply (the row is kept / not inserted), never
@@ -871,12 +885,15 @@ class TxTable:
             "generated_cols",
         )
         for _ in range(max_retries):
-            base_v, cur_live, cur_schema = self._snapshot()
+            # one replay yields files, schema AND dv state — the
+            # _snapshot() convenience would replay the log a second
+            # time just to discard the vectors this needs
+            base_v, cur_live_map, cur_schema, cur_dvs = self._replay()
+            cur_live = list(cur_live_map.values())
             if not 1 <= version <= base_v:
                 raise ValueError(
                     f"cannot restore to {version}: log spans 1..{base_v}"
                 )
-            _, _, _, cur_dvs = self._replay()
             _, old_live_map, old_schema, old_dvs = self._replay(version)
             cur_names = (
                 {f.name for f in
@@ -925,9 +942,9 @@ class TxTable:
                 "schema_json": old_schema,
                 "restored_version": version,
             }
-            if {p: set(v) for p, v in old_dvs.items()} != {
-                p: set(v) for p, v in cur_dvs.items()
-            }:
+            # _replay returns dict[str, set] on both sides — direct
+            # comparison, no normalization needed
+            if old_dvs != cur_dvs:
                 # absolute DV state of the target snapshot — replay
                 # replaces, so vectors added (or materialized) after
                 # the target roll back with the data. Recorded ONLY
@@ -2216,10 +2233,8 @@ class TxTable:
                 # no target row exists for a not-matched source row —
                 # a t.-reference would resolve to the all-NULL target
                 # side (or fail outright on the insert-only fast
-                # path); case-insensitive like the s.-guard
-                if re.search(
-                    r"(?<![A-Za-z0-9_])t\s*\.", ex, re.IGNORECASE
-                ):
+                # path); case-insensitive and backtick-aware
+                if _alias_ref(ex, "t"):
                     raise ValueError(
                         "not-matched clauses reference s.* only — no "
                         f"target row exists for those rows (got {ex!r})"
@@ -2248,12 +2263,10 @@ class TxTable:
         for ex in list((by_source_set or {}).values()) + (
             [by_source_condition] if by_source_condition else []
         ):
-            # case-insensitive: Spark resolves the `s` alias however
-            # it is cased, so `S.v` would otherwise slip past and
-            # silently NULL the by-source rows (the source side is
-            # all-NULL for them); conservative on string literals
-            # containing "s." — refusal is the safe direction
-            if re.search(r"(?<![A-Za-z0-9_])s\s*\.", ex, re.IGNORECASE):
+            # the source side is all-NULL for by-source rows, so any
+            # spelling of an s-reference (`S.v`, `s`.v) must refuse
+            # or the rows are silently NULLed
+            if _alias_ref(ex, "s"):
                 raise ValueError(
                     "by-source clauses reference t.* only — no source "
                     f"row exists for those target rows (got {ex!r}); "

@@ -5463,6 +5463,10 @@ def test_merge_into_not_matched_by_source(spark, tmp_path):
     with pytest.raises(ValueError, match="t\\.\\* only"):
         t2.merge_into(src, when_not_matched_by_source="update",
                       by_source_set={"v": "S.v + 1000"})
+    # ... and backtick-quoted spellings of the same reference
+    with pytest.raises(ValueError, match="t\\.\\* only"):
+        t2.merge_into(src, when_not_matched_by_source="update",
+                      by_source_set={"v": "`s`.v + 1000"})
     with pytest.raises(ValueError, match="requires[\\s\\S]*by_source_set"):
         t2.merge_into(src, when_not_matched_by_source="update")
     with pytest.raises(ValueError, match="by_source_set requires"):
@@ -5553,6 +5557,9 @@ def test_merge_into_insert_clause_list(spark, tmp_path):
     with pytest.raises(ValueError, match="s\\.\\* only"):
         t.merge_into(src2, when_not_matched=[
             {"values": {"v": "t.v + 1"}}])
+    with pytest.raises(ValueError, match="s\\.\\* only"):
+        t.merge_into(src2, when_not_matched=[
+            {"values": {"v": "`T`.v + 1"}}])
     with pytest.raises(ValueError, match="except the last"):
         t.merge_into(src2, when_not_matched=[
             {"values": None},
@@ -5599,6 +5606,34 @@ def test_merge_into_schema_evolution(spark, tmp_path):
     assert got2[2] == (20, 3, None)     # v, tag kept; ver updated
     assert got2[11] == (None, 3, None)  # insert NULL-fills
     assert got2[1] == (100, 2, "a")
+    # TYPE WIDENING through merge_into: int table column, long source
+    # — the union schema records long, kept target rows upcast through
+    # the clause-plan projection, and the post-merge read is long
+    tw = TxTable.create(
+        spark, str(tmp_path / "tw"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    tw.append(spark.createDataFrame(
+        [(1, 7, 1), (2, 8, 1)], "k long, v int, ver long"))
+    tw.merge_into(
+        spark.createDataFrame(
+            [(1, 4_000_000_000, 2), (9, 9, 2)],
+            "k long, v long, ver long"),
+        merge_schema=True,
+    )
+    assert dict(tw.read().dtypes)["v"] == "bigint"
+    gotw = {r["k"]: r["v"] for r in tw.read().collect()}
+    assert gotw == {1: 4_000_000_000, 2: 8, 9: 9}
+    # and without the flag the widening refuses
+    tw2 = TxTable.create(
+        spark, str(tmp_path / "tw2"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    tw2.append(spark.createDataFrame(
+        [(1, 7, 1)], "k long, v int, ver long"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        tw2.merge_into(spark.createDataFrame(
+            [(1, 9, 2)], "k long, v long, ver long"))
 
 
 def test_merge_into_source_materialized_once(spark, tmp_path):
