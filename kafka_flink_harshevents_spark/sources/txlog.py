@@ -598,6 +598,7 @@ class TxTable:
         cdf: bool = False,
         bloom_cols: tuple[str, ...] = (),
         generated_cols: dict[str, str] | None = None,
+        checkpoint_interval: int | None = 10,
     ) -> "TxTable":
         """``cdf=True`` is Delta's ``enableChangeDataFeed`` table
         property: rewrite commits (merge / delete / update) MATERIALIZE
@@ -621,7 +622,15 @@ class TxTable:
         column is a contract, not a default); the classic use is a
         derived date column whose file stats then drive pruning. The
         DataSource writer refuses such tables (its tasks see Arrow,
-        not Spark expressions) — write through the library API."""
+        not Spark expressions) — write through the library API.
+
+        ``checkpoint_interval`` is Delta's every-10-commits checkpoint
+        cadence: after every Nth committed version the writer
+        opportunistically materializes a log checkpoint, keeping
+        snapshot replay O(interval) however long the log grows — at
+        a 10⁵-commit production log that is the difference between
+        reading 10 records and 10⁵ per snapshot. ``None``/0 disables
+        (manual ``checkpoint()`` still works)."""
         t = cls(spark, table_dir)
         if _list_versions(table_dir):
             return t  # already initialized — metadata is immutable
@@ -646,6 +655,7 @@ class TxTable:
                     "cdf": bool(cdf),
                     "bloom_cols": list(bloom_cols),
                     "generated_cols": gen,
+                    "checkpoint_interval": int(checkpoint_interval or 0),
                 },
             },
         )
@@ -698,6 +708,27 @@ class TxTable:
             if "meta_update" in rec:
                 m.update(rec["meta_update"])
         return m
+
+    def _commit(self, version: int, record: dict) -> None:
+        """The ONE post-create commit path: the atomic log link plus
+        the auto-checkpoint cadence. A failed checkpoint never fails
+        the committed write — the checkpoint is DERIVED data (a pure
+        function of the version); losing one costs replay time until
+        the next interval commit retries, nothing else."""
+        _atomic_commit(self.table_dir, version, record)
+        # the interval is create-time-immutable (never in a
+        # meta_update patch), so one meta read per handle suffices —
+        # a per-commit meta replay just to read a constant would tax
+        # every write
+        ci = getattr(self, "_ckpt_iv", None)
+        if ci is None:
+            ci = int(self.meta.get("checkpoint_interval") or 0)
+            self._ckpt_iv = ci
+        if ci and version % ci == 0:
+            try:
+                self.checkpoint()
+            except (OSError, ValueError):
+                pass
 
     # -- snapshots ---------------------------------------------------
 
@@ -998,7 +1029,7 @@ class TxTable:
                     )
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -1124,7 +1155,7 @@ class TxTable:
                 "note": f"drop columns {sorted(cols)}",
             }
             try:
-                _atomic_commit(self.table_dir, v + 1, record)
+                self._commit(v + 1, record)
                 return v + 1
             except ConcurrentWriteError:
                 continue  # metadata-only: recompute and retry
@@ -1219,7 +1250,7 @@ class TxTable:
                 "note": f"rename column {old} -> {new}",
             }
             try:
-                _atomic_commit(self.table_dir, v + 1, record)
+                self._commit(v + 1, record)
                 return v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -2019,7 +2050,7 @@ class TxTable:
             if m.get("cdf"):
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1
             except ConcurrentWriteError as exc:
                 # lost the race: our staged files stay orphaned (vacuum
@@ -2538,7 +2569,7 @@ class TxTable:
             if m.get("cdf"):
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -2761,7 +2792,7 @@ class TxTable:
             if m.get("cdf"):
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -2819,7 +2850,7 @@ class TxTable:
             if txn:
                 record["txn"] = txn
             try:
-                _atomic_commit(self.table_dir, v + 1, record)
+                self._commit(v + 1, record)
                 return v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -2884,7 +2915,7 @@ class TxTable:
                 "meta_update": {"n_buckets": int(n_buckets)},
             }
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -3061,7 +3092,7 @@ class TxTable:
             if target_bytes is not None:
                 record["note"] = f"binpack target_bytes={int(target_bytes)}"
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -3155,7 +3186,7 @@ class TxTable:
                 "schema_json": schema_json,
             }
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -3263,7 +3294,7 @@ class TxTable:
                             base_v + 1, record
                         )
                     try:
-                        _atomic_commit(self.table_dir, base_v + 1, record)
+                        self._commit(base_v + 1, record)
                         return base_v + 1, len(pos)
                     except ConcurrentWriteError as exc:
                         last_err = exc
@@ -3301,7 +3332,7 @@ class TxTable:
             if self.meta.get("cdf"):
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1, n_del
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -3431,7 +3462,7 @@ class TxTable:
             if self.meta.get("cdf"):
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -3586,7 +3617,7 @@ class TxTable:
                             base_v + 1, record
                         )
                     try:
-                        _atomic_commit(self.table_dir, base_v + 1, record)
+                        self._commit(base_v + 1, record)
                         return base_v + 1, len(pos)
                     except ConcurrentWriteError as exc:
                         last_err = exc
@@ -3641,7 +3672,7 @@ class TxTable:
             if self.meta.get("cdf"):
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
-                _atomic_commit(self.table_dir, base_v + 1, record)
+                self._commit(base_v + 1, record)
                 return base_v + 1, n_upd
             except ConcurrentWriteError as exc:
                 last_err = exc

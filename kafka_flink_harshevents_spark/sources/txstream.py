@@ -1054,7 +1054,6 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         from kafka_flink_harshevents_spark.sources.txlog import (
             ConcurrentWriteError,
             TxTable,
-            _atomic_commit,
         )
 
         entries = [
@@ -1113,7 +1112,10 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             if self.txn is not None:
                 record["txn"] = self.txn
             try:
-                _atomic_commit(self.table_dir, v + 1, record)
+                # the shared commit path: atomic link + the table's
+                # auto-checkpoint cadence (checkpoint() is log-only, so
+                # it runs fine in this spark-less commit worker)
+                t._commit(v + 1, record)
                 return
             except ConcurrentWriteError as exc:
                 last_err = exc

@@ -1233,6 +1233,41 @@ def test_stream_restore_dv_state_replacement_contract(spark, tmp_path):
     assert rows2 == [("y", 2, 1, w5)]
 
 
+def test_auto_checkpoint_cadence(spark, tmp_path):
+    """checkpoint_interval (default 10, Delta's cadence): every Nth
+    committed version materializes a log checkpoint automatically, so
+    replay cost stays O(interval) over an unbounded log; snapshots
+    and time travel are unchanged; None/0 disables the cadence."""
+    import glob as g
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=1, checkpoint_interval=3,
+    )
+    for i in range(7):  # versions 2..8
+        t.append(spark.createDataFrame(
+            [(i, i * 10, 1)], "k long, v long, ver long"))
+    chks = sorted(g.glob(
+        os.path.join(t.table_dir, "_txlog", "chk-*.json")))
+    cvs = [int(os.path.basename(p)[4:24]) for p in chks]
+    assert 3 in cvs and 6 in cvs, cvs
+    # snapshots and time travel replay identically through the chks
+    assert t.read().count() == 7
+    assert t.read(version=4).count() == 3
+    fresh = TxTable(spark, t.table_dir)
+    assert {r["k"] for r in fresh.read().collect()} == set(range(7))
+    # disabled cadence writes no checkpoints
+    t2 = TxTable.create(
+        spark, str(tmp_path / "t2"), key_cols=("k",), order_col="ver",
+        n_buckets=1, checkpoint_interval=None,
+    )
+    for i in range(11):
+        t2.append(spark.createDataFrame(
+            [(i, i, 1)], "k long, v long, ver long"))
+    assert not g.glob(
+        os.path.join(t2.table_dir, "_txlog", "chk-*.json"))
+
+
 def test_log_checkpoint_replay_equivalence(spark, tmp_path):
     """A log checkpoint must be a pure optimization: snapshots (latest
     AND time-travel, before or after the checkpoint version) are
