@@ -778,6 +778,109 @@ def q_txlog_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY on the hash: append half the keys
+    (ids allocated in key order from the watermark), merge_upsert a
+    mix of UPDATES (which must INHERIT the key's id) and new keys
+    (fresh ids continuing the watermark), then a conditional
+    MERGE INTO whose updates must keep the target id and whose inserts
+    allocate. The oracle reconstructs every id with ROW_NUMBERs over
+    ``orders`` — possible because the gate table uses ONE bucket, so
+    per-commit allocation order is exactly (key, order); multi-bucket
+    allocation (ids striped by the bucket hash, unique but not
+    SQL-reproducible) is covered by the unit suite's uniqueness and
+    concurrency tests."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txid-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=1,
+        identity_cols={"seq": {"start": 1, "step": 1}},
+    )
+    t.append(base.filter(F.col("k") % 2 == 0))
+    t.merge_upsert(
+        base.filter(F.col("k") % 6 == 0)
+        .select(
+            "k",
+            "st",
+            (F.col("amount_c") + 50).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+        .unionByName(
+            base.filter(
+                (F.col("k") % 2 == 1) & (F.col("k") % 3 == 0)
+            ).select(
+                "k", "st", "amount_c", F.lit(1).cast("long").alias("ver")
+            )
+        )
+    )
+    t.merge_into(
+        base.filter(F.col("k") % 10 == 0)
+        .select(
+            "k",
+            "st",
+            (F.col("amount_c") + 7).alias("amount_c"),
+            F.lit(3).cast("long").alias("ver"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "st",
+                "amount_c",
+                F.lit(1).cast("long").alias("ver"),
+            )
+        ),
+        when_matched="update",
+        matched_condition="t.st = 'O'",
+        when_not_matched="insert",
+    )
+    return t.read().select("k", "st", "amount_c", "ver", "seq")
+
+
+def q_txlog_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking on the hash: stable ``_row_id`` assigned at the
+    initial append (key order — one bucket, the q_txlog_identity
+    convention), PRESERVED byte-identically through an UPDATE, a
+    latest-wins merge of the same keys, a delete, and a full
+    ``compact()`` rewrite; merge-inserted keys continue the watermark.
+    The oracle reconstructs every surviving row's id from ``orders``,
+    so assignment order, inherit-on-update, rewrite preservation, and
+    never-reuse-after-delete are all driver-checked."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txrt-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=1,
+        row_tracking=True,
+    )
+    t.append(base)
+    t.update_where("k % 5 = 0", {"amount_c": "amount_c + 10"})
+    t.merge_upsert(
+        base.filter(F.col("k") % 4 == 0)
+        .select(
+            "k",
+            "st",
+            (F.col("amount_c") + 3).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 9 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "st",
+                "amount_c",
+                F.lit(1).cast("long").alias("ver"),
+            )
+        )
+    )
+    t.delete_where("k % 7 = 0 AND k <= 2000")
+    t.compact()
+    return t.read().select("k", "st", "amount_c", "ver", "_row_id")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
@@ -787,6 +890,8 @@ QUERIES = {
     "q_txlog_merge_into": q_txlog_merge_into,
     "q_txlog_merge_clauses": q_txlog_merge_clauses,
     "q_txlog_merge_evolution": q_txlog_merge_evolution,
+    "q_txlog_identity": q_txlog_identity,
+    "q_txlog_row_tracking": q_txlog_row_tracking,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -803,6 +908,79 @@ QUERIES = {
 #   k%5=0 (merge inserts the %3 keys the append skipped, updates the
 #   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
 ORACLES = {
+    "q_txlog_identity": f"""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c
+            FROM orders WHERE o_orderkey <= {_KEY_CAP}
+        ),
+        a AS (
+            SELECT k, st, amount_c,
+                   ROW_NUMBER() OVER (ORDER BY k) AS rn
+            FROM base WHERE k % 2 = 0
+        ),
+        b AS (
+            SELECT k, st, amount_c,
+                   ROW_NUMBER() OVER (ORDER BY k) AS rn
+            FROM base WHERE k % 2 = 1 AND k % 3 = 0
+        ),
+        c AS (
+            SELECT k, st, amount_c,
+                   ROW_NUMBER() OVER (ORDER BY k) AS rn
+            FROM base WHERE k % 13 = 0
+        )
+        SELECT k, st,
+               amount_c + CASE WHEN k % 10 = 0 AND st = 'O' THEN 7
+                               WHEN k % 6 = 0 THEN 50
+                               ELSE 0 END AS amount_c,
+               CAST(CASE WHEN k % 10 = 0 AND st = 'O' THEN 3
+                         WHEN k % 6 = 0 THEN 2
+                         ELSE 1 END AS BIGINT) AS ver,
+               CAST(rn AS BIGINT) AS seq
+        FROM a
+        UNION ALL
+        SELECT k, st, amount_c, CAST(1 AS BIGINT) AS ver,
+               CAST((SELECT count(*) FROM a) + rn AS BIGINT) AS seq
+        FROM b
+        UNION ALL
+        SELECT k + 1000000 AS k, st, amount_c, CAST(1 AS BIGINT) AS ver,
+               CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+                    + rn AS BIGINT) AS seq
+        FROM c
+    """,
+    "q_txlog_row_tracking": f"""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c
+            FROM orders WHERE o_orderkey <= {_KEY_CAP}
+        ),
+        r AS (
+            SELECT k, st, amount_c,
+                   ROW_NUMBER() OVER (ORDER BY k) - 1 AS rid
+            FROM base
+        ),
+        s AS (
+            SELECT k, st, amount_c,
+                   ROW_NUMBER() OVER (ORDER BY k) - 1 AS rn
+            FROM base WHERE k % 9 = 0
+        )
+        SELECT k, st,
+               amount_c + CASE WHEN k % 4 = 0 THEN 3
+                               WHEN k % 5 = 0 THEN 10
+                               ELSE 0 END AS amount_c,
+               CAST(CASE WHEN k % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+                 AS ver,
+               CAST(rid AS BIGINT) AS _row_id
+        FROM r
+        WHERE k % 7 <> 0
+        UNION ALL
+        SELECT k + 1000000 AS k, st, amount_c, CAST(1 AS BIGINT) AS ver,
+               CAST((SELECT count(*) FROM base) + rn AS BIGINT)
+                 AS _row_id
+        FROM s
+    """,
     "q_txlog_compact_binpack": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))

@@ -581,6 +581,11 @@ class TxTable:
     update-by-id semantics), ``n_buckets`` is the rewrite granularity.
     """
 
+    #: reserved managed column implementing row tracking (Delta's
+    #: row-ID feature): present in every data file of a
+    #: ``row_tracking=True`` table, allocated like an IDENTITY column
+    _ROW_ID = "_row_id"
+
     def __init__(self, spark: SparkSession, table_dir: str):
         self.spark = spark
         self.table_dir = table_dir
@@ -599,6 +604,8 @@ class TxTable:
         bloom_cols: tuple[str, ...] = (),
         generated_cols: dict[str, str] | None = None,
         checkpoint_interval: int | None = 10,
+        identity_cols: dict[str, dict] | None = None,
+        row_tracking: bool = False,
     ) -> "TxTable":
         """``cdf=True`` is Delta's ``enableChangeDataFeed`` table
         property: rewrite commits (merge / delete / update) MATERIALIZE
@@ -624,6 +631,37 @@ class TxTable:
         DataSource writer refuses such tables (its tasks see Arrow,
         not Spark expressions) — write through the library API.
 
+        ``identity_cols`` is Delta's GENERATED ... AS IDENTITY: column
+        → ``{"start": int, "step": int, "always": bool}`` (defaults
+        1 / 1 / True). Library write paths ALLOCATE the column for
+        inserted rows from a high-watermark counter carried in table
+        meta (``identity_next``, bumped via the committing record's
+        ``meta_update`` — so allocation is exactly as atomic as the
+        write itself, and the OCC retry loops re-allocate when a
+        concurrent writer moved the watermark). ``always=True``
+        (GENERATED ALWAYS) refuses incoming frames that carry the
+        column; ``always=False`` (BY DEFAULT) accepts explicit values
+        and fills only the NULLs. Values are unique across concurrent
+        writers by construction; like Delta, gaps are possible (a
+        retried writer re-allocates past the winner's range) but
+        values within one commit are consecutive in (bucket, key,
+        order) order. Updates keep a row's identity: ``merge_upsert``
+        / ``apply_cdc`` winners INHERIT the existing key's value,
+        ``merge_into`` updates keep the target value, and
+        ``update_where`` refuses assigning the column.
+
+        ``row_tracking=True`` is Delta's row-tracking feature: every
+        row carries a stable ``_row_id`` (an internal GENERATED ALWAYS
+        AS IDENTITY column starting at 0), fresh on insert, INHERITED
+        on keyed updates, preserved byte-identically across rewrites
+        that don't modify the row (compact / OPTIMIZE ZORDER /
+        rebucket / replace_where survivors) — the lineage handle a
+        training-data pipeline needs to track an example across
+        dedup/requalification rewrites. ``_row_id`` is a real physical
+        column: visible in every read surface (library read,
+        DataSource batch/stream, CDF), droppable by nobody, and
+        costing one extra int64 per row.
+
         ``checkpoint_interval`` is Delta's every-10-commits checkpoint
         cadence: after every Nth committed version the writer
         opportunistically materializes a log checkpoint, keeping
@@ -639,6 +677,46 @@ class TxTable:
         if bad:
             raise ValueError(
                 f"generated_cols cannot cover key/order columns {sorted(bad)}"
+            )
+        ident: dict[str, dict] = {}
+        for iname, spec in (identity_cols or {}).items():
+            if iname.startswith("_"):
+                raise ValueError(
+                    f"identity column name {iname!r} is reserved "
+                    "(leading underscore) — _row_id is managed by "
+                    "row_tracking=True"
+                )
+            spec = dict(spec or {})
+            unknown = set(spec) - {"start", "step", "always"}
+            if unknown:
+                raise ValueError(
+                    f"identity column {iname!r}: unknown spec key(s) "
+                    f"{sorted(unknown)} — use start/step/always"
+                )
+            step = int(spec.get("step", 1))
+            if step == 0:
+                raise ValueError(
+                    f"identity column {iname!r}: step must be nonzero"
+                )
+            ident[iname] = {
+                "start": int(spec.get("start", 1)),
+                "step": step,
+                "always": bool(spec.get("always", True)),
+            }
+        if row_tracking:
+            ident[cls._ROW_ID] = {"start": 0, "step": 1, "always": True}
+        badi = set(ident) & (set(key_cols) | {order_col})
+        if badi:
+            raise ValueError(
+                "identity/row-tracking columns cannot cover key/order "
+                f"columns {sorted(badi)} — the bucket hash and ordering "
+                "must be caller-supplied"
+            )
+        badig = set(ident) & set(gen)
+        if badig:
+            raise ValueError(
+                f"column(s) {sorted(badig)} cannot be both GENERATED "
+                "and IDENTITY"
             )
         _atomic_commit(
             table_dir,
@@ -656,6 +734,8 @@ class TxTable:
                     "bloom_cols": list(bloom_cols),
                     "generated_cols": gen,
                     "checkpoint_interval": int(checkpoint_interval or 0),
+                    **({"identity_cols": ident} if ident else {}),
+                    **({"row_tracking": True} if row_tracking else {}),
                 },
             },
         )
@@ -682,6 +762,150 @@ class TxTable:
                     f"value: e.g. {bad[0]}"
                 )
         return df
+
+    def _identity_specs(self, meta: dict | None = None) -> dict[str, dict]:
+        """Declared IDENTITY columns (row-tracking's ``_row_id``
+        included) — name → {start, step, always}."""
+        m = self.meta if meta is None else meta
+        return m.get("identity_cols") or {}
+
+    def _identity_counters(self, meta: dict | None = None) -> dict[str, int]:
+        """Allocation high watermarks: per identity column, how many
+        values have ever been allocated (value = start + step·i for
+        i < counter). Monotonic across the table's whole history —
+        restore never reverts them, so resurrecting old rows can never
+        collide with ids issued after the restore point."""
+        m = self.meta if meta is None else meta
+        nxt = m.get("identity_next") or {}
+        return {
+            k: int(nxt.get(k, 0)) for k in (m.get("identity_cols") or {})
+        }
+
+    def _managed_entry(
+        self, df: DataFrame, op: str, add_missing: bool = True
+    ) -> DataFrame:
+        """IDENTITY / row-tracking intake for USER frames: refuse a
+        frame carrying a GENERATED ALWAYS AS IDENTITY column (the
+        table allocates it — Delta refuses explicit inserts the same
+        way; declare ``always=False`` for BY DEFAULT semantics), and
+        add the managed columns the frame lacks as typed NULLs so
+        downstream unions and schema checks align by name. The NULLs
+        are filled by :meth:`_fill_identity` just before staging."""
+        for name, spec in self._identity_specs().items():
+            if name in df.columns:
+                if spec.get("always", True):
+                    raise ValueError(
+                        f"{op}: column {name!r} is GENERATED ALWAYS AS "
+                        "IDENTITY — the table allocates it; drop the "
+                        "column from the frame (or declare the "
+                        "identity with always=False to allow explicit "
+                        "values)"
+                    )
+            elif add_missing:
+                df = df.withColumn(name, F.lit(None).cast("long"))
+        return df
+
+    def _fill_identity(
+        self,
+        df: DataFrame,
+        meta: dict,
+        counters: dict[str, int] | None = None,
+    ) -> tuple[DataFrame, dict | None]:
+        """Fill NULL identity values with freshly allocated ids →
+        ``(df, meta_update | None)``; the caller attaches the
+        meta_update (the bumped ``identity_next`` watermarks) to its
+        committing record, making allocation atomic with the write.
+
+        Assignment is DETERMINISTIC given the frame and the watermark:
+        per bucket, NULL rows take consecutive ids in (key, order)
+        order, buckets laid out in ascending id ranges. Scale shape:
+        ONE small aggregation job (per-bucket NULL/non-NULL counts —
+        ≤ n_buckets rows collected) plus a per-bucket window
+        row_number over the same partitioning ``_stage`` is about to
+        repartition by; no global sort, no driver-side row data. OCC
+        retry loops compare ``_identity_counters`` before reusing
+        staged files — a concurrent allocation forces re-fill +
+        restage (the rebucket-race convention)."""
+        specs = meta.get("identity_cols") or {}
+        todo = [c for c in specs if c in df.columns]
+        if not todo:
+            return df, None
+        if "_bucket" not in df.columns:
+            raise AssertionError("_fill_identity requires a bucketed frame")
+        if counters is None:
+            # FRESH watermark read (not the caller's loop-top meta
+            # snapshot): the OCC loops read meta before _replay, so a
+            # concurrent allocation landing between those reads would
+            # be invisible there yet INCLUDED in the version this
+            # commit races for. A fresh read taken here — after the
+            # caller's _replay — can only be >= the as-of-snapshot
+            # watermark; over-reading wastes ids (gaps, which Delta
+            # allows), never collides.
+            counters = self._identity_counters()
+        aggs = [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}")
+            for c in todo
+        ] + [
+            F.sum(F.col(c).isNotNull().cast("long")).alias(f"_p_{c}")
+            for c in todo
+        ]
+        rows = df.groupBy("_bucket").agg(*aggs).collect()
+        from pyspark.sql import Window
+
+        key_order = [F.col(k) for k in meta["key_cols"]] + [
+            F.col(meta["order_col"])
+        ]
+        new_next = dict(counters)
+        any_alloc = False
+        for c in todo:
+            per = {
+                int(r["_bucket"]): (
+                    int(r[f"_n_{c}"] or 0),
+                    int(r[f"_p_{c}"] or 0),
+                )
+                for r in rows
+            }
+            total = sum(n for n, _ in per.values())
+            if total == 0:
+                continue
+            any_alloc = True
+            start = int(specs[c].get("start", 1))
+            step = int(specs[c].get("step", 1))
+            c0 = counters[c]
+            # combined per-bucket shift: cumulative NULL count of all
+            # lower buckets MINUS this bucket's non-NULL count (the
+            # window row_number counts non-NULL rows first)
+            shift, run = {}, 0
+            for b in sorted(per):
+                shift[b] = run - per[b][1]
+                run += per[b][0]
+            smap = F.create_map(
+                *[
+                    x
+                    for b in sorted(per)
+                    for x in (F.lit(int(b)), F.lit(int(shift[b])))
+                ]
+            )
+            w = Window.partitionBy("_bucket").orderBy(
+                F.col(c).isNull().asc(), *key_order
+            )
+            fresh = (
+                F.lit(start)
+                + F.lit(step)
+                * (
+                    F.lit(c0)
+                    + smap[F.col("_bucket")]
+                    + F.row_number().over(w)
+                    - F.lit(1)
+                )
+            ).cast("long")
+            df = df.withColumn(
+                c, F.coalesce(F.col(c).cast("long"), fresh)
+            )
+            new_next[c] = c0 + total
+        if not any_alloc:
+            return df, None
+        return df, {"identity_next": {k: int(v) for k, v in new_next.items()}}
 
     @property
     def meta(self) -> dict:
@@ -834,6 +1058,7 @@ class TxTable:
         RESTORE."""
         src_v, live_map, schema_json, dvs = self._replay(version)
         m = self.meta_at(src_v)
+        cls_row_id = self._ROW_ID
         dest = TxTable.create(
             self.spark,
             dest_dir,
@@ -846,6 +1071,16 @@ class TxTable:
             # clone inherits: without it, writes to the clone would
             # silently stop computing/enforcing the column
             generated_cols=m.get("generated_cols") or None,
+            # identity/row-tracking rules travel too — and the
+            # WATERMARK is inherited below, so ids the clone issues
+            # never collide with the ids in its cloned rows
+            identity_cols={
+                k: v
+                for k, v in (m.get("identity_cols") or {}).items()
+                if k != cls_row_id
+            }
+            or None,
+            row_tracking=bool(m.get("row_tracking")),
         )
         if _list_versions(dest_dir) != [1]:
             raise ValueError(
@@ -872,6 +1107,11 @@ class TxTable:
                 for p, v in dvs.items()
             }
         inherit_meta = {}
+        if m.get("identity_cols"):
+            inherit_meta["identity_next"] = {
+                k: int((m.get("identity_next") or {}).get(k, 0))
+                for k in m["identity_cols"]
+            }
         if m.get("dropped_cols"):
             # retired names must stay retired IN THE CLONE: its
             # referenced files still physically carry the dropped
@@ -912,8 +1152,14 @@ class TxTable:
         """
         last_err: ConcurrentWriteError | None = None
         _SCHEMA_META = (
+            # identity_cols reverts WITH the schema (a restore across a
+            # drop re-exposes the column, so its allocation rule must
+            # come back too) — but identity_next NEVER reverts: the
+            # watermark is monotonic for the table's whole history, so
+            # ids issued after a restore can't collide with rows any
+            # snapshot (live or time-traveled) already carries.
             "n_buckets", "column_mapping", "dropped_cols",
-            "generated_cols",
+            "generated_cols", "identity_cols",
         )
         for _ in range(max_retries):
             # one replay yields files, schema AND dv state — the
@@ -1114,6 +1360,11 @@ class TxTable:
                         f"column(s) {hit} are referenced by constraint "
                         f"{name} ({expr}) — drop the constraint first"
                     )
+            if meta.get("row_tracking") and self._ROW_ID in cols:
+                raise ValueError(
+                    "cannot drop _row_id on a row_tracking table — it "
+                    "IS the feature; row tracking is create-time"
+                )
             gen = dict(meta.get("generated_cols") or {})
             surviving_gen = {
                 n: e for n, e in gen.items() if n not in cols
@@ -1127,6 +1378,11 @@ class TxTable:
                         "column in the same call or not at all"
                     )
             gen_changed = surviving_gen != gen
+            ident = dict(meta.get("identity_cols") or {})
+            surviving_ident = {
+                n: s for n, s in ident.items() if n not in cols
+            }
+            ident_changed = surviving_ident != ident
             v, _, snap_schema = self._snapshot()
             if snap_schema is None:
                 raise ValueError("no recorded schema to drop from")
@@ -1145,6 +1401,11 @@ class TxTable:
             meta_update: dict = {"dropped_cols": dropped}
             if gen_changed:
                 meta_update["generated_cols"] = surviving_gen
+            if ident_changed:
+                # dropping an identity column retires its allocation
+                # rule (the generated_cols convention); the watermark
+                # entry stays — names are retired permanently anyway
+                meta_update["identity_cols"] = surviving_ident
             record = {
                 "version": v + 1,
                 "op": "drop_columns",
@@ -1202,6 +1463,12 @@ class TxTable:
                     f"cannot rename GENERATED column {old!r} — its "
                     "generation rule is keyed by name; drop and "
                     "re-declare it"
+                )
+            if old in (meta.get("identity_cols") or {}):
+                raise ValueError(
+                    f"cannot rename IDENTITY/row-tracking column "
+                    f"{old!r} — its allocation rule and watermark are "
+                    "keyed by name"
                 )
             for name, expr in {**self.constraints(), **gen}.items():
                 if _expr_mentions(expr, old):
@@ -1607,6 +1874,18 @@ class TxTable:
         satisfy the constraint — adding a rule the data violates would
         make every later rewrite of old rows fail.
         """
+        hit = [
+            c
+            for c in (self.meta.get("identity_cols") or {})
+            if _expr_mentions(expr, c)
+        ]
+        if hit:
+            raise ValueError(
+                f"constraint {name} references IDENTITY/row-tracking "
+                f"column(s) {hit} — writes check constraints BEFORE "
+                "allocation, so the rule would reject every insert; "
+                "identity values are library-guaranteed unique instead"
+            )
         try:
             bad = (
                 self.read()
@@ -1946,7 +2225,15 @@ class TxTable:
                 f"{prev.dataType.simpleString()} → "
                 f"{f.dataType.simpleString()} is not supported"
             )
-        if set(old_by_name) != set(new_by_name) and not merge_schema:
+        # IDENTITY / row-tracking columns are library-managed: a user
+        # frame legitimately arrives WITHOUT them (the write path
+        # allocates), so they are exempt from the name-set equality —
+        # the recorded schema below keeps the table's field either way
+        managed = set(meta.get("identity_cols") or ())
+        if (
+            set(old_by_name) - managed != set(new_by_name) - managed
+            and not merge_schema
+        ):
             raise ValueError(
                 f"{op}: schema mismatch — table has "
                 f"{sorted(old_by_name)}, incoming has "
@@ -1991,7 +2278,9 @@ class TxTable:
         the flag a schema mismatch fails fast (the default guards
         against typo'd column names silently forking the schema).
         """
-        df = self._with_generated(df, "merge_upsert")
+        df = self._managed_entry(
+            self._with_generated(df, "merge_upsert"), "merge_upsert"
+        )
         self._check_constraints(df, "merge_upsert batch")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
@@ -2029,6 +2318,19 @@ class TxTable:
                 merged = incoming
             from pyspark.sql import Window
 
+            # IDENTITY / row tracking: the winner for an EXISTING key
+            # is an update — it INHERITS the key's current id (max over
+            # the key partition ignores the incoming NULLs; same
+            # shuffle key as the latest-wins window below, one
+            # exchange). Winners for new keys stay NULL and get fresh
+            # ids from the watermark just before staging.
+            idc = [c for c in self._identity_specs(m) if c in merged.columns]
+            if idc:
+                kw = Window.partitionBy(*m["key_cols"])
+                for c in idc:
+                    merged = merged.withColumn(
+                        f"_ih_{c}", F.max(c).over(kw)
+                    )
             w = Window.partitionBy(*m["key_cols"]).orderBy(
                 F.col(m["order_col"]).desc()
             )
@@ -2037,6 +2339,11 @@ class TxTable:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
+            for c in idc:
+                latest = latest.withColumn(
+                    c, F.coalesce(F.col(c), F.col(f"_ih_{c}"))
+                ).drop(f"_ih_{c}")
+            latest, id_upd = self._fill_identity(latest, m)
             added = self._stage(latest)
             record = {
                 "version": base_v + 1,
@@ -2045,6 +2352,8 @@ class TxTable:
                 "remove": [e["path"] for e in hit],
                 "schema_json": schema_rec,
             }
+            if id_upd:
+                record["meta_update"] = id_upd
             if txn:
                 record["txn"] = txn
             if m.get("cdf"):
@@ -2311,6 +2620,14 @@ class TxTable:
         m0 = self.meta
         key_cols = list(m0["key_cols"])
         gen = dict(m0.get("generated_cols") or {})
+        # IDENTITY / row tracking: updates keep the target's value
+        # (the column is unassignable, like GENERATED); inserts get
+        # fresh ids from the watermark after the clause plan resolves
+        managed_always = {
+            n
+            for n, s in (m0.get("identity_cols") or {}).items()
+            if s.get("always", True)
+        }
         all_sets = [
             cl["set"] for cl in clauses
             if cl["action"] == "update" and cl["set"]
@@ -2324,26 +2641,30 @@ class TxTable:
                     f"cannot assign key column(s) {sorted(bad)}: "
                     "rekeying is a delete + insert"
                 )
-            badg = set(st) & set(gen)
+            badg = set(st) & (set(gen) | managed_always)
             if badg:
                 raise ValueError(
-                    f"cannot assign GENERATED column(s) {sorted(badg)} "
-                    "— they are always derived from their expression"
+                    f"cannot assign GENERATED/IDENTITY column(s) "
+                    f"{sorted(badg)} — they are always derived/"
+                    "allocated by the table"
                 )
         for cl in ins_clauses:
-            badg = set(cl["values"] or {}) & set(gen)
+            badg = set(cl["values"] or {}) & (set(gen) | managed_always)
             if badg:
                 raise ValueError(
-                    f"cannot assign GENERATED column(s) {sorted(badg)} "
-                    "— they are always derived from their expression"
+                    f"cannot assign GENERATED/IDENTITY column(s) "
+                    f"{sorted(badg)} — they are always derived/"
+                    "allocated by the table"
                 )
         # pin the source: the duplicate check below and the staged
         # write must see the SAME rows even for non-deterministic
         # sources (rand(), re-reads of mutating tables) — lazy local
         # checkpoint materializes at the first job and every later
         # job (including commit retries) reads the materialization
-        source = self._with_generated(
-            source, "merge_into"
+        source = self._managed_entry(
+            self._with_generated(source, "merge_into"),
+            "merge_into",
+            add_missing=False,  # the clause plan NULL-aligns both sides
         ).localCheckpoint(eager=False)
         # Delta's multiple-matches error fires only when several
         # source rows would act on the SAME target row — so dup keys
@@ -2551,7 +2872,8 @@ class TxTable:
                         )
             out = out.drop("_upd")
             self._check_constraints(out, "merge_into result")
-            added = self._stage(self._with_bucket(out))
+            outb, id_upd = self._fill_identity(self._with_bucket(out), m)
+            added = self._stage(outb)
             record = {
                 "version": base_v + 1,
                 "op": "merge_into",
@@ -2564,6 +2886,8 @@ class TxTable:
                     f"by_source={when_not_matched_by_source}"
                 ),
             }
+            if id_upd:
+                record["meta_update"] = id_upd
             if txn:
                 record["txn"] = txn
             if m.get("cdf"):
@@ -2721,7 +3045,9 @@ class TxTable:
         is simply absent from the post-image and the key-paired diff
         emits its ``delete`` row. Cost ∝ touched buckets, like every
         keyed write."""
-        df = self._with_generated(df, "apply_cdc")
+        df = self._managed_entry(
+            self._with_generated(df, "apply_cdc"), "apply_cdc"
+        )
         upserts = df.filter(F.col(op_col) != F.lit(delete_label)).drop(
             op_col
         )
@@ -2761,6 +3087,21 @@ class TxTable:
                 c for c in merged.columns
                 if c not in ("_op", "_src", "_bucket")
             ]
+            # IDENTITY / row tracking: an upsert winner for an existing
+            # key is an update — inherit the key's current id (the
+            # merge_upsert convention; a delete+reinsert within one
+            # batch keeps the key's id, since the key existed at the
+            # snapshot). data_cols above intentionally still includes
+            # the identity columns: existing-vs-incoming rows hash
+            # differently there, which only sharpens the deterministic
+            # tie-break.
+            idc = [c for c in self._identity_specs(m) if c in merged.columns]
+            if idc:
+                kw = Window.partitionBy(*m["key_cols"])
+                for c in idc:
+                    merged = merged.withColumn(
+                        f"_ih_{c}", F.max(c).over(kw)
+                    )
             w = Window.partitionBy(*m["key_cols"]).orderBy(
                 F.col(m["order_col"]).desc(),
                 F.col("_src").desc(),
@@ -2779,6 +3120,11 @@ class TxTable:
                 )
                 .drop("_rn", "_op", "_src")
             )
+            for c in idc:
+                latest = latest.withColumn(
+                    c, F.coalesce(F.col(c), F.col(f"_ih_{c}"))
+                ).drop(f"_ih_{c}")
+            latest, id_upd = self._fill_identity(latest, m)
             added = self._stage(latest)  # _bucket travels in `latest`
             record = {
                 "version": base_v + 1,
@@ -2787,6 +3133,8 @@ class TxTable:
                 "remove": [e["path"] for e in hit],
                 "schema_json": schema_rec,
             }
+            if id_upd:
+                record["meta_update"] = id_upd
             if txn:
                 record["txn"] = txn
             if m.get("cdf"):
@@ -2815,10 +3163,16 @@ class TxTable:
         fields + incoming's new ones), so the table never silently
         narrows when an append carries fewer columns than the snapshot.
         """
-        df = self._with_generated(df, "append")
+        df = self._managed_entry(
+            self._with_generated(df, "append"), "append"
+        )
         staged_n = self.meta["n_buckets"]
+        used_ctr = self._identity_counters()
         bucketed = self._with_bucket(df)
-        staged = self._stage(bucketed)  # position-independent: stage once
+        filled, id_upd = self._fill_identity(
+            bucketed, self.meta, used_ctr
+        )
+        staged = self._stage(filled)  # position-independent: stage once
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             # Schema and constraints are re-derived from the LATEST
@@ -2828,16 +3182,29 @@ class TxTable:
             # newest commit's schema as authoritative, so a stale
             # narrower record would silently drop the column the other
             # writer just added.
-            if self.meta["n_buckets"] != staged_n:
-                # a rebucket() won a race: the staged files carry
-                # bucket labels under the OLD modulus — restage under
-                # the new one (old files become vacuumable orphans)
-                staged_n = self.meta["n_buckets"]
-                bucketed = self._with_bucket(df)
-                staged = self._stage(bucketed)
             v, _, snap_schema = self._snapshot()
+            if (
+                self.meta["n_buckets"] != staged_n
+                or self._identity_counters() != used_ctr
+            ):
+                # a rebucket() or a concurrent identity allocation won
+                # a race: the staged files carry bucket labels under
+                # the OLD modulus / ids under the OLD watermark —
+                # restage (old files become vacuumable orphans). The
+                # check runs AFTER the snapshot read: counters are
+                # monotonic, so equality here proves the staged ids
+                # were allocated under the watermark as of v — and any
+                # later concurrent allocation claims v+1 first, failing
+                # this commit into the next retry.
+                staged_n = self.meta["n_buckets"]
+                used_ctr = self._identity_counters()
+                bucketed = self._with_bucket(df)
+                filled, id_upd = self._fill_identity(
+                    bucketed, self.meta, used_ctr
+                )
+                staged = self._stage(filled)
             schema_rec = self._schema_union_json(
-                bucketed, snap_schema, merge_schema, "append"
+                filled, snap_schema, merge_schema, "append"
             )
             self._check_constraints(df, "append batch")
             record = {
@@ -2847,6 +3214,8 @@ class TxTable:
                 "remove": [],
                 "schema_json": schema_rec,
             }
+            if id_upd:
+                record["meta_update"] = id_upd
             if txn:
                 record["txn"] = txn
             try:
@@ -3367,16 +3736,24 @@ class TxTable:
         size. ``prune`` skips provably-unmatchable files at the log
         level before the find-scan, exactly the ``delete_where``
         convention."""
-        df = self._with_generated(df, "replace_where")
+        df = self._managed_entry(
+            self._with_generated(df, "replace_where"), "replace_where"
+        )
         if prune:
             prune = _map_stat_keys(
                 prune, self.meta.get("column_mapping") or {}
             )
 
-        def stage_and_guard() -> list[dict]:
-            staged = self._stage(self._with_bucket(df))
+        def stage_and_guard() -> tuple[list[dict], dict | None]:
+            # incoming rows are INSERTS for identity/row-tracking
+            # purposes — the replaced slice's old rows leave with their
+            # ids (replaceWhere is delete+insert, Delta's position)
+            filled, id_upd = self._fill_identity(
+                self._with_bucket(df), self.meta
+            )
+            staged = self._stage(filled)
             if not staged:
-                return staged
+                return staged, id_upd
             # The slice-ownership guard runs on the STAGED bytes, not
             # the incoming frame: a non-deterministic frame (rand(),
             # re-read of a mutating source) could pass a frame-side
@@ -3385,7 +3762,7 @@ class TxTable:
             # Staged files carry PHYSICAL names; read them back under
             # the frame's logical schema so the predicate resolves.
             logical = StructType(
-                [f for f in df.schema.fields if f.name != "_bucket"]
+                [f for f in filled.schema.fields if f.name != "_bucket"]
             )
             staged_df = self._open_files(
                 [e["path"] for e in staged], logical.json(), None
@@ -3402,22 +3779,30 @@ class TxTable:
                     "write may only produce rows inside the replaced "
                     "slice"
                 )
-            return staged
+            return staged, id_upd
 
         staged_n = self.meta["n_buckets"]
-        incoming = stage_and_guard()
+        used_ctr = self._identity_counters()
+        incoming, id_upd = stage_and_guard()
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             # constraints re-checked per attempt: an add_constraint
             # landing between attempts must gate this write (append's
             # convention)
             self._check_constraints(df, "replace_where batch")
-            if self.meta["n_buckets"] != staged_n:
-                # a rebucket won a race — restage under the new modulus
-                # (append's convention; old files become orphans)
-                staged_n = self.meta["n_buckets"]
-                incoming = stage_and_guard()
             base_v, live_map, schema_json, dvs = self._replay()
+            if (
+                self.meta["n_buckets"] != staged_n
+                or self._identity_counters() != used_ctr
+            ):
+                # a rebucket or a concurrent identity allocation won a
+                # race — restage (append's convention; old files become
+                # orphans). Checked AFTER the replay, the append-loop
+                # ordering argument: monotonic counters + the version
+                # claim make a stale-watermark commit impossible.
+                staged_n = self.meta["n_buckets"]
+                used_ctr = self._identity_counters()
+                incoming, id_upd = stage_and_guard()
             live = list(live_map.values())
             cand = (
                 [e for e in live if _file_may_match(e, prune)]
@@ -3459,6 +3844,8 @@ class TxTable:
                 "schema_json": schema_rec,
                 "predicate": predicate,
             }
+            if id_upd:
+                record["meta_update"] = id_upd
             if self.meta.get("cdf"):
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
@@ -3518,6 +3905,13 @@ class TxTable:
             raise ValueError(
                 f"cannot assign GENERATED column(s) {sorted(badg)} — "
                 "they are always derived from their expression"
+            )
+        badi = set(assignments) & set(m0.get("identity_cols") or ())
+        if badi:
+            raise ValueError(
+                f"cannot assign IDENTITY/row-tracking column(s) "
+                f"{sorted(badi)} — they are allocated by the table and "
+                "stable across updates"
             )
         # GENERATED ALWAYS AS: updating a base column a generation
         # expression references must RECOMPUTE the generated column on

@@ -921,6 +921,14 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 "Spark expressions; write through TxTable.append/"
                 "merge_upsert, which compute and enforce them"
             )
+        if meta.get("identity_cols"):
+            raise ValueError(
+                "txlog write: this table declares IDENTITY/row-tracking "
+                "columns — the DataSource writer's tasks cannot allocate "
+                "from the table's high-watermark atomically; write "
+                "through TxTable.append/merge_upsert, which allocate "
+                "inside the committing record"
+            )
         self.key_cols = tuple(meta["key_cols"])
         self.n_buckets = int(meta["n_buckets"])
         self.bloom_cols = tuple(meta.get("bloom_cols") or ())

@@ -5780,3 +5780,315 @@ def test_served_sizes_mirrors_change_partition_branch_order(tmp_path):
         lay = {"op": op, "add": [{"path": "z.parquet", "bytes": 99}]}
         assert _served_sizes(str(tmp_path), lay, True) == (0, 0)
         assert _served_sizes(str(tmp_path), lay, False) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# IDENTITY columns + row tracking (Delta GENERATED ... AS IDENTITY /
+# row-ID feature): watermark allocation atomic with the commit,
+# inherit-on-update, preservation across rewrites
+# ---------------------------------------------------------------------------
+
+
+def _mk_ident(spark, tmp_path, name="idt", **kw) -> TxTable:
+    return TxTable.create(
+        spark, str(tmp_path / name), key_cols=("k",), order_col="ver",
+        n_buckets=2, **kw,
+    )
+
+
+def test_identity_append_allocates_and_refuses(spark, tmp_path):
+    t = _mk_ident(
+        spark, tmp_path,
+        identity_cols={"rid": {"start": 100, "step": 3}},
+    )
+    df = spark.createDataFrame(
+        [(k, k * 10, 1) for k in range(1, 8)], "k long, v long, ver long"
+    )
+    t.append(df)
+    got = {r["k"]: r["rid"] for r in t.read().collect()}
+    # unique, on the (start, step) lattice, exactly 7 allocations
+    assert sorted(got.values()) == [100 + 3 * i for i in range(7)]
+    assert t._identity_counters() == {"rid": 7}
+    # GENERATED ALWAYS: a frame carrying the column is refused
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENTITY"):
+        t.append(df.withColumn("rid", df.v))
+    # second append continues past the watermark — no reuse
+    t.append(
+        spark.createDataFrame([(100, 1, 1)], "k long, v long, ver long")
+    )
+    vals = [r["rid"] for r in t.read().collect()]
+    assert len(set(vals)) == 8 and max(vals) == 100 + 3 * 7
+
+
+def test_identity_by_default_fills_only_nulls(spark, tmp_path):
+    t = _mk_ident(
+        spark, tmp_path,
+        identity_cols={"rid": {"start": 1, "step": 1, "always": False}},
+    )
+    df = spark.createDataFrame(
+        [(1, 10, 1, 555), (2, 20, 1, None), (3, 30, 1, None)],
+        "k long, v long, ver long, rid long",
+    )
+    t.append(df)
+    got = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert got[1] == 555                      # explicit value kept
+    assert sorted([got[2], got[3]]) == [1, 2]  # NULLs filled from watermark
+    assert t._identity_counters() == {"rid": 2}
+
+
+def test_identity_merge_upsert_inherits_existing_key(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path, identity_cols={"rid": {}})
+    base = spark.createDataFrame(
+        [(k, k, 1) for k in range(1, 6)], "k long, v long, ver long"
+    )
+    t.append(base)
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(2, 222, 9), (3, 333, 9), (50, 500, 1)],
+            "k long, v long, ver long",
+        )
+    )
+    after = {r["k"]: r["rid"] for r in t.read().collect()}
+    # updated keys keep their identity; the new key allocates fresh
+    assert after[2] == before[2] and after[3] == before[3]
+    assert after[50] not in before.values()
+    assert len(set(after.values())) == 6
+
+
+def test_identity_merge_into_keeps_on_update_allocates_on_insert(
+    spark, tmp_path
+):
+    t = _mk_ident(spark, tmp_path, identity_cols={"rid": {}})
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"
+        )
+    )
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    with pytest.raises(ValueError, match="GENERATED/IDENTITY"):
+        t.merge_into(
+            spark.createDataFrame([(1, 0, 2)], "k long, v long, ver long"),
+            when_matched="update", update_set={"rid": "s.v"},
+        )
+    t.merge_into(
+        spark.createDataFrame(
+            [(1, 11, 2), (9, 90, 1)], "k long, v long, ver long"
+        ),
+        when_matched="update",
+        when_not_matched="insert",
+    )
+    after = {r["k"]: (r["rid"], r["v"]) for r in t.read().collect()}
+    assert after[1] == (before[1], 11)      # update keeps identity
+    assert after[2] == (before[2], 20)      # untouched row intact
+    assert after[9][0] not in before.values()  # insert allocates
+
+
+def test_identity_concurrent_appends_never_collide(spark, tmp_path):
+    import threading
+
+    d = str(tmp_path / "conc")
+    TxTable.create(
+        spark, d, key_cols=("k",), order_col="ver", n_buckets=2,
+        identity_cols={"rid": {}},
+    )
+    errs = []
+
+    def w(base):
+        try:
+            TxTable(spark, d).append(
+                spark.createDataFrame(
+                    [(base + i, 1, 1) for i in range(15)],
+                    "k long, v long, ver long",
+                ),
+                max_retries=20,
+            )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=w, args=(i * 1000,)) for i in range(3)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    t = TxTable(spark, d)
+    vals = [r["rid"] for r in t.read().collect()]
+    assert len(vals) == 45 and len(set(vals)) == 45
+    # watermark covers every issued id (gaps allowed, reuse never)
+    assert max(vals) <= 1 + (t._identity_counters()["rid"] - 1)
+
+
+def test_row_tracking_preserved_across_rewrites(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    t.append(
+        spark.createDataFrame(
+            [(k, k, 1) for k in range(1, 9)], "k long, v long, ver long"
+        )
+    )
+    ids0 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert sorted(ids0.values()) == list(range(8))
+    # copy-on-write UPDATE, layout ops: the row keeps its id
+    t.update_where("k <= 3", {"v": "v + 100"})
+    t.compact()
+    t.optimize_zorder(("v",))
+    t.rebucket(3)
+    ids1 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert ids1 == ids0
+    # merge-on-read UPDATE (DV + post-image) keeps it too
+    t.update_where("k = 5", {"v": "v + 1"}, mode="merge_on_read")
+    ids2 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert ids2 == ids0
+    # delete retires the id; a later insert never reuses it
+    t.delete_where("k = 1")
+    t.merge_upsert(
+        spark.createDataFrame([(1, 1, 9)], "k long, v long, ver long")
+    )
+    ids3 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert ids3[1] == 8 and ids3[1] != ids0[1]
+
+
+def test_row_tracking_cdc_replace_and_clone(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    t.append(
+        spark.createDataFrame(
+            [(k, k, 1) for k in range(1, 5)], "k long, v long, ver long"
+        )
+    )
+    ids0 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    t.apply_cdc(
+        spark.createDataFrame(
+            [(2, 22, 5, "U"), (3, 0, 5, "D"), (70, 7, 1, "U")],
+            "k long, v long, ver long, op string",
+        )
+    )
+    ids1 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert ids1[2] == ids0[2] and 3 not in ids1 and ids1[70] == 4
+    # replaceWhere is delete+insert: the slice re-allocates
+    t.replace_where(
+        spark.createDataFrame([(4, 44, 9)], "k long, v long, ver long"),
+        "k = 4",
+    )
+    ids2 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert ids2[4] == 5 and ids2[4] != ids0[4]
+    # clone: rows keep ids, the clone's watermark continues (no reuse)
+    c = t.clone_to(str(tmp_path / "clone"))
+    got = {r["k"]: r["_row_id"] for r in c.read().collect()}
+    assert got == ids2
+    c.append(spark.createDataFrame([(90, 9, 1)], "k long, v long, ver long"))
+    assert {
+        r["_row_id"] for r in c.read().collect()
+    } == set(ids2.values()) | {6}
+
+
+def test_row_tracking_restore_never_reverts_watermark(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    v1 = t.append(
+        spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long")
+    )
+    t.append(spark.createDataFrame([(2, 2, 1)], "k long, v long, ver long"))
+    t.restore(v1)
+    # the restored snapshot has only k=1; new ids continue PAST the
+    # restored-away row's id (2's id stays burned — time travel still
+    # reaches it)
+    t.append(spark.createDataFrame([(3, 3, 1)], "k long, v long, ver long"))
+    got = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert got == {1: 0, 3: 2}
+    assert t._identity_counters()["_row_id"] == 3
+
+
+def test_identity_guards(spark, tmp_path):
+    # create-time validation
+    with pytest.raises(ValueError, match="key/order"):
+        TxTable.create(
+            spark, str(tmp_path / "g1"), ("k",), "ver",
+            identity_cols={"k": {}},
+        )
+    with pytest.raises(ValueError, match="step"):
+        TxTable.create(
+            spark, str(tmp_path / "g2"), ("k",), "ver",
+            identity_cols={"rid": {"step": 0}},
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        TxTable.create(
+            spark, str(tmp_path / "g3"), ("k",), "ver",
+            identity_cols={"_row_id": {}},
+        )
+    with pytest.raises(ValueError, match="GENERATED and IDENTITY"):
+        TxTable.create(
+            spark, str(tmp_path / "g4"), ("k",), "ver",
+            generated_cols={"rid": "v + 1"}, identity_cols={"rid": {}},
+        )
+    t = _mk_ident(spark, tmp_path, identity_cols={"rid": {}})
+    t.append(spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long"))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.update_where("k = 1", {"rid": "99"})
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.rename_column("rid", "rid2")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.add_constraint("c1", "rid > 0")
+    # dropping the identity column retires its allocation rule
+    t.drop_columns(("rid",))
+    assert "identity_cols" not in t.meta or "rid" not in (
+        t.meta.get("identity_cols") or {}
+    )
+    t.append(spark.createDataFrame([(2, 2, 1)], "k long, v long, ver long"))
+    assert "rid" not in t.read().columns
+    # _row_id is undroppable on a row-tracking table
+    rt = TxTable.create(
+        spark, str(tmp_path / "g5"), ("k",), "ver", row_tracking=True,
+    )
+    rt.append(spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long"))
+    with pytest.raises(ValueError, match="row_tracking"):
+        rt.drop_columns(("_row_id",))
+
+
+def test_identity_datasource_writer_refused_reader_serves(spark, tmp_path):
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    t.append(
+        spark.createDataFrame(
+            [(k, k, 1) for k in range(1, 4)], "k long, v long, ver long"
+        )
+    )
+    with pytest.raises(Exception, match="IDENTITY"):
+        (
+            spark.createDataFrame([(9, 9, 1)], "k long, v long, ver long")
+            .write.format("txlog")
+            .mode("append")
+            .option("tabledir", t.table_dir)
+            .save()
+        )
+    # the DataSource BATCH reader serves _row_id like any column
+    got = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .load()
+        .select("k", "_row_id")
+        .collect()
+    )
+    assert {r["k"]: r["_row_id"] for r in got} == {1: 0, 2: 1, 3: 2}
+
+
+def test_identity_cdf_carries_row_ids(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path, row_tracking=True, cdf=True)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, 1), (2, 2, 1)], "k long, v long, ver long"
+        )
+    )
+    v = t.merge_upsert(
+        spark.createDataFrame([(2, 22, 5)], "k long, v long, ver long")
+    )
+    ch = {
+        (r["_change_type"]): r["_row_id"]
+        for r in t.table_changes(v).collect()
+    }
+    # the update's pre/post images carry the SAME stable row id
+    assert ch["update_preimage"] == ch["update_postimage"] == 1
