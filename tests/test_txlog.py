@@ -6092,3 +6092,152 @@ def test_identity_cdf_carries_row_ids(spark, tmp_path):
     }
     # the update's pre/post images carry the SAME stable row id
     assert ch["update_preimage"] == ch["update_postimage"] == 1
+
+
+# identity allocation under CONCURRENT mixed data ops: whatever
+# interleaving two threads produce, ids are never reused — across the
+# WHOLE commit history (time travel included), each issued id belongs
+# to exactly one key, and the watermark covers every issued id
+_id_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("merge"),
+              st.lists(st.integers(0, 9), min_size=1, max_size=3,
+                       unique=True)),
+    st.tuples(st.just("delete"), st.sampled_from([2, 3, 5])),
+)
+_id_programs = st.tuples(
+    st.lists(_id_op, min_size=1, max_size=3),
+    st.lists(_id_op, min_size=1, max_size=3),
+)
+
+
+@given(programs=_id_programs)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_identity_never_reuses_ids_under_concurrency(
+    spark, tmp_path_factory, programs
+):
+    import threading
+
+    from pyspark import InheritableThread
+
+    tmp = tmp_path_factory.mktemp("txidconc")
+    t = TxTable.create(
+        spark, str(tmp / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, row_tracking=True,
+    )
+    t.append(spark.createDataFrame(
+        [(k, k, 1) for k in range(10)], "k long, v long, ver long"))
+    lock = threading.Lock()
+    ctr = {"ver": 1, "key": 1000}
+    errs: list = []
+
+    def run(ops) -> None:
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(  # noqa: E501
+                spark._jsparkSession
+            )
+            for kind, arg in ops:
+                if kind == "append":
+                    with lock:
+                        rows = []
+                        for _ in range(arg):
+                            ctr["key"] += 1
+                            rows.append((ctr["key"], 0, 1))
+                    t.append(
+                        spark.createDataFrame(
+                            rows, "k long, v long, ver long"),
+                        max_retries=25,
+                    )
+                elif kind == "merge":
+                    with lock:
+                        ctr["ver"] += 1
+                        rows = [(k, k + ctr["ver"], ctr["ver"])
+                                for k in arg]
+                    t.merge_upsert(
+                        spark.createDataFrame(
+                            rows, "k long, v long, ver long"),
+                        max_retries=25,
+                    )
+                else:
+                    t.delete_where(f"k % {arg} = 0", max_retries=25)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [InheritableThread(target=run, args=(p,)) for p in programs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    # sweep the WHOLE history: each _row_id value must map to exactly
+    # one key across every snapshot, and every snapshot's ids must be
+    # internally unique (allocation atomicity — no torn watermark)
+    owner: dict[int, int] = {}
+    for v in range(2, t.latest_version() + 1):
+        try:
+            rows = t.read(version=v).select("k", "_row_id").collect()
+        except ValueError:
+            continue  # pre-schema versions have nothing to read
+        ids = [r["_row_id"] for r in rows]
+        assert len(ids) == len(set(ids)), f"duplicate ids at v{v}"
+        for r in rows:
+            got = owner.setdefault(r["_row_id"], r["k"])
+            assert got == r["k"], (
+                f"id {r['_row_id']} reused: key {got} then {r['k']}"
+            )
+    assert max(owner) < t._identity_counters()["_row_id"]
+
+
+def test_identity_merge_into_insert_only_fast_path(spark, tmp_path):
+    """The insert-only fast path (no matched clause → pure append,
+    zero rewrite) still allocates from the watermark."""
+    t = _mk_ident(spark, tmp_path, identity_cols={"rid": {}})
+    t.append(spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1)], "k long, v long, ver long"))
+    v0 = t.latest_version()
+    t.merge_into(
+        spark.createDataFrame(
+            [(2, 0, 1), (30, 3, 1), (40, 4, 1)],
+            "k long, v long, ver long",
+        ),
+        when_matched=None,
+        when_not_matched="insert",
+    )
+    rec = _read_record(t.table_dir, t.latest_version())
+    assert not rec["remove"], "insert-only merge must not rewrite"
+    assert rec["meta_update"]["identity_next"] == {"rid": 4}
+    got = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert got[2] == 2 and sorted(got.values()) == [1, 2, 3, 4]
+
+
+def test_identity_table_streams_appends(spark, tmp_path):
+    """Appends on identity tables carry a meta_update (the watermark
+    bump) — the streaming source must still treat them as plain
+    appends and serve the allocated column."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    t.append(spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1)], "k long, v long, ver long"))
+    q = (
+        spark.readStream.format("txlog")
+        .option("tabledir", t.table_dir)
+        .load()
+        .writeStream.format("memory")
+        .queryName("idstream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["k"]: r["_row_id"]
+        for r in spark.sql("SELECT k, _row_id FROM idstream").collect()
+    }
+    assert got == {1: 0, 2: 1}
