@@ -71,7 +71,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 _LOG_DIR = "_txlog"
 _PAD = 20
@@ -718,6 +718,15 @@ class TxTable:
                 f"column(s) {sorted(badig)} cannot be both GENERATED "
                 "and IDENTITY"
             )
+        for gname, gexpr in gen.items():
+            hit = [c for c in ident if _expr_mentions(gexpr, c)]
+            if hit:
+                raise ValueError(
+                    f"generated column {gname!r} ({gexpr}) references "
+                    f"IDENTITY/row-tracking column(s) {hit} — generation "
+                    "expressions run BEFORE allocation, so the value "
+                    "would be computed from NULL on every insert"
+                )
         _atomic_commit(
             table_dir,
             1,
@@ -832,6 +841,14 @@ class TxTable:
             return df, None
         if "_bucket" not in df.columns:
             raise AssertionError("_fill_identity requires a bucketed frame")
+        # pin the frame: the per-bucket count job below and the later
+        # stage job must see the SAME rows even for non-deterministic
+        # frames (rand(), re-reads of mutating tables) — otherwise the
+        # staged row_numbers run past the collected totals and the
+        # committed watermark undercounts (the merge_into source-
+        # pinning convention; replace_where's staged-bytes guard exists
+        # for the same frame class)
+        df = df.localCheckpoint(eager=False)
         if counters is None:
             # FRESH watermark read (not the caller's loop-top meta
             # snapshot): the OCC loops read meta before _replay, so a
@@ -905,7 +922,13 @@ class TxTable:
             new_next[c] = c0 + total
         if not any_alloc:
             return df, None
-        return df, {"identity_next": {k: int(v) for k, v in new_next.items()}}
+        # identity_next replays as a wholesale dict replace — carry the
+        # RETIRED entries forward (a dropped identity column keeps its
+        # watermark so a restore across the drop resumes past it, never
+        # re-issuing ids the resurrected rows already carry)
+        full = dict(meta.get("identity_next") or {})
+        full.update({k: int(v) for k, v in new_next.items()})
+        return df, {"identity_next": full}
 
     @property
     def meta(self) -> dict:
@@ -2178,6 +2201,17 @@ class TxTable:
                 "use a different column name"
             )
         if snap_schema is None:
+            # FIRST write: the recorded schema must carry the managed
+            # IDENTITY / row-tracking columns even when the frame does
+            # not (merge_into passes the raw source) — otherwise the
+            # first commit would fork a table permanently missing its
+            # own _row_id and every later aligned write would crash
+            have = {f.name for f in user_fields}
+            user_fields = list(user_fields) + [
+                StructField(c, LongType(), True)
+                for c in (meta.get("identity_cols") or {})
+                if c not in have
+            ]
             return StructType(user_fields).json()
         old = StructType.fromJson(json.loads(snap_schema))
         old_by_name = {f.name: f for f in old.fields}
@@ -3183,9 +3217,10 @@ class TxTable:
             # narrower record would silently drop the column the other
             # writer just added.
             v, _, snap_schema = self._snapshot()
+            mnow = self.meta  # ONE replay per attempt (n_buckets + watermark)
             if (
-                self.meta["n_buckets"] != staged_n
-                or self._identity_counters() != used_ctr
+                mnow["n_buckets"] != staged_n
+                or self._identity_counters(mnow) != used_ctr
             ):
                 # a rebucket() or a concurrent identity allocation won
                 # a race: the staged files carry bucket labels under
@@ -3196,11 +3231,11 @@ class TxTable:
                 # were allocated under the watermark as of v — and any
                 # later concurrent allocation claims v+1 first, failing
                 # this commit into the next retry.
-                staged_n = self.meta["n_buckets"]
-                used_ctr = self._identity_counters()
+                staged_n = mnow["n_buckets"]
+                used_ctr = self._identity_counters(mnow)
                 bucketed = self._with_bucket(df)
                 filled, id_upd = self._fill_identity(
-                    bucketed, self.meta, used_ctr
+                    bucketed, mnow, used_ctr
                 )
                 staged = self._stage(filled)
             schema_rec = self._schema_union_json(
@@ -3791,17 +3826,18 @@ class TxTable:
             # convention)
             self._check_constraints(df, "replace_where batch")
             base_v, live_map, schema_json, dvs = self._replay()
+            mnow = self.meta  # ONE replay per attempt (n_buckets + watermark)
             if (
-                self.meta["n_buckets"] != staged_n
-                or self._identity_counters() != used_ctr
+                mnow["n_buckets"] != staged_n
+                or self._identity_counters(mnow) != used_ctr
             ):
                 # a rebucket or a concurrent identity allocation won a
                 # race — restage (append's convention; old files become
                 # orphans). Checked AFTER the replay, the append-loop
                 # ordering argument: monotonic counters + the version
                 # claim make a stale-watermark commit impossible.
-                staged_n = self.meta["n_buckets"]
-                used_ctr = self._identity_counters()
+                staged_n = mnow["n_buckets"]
+                used_ctr = self._identity_counters(mnow)
                 incoming, id_upd = stage_and_guard()
             live = list(live_map.values())
             cand = (

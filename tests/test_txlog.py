@@ -6241,3 +6241,87 @@ def test_identity_table_streams_appends(spark, tmp_path):
         for r in spark.sql("SELECT k, _row_id FROM idstream").collect()
     }
     assert got == {1: 0, 2: 1}
+
+
+def test_row_tracking_merge_into_as_first_write(spark, tmp_path):
+    """Review fix: merge_into as the FIRST commit on a row-tracking
+    table must still record _row_id in the schema and allocate —
+    the raw source frame never carries the managed column."""
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    t.merge_into(
+        spark.createDataFrame(
+            [(1, 1, 1), (2, 2, 1)], "k long, v long, ver long"
+        ),
+        when_matched=None,
+        when_not_matched="insert",
+    )
+    got = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert got == {1: 0, 2: 1}
+    # and the aligned follow-up write works
+    t.merge_upsert(
+        spark.createDataFrame([(2, 22, 5), (3, 3, 1)],
+                              "k long, v long, ver long")
+    )
+    got = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_identity_watermark_survives_drop_and_restore(spark, tmp_path):
+    """Review fix: allocating on OTHER identity columns must not erase
+    a dropped column's retired watermark — a restore across the drop
+    re-activates the rule, and its ids must resume PAST the old ones."""
+    t = _mk_ident(
+        spark, tmp_path, row_tracking=True, identity_cols={"rid": {}},
+    )
+    v1 = t.append(
+        spark.createDataFrame(
+            [(k, k, 1) for k in range(1, 6)], "k long, v long, ver long"
+        )
+    )
+    t.drop_columns(("rid",))
+    # this allocation rewrites identity_next — rid's entry must survive
+    t.append(spark.createDataFrame([(50, 5, 1)], "k long, v long, ver long"))
+    assert (t.meta.get("identity_next") or {}).get("rid") == 5
+    t.restore(v1)
+    t.append(spark.createDataFrame([(60, 6, 1)], "k long, v long, ver long"))
+    rids = [r["rid"] for r in t.read().collect()]
+    assert len(rids) == len(set(rids)) == 6
+    assert max(rids) == 6  # resumed past the pre-drop watermark
+
+
+def test_identity_nondeterministic_frame_allocates_exactly(spark, tmp_path):
+    """Review fix: the per-bucket count job and the stage job must see
+    the SAME rows even for a non-deterministic frame — ids stay unique
+    and non-NULL, and the watermark matches the written rows."""
+    from pyspark.sql import functions as F
+
+    t = _mk_ident(spark, tmp_path, identity_cols={"rid": {}})
+    base = spark.range(1, 201).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("ver")
+    )
+    # rows flicker between evaluations without pinning
+    flaky = base.filter(F.rand() < 0.5).withColumn(
+        "v", (F.rand() * 100).cast("long")
+    ).select("k", "v", "ver")
+    t.append(flaky)
+    rows = t.read().collect()
+    rids = [r["rid"] for r in rows]
+    assert all(r is not None for r in rids)
+    assert len(set(rids)) == len(rids)
+    assert t._identity_counters()["rid"] == len(rows)
+    assert sorted(rids) == list(range(1, len(rows) + 1))
+
+
+def test_generated_col_may_not_reference_identity(spark, tmp_path):
+    with pytest.raises(ValueError, match="BEFORE allocation"):
+        TxTable.create(
+            spark, str(tmp_path / "gi"), ("k",), "ver",
+            generated_cols={"g": "rid + 1"},
+            identity_cols={"rid": {}},
+        )
+    with pytest.raises(ValueError, match="BEFORE allocation"):
+        TxTable.create(
+            spark, str(tmp_path / "gi2"), ("k",), "ver",
+            generated_cols={"g": "_row_id + 1"},
+            row_tracking=True,
+        )
