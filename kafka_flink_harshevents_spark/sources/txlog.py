@@ -810,6 +810,21 @@ class TxTable:
                         "identity with always=False to allow explicit "
                         "values)"
                     )
+                # BY DEFAULT: normalize the caller's type to the
+                # column's declared int64 NOW, or the recorded schema
+                # (computed from the pre-fill frame) and the staged
+                # bytes (long after the fill's coalesce) would fork.
+                # Only integral types upcast losslessly — anything
+                # else is refused rather than silently NULLed by cast
+                dt = df.schema[name].dataType.simpleString()
+                if dt not in ("bigint", "int", "smallint", "tinyint"):
+                    raise ValueError(
+                        f"{op}: IDENTITY column {name!r} must arrive "
+                        f"as an integral type (got {dt}) — identity "
+                        "values are int64"
+                    )
+                if dt != "bigint":
+                    df = df.withColumn(name, F.col(name).cast("long"))
             elif add_missing:
                 df = df.withColumn(name, F.lit(None).cast("long"))
         return df
@@ -888,7 +903,12 @@ class TxTable:
             any_alloc = True
             start = int(specs[c].get("start", 1))
             step = int(specs[c].get("step", 1))
-            c0 = counters[c]
+            # .get(): a drop_columns racing this writer can remove the
+            # column from the FRESH counters while the caller's specs
+            # still carry it — allocate from 0 and let the schema
+            # guard's retired-name refusal surface the race loudly
+            # instead of a KeyError escaping the retry loop
+            c0 = int(counters.get(c, 0))
             # combined per-bucket shift: cumulative NULL count of all
             # lower buckets MINUS this bucket's non-NULL count (the
             # window row_number counts non-NULL rows first)
@@ -906,11 +926,14 @@ class TxTable:
             w = Window.partitionBy("_bucket").orderBy(
                 F.col(c).isNull().asc(), *key_order
             )
+            # 64-bit literals: plain F.lit(int) is IntegerType, and
+            # int32 arithmetic would wrap past 2^31 allocations or a
+            # large start/step BEFORE the outer cast could save it
             fresh = (
-                F.lit(start)
-                + F.lit(step)
+                F.lit(start).cast("long")
+                + F.lit(step).cast("long")
                 * (
-                    F.lit(c0)
+                    F.lit(c0).cast("long")
                     + smap[F.col("_bucket")]
                     + F.row_number().over(w)
                     - F.lit(1)
@@ -2657,6 +2680,7 @@ class TxTable:
         # IDENTITY / row tracking: updates keep the target's value
         # (the column is unassignable, like GENERATED); inserts get
         # fresh ids from the watermark after the clause plan resolves
+        managed_ids = set(m0.get("identity_cols") or ())
         managed_always = {
             n
             for n, s in (m0.get("identity_cols") or {}).items()
@@ -2675,7 +2699,10 @@ class TxTable:
                     f"cannot assign key column(s) {sorted(bad)}: "
                     "rekeying is a delete + insert"
                 )
-            badg = set(st) & (set(gen) | managed_always)
+            # UPDATE may never assign an identity column — ALWAYS or
+            # BY DEFAULT (Delta's rule; update_where refuses the same).
+            # Inserts below allow explicit values for BY DEFAULT only.
+            badg = set(st) & (set(gen) | managed_ids)
             if badg:
                 raise ValueError(
                     f"cannot assign GENERATED/IDENTITY column(s) "
@@ -2783,6 +2810,11 @@ class TxTable:
             # dispatch, NULL on inserts — the Delta SET */INSERT *
             # by-name mapping)
             src_cols = {c for c in s_m.columns if c != "_s"}
+            # SET * never takes an identity column from the source: an
+            # update keeps the row's identity (a BY DEFAULT source
+            # carrying NULL there would otherwise re-allocate the id
+            # of every matched row through the post-plan fill)
+            src_cols -= set(m.get("identity_cols") or ())
             for c in cols:
                 if c not in s_m.columns:
                     s_m = s_m.withColumn(c, F.lit(None).cast(types[c]))
@@ -3200,12 +3232,11 @@ class TxTable:
         df = self._managed_entry(
             self._with_generated(df, "append"), "append"
         )
-        staged_n = self.meta["n_buckets"]
-        used_ctr = self._identity_counters()
+        m0 = self.meta  # ONE replay for n_buckets + watermark + fill
+        staged_n = m0["n_buckets"]
+        used_ctr = self._identity_counters(m0)
         bucketed = self._with_bucket(df)
-        filled, id_upd = self._fill_identity(
-            bucketed, self.meta, used_ctr
-        )
+        filled, id_upd = self._fill_identity(bucketed, m0, used_ctr)
         staged = self._stage(filled)  # position-independent: stage once
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
@@ -3779,12 +3810,17 @@ class TxTable:
                 prune, self.meta.get("column_mapping") or {}
             )
 
-        def stage_and_guard() -> tuple[list[dict], dict | None]:
+        def stage_and_guard(
+            meta: dict, ctr: dict
+        ) -> tuple[list[dict], dict | None]:
             # incoming rows are INSERTS for identity/row-tracking
             # purposes — the replaced slice's old rows leave with their
-            # ids (replaceWhere is delete+insert, Delta's position)
+            # ids (replaceWhere is delete+insert, Delta's position);
+            # staging under the SAME (meta, counters) the retry loop
+            # validates against keeps the check and the staged bytes
+            # coherent (no spurious restage, no extra replay)
             filled, id_upd = self._fill_identity(
-                self._with_bucket(df), self.meta
+                self._with_bucket(df), meta, ctr
             )
             staged = self._stage(filled)
             if not staged:
@@ -3816,9 +3852,10 @@ class TxTable:
                 )
             return staged, id_upd
 
-        staged_n = self.meta["n_buckets"]
-        used_ctr = self._identity_counters()
-        incoming, id_upd = stage_and_guard()
+        m0 = self.meta
+        staged_n = m0["n_buckets"]
+        used_ctr = self._identity_counters(m0)
+        incoming, id_upd = stage_and_guard(m0, used_ctr)
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             # constraints re-checked per attempt: an add_constraint
@@ -3838,7 +3875,7 @@ class TxTable:
                 # claim make a stale-watermark commit impossible.
                 staged_n = mnow["n_buckets"]
                 used_ctr = self._identity_counters(mnow)
-                incoming, id_upd = stage_and_guard()
+                incoming, id_upd = stage_and_guard(mnow, used_ctr)
             live = list(live_map.values())
             cand = (
                 [e for e in live if _file_may_match(e, prune)]

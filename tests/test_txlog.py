@@ -6325,3 +6325,80 @@ def test_generated_col_may_not_reference_identity(spark, tmp_path):
             generated_cols={"g": "_row_id + 1"},
             row_tracking=True,
         )
+
+
+def test_identity_arithmetic_is_64_bit(spark, tmp_path):
+    """Review fix: id construction must not wrap at 2^31 — a start
+    near int32 max plus a few thousand allocations crosses it."""
+    t = _mk_ident(
+        spark, tmp_path,
+        identity_cols={"rid": {"start": 2_147_483_000, "step": 1}},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(k, k, 1) for k in range(2000)], "k long, v long, ver long"
+        )
+    )
+    rids = sorted(r["rid"] for r in t.read().collect())
+    assert rids == list(range(2_147_483_000, 2_147_483_000 + 2000))
+
+
+def test_identity_by_default_normalizes_type(spark, tmp_path):
+    """Review fix: a BY DEFAULT frame carrying the column as int must
+    record/stage int64 (no schema fork); non-integral types refuse."""
+    t = _mk_ident(
+        spark, tmp_path,
+        identity_cols={"rid": {"always": False}},
+    )
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, 10, 1, 7), (2, 20, 1, None)],
+            "k long, v long, ver long, rid int",  # int, with a NULL
+        )
+    )
+    df = t.read()
+    assert dict(df.dtypes)["rid"] == "bigint"
+    got = {r["k"]: r["rid"] for r in df.collect()}
+    assert got == {1: 7, 2: 1}
+    with pytest.raises(ValueError, match="integral"):
+        t.append(
+            spark.createDataFrame(
+                [(3, 30, 1, "x")], "k long, v long, ver long, rid string"
+            )
+        )
+
+
+def test_merge_into_set_star_keeps_identity(spark, tmp_path):
+    """Review fix: SET * (update_set=None) must keep the target row's
+    identity even when a BY DEFAULT source carries the column as NULL
+    — and explicit SET of any identity column is refused."""
+    t = _mk_ident(
+        spark, tmp_path,
+        identity_cols={"rid": {"always": False}},
+    )
+    t.append(spark.createDataFrame([(1, 10, 1)], "k long, v long, ver long"))
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    t.merge_into(
+        spark.createDataFrame(
+            [(1, 11, 2, None)], "k long, v long, ver long, rid long"
+        ),
+        when_matched="update",
+    )
+    after = {r["k"]: (r["rid"], r["v"]) for r in t.read().collect()}
+    assert after[1] == (before[1], 11)  # id kept, value updated
+    with pytest.raises(ValueError, match="GENERATED/IDENTITY"):
+        t.merge_into(
+            spark.createDataFrame([(1, 0, 3)], "k long, v long, ver long"),
+            when_matched="update", update_set={"rid": "42"},
+        )
+    # BY DEFAULT inserts MAY carry an explicit value (Delta's rule)
+    t.merge_into(
+        spark.createDataFrame(
+            [(9, 90, 1, 777)], "k long, v long, ver long, rid long"
+        ),
+        when_matched=None,
+        when_not_matched=[{"values": {"k": "s.k", "v": "s.v",
+                                      "ver": "s.ver", "rid": "s.rid"}}],
+    )
+    got = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert got[9] == 777
