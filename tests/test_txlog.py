@@ -6402,3 +6402,24 @@ def test_merge_into_set_star_keeps_identity(spark, tmp_path):
     )
     got = {r["k"]: r["rid"] for r in t.read().collect()}
     assert got[9] == 777
+
+
+def test_row_tracking_upsert_sink_ids_stable_across_replay(spark, tmp_path):
+    """Exactly-once streaming writes on a row-tracking table: updates
+    inherit ids through the sink's merge, and a replayed micro-batch
+    (crash-recovery delivery) is a txn-marker no-op — the watermark
+    does not advance and no id churns."""
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    sink = t.upsert_sink("app-rt")
+    sink(spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1)], "k long, v long, ver long"), 0)
+    ids0 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    b1 = spark.createDataFrame(
+        [(2, 22, 5), (3, 3, 1)], "k long, v long, ver long")
+    sink(b1, 1)
+    ids1 = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert ids1[2] == ids0[2] and ids1[3] == 2
+    wm = t._identity_counters()["_row_id"]
+    sink(b1, 1)  # replay — must be a complete no-op
+    assert t._identity_counters()["_row_id"] == wm
+    assert {r["k"]: r["_row_id"] for r in t.read().collect()} == ids1
