@@ -923,7 +923,14 @@ class TxTable:
                     for x in (F.lit(int(b)), F.lit(int(shift[b])))
                 ]
             )
+            # the common case (GENERATED ALWAYS, fresh appends) has the
+            # column all-NULL: the isNull sort key is constant, so every
+            # such column shares ONE window spec — Spark computes a
+            # single sort for all of them instead of one per column
+            all_null = all(p == 0 for _, p in per.values())
             w = Window.partitionBy("_bucket").orderBy(
+                *key_order
+            ) if all_null else Window.partitionBy("_bucket").orderBy(
                 F.col(c).isNull().asc(), *key_order
             )
             # 64-bit literals: plain F.lit(int) is IntegerType, and
