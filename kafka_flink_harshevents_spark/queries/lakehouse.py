@@ -881,6 +881,33 @@ def q_txlog_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver", "_row_id")
 
 
+def q_txlog_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO on the hash: land the even keys as parquet, copy them
+    in, land the odd keys, then re-run ONE copy over a glob spanning
+    BOTH files — the already-loaded file must be SKIPPED (the
+    exactly-once ingestion contract) and only the new file loaded. The
+    oracle is simply ``orders`` once over: any skip-set drift
+    (double-load or missed file) breaks the row count and hash."""
+    base = _base_frame(spark, sf_dir)
+    land = tempfile.mkdtemp(prefix="txcp-land-")
+    base.filter(F.col("k") % 2 == 0).coalesce(1).write.parquet(
+        f"{land}/even"
+    )
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txcp-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.copy_into(f"{land}/even/*.parquet")
+    base.filter(F.col("k") % 2 == 1).coalesce(1).write.parquet(
+        f"{land}/odd"
+    )
+    t.copy_into(f"{land}/*/*.parquet")  # even is seen — odd only
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
@@ -892,6 +919,7 @@ QUERIES = {
     "q_txlog_merge_evolution": q_txlog_merge_evolution,
     "q_txlog_identity": q_txlog_identity,
     "q_txlog_row_tracking": q_txlog_row_tracking,
+    "q_txlog_copy_into": q_txlog_copy_into,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -908,6 +936,14 @@ QUERIES = {
 #   k%5=0 (merge inserts the %3 keys the append skipped, updates the
 #   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
 ORACLES = {
+    "q_txlog_copy_into": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(1 AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+    """,
     "q_txlog_identity": f"""
         WITH base AS (
             SELECT o_orderkey AS k,

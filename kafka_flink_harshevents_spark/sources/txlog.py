@@ -1053,14 +1053,20 @@ class TxTable:
         if prev is not None and "txns" in prev:
             txns = dict(prev["txns"])
             from_v = prev["version"]
+        copied: set[str] = set()
+        if prev is not None and "copied" in prev:
+            copied = set(prev["copied"])
         for vv in _list_versions(self.table_dir):
             if vv <= from_v or vv > v:
                 continue
-            t = _read_record(self.table_dir, vv).get("txn")
+            rec = _read_record(self.table_dir, vv)
+            t = rec.get("txn")
             if t and "app_id" in t:
                 txns[t["app_id"]] = max(
                     int(txns.get(t["app_id"], -1)), int(t["batch_id"])
                 )
+            for e in rec.get("copied_files", ()):
+                copied.add(e["path"])
         path = os.path.join(
             self.table_dir, _LOG_DIR, f"chk-{v:0{_PAD}d}.json"
         )
@@ -1078,6 +1084,7 @@ class TxTable:
                     "meta": self.meta_at(v),
                     "constraints": self.constraints(v),
                     "txns": txns,
+                    "copied": sorted(copied),
                 },
                 f,
             )
@@ -3221,7 +3228,8 @@ class TxTable:
         raise last_err  # type: ignore[misc]
 
     def append(self, df: DataFrame, txn: dict | None = None,
-               max_retries: int = 5, merge_schema: bool = False) -> int:
+               max_retries: int = 5, merge_schema: bool = False,
+               _record_extra: dict | None = None) -> int:
         """Atomic blind insert — the K3 insert-event path
         (kafkaConsumer.js Mongo insertOne) as a transactional append:
         rows are staged as NEW files (no read-modify-write, no existing
@@ -3291,6 +3299,8 @@ class TxTable:
                 record["meta_update"] = id_upd
             if txn:
                 record["txn"] = txn
+            if _record_extra:
+                record.update(_record_extra)
             try:
                 self._commit(v + 1, record)
                 return v + 1
@@ -3298,6 +3308,93 @@ class TxTable:
                 last_err = exc
                 continue
         raise last_err  # type: ignore[misc]
+
+    def copied_files(self) -> set[str]:
+        """Absolute source paths every earlier :meth:`copy_into`
+        ingested — the skip set. Checkpoint-aware (checkpoints snapshot
+        the union), so the replay is O(commits since the last
+        checkpoint) like every other metadata read."""
+        seen: set[str] = set()
+        from_v = 0
+        versions = _list_versions(self.table_dir)
+        target = versions[-1] if versions else 0
+        chk = _latest_checkpoint(self.table_dir, target)
+        if chk is not None and "copied" in chk:
+            seen = set(chk["copied"])
+            from_v = chk["version"]
+        for v in versions:
+            if v <= from_v:
+                continue
+            for e in _read_record(self.table_dir, v).get(
+                "copied_files", ()
+            ):
+                seen.add(e["path"])
+        return seen
+
+    def copy_into(
+        self,
+        paths,
+        file_format: str = "parquet",
+        options: dict | None = None,
+        txn: dict | None = None,
+        max_retries: int = 5,
+        merge_schema: bool = False,
+        force: bool = False,
+    ) -> tuple[int, int]:
+        """Idempotent file ingestion — Delta's ``COPY INTO``: load the
+        given files/globs as ONE atomic append whose commit records
+        each source file's identity (absolute path + size + mtime), and
+        SKIP files an earlier ``copy_into`` already loaded. Re-running
+        the same command after a crash, or on a GROWING landing
+        directory, ingests exactly the not-yet-loaded files — the
+        exactly-once batch-ingestion contract without a scheduler
+        keeping state (the log IS the state). ``force=True`` reloads
+        regardless (Delta's COPY_OPTIONS force).
+
+        Skip identity is the PATH (Delta's rule): a file modified in
+        place under the same name is NOT reloaded — landing zones are
+        append-only by convention; size/mtime are recorded for audit.
+        Returns ``(version, n_files_loaded)``; nothing new commits
+        nothing and returns the current version.
+
+        Scale shape: the skip set is a checkpoint-aware metadata read;
+        the load is one explicit-file-list scan of ONLY the new files
+        feeding the ordinary append path (bucket + stage + commit), so
+        re-running on a million-file directory with ten new files
+        reads ten files."""
+        pats = [paths] if isinstance(paths, str) else list(paths)
+        files: list[str] = []
+        for p in pats:
+            hits = sorted(glob.glob(p))
+            if not hits and not glob.has_magic(p):
+                raise FileNotFoundError(f"copy_into: no such file {p!r}")
+            files.extend(os.path.abspath(h) for h in hits)
+        files = sorted(dict.fromkeys(f for f in files if os.path.isfile(f)))
+        if not force:
+            seen = self.copied_files()
+            files = [f for f in files if f not in seen]
+        if not files:
+            return self.latest_version(), 0
+        reader = self.spark.read.format(file_format)
+        if options:
+            reader = reader.options(**options)
+        df = reader.load(files)
+        marker = [
+            {
+                "path": f,
+                "bytes": os.path.getsize(f),
+                "mtime_ms": int(os.path.getmtime(f) * 1000),
+            }
+            for f in files
+        ]
+        v = self.append(
+            df,
+            txn=txn,
+            max_retries=max_retries,
+            merge_schema=merge_schema,
+            _record_extra={"copied_files": marker},
+        )
+        return v, len(files)
 
     def rebucket(self, n_buckets: int, max_retries: int = 5) -> int:
         """Bucket-count EVOLUTION — the table-lifecycle operation a

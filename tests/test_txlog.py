@@ -6423,3 +6423,72 @@ def test_row_tracking_upsert_sink_ids_stable_across_replay(spark, tmp_path):
     sink(b1, 1)  # replay — must be a complete no-op
     assert t._identity_counters()["_row_id"] == wm
     assert {r["k"]: r["_row_id"] for r in t.read().collect()} == ids1
+
+
+# ---------------------------------------------------------------------------
+# COPY INTO: idempotent file ingestion
+# ---------------------------------------------------------------------------
+
+
+def _land(spark, d, name, rows):
+    path = str(d / name)
+    spark.createDataFrame(rows, "k long, v long, ver long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    import glob as _g
+
+    return sorted(_g.glob(path + "/*.parquet"))[0]
+
+
+def test_copy_into_skips_already_loaded_files(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path)
+    land = tmp_path / "landing"
+    f1 = _land(spark, land, "a", [(1, 10, 1), (2, 20, 1)])
+    v, n = t.copy_into(f1)
+    assert n == 2 or n == 1  # one file
+    assert n == 1
+    # re-run: nothing new, NO commit
+    v2, n2 = t.copy_into(f1)
+    assert (v2, n2) == (v, 0)
+    # a second file lands: only it loads, under one glob over both
+    f2 = _land(spark, land, "b", [(3, 30, 1)])
+    v3, n3 = t.copy_into(str(land / "*" / "*.parquet"))
+    assert n3 == 1 and v3 == v + 1
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    # force reloads (duplicate rows — append semantics, caller's call)
+    _, n4 = t.copy_into(f1, force=True)
+    assert n4 == 1
+    assert t.read().count() == 5
+    rec = _read_record(t.table_dir, v)
+    assert rec["copied_files"][0]["path"] == f1
+    assert rec["copied_files"][0]["bytes"] > 0
+
+
+def test_copy_into_seen_set_survives_checkpoint_and_new_handle(
+    spark, tmp_path
+):
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, checkpoint_interval=1,  # checkpoint EVERY commit
+    )
+    land = tmp_path / "landing"
+    f1 = _land(spark, land, "a", [(1, 1, 1)])
+    t.copy_into(f1)
+    t.append(spark.createDataFrame([(9, 9, 1)], "k long, v long, ver long"))
+    # fresh handle, skip set must replay from the checkpoint
+    t2 = TxTable(spark, t.table_dir)
+    assert f1 in t2.copied_files()
+    _, n = t2.copy_into(f1)
+    assert n == 0
+
+
+def test_copy_into_missing_file_and_row_tracking(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    with pytest.raises(FileNotFoundError):
+        t.copy_into(str(tmp_path / "nope.parquet"))
+    land = tmp_path / "landing"
+    f1 = _land(spark, land, "a", [(1, 1, 1), (2, 2, 1)])
+    t.copy_into(f1)
+    got = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert got == {1: 0, 2: 1}  # ingestion allocates row ids
