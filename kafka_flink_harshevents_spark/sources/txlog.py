@@ -464,6 +464,11 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this transaction targeted."""
 
 
+class _ConcurrentCopy(RuntimeError):
+    """A concurrent copy_into landed overlapping source files; the
+    caller re-plans with the now-seen files dropped."""
+
+
 def _version_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _LOG_DIR, f"{version:0{_PAD}d}.json")
 
@@ -3229,7 +3234,8 @@ class TxTable:
 
     def append(self, df: DataFrame, txn: dict | None = None,
                max_retries: int = 5, merge_schema: bool = False,
-               _record_extra: dict | None = None) -> int:
+               _record_extra: dict | None = None,
+               _precommit=None) -> int:
         """Atomic blind insert — the K3 insert-event path
         (kafkaConsumer.js Mongo insertOne) as a transactional append:
         rows are staged as NEW files (no read-modify-write, no existing
@@ -3288,6 +3294,12 @@ class TxTable:
                 filled, snap_schema, merge_schema, "append"
             )
             self._check_constraints(df, "append batch")
+            if _precommit is not None:
+                # per-attempt validator (copy_into's duplicate-load
+                # guard): runs AFTER the snapshot read, so a commit it
+                # would have needed to see either is visible here or
+                # claims v+1 first and fails this attempt
+                _precommit()
             record = {
                 "version": v + 1,
                 "op": "append",
@@ -3363,22 +3375,68 @@ class TxTable:
         re-running on a million-file directory with ten new files
         reads ten files."""
         pats = [paths] if isinstance(paths, str) else list(paths)
-        files: list[str] = []
+        cand: list[str] = []
         for p in pats:
             hits = sorted(glob.glob(p))
             if not hits and not glob.has_magic(p):
                 raise FileNotFoundError(f"copy_into: no such file {p!r}")
-            files.extend(os.path.abspath(h) for h in hits)
-        files = sorted(dict.fromkeys(f for f in files if os.path.isfile(f)))
-        if not force:
+            for h in hits:
+                if os.path.isdir(h):
+                    # a landing DIRECTORY loads every regular file
+                    # under it (Delta's COPY INTO FROM dir), skipping
+                    # writer metadata (_SUCCESS, .crc, dotfiles)
+                    for root, _dirs, names in os.walk(h):
+                        cand.extend(
+                            os.path.join(root, nm)
+                            for nm in names
+                            if not nm.startswith(("_", "."))
+                        )
+                else:
+                    cand.append(h)
+        files = sorted(
+            dict.fromkeys(
+                os.path.abspath(f) for f in cand if os.path.isfile(f)
+            )
+        )
+        if force:
+            if not files:
+                return self.latest_version(), 0
+            return self._copy_load(
+                files, file_format, options, txn, max_retries,
+                merge_schema, None,
+            ), len(files)
+        # OCC against CONCURRENT copy_into of overlapping files: the
+        # skip set is recomputed per round, and a per-attempt precommit
+        # check inside append aborts the commit if another writer
+        # landed any of OUR files first — then this loop re-plans with
+        # those files dropped. An unrelated concurrent commit keeps
+        # append's cheap internal retry (no reload).
+        last: _ConcurrentCopy | None = None
+        for _ in range(max_retries):
             seen = self.copied_files()
-            files = [f for f in files if f not in seen]
+            new = [f for f in files if f not in seen]
+            if not new:
+                return self.latest_version(), 0
+            try:
+                return self._copy_load(
+                    new, file_format, options, txn, max_retries,
+                    merge_schema, set(new),
+                ), len(new)
+            except _ConcurrentCopy as exc:
+                last = exc
+                continue
+        raise last  # type: ignore[misc]
+
+    def _copy_load(
+        self, files, file_format, options, txn, max_retries,
+        merge_schema, guard_set,
+    ) -> int:
         if not files:
-            return self.latest_version(), 0
+            return self.latest_version()
         reader = self.spark.read.format(file_format)
         if options:
             reader = reader.options(**options)
-        df = reader.load(files)
+        df = reader.load(list(files))
         marker = [
             {
                 "path": f,
@@ -3387,14 +3445,22 @@ class TxTable:
             }
             for f in files
         ]
-        v = self.append(
+
+        def check() -> None:
+            if guard_set and guard_set & self.copied_files():
+                raise _ConcurrentCopy(
+                    "copy_into: a concurrent copy_into committed "
+                    "overlapping source files — re-planning the load"
+                )
+
+        return self.append(
             df,
             txn=txn,
             max_retries=max_retries,
             merge_schema=merge_schema,
             _record_extra={"copied_files": marker},
+            _precommit=check if guard_set else None,
         )
-        return v, len(files)
 
     def rebucket(self, n_buckets: int, max_retries: int = 5) -> int:
         """Bucket-count EVOLUTION — the table-lifecycle operation a

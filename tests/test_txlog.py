@@ -6492,3 +6492,49 @@ def test_copy_into_missing_file_and_row_tracking(spark, tmp_path):
     t.copy_into(f1)
     got = {r["k"]: r["_row_id"] for r in t.read().collect()}
     assert got == {1: 0, 2: 1}  # ingestion allocates row ids
+
+
+def test_copy_into_accepts_directories(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path)
+    land = tmp_path / "landing"
+    _land(spark, land, "a", [(1, 1, 1)])
+    _land(spark, land, "b", [(2, 2, 1)])
+    v, n = t.copy_into(str(land))  # a DIRECTORY: everything under it
+    assert n == 2
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    # _SUCCESS / dotfiles were skipped, and a re-run sees nothing new
+    assert t.copy_into(str(land)) == (v, 0)
+
+
+def test_copy_into_concurrent_same_file_loads_once(spark, tmp_path):
+    import threading
+
+    from pyspark import InheritableThread
+
+    d = str(tmp_path / "t")
+    TxTable.create(spark, d, key_cols=("k",), order_col="ver", n_buckets=2)
+    land = tmp_path / "landing"
+    f1 = _land(spark, land, "a", [(k, k, 1) for k in range(30)])
+    barrier = threading.Barrier(2)
+    results, errs = [], []
+
+    def run():
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(  # noqa: E501
+                spark._jsparkSession
+            )
+            t = TxTable(spark, d)
+            barrier.wait()
+            results.append(t.copy_into(f1, max_retries=10))
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    ths = [InheritableThread(target=run) for _ in range(2)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    # exactly ONE writer loaded the file; the other skipped (n=0)
+    assert sorted(n for _, n in results) == [0, 1], results
+    assert TxTable(spark, d).read().count() == 30
