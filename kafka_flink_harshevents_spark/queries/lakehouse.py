@@ -908,6 +908,48 @@ def q_txlog_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO txlog on the hash: land the base as a plain
+    multi-file parquet directory, adopt it zero-copy (footer stats,
+    bucket-spanning entries), then prove the adopted table is a REAL
+    transactional table — a keyed merge updates/inserts against the
+    adopted files (always-hit correctness for bucket-spanning entries)
+    and a compact() adopts the hash-bucketed layout — before reading
+    the final state. The oracle states it directly from ``orders``, so
+    adoption, post-convert merge semantics, and layout adoption are
+    all driver-checked."""
+    base = _base_frame(spark, sf_dir)
+    land = tempfile.mkdtemp(prefix="txcv-src-")
+    base.repartition(3).write.mode("overwrite").parquet(f"{land}/data")
+    t = TxTable.convert_from_parquet(
+        spark,
+        f"{land}/data",
+        tempfile.mkdtemp(prefix="txcv-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.merge_upsert(
+        base.filter(F.col("k") % 5 == 0)
+        .select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "st",
+                "amount_c",
+                F.lit(2).cast("long").alias("ver"),
+            )
+        )
+    )
+    t.compact()
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
@@ -920,6 +962,7 @@ QUERIES = {
     "q_txlog_identity": q_txlog_identity,
     "q_txlog_row_tracking": q_txlog_row_tracking,
     "q_txlog_copy_into": q_txlog_copy_into,
+    "q_txlog_convert": q_txlog_convert,
     "q_txlog_restore_gate": q_txlog_restore_gate,
     "q_txlog_drop_column": q_txlog_drop_column,
     "q_txlog_metadata_agg": q_txlog_metadata_agg,
@@ -936,6 +979,24 @@ QUERIES = {
 #   k%5=0 (merge inserts the %3 keys the append skipped, updates the
 #   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
 ORACLES = {
+    "q_txlog_convert": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+                 AS amount_c,
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                    AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+        UNION ALL
+        SELECT o_orderkey + 1000000 AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(2 AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 13 = 0
+    """,
     "q_txlog_copy_into": f"""
         SELECT o_orderkey AS k,
                o_orderstatus AS st,

@@ -1192,6 +1192,109 @@ class TxTable:
         _atomic_commit(dest_dir, 2, record)
         return dest
 
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        source_dir: str,
+        table_dir: str,
+        key_cols: tuple[str, ...],
+        order_col: str,
+        n_buckets: int = 16,
+        cdf: bool = False,
+        bloom_cols: tuple[str, ...] = (),
+        checkpoint_interval: int | None = 10,
+    ) -> "TxTable":
+        """CONVERT an existing parquet directory into a transactional
+        table WITHOUT rewriting a byte — Delta's ``CONVERT TO DELTA``:
+        the adoption commit REFERENCES the source files (absolute
+        paths, the shallow-clone mechanism) with per-file footer stats,
+        so time travel, ACID writes, data skipping, and streaming all
+        work immediately, and the convert itself costs one footer read
+        per file.
+
+        Adopted files carry ``bucket = -1`` ("spans every bucket"):
+        keyed writes treat them as always-touched, so correctness never
+        depends on a layout the files were not written under — run
+        ``compact()`` (or ``rebucket``) after converting to adopt the
+        hash-bucketed layout; until then each keyed write rewrites the
+        unadopted files it cannot prove untouched (stats pruning still
+        applies to DELETE/UPDATE/replace_where). The source directory
+        must then not be modified externally (the clone hazard:
+        vacuum/compact may leave or drop references; the log is the
+        only truth).
+
+        Refused: source schemas carrying reserved names (``_bucket``,
+        ``_row_id``), or missing the key/order columns.
+        ``row_tracking``/``identity_cols``/``generated_cols`` are not
+        offered — adopted files cannot already carry library-managed
+        columns (declare them on a fresh table and ``copy_into``
+        instead)."""
+        files = []
+        for root, _dirs, names in os.walk(source_dir):
+            files.extend(
+                os.path.abspath(os.path.join(root, nm))
+                for nm in names
+                if nm.endswith(".parquet") and not nm.startswith(("_", "."))
+            )
+        if not files:
+            raise FileNotFoundError(
+                f"convert_from_parquet: no parquet files under "
+                f"{source_dir!r}"
+            )
+        schema = spark.read.parquet(*sorted(files)).schema
+        names = {f.name for f in schema.fields}
+        reserved = {n for n in names if n.startswith("_")}
+        if reserved:
+            raise ValueError(
+                f"convert_from_parquet: source carries reserved "
+                f"column name(s) {sorted(reserved)}"
+            )
+        missing = (set(key_cols) | {order_col}) - names
+        if missing:
+            raise ValueError(
+                f"convert_from_parquet: source schema lacks key/order "
+                f"column(s) {sorted(missing)} — columns are "
+                f"{sorted(names)}"
+            )
+        t = cls.create(
+            spark,
+            table_dir,
+            key_cols=key_cols,
+            order_col=order_col,
+            n_buckets=n_buckets,
+            cdf=cdf,
+            bloom_cols=bloom_cols,
+            checkpoint_interval=checkpoint_interval,
+        )
+        if _list_versions(table_dir) != [1]:
+            raise ValueError(
+                f"convert_from_parquet: {table_dir} is not a fresh "
+                "table directory"
+            )
+        entries = [_add_entry(table_dir, f, -1) for f in sorted(files)]
+        for e in entries:
+            # _add_entry relativizes against the table dir; adopted
+            # files live OUTSIDE it — reference them absolutely, the
+            # clone convention (os.path.join passes absolutes through)
+            e["path"] = os.path.abspath(
+                os.path.join(table_dir, e["path"])
+            )
+        _atomic_commit(
+            table_dir,
+            2,
+            {
+                "version": 2,
+                "op": "convert",
+                "add": entries,
+                "remove": [],
+                "schema_json": schema.json(),
+                "note": f"convert {len(entries)} parquet files from "
+                        f"{source_dir}",
+            },
+        )
+        return t
+
     def restore(self, version: int, max_retries: int = 5) -> int:
         """RESTORE TO VERSION — roll the live state back to an earlier
         snapshot as a NEW commit (history is append-only; nothing is
@@ -2372,7 +2475,10 @@ class TxTable:
                 r["_bucket"]
                 for r in incoming.select("_bucket").distinct().collect()
             ]
-            hit = [e for e in live if e["bucket"] in set(touched)]
+            hit = [
+                e for e in live
+                if e["bucket"] in set(touched) or e["bucket"] == -1
+            ]
             # validate/widen BEFORE staging — a schema mismatch must not
             # write orphan files first
             schema_rec = self._schema_union_json(
@@ -2810,7 +2916,10 @@ class TxTable:
                     r["_bucket"]
                     for r in src_b.select("_bucket").distinct().collect()
                 }
-                hit = [e for e in live if e["bucket"] in touched]
+                hit = [
+                    e for e in live
+                    if e["bucket"] in touched or e["bucket"] == -1
+                ]
             s_m = src_b.drop("_bucket").withColumn("_s", F.lit(1))
             if hit:
                 t_m = self._open_files(
@@ -3147,7 +3256,10 @@ class TxTable:
                 r["_bucket"]
                 for r in incoming.select("_bucket").distinct().collect()
             }
-            hit = [e for e in live if e["bucket"] in touched]
+            hit = [
+                e for e in live
+                if e["bucket"] in touched or e["bucket"] == -1
+            ]
             schema_rec = self._schema_union_json(
                 incoming.drop("_op"), snap_schema, merge_schema,
                 "apply_cdc",
@@ -3594,9 +3706,17 @@ class TxTable:
             if not live:
                 return base_v
             bins: list[tuple[int, list[dict]]] | None = None
+            adopt: list[dict] = []
             if target_bytes is not None:
                 by_bucket: dict[int, list[dict]] = {}
                 for e in live:
+                    if e["bucket"] == -1:
+                        # converted (bucket-spanning) file: binpack
+                        # cannot place it in one bin — ADOPT it into
+                        # the bucketed layout via a normal rewrite in
+                        # the same commit
+                        adopt.append(e)
+                        continue
                     by_bucket.setdefault(e["bucket"], []).append(e)
                 bins = []
                 for bucket, es in sorted(by_bucket.items()):
@@ -3624,9 +3744,9 @@ class TxTable:
                         if len(b[1]) > 1
                         or any(e["path"] in dvs for e in b[1])
                     )
-                if not bins:
+                if not bins and not adopt:
                     return base_v  # every bucket already compact
-                touched = [e for _, es in bins for e in es]
+                touched = [e for _, es in bins for e in es] + adopt
             elif small_file_rows is None:
                 touched = live
             else:
@@ -3652,34 +3772,46 @@ class TxTable:
             # the rewritten files hold only surviving rows and the
             # replay drops the vectors with the removed files
             if bins is not None:
-                # one file per BIN: join the scan's per-row file
-                # identity to a broadcast file→bin map, lay out by bin
-                bin_to_bucket: dict[int, int] = {}
-                file_to_bin: list[tuple[str, int]] = []
-                for bid, (bucket, es) in enumerate(bins):
-                    bin_to_bucket[bid] = bucket
-                    for e in es:
-                        file_to_bin.append(
-                            ("/".join(e["path"].split("/")[-3:]), bid)
-                        )
-                src = self._open_files(
-                    [e["path"] for e in touched], schema_json, dvs,
-                    keep_meta=True,
-                )
-                bindf = self.spark.createDataFrame(
-                    file_to_bin, "_file string, _bin int"
-                )
-                df = (
-                    src.join(F.broadcast(bindf), "_file", "inner")
-                    .drop("_file", "_rowpos")
-                )
-                # the log schema excludes `_bucket` (it travels in the
-                # data) — recompute it like the per-bucket path does,
-                # so bin outputs stay explicit-file-list readable
-                df = self._with_bucket(df.drop("_bucket"))
-                added = self._stage(
-                    df, bin_col="_bin", bin_to_bucket=bin_to_bucket
-                )
+                added = []
+                bin_touched = [e for _, es in bins for e in es]
+                if bin_touched:
+                    # one file per BIN: join the scan's per-row file
+                    # identity to a broadcast file→bin map, lay out by
+                    # bin
+                    bin_to_bucket: dict[int, int] = {}
+                    file_to_bin: list[tuple[str, int]] = []
+                    for bid, (bucket, es) in enumerate(bins):
+                        bin_to_bucket[bid] = bucket
+                        for e in es:
+                            file_to_bin.append(
+                                ("/".join(e["path"].split("/")[-3:]), bid)
+                            )
+                    src = self._open_files(
+                        [e["path"] for e in bin_touched], schema_json,
+                        dvs, keep_meta=True,
+                    )
+                    bindf = self.spark.createDataFrame(
+                        file_to_bin, "_file string, _bin int"
+                    )
+                    df = (
+                        src.join(F.broadcast(bindf), "_file", "inner")
+                        .drop("_file", "_rowpos")
+                    )
+                    # the log schema excludes `_bucket` (it travels in
+                    # the data) — recompute it like the per-bucket path
+                    # does, so bin outputs stay explicit-file-list
+                    # readable
+                    df = self._with_bucket(df.drop("_bucket"))
+                    added = self._stage(
+                        df, bin_col="_bin", bin_to_bucket=bin_to_bucket
+                    )
+                if adopt:
+                    adf = self._with_bucket(
+                        self._open_files(
+                            [e["path"] for e in adopt], schema_json, dvs
+                        ).drop("_bucket")
+                    )
+                    added = added + self._stage(adf)
             else:
                 df = self._with_bucket(
                     self._open_files(

@@ -6538,3 +6538,113 @@ def test_copy_into_concurrent_same_file_loads_once(spark, tmp_path):
     # exactly ONE writer loaded the file; the other skipped (n=0)
     assert sorted(n for _, n in results) == [0, 1], results
     assert TxTable(spark, d).read().count() == 30
+
+
+# ---------------------------------------------------------------------------
+# CONVERT TO txlog: zero-copy adoption of existing parquet
+# ---------------------------------------------------------------------------
+
+
+def _foreign_dir(spark, tmp_path, rows, parts=3):
+    src = str(tmp_path / "foreign")
+    spark.createDataFrame(rows, "k long, v long, ver long").repartition(
+        parts
+    ).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_convert_adopts_parquet_zero_copy(spark, tmp_path):
+    rows = [(k, k * 10, 1) for k in range(1, 41)]
+    src = _foreign_dir(spark, tmp_path, rows)
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4,
+    )
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (k, v) for k, v, _ in rows
+    }
+    # zero-copy: every adopted entry references the source absolutely
+    rec = _read_record(t.table_dir, 2)
+    assert rec["op"] == "convert"
+    assert all(e["bucket"] == -1 for e in rec["add"])
+    assert all(e["path"].startswith("/") for e in rec["add"])
+    # footer stats came along: a key-range prune skips whole files
+    rep = t.prune_report({"k": (1, 1)})
+    assert rep["files_skipped"] > 0
+    assert {r["k"] for r in t.read(prune={"k": (1, 5)}).collect()} == {
+        1, 2, 3, 4, 5,
+    }
+
+
+def test_convert_then_keyed_writes_and_adoption(spark, tmp_path):
+    rows = [(k, k, 1) for k in range(1, 21)]
+    src = _foreign_dir(spark, tmp_path, rows)
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4,
+    )
+    # a keyed merge must SEE rows in bucket-spanning files (always-hit)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(3, 333, 5), (100, 1, 1)], "k long, v long, ver long"
+        )
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[3] == 333 and got[100] == 1 and len(got) == 21
+    # the merge rewrite re-bucketed everything it touched: no -1 left
+    _, live, _ = t._snapshot()
+    assert all(e["bucket"] != -1 for e in live)
+
+
+def test_convert_compact_adopts_bucketing(spark, tmp_path):
+    rows = [(k, k, 1) for k in range(1, 31)]
+    src = _foreign_dir(spark, tmp_path, rows)
+    # plain compact() adopts
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t1"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.compact()
+    _, live, _ = t._snapshot()
+    assert live and all(e["bucket"] != -1 for e in live)
+    assert t.read().count() == 30
+    # size-aware binpack adopts too (the -1 group routes through the
+    # re-bucket path inside the same commit)
+    t2 = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t2"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t2.compact(target_bytes=1 << 30)
+    _, live2, _ = t2._snapshot()
+    assert live2 and all(e["bucket"] != -1 for e in live2)
+    assert {r["k"] for r in t2.read().collect()} == set(range(1, 31))
+
+
+def test_convert_guards_and_datasource_read(spark, tmp_path):
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        TxTable.convert_from_parquet(
+            spark, str(tmp_path / "empty"), str(tmp_path / "t"),
+            key_cols=("k",), order_col="ver",
+        )
+    rows = [(1, 1, 1)]
+    src = _foreign_dir(spark, tmp_path, rows, parts=1)
+    with pytest.raises(ValueError, match="lacks key/order"):
+        TxTable.convert_from_parquet(
+            spark, src, str(tmp_path / "t0"),
+            key_cols=("nope",), order_col="ver",
+        )
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+    )
+    spark.dataSource.register(TxLogStreamSource)
+    got = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .load()
+        .collect()
+    )
+    assert [(r["k"], r["v"]) for r in got] == [(1, 1)]
