@@ -332,6 +332,17 @@ def _multiset_delta(pre: DataFrame, post: DataFrame) -> DataFrame:
     )
 
 
+def _path_sfx(path: str) -> str:
+    """3-component path suffix — the scan-side file-identity key
+    (``_open_files`` truncates ``_metadata.file_path`` the same way).
+    For table-local staged files this EQUALS the stored relative path
+    (``_staged-<uuid>/_pb=N/part-*.parquet``); clone- and
+    convert-adopted entries store longer absolute paths, so every
+    comparison between a stored entry path and a scan-side ``_file``
+    must normalize through this helper."""
+    return "/".join(path.split("/")[-3:])
+
+
 def _add_entry(table_dir: str, path: str, bucket: int) -> dict:
     """One add-entry for a freshly staged data file — the single
     construction BOTH write paths (library ``_stage``, DataSource
@@ -1058,20 +1069,33 @@ class TxTable:
         if prev is not None and "txns" in prev:
             txns = dict(prev["txns"])
             from_v = prev["version"]
+        # the copied-set replay floor is INDEPENDENT of the txns floor:
+        # a checkpoint written by a pre-copy_into binary carries "txns"
+        # but no "copied", and reusing its from_v there would drop every
+        # earlier copy marker from this checkpoint (double-ingestion on
+        # the next run)
         copied: set[str] = set()
+        copied_from = 0
         if prev is not None and "copied" in prev:
             copied = set(prev["copied"])
+            copied_from = prev["version"]
         for vv in _list_versions(self.table_dir):
-            if vv <= from_v or vv > v:
+            if vv > v:
                 continue
-            rec = _read_record(self.table_dir, vv)
-            t = rec.get("txn")
-            if t and "app_id" in t:
-                txns[t["app_id"]] = max(
-                    int(txns.get(t["app_id"], -1)), int(t["batch_id"])
-                )
-            for e in rec.get("copied_files", ()):
-                copied.add(e["path"])
+            rec = None
+            if vv > from_v:
+                rec = _read_record(self.table_dir, vv)
+                t = rec.get("txn")
+                if t and "app_id" in t:
+                    txns[t["app_id"]] = max(
+                        int(txns.get(t["app_id"], -1)),
+                        int(t["batch_id"]),
+                    )
+            if vv > copied_from:
+                if rec is None:
+                    rec = _read_record(self.table_dir, vv)
+                for e in rec.get("copied_files", ()):
+                    copied.add(e["path"])
         path = os.path.join(
             self.table_dir, _LOG_DIR, f"chk-{v:0{_PAD}d}.json"
         )
@@ -1231,7 +1255,22 @@ class TxTable:
         columns (declare them on a fresh table and ``copy_into``
         instead)."""
         files = []
-        for root, _dirs, names in os.walk(source_dir):
+        for root, dirs, names in os.walk(source_dir):
+            part_dirs = [d for d in dirs if "=" in d]
+            if part_dirs:
+                # hive-partitioned layout: the partition VALUES live in
+                # directory names, not in the files — adopting the leaf
+                # files would silently drop those columns (Delta's
+                # CONVERT requires PARTITIONED BY for the same reason;
+                # this engine's layout is hash-bucketed, not
+                # directory-partitioned)
+                raise ValueError(
+                    f"convert_from_parquet: {source_dir!r} is "
+                    f"hive-partitioned (e.g. {part_dirs[0]!r}) — "
+                    "partition-column values live in directory names "
+                    "and would be lost; read + copy_into/append the "
+                    "data instead"
+                )
             files.extend(
                 os.path.abspath(os.path.join(root, nm))
                 for nm in names
@@ -1242,7 +1281,15 @@ class TxTable:
                 f"convert_from_parquet: no parquet files under "
                 f"{source_dir!r}"
             )
-        schema = spark.read.parquet(*sorted(files)).schema
+        # mergeSchema: heterogeneous source footers (add-column
+        # evolution in the source) must union, or columns absent from
+        # the sampled footer would be silently hidden forever (the
+        # recorded schema is the read authority)
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(files))
+            .schema
+        )
         names = {f.name for f in schema.fields}
         reserved = {n for n in names if n.startswith("_")}
         if reserved:
@@ -1256,6 +1303,14 @@ class TxTable:
                 f"convert_from_parquet: source schema lacks key/order "
                 f"column(s) {sorted(missing)} — columns are "
                 f"{sorted(names)}"
+            )
+        if _list_versions(table_dir):
+            # an EXISTING table (even a never-written create) would
+            # keep ITS key/bucket meta and silently ignore this call's
+            # — refuse anything but a virgin directory
+            raise ValueError(
+                f"convert_from_parquet: {table_dir} already holds a "
+                "transaction log"
             )
         t = cls.create(
             spark,
@@ -3494,14 +3549,18 @@ class TxTable:
                 raise FileNotFoundError(f"copy_into: no such file {p!r}")
             for h in hits:
                 if os.path.isdir(h):
-                    # a landing DIRECTORY loads every regular file
-                    # under it (Delta's COPY INTO FROM dir), skipping
-                    # writer metadata (_SUCCESS, .crc, dotfiles)
+                    # a landing DIRECTORY loads the files matching the
+                    # load format's extension (Delta's COPY INTO FROM
+                    # dir), skipping writer metadata (_SUCCESS, .crc,
+                    # dotfiles) AND strays (notes.txt, half-uploaded
+                    # *.tmp) that would otherwise fail every re-run
+                    ext = "." + file_format.lower().lstrip(".")
                     for root, _dirs, names in os.walk(h):
                         cand.extend(
                             os.path.join(root, nm)
                             for nm in names
                             if not nm.startswith(("_", "."))
+                            and nm.lower().endswith(ext)
                         )
                 else:
                     cand.append(h)
@@ -3523,6 +3582,8 @@ class TxTable:
         # landed any of OUR files first — then this loop re-plans with
         # those files dropped. An unrelated concurrent commit keeps
         # append's cheap internal retry (no reload).
+        if max_retries < 1:
+            raise ValueError("copy_into: max_retries must be >= 1")
         last: _ConcurrentCopy | None = None
         for _ in range(max_retries):
             seen = self.copied_files()
@@ -3991,6 +4052,12 @@ class TxTable:
             if not cand:
                 return base_v, 0
             cand_paths = [e["path"] for e in cand]
+            by_sfx = {_path_sfx(p): p for p in cand_paths}
+            if len(by_sfx) != len(cand_paths):
+                raise ValueError(
+                    "delete_where: adopted file paths collide on their "
+                    "3-component suffix — compact() the table first"
+                )
             # phase 1: the find-scan (DV-aware — already-deleted rows
             # must not match again) exposes each match's file + physical
             # position; predicate pushes into the parquet read
@@ -4014,7 +4081,11 @@ class TxTable:
                 if len(pos) <= max_dv_rows:
                     delta: dict[str, list[int]] = {}
                     for r in pos:
-                        delta.setdefault(r["_file"], []).append(
+                        # the scan reports the 3-suffix; the vector
+                        # must key on the STORED entry path or readers
+                        # (which look vectors up by entry path) would
+                        # silently resurrect the rows on adopted files
+                        delta.setdefault(by_sfx[r["_file"]], []).append(
                             int(r["_rowpos"])
                         )
                     record = {
@@ -4041,7 +4112,9 @@ class TxTable:
                 r["_file"]
                 for r in matches.select("_file").distinct().collect()
             }
-            touched = [e for e in cand if e["path"] in hit_files]
+            touched = [
+                e for e in cand if _path_sfx(e["path"]) in hit_files
+            ]
             if not touched:
                 return base_v, 0
             t_scan = self._open_files(
@@ -4196,7 +4269,10 @@ class TxTable:
                     for r in scan.filter(predicate)
                     .select("_file").distinct().collect()
                 }
-                touched = [e for e in cand if e["path"] in hit_files]
+                touched = [
+                    e for e in cand
+                    if _path_sfx(e["path"]) in hit_files
+                ]
                 if touched:
                     t_scan = self._open_files(
                         [e["path"] for e in touched], schema_json, dvs
@@ -4330,6 +4406,12 @@ class TxTable:
             )
             if not cand:
                 return base_v, 0
+            by_sfx = {_path_sfx(e["path"]): e["path"] for e in cand}
+            if len(by_sfx) != len(cand):
+                raise ValueError(
+                    "update_where: adopted file paths collide on their "
+                    "3-component suffix — compact() the table first"
+                )
             scan = self._open_files(
                 [e["path"] for e in cand], schema_json, dvs, keep_meta=True
             )
@@ -4347,7 +4429,11 @@ class TxTable:
                 if len(pos) <= max_dv_rows:
                     delta: dict[str, list[int]] = {}
                     for r in pos:
-                        delta.setdefault(r["_file"], []).append(
+                        # the scan reports the 3-suffix; the vector
+                        # must key on the STORED entry path or readers
+                        # (which look vectors up by entry path) would
+                        # silently resurrect the rows on adopted files
+                        delta.setdefault(by_sfx[r["_file"]], []).append(
                             int(r["_rowpos"])
                         )
                     matched = scan.filter(predicate).drop(
@@ -4399,7 +4485,9 @@ class TxTable:
                 .distinct()
                 .collect()
             }
-            touched = [e for e in cand if e["path"] in hit_files]
+            touched = [
+                e for e in cand if _path_sfx(e["path"]) in hit_files
+            ]
             if not touched:
                 return base_v, 0
             t_scan = self._open_files(

@@ -6445,8 +6445,7 @@ def test_copy_into_skips_already_loaded_files(spark, tmp_path):
     land = tmp_path / "landing"
     f1 = _land(spark, land, "a", [(1, 10, 1), (2, 20, 1)])
     v, n = t.copy_into(f1)
-    assert n == 2 or n == 1  # one file
-    assert n == 1
+    assert n == 1  # one file loaded
     # re-run: nothing new, NO commit
     v2, n2 = t.copy_into(f1)
     assert (v2, n2) == (v, 0)
@@ -6648,3 +6647,134 @@ def test_convert_guards_and_datasource_read(spark, tmp_path):
         .collect()
     )
     assert [(r["k"], r["v"]) for r in got] == [(1, 1)]
+
+
+def test_convert_row_level_ops_hit_adopted_files(spark, tmp_path):
+    """Review fix: DELETE/UPDATE/replaceWhere find-scans key files by
+    the 3-component path suffix while adopted entries store absolute
+    paths — without normalization they silently no-op'd."""
+    rows = [(k, k, 1) for k in range(1, 21)]
+    src = _foreign_dir(spark, tmp_path, rows)
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    v, n = t.delete_where("k = 3")
+    assert n == 1
+    assert 3 not in {r["k"] for r in t.read().collect()}
+    v, n = t.update_where("k = 4", {"v": "v + 100"})
+    assert n == 1
+    assert {r["k"]: r["v"] for r in t.read().collect()}[4] == 104
+    t.replace_where(
+        spark.createDataFrame([(5, 555, 9)], "k long, v long, ver long"),
+        "k = 5",
+    )
+    assert {r["k"]: r["v"] for r in t.read().collect()}[5] == 555
+
+
+def test_adopted_files_merge_on_read_dv_applies(spark, tmp_path):
+    """Review fix: a deletion vector over an adopted (absolute-path)
+    file was recorded under the scan's 3-suffix but looked up by the
+    entry path — the delete reported success yet rows stayed visible.
+    Covers both convert-adopted files and shallow clones."""
+    rows = [(k, k, 1) for k in range(1, 11)]
+    src = _foreign_dir(spark, tmp_path, rows, parts=1)
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    v, n = t.delete_where("k = 7", mode="merge_on_read")
+    assert n == 1
+    assert _read_record(t.table_dir, v)["dv"], "expected a DV commit"
+    assert 7 not in {r["k"] for r in t.read().collect()}
+    # same class on a shallow CLONE's absolute source references
+    base = TxTable.create(
+        spark, str(tmp_path / "b"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    base.append(spark.createDataFrame(rows, "k long, v long, ver long"))
+    c = base.clone_to(str(tmp_path / "c"))
+    v, n = c.delete_where("k = 2", mode="merge_on_read")
+    assert n == 1
+    assert _read_record(c.table_dir, v)["dv"]
+    assert 2 not in {r["k"] for r in c.read().collect()}
+    # update's DV twin on the adopted table
+    v, n = t.update_where("k = 8", {"v": "v + 1"}, mode="merge_on_read")
+    assert n == 1
+    assert {r["k"]: r["v"] for r in t.read().collect()}[8] == 9
+
+
+def test_convert_refusals_partitioned_and_existing(spark, tmp_path):
+    rows = [(1, 1, 1)]
+    part_src = str(tmp_path / "part")
+    spark.createDataFrame(
+        [(1, 1, 1, "a")], "k long, v long, ver long, p string"
+    ).write.partitionBy("p").parquet(part_src)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        TxTable.convert_from_parquet(
+            spark, part_src, str(tmp_path / "t1"),
+            key_cols=("k",), order_col="ver",
+        )
+    src = _foreign_dir(spark, tmp_path, rows, parts=1)
+    TxTable.create(
+        spark, str(tmp_path / "pre"), key_cols=("user",), order_col="ver",
+    )
+    with pytest.raises(ValueError, match="already holds"):
+        TxTable.convert_from_parquet(
+            spark, src, str(tmp_path / "pre"),
+            key_cols=("k",), order_col="ver",
+        )
+
+
+def test_convert_merges_heterogeneous_source_schemas(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, 1)], "k long, v long, ver long"
+    ).coalesce(1).write.parquet(f"{src}/a")
+    spark.createDataFrame(
+        [(2, 2, 1, "x")], "k long, v long, ver long, extra string"
+    ).coalesce(1).write.parquet(f"{src}/b")
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+    )
+    got = {r["k"]: r["extra"] for r in t.read().collect()}
+    assert got == {1: None, 2: "x"}  # union schema, NULL-fill
+
+
+def test_copy_into_directory_skips_stray_files(spark, tmp_path):
+    t = _mk_ident(spark, tmp_path)
+    land = tmp_path / "landing"
+    _land(spark, land, "a", [(1, 1, 1)])
+    (land / "notes.txt").write_text("not data")
+    (land / "half.tmp").write_text("upload in progress")
+    v, n = t.copy_into(str(land))
+    assert n == 1
+    assert {r["k"] for r in t.read().collect()} == {1}
+
+
+def test_checkpoint_preserves_copied_set_past_legacy_checkpoint(
+    spark, tmp_path
+):
+    """Review fix: a checkpoint written WITHOUT a 'copied' key (an
+    older binary) must not make the next checkpoint forget earlier
+    copy markers — the copied replay floor is independent."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, checkpoint_interval=None,
+    )
+    land = tmp_path / "landing"
+    f1 = _land(spark, land, "a", [(1, 1, 1)])
+    t.copy_into(f1)
+    t.append(spark.createDataFrame([(9, 9, 1)], "k long, v long, ver long"))
+    v = t.checkpoint()
+    # simulate the legacy checkpoint: strip its 'copied' key
+    import glob as _g
+
+    chk = sorted(_g.glob(os.path.join(t.table_dir, "_txlog", "chk-*.json")))[-1]
+    d = json.load(open(chk))
+    d.pop("copied")
+    json.dump(d, open(chk, "w"))
+    t.append(spark.createDataFrame([(10, 1, 1)], "k long, v long, ver long"))
+    t.checkpoint()
+    assert f1 in t.copied_files()
+    assert t.copy_into(f1)[1] == 0  # still skipped
