@@ -4582,6 +4582,89 @@ class TxTable:
 
         return apply
 
+    def append_sink(self, app_id: str):
+        """``foreachBatch`` function: idempotent transactional APPEND —
+        ``upsert_sink``'s keep-duplicates sibling for event-log tables.
+        Replayed micro-batches are txn-marker no-ops."""
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= self.last_committed_batch(app_id):
+                return  # replayed batch — already committed
+            if batch_df.isEmpty():
+                return
+            self.append(
+                batch_df, txn={"app_id": app_id, "batch_id": int(batch_id)}
+            )
+
+        return apply
+
+    def auto_ingest(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        file_format: str = "parquet",
+        options: dict | None = None,
+        app_id: str = "auto-ingest",
+        mode: str = "append",
+        available_now: bool = True,
+    ):
+        """Streaming landing-zone ingestion — the Auto Loader shape:
+        Spark's FILE STREAM source discovers and tracks new files in
+        its own checkpoint (so a million-file directory costs one
+        listing per trigger, not a reread), and every micro-batch lands
+        as ONE exactly-once transactional commit (txn markers make
+        crash-replays no-ops). ``mode="append"`` keeps duplicates (the
+        event-log shape); ``mode="merge"`` routes through
+        ``merge_upsert`` (latest-wins per key). The table's CURRENT
+        schema drives the source (file streams require an explicit
+        schema) — evolve the table first, then the landing data.
+
+        Returns the started ``StreamingQuery``; with
+        ``available_now=True`` (default) it drains the current backlog
+        and stops — the incremental-batch ingestion pattern (run it
+        from cron; each run picks up exactly the new files). Use
+        ``copy_into`` instead when you want the LOG (not a stream
+        checkpoint) to own the loaded-file set."""
+        if mode not in ("append", "merge"):
+            raise ValueError("auto_ingest: mode must be append|merge")
+        _, _, schema_json = self._snapshot()
+        if schema_json is None:
+            raise ValueError(
+                "auto_ingest: the table has no recorded schema yet — "
+                "append/copy_into one batch first (file streams need "
+                "an explicit schema)"
+            )
+        managed = set(self._identity_specs())
+        reader = self.spark.readStream.format(file_format).schema(
+            StructType(
+                [
+                    f
+                    for f in StructType.fromJson(
+                        json.loads(schema_json)
+                    ).fields
+                    # landing files are USER data: the library-managed
+                    # identity/_row_id columns are allocated at write,
+                    # never read from the source
+                    if f.name not in managed
+                ]
+            )
+        )
+        if options:
+            reader = reader.options(**options)
+        src = reader.load(source_dir)
+        fn = (
+            self.append_sink(app_id)
+            if mode == "append"
+            else self.upsert_sink(app_id)
+        )
+        writer = (
+            src.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def cdc_sink(
         self, app_id: str, op_col: str = "op", delete_label: str = "D"
     ):

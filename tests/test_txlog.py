@@ -6778,3 +6778,40 @@ def test_checkpoint_preserves_copied_set_past_legacy_checkpoint(
     t.checkpoint()
     assert f1 in t.copied_files()
     assert t.copy_into(f1)[1] == 0  # still skipped
+
+
+def test_auto_ingest_streams_landing_zone_exactly_once(spark, tmp_path):
+    """Auto-Loader-shaped ingestion: the file stream source tracks new
+    files in its checkpoint; each run drains exactly the backlog into
+    exactly-once commits, and a re-run with nothing new ingests
+    nothing."""
+    t = _mk_ident(spark, tmp_path, row_tracking=True)
+    t.append(spark.createDataFrame(
+        [(0, 0, 1)], "k long, v long, ver long"))  # schema seed
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1)], "k long, v long, ver long"
+    ).coalesce(1).write.parquet(land)
+    ckpt = str(tmp_path / "ckpt")
+    q = t.auto_ingest(land, ckpt)
+    q.awaitTermination(120)
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2}
+    # nothing new: a second run ingests nothing
+    v_before = t.latest_version()
+    q = t.auto_ingest(land, ckpt)
+    q.awaitTermination(120)
+    assert t.latest_version() == v_before
+    # a new file lands: the next run picks up exactly it, with row
+    # tracking continuing the watermark
+    spark.createDataFrame(
+        [(3, 3, 1)], "k long, v long, ver long"
+    ).coalesce(1).write.mode("append").parquet(land)
+    q = t.auto_ingest(land, ckpt)
+    q.awaitTermination(120)
+    got = {r["k"]: r["_row_id"] for r in t.read().collect()}
+    assert set(got) == {0, 1, 2, 3} and got[3] == 3
+    # merge mode + schema-less refusal
+    with pytest.raises(ValueError, match="no recorded schema"):
+        TxTable.create(
+            spark, str(tmp_path / "empty"), ("k",), "ver"
+        ).auto_ingest(land, str(tmp_path / "c2"))
