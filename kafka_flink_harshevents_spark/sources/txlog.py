@@ -3553,14 +3553,21 @@ class TxTable:
                     # load format's extension (Delta's COPY INTO FROM
                     # dir), skipping writer metadata (_SUCCESS, .crc,
                     # dotfiles) AND strays (notes.txt, half-uploaded
-                    # *.tmp) that would otherwise fail every re-run
-                    ext = "." + file_format.lower().lstrip(".")
+                    # *.tmp) that would otherwise fail every re-run.
+                    # Compressed suffixes count (.csv.gz carries
+                    # ".csv."), and Spark writes format "text" as .txt
+                    tok = {"text": "txt"}.get(
+                        file_format.lower(), file_format.lower()
+                    ).lstrip(".")
                     for root, _dirs, names in os.walk(h):
                         cand.extend(
                             os.path.join(root, nm)
                             for nm in names
                             if not nm.startswith(("_", "."))
-                            and nm.lower().endswith(ext)
+                            and (
+                                nm.lower().endswith("." + tok)
+                                or ("." + tok + ".") in nm.lower()
+                            )
                         )
                 else:
                     cand.append(h)
@@ -3569,6 +3576,8 @@ class TxTable:
                 os.path.abspath(f) for f in cand if os.path.isfile(f)
             )
         )
+        if max_retries < 1:
+            raise ValueError("copy_into: max_retries must be >= 1")
         if force:
             if not files:
                 return self.latest_version(), 0
@@ -3582,8 +3591,6 @@ class TxTable:
         # landed any of OUR files first — then this loop re-plans with
         # those files dropped. An unrelated concurrent commit keeps
         # append's cheap internal retry (no reload).
-        if max_retries < 1:
-            raise ValueError("copy_into: max_retries must be >= 1")
         last: _ConcurrentCopy | None = None
         for _ in range(max_retries):
             seen = self.copied_files()
@@ -4053,10 +4060,14 @@ class TxTable:
                 return base_v, 0
             cand_paths = [e["path"] for e in cand]
             by_sfx = {_path_sfx(p): p for p in cand_paths}
-            if len(by_sfx) != len(cand_paths):
+            # only the merge_on_read suffix->path INVERSION needs
+            # uniqueness; copy-on-write merely over-selects touched
+            # files on a collision (the survivor rewrite stays correct)
+            if mode == "merge_on_read" and len(by_sfx) != len(cand_paths):
                 raise ValueError(
                     "delete_where: adopted file paths collide on their "
-                    "3-component suffix — compact() the table first"
+                    "3-component suffix — compact() the table first, "
+                    "or use copy_on_write"
                 )
             # phase 1: the find-scan (DV-aware — already-deleted rows
             # must not match again) exposes each match's file + physical
@@ -4407,10 +4418,11 @@ class TxTable:
             if not cand:
                 return base_v, 0
             by_sfx = {_path_sfx(e["path"]): e["path"] for e in cand}
-            if len(by_sfx) != len(cand):
+            if mode == "merge_on_read" and len(by_sfx) != len(cand):
                 raise ValueError(
                     "update_where: adopted file paths collide on their "
-                    "3-component suffix — compact() the table first"
+                    "3-component suffix — compact() the table first, "
+                    "or use copy_on_write"
                 )
             scan = self._open_files(
                 [e["path"] for e in cand], schema_json, dvs, keep_meta=True
@@ -4634,7 +4646,17 @@ class TxTable:
                 "append/copy_into one batch first (file streams need "
                 "an explicit schema)"
             )
-        managed = set(self._identity_specs())
+        # landing files are USER data: GENERATED-ALWAYS identity and
+        # generated columns are computed/allocated at write, never read
+        # from the source (a declared-but-absent column would NULL-fill
+        # and then fail the generation contract); BY DEFAULT identity
+        # columns STAY — explicit values in landing files are honored,
+        # exactly as copy_into honors them
+        skip = {
+            n
+            for n, s in self._identity_specs().items()
+            if s.get("always", True)
+        } | set(self.meta.get("generated_cols") or ())
         reader = self.spark.readStream.format(file_format).schema(
             StructType(
                 [
@@ -4642,10 +4664,7 @@ class TxTable:
                     for f in StructType.fromJson(
                         json.loads(schema_json)
                     ).fields
-                    # landing files are USER data: the library-managed
-                    # identity/_row_id columns are allocated at write,
-                    # never read from the source
-                    if f.name not in managed
+                    if f.name not in skip
                 ]
             )
         )
@@ -4828,7 +4847,13 @@ class TxTable:
             # change feed — read them by physical position (no diffing)
             pre_dvs = self._replay(version - 1)[3]
             dv_rows = [
-                (p, int(i)) for p, v in rec["dv"].items() for i in v
+                # DV commits key on the STORED entry path (absolute
+                # for adopted/cloned files); the scan's `_file` is the
+                # 3-component suffix — normalize or the join silently
+                # yields an empty change feed on adopted files
+                (_path_sfx(p), int(i))
+                for p, v in rec["dv"].items()
+                for i in v
             ]
             src = self._open_files(
                 sorted(rec["dv"]), rec.get("schema_json"), pre_dvs,

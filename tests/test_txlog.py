@@ -6815,3 +6815,59 @@ def test_auto_ingest_streams_landing_zone_exactly_once(spark, tmp_path):
         TxTable.create(
             spark, str(tmp_path / "empty"), ("k",), "ver"
         ).auto_ingest(land, str(tmp_path / "c2"))
+
+
+def test_adopted_dv_change_feed_emits_deletes(spark, tmp_path):
+    """Review fix: the CDF derivation for merge-on-read DV commits
+    joined stored entry paths (absolute on adopted files) against the
+    scan's 3-suffix — the feed silently held no delete rows."""
+    rows = [(k, k, 1) for k in range(1, 6)]
+    src = _foreign_dir(spark, tmp_path, rows, parts=1)
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    v, n = t.delete_where("k = 3", mode="merge_on_read")
+    assert n == 1
+    ch = t.table_changes(v).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == [(3, "delete")]
+
+
+def test_copy_into_compressed_and_text_extensions(spark, tmp_path):
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    land = tmp_path / "land"
+    spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1)], "k long, v long, ver long"
+    ).coalesce(1).write.option("compression", "gzip").csv(
+        str(land), header=True
+    )
+    (land / "junk.bin").write_text("x")
+    v, n = t.copy_into(
+        str(land), file_format="csv",
+        options={"header": "true", "inferSchema": "true"},
+    )
+    assert n == 1  # the .csv.gz part file, not junk.bin
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
+def test_auto_ingest_generated_and_by_default_identity(spark, tmp_path):
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+        generated_cols={"v2": "v * 2"},
+        identity_cols={"rid": {"always": False}},
+    )
+    t.append(spark.createDataFrame([(0, 5, 1)], "k long, v long, ver long"))
+    land = str(tmp_path / "land")
+    # landing files carry an EXPLICIT by-default id and no generated col
+    spark.createDataFrame(
+        [(1, 10, 1, 77)], "k long, v long, ver long, rid long"
+    ).coalesce(1).write.parquet(land)
+    q = t.auto_ingest(land, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r["k"]: (r["v2"], r["rid"]) for r in t.read().collect()}
+    assert got[1] == (20, 77)   # generated computed; explicit id kept
+    assert got[0][1] == 1       # seeded row allocated from watermark
