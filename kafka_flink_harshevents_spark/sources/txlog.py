@@ -662,7 +662,9 @@ class TxTable:
         retried writer re-allocates past the winner's range) but
         values within one commit are consecutive in (bucket, key,
         order) order. Updates keep a row's identity: ``merge_upsert``
-        / ``apply_cdc`` winners INHERIT the existing key's value,
+        / ``apply_cdc`` winners INHERIT the existing key's value (the
+        existing id beats any explicit BY DEFAULT incoming value —
+        explicit values apply to NEW keys only),
         ``merge_into`` updates keep the target value, and
         ``update_where`` refuses assigning the column.
 
@@ -1234,8 +1236,9 @@ class TxTable:
         the adoption commit REFERENCES the source files (absolute
         paths, the shallow-clone mechanism) with per-file footer stats,
         so time travel, ACID writes, data skipping, and streaming all
-        work immediately, and the convert itself costs one footer read
-        per file.
+        work immediately, and the convert itself costs two footer
+        reads per file (one schema-union pass, one stats pass) — still
+        zero data reads.
 
         Adopted files carry ``bucket = -1`` ("spans every bucket"):
         keyed writes treat them as always-touched, so correctness never
@@ -1257,6 +1260,10 @@ class TxTable:
         files = []
         for root, dirs, names in os.walk(source_dir):
             part_dirs = [d for d in dirs if "=" in d]
+            # prune hidden/metadata directories (a Delta source's
+            # _delta_log checkpoints are parquet too — adopting them
+            # would turn table METADATA into data rows)
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             if part_dirs:
                 # hive-partitioned layout: the partition VALUES live in
                 # directory names, not in the files — adopting the leaf
@@ -1281,6 +1288,19 @@ class TxTable:
                 f"convert_from_parquet: no parquet files under "
                 f"{source_dir!r}"
             )
+        sfx = {}
+        for f in files:
+            other = sfx.setdefault(_path_sfx(f), f)
+            if other != f:
+                # readers and DV application key files by their
+                # 3-component path suffix — two adopted files sharing
+                # one would cross-apply deletion vectors; refuse at the
+                # source instead of corrupting reads later
+                raise ValueError(
+                    "convert_from_parquet: source files collide on "
+                    f"their 3-component path suffix ({other!r} vs "
+                    f"{f!r}) — flatten or rename the source layout"
+                )
         # mergeSchema: heterogeneous source footers (add-column
         # evolution in the source) must union, or columns absent from
         # the sampled footer would be silently hidden forever (the
@@ -1902,7 +1922,7 @@ class TxTable:
             # and the ONLY stable key for a shallow clone's absolute
             # source paths (an unnormalized key would silently skip the
             # vector and resurrect deleted rows)
-            ("/".join(p.split("/")[-3:]), int(i))
+            (_path_sfx(p), int(i))
             for p in rel_paths
             for i in (dvs or {}).get(p, ())
         ]
@@ -2539,6 +2559,11 @@ class TxTable:
             schema_rec = self._schema_union_json(
                 incoming, snap_schema, merge_schema, "merge_upsert"
             )
+            idc0 = list(self._identity_specs(m))
+
+            def ex_flag(d, v):
+                return d.withColumn("_ex", F.lit(v)) if idc0 else d
+
             if hit:
                 # read hit files under the LOG's schema via the DV-aware
                 # reader (deleted rows must not resurrect through the
@@ -2548,25 +2573,31 @@ class TxTable:
                         [e["path"] for e in hit], snap_schema, dvs
                     ).drop("_bucket")
                 )
-                merged = existing.unionByName(
-                    incoming, allowMissingColumns=merge_schema
+                merged = ex_flag(existing, 1).unionByName(
+                    ex_flag(incoming, 0),
+                    allowMissingColumns=merge_schema,
                 )
             else:
-                merged = incoming
+                merged = ex_flag(incoming, 0)
             from pyspark.sql import Window
 
             # IDENTITY / row tracking: the winner for an EXISTING key
-            # is an update — it INHERITS the key's current id (max over
-            # the key partition ignores the incoming NULLs; same
-            # shuffle key as the latest-wins window below, one
-            # exchange). Winners for new keys stay NULL and get fresh
-            # ids from the watermark just before staging.
-            idc = [c for c in self._identity_specs(m) if c in merged.columns]
+            # is an update — it INHERITS the key's current id, and the
+            # EXISTING side's value takes precedence over any explicit
+            # BY DEFAULT value the incoming row carries (an update may
+            # not change identity — the merge_into/update_where rule).
+            # Winners for new keys keep their explicit value or stay
+            # NULL for the watermark fill. Same shuffle key as the
+            # latest-wins window below — one exchange.
+            idc = [c for c in idc0 if c in merged.columns]
             if idc:
                 kw = Window.partitionBy(*m["key_cols"])
                 for c in idc:
                     merged = merged.withColumn(
-                        f"_ih_{c}", F.max(c).over(kw)
+                        f"_ih_{c}",
+                        F.max(
+                            F.when(F.col("_ex") == 1, F.col(c))
+                        ).over(kw),
                     )
             w = Window.partitionBy(*m["key_cols"]).orderBy(
                 F.col(m["order_col"]).desc()
@@ -2578,8 +2609,10 @@ class TxTable:
             )
             for c in idc:
                 latest = latest.withColumn(
-                    c, F.coalesce(F.col(c), F.col(f"_ih_{c}"))
+                    c, F.coalesce(F.col(f"_ih_{c}"), F.col(c))
                 ).drop(f"_ih_{c}")
+            if idc0:
+                latest = latest.drop("_ex")
             latest, id_upd = self._fill_identity(latest, m)
             added = self._stage(latest)
             record = {
@@ -3352,7 +3385,10 @@ class TxTable:
                 kw = Window.partitionBy(*m["key_cols"])
                 for c in idc:
                     merged = merged.withColumn(
-                        f"_ih_{c}", F.max(c).over(kw)
+                        f"_ih_{c}",
+                        F.max(
+                            F.when(F.col("_src") == 0, F.col(c))
+                        ).over(kw),
                     )
             w = Window.partitionBy(*m["key_cols"]).orderBy(
                 F.col(m["order_col"]).desc(),
@@ -3374,7 +3410,7 @@ class TxTable:
             )
             for c in idc:
                 latest = latest.withColumn(
-                    c, F.coalesce(F.col(c), F.col(f"_ih_{c}"))
+                    c, F.coalesce(F.col(f"_ih_{c}"), F.col(c))
                 ).drop(f"_ih_{c}")
             latest, id_upd = self._fill_identity(latest, m)
             added = self._stage(latest)  # _bucket travels in `latest`
@@ -3559,15 +3595,30 @@ class TxTable:
                     tok = {"text": "txt"}.get(
                         file_format.lower(), file_format.lower()
                     ).lstrip(".")
-                    for root, _dirs, names in os.walk(h):
+                    exts = tuple(
+                        "." + tok + c
+                        for c in (
+                            "", ".gz", ".bz2", ".zst", ".snappy",
+                            ".lz4", ".deflate",
+                        )
+                    )
+                    for root, dnames, names in os.walk(h):
+                        # prune hidden/metadata DIRECTORIES in place —
+                        # Spark's own listing skips them; descending
+                        # into _temporary/.spark-staging would ingest
+                        # in-flight task output as committed data
+                        dnames[:] = [
+                            d for d in dnames
+                            if not d.startswith(("_", "."))
+                        ]
                         cand.extend(
                             os.path.join(root, nm)
                             for nm in names
                             if not nm.startswith(("_", "."))
-                            and (
-                                nm.lower().endswith("." + tok)
-                                or ("." + tok + ".") in nm.lower()
-                            )
+                            # exact extension or a KNOWN compression
+                            # suffix — a bare infix match would ingest
+                            # half-uploaded *.parquet.tmp files
+                            and nm.lower().endswith(exts)
                         )
                 else:
                     cand.append(h)
@@ -3852,7 +3903,7 @@ class TxTable:
                         bin_to_bucket[bid] = bucket
                         for e in es:
                             file_to_bin.append(
-                                ("/".join(e["path"].split("/")[-3:]), bid)
+                                (_path_sfx(e["path"]), bid)
                             )
                     src = self._open_files(
                         [e["path"] for e in bin_touched], schema_json,

@@ -6871,3 +6871,79 @@ def test_auto_ingest_generated_and_by_default_identity(spark, tmp_path):
     got = {r["k"]: (r["v2"], r["rid"]) for r in t.read().collect()}
     assert got[1] == (20, 77)   # generated computed; explicit id kept
     assert got[0][1] == 1       # seeded row allocated from watermark
+
+
+def test_copy_into_and_convert_skip_hidden_dirs_and_tmp(spark, tmp_path):
+    """Review fix: walks must prune hidden/metadata DIRECTORIES
+    (_temporary, .spark-staging, _delta_log) and must not ingest
+    half-uploaded *.parquet.tmp files via the compression infix."""
+    t = _mk_ident(spark, tmp_path)
+    land = tmp_path / "land"
+    _land(spark, land, "a", [(1, 1, 1)])
+    tmpdir = land / "_temporary" / "0"
+    tmpdir.mkdir(parents=True)
+    # a REAL parquet file hiding inside _temporary (in-flight task)
+    spark.createDataFrame(
+        [(99, 99, 1)], "k long, v long, ver long"
+    ).coalesce(1).write.parquet(str(tmpdir / "task"))
+    (land / "events.parquet.tmp").write_text("partial upload")
+    v, n = t.copy_into(str(land))
+    assert n == 1
+    assert {r["k"] for r in t.read().collect()} == {1}
+    # convert: a _delta_log-style metadata dir is not adopted
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, 1)], "k long, v long, ver long"
+    ).coalesce(1).write.parquet(src)
+    meta = tmp_path / "src" / "_delta_log"
+    meta.mkdir()
+    spark.createDataFrame(
+        [("chk",)], "junk string"
+    ).coalesce(1).write.parquet(str(meta / "00000000000000000010.checkpoint"))
+    t2 = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t2"), key_cols=("k",), order_col="ver",
+    )
+    assert t2.read().columns == ["k", "v", "ver"]
+    assert t2.read().count() == 1
+
+
+def test_convert_refuses_suffix_collisions(spark, tmp_path):
+    import shutil
+
+    src = str(tmp_path / "src")
+    one = _land(spark, tmp_path, "one", [(1, 1, 1)])
+    for sub in ("x", "y"):
+        d = os.path.join(src, sub, "d", "e")
+        os.makedirs(d)
+        shutil.copy(one, os.path.join(d, "part-0.parquet"))
+    with pytest.raises(ValueError, match="collide"):
+        TxTable.convert_from_parquet(
+            spark, src, str(tmp_path / "t"), key_cols=("k",),
+            order_col="ver",
+        )
+
+
+def test_by_default_identity_update_keeps_existing_id(spark, tmp_path):
+    """Review fix: an explicit BY DEFAULT value on an EXISTING key must
+    not replace the row's identity (an update may not change identity);
+    explicit values apply to new keys only. Same rule through
+    apply_cdc."""
+    t = _mk_ident(
+        spark, tmp_path, identity_cols={"rid": {"always": False}},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1)], "k long, v long, ver long"))
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    t.merge_upsert(spark.createDataFrame(
+        [(1, 11, 9, 777), (30, 3, 1, 555)],
+        "k long, v long, ver long, rid long",
+    ))
+    got = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert got[1] == before[1]   # existing id kept, 777 ignored
+    assert got[30] == 555        # explicit value honored on a NEW key
+    t.apply_cdc(spark.createDataFrame(
+        [(2, 22, 9, 888, "U"), (40, 4, 1, 666, "U")],
+        "k long, v long, ver long, rid long, op string",
+    ))
+    got = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert got[2] == before[2] and got[40] == 666
