@@ -6947,3 +6947,70 @@ def test_by_default_identity_update_keeps_existing_id(spark, tmp_path):
     ))
     got = {r["k"]: r["rid"] for r in t.read().collect()}
     assert got[2] == before[2] and got[40] == 666
+
+
+def test_copy_into_races_identity_appends(spark, tmp_path):
+    """Cross-feature stress: concurrent copy_into calls over the same
+    landing file racing plain appends on a row-tracking table — the
+    duplicate-load precommit guard and the identity watermark restage
+    must compose: the file loads exactly once, every append lands, and
+    all row ids stay unique."""
+    import threading
+
+    from pyspark import InheritableThread
+
+    d = str(tmp_path / "t")
+    TxTable.create(
+        spark, d, key_cols=("k",), order_col="ver", n_buckets=2,
+        row_tracking=True,
+    )
+    land = tmp_path / "landing"
+    f1 = _land(spark, land, "a", [(k, k, 1) for k in range(100, 120)])
+    barrier = threading.Barrier(3)
+    results, errs = [], []
+
+    def copier():
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(  # noqa: E501
+                spark._jsparkSession
+            )
+            t = TxTable(spark, d)
+            barrier.wait()
+            results.append(t.copy_into(f1, max_retries=15))
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    def appender():
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(  # noqa: E501
+                spark._jsparkSession
+            )
+            t = TxTable(spark, d)
+            barrier.wait()
+            for i in range(3):
+                t.append(
+                    spark.createDataFrame(
+                        [(i, i, 1)], "k long, v long, ver long"
+                    ),
+                    max_retries=25,
+                )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    ths = [
+        InheritableThread(target=copier),
+        InheritableThread(target=copier),
+        InheritableThread(target=appender),
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    assert sorted(n for _, n in results) == [0, 1]  # loaded exactly once
+    t = TxTable(spark, d)
+    rows = t.read().collect()
+    assert len(rows) == 23  # 20 copied + 3 appended
+    ids = [r["_row_id"] for r in rows]
+    assert len(set(ids)) == 23
+    assert max(ids) < t._identity_counters()["_row_id"]
