@@ -2587,16 +2587,29 @@ class TxTable:
             # BY DEFAULT value the incoming row carries (an update may
             # not change identity — the merge_into/update_where rule).
             # Winners for new keys keep their explicit value or stay
-            # NULL for the watermark fill. Same shuffle key as the
-            # latest-wins window below — one exchange.
+            # NULL for the watermark fill. The inherited id is the one
+            # carried by the LATEST-WINS existing row (max_by over
+            # (order_col, id) — id-desc tie-break, non-null beating
+            # null at equal order), NOT the per-key max id: existing
+            # duplicates for one key (blind appends) must not rewrite
+            # the surviving row's id to some other duplicate's — the
+            # row-tracking contract preserves the survivor's id
+            # byte-identically. Same shuffle key as the latest-wins
+            # window below — one exchange.
             idc = [c for c in idc0 if c in merged.columns]
             if idc:
                 kw = Window.partitionBy(*m["key_cols"])
                 for c in idc:
                     merged = merged.withColumn(
                         f"_ih_{c}",
-                        F.max(
-                            F.when(F.col("_ex") == 1, F.col(c))
+                        F.max_by(
+                            F.when(F.col("_ex") == 1, F.col(c)),
+                            F.when(
+                                F.col("_ex") == 1,
+                                F.struct(
+                                    F.col(m["order_col"]), F.col(c)
+                                ),
+                            ),
                         ).over(kw),
                     )
             w = Window.partitionBy(*m["key_cols"]).orderBy(
@@ -3384,10 +3397,19 @@ class TxTable:
             if idc:
                 kw = Window.partitionBy(*m["key_cols"])
                 for c in idc:
+                    # inherit from the LATEST-WINS existing row (see
+                    # merge_upsert): existing duplicates for one key
+                    # must not donate some other duplicate's id
                     merged = merged.withColumn(
                         f"_ih_{c}",
-                        F.max(
-                            F.when(F.col("_src") == 0, F.col(c))
+                        F.max_by(
+                            F.when(F.col("_src") == 0, F.col(c)),
+                            F.when(
+                                F.col("_src") == 0,
+                                F.struct(
+                                    F.col(m["order_col"]), F.col(c)
+                                ),
+                            ),
                         ).over(kw),
                     )
             w = Window.partitionBy(*m["key_cols"]).orderBy(
@@ -3528,7 +3550,20 @@ class TxTable:
         """Absolute source paths every earlier :meth:`copy_into`
         ingested — the skip set. Checkpoint-aware (checkpoints snapshot
         the union), so the replay is O(commits since the last
-        checkpoint) like every other metadata read."""
+        checkpoint) like every other metadata read.
+
+        Metadata-size scaling contract: the set is CUMULATIVE — every
+        path ever ingested, carried forward by each checkpoint — so
+        checkpoint size and this call are O(total files ever copied),
+        NOT O(new files). The "million-file directory with ten new
+        files reads ten data files" cost claim holds for the DATA
+        side; the metadata side re-serializes the full skip set per
+        checkpoint (~100 bytes/path → a 10⁶-file history costs
+        ~100 MB per checkpoint write and one such read per
+        ``copy_into``). At that scale prefer :meth:`auto_ingest`,
+        whose loaded-file state lives in the stream checkpoint (RocksDB
+        compacted, not re-serialized per commit), or rotate landing
+        directories so one table's ingestion history stays bounded."""
         seen: set[str] = set()
         from_v = 0
         versions = _list_versions(self.table_dir)
@@ -3579,6 +3614,8 @@ class TxTable:
         reads ten files."""
         pats = [paths] if isinstance(paths, str) else list(paths)
         cand: list[str] = []
+        unmatched = 0  # dir-walk files skipped for extension mismatch
+        walked_dir = False
         for p in pats:
             hits = sorted(glob.glob(p))
             if not hits and not glob.has_magic(p):
@@ -3602,6 +3639,7 @@ class TxTable:
                             ".lz4", ".deflate",
                         )
                     )
+                    walked_dir = True
                     for root, dnames, names in os.walk(h):
                         # prune hidden/metadata DIRECTORIES in place —
                         # Spark's own listing skips them; descending
@@ -3611,15 +3649,16 @@ class TxTable:
                             d for d in dnames
                             if not d.startswith(("_", "."))
                         ]
-                        cand.extend(
-                            os.path.join(root, nm)
-                            for nm in names
-                            if not nm.startswith(("_", "."))
+                        for nm in names:
+                            if nm.startswith(("_", ".")):
+                                continue
                             # exact extension or a KNOWN compression
                             # suffix — a bare infix match would ingest
                             # half-uploaded *.parquet.tmp files
-                            and nm.lower().endswith(exts)
-                        )
+                            if nm.lower().endswith(exts):
+                                cand.append(os.path.join(root, nm))
+                            else:
+                                unmatched += 1
                 else:
                     cand.append(h)
         files = sorted(
@@ -3627,6 +3666,17 @@ class TxTable:
                 os.path.abspath(f) for f in cand if os.path.isfile(f)
             )
         )
+        if not files and walked_dir and unmatched:
+            # a landing DIRECTORY holding only wrong-extension files is
+            # a mis-specified file_format, not an up-to-date zone — a
+            # silent (version, 0) would mask it forever. A genuinely
+            # EMPTY directory stays a silent no-op (the cron-poll case).
+            raise FileNotFoundError(
+                f"copy_into: directory source matched 0 {file_format!r} "
+                f"files but holds {unmatched} file(s) with other "
+                "extensions — wrong file_format, or rename the landing "
+                "files"
+            )
         if max_retries < 1:
             raise ValueError("copy_into: max_retries must be >= 1")
         if force:

@@ -7014,3 +7014,61 @@ def test_copy_into_races_identity_appends(spark, tmp_path):
     ids = [r["_row_id"] for r in rows]
     assert len(set(ids)) == 23
     assert max(ids) < t._identity_counters()["_row_id"]
+
+
+def test_identity_inherit_follows_latest_existing_duplicate(
+    spark, tmp_path
+):
+    """ADVICE r08: blind appends can leave DUPLICATE rows for one key.
+    A later keyed merge must inherit the identity of the LATEST-WINS
+    existing row (the survivor), not the per-key max id among the
+    duplicates — otherwise the surviving row's id silently rewrites,
+    drifting from the row-tracking 'preserved byte-identically'
+    contract. Ids chosen so the later row has the SMALLER id, which
+    the old max-based inheritance would get wrong."""
+    t = _mk_ident(
+        spark, tmp_path, identity_cols={"rid": {"always": False}},
+    )
+    sch = "k long, v long, ver long, rid long"
+    t.append(spark.createDataFrame([(1, 10, 1, 100)], sch))
+    t.append(spark.createDataFrame([(1, 11, 2, 5)], sch))  # dup key
+    t.merge_upsert(
+        spark.createDataFrame([(1, 12, 3)], "k long, v long, ver long")
+    )
+    rows = t.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == 12 and rows[0]["rid"] == 5
+    # same contract through the CDC path
+    t.append(spark.createDataFrame([(2, 20, 1, 70)], sch))
+    t.append(spark.createDataFrame([(2, 21, 2, 7)], sch))
+    t.apply_cdc(
+        spark.createDataFrame(
+            [(2, 22, 3, "U")], "k long, v long, ver long, op string"
+        )
+    )
+    got = {r["k"]: r for r in t.read().collect()}
+    assert got[2]["v"] == 22 and got[2]["rid"] == 7
+
+
+def test_copy_into_wrong_format_directory_raises(spark, tmp_path):
+    """ADVICE r08: a landing directory holding ONLY wrong-extension
+    files must not look identical to an up-to-date zone — raise on the
+    mis-specified file_format; a genuinely empty directory stays a
+    silent no-op (the cron-poll case)."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    land = tmp_path / "land"
+    spark.createDataFrame(
+        [(1, 1, 1)], "k long, v long, ver long"
+    ).coalesce(1).write.option("header", "true").csv(str(land / "d"))
+    with pytest.raises(FileNotFoundError, match="other extensions"):
+        t.copy_into(str(land / "d"))  # parquet over a csv landing dir
+    (land / "empty").mkdir()
+    _, n = t.copy_into(str(land / "empty"))
+    assert n == 0
+    # the matching format still loads the same directory
+    _, n = t.copy_into(
+        str(land / "d"),
+        file_format="csv",
+        options={"inferSchema": "true", "header": "true"},
+    )
+    assert n == 1
