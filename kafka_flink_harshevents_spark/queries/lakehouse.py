@@ -950,7 +950,78 @@ def q_txlog_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED BY gate: run a mutation program over a table
+    partitioned by ``o_orderstatus`` (append → keyed merge →
+    partition-level DELETE), then emit the driver-hashable contract:
+    the pruned partition read returns EXACTLY the rows and sum SQL
+    states, the skip-report's ``rows_skipped`` equals the other live
+    partition's row count EXACTLY (partition values are invariants,
+    not min/max estimates — the number is oracle-stateable, unlike
+    file counts), and a zero-copy CONVERT of a hive-partitioned
+    source answers the same partition query through the log-side
+    value fill. Proves: stage layout, per-entry partition values,
+    exact pruning, partition-crossing merge, whole-partition delete,
+    and hive adoption — each against DuckDB."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txpart-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+        partition_by=("st",),
+    )
+    t.append(base)
+    t.merge_upsert(
+        base.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    t.delete_where("st = 'P'")
+    o_part = t.read(eq={"st": "O"})
+    agg = o_part.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("amount_c").cast("long").alias("s"),
+    ).collect()[0]
+    rep = t.prune_report({}, eq={"st": "O"})
+    n_after_delete = t.read().count()
+    # zero-copy hive adoption answers the same partition query
+    land = tempfile.mkdtemp(prefix="txpart-src-")
+    base.write.partitionBy("st").parquet(f"{land}/data")
+    tc = TxTable.convert_from_parquet(
+        spark,
+        f"{land}/data",
+        tempfile.mkdtemp(prefix="txpart-cv-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    repc = tc.prune_report({}, eq={"st": "O"})
+    row = (
+        int(agg["n"]),
+        int(agg["s"]),
+        int(rep["rows_skipped"]),
+        int(n_after_delete),
+        int(tc.read(eq={"st": "O"}).count()),
+        int(
+            rep["files_skipped"] > 0
+            and repc["files_skipped"] > 0
+            and repc["files_read"] < repc["files_total"]
+        ),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_o_rows long, sum_o_amount long, rows_skipped_to_f long, "
+        "n_after_delete long, convert_n_o long, skips_files long",
+    )
+
+
 QUERIES = {
+    "q_txlog_partitioned": q_txlog_partitioned,
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
     "q_txlog_rename_column": q_txlog_rename_column,
@@ -979,6 +1050,27 @@ QUERIES = {
 #   k%5=0 (merge inserts the %3 keys the append skipped, updates the
 #   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
 ORACLES = {
+    "q_txlog_partitioned": f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+                     AS amount_c
+            FROM orders WHERE o_orderkey <= {_KEY_CAP}
+        )
+        SELECT
+          CAST((SELECT COUNT(*) FROM base WHERE st = 'O') AS BIGINT)
+            AS n_o_rows,
+          CAST((SELECT SUM(amount_c) FROM base WHERE st = 'O') AS BIGINT)
+            AS sum_o_amount,
+          CAST((SELECT COUNT(*) FROM base WHERE st = 'F') AS BIGINT)
+            AS rows_skipped_to_f,
+          CAST((SELECT COUNT(*) FROM base WHERE st <> 'P') AS BIGINT)
+            AS n_after_delete,
+          CAST((SELECT COUNT(*) FROM base WHERE st = 'O') AS BIGINT)
+            AS convert_n_o,
+          CAST(1 AS BIGINT) AS skips_files
+    """,
     "q_txlog_convert": f"""
         SELECT o_orderkey AS k,
                o_orderstatus AS st,

@@ -71,7 +71,13 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _LOG_DIR = "_txlog"
 _PAD = 20
@@ -341,6 +347,107 @@ def _path_sfx(path: str) -> str:
     comparison between a stored entry path and a scan-side ``_file``
     must normalize through this helper."""
     return "/".join(path.split("/")[-3:])
+
+
+#: hive's directory token for a NULL partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: Spark type names a partition column may carry — the types whose
+#: values round-trip a hive ``col=value`` directory name losslessly
+#: into the stats-scalar encoding (ints as ints, dates as epoch-days,
+#: strings urldecoded). Floats are refused (directory round-trip is
+#: not exact), booleans/binary/nested are not meaningful partitions.
+_PART_TYPES = {"string", "byte", "short", "integer", "long", "date"}
+
+
+def _part_scalar_of_dir(token: str, type_name: str):
+    """Decode one hive partition-directory VALUE token into the same
+    JSON-safe scalar encoding file stats use (``_stat_scalar``), typed
+    by the column's Spark type name. ``__HIVE_DEFAULT_PARTITION__`` →
+    None (the null partition)."""
+    from urllib.parse import unquote
+
+    if token == _HIVE_NULL:
+        return None
+    v = unquote(token)
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(v)
+    if type_name == "date":
+        return (
+            datetime.date.fromisoformat(v) - datetime.date(1970, 1, 1)
+        ).days
+    return v
+
+
+def _infer_part_type(tokens) -> str:
+    """Infer a hive-converted partition column's Spark type from its
+    directory value tokens — Spark's own partition-discovery ladder
+    restricted to the losslessly round-tripping types: long if every
+    value is an integer, date if every value is an ISO date, else
+    string (all-null columns default to string)."""
+    from urllib.parse import unquote
+
+    vals = [unquote(t) for t in tokens]
+
+    def is_date(v: str) -> bool:
+        try:
+            datetime.date.fromisoformat(v)
+        except ValueError:
+            return False
+        return True
+
+    if vals and all(re.fullmatch(r"-?\d+", v) for v in vals):
+        return "long"
+    if vals and all(is_date(v) for v in vals):
+        return "date"
+    return "string"
+
+
+def _part_may_match(
+    entry: dict, prune: dict | None = None, eq: dict | None = None
+) -> bool:
+    """EXACT partition skip test over an add-entry's recorded ``part``
+    values. Unlike the min/max stats test this is an invariant, not an
+    estimate: every row in the file carries exactly the recorded value,
+    so a NULL partition value skips under any bound or equality (SQL
+    comparison semantics — NULL matches nothing), and a mismatched
+    value skips even where footer stats were dropped. Columns absent
+    from ``part`` (or incomparable bound types) keep the file — the
+    row-level predicate still applies."""
+    part = entry.get("part")
+    if not part:
+        return True
+    for col, (lo, hi) in (prune or {}).items():
+        if col not in part:
+            continue
+        v = part[col]
+        lo_c, hi_c = _stat_scalar(lo), _stat_scalar(hi)
+        if v is None:
+            if lo_c is not None or hi_c is not None:
+                return False
+            continue
+        try:
+            if lo_c is not None and v < lo_c:
+                return False
+            if hi_c is not None and v > hi_c:
+                return False
+        except TypeError:
+            continue
+    for col, val in (eq or {}).items():
+        if col not in part:
+            continue
+        v = part[col]
+        c = _stat_scalar(val)
+        if v is None:
+            return False  # NULL partition: equality matches nothing
+        if c is None:
+            continue  # unencodable lookup value — keep conservatively
+        if isinstance(v, (int, float)) and isinstance(c, (int, float)):
+            if v != c:
+                return False
+        elif type(v) is type(c) and v != c:
+            return False
+    return True
 
 
 def _add_entry(table_dir: str, path: str, bucket: int) -> dict:
@@ -622,6 +729,7 @@ class TxTable:
         checkpoint_interval: int | None = 10,
         identity_cols: dict[str, dict] | None = None,
         row_tracking: bool = False,
+        partition_by: tuple[str, ...] = (),
     ) -> "TxTable":
         """``cdf=True`` is Delta's ``enableChangeDataFeed`` table
         property: rewrite commits (merge / delete / update) MATERIALIZE
@@ -686,7 +794,29 @@ class TxTable:
         snapshot replay O(interval) however long the log grows — at
         a 10⁵-commit production log that is the difference between
         reading 10 records and 10⁵ per snapshot. ``None``/0 disables
-        (manual ``checkpoint()`` still works)."""
+        (manual ``checkpoint()`` still works).
+
+        ``partition_by`` is Delta's ``PARTITIONED BY`` — hive-style
+        directory partitioning COMPOSED with the hash-bucketed layout:
+        every staged commit splits its files per distinct partition
+        tuple (``col=value`` directories under each staged root), each
+        add-entry records the file's exact partition values in the
+        commit log (the Iceberg manifest-entry shape), and
+        ``read(eq=...)`` / ``read(prune=...)`` / the DELETE/UPDATE
+        find-scans skip non-matching files EXACTLY — a partition value
+        is an invariant of the file, not a min/max estimate, so
+        partition pruning works even where footer stats are dropped
+        (long strings) and composes with the existing stats/bloom
+        skipping. Unlike hive, partition values ALSO live in the data
+        files (the directory split is layout, the column is data), so
+        explicit-file-list reads, streaming, and the DataSource need
+        no partition discovery. Partition columns may be generated
+        columns (the classic derived-date pattern) and must be
+        string/integral/date typed (enforced at first write); every
+        write frame must carry them (the Delta rule). The classic
+        scale win: a day-partitioned 100 TB event log answers a
+        one-day query by opening one partition's files — file-level
+        pruning proportional to data touched, not table size."""
         t = cls(spark, table_dir)
         if _list_versions(table_dir):
             return t  # already initialized — metadata is immutable
@@ -745,6 +875,23 @@ class TxTable:
                     "expressions run BEFORE allocation, so the value "
                     "would be computed from NULL on every insert"
                 )
+        pby = tuple(partition_by)
+        if len(set(pby)) != len(pby):
+            raise ValueError(
+                f"partition_by has duplicate column(s): {list(pby)}"
+            )
+        badp = [p for p in pby if p.startswith("_")]
+        if badp:
+            raise ValueError(
+                f"partition_by cannot name reserved column(s) {badp}"
+            )
+        badpi = set(pby) & set(ident)
+        if badpi:
+            raise ValueError(
+                "partition_by cannot cover IDENTITY/row-tracking "
+                f"column(s) {sorted(badpi)} — a per-row-unique value "
+                "would make one file per row"
+            )
         _atomic_commit(
             table_dir,
             1,
@@ -763,6 +910,7 @@ class TxTable:
                     "checkpoint_interval": int(checkpoint_interval or 0),
                     **({"identity_cols": ident} if ident else {}),
                     **({"row_tracking": True} if row_tracking else {}),
+                    **({"partition_by": list(pby)} if pby else {}),
                 },
             },
         )
@@ -1172,6 +1320,10 @@ class TxTable:
             }
             or None,
             row_tracking=bool(m.get("row_tracking")),
+            # the partition layout is a table contract too: writes to
+            # the clone must keep splitting files per partition tuple,
+            # and the cloned entries' `part` values keep pruning exact
+            partition_by=tuple(m.get("partition_by") or ()),
         )
         if _list_versions(dest_dir) != [1]:
             raise ValueError(
@@ -1251,43 +1403,83 @@ class TxTable:
         vacuum/compact may leave or drop references; the log is the
         only truth).
 
+        HIVE-PARTITIONED sources are adopted zero-copy too: the
+        partition COLUMNS are inferred from the ``col=value`` directory
+        names (types: long if every value parses as an integer, date if
+        every value is an ISO date, else string), each adopted file's
+        exact partition values land in its add-entry (``part`` — so
+        partition pruning works from commit one), and the table is
+        created ``partition_by`` those columns. Hive keeps partition
+        values OUT of the data files, so adopted entries are flagged
+        ``pfill`` and every library read coalesces the value back in
+        from the log (Delta's log-supplied partition-value read);
+        ``compact()``/``rebucket()`` materialize the columns into
+        rewritten files and the flag disappears. Until then the
+        DataSource/streaming readers refuse the table (their per-file
+        Arrow readers have no log-side fill) — run ``compact()`` first.
+        Hive's directory encoding cannot distinguish NULL from empty
+        string; both adopt as NULL (the hive/Delta convention).
+
         Refused: source schemas carrying reserved names (``_bucket``,
-        ``_row_id``), or missing the key/order columns.
+        ``_row_id``), or missing the key/order columns (counting
+        inferred partition columns).
         ``row_tracking``/``identity_cols``/``generated_cols`` are not
         offered — adopted files cannot already carry library-managed
         columns (declare them on a fresh table and ``copy_into``
         instead)."""
         files = []
+        fparts: list[list[tuple[str, str]]] = []  # per-file (col, token)
         for root, dirs, names in os.walk(source_dir):
-            part_dirs = [d for d in dirs if "=" in d]
-            # prune hidden/metadata directories (a Delta source's
+            # prune hidden/metadata directories FIRST (a Delta source's
             # _delta_log checkpoints are parquet too — adopting them
-            # would turn table METADATA into data rows)
+            # would turn table METADATA into data rows), THEN read the
+            # partition structure off the survivors — a pruned
+            # .hive-staging_…=… tree must not register as partitioning
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            if part_dirs:
-                # hive-partitioned layout: the partition VALUES live in
-                # directory names, not in the files — adopting the leaf
-                # files would silently drop those columns (Delta's
-                # CONVERT requires PARTITIONED BY for the same reason;
-                # this engine's layout is hash-bucketed, not
-                # directory-partitioned)
-                raise ValueError(
-                    f"convert_from_parquet: {source_dir!r} is "
-                    f"hive-partitioned (e.g. {part_dirs[0]!r}) — "
-                    "partition-column values live in directory names "
-                    "and would be lost; read + copy_into/append the "
-                    "data instead"
-                )
-            files.extend(
-                os.path.abspath(os.path.join(root, nm))
-                for nm in names
-                if nm.endswith(".parquet") and not nm.startswith(("_", "."))
-            )
+            rel = os.path.relpath(root, source_dir)
+            comps = [] if rel == "." else rel.split(os.sep)
+            # `name=value` components are hive partition pairs; plain
+            # directory names are mere grouping (a multi-job landing
+            # layout) and carry no values
+            pairs = [
+                (c.partition("=")[0], c.partition("=")[2])
+                for c in comps
+                if "=" in c
+            ]
+            for nm in names:
+                if nm.endswith(".parquet") and not nm.startswith(
+                    ("_", ".")
+                ):
+                    files.append(os.path.abspath(os.path.join(root, nm)))
+                    fparts.append(pairs)
         if not files:
             raise FileNotFoundError(
                 f"convert_from_parquet: no parquet files under "
                 f"{source_dir!r}"
             )
+        # CONSISTENT partition column sequence across every file (the
+        # hive contract) — [] for an unpartitioned source
+        part_cols = [n for n, _ in fparts[0]]
+        for f, pr in zip(files, fparts):
+            if [n for n, _ in pr] != part_cols:
+                raise ValueError(
+                    "convert_from_parquet: inconsistent partition "
+                    f"directory structure — {f!r} carries "
+                    f"{[n for n, _ in pr]}, expected {part_cols}"
+                )
+        bad = [n for n in part_cols if n.startswith(("_", "."))]
+        if bad:
+            raise ValueError(
+                f"convert_from_parquet: partition column(s) {bad} "
+                "carry reserved (underscore/dot) names"
+            )
+        # type inference per partition column over the non-null tokens
+        ptypes: dict[str, str] = {}
+        for i, n in enumerate(part_cols):
+            toks = {
+                pr[i][1] for pr in fparts if pr[i][1] != _HIVE_NULL
+            }
+            ptypes[n] = _infer_part_type(toks)
         sfx = {}
         for f in files:
             other = sfx.setdefault(_path_sfx(f), f)
@@ -1317,6 +1509,23 @@ class TxTable:
                 f"convert_from_parquet: source carries reserved "
                 f"column name(s) {sorted(reserved)}"
             )
+        clash = names & set(part_cols)
+        if clash:
+            raise ValueError(
+                f"convert_from_parquet: partition directory column(s) "
+                f"{sorted(clash)} also exist INSIDE the data files — "
+                "ambiguous source of truth; rename one"
+            )
+        # recorded schema = file columns + the inferred partition
+        # columns appended (hive keeps the values out of the files;
+        # reads fill them from the log until a rewrite materializes)
+        _PT = {"long": LongType(), "date": DateType(),
+               "string": StringType()}
+        schema = StructType(
+            list(schema.fields)
+            + [StructField(n, _PT[ptypes[n]]) for n in part_cols]
+        )
+        names = names | set(part_cols)
         missing = (set(key_cols) | {order_col}) - names
         if missing:
             raise ValueError(
@@ -1341,20 +1550,40 @@ class TxTable:
             cdf=cdf,
             bloom_cols=bloom_cols,
             checkpoint_interval=checkpoint_interval,
+            partition_by=tuple(part_cols),
         )
         if _list_versions(table_dir) != [1]:
             raise ValueError(
                 f"convert_from_parquet: {table_dir} is not a fresh "
                 "table directory"
             )
-        entries = [_add_entry(table_dir, f, -1) for f in sorted(files)]
-        for e in entries:
+        entries = []
+        for f, pr in sorted(zip(files, fparts)):
+            e = _add_entry(table_dir, f, -1)
             # _add_entry relativizes against the table dir; adopted
             # files live OUTSIDE it — reference them absolutely, the
             # clone convention (os.path.join passes absolutes through)
             e["path"] = os.path.abspath(
                 os.path.join(table_dir, e["path"])
             )
+            if part_cols:
+                part = {}
+                for n, tok in pr:
+                    v = _part_scalar_of_dir(tok, ptypes[n])
+                    if v is None and ptypes[n] == "string":
+                        # hive's token can't tell NULL from "" — adopt
+                        # as null but record nothing skippable
+                        continue
+                    part[n] = v
+                e["part"] = part
+                # files physically LACK the partition columns — flag
+                # for log-side fill on every read until a rewrite
+                e["pfill"] = True
+                cols = e.setdefault("stats", {}).setdefault("cols", {})
+                for c, v in part.items():
+                    if v is not None and c not in cols:
+                        cols[c] = [v, v, 0]
+            entries.append(e)
         _atomic_commit(
             table_dir,
             2,
@@ -1591,6 +1820,13 @@ class TxTable:
             # meta_update built from its stale pre-race snapshot.
             meta = self.meta
             protected = set(meta["key_cols"]) | {meta["order_col"]}
+            badp = set(cols) & set(meta.get("partition_by") or ())
+            if badp:
+                raise ValueError(
+                    f"cannot drop partition column(s) {sorted(badp)} — "
+                    "the physical layout and every add-entry's pruning "
+                    "values are keyed by them (Delta refuses the same)"
+                )
             bad = set(cols) & protected
             if bad:
                 raise ValueError(
@@ -1832,14 +2068,16 @@ class TxTable:
         # skip tests translate; the row-level re-application below
         # stays on the logical frame
         if prune:
+            pm = _map_stat_keys(prune, mapping)
             live = [
                 e for e in live
-                if _file_may_match(e, _map_stat_keys(prune, mapping))
+                if _file_may_match(e, pm) and _part_may_match(e, prune=pm)
             ]
         if eq:
+            em = _map_stat_keys(eq, mapping)
             live = [
                 e for e in live
-                if _file_may_match_eq(e, _map_stat_keys(eq, mapping))
+                if _file_may_match_eq(e, em) and _part_may_match(e, eq=em)
             ]
         if not live:
             if schema_json is None:
@@ -1849,7 +2087,7 @@ class TxTable:
             )
         else:
             df = self._open_files(
-                [e["path"] for e in live], schema_json, dvs,
+                live, schema_json, dvs,
                 mapping=mapping,
             ).drop("_bucket")
         if prune:
@@ -1861,7 +2099,7 @@ class TxTable:
 
     def _open_files(
         self,
-        rel_paths: list[str],
+        rel_paths: list,
         schema_json: str | None,
         dvs: dict[str, set] | None,
         keep_meta: bool = False,
@@ -1891,9 +2129,29 @@ class TxTable:
         actually declares — files are read under PHYSICAL names and
         renamed back, so a rename never touches data files. A
         time-travel schema from before the rename carries the old
-        logical (= physical) name and resolves untouched."""
+        logical (= physical) name and resolves untouched.
+
+        ``rel_paths`` accepts the raw ADD-ENTRY DICTS interchangeably
+        with plain path strings: a hive-partitioned CONVERT adopts
+        files that physically LACK their partition columns (hive keeps
+        the values in directory names), flagged ``pfill`` in the
+        entry — for those the explicit read schema NULL-fills the
+        column and this reader coalesces in the per-file value from
+        the commit log via a broadcast (file → values) map, exactly
+        Delta's log-supplied partition-value read path. The fill is
+        transitional: the first compact()/rebucket() rewrites rows
+        with the columns materialized and the flag disappears."""
         if mapping is None:
             mapping = self.meta.get("column_mapping") or {}
+        ents = [
+            e if isinstance(e, dict) else {"path": e} for e in rel_paths
+        ]
+        rel_paths = [e["path"] for e in ents]
+        pfill: dict[str, dict] = {
+            _path_sfx(e["path"]): (e.get("part") or {})
+            for e in ents
+            if e.get("pfill")
+        }
         reader = self.spark.read.option("recursiveFileLookup", "true")
         rename_back: dict[str, str] = {}
         if schema_json is not None:
@@ -1929,7 +2187,7 @@ class TxTable:
         def to_logical(d: DataFrame) -> DataFrame:
             return _rename_columns(d, rename_back.items())
 
-        if not dv_items and not keep_meta:
+        if not dv_items and not keep_meta and not pfill:
             return to_logical(df)
         # ``keep_meta``: expose each row's table-relative file and
         # physical position (``_file``, ``_rowpos``) — the DELETE/UPDATE
@@ -1946,8 +2204,62 @@ class TxTable:
                 dv_items, "_file string, _rowpos long"
             )
             df = df.join(F.broadcast(dvdf), ["_file", "_rowpos"], "left_anti")
+        if pfill and schema_json is not None:
+            df = self._apply_pfill(df, pfill, schema_json, mapping)
         df = to_logical(df)
         return df if keep_meta else df.drop("_file", "_rowpos")
+
+    def _apply_pfill(
+        self,
+        df: DataFrame,
+        pfill: dict[str, dict],
+        schema_json: str | None,
+        mapping: dict[str, str],
+    ) -> DataFrame:
+        """Coalesce log-recorded partition values into the NULL-filled
+        partition columns of hive-adopted files (``pfill`` entries).
+        One broadcast (file-suffix → values) map over the scan — the
+        same O(live files) driver footprint as the DV map; files from
+        other entries miss the left join and keep their physical
+        values. Runs on PHYSICAL column names (before rename-back)."""
+        pby = [
+            p
+            for p in (self.meta.get("partition_by") or ())
+            if p in df.columns
+        ]
+        if not pby:
+            return df
+        logical = StructType.fromJson(json.loads(schema_json))
+        by_phys = {
+            mapping.get(f.name, f.name): f for f in logical.fields
+        }
+        fields = [StructField("_file", StringType())]
+        rows = []
+        for sfx, part in pfill.items():
+            vals = []
+            for p in pby:
+                v = part.get(p)
+                tname = by_phys[p].dataType.typeName()
+                if v is not None and tname == "date":
+                    v = datetime.date(1970, 1, 1) + datetime.timedelta(
+                        days=int(v)
+                    )
+                elif v is not None and tname in (
+                    "byte", "short", "integer", "long",
+                ):
+                    v = int(v)
+                vals.append(v)
+            rows.append((sfx, *vals))
+        fields += [
+            StructField(f"_pf_{p}", by_phys[p].dataType) for p in pby
+        ]
+        fill = self.spark.createDataFrame(rows, StructType(fields))
+        df = df.join(F.broadcast(fill), ["_file"], "left")
+        for p in pby:
+            df = df.withColumn(
+                p, F.coalesce(F.col(p), F.col(f"_pf_{p}"))
+            ).drop(f"_pf_{p}")
+        return df
 
     @staticmethod
     def _apply_prune(df: DataFrame, prune: dict[str, tuple]) -> DataFrame:
@@ -1979,6 +2291,8 @@ class TxTable:
 
         def keep(e: dict) -> bool:
             if not _file_may_match(e, prune):
+                return False
+            if not _part_may_match(e, prune=prune, eq=eq):
                 return False
             return not eq or _file_may_match_eq(e, eq)
 
@@ -2217,16 +2531,45 @@ class TxTable:
         # partitionBy (which strips its column from the files);
         # `_bucket` itself stays in the data so explicit-file-list
         # reads need no partition discovery.
-        # `_pb` leads the within-partition sort: FileFormatWriter
-        # requires task rows ordered by the partition columns and
-        # inserts its own (non-stable) sort when they are not — which
-        # would scramble the data ordering this sort establishes
-        w = (
-            df.withColumn("_pb", F.col(bin_col or "_bucket"))
-            .repartition("_pb")
-            .sortWithinPartitions(
-                "_pb", *(order_cols or meta["key_cols"])
-            )
+        # Partitioned tables add one `_hp_<col>` COPY per partition
+        # column the same way: partitionBy consumes the copies into
+        # `_hp_<col>=value` directories (one file per partition tuple
+        # per bucket — the granularity the add-entry records) while
+        # the REAL columns stay in the data, so no read path ever
+        # needs partition discovery or log-side column fill.
+        pby = list(meta.get("partition_by") or ())
+        rev = {
+            ph: lg
+            for lg, ph in (meta.get("column_mapping") or {}).items()
+        }
+        hp_cols: list[str] = []
+        ptypes: dict[str, str] = {}
+        w = df.withColumn("_pb", F.col(bin_col or "_bucket"))
+        for ph in pby:
+            lg = rev.get(ph, ph)  # frame carries LOGICAL names here
+            if lg not in w.columns:
+                raise ValueError(
+                    f"write frame lacks partition column {lg!r} — "
+                    "partitioned tables require every write to carry "
+                    "their partition columns"
+                )
+            tname = w.schema[lg].dataType.typeName()
+            if tname not in _PART_TYPES:
+                raise ValueError(
+                    f"partition column {lg!r} has type {tname!r} — "
+                    f"partition columns must be one of "
+                    f"{sorted(_PART_TYPES)}"
+                )
+            ptypes[ph] = tname
+            hp_cols.append(f"_hp_{ph}")
+            w = w.withColumn(f"_hp_{ph}", F.col(lg))
+        # `_hp_*` + `_pb` lead the within-partition sort:
+        # FileFormatWriter requires task rows ordered by the partition
+        # columns and inserts its own (non-stable) sort when they are
+        # not — which would scramble the data ordering this sort
+        # establishes
+        w = w.repartition("_pb").sortWithinPartitions(
+            *hp_cols, "_pb", *(order_cols or meta["key_cols"])
         )
         # synthetic layout columns (z-value, bin id) must not land in
         # the files: the projection after the sort is exchange-free,
@@ -2248,18 +2591,60 @@ class TxTable:
                         "carry both names"
                     )
                 w = w.withColumnRenamed(lg, ph)
-        writer = w.write.partitionBy("_pb")
+        writer = w.write.partitionBy(*hp_cols, "_pb")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
         writer.parquet(out)
         entries = []
-        for p in glob.glob(os.path.join(out, "_pb=*", "*.parquet")):
+        for p0 in glob.glob(
+            os.path.join(out, "**", "*.parquet"), recursive=True
+        ):
+            # rename to a globally-unique basename: the scan-side file
+            # identity key is the LAST THREE path components, and with
+            # ≥2 partition directory levels Spark's own part-file names
+            # (unique per job, not per directory tree) could collide on
+            # that suffix across sibling partition dirs — which would
+            # cross-apply deletion vectors. A per-file uuid makes the
+            # suffix unique whatever the directory depth.
+            p = os.path.join(
+                os.path.dirname(p0), f"part-{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(p0, p)
+            # innermost dir is always `_pb=N` (bucket); any enclosing
+            # `_hp_<col>=value` dirs carry the file's partition tuple
             pb = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
             bucket = bin_to_bucket[pb] if bin_to_bucket is not None else pb
             # physical size recorded once at stage time: consumed by
             # byte-based stream pacing and the size-aware compaction
             # policy without a stat call per planning pass
-            entries.append(_add_entry(self.table_dir, p, bucket))
+            e = _add_entry(self.table_dir, p, bucket)
+            if pby:
+                part = {}
+                for comp in os.path.relpath(p, out).split(os.sep)[:-2]:
+                    name, _, val = comp.partition("=")
+                    if name.startswith("_hp_"):
+                        col = name[4:]
+                        v = _part_scalar_of_dir(val, ptypes[col])
+                        if v is None and ptypes[col] == "string":
+                            # hive writes NULL and "" both as the
+                            # default-partition token — for strings the
+                            # dir name can't distinguish them, so record
+                            # nothing (conservative keep) instead of an
+                            # exact null that would wrongly skip eq("")
+                            continue
+                        part[col] = v
+                e["part"] = part
+                # partition values double as EXACT per-file stats
+                # (min == max == value, zero nulls) — footer stats for
+                # the column say the same thing, but this survives the
+                # cases footers drop (long strings), so the whole
+                # stats-skipping surface (reads, find-scans, the
+                # DataSource pushdown) prunes partitions for free
+                cols = e.setdefault("stats", {}).setdefault("cols", {})
+                for c, v in part.items():
+                    if v is not None and c not in cols:
+                        cols[c] = [v, v, 0]
+            entries.append(e)
         bloom_cols = tuple(
             c for c in (meta.get("bloom_cols") or ()) if c in df.columns
         )
@@ -2570,7 +2955,7 @@ class TxTable:
                 # rewrite) and recompute _bucket from the keys
                 existing = self._with_bucket(
                     self._open_files(
-                        [e["path"] for e in hit], snap_schema, dvs
+                        hit, snap_schema, dvs
                     ).drop("_bucket")
                 )
                 merged = ex_flag(existing, 1).unionByName(
@@ -3024,7 +3409,7 @@ class TxTable:
             s_m = src_b.drop("_bucket").withColumn("_s", F.lit(1))
             if hit:
                 t_m = self._open_files(
-                    [e["path"] for e in hit], snap_schema, dvs
+                    hit, snap_schema, dvs
                 ).drop("_bucket").withColumn("_t", F.lit(1))
             else:
                 # empty/untouched target side: synthesize the s-only
@@ -3369,7 +3754,7 @@ class TxTable:
             if hit:
                 existing = self._with_bucket(
                     self._open_files(
-                        [e["path"] for e in hit], snap_schema, dvs
+                        hit, snap_schema, dvs
                     ).drop("_bucket")
                 ).withColumn("_op", F.lit(None).cast("string")).withColumn(
                     "_src", F.lit(0)
@@ -3776,7 +4161,7 @@ class TxTable:
             if self.meta["n_buckets"] == n_buckets:
                 return base_v  # already there — no-op, no commit
             df = self._open_files(
-                [e["path"] for e in live], schema_json, dvs
+                live, schema_json, dvs
             ).drop("_bucket") if live else None
             if df is None:
                 added = []
@@ -3956,7 +4341,7 @@ class TxTable:
                                 (_path_sfx(e["path"]), bid)
                             )
                     src = self._open_files(
-                        [e["path"] for e in bin_touched], schema_json,
+                        bin_touched, schema_json,
                         dvs, keep_meta=True,
                     )
                     bindf = self.spark.createDataFrame(
@@ -3977,14 +4362,14 @@ class TxTable:
                 if adopt:
                     adf = self._with_bucket(
                         self._open_files(
-                            [e["path"] for e in adopt], schema_json, dvs
+                            adopt, schema_json, dvs
                         ).drop("_bucket")
                     )
                     added = added + self._stage(adf)
             else:
                 df = self._with_bucket(
                     self._open_files(
-                        [e["path"] for e in touched], schema_json, dvs
+                        touched, schema_json, dvs
                     ).drop("_bucket")
                 )
                 added = self._stage(df)
@@ -4042,7 +4427,7 @@ class TxTable:
                 return base_v
             df = self._with_bucket(
                 self._open_files(
-                    [e["path"] for e in live], schema_json, dvs
+                    live, schema_json, dvs
                 ).drop("_bucket")
             )
             # global [min, max] per dimension — one broadcast row
@@ -4174,7 +4559,7 @@ class TxTable:
             # must not match again) exposes each match's file + physical
             # position; predicate pushes into the parquet read
             scan = self._open_files(
-                cand_paths, schema_json, dvs, keep_meta=True
+                cand, schema_json, dvs, keep_meta=True
             )
             matches = scan.filter(predicate)
             if mode == "merge_on_read":
@@ -4230,7 +4615,7 @@ class TxTable:
             if not touched:
                 return base_v, 0
             t_scan = self._open_files(
-                [e["path"] for e in touched], schema_json, dvs
+                touched, schema_json, dvs
             )
             n_del = t_scan.filter(predicate).count()
             # recompute _bucket from the keys (the recorded schema is
@@ -4323,7 +4708,7 @@ class TxTable:
                 [f for f in filled.schema.fields if f.name != "_bucket"]
             )
             staged_df = self._open_files(
-                [e["path"] for e in staged], logical.json(), None
+                staged, logical.json(), None
             )
             outside = (
                 staged_df.filter(f"NOT (({predicate}) <=> TRUE)")
@@ -4373,7 +4758,7 @@ class TxTable:
             added: list[dict] = list(incoming)
             if cand:
                 scan = self._open_files(
-                    [e["path"] for e in cand], schema_json, dvs,
+                    cand, schema_json, dvs,
                     keep_meta=True,
                 )
                 hit_files = {
@@ -4387,7 +4772,7 @@ class TxTable:
                 ]
                 if touched:
                     t_scan = self._open_files(
-                        [e["path"] for e in touched], schema_json, dvs
+                        touched, schema_json, dvs
                     )
                     # survivors: predicate NOT TRUE (null-safe — an
                     # unknown predicate never replaces, SQL semantics)
@@ -4526,7 +4911,7 @@ class TxTable:
                     "or use copy_on_write"
                 )
             scan = self._open_files(
-                [e["path"] for e in cand], schema_json, dvs, keep_meta=True
+                cand, schema_json, dvs, keep_meta=True
             )
             if mode == "merge_on_read":
                 # bound-probe BEFORE materializing positions (the
@@ -4604,7 +4989,7 @@ class TxTable:
             if not touched:
                 return base_v, 0
             t_scan = self._open_files(
-                [e["path"] for e in touched], schema_json, dvs
+                touched, schema_json, dvs
             )
             n_upd = t_scan.filter(predicate).count()
             match = F.expr(predicate)
@@ -4935,7 +5320,7 @@ class TxTable:
             }
             return (
                 self._open_files(
-                    [e["path"] for e in rec["add"]],
+                    list(rec["add"]),
                     rec.get("schema_json"),
                     dv_full,
                 )
@@ -4946,7 +5331,7 @@ class TxTable:
         if "dv" in rec:
             # merge-on-read delete: the commit's DV DELTA rows ARE the
             # change feed — read them by physical position (no diffing)
-            pre_dvs = self._replay(version - 1)[3]
+            _, dv_live, _, pre_dvs = self._replay(version - 1)
             dv_rows = [
                 # DV commits key on the STORED entry path (absolute
                 # for adopted/cloned files); the scan's `_file` is the
@@ -4957,7 +5342,11 @@ class TxTable:
                 for i in v
             ]
             src = self._open_files(
-                sorted(rec["dv"]), rec.get("schema_json"), pre_dvs,
+                # resolve paths to the prior snapshot's ENTRIES so
+                # hive-adopted (pfill) files read with their partition
+                # values filled
+                [dv_live.get(p, p) for p in sorted(rec["dv"])],
+                rec.get("schema_json"), pre_dvs,
                 keep_meta=True,
             )
             dvdf = self.spark.createDataFrame(
@@ -4971,7 +5360,7 @@ class TxTable:
                 # pre-images, the added file holds the post-images —
                 # emit the exact full-row multiset delta (the same
                 # convention as copy-on-write update/delete rewrites)
-                post = read_files([e["path"] for e in rec["add"]])
+                post = read_files(list(rec["add"]))
                 return _multiset_delta(pre, post)
             return pre.withColumn("_change_type", F.lit("delete"))
 
@@ -4993,16 +5382,19 @@ class TxTable:
 
         # pre-images exclude rows already deleted by vectors BEFORE
         # this commit — they left the table in an earlier version
-        pre_dvs = (
-            self._replay(version - 1)[3] if rec.get("remove") else None
-        )
-        post = read_files([e["path"] for e in rec["add"]])
+        prev_live: dict = {}
+        pre_dvs = None
+        if rec.get("remove"):
+            _, prev_live, _, pre_dvs = self._replay(version - 1)
+        post = read_files(list(rec["add"]))
         if post is None and rec["op"] not in ("create", "compact") and rec["remove"]:
             # pure-removal rewrite: a whole-file DELETE, or a RESTORE
             # rolling back appends — every pre-image row is a delete
             # (an empty post here previously read as "no changes",
             # silently dropping the feed's retractions)
-            pre_only = read_files(rec["remove"], pre_dvs)
+            pre_only = read_files(
+                [prev_live.get(p, p) for p in rec["remove"]], pre_dvs
+            )
             return pre_only.withColumn("_change_type", F.lit("delete"))
         if rec["op"] in ("create", "compact") or post is None:
             # create commits carry no schema: borrow the nearest one
@@ -5020,7 +5412,9 @@ class TxTable:
         if rec["op"] == "append" or not rec["remove"]:
             return post.withColumn("_change_type", F.lit("insert"))
 
-        pre = read_files(rec["remove"], pre_dvs)
+        pre = read_files(
+            [prev_live.get(p, p) for p in rec["remove"]], pre_dvs
+        )
         if rec["op"] != "merge":
             # delete / update rewrites: the key-based pairing below
             # assumes the post-image holds ONE row per key (true only
@@ -5131,7 +5525,11 @@ class TxTable:
         now = time.time()
         deleted: list[str] = []
         for staged in glob.glob(os.path.join(self.table_dir, "_staged-*")):
-            for p in glob.glob(os.path.join(staged, "_pb=*", "*.parquet")):
+            # recursive: partitioned tables nest `_hp_<col>=value`
+            # directories above the `_pb=N` level
+            for p in glob.glob(
+                os.path.join(staged, "**", "*.parquet"), recursive=True
+            ):
                 rel = os.path.relpath(p, self.table_dir)
                 if rel in referenced:
                     continue
@@ -5147,7 +5545,7 @@ class TxTable:
             # dirs) — but only once past the grace window: an in-flight
             # writer's tree is empty-looking between mkdir and write
             if not dry_run and not glob.glob(
-                os.path.join(staged, "_pb=*", "*.parquet")
+                os.path.join(staged, "**", "*.parquet"), recursive=True
             ) and (
                 now - os.path.getmtime(staged) >= grace_seconds
                 or any(

@@ -272,6 +272,14 @@ def _change_partitions(
     for v in versions:
         rec = _read_record(table_dir, v)
         op = rec.get("op")
+        if any(e.get("pfill") for e in rec.get("add") or ()):
+            raise ValueError(
+                f"txlog stream over {table_dir}: version {v} adopts "
+                "hive-partitioned files whose partition values live "
+                "only in the commit log — the per-file Arrow reader "
+                "has no log-side fill; TxTable.compact() the table "
+                "and start the stream past the convert commit"
+            )
         # append-EQUIVALENT commits (e.g. the insert-only merge_into
         # fast path) stream like any append instead of killing the
         # query; restores never qualify — they carry a dv_full state
@@ -808,6 +816,15 @@ class TxLogBatchReader(DataSourceReader):
         target = self.version if self.version is not None else versions[-1]
         _, live_map, _, dvs = _replay_log(self.table_dir, target)
         live = list(live_map.values())
+        if any(e.get("pfill") for e in live):
+            raise ValueError(
+                "txlog read: this snapshot references hive-adopted "
+                "files whose partition values live only in the commit "
+                "log (CONVERT of a partitioned source) — the "
+                "DataSource's per-file Arrow reader has no log-side "
+                "fill; run TxTable.compact() once to materialize the "
+                "partition columns, or read through TxTable.read()"
+            )
         kept = [e for e in live if self._keep(e)]
         if self.skip_report:
             with open(self.skip_report, "w") as f:
@@ -928,6 +945,15 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 "from the table's high-watermark atomically; write "
                 "through TxTable.append/merge_upsert, which allocate "
                 "inside the committing record"
+            )
+        if meta.get("partition_by"):
+            raise ValueError(
+                "txlog write: this table is PARTITIONED BY "
+                f"{meta['partition_by']} — the DataSource writer's "
+                "per-task layout is bucket-only; write through "
+                "TxTable.append/merge_upsert, which stage the "
+                "partition-directory layout and record per-file "
+                "partition values"
             )
         self.key_cols = tuple(meta["key_cols"])
         self.n_buckets = int(meta["n_buckets"])

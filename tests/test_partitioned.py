@@ -1,0 +1,300 @@
+"""Partitioned tables in the txlog layer — Delta's PARTITIONED BY
+composed with the hash-bucketed layout, plus CONVERT of hive-partitioned
+parquet (reference partitions its stream 6 ways by key, README.md:287-297;
+this is the batch-table twin of that layout decision).
+
+What must hold: the staged layout splits one file per (partition tuple ×
+bucket); every add-entry records exact partition values; read()/
+prune_report()/the find-scans skip non-matching files EXACTLY (a
+partition value is an invariant, not an estimate); rewrites (compact /
+zorder / rebucket / update) preserve the layout and values; hive CONVERT
+adopts partitioned sources zero-copy with log-side value fill until the
+first compact materializes the columns."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.sources.txlog import (
+    TxTable,
+    _infer_part_type,
+    _part_may_match,
+    _part_scalar_of_dir,
+)
+
+
+def _mkp(spark, tmp_path, name="pt", partition_by=("region",), **kw):
+    return TxTable.create(
+        spark, str(tmp_path / name), key_cols=("k",), order_col="ver",
+        n_buckets=2, partition_by=partition_by, **kw,
+    )
+
+
+def _frame(spark, n=30):
+    return spark.createDataFrame(
+        [(k, ["eu", "us", "ap"][k % 3], k * 10, 1) for k in range(n)],
+        "k long, region string, v long, ver long",
+    )
+
+
+def test_partitioned_layout_entries_and_exact_pruning(spark, tmp_path):
+    t = _mkp(spark, tmp_path)
+    t.append(_frame(spark))
+    _, live, _, _ = t._replay()
+    ents = list(live.values())
+    # one file per (partition value × touched bucket); values recorded
+    assert len(ents) == 6
+    assert all(e["part"]["region"] in ("eu", "us", "ap") for e in ents)
+    # partition values double as min==max stats
+    assert all(
+        e["stats"]["cols"]["region"][:2] == [e["part"]["region"]] * 2
+        for e in ents
+    )
+    # the directory layout is hive-style under each staged root
+    assert all("_hp_region=" in e["path"] for e in ents)
+    rep = t.prune_report({}, eq={"region": "eu"})
+    assert rep == {
+        "files_total": 6, "files_read": 2,
+        "files_skipped": 4, "rows_skipped": 20,
+    }
+    got = sorted(r["k"] for r in t.read(eq={"region": "eu"}).collect())
+    assert got == [k for k in range(30) if k % 3 == 0]
+
+
+def test_partitioned_null_and_int_values(spark, tmp_path):
+    t = _mkp(spark, tmp_path, partition_by=("day",))
+    df = spark.createDataFrame(
+        [(1, 5, 1, 1), (2, 5, 2, 1), (3, None, 3, 1)],
+        "k long, day long, v long, ver long",
+    )
+    t.append(df)
+    _, live, _, _ = t._replay()
+    parts = sorted(
+        (e["part"]["day"] is None, e["part"]["day"] or 0)
+        for e in live.values()
+    )
+    assert any(p[0] for p in parts) and any(p[1] == 5 for p in parts)
+    # NULL partition: equality and ranges match nothing — exact skip
+    rep = t.prune_report({}, eq={"day": 5})
+    assert rep["files_read"] < rep["files_total"]
+    assert sorted(
+        r["k"] for r in t.read(eq={"day": 5}).collect()
+    ) == [1, 2]
+    assert t.read(prune={"day": (0, 10)}).count() == 2
+    # the null row is still IN the table
+    assert t.read().count() == 3
+
+
+def test_partitioned_refusals(spark, tmp_path):
+    with pytest.raises(ValueError, match="duplicate"):
+        _mkp(spark, tmp_path, "a", partition_by=("x", "x"))
+    with pytest.raises(ValueError, match="reserved"):
+        _mkp(spark, tmp_path, "b", partition_by=("_bucket",))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        _mkp(
+            spark, tmp_path, "c", partition_by=("rid",),
+            identity_cols={"rid": {}},
+        )
+    t = _mkp(spark, tmp_path, "d", partition_by=("p",))
+    # frame missing the partition column
+    with pytest.raises(ValueError, match="lacks partition column"):
+        t.append(
+            spark.createDataFrame([(1, 1, 1)], "k long, v long, ver long")
+        )
+    # float-typed partition column
+    with pytest.raises(ValueError, match="must be one of"):
+        t.append(
+            spark.createDataFrame(
+                [(1, 0.5, 1, 1)], "k long, p double, v long, ver long"
+            )
+        )
+    # the DataSource writer refuses partitioned tables
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t2 = _mkp(spark, tmp_path, "e")
+    t2.append(_frame(spark, 3))
+    with pytest.raises(Exception, match="PARTITIONED"):
+        _frame(spark, 3).write.format("txlog").option(
+            "tabledir", str(tmp_path / "e")
+        ).mode("append").save()
+    # partition columns are undroppable
+    with pytest.raises(ValueError, match="partition column"):
+        t2.drop_columns(("region",))
+
+
+def test_partitioned_rewrites_preserve_values(spark, tmp_path):
+    t = _mkp(spark, tmp_path, partition_by=("region",), cdf=True)
+    t.append(_frame(spark))
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, "us", 99, 2)], "k long, region string, v long, ver long"
+        )
+    )
+    t.compact()
+    t.optimize_zorder(("v",))
+    t.rebucket(4)
+    _, live, _, _ = t._replay()
+    assert all(
+        set(e.get("part") or {}) == {"region"} for e in live.values()
+    )
+    got = sorted(r["k"] for r in t.read(eq={"region": "us"}).collect())
+    assert got == sorted({k for k in range(30) if k % 3 == 1} | {1})
+    # update moving a row ACROSS partitions relocates its file
+    t.update_where("k = 4", {"region": "'eu'"})
+    assert 4 in {
+        r["k"] for r in t.read(eq={"region": "eu"}).collect()
+    }
+    assert 4 not in {
+        r["k"] for r in t.read(eq={"region": "us"}).collect()
+    }
+    # CDF over the partitioned mutations carries the partition column
+    ch = t.table_changes(3)
+    assert "region" in ch.columns and ch.count() > 0
+
+
+def test_partitioned_suffix_uniqueness_two_cols_with_dvs(spark, tmp_path):
+    t = _mkp(spark, tmp_path, partition_by=("a", "b"))
+    df = spark.createDataFrame(
+        [(k, k % 2, k % 3, k * 10, 1) for k in range(60)],
+        "k long, a long, b long, v long, ver long",
+    )
+    t.append(df)
+    _, live, _, _ = t._replay()
+    sfx = {"/".join(p.split("/")[-3:]) for p in live}
+    assert len(sfx) == len(live)  # DV join key stays unique
+    t.delete_where("k % 5 = 0", mode="merge_on_read")
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [k for k in range(60) if k % 5 != 0]
+    got = sorted(r["k"] for r in t.read(eq={"a": 1, "b": 2}).collect())
+    assert got == [
+        k for k in range(60) if k % 2 == 1 and k % 3 == 2 and k % 5 != 0
+    ]
+
+
+def test_convert_hive_partitioned_adopts_and_fills(spark, tmp_path):
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [
+            (k, ["eu", "us", "ap"][k % 3], k % 4, k * 10, 1)
+            for k in range(40)
+        ],
+        "k long, region string, day long, v long, ver long",
+    )
+    df.write.partitionBy("region", "day").parquet(src)
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"),
+        key_cols=("k",), order_col="ver", n_buckets=2,
+    )
+    assert t.meta.get("partition_by") == ["region", "day"]
+    _, live, _, _ = t._replay()
+    assert all(
+        e["bucket"] == -1 and e.get("pfill") for e in live.values()
+    )
+    # read FILLS the directory-only values back in, typed
+    rows = {r["k"]: (r["region"], r["day"]) for r in t.read().collect()}
+    assert rows == {
+        k: (["eu", "us", "ap"][k % 3], k % 4) for k in range(40)
+    }
+    assert dict(t.read().dtypes)["day"] == "bigint"
+    # pruning works from commit one (values from directory names)
+    rep = t.prune_report({}, eq={"region": "eu", "day": 1})
+    assert rep["files_read"] < rep["files_total"]
+    got = sorted(
+        r["k"]
+        for r in t.read(eq={"region": "eu", "day": 1}).collect()
+    )
+    assert got == [k for k in range(40) if k % 3 == 0 and k % 4 == 1]
+    # keyed merge against the adopted files sees filled values
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, "eu", 0, 999, 2)],
+            "k long, region string, day long, v long, ver long",
+        )
+    )
+    r1 = [r for r in t.read().collect() if r["k"] == 1][0]
+    assert (r1["v"], r1["region"], r1["day"]) == (999, "eu", 0)
+
+
+def test_convert_hive_datasource_refuses_until_compact(spark, tmp_path):
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(k, k % 2, k, 1) for k in range(10)],
+        "k long, p long, v long, ver long",
+    ).write.partitionBy("p").parquet(src)
+    d = str(tmp_path / "t")
+    t = TxTable.convert_from_parquet(
+        spark, d_src := src, d, key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    with pytest.raises(Exception, match="log-side fill"):
+        spark.read.format("txlog").option("tabledir", d).load().count()
+    t.compact()
+    _, live, _, _ = t._replay()
+    assert not any(e.get("pfill") for e in live.values())
+    assert (
+        spark.read.format("txlog").option("tabledir", d).load().count()
+        == 10
+    )
+    # post-compact the column is physical; pruning still exact
+    got = sorted(r["k"] for r in t.read(eq={"p": 1}).collect())
+    assert got == [k for k in range(10) if k % 2 == 1]
+
+
+def test_convert_hive_date_inference_and_clone(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(k, datetime.date(2024, 1, 1 + k % 3), 1) for k in range(9)],
+        "k long, d date, ver long",
+    ).write.partitionBy("d").parquet(src)
+    t = TxTable.convert_from_parquet(
+        spark, src, str(tmp_path / "t"),
+        key_cols=("k",), order_col="ver", n_buckets=2,
+    )
+    assert dict(t.read().dtypes)["d"] == "date"
+    assert t.read(eq={"d": datetime.date(2024, 1, 2)}).count() == 3
+    # a clone inherits the partition contract and the fill entries
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c.meta.get("partition_by") == ["d"]
+    assert c.read(eq={"d": datetime.date(2024, 1, 2)}).count() == 3
+    c.append(
+        spark.createDataFrame(
+            [(100, datetime.date(2024, 1, 9), 1)], "k long, d date, ver long"
+        )
+    )
+    assert c.read().count() == 10 and t.read().count() == 9
+
+
+def test_part_helpers_unit(tmp_path):
+    assert _infer_part_type({"1", "-5", "12"}) == "long"
+    assert _infer_part_type({"2024-01-01", "2023-12-31"}) == "date"
+    assert _infer_part_type({"1", "x"}) == "string"
+    assert _infer_part_type(set()) == "string"
+    assert _part_scalar_of_dir("7", "long") == 7
+    assert _part_scalar_of_dir("2024-01-02", "date") == 19724
+    assert _part_scalar_of_dir("a%20b", "string") == "a b"
+    assert _part_scalar_of_dir("__HIVE_DEFAULT_PARTITION__", "long") is None
+    e = {"part": {"p": 5}}
+    assert _part_may_match(e, eq={"p": 5})
+    assert not _part_may_match(e, eq={"p": 6})
+    assert _part_may_match(e, prune={"p": (0, 10)})
+    assert not _part_may_match(e, prune={"p": (6, None)})
+    # NULL partition matches nothing
+    en = {"part": {"p": None}}
+    assert not _part_may_match(en, eq={"p": 5})
+    assert not _part_may_match(en, prune={"p": (None, 3)})
+    assert _part_may_match(en, prune={"p": (None, None)})
+    # incomparable types keep the file
+    assert _part_may_match(e, eq={"p": "x"})

@@ -6706,15 +6706,18 @@ def test_adopted_files_merge_on_read_dv_applies(spark, tmp_path):
 
 def test_convert_refusals_partitioned_and_existing(spark, tmp_path):
     rows = [(1, 1, 1)]
+    # hive-partitioned sources ADOPT since round 9 (partition columns
+    # inferred from directory names) — no longer a refusal
     part_src = str(tmp_path / "part")
     spark.createDataFrame(
         [(1, 1, 1, "a")], "k long, v long, ver long, p string"
     ).write.partitionBy("p").parquet(part_src)
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        TxTable.convert_from_parquet(
-            spark, part_src, str(tmp_path / "t1"),
-            key_cols=("k",), order_col="ver",
-        )
+    tp = TxTable.convert_from_parquet(
+        spark, part_src, str(tmp_path / "t1"),
+        key_cols=("k",), order_col="ver",
+    )
+    assert tp.meta.get("partition_by") == ["p"]
+    assert [r["p"] for r in tp.read().collect()] == ["a"]
     src = _foreign_dir(spark, tmp_path, rows, parts=1)
     TxTable.create(
         spark, str(tmp_path / "pre"), key_cols=("user",), order_col="ver",
