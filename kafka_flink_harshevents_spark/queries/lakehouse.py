@@ -1020,8 +1020,71 @@ def q_txlog_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse SQL DML front-end on the hash: drive a mutation
+    program ENTIRELY through ``txsql`` statement strings — UPDATE ...
+    WHERE, a MERGE INTO with an ordered clause list (conditional DELETE
+    before unconditional UPDATE, constructed-VALUES insert), and
+    DELETE FROM — against the real commit path. The oracle states the
+    composed end state directly from ``orders``, so the PARSER (clause
+    splitting, alias rewrite, ON-key validation, SET/VALUES mapping)
+    is driver-checked end-to-end on top of the already-gated merge
+    semantics. Parser only, zero new semantics: parity with the
+    Python-API calls is pinned per-form in tests/test_txsql.py."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txsqlg-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    t.append(base)
+    txsql(
+        spark,
+        "UPDATE t SET amount_c = amount_c + 50, ver = 2 "
+        "WHERE k % 6 = 0",
+        tables={"t": t},
+    )
+    src = (
+        base.filter(F.col("k") % 4 == 0)
+        .select(
+            "k",
+            "st",
+            (F.col("amount_c") + 77).alias("amount_c"),
+            F.lit(3).cast("long").alias("ver"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 9 == 0).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "st",
+                "amount_c",
+                F.lit(3).cast("long").alias("ver"),
+            )
+        )
+    )
+    txsql(
+        spark,
+        """
+        MERGE INTO t USING src ON t.k = s.k
+        WHEN MATCHED AND s.k % 10 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET amount_c = s.amount_c,
+                                     ver = s.ver
+        WHEN NOT MATCHED THEN INSERT (k, st, amount_c, ver)
+             VALUES (s.k, s.st, s.amount_c + 1, s.ver)
+        """,
+        tables={"t": t},
+        sources={"src": src},
+    )
+    txsql(spark, "DELETE FROM t WHERE k % 13 = 0", tables={"t": t})
+    return t.read().select("k", "st", "amount_c", "ver")
+
+
 QUERIES = {
     "q_txlog_partitioned": q_txlog_partitioned,
+    "q_txlog_sql_merge": q_txlog_sql_merge,
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
     "q_txlog_rename_column": q_txlog_rename_column,
@@ -1050,6 +1113,30 @@ QUERIES = {
 #   k%5=0 (merge inserts the %3 keys the append skipped, updates the
 #   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
 ORACLES = {
+    # program: UPDATE +50/ver2 on k%6=0; MERGE src=(k%4=0 → +77/ver3,
+    # +1M keys for k%9=0) with DELETE on matched k%10=0 (i.e. k%20=0),
+    # UPDATE otherwise, constructed INSERT (+1 cent); DELETE k%13=0.
+    "q_txlog_sql_merge": f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c
+            FROM orders WHERE o_orderkey <= {_KEY_CAP}
+        )
+        SELECT k, st,
+               CASE WHEN k % 4 = 0 THEN amount_c + 77
+                    WHEN k % 6 = 0 THEN amount_c + 50
+                    ELSE amount_c END AS amount_c,
+               CAST(CASE WHEN k % 4 = 0 THEN 3
+                         WHEN k % 6 = 0 THEN 2
+                         ELSE 1 END AS BIGINT) AS ver
+        FROM base
+        WHERE NOT (k % 20 = 0) AND k % 13 <> 0
+        UNION ALL
+        SELECT k + 1000000 AS k, st, amount_c + 1 AS amount_c,
+               CAST(3 AS BIGINT) AS ver
+        FROM base
+        WHERE k % 9 = 0 AND (k + 1000000) % 13 <> 0
+    """,
     "q_txlog_partitioned": f"""
         WITH base AS (
             SELECT o_orderkey AS k, o_orderstatus AS st,

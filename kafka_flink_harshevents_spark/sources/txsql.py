@@ -1,0 +1,510 @@
+"""SQL front-end for the lakehouse DML surface — a thin PARSER that
+maps the Delta-documented DML grammar (MERGE INTO / UPDATE / DELETE /
+COPY INTO / RESTORE / OPTIMIZE / VACUUM) onto the existing
+:class:`~kafka_flink_harshevents_spark.sources.txlog.TxTable` methods.
+Zero new semantics: every statement form is parity-tested against the
+equivalent Python-API call (``tests/test_txsql.py``), and every
+guarantee (OCC, CDF, identity inheritance, partition layout, clause
+precedence) is the method's, not the parser's.
+
+Reference: the relational catalog already has SQL-surface parity
+(``spark.sql`` twins per entry); this closes the same gap for the
+MUTATION surface the reference's K3/K4 Mongo sinks motivated
+(kafkaConsumer.js:292-318) — a user can now drive the ACID table with
+the exact statements Delta documents.
+
+Grammar notes (all case-insensitive, whitespace-insensitive):
+
+- Targets: a quoted path (``MERGE INTO '/data/t' ...``) or a name
+  resolved through the ``tables`` mapping.
+- Sources (MERGE ``USING``): a name from the ``sources`` mapping, a
+  name Spark can resolve (temp view), or a parenthesized ``(SELECT
+  ...)`` evaluated by ``spark.sql`` — pure-SELECT planning stays
+  Catalyst's job; only the mutation verbs are this module's.
+- MERGE ``ON``: must be the key-equality conjunction (``t.k = s.k
+  [AND ...]`` covering exactly the table's key columns) — the engine's
+  merge is keyed by construction; arbitrary ON expressions are
+  refused with the key list in the message.
+- Aliases: ``MERGE INTO t AS tgt USING src AS s`` — clause
+  expressions may reference either alias; the parser rewrites them to
+  the ``t.`` / ``s.`` the engine's clause evaluator defines.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_flink_harshevents_spark.sources.txlog import TxTable
+
+__all__ = ["txsql"]
+
+
+class _Scanner:
+    """Tokenless scanning helpers that respect single-quoted strings,
+    backticks, and parenthesis depth — enough for the DML grammar
+    without a full SQL lexer."""
+
+    @staticmethod
+    def split_top(s: str, sep: str = ",") -> list[str]:
+        out, depth, q, cur = [], 0, None, []
+        for ch in s:
+            if q:
+                cur.append(ch)
+                if ch == q:
+                    q = None
+                continue
+            if ch in ("'", "`"):
+                q = ch
+                cur.append(ch)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == sep and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        out.append("".join(cur))
+        return [p.strip() for p in out if p.strip()]
+
+    @staticmethod
+    def find_kw(s: str, kw: str, start: int = 0) -> int:
+        """Index of the first TOP-LEVEL occurrence of keyword phrase
+        ``kw`` (spaces in ``kw`` match any whitespace run), or -1."""
+        pat = re.compile(
+            r"(?<![A-Za-z0-9_])" + r"\s+".join(
+                re.escape(w) for w in kw.split()
+            ) + r"(?![A-Za-z0-9_])",
+            re.IGNORECASE,
+        )
+        depth, q, i = 0, None, start
+        while i < len(s):
+            ch = s[i]
+            if q:
+                if ch == q:
+                    q = None
+                i += 1
+                continue
+            if ch in ("'", "`"):
+                q = ch
+                i += 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = pat.match(s, i)
+                if m:
+                    return i
+            i += 1
+        return -1
+
+
+def _rewrite_alias(expr: str, alias: str, to: str) -> str:
+    """``alias.col`` → ``to.col`` (case-insensitive, backtick-aware) —
+    the engine's clause evaluator defines ``t``/``s``."""
+    if alias.lower() == to:
+        return expr
+    return re.sub(
+        rf"(?<![A-Za-z0-9_`])`?{re.escape(alias)}`?\s*\.",
+        f"{to}.",
+        expr,
+        flags=re.IGNORECASE,
+    )
+
+
+def _parse_set(body: str, aliases: dict[str, str]) -> dict | None:
+    """``SET a = e, b = f`` → {a: e, ...}; ``SET *`` → None."""
+    body = body.strip()
+    if body == "*":
+        return None
+    out = {}
+    for item in _Scanner.split_top(body):
+        # '=' is not a word — find it top-level manually
+        depth, q, pos = 0, None, -1
+        for j, ch in enumerate(item):
+            if q:
+                if ch == q:
+                    q = None
+                continue
+            if ch in ("'", "`"):
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "=" and depth == 0:
+                pos = j
+                break
+        if pos < 0:
+            raise ValueError(f"txsql: malformed SET item {item!r}")
+        col = item[:pos].strip().strip("`")
+        # a target-prefixed assignee (t.col) is Delta-legal — strip it
+        col = re.sub(r"^[A-Za-z_][A-Za-z0-9_]*\.", "", col)
+        expr = item[pos + 1:].strip()
+        for a, to in aliases.items():
+            expr = _rewrite_alias(expr, a, to)
+        out[col] = expr
+    if not out:
+        raise ValueError("txsql: empty SET list")
+    return out
+
+
+def _strip_stmt(sql: str) -> str:
+    s = sql.strip()
+    return s[:-1].rstrip() if s.endswith(";") else s
+
+
+def _target_table(
+    spark: SparkSession, token: str, tables: dict[str, str] | None
+) -> TxTable:
+    token = token.strip()
+    if token.startswith("'") and token.endswith("'"):
+        return TxTable(spark, token[1:-1])
+    name = token.strip("`")
+    if tables and name in tables:
+        v = tables[name]
+        return v if isinstance(v, TxTable) else TxTable(spark, v)
+    raise ValueError(
+        f"txsql: unknown table {name!r} — pass tables={{name: dir}} "
+        "or use a quoted path"
+    )
+
+
+def _source_frame(
+    spark: SparkSession, token: str, sources: dict | None
+) -> DataFrame:
+    token = token.strip()
+    if token.startswith("("):
+        return spark.sql(token[1:-1])
+    name = token.strip("`")
+    if sources and name in sources:
+        return sources[name]
+    return spark.table(name)  # temp view / catalog resolution
+
+
+def _check_on_clause(
+    on: str, t: TxTable, ta: str, sa: str
+) -> None:
+    """The engine's merge is keyed: ON must be the key-equality
+    conjunction covering exactly the table's key columns."""
+    keys = set(t.meta["key_cols"])
+    seen = set()
+    for conj in re.split(r"(?i)\s+AND\s+", on.strip()):
+        m = re.fullmatch(
+            r"\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*"
+            r"`?(\w+)`?\s*\.\s*`?(\w+)`?\s*",
+            conj,
+        )
+        if not m:
+            raise ValueError(
+                f"txsql MERGE: ON term {conj!r} is not a plain "
+                "alias.col = alias.col equality — this engine's merge "
+                f"is keyed on {sorted(keys)}"
+            )
+        a1, c1, a2, c2 = m.groups()
+        pair = {a1.lower(): c1, a2.lower(): c2}
+        if set(pair) != {ta.lower(), sa.lower()} or c1 != c2:
+            raise ValueError(
+                f"txsql MERGE: ON term {conj!r} must equate the same "
+                "column across the two aliases "
+                f"({ta}.k = {sa}.k form)"
+            )
+        seen.add(c1)
+    if seen != keys:
+        raise ValueError(
+            f"txsql MERGE: ON covers {sorted(seen)} but the table is "
+            f"keyed on {sorted(keys)} — the conjunction must match "
+            "exactly"
+        )
+
+
+_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>'[^']*'|`[^`]+`|\w+)"
+    r"(?:\s+AS)?\s+(?P<ta>(?!USING\b)\w+)?\s*"
+    r"USING\s+(?P<source>\((?:[^()']|'[^']*'|\([^()]*\))*\)|`[^`]+`|[\w.]+)"
+    r"(?:\s+AS)?\s+(?P<sa>(?!ON\b)\w+)?\s*"
+    r"ON\s+",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge(
+    spark: SparkSession,
+    stmt: str,
+    tables: dict | None,
+    sources: dict | None,
+) -> int:
+    m = _MERGE_HEAD.match(stmt)
+    if not m:
+        raise ValueError(
+            "txsql: malformed MERGE INTO — expected "
+            "MERGE INTO <t> [AS a] USING <s|(SELECT ...)> [AS b] "
+            "ON ... WHEN ..."
+        )
+    t = _target_table(spark, m.group("target"), tables)
+    src = _source_frame(spark, m.group("source"), sources)
+    ta = m.group("ta") or "t"
+    sa = m.group("sa") or "s"
+    rest = stmt[m.end():]
+    first_when = _Scanner.find_kw(rest, "WHEN")
+    if first_when < 0:
+        raise ValueError("txsql MERGE: no WHEN clause")
+    on = rest[:first_when].strip()
+    _check_on_clause(on, t, ta, sa)
+    aliases = {ta: "t", sa: "s"}
+
+    # split the WHEN clauses at top level
+    claus_text = rest[first_when:]
+    bounds = []
+    i = 0
+    while True:
+        j = _Scanner.find_kw(claus_text, "WHEN", i)
+        if j < 0:
+            break
+        bounds.append(j)
+        i = j + 4
+    chunks = [
+        claus_text[a:b].strip()
+        for a, b in zip(bounds, bounds[1:] + [len(claus_text)])
+    ]
+
+    matched: list[dict] = []
+    not_matched: list[dict] = []
+    by_source = {"action": None, "set": None, "condition": None}
+    n_by_source = 0
+    _CL = re.compile(
+        r"^WHEN\s+(?P<kind>MATCHED|NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+        r"|NOT\s+MATCHED\s+BY\s+SOURCE)"
+        r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+(?P<act>.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    for ch in chunks:
+        cm = _CL.match(ch)
+        if not cm:
+            raise ValueError(f"txsql MERGE: malformed clause {ch!r}")
+        kind = re.sub(r"\s+", " ", cm.group("kind").upper())
+        cond = cm.group("cond")
+        if cond is not None:
+            for a, to in aliases.items():
+                cond = _rewrite_alias(cond, a, to)
+        act = cm.group("act").strip()
+        if kind == "MATCHED":
+            am = re.match(
+                r"(?i)^(UPDATE\s+SET\s+(?P<set>.*)|DELETE)\s*$",
+                act, re.DOTALL,
+            )
+            if not am:
+                raise ValueError(
+                    f"txsql MERGE: WHEN MATCHED action {act!r} must be "
+                    "UPDATE SET ... or DELETE"
+                )
+            if act.upper().startswith("DELETE"):
+                matched.append(
+                    {"action": "delete", "set": None, "condition": cond}
+                )
+            else:
+                matched.append({
+                    "action": "update",
+                    "set": _parse_set(am.group("set"), aliases),
+                    "condition": cond,
+                })
+        elif kind == "NOT MATCHED BY SOURCE":
+            n_by_source += 1
+            if n_by_source > 1:
+                raise ValueError(
+                    "txsql MERGE: at most one WHEN NOT MATCHED BY "
+                    "SOURCE clause (the engine's API takes one)"
+                )
+            if act.upper().startswith("DELETE"):
+                by_source = {
+                    "action": "delete", "set": None, "condition": cond,
+                }
+            else:
+                am = re.match(
+                    r"(?i)^UPDATE\s+SET\s+(?P<set>.*)$", act, re.DOTALL
+                )
+                if not am:
+                    raise ValueError(
+                        "txsql MERGE: BY SOURCE action must be DELETE "
+                        "or UPDATE SET ..."
+                    )
+                by_source = {
+                    "action": "update",
+                    "set": _parse_set(am.group("set"), aliases),
+                    "condition": cond,
+                }
+        else:  # NOT MATCHED [BY TARGET]
+            im = re.match(
+                r"(?i)^INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*VALUES\s*"
+                r"\((?P<vals>.*)\))\s*$",
+                act, re.DOTALL,
+            )
+            if not im:
+                raise ValueError(
+                    f"txsql MERGE: WHEN NOT MATCHED action {act!r} "
+                    "must be INSERT * or INSERT (cols) VALUES (exprs)"
+                )
+            if im.group("cols") is None:
+                not_matched.append({"values": None, "condition": cond})
+            else:
+                cols = [
+                    c.strip().strip("`")
+                    for c in _Scanner.split_top(im.group("cols"))
+                ]
+                vals = _Scanner.split_top(im.group("vals"))
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        "txsql MERGE: INSERT column/value count "
+                        f"mismatch ({len(cols)} vs {len(vals)})"
+                    )
+                values = {}
+                for c, v in zip(cols, vals):
+                    for a, to in aliases.items():
+                        v = _rewrite_alias(v, a, to)
+                    values[c] = v
+                not_matched.append(
+                    {"values": values, "condition": cond}
+                )
+    return t.merge_into(
+        src,
+        when_matched=matched or None,
+        when_not_matched=not_matched or None,
+        when_not_matched_by_source=by_source["action"],
+        by_source_set=by_source["set"],
+        by_source_condition=by_source["condition"],
+    )
+
+
+def _parse_options(body: str) -> dict:
+    out = {}
+    for item in _Scanner.split_top(body):
+        m = re.match(r"^\s*'?([\w.]+)'?\s*=\s*'([^']*)'\s*$", item)
+        if not m:
+            raise ValueError(f"txsql: malformed option {item!r}")
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+def txsql(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str] | None = None,
+    sources: dict[str, DataFrame] | None = None,
+):
+    """Execute one lakehouse DML statement. Returns the committed
+    version (DML / RESTORE / OPTIMIZE), ``(version, n)`` for COPY INTO
+    (files loaded) and UPDATE/DELETE (rows touched), or the reclaimed
+    path list for VACUUM — each exactly what the underlying method
+    returns."""
+    stmt = _strip_stmt(sql)
+    head = stmt.split(None, 1)[0].upper() if stmt.split() else ""
+    two = " ".join(stmt.split()[:2]).upper()
+
+    if head == "MERGE":
+        return _parse_merge(spark, stmt, tables, sources)
+
+    if head == "UPDATE":
+        m = re.match(
+            r"(?is)^UPDATE\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s+SET\s+"
+            r"(?P<set>.*?)(?:\s+WHERE\s+(?P<w>.*))?$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed UPDATE")
+        t = _target_table(spark, m.group("t"), tables)
+        assignments = _parse_set(m.group("set"), {})
+        if assignments is None:
+            raise ValueError("txsql UPDATE: SET * is not meaningful")
+        return t.update_where(m.group("w") or "true", assignments)
+
+    if two == "DELETE FROM":
+        m = re.match(
+            r"(?is)^DELETE\s+FROM\s+(?P<t>'[^']*'|`[^`]+`|\w+)"
+            r"(?:\s+WHERE\s+(?P<w>.*))?$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed DELETE FROM")
+        t = _target_table(spark, m.group("t"), tables)
+        return t.delete_where(m.group("w") or "true")
+
+    if two == "COPY INTO":
+        m = re.match(
+            r"(?is)^COPY\s+INTO\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s+"
+            r"FROM\s+'(?P<p>[^']*)'"
+            r"(?:\s+FILEFORMAT\s*=\s*(?P<f>\w+))?"
+            r"(?:\s+FORMAT_OPTIONS\s*\((?P<fo>[^)]*)\))?"
+            r"(?:\s+COPY_OPTIONS\s*\((?P<co>[^)]*)\))?\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed COPY INTO")
+        t = _target_table(spark, m.group("t"), tables)
+        co = _parse_options(m.group("co")) if m.group("co") else {}
+        return t.copy_into(
+            m.group("p"),
+            file_format=(m.group("f") or "parquet").lower(),
+            options=(
+                _parse_options(m.group("fo")) if m.group("fo") else None
+            ),
+            force=str(co.get("force", "false")).lower() == "true",
+        )
+
+    if head == "RESTORE":
+        m = re.match(
+            r"(?is)^RESTORE\s+(?:TABLE\s+)?(?P<t>'[^']*'|`[^`]+`|\w+)\s+"
+            r"TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError(
+                "txsql: malformed RESTORE — RESTORE [TABLE] <t> TO "
+                "VERSION AS OF <n>"
+            )
+        return _target_table(spark, m.group("t"), tables).restore(
+            int(m.group("v"))
+        )
+
+    if head == "OPTIMIZE":
+        m = re.match(
+            r"(?is)^OPTIMIZE\s+(?P<t>'[^']*'|`[^`]+`|\w+)"
+            r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed OPTIMIZE")
+        t = _target_table(spark, m.group("t"), tables)
+        if m.group("z"):
+            cols = tuple(
+                c.strip().strip("`")
+                for c in _Scanner.split_top(m.group("z"))
+            )
+            return t.optimize_zorder(cols)
+        return t.compact()
+
+    if head == "VACUUM":
+        m = re.match(
+            r"(?is)^VACUUM\s+(?P<t>'[^']*'|`[^`]+`|\w+)"
+            r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+            r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed VACUUM")
+        t = _target_table(spark, m.group("t"), tables)
+        return t.vacuum(
+            retain_versions=int(m.group("n") or 1),
+            dry_run=bool(m.group("dry")),
+        )
+
+    raise ValueError(
+        f"txsql: unsupported statement {head!r} — supported: MERGE "
+        "INTO, UPDATE, DELETE FROM, COPY INTO, RESTORE, OPTIMIZE, "
+        "VACUUM (pure SELECT belongs to spark.sql)"
+    )

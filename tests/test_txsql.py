@@ -1,0 +1,192 @@
+"""SQL front-end (sources/txsql.py) — parity: each SQL statement form
+must produce EXACTLY the table state of the equivalent Python-API call
+on the same mutation program (parser only, zero new semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.sources.txlog import TxTable
+from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+
+def _mk(spark, tmp_path, name) -> TxTable:
+    t = TxTable.create(
+        spark, str(tmp_path / name), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(k, k * 10, 1) for k in range(10)],
+            "k long, v long, ver long",
+        )
+    )
+    return t
+
+
+def _state(t: TxTable) -> dict:
+    return {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+
+
+def _src(spark):
+    return spark.createDataFrame(
+        [(2, 222, 2), (3, 333, 2), (50, 500, 2)],
+        "k long, v long, ver long",
+    )
+
+
+def test_merge_clauses_parity(spark, tmp_path):
+    a, b = _mk(spark, tmp_path, "a"), _mk(spark, tmp_path, "b")
+    src = _src(spark)
+    a.merge_into(
+        src,
+        when_matched=[
+            {"action": "delete", "set": None, "condition": "s.k = 2"},
+            {"action": "update",
+             "set": {"v": "s.v + t.v", "ver": "s.ver"},
+             "condition": None},
+        ],
+        when_not_matched=[
+            {"values": {"k": "s.k", "v": "s.v * 2", "ver": "s.ver"},
+             "condition": "s.v > 100"},
+        ],
+    )
+    txsql(
+        spark,
+        """
+        MERGE INTO b AS tgt USING src AS st ON tgt.k = st.k
+        WHEN MATCHED AND st.k = 2 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = st.v + tgt.v, ver = st.ver
+        WHEN NOT MATCHED AND st.v > 100
+          THEN INSERT (k, v, ver) VALUES (st.k, st.v * 2, st.ver)
+        """,
+        tables={"b": b.table_dir},
+        sources={"src": src},
+    )
+    assert _state(a) == _state(b)
+    assert _state(b)[3] == (333 + 30, 2) and _state(b)[50] == (1000, 2)
+    assert 2 not in _state(b)
+
+
+def test_merge_insert_star_update_star_and_by_source(spark, tmp_path):
+    a, b = _mk(spark, tmp_path, "a"), _mk(spark, tmp_path, "b")
+    src = _src(spark)
+    a.merge_into(
+        src,
+        when_matched="update",
+        when_not_matched="insert",
+        when_not_matched_by_source="delete",
+        by_source_condition="t.k > 7",
+    )
+    txsql(
+        spark,
+        "MERGE INTO b AS t USING src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.k > 7 THEN DELETE",
+        tables={"b": b},
+        sources={"src": src},
+    )
+    assert _state(a) == _state(b)
+    assert 8 not in _state(b) and 50 in _state(b)
+
+
+def test_merge_using_subquery_and_quoted_path(spark, tmp_path):
+    b = _mk(spark, tmp_path, "b")
+    _src(spark).createOrReplaceTempView("mergesrc_v")
+    txsql(
+        spark,
+        f"MERGE INTO '{b.table_dir}' AS t USING "
+        "(SELECT k, v, ver FROM mergesrc_v WHERE k < 10) AS s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *;",
+    )
+    st = _state(b)
+    assert st[2] == (222, 2) and st[3] == (333, 2) and 50 not in st
+
+
+def test_merge_on_clause_refusals(spark, tmp_path):
+    b = _mk(spark, tmp_path, "b")
+    src = _src(spark)
+    with pytest.raises(ValueError, match="keyed on"):
+        txsql(
+            spark,
+            "MERGE INTO b AS t USING src AS s ON t.v = s.v "
+            "WHEN MATCHED THEN DELETE",
+            tables={"b": b}, sources={"src": src},
+        )
+    with pytest.raises(ValueError, match="not a plain"):
+        txsql(
+            spark,
+            "MERGE INTO b AS t USING src AS s ON t.k = s.k + 1 "
+            "WHEN MATCHED THEN DELETE",
+            tables={"b": b}, sources={"src": src},
+        )
+    with pytest.raises(ValueError, match="no WHEN clause"):
+        txsql(
+            spark, "MERGE INTO b AS t USING src AS s ON t.k = s.k",
+            tables={"b": b}, sources={"src": src},
+        )
+
+
+def test_update_delete_parity(spark, tmp_path):
+    a, b = _mk(spark, tmp_path, "a"), _mk(spark, tmp_path, "b")
+    a.update_where("k % 3 = 0", {"v": "v + 1", "ver": "2"})
+    a.delete_where("k >= 8")
+    txsql(spark, "UPDATE b SET v = v + 1, ver = 2 WHERE k % 3 = 0",
+          tables={"b": b})
+    _, n = txsql(spark, "DELETE FROM b WHERE k >= 8", tables={"b": b})
+    assert n == 2
+    assert _state(a) == _state(b)
+    # unconditional forms
+    txsql(spark, "UPDATE b SET ver = 9", tables={"b": b})
+    assert all(v[1] == 9 for v in _state(b).values())
+    txsql(spark, "DELETE FROM b", tables={"b": b})
+    assert _state(b) == {}
+
+
+def test_copy_into_restore_optimize_vacuum(spark, tmp_path):
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    land = tmp_path / "land"
+    spark.createDataFrame(
+        [(k, k, 1) for k in range(6)], "k long, v long, ver long"
+    ).coalesce(1).write.parquet(str(land / "a"))
+    v, n = txsql(
+        spark,
+        f"COPY INTO t FROM '{land}/a/*.parquet' FILEFORMAT = PARQUET",
+        tables={"t": t},
+    )
+    assert n == 1 and t.read().count() == 6
+    # idempotent re-run loads nothing; COPY_OPTIONS force reloads
+    _, n2 = txsql(
+        spark, f"COPY INTO t FROM '{land}/a/*.parquet'", tables={"t": t}
+    )
+    assert n2 == 0
+    v_before = t.latest_version()
+    txsql(spark, "UPDATE t SET v = 0", tables={"t": t})
+    txsql(
+        spark,
+        f"RESTORE TABLE t TO VERSION AS OF {v_before}",
+        tables={"t": t},
+    )
+    assert {r["v"] for r in t.read().collect()} == {0, 1, 2, 3, 4, 5}
+    txsql(spark, "OPTIMIZE t", tables={"t": t})
+    _, live, _, _ = t._replay()
+    assert len(live) <= 2  # one file per bucket after compact
+    txsql(spark, "OPTIMIZE t ZORDER BY (v)", tables={"t": t})
+    dead = txsql(spark, "VACUUM t RETAIN 1 VERSIONS DRY RUN",
+                 tables={"t": t})
+    assert isinstance(dead, list) and dead
+    assert t.read().count() == 6  # dry run deleted nothing
+    txsql(spark, "VACUUM t RETAIN 1 VERSIONS", tables={"t": t})
+    assert t.read().count() == 6
+
+
+def test_unsupported_and_unknown(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported"):
+        txsql(spark, "SELECT 1")
+    with pytest.raises(ValueError, match="unknown table"):
+        txsql(spark, "DELETE FROM nope")
