@@ -1,0 +1,248 @@
+"""Corpus-ingest recipe: the dedup family and the lakehouse meeting in
+ONE exactly-once loop — the actual 100 TB training-data ingestion shape
+(land → dedup against persistent fingerprint state → quality-route →
+ACID append), with BOTH the accepted corpus and the fingerprint store
+as transactional :class:`TxTable`\\ s.
+
+Before this module the two stacks were deep but disjoint:
+``doc_incremental_dedup`` checks a new batch against a STATIC parquet
+history, and ``streaming/dedup.py`` keeps its fingerprint store in
+stream state. Here the store is a TABLE — batch jobs, streams
+(``corpus_ingest_sink``), and ad-hoc backfills all dedup against the
+same durable, time-travelable state, and a crash between the two
+commits replays to exactly-once via the per-table txn markers.
+
+Dedup semantics are the batch twin's, verbatim (the gate's oracle
+states them from the raw corpus):
+
+- **exact**: md5(text) present in the store (kind 0);
+- **span containment**: any non-overlapping SPAN_WORDS-word span
+  present (kind 1 — C4-style, Raffel et al. 2020 §2.2);
+- **near-dup (advisory)**: any MinHash-LSH band hash present (kind 2,
+  the SAME banding as ``doc_minhash_lsh_pairs`` /
+  ``streaming/dedup.py`` — parity pinned there). Advisory because a
+  band collision is a CANDIDATE signal (the batch pipeline verifies
+  with exact Jaccard); the keep rule stays exact+span, matching
+  ``doc_incremental_dedup``.
+
+Batch-snapshot semantics: verdicts are computed against the store AS
+OF batch start, then the accepted batch's fingerprints are absorbed —
+two copies in ONE batch both pass, any later copy is caught (the same
+rule as both twins; intra-batch order is irrelevant).
+
+Scale shape: the store side of every check is a keys-only left-semi
+join (16-byte hashes / span strings — no payload movement), so the
+shuffle is batch-sized, never store-sized; the fingerprint MERGE costs
+∝ touched buckets like every keyed write; counts are ONE small
+aggregate over the pinned verdict frame. At 100 TB the fingerprint
+table is bucketed on (kind, fp) — uniformly distributed hashes, no
+skew — and the accepted-corpus append is the ordinary bucketed stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_harshevents_spark.sources.txlog import TxTable
+
+__all__ = [
+    "create_fingerprint_table",
+    "corpus_ingest",
+    "corpus_ingest_sink",
+]
+
+
+def create_fingerprint_table(
+    spark: SparkSession, table_dir: str, n_buckets: int = 16
+) -> TxTable:
+    """The fingerprint store: keyed (kind, fp) — kind 0 = md5 text
+    hash, 1 = word span, 2 = MinHash-LSH band hash — with a constant
+    order column (a fingerprint is a presence marker; re-merging the
+    same key is the idempotent no-op the crash-replay contract
+    needs)."""
+    return TxTable.create(
+        spark,
+        table_dir,
+        key_cols=("kind", "fp"),
+        order_col="ver",
+        n_buckets=n_buckets,
+    )
+
+
+def _already(table: TxTable, txn: dict | None) -> bool:
+    return bool(txn) and int(txn["batch_id"]) <= table.last_committed_batch(
+        txn["app_id"]
+    )
+
+
+def corpus_ingest(
+    corpus: TxTable,
+    fingerprints: TxTable,
+    new_docs: DataFrame | str,
+    txn: dict | None = None,
+    min_quality: float | None = None,
+) -> dict:
+    """Ingest one batch of documents exactly-once. ``new_docs`` is a
+    DataFrame carrying at least ``(doc_id, text)`` plus the corpus
+    table's other columns, or a parquet path/glob (the landing-zone
+    form). ``txn = {"app_id", "batch_id"}`` makes the call replayable:
+    each table skips its commit if that batch already landed, so a
+    crash between the corpus append and the fingerprint merge resumes
+    to the same end state (the test pins this).
+
+    ``min_quality`` routes dedup-surviving docs through the shared
+    quality battery (``queries.documents.quality_columns`` — the same
+    scoring the streaming router uses): docs scoring below the floor
+    are counted out, not appended, and their fingerprints do NOT enter
+    the store (a rejected doc is not in the corpus; a future identical
+    doc must be judged on its own quality).
+
+    Returns ``{"docs_in", "exact_dups", "span_dups", "near_dups",
+    "low_quality", "kept", "corpus_version", "fingerprint_version",
+    "replayed"}`` — near_dups is advisory (see module docstring); the
+    keep rule is exact+span, the batch twin's."""
+    from kafka_flink_harshevents_spark.queries.documents import (
+        quality_columns,
+    )
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        doc_fingerprints,
+    )
+
+    spark = corpus.spark
+    if isinstance(new_docs, str):
+        new_docs = spark.read.parquet(new_docs)
+    if _already(corpus, txn) and _already(fingerprints, txn):
+        return {
+            "docs_in": 0, "exact_dups": 0, "span_dups": 0,
+            "near_dups": 0, "low_quality": 0, "kept": 0,
+            "corpus_version": corpus.latest_version(),
+            "fingerprint_version": fingerprints.latest_version(),
+            "replayed": True,
+        }
+
+    parts = doc_fingerprints(
+        new_docs.select("doc_id", "text").withColumn(
+            "is_seed", F.lit(0)
+        )
+    ).select("doc_id", "kind", "fp")
+    try:
+        store = fingerprints.read().select("kind", "fp")
+    except ValueError:
+        # virgin store (no schema recorded yet) — first-ever batch
+        store = spark.createDataFrame([], "kind long, fp string")
+    # keys-only semi-join per kind: which docs hit the store, and how
+    hits = (
+        parts.join(store, ["kind", "fp"], "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("kind") == 0).cast("long")).alias("x_exact"),
+            F.max((F.col("kind") == 1).cast("long")).alias("x_span"),
+            F.max((F.col("kind") == 2).cast("long")).alias("x_near"),
+        )
+    )
+    score, _ = quality_columns()
+    verdict = (
+        new_docs.join(hits, "doc_id", "left")
+        .select(
+            "*",
+            F.coalesce("x_exact", F.lit(0)).alias("_exact"),
+            F.coalesce("x_span", F.lit(0)).alias("_span"),
+            F.coalesce("x_near", F.lit(0)).alias("_near"),
+            (
+                score < F.lit(min_quality)
+                if min_quality is not None
+                else F.lit(False)
+            ).cast("long").alias("_lowq"),
+        )
+        .drop("x_exact", "x_span", "x_near")
+        .withColumn(
+            "_keep",
+            (
+                (F.col("_exact") == 0)
+                & (F.col("_span") == 0)
+                & (F.col("_lowq") == 0)
+            ).cast("long"),
+        )
+        # pin ONCE: the counts below, the corpus append, and the
+        # fingerprint merge must all see the same verdicts (the same
+        # source materialization merge_into performs)
+        .localCheckpoint(eager=True)
+    )
+    c = verdict.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_exact").alias("ex"),
+        F.sum("_span").alias("sp"),
+        F.sum("_near").alias("nd"),
+        F.sum(
+            ((F.col("_exact") == 0) & (F.col("_span") == 0)).cast("long")
+            * F.col("_lowq")
+        ).alias("lq"),
+        F.sum("_keep").alias("keep"),
+    ).collect()[0]
+    accepted = verdict.filter(F.col("_keep") == 1).drop(
+        "_exact", "_span", "_near", "_lowq", "_keep"
+    )
+    if _already(corpus, txn):
+        corpus_v = corpus.latest_version()
+    elif int(c["keep"] or 0) > 0:
+        corpus_v = corpus.append(accepted, txn=txn)
+    else:
+        corpus_v = corpus.latest_version()
+    if _already(fingerprints, txn):
+        fp_v = fingerprints.latest_version()
+    elif int(c["keep"] or 0) > 0:
+        new_fps = (
+            doc_fingerprints(
+                accepted.select("doc_id", "text").withColumn(
+                    "is_seed", F.lit(0)
+                )
+            )
+            .select("kind", "fp")
+            .distinct()
+            .withColumn("ver", F.lit(1).cast("long"))
+        )
+        # idempotent by construction: same (kind, fp) keys re-merge to
+        # the same single row — the crash-replay guarantee
+        fp_v = fingerprints.merge_upsert(new_fps, txn=txn)
+    else:
+        fp_v = fingerprints.latest_version()
+    return {
+        "docs_in": int(c["n"]),
+        "exact_dups": int(c["ex"] or 0),
+        "span_dups": int(c["sp"] or 0),
+        "near_dups": int(c["nd"] or 0),
+        "low_quality": int(c["lq"] or 0),
+        "kept": int(c["keep"] or 0),
+        "corpus_version": corpus_v,
+        "fingerprint_version": fp_v,
+        "replayed": False,
+    }
+
+
+def corpus_ingest_sink(
+    corpus: TxTable,
+    fingerprints: TxTable,
+    app_id: str,
+    min_quality: float | None = None,
+):
+    """``foreachBatch`` function: the streaming form of the loop — a
+    file stream over the landing zone (``readStream.parquet``) drives
+    one :func:`corpus_ingest` call per micro-batch, with the stream's
+    ``batch_id`` as the txn marker, so checkpoint-recovery replays are
+    no-ops and each batch lands as one corpus commit + one fingerprint
+    commit. Pair with ``trigger(availableNow=True)`` for the
+    cron-driven incremental-ingest pattern."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        corpus_ingest(
+            corpus,
+            fingerprints,
+            batch_df,
+            txn={"app_id": app_id, "batch_id": int(batch_id)},
+            min_quality=min_quality,
+        )
+
+    return apply

@@ -1580,6 +1580,71 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INGEST_MIN_QUALITY = 0.5  # corpus_ingest gate: quality-routing floor
+
+
+def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-ingest recipe gate (plans/ingest.py): seed a
+    transactional corpus + fingerprint store from the 90% history,
+    ingest the 10% batch through :func:`corpus_ingest` (exact + span +
+    MinHash-band checks against the STORE, quality routing, exactly-
+    once txn markers), then REPLAY the same batch. The one-row contract
+    is fully oracle-stated from the raw corpus: batch size, exact/span
+    dup counts (the ``doc_incremental_dedup`` rule), the advisory
+    MinHash band-collision count (the ``doc_minhash_lsh_pairs``
+    banding), the quality-routed count, the kept count, the final
+    corpus row count, and the replay-is-a-no-op boolean (versions
+    unchanged on the second call) — so the whole loop, not just its
+    pieces, is driver-checked."""
+    import tempfile
+
+    from kafka_flink_harshevents_spark.plans.ingest import (
+        corpus_ingest,
+        create_fingerprint_table,
+    )
+    from kafka_flink_harshevents_spark.sources.txlog import TxTable
+
+    d = spread(load(spark, sf_dir, "documents"))
+    u = _md5_unit(F.col("doc_id"), "batch|")
+    ver = F.lit(1).cast("long").alias("ver")
+    hist = d.filter(u >= BATCH_FRACTION).select("doc_id", "text", ver)
+    batch = d.filter(u < BATCH_FRACTION).select("doc_id", "text", ver)
+    corpus = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ing-c-"),
+        key_cols=("doc_id",),
+        order_col="ver",
+        n_buckets=4,
+    )
+    fps = create_fingerprint_table(
+        spark, tempfile.mkdtemp(prefix="ing-f-"), n_buckets=4
+    )
+    corpus_ingest(corpus, fps, hist, txn={"app_id": "seed", "batch_id": 0})
+    txn = {"app_id": "ingest", "batch_id": 1}
+    res = corpus_ingest(
+        corpus, fps, batch, txn=txn, min_quality=INGEST_MIN_QUALITY
+    )
+    res2 = corpus_ingest(
+        corpus, fps, batch, txn=txn, min_quality=INGEST_MIN_QUALITY
+    )
+    replay_noop = int(
+        res2["replayed"]
+        and corpus.latest_version() == res["corpus_version"]
+        and fps.latest_version() == res["fingerprint_version"]
+    )
+    row = (
+        res["docs_in"], res["exact_dups"], res["span_dups"],
+        res["near_dups"], res["low_quality"], res["kept"],
+        int(corpus.read().count()), replay_noop,
+    )
+    return spark.createDataFrame(
+        [row],
+        "docs_in long, exact_dups long, span_dups long, near_dups long, "
+        "low_quality long, kept long, corpus_total long, "
+        "replay_noop long",
+    )
+
+
 MIX_ALPHA = 0.5  # temperature exponent: p_s^alpha flattens the source skew
 MIX_TARGET_FRACTION = 0.5  # sampled corpus ≈ half the docs
 
@@ -3134,6 +3199,7 @@ QUERIES = {
     "doc_pii_scan": doc_pii_scan,
     "doc_shard_manifest": doc_shard_manifest,
     "doc_incremental_dedup": doc_incremental_dedup,
+    "doc_ingest_dedup_gate": doc_ingest_dedup_gate,
     "doc_mix_temperature": doc_mix_temperature,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_split_assign": doc_split_assign,
@@ -3406,6 +3472,113 @@ def _minhash_calibration_sql() -> str:
                round(abs(n_match * 1.0 / {MINHASH_PERMS} - jaccard), 4)
                    AS abs_err
         FROM cal
+    """
+
+
+def _ingest_gate_sql() -> str:
+    """Closed-form oracle for the corpus-ingest recipe gate: the
+    exact/span split restates ``doc_incremental_dedup``'s oracle, the
+    band-collision count reuses the shared minhash CTE construction
+    (shingles → halves → signatures → bands) with a batch-vs-history
+    EXISTS instead of the pair join, and the quality floor restates
+    ``doc_quality_score``'s formula over the batch side."""
+    halves = ", ".join(
+        f"substr(md5('{i}|' || s), 1, 16) AS h{2 * i}, "
+        f"substr(md5('{i}|' || s), 17, 16) AS h{2 * i + 1}"
+        for i in range(MINHASH_PERMS // 2)
+    )
+    mins = ", ".join(f"min(h{i}) AS m{i}" for i in range(MINHASH_PERMS))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bv FROM sig".format(
+            b=b,
+            concat=" || ".join(
+                f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    span = (
+        f"SELECT doc_id, array_to_string(ws[(i * {SPAN_WORDS} + 1):"
+        f"(i * {SPAN_WORDS} + {SPAN_WORDS})], ' ') AS ch "
+        "FROM (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws) / "
+        f"{SPAN_WORDS}.0) AS BIGINT))) AS i "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}))"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, {_md5_unit_sql("doc_id", "batch|")} AS u
+            FROM documents
+        ),
+        b AS (SELECT doc_id, text FROM d WHERE u < {BATCH_FRACTION}),
+        h AS (SELECT doc_id, text FROM d WHERE u >= {BATCH_FRACTION}),
+        hh AS (SELECT DISTINCT md5(text) AS mh FROM h),
+        ex AS (
+            SELECT DISTINCT doc_id FROM b
+            WHERE md5(text) IN (SELECT mh FROM hh)
+        ),
+        bsp AS ({span.format(src="b")}),
+        hsp AS (SELECT DISTINCT ch FROM ({span.format(src="h")})),
+        sp AS (
+            SELECT DISTINCT doc_id FROM bsp
+            WHERE ch IN (SELECT ch FROM hsp)
+        ),
+        {_SQL_SHINGLES},
+        halves AS (SELECT doc_id, {halves} FROM sh),
+        sig AS (SELECT doc_id, {mins} FROM halves GROUP BY doc_id),
+        bands AS ({band_selects}),
+        nd AS (
+            SELECT DISTINCT bb.doc_id
+            FROM bands bb
+            JOIN d db ON db.doc_id = bb.doc_id
+                      AND db.u < {BATCH_FRACTION}
+            WHERE EXISTS (
+                SELECT 1 FROM bands hb
+                JOIN d dh ON dh.doc_id = hb.doc_id
+                          AND dh.u >= {BATCH_FRACTION}
+                WHERE hb.band = bb.band AND hb.bv = bb.bv
+            )
+        ),
+        q AS (
+            SELECT doc_id,
+                   0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.3 * (n_unique * 1.0 / n_tokens)
+                   + 0.3 * (1.0 - n_stop * 1.0 / n_tokens) AS score
+            FROM (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                           AS BIGINT) AS n_unique,
+                       CAST(len(list_filter(string_split(text, ' '),
+                           x -> x IN ({_SQL_STOPSET}))) AS BIGINT)
+                           AS n_stop
+                FROM b
+            )
+        ),
+        pass AS (
+            SELECT doc_id FROM b
+            WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+              AND doc_id NOT IN (SELECT doc_id FROM sp)
+        ),
+        lowq AS (
+            SELECT p.doc_id FROM pass p
+            JOIN q ON q.doc_id = p.doc_id
+            WHERE q.score < {INGEST_MIN_QUALITY}
+        ),
+        kept AS (
+            SELECT doc_id FROM pass
+            WHERE doc_id NOT IN (SELECT doc_id FROM lowq)
+        )
+        SELECT
+          CAST((SELECT count(*) FROM b) AS BIGINT) AS docs_in,
+          CAST((SELECT count(*) FROM ex) AS BIGINT) AS exact_dups,
+          CAST((SELECT count(*) FROM sp) AS BIGINT) AS span_dups,
+          CAST((SELECT count(*) FROM nd) AS BIGINT) AS near_dups,
+          CAST((SELECT count(*) FROM lowq) AS BIGINT) AS low_quality,
+          CAST((SELECT count(*) FROM kept) AS BIGINT) AS kept,
+          CAST((SELECT count(*) FROM h)
+               + (SELECT count(*) FROM kept) AS BIGINT) AS corpus_total,
+          CAST(1 AS BIGINT) AS replay_noop
     """
 
 
@@ -3968,6 +4141,7 @@ ORACLES = {
         FROM documents d JOIN rates r ON d.source = r.source
         WHERE {_md5_unit_sql("d.doc_id", "mix|")} < r.rate
     """,
+    "doc_ingest_dedup_gate": _ingest_gate_sql(),
     "doc_incremental_dedup": f"""
         WITH d AS (
             SELECT doc_id, text, {_md5_unit_sql("doc_id", "batch|")} AS u
