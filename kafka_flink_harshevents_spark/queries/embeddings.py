@@ -697,6 +697,214 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF-PQ recall floor vs brute force — lower than the pure-PQ floor
+#: by design: the coarse stage discards (nlists − nprobe)/nlists of
+#: the corpus before ADC ever runs (the accuracy/speed trade the
+#: billion-vector configuration makes). Exact integers, same
+#: convention as PQ_RECALL_FLOOR.
+IVFPQ_RECALL_FLOOR_NUM, IVFPQ_RECALL_FLOOR_DEN = 2, 5
+#: the composite probes more lists than plain IVF: PQ's lossy ADC
+#: ordering compounds with coarse-stage misses, and on the tiny
+#: catalog corpora each list holds only a handful of vectors — FAISS
+#: tunes nprobe up for IndexIVFPQ the same way
+IVFPQ_NPROBE = 5
+
+
+def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — the FAISS ``IndexIVFPQ`` shape (here
+    with PQ over the normalized vectors, the ``by_residual=false``
+    variant): coarse-quantize onto the label-centroid inverted lists
+    (the ``emb_knn_ivf`` coarse stage), PQ-ADC scan ONLY the probed
+    lists' codes (the ``emb_knn_pq`` codebooks and per-query lookup
+    tables), then exact cosine re-rank of the shortlist. This is the
+    actual billion-vector configuration: IVF bounds the fraction of
+    the corpus touched (~nprobe/nlists), PQ bounds the bytes per
+    touched vector (1 byte/subspace), and the re-rank restores exact
+    ordering over a shortlist.
+
+    Scale shape: training is one bounded Arrow job; encoding touches
+    the corpus once (broadcast 8 KB codebook, groupBy(vec_id, m));
+    the query side is an equi-join of the PROBED lists' code stream
+    against broadcast per-query tables — never an all-pairs anything.
+    Iterative k-means training → no SQL oracle for these raw rows; the
+    machine-checked contract is ``emb_knn_ivfpq_recall``."""
+    raw = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("raw"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("raw", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    e = raw.select(
+        "vec_id", "label", F.transform("raw", lambda x: x / nrm).alias("emb")
+    )
+
+    cents = _pq_train_codebooks(e.select("vec_id", "emb"))
+    cdf = spark.createDataFrame(
+        [(m, k, cents[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
+        "m int, k int, cent array<double>",
+    )
+
+    # coarse stage: per-label centroids of the normalized vectors,
+    # queries probe the IVF_NPROBE nearest lists (cosine, determinist
+    # tie-break on label — identical shape to emb_knn_ivf)
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("avgv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                lambda s: s["avgv"],
+            ).alias("cemb")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    csim = F.round(
+        _dot("qemb", "cemb") / (_norm("qemb") * _norm("cemb")), 6
+    )
+    probe = (
+        q.join(F.broadcast(cent))
+        .select("qid", "label", csim.alias("csim"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("csim").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("pr") <= IVFPQ_NPROBE)
+        .select("qid", "label")
+    )
+
+    # PQ encode the corpus (1 byte/subspace), once
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(emb, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}))"
+            )
+        ).alias("m", "sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cdf), "m")
+        .select("vec_id", "m", "k", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", F.struct("d2", "k")).alias("k"))
+    )
+
+    # ADC restricted to the probed lists: candidate (qid, vec_id)
+    # pairs come from the label equi-join — each query's scan touches
+    # ~nprobe/nlists of the code stream, the IVF win
+    cand_ids = (
+        e.select("vec_id", "label")
+        .join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    qsub = q.select(
+        "qid",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(qemb, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}))"
+            )
+        ).alias("m", "qsv"),
+    )
+    qd2 = F.aggregate(
+        F.zip_with("qsv", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qtab = qsub.join(F.broadcast(cdf), "m").select(
+        "qid", "m", "k", qd2.alias("qd2")
+    )
+    adc = (
+        codes.join(cand_ids, "vec_id")
+        .join(F.broadcast(qtab), ["qid", "m", "k"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    short = (
+        adc.withColumn(
+            "sr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+            ),
+        )
+        .filter(F.col("sr") <= PQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    cand = (
+        short.join(e.select("vec_id", "emb"), "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "vec_id", F.round(_dot("qemb", "emb"), 6).alias("sim")
+        )
+    )
+    return (
+        cand.withColumn(
+            "knn_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("sim").desc(), "vec_id"
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("knn_rank") <= TOP_K)
+    )
+
+
+def emb_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable gate for the IVF-PQ composite — the
+    ``emb_knn_pq_recall`` convention: a 1-row exact-integer summary of
+    `emb_knn_ivfpq` against `emb_knn_brute` (n_queries, k, floor_met
+    with |IVFPQ∩brute| · DEN ≥ rows · NUM). The oracle states the spec
+    row, so the driver goes green exactly when the composite returns k
+    rows per query AND clears the recall floor."""
+    ivfpq = emb_knn_ivfpq(spark, sf_dir).select("qid", "vec_id")
+    brute = emb_knn_brute(spark, sf_dir).select("qid", "vec_id")
+    marked = ivfpq.join(
+        brute.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+    )
+    return marked.agg(
+        F.count_distinct("qid").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0)).alias(
+            "n_hits"
+        ),
+    ).select(
+        "n_queries",
+        F.when(
+            F.col("n_queries") > 0, F.col("n_rows") / F.col("n_queries")
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("k"),
+        (
+            F.col("n_hits") * F.lit(IVFPQ_RECALL_FLOOR_DEN)
+            >= F.col("n_rows") * F.lit(IVFPQ_RECALL_FLOOR_NUM)
+        ).alias("floor_met"),
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 5
 
@@ -1242,6 +1450,8 @@ QUERIES = {
     # hyperplane constants inlined (_knn_lsh_oracle_sql).
     "emb_knn_pq": emb_knn_pq,
     "emb_knn_pq_recall": emb_knn_pq_recall,
+    "emb_knn_ivfpq": emb_knn_ivfpq,
+    "emb_knn_ivfpq_recall": emb_knn_ivfpq_recall,
     "emb_kmeans": emb_kmeans,
     "emb_pca": emb_pca,
     "emb_matryoshka_recall": emb_matryoshka_recall,
@@ -1349,6 +1559,17 @@ ORACLES = {
         FROM scored
     """,
     "emb_knn_pq_recall": f"""
+        SELECT CASE WHEN (SELECT count(*) FROM embeddings) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST({N_QUERY_VECS} AS BIGINT) END AS n_queries,
+               CASE WHEN (SELECT count(*) FROM embeddings) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST({TOP_K} AS BIGINT) END AS k,
+               TRUE AS floor_met
+    """,
+    # emb_knn_ivfpq itself stays rows-only (iterative PQ training, the
+    # emb_knn_pq rule); its hashable contract is this spec row
+    "emb_knn_ivfpq_recall": f"""
         SELECT CASE WHEN (SELECT count(*) FROM embeddings) = 0
                     THEN CAST(0 AS BIGINT)
                     ELSE CAST({N_QUERY_VECS} AS BIGINT) END AS n_queries,

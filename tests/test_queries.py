@@ -26,6 +26,7 @@ def test_query_matches_oracle(spark, name):
 EXPECTED_SCHEMAS = {
     "emb_knn_lsh": ["qid", "vec_id", "sim", "knn_rank"],
     "emb_knn_pq": ["qid", "vec_id", "sim", "knn_rank"],
+    "emb_knn_ivfpq": ["qid", "vec_id", "sim", "knn_rank"],
     "pipeline_derive": ["violation_type", "n"],
 }
 
@@ -59,6 +60,30 @@ def test_lsh_recall_floor(spark):
     assert all(q < 5 for q, _ in approx)
     recall = len(exact & approx) / len(exact)
     assert recall > 0.05, f"LSH recall suspiciously low: {recall}"
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVF-PQ composite: k rows per query, no dups, exact re-rank sims,
+    and recall above the gate's integer floor (coarse-stage misses make
+    it lower than pure PQ by design — the accuracy/speed trade)."""
+    from kafka_flink_harshevents_spark.queries.embeddings import (
+        IVFPQ_RECALL_FLOOR_DEN,
+        IVFPQ_RECALL_FLOOR_NUM,
+        emb_knn_brute,
+        emb_knn_ivfpq,
+    )
+
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in emb_knn_brute(spark, SF_DIR).collect()
+    }
+    rows = emb_knn_ivfpq(spark, SF_DIR).collect()
+    got = {(r["qid"], r["vec_id"]) for r in rows}
+    assert len(rows) == len(got) == len(exact)
+    hits = len(exact & got)
+    assert hits * IVFPQ_RECALL_FLOOR_DEN >= len(rows) * IVFPQ_RECALL_FLOOR_NUM, (
+        f"IVF-PQ recall collapsed: {hits}/{len(rows)}"
+    )
 
 
 def test_pq_recall_floor(spark):
