@@ -2552,6 +2552,17 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     round so lineage stays flat, with a single 1-row argmax collect per
     merge (the emb_kmeans bounded-collect convention).
 
+    SEQUENTIAL-ROUNDS CONTRACT (the merge_into by-source convention of
+    stating the inherent cost up front): BPE's merge selection is a
+    sequential argmax — round N+1's pair counts depend on round N's
+    merge, so the driver runs BPE_MERGES rounds one after another by
+    construction (Sennrich's algorithm, not an implementation choice).
+    Wall cost is BPE_MERGES × (one vocabulary-sized agg + one 1-row
+    collect); each round is distributed internally, but rounds can
+    never overlap, so a large-vocab production run should budget
+    ~seconds × merges, independent of corpus size after the first
+    aggregation.
+
     Emission is the gate-row convention (COVERAGE.md): the first merge
     is recomputed exactly by the DuckDB oracle (chars explode +
     weighted count + argmax — one unrolled round), conservation and

@@ -109,6 +109,46 @@ CHANGE_COL = "_change_type"
 _CTYPE_FROM_FILE = "@file"  # partition sentinel: read ctype column
 
 
+def drain_available(
+    start_query, max_runs: int = 1000, timeout_per_run: float = 300.0
+) -> tuple[int, int]:
+    """Fully drain a PACED AvailableNow backlog — the API form of the
+    engine caveat ``tests/test_txlog.py::
+    test_available_now_drains_one_capped_batch_per_run`` pins: pyspark
+    4.1's Python-DataSource stream path implements neither
+    ``SupportsTriggerAvailableNow`` nor ``SupportsAdmissionControl``,
+    so ONE ``trigger(availableNow=True)`` run of a txlog stream with
+    ``maxfilespertrigger``/``maxbytespertrigger`` drains exactly one
+    capped batch, not the whole backlog. This helper re-runs the query
+    until a run admits zero input rows (the committed offset floor has
+    stopped advancing — each run resumes from the checkpoint, so the
+    loop is exactly-once end to end).
+
+    ``start_query`` is a zero-arg callable returning a freshly STARTED
+    ``StreamingQuery`` over the same checkpoint (build reader + sink +
+    ``trigger(availableNow=True)`` inside it). Returns
+    ``(runs_that_served_rows, total_input_rows)``. Uncapped streams
+    and JVM sources (e.g. ``auto_ingest``'s file stream, which
+    supports AvailableNow natively) drain in one run and simply exit
+    the loop after their second, empty pass."""
+    runs = 0
+    total = 0
+    for _ in range(max_runs):
+        q = start_query()
+        q.awaitTermination(timeout_per_run)
+        served = sum(
+            int(p["numInputRows"]) for p in (q.recentProgress or [])
+        )
+        if served == 0:
+            return runs, total
+        runs += 1
+        total += served
+    raise RuntimeError(
+        f"drain_available: backlog still advancing after {max_runs} "
+        "runs — raise max_runs or the per-trigger cap"
+    )
+
+
 def _partition_batches(partition: "_FilePartition", schema: StructType):
     """Executor-side file → Arrow RecordBatches in the declared output
     schema — the shared read kernel of BOTH readers. Rows never pass

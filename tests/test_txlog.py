@@ -7075,3 +7075,47 @@ def test_copy_into_wrong_format_directory_raises(spark, tmp_path):
         options={"inferSchema": "true", "header": "true"},
     )
     assert n == 1
+
+
+def test_drain_available_fully_drains_paced_backlog(spark, tmp_path):
+    """drain_available is the API form of the pinned single-batch
+    caveat: a 3-commit backlog behind maxfilespertrigger=2 needs three
+    AvailableNow runs — one call drains them all, exactly-once, and a
+    second call is a no-op."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        drain_available,
+    )
+
+    _register_txlog(spark)
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(f"k{i}-{j}", i, 1) for j in range(4)],
+            "k string, v long, ver long"))
+    got: set = set()
+
+    def sink(bdf, _bid):
+        got.update((r["k"], r["_commit_version"]) for r in bdf.collect())
+
+    def start():
+        return (
+            spark.readStream.format("txlog")
+            .option("tabledir", t.table_dir)
+            .option("maxfilespertrigger", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs, rows = drain_available(start)
+    assert runs == 3 and rows == 12
+    assert len(got) == 12
+    # caught up: the next call is an immediate no-op
+    assert drain_available(start) == (0, 0)
+    # new commits drain again through the same checkpoint
+    t.append(spark.createDataFrame(
+        [("x", 9, 1)], "k string, v long, ver long"))
+    runs, rows = drain_available(start)
+    assert (runs, rows) == (1, 1) and ("x", 5) in got
