@@ -31,12 +31,21 @@ two copies in ONE batch both pass, any later copy is caught (the same
 rule as both twins; intra-batch order is irrelevant).
 
 Scale shape: the store side of every check is a keys-only left-semi
-join (16-byte hashes / span strings — no payload movement), so the
-shuffle is batch-sized, never store-sized; the fingerprint MERGE costs
-∝ touched buckets like every keyed write; counts are ONE small
-aggregate over the pinned verdict frame. At 100 TB the fingerprint
-table is bucketed on (kind, fp) — uniformly distributed hashes, no
-skew — and the accepted-corpus append is the ordinary bucketed stage.
+join — 16-byte hashes / span strings, NO payload movement; what
+shuffles from the store is its key column only (narrow but
+store-row-count-sized — the same trade ``doc_incremental_dedup``
+documents), while the batch side carries the payload and is
+batch-sized. The fingerprint MERGE costs ∝ touched buckets like every
+keyed write; counts are ONE small aggregate over the pinned verdict
+frame. At 100 TB the fingerprint table is bucketed on (kind, fp) —
+uniformly distributed hashes, no skew — and the accepted-corpus
+append is the ordinary bucketed stage. (Upgrade path when the store's
+key shuffle itself becomes the bottleneck: the store is already
+hash-bucketed on the join key, so a storage-partitioned join — read
+per-bucket store files against identically-bucketed batch parts —
+removes the store-side exchange entirely; not wired here because
+Spark's Python DataSource cannot yet declare the bucketing to
+Catalyst.)
 """
 
 from __future__ import annotations
