@@ -1604,7 +1604,14 @@ def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_flink_harshevents_spark.sources.txlog import TxTable
 
-    d = spread(load(spark, sf_dir, "documents"))
+    # deterministic half-corpus subset: the gate runs TWO full ingest
+    # programs (seed + batch) with two commits each — the transaction
+    # semantics it checks are size-invariant (the k≤2000 lakehouse
+    # convention), so the subset halves the banding/span projection
+    # wall without weakening any count in the contract
+    d = spread(load(spark, sf_dir, "documents")).filter(
+        _md5_unit(F.col("doc_id"), "ing|") < 0.5
+    )
     u = _md5_unit(F.col("doc_id"), "batch|")
     ver = F.lit(1).cast("long").alias("ver")
     hist = d.filter(u >= BATCH_FRACTION).select("doc_id", "text", ver)
@@ -1614,12 +1621,28 @@ def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="ing-c-"),
         key_cols=("doc_id",),
         order_col="ver",
-        n_buckets=4,
+        n_buckets=2,
     )
     fps = create_fingerprint_table(
-        spark, tempfile.mkdtemp(prefix="ing-f-"), n_buckets=4
+        spark, tempfile.mkdtemp(prefix="ing-f-"), n_buckets=2
     )
-    corpus_ingest(corpus, fps, hist, txn={"app_id": "seed", "batch_id": 0})
+    # seed by direct append (the documented replay pattern: history
+    # fingerprints come from somewhere durable) — one commit per
+    # table, skipping the dedup checks an empty store cannot fail;
+    # the BATCH call below exercises the full recipe
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        doc_fingerprints,
+    )
+
+    corpus.append(hist)
+    fps.append(
+        doc_fingerprints(
+            hist.select("doc_id", "text").withColumn("is_seed", F.lit(0))
+        )
+        .select("kind", "fp")
+        .distinct()
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
     txn = {"app_id": "ingest", "batch_id": 1}
     res = corpus_ingest(
         corpus, fps, batch, txn=txn, min_quality=INGEST_MIN_QUALITY
@@ -3515,10 +3538,18 @@ def _ingest_gate_sql() -> str:
         f"{SPAN_WORDS}.0) AS BIGINT))) AS i "
         "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}))"
     )
+    # the shared shingle CTEs read `documents` directly — rebind the
+    # name to the gate's deterministic half-corpus subset first
+    shingles = _SQL_SHINGLES.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents "
+        f"WHERE {_md5_unit_sql('doc_id', 'ing|')} < 0.5)",
+    )
     return f"""
         WITH d AS (
             SELECT doc_id, text, {_md5_unit_sql("doc_id", "batch|")} AS u
             FROM documents
+            WHERE {_md5_unit_sql("doc_id", "ing|")} < 0.5
         ),
         b AS (SELECT doc_id, text FROM d WHERE u < {BATCH_FRACTION}),
         h AS (SELECT doc_id, text FROM d WHERE u >= {BATCH_FRACTION}),
@@ -3533,7 +3564,7 @@ def _ingest_gate_sql() -> str:
             SELECT DISTINCT doc_id FROM bsp
             WHERE ch IN (SELECT ch FROM hsp)
         ),
-        {_SQL_SHINGLES},
+        {shingles},
         halves AS (SELECT doc_id, {halves} FROM sh),
         sig AS (SELECT doc_id, {mins} FROM halves GROUP BY doc_id),
         bands AS ({band_selects}),

@@ -1,6 +1,7 @@
 """SQL front-end for the lakehouse DML surface — a thin PARSER that
-maps the Delta-documented DML grammar (MERGE INTO / UPDATE / DELETE /
-COPY INTO / RESTORE / OPTIMIZE / VACUUM) onto the existing
+maps the Delta-documented DML grammar (MERGE INTO / INSERT INTO /
+UPDATE / DELETE / COPY INTO / RESTORE / OPTIMIZE / VACUUM / DESCRIBE
+HISTORY) onto the existing
 :class:`~kafka_flink_harshevents_spark.sources.txlog.TxTable` methods.
 Zero new semantics: every statement form is parity-tested against the
 equivalent Python-API call (``tests/test_txsql.py``), and every
@@ -409,6 +410,55 @@ def txsql(
     if head == "MERGE":
         return _parse_merge(spark, stmt, tables, sources)
 
+    if two == "INSERT INTO":
+        m = re.match(
+            r"(?is)^INSERT\s+INTO\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s+"
+            r"(?P<src>VALUES\s*\(.*\)|\(.*\)|SELECT\s+.*|[\w.]+)\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed INSERT INTO")
+        t = _target_table(spark, m.group("t"), tables)
+        srctok = m.group("src").strip()
+        if re.match(r"(?is)^VALUES", srctok):
+            # typed through the table's recorded schema: VALUES rows
+            # evaluate as a SELECT so expressions (casts, functions)
+            # work exactly as spark.sql would evaluate them
+            df = spark.sql(f"SELECT * FROM ({srctok}) ")
+            _, _, schema_json = t._snapshot()
+            if schema_json is not None:
+                import json as _json
+
+                from pyspark.sql.types import StructType as _St
+
+                tgt = _St.fromJson(_json.loads(schema_json))
+                cols = [f.name for f in tgt.fields if f.name != "_bucket"]
+                if len(df.columns) != len(cols):
+                    raise ValueError(
+                        f"txsql INSERT: VALUES arity {len(df.columns)} "
+                        f"!= table arity {len(cols)} ({cols})"
+                    )
+                df = df.toDF(*cols)
+                for f in tgt.fields:
+                    if f.name in df.columns:
+                        df = df.withColumn(
+                            f.name, df[f.name].cast(f.dataType)
+                        )
+        elif srctok.upper().startswith("SELECT"):
+            df = spark.sql(srctok)
+        else:
+            df = _source_frame(spark, srctok, sources)
+        return t.append(df)
+
+    if two in ("DESCRIBE HISTORY", "DESC HISTORY"):
+        m = re.match(
+            r"(?is)^DESC(?:RIBE)?\s+HISTORY\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed DESCRIBE HISTORY")
+        return _target_table(spark, m.group("t"), tables).history()
+
     if head == "UPDATE":
         m = re.match(
             r"(?is)^UPDATE\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s+SET\s+"
@@ -505,6 +555,7 @@ def txsql(
 
     raise ValueError(
         f"txsql: unsupported statement {head!r} — supported: MERGE "
-        "INTO, UPDATE, DELETE FROM, COPY INTO, RESTORE, OPTIMIZE, "
-        "VACUUM (pure SELECT belongs to spark.sql)"
+        "INTO, INSERT INTO, UPDATE, DELETE FROM, COPY INTO, RESTORE, "
+        "OPTIMIZE, VACUUM, DESCRIBE HISTORY (pure SELECT belongs to "
+        "spark.sql)"
     )

@@ -190,3 +190,35 @@ def test_unsupported_and_unknown(spark, tmp_path):
         txsql(spark, "SELECT 1")
     with pytest.raises(ValueError, match="unknown table"):
         txsql(spark, "DELETE FROM nope")
+
+
+def test_insert_into_and_describe_history(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    # VALUES form, typed through the table schema
+    v = txsql(
+        spark,
+        "INSERT INTO t VALUES (100, 1000, 1), (101, 1010, 1)",
+        tables={"t": t},
+    )
+    assert v == t.latest_version()
+    st = _state(t)
+    assert st[100] == (1000, 1) and st[101] == (1010, 1)
+    # SELECT form
+    spark.createDataFrame(
+        [(200, 5, 2)], "k long, v long, ver long"
+    ).createOrReplaceTempView("ins_src_v")
+    txsql(spark, "INSERT INTO t SELECT k, v, ver FROM ins_src_v",
+          tables={"t": t})
+    assert _state(t)[200] == (5, 2)
+    # named-source form
+    txsql(spark, "INSERT INTO t ins_named", tables={"t": t},
+          sources={"ins_named": spark.createDataFrame(
+              [(300, 6, 1)], "k long, v long, ver long")})
+    assert _state(t)[300] == (6, 1)
+    # arity mismatch refuses
+    with pytest.raises(ValueError, match="arity"):
+        txsql(spark, "INSERT INTO t VALUES (1, 2)", tables={"t": t})
+    # DESCRIBE HISTORY returns the audit frame
+    h = txsql(spark, "DESCRIBE HISTORY t", tables={"t": t})
+    ops = {r["op"] for r in h.collect()}
+    assert "append" in ops and h.count() >= 4
