@@ -298,3 +298,33 @@ def test_part_helpers_unit(tmp_path):
     assert _part_may_match(en, prune={"p": (None, None)})
     # incomparable types keep the file
     assert _part_may_match(e, eq={"p": "x"})
+
+
+def test_partitioned_copy_into_and_auto_ingest(spark, tmp_path):
+    """Ingestion surfaces compose with partitioning: COPY INTO and the
+    auto_ingest file stream land through the ordinary append path, so
+    partition directories, per-entry values, and exact pruning all
+    apply to ingested batches."""
+    t = _mkp(spark, tmp_path, "t", partition_by=("region",))
+    land = tmp_path / "land"
+    _frame(spark, 12).write.parquet(str(land / "a"))
+    _, n = t.copy_into(str(land / "a") + "/*.parquet")
+    assert n >= 1 and t.read().count() == 12
+    _, live, _, _ = t._replay()
+    assert all(e.get("part") for e in live.values())
+    rep = t.prune_report({}, eq={"region": "eu"})
+    assert rep["files_skipped"] > 0
+    # auto_ingest drains a landing zone into the same layout
+    spark.createDataFrame(
+        [(100, "eu", 1, 1), (101, "ap", 2, 1)],
+        "k long, region string, v long, ver long",
+    ).write.parquet(str(land / "b"))
+    q = t.auto_ingest(str(land / "b"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert t.read().count() == 14
+    _, live2, _, _ = t._replay()
+    assert all(e.get("part") for e in live2.values())
+    got = sorted(
+        r["k"] for r in t.read(eq={"region": "eu"}).collect()
+    )
+    assert 100 in got and 101 not in got
