@@ -2315,6 +2315,61 @@ class TxTable:
             ),
         }
 
+    def show_partitions(self, version: int | None = None) -> DataFrame:
+        """``SHOW PARTITIONS`` — the live partition tuples with per-
+        partition file and row counts, answered from the COMMIT LOG
+        alone (zero data files opened): every add-entry records its
+        exact partition values, so the listing is a driver-side fold
+        over O(live files) entries — the metadata_aggregate discipline.
+        Row counts subtract deletion-vector positions (merge-on-read
+        deletes are already excluded) and come back None for a
+        partition containing any file without footer row counts
+        (exact-or-refuse). Partition VALUES are returned in the log's
+        scalar encoding (dates as epoch-days, the pruning currency);
+        entries missing a value for some partition column (adopted
+        string-nulls, pre-partition files) list it as NULL."""
+        pby = list(self.meta_at(version).get("partition_by") or ())
+        if not pby:
+            raise ValueError(
+                "show_partitions: table is not partitioned"
+            )
+        _, live_map, _, dvs = self._replay(version)
+        agg: dict[tuple, list] = {}
+        for e in live_map.values():
+            part = e.get("part") or {}
+            key = tuple(part.get(c) for c in pby)
+            slot = agg.setdefault(key, [0, 0])
+            slot[0] += 1
+            rows = (e.get("stats") or {}).get("rows")
+            if slot[1] is not None and rows is not None:
+                slot[1] += rows - len(dvs.get(e["path"], ()))
+            else:
+                slot[1] = None
+        out = [
+            (*k, n_files, n_rows)
+            for k, (n_files, n_rows) in sorted(
+                agg.items(),
+                key=lambda kv: tuple(
+                    (v is None, v) for v in kv[0]
+                ),
+            )
+        ]
+        fields = ", ".join(
+            # scalar encoding: ints stay long, everything else string
+            f"`{c}` string" for c in pby
+        )
+        rows_df = self.spark.createDataFrame(
+            [
+                tuple(
+                    None if v is None else str(v) for v in r[: len(pby)]
+                )
+                + r[len(pby):]
+                for r in out
+            ],
+            f"{fields}, n_files long, n_rows long",
+        )
+        return rows_df
+
     def metadata_aggregate(
         self, columns: tuple[str, ...] = (), version: int | None = None
     ) -> dict:

@@ -1,7 +1,7 @@
 """SQL front-end for the lakehouse DML surface — a thin PARSER that
 maps the Delta-documented DML grammar (MERGE INTO / INSERT INTO /
-UPDATE / DELETE / COPY INTO / RESTORE / OPTIMIZE / VACUUM / DESCRIBE
-HISTORY) onto the existing
+UPDATE / DELETE / COPY INTO / RESTORE / OPTIMIZE / VACUUM / SHOW
+PARTITIONS / DESCRIBE HISTORY) onto the existing
 :class:`~kafka_flink_harshevents_spark.sources.txlog.TxTable` methods.
 Zero new semantics: every statement form is parity-tested against the
 equivalent Python-API call (``tests/test_txsql.py``), and every
@@ -450,6 +450,15 @@ def txsql(
             df = _source_frame(spark, srctok, sources)
         return t.append(df)
 
+    if two == "SHOW PARTITIONS":
+        m = re.match(
+            r"(?is)^SHOW\s+PARTITIONS\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed SHOW PARTITIONS")
+        return _target_table(spark, m.group("t"), tables).show_partitions()
+
     if two in ("DESCRIBE HISTORY", "DESC HISTORY"):
         m = re.match(
             r"(?is)^DESC(?:RIBE)?\s+HISTORY\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s*$",
@@ -556,6 +565,7 @@ def txsql(
     raise ValueError(
         f"txsql: unsupported statement {head!r} — supported: MERGE "
         "INTO, INSERT INTO, UPDATE, DELETE FROM, COPY INTO, RESTORE, "
-        "OPTIMIZE, VACUUM, DESCRIBE HISTORY (pure SELECT belongs to "
+        "OPTIMIZE, VACUUM, SHOW PARTITIONS, DESCRIBE HISTORY (pure "
+        "SELECT belongs to "
         "spark.sql)"
     )

@@ -328,3 +328,38 @@ def test_partitioned_copy_into_and_auto_ingest(spark, tmp_path):
         r["k"] for r in t.read(eq={"region": "eu"}).collect()
     )
     assert 100 in got and 101 not in got
+
+
+def test_show_partitions_log_only(spark, tmp_path):
+    """SHOW PARTITIONS answers from the commit log alone: tuples, file
+    and exact row counts, DV-adjusted, nulls listed, unpartitioned
+    tables refused — and the txsql surface serves it."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    t = _mkp(spark, tmp_path, "t", partition_by=("region",))
+    t.append(_frame(spark, 30))
+    t.delete_where("k = 0", mode="merge_on_read")  # one eu row via DV
+    rows = {
+        r["region"]: (r["n_files"], r["n_rows"])
+        for r in t.show_partitions().collect()
+    }
+    assert set(rows) == {"eu", "us", "ap"}
+    assert rows["eu"][1] == 9 and rows["us"][1] == 10  # DV subtracted
+    assert all(n_f == 2 for n_f, _ in rows.values())
+    # SQL surface + int-typed partition values come back as scalars
+    t2 = _mkp(spark, tmp_path, "t2", partition_by=("day",))
+    t2.append(spark.createDataFrame(
+        [(1, 5, 1, 1), (2, None, 2, 1)],
+        "k long, day long, v long, ver long",
+    ))
+    got = {
+        r["day"]: r["n_rows"]
+        for r in txsql(spark, "SHOW PARTITIONS t2",
+                       tables={"t2": t2}).collect()
+    }
+    assert got == {"5": 1, None: 1}
+    t3 = TxTable.create(
+        spark, str(tmp_path / "t3"), key_cols=("k",), order_col="ver",
+    )
+    with pytest.raises(ValueError, match="not partitioned"):
+        t3.show_partitions()
