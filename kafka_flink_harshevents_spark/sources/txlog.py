@@ -4253,6 +4253,7 @@ class TxTable:
         max_retries: int = 5,
         small_file_rows: int | None = None,
         target_bytes: int | None = None,
+        where: str | None = None,
     ) -> int:
         """OPTIMIZE: rewrite live files into one file per bucket — a
         LAYOUT-ONLY commit (the row multiset is preserved exactly;
@@ -4284,7 +4285,15 @@ class TxTable:
         whole rewrite is one job: a broadcast file→bin map joined on
         the scan's file identity, repartitioned by bin — shuffle
         volume ∝ fragmented bytes only. Mutually exclusive with
-        ``small_file_rows``."""
+        ``small_file_rows``.
+
+        ``where`` is Delta's ``OPTIMIZE ... WHERE`` partition scope:
+        the rewrite considers ONLY files whose partition values
+        satisfy the predicate (partition columns only — refused
+        otherwise; see :meth:`_scope_entries`). The 100 TB maintenance
+        pattern: compact yesterday's partition after its ingest wave,
+        touch nothing else — out-of-scope files (and their deletion
+        vectors) carry forward byte-for-byte."""
         if small_file_rows is not None and target_bytes is not None:
             raise ValueError(
                 "pass small_file_rows OR target_bytes, not both"
@@ -4311,7 +4320,9 @@ class TxTable:
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live_map, schema_json, dvs = self._replay()
-            live = list(live_map.values())
+            live = self._scope_entries(
+                list(live_map.values()), where, schema_json
+            )
             if not live:
                 return base_v
             bins: list[tuple[int, list[dict]]] | None = None
@@ -4445,12 +4456,113 @@ class TxTable:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def _scope_entries(
+        self, live: list[dict], where: str | None, schema_json: str | None
+    ) -> list[dict]:
+        """Delta's ``OPTIMIZE/ZORDER ... WHERE``: restrict a
+        maintenance rewrite to files whose PARTITION VALUES satisfy
+        ``where`` — partition columns only (Delta's rule: a row-level
+        predicate cannot scope a whole-file rewrite). The predicate is
+        evaluated by SPARK over the distinct partition tuples (typed
+        through the table schema — real SQL semantics, no hand-rolled
+        comparator), a metadata-sized frame of O(live partitions)
+        rows. Tuples missing a recorded value for some column (the
+        hive string-null adoption case) evaluate with NULL — SQL's
+        three-valued WHERE keeps them out of scope unless the
+        predicate is null-true."""
+        if where is None:
+            return live
+        pby = list(self.meta.get("partition_by") or ())
+        if not pby:
+            raise ValueError(
+                "compact/zorder WHERE requires a partitioned table — "
+                "a predicate can only scope whole files via their "
+                "partition values"
+            )
+        mapping = self.meta.get("column_mapping") or {}
+        rev = {ph: lg for lg, ph in mapping.items()}
+        logical_pby = [rev.get(p, p) for p in pby]
+        if schema_json is not None:
+            others = [
+                f.name
+                for f in StructType.fromJson(
+                    json.loads(schema_json)
+                ).fields
+                if f.name not in logical_pby
+            ]
+            hit = [c for c in others if _expr_mentions(where, c)]
+            if hit:
+                raise ValueError(
+                    f"compact/zorder WHERE references non-partition "
+                    f"column(s) {hit} — only partition columns "
+                    f"{logical_pby} can scope a file-level rewrite"
+                )
+            by_phys = {
+                mapping.get(f.name, f.name): f
+                for f in StructType.fromJson(
+                    json.loads(schema_json)
+                ).fields
+            }
+        else:
+            by_phys = {}
+        tuples = sorted(
+            {
+                tuple((e.get("part") or {}).get(c) for c in pby)
+                for e in live
+            },
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        fields = [StructField("_i", LongType())]
+        rows = []
+        for i, t in enumerate(tuples):
+            vals = []
+            for p, v in zip(pby, t):
+                tname = (
+                    by_phys[p].dataType.typeName()
+                    if p in by_phys
+                    else "string"
+                )
+                if v is not None and tname == "date":
+                    v = datetime.date(1970, 1, 1) + datetime.timedelta(
+                        days=int(v)
+                    )
+                elif v is not None and tname in (
+                    "byte", "short", "integer", "long",
+                ):
+                    v = int(v)
+                vals.append(v)
+            rows.append((i, *vals))
+        fields += [
+            StructField(
+                rev.get(p, p),
+                by_phys[p].dataType if p in by_phys else StringType(),
+            )
+            for p in pby
+        ]
+        kept_i = {
+            r["_i"]
+            for r in self.spark.createDataFrame(
+                rows, StructType(fields)
+            )
+            .filter(F.expr(where).eqNullSafe(F.lit(True)))
+            .select("_i")
+            .collect()
+        }
+        kept_tuples = {tuples[i] for i in kept_i}
+        return [
+            e
+            for e in live
+            if tuple((e.get("part") or {}).get(c) for c in pby)
+            in kept_tuples
+        ]
+
     def optimize_zorder(
         self,
         cols: tuple,
         bits: int = 8,
         max_rows_per_file: int = 1_000_000,
         max_retries: int = 5,
+        where: str | None = None,
     ) -> int:
         """OPTIMIZE ZORDER BY (Delta's multi-dimension clustering): a
         LAYOUT-ONLY commit that rewrites the live set with each
@@ -4471,13 +4583,20 @@ class TxTable:
         is one repartition("_pb") + within-partition sort — the same
         shuffle a plain compact pays. Degenerate constant columns get
         level 0 everywhere (clustering no-op, correctness unaffected).
+
+        ``where`` scopes the rewrite to matching PARTITIONS (Delta's
+        ``OPTIMIZE ... WHERE ... ZORDER BY``; see :meth:`compact`) —
+        re-cluster the partition that just finished ingesting, leave
+        the rest alone.
         """
         if not cols:
             raise ValueError("optimize_zorder needs at least one column")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             base_v, live_map, schema_json, dvs = self._replay()
-            live = list(live_map.values())
+            live = self._scope_entries(
+                list(live_map.values()), where, schema_json
+            )
             if not live:
                 return base_v
             df = self._with_bucket(

@@ -533,6 +533,7 @@ def txsql(
     if head == "OPTIMIZE":
         m = re.match(
             r"(?is)^OPTIMIZE\s+(?P<t>'[^']*'|`[^`]+`|\w+)"
+            r"(?:\s+WHERE\s+(?P<w>.*?))?"
             r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?\s*$",
             stmt,
         )
@@ -544,8 +545,8 @@ def txsql(
                 c.strip().strip("`")
                 for c in _Scanner.split_top(m.group("z"))
             )
-            return t.optimize_zorder(cols)
-        return t.compact()
+            return t.optimize_zorder(cols, where=m.group("w"))
+        return t.compact(where=m.group("w"))
 
     if head == "VACUUM":
         m = re.match(

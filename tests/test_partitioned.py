@@ -363,3 +363,74 @@ def test_show_partitions_log_only(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not partitioned"):
         t3.show_partitions()
+
+
+def test_optimize_where_partition_scope(spark, tmp_path):
+    """Delta's OPTIMIZE ... WHERE: a maintenance rewrite scoped to
+    matching partitions — out-of-scope files (and their deletion
+    vectors) carry forward byte-for-byte; non-partition predicates are
+    refused; typed predicates (dates) evaluate with real SQL
+    semantics; the txsql surface parses both forms."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    t = _mkp(spark, tmp_path, "t", partition_by=("region",))
+    for _ in range(3):  # fragment every partition
+        t.append(_frame(spark, 30))
+    t.delete_where("k = 1 and region = 'us'", mode="merge_on_read")
+    _, live0, _, dvs0 = t._replay()
+    eu_before = {
+        p for p, e in live0.items() if e["part"]["region"] == "eu"
+    }
+    us_before = {
+        p for p, e in live0.items() if e["part"]["region"] == "us"
+    }
+    assert dvs0  # the us DV is live
+    t.compact(where="region = 'eu'")
+    _, live1, _, dvs1 = t._replay()
+    eu_after = {
+        p for p, e in live1.items() if e["part"]["region"] == "eu"
+    }
+    us_after = {
+        p for p, e in live1.items() if e["part"]["region"] == "us"
+    }
+    assert eu_after.isdisjoint(eu_before)  # eu rewritten
+    assert us_after == us_before           # us untouched byte-for-byte
+    assert dvs1                            # its DV still applies
+    assert t.read().count() == 30 * 3 - 3  # multiset preserved
+    assert sorted(
+        r["k"] for r in t.read(eq={"region": "us"}).distinct().collect()
+    ) == [k for k in range(30) if k % 3 == 1 and k != 1]
+    # non-partition predicate refused; unpartitioned table refused
+    with pytest.raises(ValueError, match="non-partition"):
+        t.compact(where="v > 5")
+    t2 = TxTable.create(
+        spark, str(tmp_path / "flat"), key_cols=("k",), order_col="ver",
+    )
+    t2.append(spark.createDataFrame([(1, 1)], "k long, ver long"))
+    with pytest.raises(ValueError, match="partitioned table"):
+        t2.compact(where="k = 1")
+    # txsql forms + scoped zorder
+    txsql(spark, "OPTIMIZE t WHERE region = 'us'", tables={"t": t})
+    _, live2, _, dvs2 = t._replay()
+    assert not dvs2  # the scoped compact materialized the us DV
+    txsql(spark, "OPTIMIZE t WHERE region = 'ap' ZORDER BY (v)",
+          tables={"t": t})
+    assert t.read().count() == 30 * 3 - 3
+    # date-typed scope
+    import datetime as _dt
+
+    t3 = _mkp(spark, tmp_path, "t3", partition_by=("d",))
+    t3.append(spark.createDataFrame(
+        [(k, _dt.date(2024, 1, 1 + k % 2), 1) for k in range(8)],
+        "k long, d date, ver long"))
+    t3.append(spark.createDataFrame(
+        [(k + 10, _dt.date(2024, 1, 1 + k % 2), 1) for k in range(8)],
+        "k long, d date, ver long"))
+    _, l0, _, _ = t3._replay()
+    t3.compact(where="d = DATE'2024-01-02'")
+    _, l1, _, _ = t3._replay()
+    kept = {p for p in l0 if p in l1}
+    assert kept and all(
+        l1[p]["part"]["d"] == 19723 for p in kept  # 2024-01-01 untouched
+    )
+    assert t3.read().count() == 16
