@@ -1,6 +1,7 @@
-"""SQL front-end for the lakehouse DML surface — a thin PARSER that
-maps the Delta-documented DML grammar (MERGE INTO / INSERT INTO /
-UPDATE / DELETE / COPY INTO / RESTORE / OPTIMIZE / VACUUM / SHOW
+"""SQL front-end for the lakehouse DML+DDL surface — a thin PARSER
+that maps the Delta-documented statement grammar (CREATE TABLE ...
+USING txlog / ALTER TABLE / MERGE INTO / INSERT INTO / UPDATE /
+DELETE / COPY INTO / RESTORE / OPTIMIZE [WHERE] / VACUUM / SHOW
 PARTITIONS / DESCRIBE HISTORY) onto the existing
 :class:`~kafka_flink_harshevents_spark.sources.txlog.TxTable` methods.
 Zero new semantics: every statement form is parity-tested against the
@@ -382,6 +383,161 @@ def _parse_merge(
     )
 
 
+_COLSPEC = re.compile(
+    r"(?is)^\s*`?(?P<name>\w+)`?\s+(?P<type>[A-Za-z_]+(?:\s*\([^)]*\))?"
+    r"(?:\s*<[^>]*>)?)"
+    r"(?:\s+GENERATED\s+(?P<gen_kind>ALWAYS|BY\s+DEFAULT)\s+AS\s+"
+    r"(?:IDENTITY(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)"
+    r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?"
+    r"|\(\s*(?P<gexpr>.*)\s*\)))?\s*$"
+)
+
+
+def _parse_create(
+    spark: SparkSession, stmt: str, tables: dict | None
+) -> TxTable:
+    """``CREATE TABLE t (col TYPE [GENERATED ...], ...) USING txlog
+    LOCATION '<dir>' [PARTITIONED BY (...)] [TBLPROPERTIES (...)]`` —
+    the Delta DDL shape onto :meth:`TxTable.create`. ``key_cols`` and
+    ``order_col`` come from TBLPROPERTIES (this engine's tables are
+    keyed by construction); the declared schema is recorded by an
+    empty schema-bearing append, so streams and landing ingestion can
+    start before the first data batch. Returns the TxTable."""
+    m = re.match(
+        r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*"
+        r"\((?P<cols>.*)\)\s*USING\s+txlog\s*(?P<rest>.*)$",
+        stmt,
+    )
+    if not m:
+        raise ValueError(
+            "txsql: malformed CREATE TABLE — expected CREATE TABLE "
+            "<t> (col TYPE, ...) USING txlog [LOCATION '<dir>'] "
+            "[PARTITIONED BY (...)] [TBLPROPERTIES (...)]"
+        )
+    rest = m.group("rest")
+    loc = re.search(r"(?is)LOCATION\s+'([^']*)'", rest)
+    pby = re.search(r"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)", rest)
+    props_m = re.search(r"(?is)TBLPROPERTIES\s*\((.*)\)", rest)
+    props = _parse_options(props_m.group(1)) if props_m else {}
+    tok = m.group("t").strip()
+    if tok.startswith("'"):
+        table_dir = tok[1:-1]
+    elif loc:
+        table_dir = loc.group(1)
+    elif tables and tok.strip("`") in tables:
+        v = tables[tok.strip("`")]
+        table_dir = v if isinstance(v, str) else v.table_dir
+    else:
+        raise ValueError(
+            "txsql CREATE TABLE: no directory — quote the target "
+            "path, add LOCATION '...', or pass tables={name: dir}"
+        )
+    if "key_cols" not in props or "order_col" not in props:
+        raise ValueError(
+            "txsql CREATE TABLE: TBLPROPERTIES must carry "
+            "'key_cols'='k1[,k2]' and 'order_col'='ver' — this "
+            "engine's tables are keyed by construction"
+        )
+    schema_parts = []
+    gen_cols: dict[str, str] = {}
+    ident: dict[str, dict] = {}
+    for item in _Scanner.split_top(m.group("cols")):
+        cm = _COLSPEC.match(item)
+        if not cm:
+            raise ValueError(
+                f"txsql CREATE TABLE: malformed column spec {item!r}"
+            )
+        name = cm.group("name")
+        schema_parts.append(f"`{name}` {cm.group('type')}")
+        if cm.group("gexpr"):
+            gen_cols[name] = cm.group("gexpr")
+        elif cm.group("gen_kind"):
+            ident[name] = {
+                "start": int(cm.group("start") or 1),
+                "step": int(cm.group("step") or 1),
+                "always": cm.group("gen_kind").upper() == "ALWAYS",
+            }
+    t = TxTable.create(
+        spark,
+        table_dir,
+        key_cols=tuple(
+            c.strip() for c in props["key_cols"].split(",") if c.strip()
+        ),
+        order_col=props["order_col"],
+        n_buckets=int(props.get("n_buckets", 16)),
+        cdf=str(props.get("cdf", "false")).lower() == "true",
+        bloom_cols=tuple(
+            c.strip()
+            for c in props.get("bloom_cols", "").split(",")
+            if c.strip()
+        ),
+        generated_cols=gen_cols or None,
+        checkpoint_interval=int(props.get("checkpoint_interval", 10)),
+        identity_cols=ident or None,
+        row_tracking=str(props.get("row_tracking", "false")).lower()
+        == "true",
+        partition_by=tuple(
+            c.strip().strip("`")
+            for c in (pby.group(1).split(",") if pby else [])
+            if c.strip()
+        ),
+    )
+    # record the declared schema (managed columns are computed at
+    # write, never declared into the empty frame's schema)
+    managed = set(gen_cols) | set(ident) | {"_row_id"}
+    decl = ", ".join(
+        p for p in schema_parts
+        if p.split("`")[1] not in managed
+    )
+    if decl and t.latest_version() == 1:
+        t.append(spark.createDataFrame([], decl))
+    return t
+
+
+def _parse_alter(
+    spark: SparkSession, stmt: str, tables: dict | None
+):
+    """``ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | DROP
+    CONSTRAINT name | DROP COLUMN c[, ...] | RENAME COLUMN a TO b`` —
+    straight onto the metadata-only methods."""
+    m = re.match(
+        r"(?is)^ALTER\s+TABLE\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s+"
+        r"(?P<act>.*)$",
+        stmt,
+    )
+    if not m:
+        raise ValueError("txsql: malformed ALTER TABLE")
+    t = _target_table(spark, m.group("t"), tables)
+    act = m.group("act").strip()
+    am = re.match(
+        r"(?is)^ADD\s+CONSTRAINT\s+`?(\w+)`?\s+CHECK\s*\((.*)\)\s*$",
+        act,
+    )
+    if am:
+        return t.add_constraint(am.group(1), am.group(2))
+    am = re.match(r"(?is)^DROP\s+CONSTRAINT\s+`?(\w+)`?\s*$", act)
+    if am:
+        return t.drop_constraint(am.group(1))
+    am = re.match(r"(?is)^DROP\s+COLUMNS?\s+(?:\((.*)\)|(.*))\s*$", act)
+    if am:
+        cols = tuple(
+            c.strip().strip("`")
+            for c in _Scanner.split_top(am.group(1) or am.group(2))
+        )
+        return t.drop_columns(cols)
+    am = re.match(
+        r"(?is)^RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$", act
+    )
+    if am:
+        return t.rename_column(am.group(1), am.group(2))
+    raise ValueError(
+        f"txsql ALTER TABLE: unsupported action {act!r} — supported: "
+        "ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT, "
+        "DROP COLUMN(S), RENAME COLUMN a TO b"
+    )
+
+
 def _parse_options(body: str) -> dict:
     out = {}
     for item in _Scanner.split_top(body):
@@ -406,6 +562,12 @@ def txsql(
     stmt = _strip_stmt(sql)
     head = stmt.split(None, 1)[0].upper() if stmt.split() else ""
     two = " ".join(stmt.split()[:2]).upper()
+
+    if head == "CREATE":
+        return _parse_create(spark, stmt, tables)
+
+    if head == "ALTER":
+        return _parse_alter(spark, stmt, tables)
 
     if head == "MERGE":
         return _parse_merge(spark, stmt, tables, sources)
@@ -566,7 +728,8 @@ def txsql(
     raise ValueError(
         f"txsql: unsupported statement {head!r} — supported: MERGE "
         "INTO, INSERT INTO, UPDATE, DELETE FROM, COPY INTO, RESTORE, "
-        "OPTIMIZE, VACUUM, SHOW PARTITIONS, DESCRIBE HISTORY (pure "
-        "SELECT belongs to "
+        "OPTIMIZE [WHERE], VACUUM, SHOW PARTITIONS, DESCRIBE HISTORY, "
+        "CREATE TABLE ... USING txlog, ALTER TABLE (pure SELECT "
+        "belongs to "
         "spark.sql)"
     )

@@ -434,3 +434,37 @@ def test_optimize_where_partition_scope(spark, tmp_path):
         l1[p]["part"]["d"] == 19723 for p in kept  # 2024-01-01 untouched
     )
     assert t3.read().count() == 16
+
+
+def test_partitioned_table_streams_appends(spark, tmp_path):
+    """The txlog stream source serves partitioned commits unchanged:
+    partition values live IN the data files, so the per-file Arrow
+    reader needs no fill and each commit's files stream with their
+    columns intact."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t = _mkp(spark, tmp_path, "t", partition_by=("region",))
+    t.append(_frame(spark, 6))
+    got: list = []
+
+    def sink(bdf, _bid):
+        got.extend(
+            (r["k"], r["region"], r["_commit_version"])
+            for r in bdf.collect()
+        )
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("tabledir", t.table_dir)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(k for k, _, _ in got) == list(range(6))
+    assert all(r == ["eu", "us", "ap"][k % 3] for k, r, _ in got)

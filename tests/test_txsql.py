@@ -222,3 +222,64 @@ def test_insert_into_and_describe_history(spark, tmp_path):
     h = txsql(spark, "DESCRIBE HISTORY t", tables={"t": t})
     ops = {r["op"] for r in h.collect()}
     assert "append" in ops and h.count() >= 4
+
+
+def test_create_table_ddl(spark, tmp_path):
+    t = txsql(
+        spark,
+        f"""
+        CREATE TABLE '{tmp_path}/ddl' (
+            k LONG,
+            region STRING,
+            v DOUBLE,
+            day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)),
+            ts TIMESTAMP,
+            rid LONG GENERATED ALWAYS AS IDENTITY (START WITH 100
+                                                   INCREMENT BY 3),
+            ver LONG
+        ) USING txlog
+        PARTITIONED BY (region)
+        TBLPROPERTIES ('key_cols'='k', 'order_col'='ver',
+                       'n_buckets'='2', 'cdf'='true')
+        """,
+    )
+    meta = t.meta
+    assert meta["key_cols"] == ["k"] and meta["order_col"] == "ver"
+    assert meta["partition_by"] == ["region"] and meta["cdf"]
+    assert meta["generated_cols"] == {"day": "CAST(ts AS DATE)"}
+    assert meta["identity_cols"]["rid"] == {
+        "start": 100, "step": 3, "always": True,
+    }
+    # the declared schema is recorded: an empty read already types
+    sch = dict(t.read().dtypes)
+    assert sch["v"] == "double" and sch["ts"] == "timestamp"
+    # a write through the declared contract: generated + identity fill
+    import datetime
+
+    t.append(spark.createDataFrame(
+        [(1, "eu", 0.5, datetime.datetime(2024, 1, 2, 3), 1)],
+        "k long, region string, v double, ts timestamp, ver long",
+    ))
+    r = t.read().collect()[0]
+    assert r["day"] == datetime.date(2024, 1, 2) and r["rid"] == 100
+    rep = t.prune_report({}, eq={"region": "us"})
+    assert rep["files_read"] == 0  # partition layout live from DDL
+
+
+def test_alter_table_ddl(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    txsql(spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (v >= 0)",
+          tables={"t": t})
+    assert "pos" in t.constraints()
+    with pytest.raises(Exception, match="pos"):
+        t.append(spark.createDataFrame(
+            [(99, -5, 1)], "k long, v long, ver long"))
+    txsql(spark, "ALTER TABLE t DROP CONSTRAINT pos", tables={"t": t})
+    assert "pos" not in t.constraints()
+    txsql(spark, "ALTER TABLE t RENAME COLUMN v TO val",
+          tables={"t": t})
+    assert "val" in t.read().columns
+    txsql(spark, "ALTER TABLE t DROP COLUMN val", tables={"t": t})
+    assert "val" not in t.read().columns
+    with pytest.raises(ValueError, match="unsupported action"):
+        txsql(spark, "ALTER TABLE t SET LOCATION 'x'", tables={"t": t})
