@@ -5661,6 +5661,7 @@ class TxTable:
         retain_versions: int = 1,
         grace_seconds: float = 3600.0,
         dry_run: bool = False,
+        retain_hours: float | None = None,
     ) -> list[str]:
         """Delete data files unreferenced by the newest `retain_versions`
         snapshots, plus orphaned staged directories from crashed or
@@ -5669,6 +5670,16 @@ class TxTable:
         list without deleting anything — the pre-flight check before
         an irreversible reclaim (a vacuumed file breaks time travel
         and clone references past it).
+
+        ``retain_hours`` is Delta's time-based retention (``VACUUM ...
+        RETAIN n HOURS``, default 168 there): every snapshot whose
+        commit timestamp falls inside the window stays time-travelable
+        — the retained set becomes those versions (plus the newest one
+        even if it is older, so the LIVE state is always safe),
+        whichever of the two retention forms keeps MORE. In-commit
+        timestamps (the ``ts`` every record carries) drive the cut,
+        so cross-writer clock skew can only blur the boundary commit,
+        never reclaim a mid-window one.
 
         ``grace_seconds`` is the Delta-style retention window applied to
         NEVER-COMMITTED staged files: a data file no log version has
@@ -5686,6 +5697,16 @@ class TxTable:
 
         versions = _list_versions(self.table_dir)
         keep_versions = versions[-retain_versions:]
+        if retain_hours is not None:
+            cut = time.time() - retain_hours * 3600.0
+            in_window = [
+                v
+                for v in versions
+                if _read_record(self.table_dir, v).get("ts", 0) >= cut
+            ]
+            # union of the two forms — time-based retention can only
+            # WIDEN the kept set, never reclaim past retain_versions
+            keep_versions = sorted(set(keep_versions) | set(in_window))
         referenced: set[str] = set()
         for v in keep_versions:
             _, live, _ = self._snapshot(v)

@@ -713,15 +713,22 @@ def txsql(
     if head == "VACUUM":
         m = re.match(
             r"(?is)^VACUUM\s+(?P<t>'[^']*'|`[^`]+`|\w+)"
-            r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+            r"(?:\s+RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+"
+            r"(?P<unit>VERSIONS|HOURS))?"
             r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
             stmt,
         )
         if not m:
             raise ValueError("txsql: malformed VACUUM")
         t = _target_table(spark, m.group("t"), tables)
+        unit = (m.group("unit") or "VERSIONS").upper()
         return t.vacuum(
-            retain_versions=int(m.group("n") or 1),
+            retain_versions=(
+                int(float(m.group("n") or 1)) if unit == "VERSIONS" else 1
+            ),
+            retain_hours=(
+                float(m.group("n")) if unit == "HOURS" else None
+            ),
             dry_run=bool(m.group("dry")),
         )
 

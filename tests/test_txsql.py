@@ -283,3 +283,21 @@ def test_alter_table_ddl(spark, tmp_path):
     assert "val" not in t.read().columns
     with pytest.raises(ValueError, match="unsupported action"):
         txsql(spark, "ALTER TABLE t SET LOCATION 'x'", tables={"t": t})
+
+
+def test_vacuum_retain_hours(spark, tmp_path):
+    """Time-based retention: snapshots inside the window stay
+    time-travelable (their files keep living); RETAIN 0 HOURS degrades
+    to newest-snapshot-only, Delta's rule."""
+    t = _mk(spark, tmp_path, "t")
+    v1 = t.latest_version()
+    t.update_where("k < 3", {"v": "0"})  # rewrite: old files dead
+    # a huge window keeps everything — nothing reclaimed
+    assert txsql(spark, "VACUUM t RETAIN 1000 HOURS DRY RUN",
+                 tables={"t": t}) == []
+    assert t.read(version=v1).count() == 10  # time travel intact
+    # zero-hour window = newest snapshot only: old files reclaimable
+    dead = txsql(spark, "VACUUM t RETAIN 0 HOURS DRY RUN",
+                 tables={"t": t})
+    assert dead
+    assert t.read().count() == 10
