@@ -1082,9 +1082,98 @@ def q_txlog_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS on the hash: append base partitioned by
+    ``o_orderstatus``, keyed-merge +100 cents on the %5 keys, row-level
+    DELETE inside one partition, then list the partitions FROM THE
+    COMMIT LOG ALONE (zero data files opened — ``show_partitions``).
+    The oracle restates the per-partition row counts directly from
+    ``orders``, so per-entry partition values, DV/remove accounting in
+    the log, and the listing fold are all driver-checked. File counts
+    are layout-dependent (writer-specific), so they gate as a boolean
+    — the zorder-gate convention."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txsp-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+        partition_by=("st",),
+    )
+    t.append(base)
+    t.merge_upsert(
+        base.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    t.delete_where("st = 'P' AND k % 3 = 0", mode="merge_on_read")
+    return t.show_partitions().select(
+        "st",
+        "n_rows",
+        (F.col("n_files") > 0).cast("long").alias("has_files"),
+    )
+
+
+def q_txlog_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... WHERE gate: fragment a partitioned table with
+    three appends plus a merge-on-read DV inside partition 'O', then
+    compact ONLY that partition. The one-row contract: per-partition
+    row counts after the scoped rewrite (oracle-stated — the DV rows
+    stay deleted through the materialization), the scoped partition's
+    file count dropped, the OTHER partitions' files carried forward
+    byte-for-byte (path-set equality), and no deletion vector survives
+    in scope — i.e. a maintenance rewrite touches exactly what its
+    predicate names, the 100 TB daily-compaction pattern."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txow-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+        partition_by=("st",),
+    )
+    for _ in range(3):
+        t.append(base)
+    t.delete_where("st = 'O' AND k % 11 = 0", mode="merge_on_read")
+    _, live0, _, dvs0 = t._replay()
+
+    def split(live):
+        o = {p for p, e in live.items() if e["part"]["st"] == "O"}
+        rest = {p for p, e in live.items() if e["part"]["st"] != "O"}
+        return o, rest
+
+    o0, rest0 = split(live0)
+    t.compact(where="st = 'O'")
+    _, live1, _, dvs1 = t._replay()
+    o1, rest1 = split(live1)
+    counts = {
+        r["st"]: r["n_rows"] for r in t.show_partitions().collect()
+    }
+    row = (
+        int(counts.get("O", 0)),
+        int(counts.get("F", 0)),
+        int(counts.get("P", 0)),
+        int(len(o1) < len(o0)),
+        int(rest1 == rest0),
+        int(not any(p in o1 for p in dvs1)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows_o long, n_rows_f long, n_rows_p long, "
+        "o_compacted long, rest_untouched long, dv_materialized long",
+    )
+
+
 QUERIES = {
     "q_txlog_partitioned": q_txlog_partitioned,
     "q_txlog_sql_merge": q_txlog_sql_merge,
+    "q_txlog_show_partitions": q_txlog_show_partitions,
+    "q_txlog_optimize_where": q_txlog_optimize_where,
     "q_txlog_cdf_replay": q_txlog_cdf_replay,
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
     "q_txlog_rename_column": q_txlog_rename_column,
@@ -1113,6 +1202,41 @@ QUERIES = {
 #   k%5=0 (merge inserts the %3 keys the append skipped, updates the
 #   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
 ORACLES = {
+    # show_partitions: append + merge(%5, no row-count change) + a
+    # merge-on-read delete of the P-partition %3 keys; counts from the
+    # LOG must equal the per-status counts SQL states
+    "q_txlog_show_partitions": f"""
+        SELECT o_orderstatus AS st,
+               CAST(COUNT(*) FILTER (WHERE NOT (
+                   o_orderstatus = 'P' AND o_orderkey % 3 = 0
+               )) AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS has_files
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+        GROUP BY o_orderstatus
+    """,
+    # optimize_where: 3 blind appends (3 copies per key) + DV delete
+    # of O-partition %11 keys, then a compact scoped to O — counts are
+    # 3× per status minus the three deleted copies; booleans state the
+    # scoped-rewrite contract
+    "q_txlog_optimize_where": f"""
+        WITH c AS (
+            SELECT o_orderstatus AS st,
+                   CAST(3 * COUNT(*) FILTER (WHERE NOT (
+                       o_orderstatus = 'O' AND o_orderkey % 11 = 0
+                   )) AS BIGINT) AS n
+            FROM orders
+            WHERE o_orderkey <= {_KEY_CAP}
+            GROUP BY o_orderstatus
+        )
+        SELECT
+          (SELECT n FROM c WHERE st = 'O') AS n_rows_o,
+          (SELECT n FROM c WHERE st = 'F') AS n_rows_f,
+          (SELECT n FROM c WHERE st = 'P') AS n_rows_p,
+          CAST(1 AS BIGINT) AS o_compacted,
+          CAST(1 AS BIGINT) AS rest_untouched,
+          CAST(1 AS BIGINT) AS dv_materialized
+    """,
     # program: UPDATE +50/ver2 on k%6=0; MERGE src=(k%4=0 → +77/ver3,
     # +1M keys for k%9=0) with DELETE on matched k%10=0 (i.e. k%20=0),
     # UPDATE otherwise, constructed INSERT (+1 cent); DELETE k%13=0.
