@@ -404,7 +404,7 @@ def _parse_create(
     empty schema-bearing append, so streams and landing ingestion can
     start before the first data batch. Returns the TxTable."""
     m = re.match(
-        r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(?is)^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
         r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*"
         r"\((?P<cols>.*)\)\s*USING\s+txlog\s*(?P<rest>.*)$",
         stmt,
@@ -432,6 +432,20 @@ def _parse_create(
         raise ValueError(
             "txsql CREATE TABLE: no directory — quote the target "
             "path, add LOCATION '...', or pass tables={name: dir}"
+        )
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        _list_versions,
+    )
+
+    if _list_versions(table_dir) and not m.group("ine"):
+        # Delta's rule: CREATE TABLE on an existing table refuses
+        # unless IF NOT EXISTS (which returns it untouched — a
+        # create's metadata is immutable, so re-declaring differently
+        # would silently be ignored)
+        raise ValueError(
+            f"txsql CREATE TABLE: {table_dir!r} already holds a "
+            "transaction log — use CREATE TABLE IF NOT EXISTS to "
+            "open it"
         )
     if "key_cols" not in props or "order_col" not in props:
         raise ValueError(

@@ -301,3 +301,16 @@ def test_vacuum_retain_hours(spark, tmp_path):
                  tables={"t": t})
     assert dead
     assert t.read().count() == 10
+
+
+def test_create_table_exists_semantics(spark, tmp_path):
+    ddl = (
+        f"CREATE TABLE {{ine}}'{tmp_path}/t' (k LONG, ver LONG) "
+        "USING txlog TBLPROPERTIES ('key_cols'='k', 'order_col'='ver')"
+    )
+    t = txsql(spark, ddl.format(ine=""))
+    t.append(spark.createDataFrame([(1, 1)], "k long, ver long"))
+    with pytest.raises(ValueError, match="already holds"):
+        txsql(spark, ddl.format(ine=""))
+    t2 = txsql(spark, ddl.format(ine="IF NOT EXISTS "))
+    assert t2.read().count() == 1  # opened, not recreated
