@@ -1900,6 +1900,93 @@ class TxTable:
             except ConcurrentWriteError:
                 continue  # metadata-only: recompute and retry
 
+    def add_columns(
+        self, cols: dict[str, str], max_retries: int = 5
+    ) -> int:
+        """ALTER TABLE ADD COLUMN(S) — METADATA-ONLY: one commit
+        records the WIDENED schema (``cols`` maps name → Spark DDL
+        type string); no data file is touched. Existing files
+        NULL-fill the new columns at read — exactly the read-path
+        contract schema-evolving writes (``merge_schema=True``)
+        already rely on, now available WITHOUT a data batch (declare
+        the column first, backfill with ``update_where`` later — the
+        Delta workflow). Streams/CDF treat the commit as the no-data
+        metadata change it is.
+
+        Refused: names that already exist, reserved (underscore)
+        names, RETIRED names (``dropped_cols`` — re-adding would
+        resurrect stale values from old files that still physically
+        carry them), and any PHYSICAL name a rename retired (two
+        columns would share one parquet name). Types must parse as
+        Spark DDL."""
+        if not cols:
+            raise ValueError("add_columns: no columns given")
+        try:
+            added = StructType.fromDDL(
+                ", ".join(f"`{n}` {t}" for n, t in cols.items())
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"add_columns: unparseable column spec {cols!r}: {exc}"
+            ) from exc
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            v, _, snap_schema = self._snapshot()
+            if snap_schema is None:
+                raise ValueError(
+                    "add_columns: the table has no recorded schema "
+                    "yet — append a first (possibly empty) batch or "
+                    "CREATE TABLE with a column list"
+                )
+            meta = self.meta
+            logical = StructType.fromJson(json.loads(snap_schema))
+            names = {f.name.lower() for f in logical.fields}
+            dropped = {
+                c.lower() for c in (meta.get("dropped_cols") or ())
+            }
+            physical = {
+                ph.lower()
+                for ph in (meta.get("column_mapping") or {}).values()
+            }
+            for n in cols:
+                if n.startswith("_"):
+                    raise ValueError(
+                        f"add_columns: {n!r} is reserved (underscore)"
+                    )
+                if n.lower() in names:
+                    raise ValueError(
+                        f"add_columns: column {n!r} already exists"
+                    )
+                if n.lower() in dropped:
+                    raise ValueError(
+                        f"add_columns: {n!r} was dropped — re-adding "
+                        "would resurrect stale values from old files "
+                        "that still physically carry it"
+                    )
+                if n.lower() in physical:
+                    raise ValueError(
+                        f"add_columns: {n!r} is the PHYSICAL name of "
+                        "a renamed column — new files would carry two "
+                        "columns with one parquet name"
+                    )
+            record = {
+                "version": v + 1,
+                "op": "add_columns",
+                "add": [],
+                "remove": [],
+                "schema_json": StructType(
+                    list(logical.fields) + list(added.fields)
+                ).json(),
+                "note": f"add columns {sorted(cols)}",
+            }
+            try:
+                self._commit(v + 1, record)
+                return v + 1
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        raise last_err  # type: ignore[misc]
+
     def rename_column(
         self, old: str, new: str, max_retries: int = 5
     ) -> int:

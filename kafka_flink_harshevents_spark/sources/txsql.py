@@ -533,6 +533,21 @@ def _parse_alter(
     am = re.match(r"(?is)^DROP\s+CONSTRAINT\s+`?(\w+)`?\s*$", act)
     if am:
         return t.drop_constraint(am.group(1))
+    am = re.match(
+        r"(?is)^ADD\s+COLUMNS?\s+(?:\((?P<a>.*)\)|(?P<b>.*))\s*$", act
+    )
+    if am:
+        cols = {}
+        for item in _Scanner.split_top(am.group("a") or am.group("b")):
+            cm = re.match(
+                r"(?is)^\s*`?(\w+)`?\s+(.+?)\s*$", item
+            )
+            if not cm:
+                raise ValueError(
+                    f"txsql ADD COLUMN: malformed spec {item!r}"
+                )
+            cols[cm.group(1)] = cm.group(2)
+        return t.add_columns(cols)
     am = re.match(r"(?is)^DROP\s+COLUMNS?\s+(?:\((.*)\)|(.*))\s*$", act)
     if am:
         cols = tuple(
@@ -548,7 +563,7 @@ def _parse_alter(
     raise ValueError(
         f"txsql ALTER TABLE: unsupported action {act!r} — supported: "
         "ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT, "
-        "DROP COLUMN(S), RENAME COLUMN a TO b"
+        "ADD COLUMN(S), DROP COLUMN(S), RENAME COLUMN a TO b"
     )
 
 

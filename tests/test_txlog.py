@@ -7119,3 +7119,65 @@ def test_drain_available_fully_drains_paced_backlog(spark, tmp_path):
         [("x", 9, 1)], "k string, v long, ver long"))
     runs, rows = drain_available(start)
     assert (runs, rows) == (1, 1) and ("x", 5) in got
+
+
+def test_add_columns_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: a schema-only commit — old files
+    NULL-fill, later writes carry the column, backfill via
+    update_where, guards refuse existing/dropped/physical/reserved
+    names, time travel sees the narrow schema, and the stream skips
+    the metadata commit."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"))
+    v_before = t.latest_version()
+    t.add_columns({"note": "string", "score": "double"})
+    sch = dict(t.read().dtypes)
+    assert sch["note"] == "string" and sch["score"] == "double"
+    assert {r["note"] for r in t.read().collect()} == {None}
+    # time travel predates the column
+    assert "note" not in t.read(version=v_before).columns
+    # backfill + later writes carry it
+    t.update_where("k = 1", {"note": "'x'", "score": "0.5"})
+    t.append(spark.createDataFrame(
+        [(3, 30, 1, "y", 1.5)],
+        "k long, v long, ver long, note string, score double"))
+    got = {r["k"]: (r["note"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("x", 0.5), 2: (None, None), 3: ("y", 1.5)}
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_columns({"v": "long"})
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_columns({"_x": "long"})
+    with pytest.raises(ValueError, match="unparseable"):
+        t.add_columns({"bad": "no_such_type<>"})
+    t.drop_columns(("note",))
+    with pytest.raises(ValueError, match="was dropped"):
+        t.add_columns({"note": "string"})
+    t.rename_column("score", "points")
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        t.add_columns({"score": "double"})
+    # the SQL surface + stream-skip
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    txsql(spark, "ALTER TABLE t ADD COLUMNS (flag BOOLEAN, n LONG)",
+          tables={"t": t})
+    assert "flag" in t.read().columns
+    _register_txlog(spark)
+    got2: list = []
+
+    def sink(bdf, _bid):
+        got2.extend(r["k"] for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("ignorechanges", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got2) == [1, 1, 2, 3]  # data commits only (update rewrote k=1)
