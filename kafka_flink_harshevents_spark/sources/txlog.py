@@ -450,6 +450,37 @@ def _part_may_match(
     return True
 
 
+# extensions that unambiguously mark a DATA file — the wrong-
+# file_format signal for copy_into's directory walk. Doc/metadata
+# strays (README, manifest.json, schema.yaml) must NOT hard-fail an
+# otherwise idle landing zone, so json/xml-ish files with well-known
+# metadata basenames are excluded too.
+_DATA_EXTS = frozenset(
+    ("csv", "tsv", "json", "jsonl", "ndjson", "parquet", "orc",
+     "avro", "txt", "xml")
+)
+_STRAY_BASENAMES = frozenset(
+    ("manifest", "readme", "metadata", "schema", "notes", "changelog",
+     "license", "sample", "checksums")
+)
+
+
+def _is_foreign_data_file(name: str) -> bool:
+    """True when ``name`` (already known not to match the requested
+    format) looks like a DATA file of another format — the signal that
+    the caller's ``file_format`` is wrong — rather than a doc/metadata
+    stray a landing zone legitimately carries."""
+    base = name.lower()
+    for c in (".gz", ".bz2", ".zst", ".snappy", ".lz4", ".deflate"):
+        if base.endswith(c):
+            base = base[: -len(c)]
+            break
+    stem, dot, ext = base.rpartition(".")
+    if not dot or ext not in _DATA_EXTS:
+        return False
+    return stem.rpartition("/")[2] not in _STRAY_BASENAMES
+
+
 def _add_entry(table_dir: str, path: str, bucket: int) -> dict:
     """One add-entry for a freshly staged data file — the single
     construction BOTH write paths (library ``_stage``, DataSource
@@ -4184,7 +4215,7 @@ class TxTable:
                             # half-uploaded *.parquet.tmp files
                             if nm.lower().endswith(exts):
                                 cand.append(os.path.join(root, nm))
-                            else:
+                            elif _is_foreign_data_file(nm):
                                 unmatched += 1
                 else:
                     cand.append(h)
@@ -4194,14 +4225,17 @@ class TxTable:
             )
         )
         if not files and walked_dir and unmatched:
-            # a landing DIRECTORY holding only wrong-extension files is
-            # a mis-specified file_format, not an up-to-date zone — a
-            # silent (version, 0) would mask it forever. A genuinely
-            # EMPTY directory stays a silent no-op (the cron-poll case).
+            # a landing DIRECTORY holding DATA files of another format
+            # is a mis-specified file_format, not an up-to-date zone —
+            # a silent (version, 0) would mask it forever. A genuinely
+            # EMPTY directory stays a silent no-op (the cron-poll
+            # case), and so does one holding only doc/metadata strays
+            # (README, manifest.json, …) — _is_foreign_data_file gates
+            # the raise so a stray can never hard-fail every poll.
             raise FileNotFoundError(
                 f"copy_into: directory source matched 0 {file_format!r} "
-                f"files but holds {unmatched} file(s) with other "
-                "extensions — wrong file_format, or rename the landing "
+                f"files but holds {unmatched} data file(s) of another "
+                "format — wrong file_format, or rename the landing "
                 "files"
             )
         if max_retries < 1:

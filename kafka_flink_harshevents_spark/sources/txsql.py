@@ -73,23 +73,31 @@ class _Scanner:
         out.append("".join(cur))
         return [p.strip() for p in out if p.strip()]
 
+    _CASE = re.compile(r"CASE(?![A-Za-z0-9_])", re.IGNORECASE)
+    _END = re.compile(r"END(?![A-Za-z0-9_])", re.IGNORECASE)
+
     @staticmethod
     def find_kw(s: str, kw: str, start: int = 0) -> int:
         """Index of the first TOP-LEVEL occurrence of keyword phrase
-        ``kw`` (spaces in ``kw`` match any whitespace run), or -1."""
+        ``kw`` (spaces in ``kw`` match any whitespace run), or -1.
+        ``CASE ... END`` nests like parentheses, so a ``CASE WHEN``
+        inside a MERGE clause condition or SET expression never splits
+        the statement's own WHEN/THEN structure."""
         pat = re.compile(
             r"(?<![A-Za-z0-9_])" + r"\s+".join(
                 re.escape(w) for w in kw.split()
             ) + r"(?![A-Za-z0-9_])",
             re.IGNORECASE,
         )
-        depth, q, i = 0, None, start
+        depth, case_depth, q, i = 0, 0, None, start
+        boundary = True  # previous char cannot extend an identifier
         while i < len(s):
             ch = s[i]
             if q:
                 if ch == q:
                     q = None
                 i += 1
+                boundary = True
                 continue
             if ch in ("'", "`"):
                 q = ch
@@ -99,25 +107,71 @@ class _Scanner:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif depth == 0:
-                m = pat.match(s, i)
-                if m:
+            elif depth == 0 and boundary:
+                if case_depth and _Scanner._END.match(s, i):
+                    case_depth -= 1
+                    i += 3
+                    boundary = False
+                    continue
+                if _Scanner._CASE.match(s, i):
+                    case_depth += 1
+                    i += 4
+                    boundary = False
+                    continue
+                if case_depth == 0 and pat.match(s, i):
                     return i
+            boundary = not (ch.isalnum() or ch == "_")
             i += 1
         return -1
 
 
-def _rewrite_alias(expr: str, alias: str, to: str) -> str:
-    """``alias.col`` → ``to.col`` (case-insensitive, backtick-aware) —
-    the engine's clause evaluator defines ``t``/``s``."""
-    if alias.lower() == to:
-        return expr
-    return re.sub(
-        rf"(?<![A-Za-z0-9_`])`?{re.escape(alias)}`?\s*\.",
-        f"{to}.",
-        expr,
-        flags=re.IGNORECASE,
-    )
+_IDENT_AT = re.compile(r"`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _rewrite_refs(expr: str, aliases: dict[str, str]) -> str:
+    """``alias.col`` → ``engine.col`` for every alias in ONE
+    simultaneous pass (case-insensitive). Simultaneous matters: with
+    ``MERGE INTO tbl AS a USING src AS t``, sequential per-alias
+    rewrites would first turn ``a.`` into ``t.`` and then re-rewrite
+    that output to ``s.`` — silently flipping target references to
+    source ones. The scan is also quote-aware: alias prefixes inside
+    single-quoted string literals are data, never rewritten."""
+    amap = {a.lower(): to for a, to in aliases.items()}
+    out: list[str] = []
+    i, n = 0, len(expr)
+    prev = ""  # last character emitted (identifier-adjacency guard)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":  # string literal — copy verbatim
+            j = i + 1
+            while j < n and expr[j] != "'":
+                j += 1
+            out.append(expr[i:j + 1])
+            i = j + 1
+            prev = "'"
+            continue
+        if (ch == "`" or ch.isalpha() or ch == "_") and not (
+            prev and (prev.isalnum() or prev in "_`.")
+        ):
+            m = _IDENT_AT.match(expr, i)
+            if m:
+                name = (m.group(1) or m.group(2)).lower()
+                k = m.end()
+                while k < n and expr[k] in " \t\r\n":
+                    k += 1
+                if k < n and expr[k] == "." and name in amap:
+                    out.append(amap[name] + ".")
+                    i = k + 1
+                    prev = "."
+                    continue
+                out.append(expr[i:m.end()])
+                prev = expr[m.end() - 1]
+                i = m.end()
+                continue
+        out.append(ch)
+        prev = ch
+        i += 1
+    return "".join(out)
 
 
 def _parse_set(body: str, aliases: dict[str, str]) -> dict | None:
@@ -148,10 +202,7 @@ def _parse_set(body: str, aliases: dict[str, str]) -> dict | None:
         col = item[:pos].strip().strip("`")
         # a target-prefixed assignee (t.col) is Delta-legal — strip it
         col = re.sub(r"^[A-Za-z_][A-Za-z0-9_]*\.", "", col)
-        expr = item[pos + 1:].strip()
-        for a, to in aliases.items():
-            expr = _rewrite_alias(expr, a, to)
-        out[col] = expr
+        out[col] = _rewrite_refs(item[pos + 1:].strip(), aliases)
     if not out:
         raise ValueError("txsql: empty SET list")
     return out
@@ -253,6 +304,11 @@ def _parse_merge(
     src = _source_frame(spark, m.group("source"), sources)
     ta = m.group("ta") or "t"
     sa = m.group("sa") or "s"
+    if ta.lower() == sa.lower():
+        raise ValueError(
+            f"txsql MERGE: target and source share the alias {ta!r} — "
+            "clause references would be ambiguous"
+        )
     rest = stmt[m.end():]
     first_when = _Scanner.find_kw(rest, "WHEN")
     if first_when < 0:
@@ -280,22 +336,37 @@ def _parse_merge(
     not_matched: list[dict] = []
     by_source = {"action": None, "set": None, "condition": None}
     n_by_source = 0
-    _CL = re.compile(
-        r"^WHEN\s+(?P<kind>MATCHED|NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
-        r"|NOT\s+MATCHED\s+BY\s+SOURCE)"
-        r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+(?P<act>.*)$",
-        re.IGNORECASE | re.DOTALL,
+    _KIND = re.compile(
+        r"^WHEN\s+(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE"
+        r"|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
+        r"(?![A-Za-z0-9_])",
+        re.IGNORECASE,
     )
     for ch in chunks:
-        cm = _CL.match(ch)
+        cm = _KIND.match(ch)
         if not cm:
             raise ValueError(f"txsql MERGE: malformed clause {ch!r}")
         kind = re.sub(r"\s+", " ", cm.group("kind").upper())
-        cond = cm.group("cond")
-        if cond is not None:
-            for a, to in aliases.items():
-                cond = _rewrite_alias(cond, a, to)
-        act = cm.group("act").strip()
+        if kind == "NOT MATCHED BY TARGET":
+            kind = "NOT MATCHED"
+        # the clause's own THEN is the first TOP-LEVEL one — a CASE
+        # WHEN ... THEN ... END inside the AND condition nests like
+        # parentheses in find_kw, so it can never truncate the split
+        tail = ch[cm.end():]
+        then_at = _Scanner.find_kw(tail, "THEN")
+        if then_at < 0:
+            raise ValueError(f"txsql MERGE: clause without THEN {ch!r}")
+        pre = tail[:then_at].strip()
+        cond = None
+        if pre:
+            am = re.match(r"(?is)^AND\s+(.*)$", pre)
+            if not am:
+                raise ValueError(
+                    f"txsql MERGE: malformed clause condition {pre!r} "
+                    "— expected AND <predicate>"
+                )
+            cond = _rewrite_refs(am.group(1).strip(), aliases)
+        act = tail[then_at + 4:].strip()
         if kind == "MATCHED":
             am = re.match(
                 r"(?i)^(UPDATE\s+SET\s+(?P<set>.*)|DELETE)\s*$",
@@ -365,11 +436,10 @@ def _parse_merge(
                         "txsql MERGE: INSERT column/value count "
                         f"mismatch ({len(cols)} vs {len(vals)})"
                     )
-                values = {}
-                for c, v in zip(cols, vals):
-                    for a, to in aliases.items():
-                        v = _rewrite_alias(v, a, to)
-                    values[c] = v
+                values = {
+                    c: _rewrite_refs(v, aliases)
+                    for c, v in zip(cols, vals)
+                }
                 not_matched.append(
                     {"values": values, "condition": cond}
                 )
@@ -603,7 +673,8 @@ def txsql(
 
     if two == "INSERT INTO":
         m = re.match(
-            r"(?is)^INSERT\s+INTO\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s+"
+            r"(?is)^INSERT\s+INTO\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s*"
+            r"(?:\((?!\s*SELECT\b)(?P<cols>[^()]*)\)\s*)?"
             r"(?P<src>VALUES\s*\(.*\)|\(.*\)|SELECT\s+.*|[\w.]+)\s*$",
             stmt,
         )
@@ -611,34 +682,83 @@ def txsql(
             raise ValueError("txsql: malformed INSERT INTO")
         t = _target_table(spark, m.group("t"), tables)
         srctok = m.group("src").strip()
-        if re.match(r"(?is)^VALUES", srctok):
+        is_values = bool(re.match(r"(?is)^VALUES", srctok))
+        if is_values:
             # typed through the table's recorded schema: VALUES rows
             # evaluate as a SELECT so expressions (casts, functions)
             # work exactly as spark.sql would evaluate them
             df = spark.sql(f"SELECT * FROM ({srctok}) ")
-            _, _, schema_json = t._snapshot()
-            if schema_json is not None:
-                import json as _json
-
-                from pyspark.sql.types import StructType as _St
-
-                tgt = _St.fromJson(_json.loads(schema_json))
-                cols = [f.name for f in tgt.fields if f.name != "_bucket"]
-                if len(df.columns) != len(cols):
-                    raise ValueError(
-                        f"txsql INSERT: VALUES arity {len(df.columns)} "
-                        f"!= table arity {len(cols)} ({cols})"
-                    )
-                df = df.toDF(*cols)
-                for f in tgt.fields:
-                    if f.name in df.columns:
-                        df = df.withColumn(
-                            f.name, df[f.name].cast(f.dataType)
-                        )
         elif srctok.upper().startswith("SELECT"):
             df = spark.sql(srctok)
         else:
             df = _source_frame(spark, srctok, sources)
+        _, _, schema_json = t._snapshot()
+        if schema_json is not None and (is_values or m.group("cols")):
+            import json as _json
+
+            from pyspark.sql.types import StructType as _St
+
+            tgt = _St.fromJson(_json.loads(schema_json))
+            # managed columns are computed at write (generated
+            # expressions, _row_id, GENERATED ALWAYS identity) —
+            # Delta lets inserts omit them; a BY DEFAULT identity
+            # column may be supplied explicitly via the column-list
+            # form ``INSERT INTO t (k, v, did, ...) VALUES ...``
+            meta = t.meta
+            managed = (
+                set(meta.get("generated_cols") or {})
+                | {"_bucket", "_row_id"}
+            )
+            ident = meta.get("identity_cols") or {}
+            always = {
+                c for c, sp in ident.items() if sp.get("always", True)
+            }
+            base = [
+                f.name for f in tgt.fields
+                if f.name not in managed | set(ident)
+            ]
+            insertable = [
+                f.name for f in tgt.fields
+                if f.name not in managed | always
+            ]
+            if m.group("cols"):
+                names = [
+                    c.strip().strip("`")
+                    for c in _Scanner.split_top(m.group("cols"))
+                ]
+                unknown = set(names) - set(insertable)
+                missing = set(base) - set(names)
+                if unknown or missing:
+                    raise ValueError(
+                        "txsql INSERT: column list must name every "
+                        f"user column ({base}) and may add BY DEFAULT "
+                        "identity columns — "
+                        f"unknown/managed: {sorted(unknown)}, "
+                        f"missing: {sorted(missing)}"
+                    )
+                if len(df.columns) != len(names):
+                    raise ValueError(
+                        f"txsql INSERT: {len(df.columns)} value(s) for "
+                        f"{len(names)} named column(s)"
+                    )
+                cols = names
+            else:
+                if len(df.columns) != len(base):
+                    raise ValueError(
+                        f"txsql INSERT: VALUES arity {len(df.columns)} "
+                        f"!= table arity {len(base)} ({base}) — "
+                        "managed columns (generated / identity / "
+                        "_row_id) are omitted; name columns explicitly "
+                        "(INSERT INTO t (cols) VALUES ...) to supply a "
+                        "BY DEFAULT identity value"
+                    )
+                cols = base
+            df = df.toDF(*cols)
+            for f in tgt.fields:
+                if f.name in df.columns:
+                    df = df.withColumn(
+                        f.name, df[f.name].cast(f.dataType)
+                    )
         return t.append(df)
 
     if two == "SHOW PARTITIONS":

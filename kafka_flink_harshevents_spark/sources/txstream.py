@@ -135,7 +135,19 @@ def drain_available(
     total = 0
     for _ in range(max_runs):
         q = start_query()
-        q.awaitTermination(timeout_per_run)
+        finished = q.awaitTermination(timeout_per_run)
+        if not finished:
+            # a run that is STILL ACTIVE at the timeout is not a
+            # drained backlog — zero observed progress here would
+            # otherwise return 'drained' while the query keeps
+            # running, and the next start_query() would overlap it on
+            # the same checkpoint. Stop it and surface the stall.
+            q.stop()
+            raise TimeoutError(
+                f"drain_available: run {runs + 1} did not terminate "
+                f"within {timeout_per_run}s — the query was stopped; "
+                "raise timeout_per_run or investigate the sink"
+            )
         served = sum(
             int(p["numInputRows"]) for p in (q.recentProgress or [])
         )

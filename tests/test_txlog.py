@@ -7054,20 +7054,35 @@ def test_identity_inherit_follows_latest_existing_duplicate(
 
 
 def test_copy_into_wrong_format_directory_raises(spark, tmp_path):
-    """ADVICE r08: a landing directory holding ONLY wrong-extension
-    files must not look identical to an up-to-date zone — raise on the
-    mis-specified file_format; a genuinely empty directory stays a
-    silent no-op (the cron-poll case)."""
+    """ADVICE r08 + r09: a landing directory holding DATA files of
+    another format must not look identical to an up-to-date zone —
+    raise on the mis-specified file_format. A genuinely empty
+    directory stays a silent no-op (the cron-poll case), and so does
+    one holding only doc/metadata strays (README, manifest.json) —
+    a stray must never turn every poll into a hard failure."""
     t = _mk(spark, tmp_path, n_buckets=2)
     land = tmp_path / "land"
     spark.createDataFrame(
         [(1, 1, 1)], "k long, v long, ver long"
     ).coalesce(1).write.option("header", "true").csv(str(land / "d"))
-    with pytest.raises(FileNotFoundError, match="other extensions"):
+    with pytest.raises(FileNotFoundError, match="another format"):
         t.copy_into(str(land / "d"))  # parquet over a csv landing dir
     (land / "empty").mkdir()
     _, n = t.copy_into(str(land / "empty"))
     assert n == 0
+    # strays alone are NOT a wrong-format signal: idle parquet zone
+    # with a manifest.json + README keeps returning (version, 0)
+    stray = land / "stray"
+    stray.mkdir()
+    (stray / "manifest.json").write_text("{}")
+    (stray / "README").write_text("landing zone")
+    (stray / "notes.txt").write_text("ops notes")
+    _, n = t.copy_into(str(stray))
+    assert n == 0
+    # but an unambiguous foreign data file still raises
+    (stray / "part-0001.csv").write_text("k,v\n1,2\n")
+    with pytest.raises(FileNotFoundError, match="another format"):
+        t.copy_into(str(stray))
     # the matching format still loads the same directory
     _, n = t.copy_into(
         str(land / "d"),
@@ -7119,6 +7134,35 @@ def test_drain_available_fully_drains_paced_backlog(spark, tmp_path):
         [("x", 9, 1)], "k string, v long, ver long"))
     runs, rows = drain_available(start)
     assert (runs, rows) == (1, 1) and ("x", 5) in got
+
+
+def test_drain_available_timeout_stops_and_raises(spark, tmp_path):
+    """ADVICE r09: a run still ACTIVE at timeout_per_run is not a
+    drained backlog — drain_available must stop the query and raise
+    (zero observed progress from a hung run previously returned
+    'drained' while the query kept running, letting the next
+    start_query() overlap it on the same checkpoint)."""
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        drain_available,
+    )
+
+    started = []
+
+    def start():
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck-rate"))
+            .start()  # continuous trigger: never self-terminates
+        )
+        started.append(q)
+        return q
+
+    with pytest.raises(TimeoutError, match="did not terminate"):
+        drain_available(start, timeout_per_run=3.0)
+    assert started and not started[0].isActive  # stopped, not leaked
 
 
 def test_add_columns_metadata_only(spark, tmp_path):

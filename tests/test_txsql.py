@@ -314,3 +314,133 @@ def test_create_table_exists_semantics(spark, tmp_path):
         txsql(spark, ddl.format(ine=""))
     t2 = txsql(spark, ddl.format(ine="IF NOT EXISTS "))
     assert t2.read().count() == 1  # opened, not recreated
+
+
+def test_merge_alias_collision_with_engine_names(spark, tmp_path):
+    """User aliases that collide with the engine's internal t/s names
+    must rewrite simultaneously: MERGE INTO b AS s USING src AS t —
+    a sequential rewrite would chain s→t→s and flip target references
+    into source ones (ADVICE r09)."""
+    a, b = _mk(spark, tmp_path, "a"), _mk(spark, tmp_path, "b")
+    src = _src(spark)
+    a.merge_into(
+        src,
+        when_matched=[
+            {"action": "update",
+             "set": {"v": "t.v + s.v", "ver": "s.ver"},
+             "condition": None},
+        ],
+        when_not_matched=[{"values": None, "condition": None}],
+    )
+    txsql(
+        spark,
+        # user's t = SOURCE, user's s = TARGET (swapped on purpose)
+        """
+        MERGE INTO b AS s USING src AS t ON s.k = t.k
+        WHEN MATCHED THEN UPDATE SET v = s.v + t.v, ver = t.ver
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables={"b": b.table_dir},
+        sources={"src": src},
+    )
+    assert _state(a) == _state(b)
+    assert _state(b)[2] == (20 + 222, 2)  # target v + source v
+
+
+def test_rewrite_refs_quote_aware():
+    from kafka_flink_harshevents_spark.sources.txsql import _rewrite_refs
+
+    # simultaneous swap
+    assert _rewrite_refs("a.x + t.y", {"a": "t", "t": "s"}) \
+        == "t.x + s.y"
+    # alias prefix inside a string literal is data
+    assert _rewrite_refs("concat('a.b', a.c)", {"a": "t"}) \
+        == "concat('a.b', t.c)"
+    # backticked alias, case-insensitive
+    assert _rewrite_refs("`Src`.v + x", {"src": "s"}) == "s.v + x"
+    # not a prefix of a longer identifier / not after a dot
+    assert _rewrite_refs("xa.v + y.a.b", {"a": "t"}) == "xa.v + y.a.b"
+
+
+def test_merge_case_when_in_condition_and_set(spark, tmp_path):
+    """CASE WHEN ... THEN ... END inside clause conditions and SET
+    expressions must not split the statement's own WHEN/THEN
+    structure (ADVICE r09)."""
+    a, b = _mk(spark, tmp_path, "a"), _mk(spark, tmp_path, "b")
+    src = _src(spark)
+    a.merge_into(
+        src,
+        when_matched=[
+            {"action": "update",
+             "set": {"v": "CASE WHEN s.v > 300 THEN s.v ELSE t.v END",
+                     "ver": "s.ver"},
+             "condition": "CASE WHEN s.k = 2 THEN false ELSE true END"},
+        ],
+        when_not_matched=[{"values": None, "condition": None}],
+    )
+    txsql(
+        spark,
+        """
+        MERGE INTO b USING src ON t.k = s.k
+        WHEN MATCHED AND CASE WHEN s.k = 2 THEN false ELSE true END
+          THEN UPDATE SET
+            v = CASE WHEN s.v > 300 THEN s.v ELSE t.v END,
+            ver = s.ver
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables={"b": b.table_dir},
+        sources={"src": src},
+    )
+    assert _state(a) == _state(b)
+    assert _state(b)[2] == (20, 1)      # condition false: untouched
+    assert _state(b)[3] == (333, 2)     # s.v > 300: took source value
+
+
+def test_merge_same_alias_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    with pytest.raises(ValueError, match="share the alias"):
+        txsql(
+            spark,
+            "MERGE INTO t AS x USING src AS x ON x.k = x.k "
+            "WHEN MATCHED THEN DELETE",
+            tables={"t": t},
+            sources={"src": _src(spark)},
+        )
+
+
+def test_insert_values_omits_managed_columns(spark, tmp_path):
+    """INSERT INTO ... VALUES on a table with identity / generated /
+    row-tracking columns: managed columns are omitted from the arity
+    check (Delta's rule); BY DEFAULT identity may also be supplied
+    explicitly (ADVICE r09)."""
+    t = txsql(
+        spark,
+        f"""
+        CREATE TABLE '{tmp_path}/mg' (
+            k LONG,
+            v LONG,
+            dbl LONG GENERATED ALWAYS AS (v * 2),
+            rid LONG GENERATED ALWAYS AS IDENTITY,
+            did LONG GENERATED BY DEFAULT AS IDENTITY (START WITH 7),
+            ver LONG
+        ) USING txlog
+        TBLPROPERTIES ('key_cols'='k', 'order_col'='ver',
+                       'n_buckets'='2', 'row_tracking'='true')
+        """,
+    )
+    # user-column arity (k, v, ver): managed all engine-filled
+    txsql(spark, "INSERT INTO mg VALUES (1, 10, 1)", tables={"mg": t})
+    r = {x["k"]: x for x in t.read().collect()}
+    assert r[1]["dbl"] == 20 and r[1]["rid"] == 1 and r[1]["did"] == 7
+    # explicit BY DEFAULT identity value via the column-list form
+    txsql(spark, "INSERT INTO mg (k, v, did, ver) VALUES (2, 20, 99, 1)",
+          tables={"mg": t})
+    r = {x["k"]: x for x in t.read().collect()}
+    assert r[2]["did"] == 99 and r[2]["dbl"] == 40
+    # GENERATED ALWAYS identity cannot be named
+    with pytest.raises(ValueError, match="unknown/managed"):
+        txsql(spark, "INSERT INTO mg (k, v, rid, ver) "
+              "VALUES (4, 40, 1, 1)", tables={"mg": t})
+    # anything else still refuses with the accepted shape named
+    with pytest.raises(ValueError, match="arity"):
+        txsql(spark, "INSERT INTO mg VALUES (3, 30)", tables={"mg": t})
