@@ -1169,8 +1169,58 @@ def q_txlog_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel SELECT on the hash: append base (capturing that
+    commit's version AND recorded timestamp), then mutate twice
+    (keyed merge +100 on the %5 keys, DELETE %7) — and read the
+    ORIGINAL snapshot back through the SQL grammar
+    ``SELECT ... FROM t VERSION AS OF n``. The oracle restates the
+    base frame directly from ``orders``, so version resolution, the
+    snapshot file list, and the txsql target rewrite are all
+    driver-checked. A second probe reads ``TIMESTAMP AS OF`` the
+    commit's own recorded stamp and gates row-count equality with the
+    version read (clamped-monotonic timestamp resolution)."""
+    from kafka_flink_harshevents_spark.sources.txlog import _read_record
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txtt-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    v0 = t.append(base)
+    ts0 = _read_record(t.table_dir, v0)["ts"]
+    t.merge_upsert(
+        base.filter(F.col("k") % 5 == 0).select(
+            "k",
+            "st",
+            (F.col("amount_c") + 100).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    t.delete_where("k % 7 = 0")
+    snap = txsql(
+        spark,
+        f"SELECT k, st, amount_c, ver FROM t VERSION AS OF {v0}",
+        tables={"t": t},
+    )
+    n_ts = txsql(
+        spark,
+        f"SELECT count(*) AS n FROM t TIMESTAMP AS OF {ts0}",
+        tables={"t": t},
+    ).collect()[0]["n"]
+    return snap.withColumn(
+        "ts_as_of_matches",
+        F.lit(int(int(n_ts) == snap.count())).cast("long"),
+    )
+
+
 QUERIES = {
     "q_txlog_partitioned": q_txlog_partitioned,
+    "q_txlog_time_travel_sql": q_txlog_time_travel_sql,
     "q_txlog_sql_merge": q_txlog_sql_merge,
     "q_txlog_show_partitions": q_txlog_show_partitions,
     "q_txlog_optimize_where": q_txlog_optimize_where,
@@ -1202,6 +1252,17 @@ QUERIES = {
 #   k%5=0 (merge inserts the %3 keys the append skipped, updates the
 #   %5 overlap latest-wins), ver 2 on merged keys; then DELETE k%7=0.
 ORACLES = {
+    # time-travel SELECT: the VERSION AS OF v0 snapshot IS the base
+    # frame — later merge/delete must be invisible; the TIMESTAMP AS
+    # OF probe gates as a constant boolean
+    "q_txlog_time_travel_sql": f"""
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(1 AS BIGINT) AS ver,
+               CAST(1 AS BIGINT) AS ts_as_of_matches
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+    """,
     # show_partitions: append + merge(%5, no row-count change) + a
     # merge-on-read delete of the P-partition %3 keys; counts from the
     # LOG must equal the per-status counts SQL states

@@ -2,7 +2,8 @@
 that maps the Delta-documented statement grammar (CREATE TABLE ...
 USING txlog / ALTER TABLE / MERGE INTO / INSERT INTO / UPDATE /
 DELETE / COPY INTO / RESTORE / OPTIMIZE [WHERE] / VACUUM / SHOW
-PARTITIONS / DESCRIBE HISTORY) onto the existing
+PARTITIONS / DESCRIBE HISTORY / SELECT ... VERSION|TIMESTAMP AS OF)
+onto the existing
 :class:`~kafka_flink_harshevents_spark.sources.txlog.TxTable` methods.
 Zero new semantics: every statement form is parity-tested against the
 equivalent Python-API call (``tests/test_txsql.py``), and every
@@ -637,6 +638,94 @@ def _parse_alter(
     )
 
 
+def _literal_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted string literals."""
+    spans, i = [], 0
+    while i < len(s):
+        if s[i] == "'":
+            j = i + 1
+            while j < len(s) and s[j] != "'":
+                j += 1
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _parse_tt_timestamp(tok: str) -> float:
+    """TIMESTAMP AS OF operand → epoch seconds. Accepts an epoch
+    number or an ISO datetime string; a NAIVE datetime is UTC (commit
+    timestamps are ``time.time()``, and the session timezone is
+    pinned UTC throughout this engine)."""
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        tok = tok[1:-1]
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(tok)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+_TT_REF = re.compile(
+    r"(?is)(?P<kw>\bFROM\b|\bJOIN\b)\s+"
+    r"(?P<t>'[^']*'|`[^`]+`|[A-Za-z_][\w.]*)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\d+(?:\.\d+)?))?"
+)
+
+
+def _parse_select(
+    spark: SparkSession, stmt: str, tables: dict | None
+) -> DataFrame:
+    """``SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts']``
+    — the Delta-documented time-travel READ grammar. Pure SELECT
+    planning stays Catalyst's job: this only RESOLVES each txlog
+    target (a ``tables`` name or quoted path, with or without an AS
+    OF clause) to the versioned snapshot frame, registers it as a
+    temp view, and hands the rewritten statement to ``spark.sql``.
+    Targets Spark can already resolve (temp views, catalog tables)
+    pass through untouched; an AS OF clause on an unresolvable name
+    is refused rather than silently dropped."""
+    spans = _literal_spans(stmt)
+    counter = [0]
+
+    def sub(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)  # inside a string literal — data
+        tok = m.group("t").strip()
+        known = tok.startswith("'") or (
+            tables and tok.strip("`") in tables
+        )
+        if not known:
+            if m.group("v") or m.group("ts"):
+                raise ValueError(
+                    f"txsql SELECT: {tok!r} carries an AS OF clause "
+                    "but is not a known txlog table — pass "
+                    "tables={name: dir} or quote the table path"
+                )
+            return m.group(0)
+        t = _target_table(spark, tok, tables)
+        if m.group("v"):
+            df = t.read(version=int(m.group("v")))
+        elif m.group("ts"):
+            df = t.read(timestamp=_parse_tt_timestamp(m.group("ts")))
+        else:
+            df = t.read()
+        counter[0] += 1
+        view = f"__txsql_tt_{counter[0]}"
+        df.createOrReplaceTempView(view)
+        return f"{m.group('kw')} {view}"
+
+    return spark.sql(_TT_REF.sub(sub, stmt))
+
+
 def _parse_options(body: str) -> dict:
     out = {}
     for item in _Scanner.split_top(body):
@@ -661,6 +750,9 @@ def txsql(
     stmt = _strip_stmt(sql)
     head = stmt.split(None, 1)[0].upper() if stmt.split() else ""
     two = " ".join(stmt.split()[:2]).upper()
+
+    if head in ("SELECT", "WITH"):
+        return _parse_select(spark, stmt, tables)
 
     if head == "CREATE":
         return _parse_create(spark, stmt, tables)
@@ -885,7 +977,7 @@ def txsql(
         f"txsql: unsupported statement {head!r} — supported: MERGE "
         "INTO, INSERT INTO, UPDATE, DELETE FROM, COPY INTO, RESTORE, "
         "OPTIMIZE [WHERE], VACUUM, SHOW PARTITIONS, DESCRIBE HISTORY, "
-        "CREATE TABLE ... USING txlog, ALTER TABLE (pure SELECT "
-        "belongs to "
-        "spark.sql)"
+        "CREATE TABLE ... USING txlog, ALTER TABLE, SELECT ... "
+        "[VERSION|TIMESTAMP AS OF] (SELECT over non-txlog relations "
+        "belongs to spark.sql)"
     )

@@ -187,9 +187,11 @@ def test_copy_into_restore_optimize_vacuum(spark, tmp_path):
 
 def test_unsupported_and_unknown(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported"):
-        txsql(spark, "SELECT 1")
+        txsql(spark, "TRUNCATE TABLE t")
     with pytest.raises(ValueError, match="unknown table"):
         txsql(spark, "DELETE FROM nope")
+    # plain SELECT without txlog targets degrades to spark.sql
+    assert txsql(spark, "SELECT 1 AS one").collect()[0]["one"] == 1
 
 
 def test_insert_into_and_describe_history(spark, tmp_path):
@@ -444,3 +446,71 @@ def test_insert_values_omits_managed_columns(spark, tmp_path):
     # anything else still refuses with the accepted shape named
     with pytest.raises(ValueError, match="arity"):
         txsql(spark, "INSERT INTO mg VALUES (3, 30)", tables={"mg": t})
+
+
+def test_time_travel_select(spark, tmp_path):
+    """SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS OF — the
+    Delta-documented time-travel READ grammar: the SQL form must be
+    row-identical to read(version=)/read(timestamp=), and targets
+    resolve through the same tables mapping as every other verb."""
+    import time
+
+    t = _mk(spark, tmp_path, "t")
+    v1 = t.latest_version()
+    ts_rec = __import__(
+        "kafka_flink_harshevents_spark.sources.txlog",
+        fromlist=["_read_record"],
+    )._read_record(t.table_dir, v1)["ts"]
+    time.sleep(0.05)
+    t.update_where("k < 5", {"v": "v + 1000", "ver": "2"})
+
+    # VERSION AS OF ≡ read(version=)
+    got = txsql(
+        spark,
+        f"SELECT k, v, ver FROM t VERSION AS OF {v1}",
+        tables={"t": t},
+    )
+    exp = t.read(version=v1).select("k", "v", "ver")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    # TIMESTAMP AS OF the v1 commit stamp ≡ the v1 snapshot
+    got = txsql(
+        spark,
+        f"SELECT count(*) AS n, sum(v) AS s FROM t "
+        f"TIMESTAMP AS OF {ts_rec}",
+        tables={"t": t},
+    ).collect()[0]
+    assert got["n"] == 10 and got["s"] == sum(k * 10 for k in range(10))
+    # current-version resolution without AS OF + self-join across time
+    got = txsql(
+        spark,
+        f"SELECT a.k, b.v AS v_now, a.v AS v_then "
+        f"FROM t VERSION AS OF {v1} a JOIN t b ON a.k = b.k "
+        "WHERE a.k = 1",
+        tables={"t": t},
+    ).collect()[0]
+    assert got["v_then"] == 10 and got["v_now"] == 1010
+    # quoted-path targets work like every other verb
+    n = txsql(
+        spark,
+        f"SELECT count(*) AS n FROM '{t.table_dir}' VERSION AS OF {v1}",
+    ).collect()[0]["n"]
+    assert n == 10
+    # ISO timestamp strings parse (far future = current state)
+    n = txsql(
+        spark,
+        "SELECT count(*) AS n FROM t TIMESTAMP AS OF '2100-01-01'",
+        tables={"t": t},
+    ).collect()[0]["n"]
+    assert n == 10
+    # AS OF on an unresolvable name refuses loudly
+    with pytest.raises(ValueError, match="AS OF"):
+        txsql(spark, "SELECT * FROM nope VERSION AS OF 1")
+    # FROM inside a string literal is data, not a target
+    r = txsql(
+        spark,
+        "SELECT 'FROM t VERSION AS OF 99' AS lit, count(*) AS n "
+        "FROM t",
+        tables={"t": t},
+    ).collect()[0]
+    assert r["n"] == 10 and "99" in r["lit"]
