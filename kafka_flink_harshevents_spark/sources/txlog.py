@@ -694,6 +694,92 @@ def _replay_log(
     return target, live, schema_json, dvs
 
 
+_COPIED_DIRNAME = "copied"
+_COPIED_FOLD_EVERY = 10  # segments per fold — the log-checkpoint cadence
+
+
+def _copied_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOG_DIR, _COPIED_DIRNAME)
+
+
+def _copied_segments(table_dir: str) -> list[tuple[int, str]]:
+    """(version, path) of every copied-set segment, ascending. Each
+    segment ``seg-<v>.json`` holds ``{"version", "base_version",
+    "paths"}`` = the source paths copy_into ingested in commits
+    ``(base_version, version]`` (a FOLD segment has base_version 0 and
+    the full union). Segment contents are monotone facts — a path,
+    once copied at some commit ≤ v, is copied forever — so readers
+    may union ANY subset whose ranges cover (0, floor]."""
+    d = _copied_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for nm in os.listdir(d):
+        m = re.match(r"seg-(\d+)\.json$", nm)
+        if m:
+            out.append((int(m.group(1)), os.path.join(d, nm)))
+    return sorted(out)
+
+
+def _copied_base(table_dir: str, target: int) -> tuple[int, set]:
+    """(floor_version, copied paths as of floor) — the replay base for
+    the copied set at ``target``: the union of all segments ≤ target,
+    falling back to a pre-segment checkpoint's embedded ``copied``
+    field (written by older layouts; migrated into the first segment
+    by the next :meth:`TxTable.checkpoint`). Retries once around a
+    concurrent fold (listed segments may vanish mid-read; the fold
+    that removed them covers their range)."""
+    for _ in range(3):
+        segs = [
+            (v, p) for v, p in _copied_segments(table_dir) if v <= target
+        ]
+        if not segs:
+            chk = _latest_checkpoint(table_dir, target)
+            if chk is not None and "copied" in chk:
+                return chk["version"], set(chk["copied"])
+            return 0, set()
+        seen: set[str] = set()
+        try:
+            for _v, p in segs:
+                with open(p) as f:
+                    seen.update(json.load(f)["paths"])
+        except FileNotFoundError:
+            continue  # folded away under us — re-list
+        return max(v for v, _ in segs), seen
+    raise RuntimeError(
+        f"{table_dir}: copied-set segments kept vanishing mid-read "
+        "(concurrent fold storm?)"
+    )
+
+
+def _copied_write_segment(
+    table_dir: str, version: int, base_version: int, paths: set
+) -> bool:
+    """Publish one segment via the create-if-absent link primitive —
+    exactly one writer wins a given ``seg-<version>`` name; a loser
+    leaves the winner's bytes in place (its own delta is re-derivable
+    from the log). Returns True iff THIS call created the file."""
+    d = _copied_dir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "base_version": base_version,
+                "paths": sorted(paths),
+            },
+            f,
+        )
+    try:
+        os.link(tmp, os.path.join(d, f"seg-{version:0{_PAD}d}.json"))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 def _atomic_commit(table_dir: str, version: int, record: dict) -> None:
     """Publish `record` as `version` or raise ConcurrentWriteError.
 
@@ -1250,20 +1336,9 @@ class TxTable:
         if prev is not None and "txns" in prev:
             txns = dict(prev["txns"])
             from_v = prev["version"]
-        # the copied-set replay floor is INDEPENDENT of the txns floor:
-        # a checkpoint written by a pre-copy_into binary carries "txns"
-        # but no "copied", and reusing its from_v there would drop every
-        # earlier copy marker from this checkpoint (double-ingestion on
-        # the next run)
-        copied: set[str] = set()
-        copied_from = 0
-        if prev is not None and "copied" in prev:
-            copied = set(prev["copied"])
-            copied_from = prev["version"]
         for vv in _list_versions(self.table_dir):
             if vv > v:
                 continue
-            rec = None
             if vv > from_v:
                 rec = _read_record(self.table_dir, vv)
                 t = rec.get("txn")
@@ -1272,11 +1347,18 @@ class TxTable:
                         int(txns.get(t["app_id"], -1)),
                         int(t["batch_id"]),
                     )
-            if vv > copied_from:
-                if rec is None:
-                    rec = _read_record(self.table_dir, vv)
-                for e in rec.get("copied_files", ()):
-                    copied.add(e["path"])
+        # the copied set lives in its own incrementally-compacted side
+        # structure (delta segments + periodic fold), NOT in the
+        # checkpoint body: embedding the cumulative set made every
+        # checkpoint write O(total files ever copied) — at a 10⁶-file
+        # landing history that is ~100 MB re-serialized per checkpoint.
+        # Here each checkpoint writes only the delta since the last
+        # segment (O(new paths)), and every _COPIED_FOLD_EVERY-th
+        # segment folds the chain into one base — amortized
+        # O(total / FOLD_EVERY), with reads unioning ≤ FOLD_EVERY
+        # files. A pre-segment checkpoint's embedded "copied" field is
+        # migrated into the first segment written here.
+        self._checkpoint_copied(v)
         path = os.path.join(
             self.table_dir, _LOG_DIR, f"chk-{v:0{_PAD}d}.json"
         )
@@ -1294,12 +1376,59 @@ class TxTable:
                     "meta": self.meta_at(v),
                     "constraints": self.constraints(v),
                     "txns": txns,
-                    "copied": sorted(copied),
                 },
                 f,
             )
         os.replace(tmp, path)
         return v
+
+    def _checkpoint_copied(self, v: int) -> None:
+        """Advance the copied-set side structure to version ``v``:
+        write the delta segment (paths copied in commits after the
+        current floor), folding the whole chain into one base segment
+        every ``_COPIED_FOLD_EVERY`` segments. Race-safe: segments
+        publish via create-if-absent (one winner per version name),
+        and a fold deletes its inputs only after ITS link won — a
+        concurrent delta-writer losing the name keeps the winner's
+        bytes, and unions over any surviving subset stay correct
+        because segment ranges always cover (0, floor]."""
+        segs = [
+            (sv, p) for sv, p in _copied_segments(self.table_dir)
+            if sv <= v
+        ]
+        if segs:
+            floor, seed = max(sv for sv, _ in segs), set()
+        else:
+            prev = _latest_checkpoint(self.table_dir, v)
+            if prev is not None and "copied" in prev:
+                floor, seed = prev["version"], set(prev["copied"])
+            else:
+                floor, seed = 0, set()
+        if floor >= v and segs:
+            return  # already current
+        delta = seed
+        for vv in _list_versions(self.table_dir):
+            if floor < vv <= v:
+                for e in _read_record(self.table_dir, vv).get(
+                    "copied_files", ()
+                ):
+                    delta.add(e["path"])
+        if not delta and segs:
+            return  # nothing new — this checkpoint costs O(0)
+        if len(segs) + 1 >= _COPIED_FOLD_EVERY:
+            # fold: one base segment with the full union ≤ v (a pure
+            # function of the log, so any winner's bytes are right)
+            _, base_union = _copied_base(self.table_dir, v)
+            if _copied_write_segment(
+                self.table_dir, v, 0, base_union | delta
+            ):
+                for _sv, p in segs:
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+        else:
+            _copied_write_segment(self.table_dir, v, floor, delta)
 
     def clone_to(
         self, dest_dir: str, version: int | None = None
@@ -4106,30 +4235,24 @@ class TxTable:
 
     def copied_files(self) -> set[str]:
         """Absolute source paths every earlier :meth:`copy_into`
-        ingested — the skip set. Checkpoint-aware (checkpoints snapshot
-        the union), so the replay is O(commits since the last
-        checkpoint) like every other metadata read.
+        ingested — the skip set. Replayed from the copied-set SIDE
+        STRUCTURE (delta segments folded every ``_COPIED_FOLD_EVERY``
+        checkpoints — see :meth:`_checkpoint_copied`) plus the commit
+        records after its floor, so the scan is O(commits since the
+        last checkpoint) like every other metadata read.
 
-        Metadata-size scaling contract: the set is CUMULATIVE — every
-        path ever ingested, carried forward by each checkpoint — so
-        checkpoint size and this call are O(total files ever copied),
-        NOT O(new files). The "million-file directory with ten new
-        files reads ten data files" cost claim holds for the DATA
-        side; the metadata side re-serializes the full skip set per
-        checkpoint (~100 bytes/path → a 10⁶-file history costs
-        ~100 MB per checkpoint write and one such read per
-        ``copy_into``). At that scale prefer :meth:`auto_ingest`,
-        whose loaded-file state lives in the stream checkpoint (RocksDB
-        compacted, not re-serialized per commit), or rotate landing
-        directories so one table's ingestion history stays bounded."""
-        seen: set[str] = set()
-        from_v = 0
+        Metadata-size scaling contract: the set is CUMULATIVE, but the
+        WRITE side is O(delta) — each checkpoint serializes only the
+        paths copied since the last segment, and the periodic fold
+        amortizes to O(total / FOLD_EVERY). The READ here unions at
+        most FOLD_EVERY segment files (total bytes ∝ set size — the
+        irreducible cost of an exact skip set; ~100 bytes/path, one
+        read per ``copy_into``). Histories past ~10⁷ files should
+        still prefer :meth:`auto_ingest` (stream-checkpoint state) or
+        rotated landing directories."""
         versions = _list_versions(self.table_dir)
         target = versions[-1] if versions else 0
-        chk = _latest_checkpoint(self.table_dir, target)
-        if chk is not None and "copied" in chk:
-            seen = set(chk["copied"])
-            from_v = chk["version"]
+        from_v, seen = _copied_base(self.table_dir, target)
         for v in versions:
             if v <= from_v:
                 continue
