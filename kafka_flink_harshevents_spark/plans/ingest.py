@@ -18,12 +18,14 @@ states them from the raw corpus):
 - **exact**: md5(text) present in the store (kind 0);
 - **span containment**: any non-overlapping SPAN_WORDS-word span
   present (kind 1 — C4-style, Raffel et al. 2020 §2.2);
-- **near-dup (advisory)**: any MinHash-LSH band hash present (kind 2,
-  the SAME banding as ``doc_minhash_lsh_pairs`` /
-  ``streaming/dedup.py`` — parity pinned there). Advisory because a
-  band collision is a CANDIDATE signal (the batch pipeline verifies
-  with exact Jaccard); the keep rule stays exact+span, matching
-  ``doc_incremental_dedup``.
+- **near-dup**: any MinHash-LSH band hash present (kind 2, the SAME
+  banding as ``doc_minhash_lsh_pairs`` / ``streaming/dedup.py`` —
+  parity pinned there). By default ADVISORY — a band collision is a
+  CANDIDATE signal and the keep rule stays exact+span, matching
+  ``doc_incremental_dedup``. With ``near_dup_mode="verify"`` (and an
+  attributed store) candidates are verified with exact Jaccard
+  against the colliding stored docs and verified near-dups are
+  rejected — the C4/CCNet-grade ingest-time keep rule.
 
 Batch-snapshot semantics: verdicts are computed against the store AS
 OF batch start, then the accepted batch's fingerprints are absorbed —
@@ -63,17 +65,28 @@ __all__ = [
 
 
 def create_fingerprint_table(
-    spark: SparkSession, table_dir: str, n_buckets: int = 16
+    spark: SparkSession,
+    table_dir: str,
+    n_buckets: int = 16,
+    attributed: bool = False,
 ) -> TxTable:
     """The fingerprint store: keyed (kind, fp) — kind 0 = md5 text
     hash, 1 = word span, 2 = MinHash-LSH band hash — with a constant
     order column (a fingerprint is a presence marker; re-merging the
     same key is the idempotent no-op the crash-replay contract
-    needs)."""
+    needs).
+
+    ``attributed=True`` widens the key to (kind, fp, doc): each
+    fingerprint row remembers WHICH accepted document contributed it.
+    Required by ``corpus_ingest(near_dup_mode="verify")`` — verifying
+    a band collision with exact Jaccard needs the colliding stored
+    doc's identity to fetch its text. Presence checks are unchanged
+    (semi-joins on (kind, fp) ignore the extra key column), and the
+    store stays skew-free (hashes lead the key)."""
     return TxTable.create(
         spark,
         table_dir,
-        key_cols=("kind", "fp"),
+        key_cols=("kind", "fp", "doc") if attributed else ("kind", "fp"),
         order_col="ver",
         n_buckets=n_buckets,
     )
@@ -85,12 +98,26 @@ def _already(table: TxTable, txn: dict | None) -> bool:
     )
 
 
+def _shingle_arr(text_col: str):
+    """Distinct word-bigram shingle array for one text column — the
+    SAME shingling as ``queries.documents._shingles`` (the Jaccard
+    currency of the whole dedup family), inlined as an array
+    expression so the verify join needs no explode."""
+    s = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({s}) >= 2 THEN array_distinct(transform("
+        f"sequence(0, size({s}) - 2), "
+        f"i -> concat({s}[i], ' ', {s}[i + 1]))) ELSE array() END"
+    )
+
+
 def corpus_ingest(
     corpus: TxTable,
     fingerprints: TxTable,
     new_docs: DataFrame | str,
     txn: dict | None = None,
     min_quality: float | None = None,
+    near_dup_mode: str = "advisory",
 ) -> dict:
     """Ingest one batch of documents exactly-once. ``new_docs`` is a
     DataFrame carrying at least ``(doc_id, text)`` plus the corpus
@@ -107,24 +134,57 @@ def corpus_ingest(
     the store (a rejected doc is not in the corpus; a future identical
     doc must be judged on its own quality).
 
+    ``near_dup_mode`` — what a MinHash band collision MEANS:
+
+    - ``"advisory"`` (default): collisions are counted, never acted
+      on; the keep rule is exact+span, the batch twin's.
+    - ``"verify"``: collisions become candidate pairs verified with
+      EXACT Jaccard against the colliding stored docs' shingle sets
+      (word bigrams at ``LSH_VERIFY_THRESHOLD`` — the
+      ``doc_minhash_lsh_pairs`` convention, so ingest-time near-dedup
+      equals running the batch pipeline after the fact), and verified
+      near-dups are REJECTED — the C4/CCNet-grade keep rule. Requires
+      an ATTRIBUTED store (``create_fingerprint_table(attributed=
+      True)``): candidate fetch needs the stored doc's identity.
+      Scale shape: the candidate join is band-equi (pairs ∝
+      collisions), the text fetch touches only colliding stored docs
+      (create the corpus with ``bloom_cols=("doc_id",)`` at scale so
+      the point-lookups prune files), and the Jaccard is a per-pair
+      array intersect — never all-pairs.
+
     Returns ``{"docs_in", "exact_dups", "span_dups", "near_dups",
-    "low_quality", "kept", "corpus_version", "fingerprint_version",
-    "replayed"}`` — near_dups is advisory (see module docstring); the
-    keep rule is exact+span, the batch twin's."""
+    "near_dups_verified", "low_quality", "kept", "corpus_version",
+    "fingerprint_version", "replayed"}`` — near_dups stays the
+    advisory collision count in both modes."""
     from kafka_flink_harshevents_spark.queries.documents import (
+        LSH_VERIFY_THRESHOLD,
         quality_columns,
     )
     from kafka_flink_harshevents_spark.streaming.dedup import (
         doc_fingerprints,
     )
 
+    if near_dup_mode not in ("advisory", "verify"):
+        raise ValueError(
+            f"corpus_ingest: near_dup_mode {near_dup_mode!r} — "
+            "expected 'advisory' or 'verify'"
+        )
+    attributed = "doc" in (fingerprints.meta.get("key_cols") or ())
+    if near_dup_mode == "verify" and not attributed:
+        raise ValueError(
+            "corpus_ingest: near_dup_mode='verify' needs an attributed "
+            "fingerprint store (create_fingerprint_table(attributed="
+            "True)) — band verification must know WHICH stored doc "
+            "collided"
+        )
     spark = corpus.spark
     if isinstance(new_docs, str):
         new_docs = spark.read.parquet(new_docs)
     if _already(corpus, txn) and _already(fingerprints, txn):
         return {
             "docs_in": 0, "exact_dups": 0, "span_dups": 0,
-            "near_dups": 0, "low_quality": 0, "kept": 0,
+            "near_dups": 0, "near_dups_verified": 0,
+            "low_quality": 0, "kept": 0,
             "corpus_version": corpus.latest_version(),
             "fingerprint_version": fingerprints.latest_version(),
             "replayed": True,
@@ -135,14 +195,19 @@ def corpus_ingest(
             "is_seed", F.lit(0)
         )
     ).select("doc_id", "kind", "fp")
+    store_cols = "kind long, fp string" + (
+        ", doc long" if attributed else ""
+    )
     try:
-        store = fingerprints.read().select("kind", "fp")
+        store = fingerprints.read().select(
+            *(["kind", "fp"] + (["doc"] if attributed else []))
+        )
     except ValueError:
         # virgin store (no schema recorded yet) — first-ever batch
-        store = spark.createDataFrame([], "kind long, fp string")
+        store = spark.createDataFrame([], store_cols)
     # keys-only semi-join per kind: which docs hit the store, and how
     hits = (
-        parts.join(store, ["kind", "fp"], "left_semi")
+        parts.join(store.select("kind", "fp"), ["kind", "fp"], "left_semi")
         .groupBy("doc_id")
         .agg(
             F.max((F.col("kind") == 0).cast("long")).alias("x_exact"),
@@ -150,26 +215,76 @@ def corpus_ingest(
             F.max((F.col("kind") == 2).cast("long")).alias("x_near"),
         )
     )
+    verified = None
+    if near_dup_mode == "verify":
+        # band-equi candidates (new doc, stored doc) — pairs ∝
+        # collisions; then exact Jaccard on both texts' shingle sets
+        cand = (
+            parts.filter(F.col("kind") == 2)
+            .join(store.filter(F.col("kind") == 2), ["kind", "fp"])
+            .select("doc_id", F.col("doc").alias("_sdoc"))
+            .distinct()
+        )
+        try:
+            stored_txt = corpus.read().select(
+                F.col("doc_id").alias("_sdoc"),
+                _shingle_arr("text").alias("_ssh"),
+            )
+        except ValueError:  # virgin corpus — nothing to collide with
+            stored_txt = spark.createDataFrame(
+                [], "_sdoc long, _ssh array<string>"
+            )
+        nsh = new_docs.select(
+            "doc_id", _shingle_arr("text").alias("_nsh")
+        )
+        inter = F.size(F.array_intersect("_nsh", "_ssh")).cast("long")
+        un = (
+            F.size("_nsh").cast("long")
+            + F.size("_ssh").cast("long")
+            - inter
+        )
+        verified = (
+            cand.join(stored_txt, "_sdoc")
+            .join(nsh, "doc_id")
+            # ratio form, the doc_minhash_lsh_pairs convention — keeps
+            # the boundary arithmetic identical to the batch twin (and
+            # its DuckDB oracle)
+            .filter(
+                (un > 0)
+                & (inter / un >= F.lit(LSH_VERIFY_THRESHOLD))
+            )
+            .select("doc_id")
+            .distinct()
+            .withColumn("x_nearv", F.lit(1).cast("long"))
+        )
     score, _ = quality_columns()
+    verdict = new_docs.join(hits, "doc_id", "left")
+    if verified is not None:
+        verdict = verdict.join(verified, "doc_id", "left")
+    else:
+        verdict = verdict.withColumn(
+            "x_nearv", F.lit(None).cast("long")
+        )
     verdict = (
-        new_docs.join(hits, "doc_id", "left")
-        .select(
+        verdict.select(
             "*",
             F.coalesce("x_exact", F.lit(0)).alias("_exact"),
             F.coalesce("x_span", F.lit(0)).alias("_span"),
             F.coalesce("x_near", F.lit(0)).alias("_near"),
+            F.coalesce("x_nearv", F.lit(0)).alias("_nearv"),
             (
                 score < F.lit(min_quality)
                 if min_quality is not None
                 else F.lit(False)
             ).cast("long").alias("_lowq"),
         )
-        .drop("x_exact", "x_span", "x_near")
+        .drop("x_exact", "x_span", "x_near", "x_nearv")
         .withColumn(
             "_keep",
             (
                 (F.col("_exact") == 0)
                 & (F.col("_span") == 0)
+                & (F.col("_nearv") == 0)
                 & (F.col("_lowq") == 0)
             ).cast("long"),
         )
@@ -185,12 +300,17 @@ def corpus_ingest(
         F.sum("_near").alias("nd"),
         F.sum(
             ((F.col("_exact") == 0) & (F.col("_span") == 0)).cast("long")
+            * F.col("_nearv")
+        ).alias("ndv"),
+        F.sum(
+            ((F.col("_exact") == 0) & (F.col("_span") == 0)
+             & (F.col("_nearv") == 0)).cast("long")
             * F.col("_lowq")
         ).alias("lq"),
         F.sum("_keep").alias("keep"),
     ).collect()[0]
     accepted = verdict.filter(F.col("_keep") == 1).drop(
-        "_exact", "_span", "_near", "_lowq", "_keep"
+        "_exact", "_span", "_near", "_nearv", "_lowq", "_keep"
     )
     if _already(corpus, txn):
         corpus_v = corpus.latest_version()
@@ -201,18 +321,21 @@ def corpus_ingest(
     if _already(fingerprints, txn):
         fp_v = fingerprints.latest_version()
     elif int(c["keep"] or 0) > 0:
+        sel = ["kind", "fp"] + (
+            [F.col("doc_id").alias("doc")] if attributed else []
+        )
         new_fps = (
             doc_fingerprints(
                 accepted.select("doc_id", "text").withColumn(
                     "is_seed", F.lit(0)
                 )
             )
-            .select("kind", "fp")
+            .select(*sel)
             .distinct()
             .withColumn("ver", F.lit(1).cast("long"))
         )
-        # idempotent by construction: same (kind, fp) keys re-merge to
-        # the same single row — the crash-replay guarantee
+        # idempotent by construction: the same keys re-merge to the
+        # same single row — the crash-replay guarantee
         fp_v = fingerprints.merge_upsert(new_fps, txn=txn)
     else:
         fp_v = fingerprints.latest_version()
@@ -221,6 +344,7 @@ def corpus_ingest(
         "exact_dups": int(c["ex"] or 0),
         "span_dups": int(c["sp"] or 0),
         "near_dups": int(c["nd"] or 0),
+        "near_dups_verified": int(c["ndv"] or 0),
         "low_quality": int(c["lq"] or 0),
         "kept": int(c["keep"] or 0),
         "corpus_version": corpus_v,
@@ -234,6 +358,7 @@ def corpus_ingest_sink(
     fingerprints: TxTable,
     app_id: str,
     min_quality: float | None = None,
+    near_dup_mode: str = "advisory",
 ):
     """``foreachBatch`` function: the streaming form of the loop — a
     file stream over the landing zone (``readStream.parquet``) drives
@@ -252,6 +377,7 @@ def corpus_ingest_sink(
             batch_df,
             txn={"app_id": app_id, "batch_id": int(batch_id)},
             min_quality=min_quality,
+            near_dup_mode=near_dup_mode,
         )
 
     return apply

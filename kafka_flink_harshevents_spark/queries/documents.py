@@ -1668,6 +1668,88 @@ def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_ingest_verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``near_dup_mode="verify"`` gate: the corpus-ingest recipe with
+    the C4/CCNet-grade keep rule — MinHash band collisions against an
+    ATTRIBUTED store are verified with exact shingle Jaccard
+    (``LSH_VERIFY_THRESHOLD``, the ``doc_minhash_lsh_pairs`` ratio
+    form) and verified near-dups are REJECTED. The one-row contract
+    adds ``near_dups_verified`` to the dedup gate's columns, and the
+    oracle states the verified set by re-deriving band candidates and
+    their exact Jaccards in SQL — parity with running the batch dedup
+    after the fact, which is exactly what verify mode replaces."""
+    import tempfile
+
+    from kafka_flink_harshevents_spark.plans.ingest import (
+        corpus_ingest,
+        create_fingerprint_table,
+    )
+    from kafka_flink_harshevents_spark.sources.txlog import TxTable
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        doc_fingerprints,
+    )
+
+    # the SAME deterministic half-corpus subset as the dedup gate —
+    # so this gate is literally that batch re-ingested under the
+    # verify keep rule, and the near_dups_verified column is the
+    # subset of its near_dups that exact Jaccard confirms
+    d = spread(load(spark, sf_dir, "documents")).filter(
+        _md5_unit(F.col("doc_id"), "ing|") < 0.5
+    )
+    u = _md5_unit(F.col("doc_id"), "batch|")
+    ver = F.lit(1).cast("long").alias("ver")
+    hist = d.filter(u >= BATCH_FRACTION).select("doc_id", "text", ver)
+    batch = d.filter(u < BATCH_FRACTION).select("doc_id", "text", ver)
+    corpus = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ingv-c-"),
+        key_cols=("doc_id",),
+        order_col="ver",
+        n_buckets=2,
+    )
+    fps = create_fingerprint_table(
+        spark, tempfile.mkdtemp(prefix="ingv-f-"), n_buckets=2,
+        attributed=True,
+    )
+    # seed by direct append (the documented replay pattern), with doc
+    # attribution — verify mode's candidate fetch needs it
+    corpus.append(hist)
+    fps.append(
+        doc_fingerprints(
+            hist.select("doc_id", "text").withColumn("is_seed", F.lit(0))
+        )
+        .select("kind", "fp", F.col("doc_id").alias("doc"))
+        .distinct()
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    txn = {"app_id": "ingest-v", "batch_id": 1}
+    res = corpus_ingest(
+        corpus, fps, batch, txn=txn, min_quality=INGEST_MIN_QUALITY,
+        near_dup_mode="verify",
+    )
+    res2 = corpus_ingest(
+        corpus, fps, batch, txn=txn, min_quality=INGEST_MIN_QUALITY,
+        near_dup_mode="verify",
+    )
+    replay_noop = int(
+        res2["replayed"]
+        and corpus.latest_version() == res["corpus_version"]
+        and fps.latest_version() == res["fingerprint_version"]
+    )
+    row = (
+        res["docs_in"], res["exact_dups"], res["span_dups"],
+        res["near_dups"], res["near_dups_verified"],
+        res["low_quality"], res["kept"],
+        int(corpus.read().count()), replay_noop,
+    )
+    return spark.createDataFrame(
+        [row],
+        "docs_in long, exact_dups long, span_dups long, "
+        "near_dups long, near_dups_verified long, low_quality long, "
+        "kept long, corpus_total long, replay_noop long",
+    )
+
+
 MIX_ALPHA = 0.5  # temperature exponent: p_s^alpha flattens the source skew
 MIX_TARGET_FRACTION = 0.5  # sampled corpus ≈ half the docs
 
@@ -3234,6 +3316,7 @@ QUERIES = {
     "doc_shard_manifest": doc_shard_manifest,
     "doc_incremental_dedup": doc_incremental_dedup,
     "doc_ingest_dedup_gate": doc_ingest_dedup_gate,
+    "doc_ingest_verify_gate": doc_ingest_verify_gate,
     "doc_mix_temperature": doc_mix_temperature,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_split_assign": doc_split_assign,
@@ -3509,13 +3592,22 @@ def _minhash_calibration_sql() -> str:
     """
 
 
-def _ingest_gate_sql() -> str:
-    """Closed-form oracle for the corpus-ingest recipe gate: the
+def _ingest_gate_sql(
+    salt: str = "ing|", frac: float = 0.5, verify: bool = False
+) -> str:
+    """Closed-form oracle for the corpus-ingest recipe gates: the
     exact/span split restates ``doc_incremental_dedup``'s oracle, the
     band-collision count reuses the shared minhash CTE construction
     (shingles → halves → signatures → bands) with a batch-vs-history
     EXISTS instead of the pair join, and the quality floor restates
-    ``doc_quality_score``'s formula over the batch side."""
+    ``doc_quality_score``'s formula over the batch side.
+
+    ``verify=True`` adds the verified-near-dup column: band-colliding
+    (batch, history) pairs re-checked with exact shingle Jaccard at
+    ``LSH_VERIFY_THRESHOLD`` (the ``doc_minhash_lsh_pairs`` ratio
+    form, so the boundary arithmetic matches the Spark side), and the
+    keep rule excludes verified near-dups — the
+    ``near_dup_mode="verify"`` contract."""
     halves = ", ".join(
         f"substr(md5('{i}|' || s), 1, 16) AS h{2 * i}, "
         f"substr(md5('{i}|' || s), 17, 16) AS h{2 * i + 1}"
@@ -3539,17 +3631,53 @@ def _ingest_gate_sql() -> str:
         "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}))"
     )
     # the shared shingle CTEs read `documents` directly — rebind the
-    # name to the gate's deterministic half-corpus subset first
+    # name to the gate's deterministic corpus subset first
     shingles = _SQL_SHINGLES.replace(
         "FROM documents",
         "FROM (SELECT * FROM documents "
-        f"WHERE {_md5_unit_sql('doc_id', 'ing|')} < 0.5)",
+        f"WHERE {_md5_unit_sql('doc_id', salt)} < {frac})",
+    )
+    ndv_cte = f""",
+        cand AS (
+            SELECT DISTINCT bb.doc_id AS bdoc, hb.doc_id AS hdoc
+            FROM bands bb
+            JOIN d db ON db.doc_id = bb.doc_id
+                      AND db.u < {BATCH_FRACTION}
+            JOIN bands hb ON hb.band = bb.band AND hb.bv = bb.bv
+            JOIN d dh ON dh.doc_id = hb.doc_id
+                      AND dh.u >= {BATCH_FRACTION}
+        ),
+        inter AS (
+            SELECT c.bdoc, c.hdoc, count(*) AS i
+            FROM cand c
+            JOIN sh sb ON sb.doc_id = c.bdoc
+            JOIN sh shh ON shh.doc_id = c.hdoc AND shh.s = sb.s
+            GROUP BY 1, 2
+        ),
+        ndv AS (
+            SELECT DISTINCT c.bdoc AS doc_id
+            FROM cand c
+            JOIN inter i ON i.bdoc = c.bdoc AND i.hdoc = c.hdoc
+            JOIN cnt cb ON cb.doc_id = c.bdoc
+            JOIN cnt ch ON ch.doc_id = c.hdoc
+            WHERE i.i * 1.0 / (cb.n + ch.n - i.i)
+                  >= {LSH_VERIFY_THRESHOLD}
+        )"""
+    ndv_filter = (
+        "AND doc_id NOT IN (SELECT doc_id FROM ndv)" if verify else ""
+    )
+    ndv_col = (
+        "CAST((SELECT count(*) FROM ndv WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM ex) AND doc_id NOT IN "
+        "(SELECT doc_id FROM sp)) AS BIGINT) AS near_dups_verified,"
+        if verify
+        else ""
     )
     return f"""
         WITH d AS (
             SELECT doc_id, text, {_md5_unit_sql("doc_id", "batch|")} AS u
             FROM documents
-            WHERE {_md5_unit_sql("doc_id", "ing|")} < 0.5
+            WHERE {_md5_unit_sql("doc_id", salt)} < {frac}
         ),
         b AS (SELECT doc_id, text FROM d WHERE u < {BATCH_FRACTION}),
         h AS (SELECT doc_id, text FROM d WHERE u >= {BATCH_FRACTION}),
@@ -3579,7 +3707,7 @@ def _ingest_gate_sql() -> str:
                           AND dh.u >= {BATCH_FRACTION}
                 WHERE hb.band = bb.band AND hb.bv = bb.bv
             )
-        ),
+        ){ndv_cte if verify else ""},
         q AS (
             SELECT doc_id,
                    0.4 * least(n_tokens / 100.0, 1.0)
@@ -3601,6 +3729,7 @@ def _ingest_gate_sql() -> str:
             SELECT doc_id FROM b
             WHERE doc_id NOT IN (SELECT doc_id FROM ex)
               AND doc_id NOT IN (SELECT doc_id FROM sp)
+              {ndv_filter}
         ),
         lowq AS (
             SELECT p.doc_id FROM pass p
@@ -3616,6 +3745,7 @@ def _ingest_gate_sql() -> str:
           CAST((SELECT count(*) FROM ex) AS BIGINT) AS exact_dups,
           CAST((SELECT count(*) FROM sp) AS BIGINT) AS span_dups,
           CAST((SELECT count(*) FROM nd) AS BIGINT) AS near_dups,
+          {ndv_col}
           CAST((SELECT count(*) FROM lowq) AS BIGINT) AS low_quality,
           CAST((SELECT count(*) FROM kept) AS BIGINT) AS kept,
           CAST((SELECT count(*) FROM h)
@@ -4184,6 +4314,7 @@ ORACLES = {
         WHERE {_md5_unit_sql("d.doc_id", "mix|")} < r.rate
     """,
     "doc_ingest_dedup_gate": _ingest_gate_sql(),
+    "doc_ingest_verify_gate": _ingest_gate_sql(verify=True),
     "doc_incremental_dedup": f"""
         WITH d AS (
             SELECT doc_id, text, {_md5_unit_sql("doc_id", "batch|")} AS u

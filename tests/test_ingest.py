@@ -174,3 +174,153 @@ def test_streaming_sink_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert corpus.latest_version() == v and corpus.read().count() == 2
+
+
+def _tables_attr(spark, tmp_path):
+    corpus = TxTable.create(
+        spark, str(tmp_path / "corpus"), key_cols=("doc_id",),
+        order_col="ver", n_buckets=2,
+    )
+    fps = create_fingerprint_table(
+        spark, str(tmp_path / "fps"), n_buckets=2, attributed=True
+    )
+    return corpus, fps
+
+
+_BASE20 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+           "juliet kilo lima mike november oscar papa quebec romeo "
+           "sierra tango")
+
+
+def test_verify_mode_rejects_verified_near_dups(spark, tmp_path):
+    """near_dup_mode='verify': a band collision verified at the exact
+    Jaccard (the doc_minhash_lsh_pairs convention) is REJECTED; the
+    same setup in advisory mode keeps it — and the verified set
+    matches a hand Jaccard over the same shingles (parity with
+    running the batch dedup after the fact)."""
+    from kafka_flink_harshevents_spark.queries.documents import (
+        LSH_VERIFY_THRESHOLD,
+    )
+
+    # near-dup: one word PREPENDED — every 8-word span chunk shifts
+    # (no span containment), bigram Jaccard 19/20 = 0.95
+    near = "zulu " + _BASE20
+    fresh = ("one unrelated sentence about completely different "
+             "topics entirely separate from anything else")
+    hist = spark.createDataFrame([(1, _BASE20, 1)], _SCHEMA)
+    batch = spark.createDataFrame(
+        [(10, near, 1), (11, fresh, 1)], _SCHEMA
+    )
+
+    # hand Jaccard over the same word-bigram shingles
+    def sh(t):
+        ws = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    jac = len(sh(near) & sh(_BASE20)) / len(sh(near) | sh(_BASE20))
+    assert jac >= LSH_VERIFY_THRESHOLD
+
+    corpus, fps = _tables_attr(spark, tmp_path / "v")
+    corpus_ingest(corpus, fps, hist, near_dup_mode="verify")
+    r = corpus_ingest(corpus, fps, batch, near_dup_mode="verify")
+    assert r["near_dups"] >= 1           # band collision observed
+    assert r["near_dups_verified"] == 1  # doc 10, Jaccard-confirmed
+    assert r["exact_dups"] == 0 and r["span_dups"] == 0
+    assert r["kept"] == 1
+    got = sorted(x["doc_id"] for x in corpus.read().collect())
+    assert got == [1, 11]
+    # rejected near-dup left NO fingerprints
+    assert fps.read().filter(F.col("doc") == 10).count() == 0
+
+    # advisory mode on the same program keeps the near-dup
+    corpus2, fps2 = _tables(spark, tmp_path / "a")
+    corpus_ingest(corpus2, fps2, hist)
+    r2 = corpus_ingest(corpus2, fps2, batch)
+    assert r2["near_dups"] >= 1 and r2["near_dups_verified"] == 0
+    assert r2["kept"] == 2
+
+
+def test_verify_mode_band_collision_below_threshold_kept(spark, tmp_path):
+    """A band collision whose exact Jaccard falls BELOW the threshold
+    is advisory-only even in verify mode — verification must confirm,
+    not rubber-stamp, the candidate signal. Exercised by forcing a
+    kind-2 collision via a doctored store row."""
+    corpus, fps = _tables_attr(spark, tmp_path)
+    hist = spark.createDataFrame([(1, _BASE20, 1)], _SCHEMA)
+    corpus_ingest(corpus, fps, hist, near_dup_mode="verify")
+    # doctored: register one of the NEW doc's band hashes as if doc 1
+    # had produced it (a raw band collision with low real similarity)
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        doc_fingerprints,
+    )
+
+    newdoc = ("totally fresh words that share nothing with the "
+              "stored document at all in any way")
+    new_bands = (
+        doc_fingerprints(
+            spark.createDataFrame([(99, newdoc, 1)], _SCHEMA)
+            .select("doc_id", "text").withColumn("is_seed", F.lit(0))
+        )
+        .filter(F.col("kind") == 2)
+        .select("kind", "fp")
+        .limit(1)
+        .withColumn("doc", F.lit(1).cast("long"))
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    fps.merge_upsert(new_bands)
+    r = corpus_ingest(
+        corpus, fps,
+        spark.createDataFrame([(99, newdoc, 1)], _SCHEMA),
+        near_dup_mode="verify",
+    )
+    assert r["near_dups"] == 1           # collision seen
+    assert r["near_dups_verified"] == 0  # refuted by exact Jaccard
+    assert r["kept"] == 1
+
+
+def test_verify_mode_requires_attributed_store(spark, tmp_path):
+    corpus, fps = _tables(spark, tmp_path)
+    with pytest.raises(ValueError, match="attributed"):
+        corpus_ingest(
+            corpus, fps,
+            spark.createDataFrame([(1, "a b c", 1)], _SCHEMA),
+            near_dup_mode="verify",
+        )
+    with pytest.raises(ValueError, match="near_dup_mode"):
+        corpus_ingest(
+            corpus, fps,
+            spark.createDataFrame([(1, "a b c", 1)], _SCHEMA),
+            near_dup_mode="strict",
+        )
+
+
+def test_verify_mode_crash_replay(spark, tmp_path):
+    """Exactly-once holds in verify mode: crash between the two
+    commits, replay the txn, end state equals the clean run."""
+    corpus, fps = _tables_attr(spark, tmp_path)
+    corpus_ingest(
+        corpus, fps, spark.createDataFrame([(1, _BASE20, 1)], _SCHEMA),
+        txn={"app_id": "seed", "batch_id": 0}, near_dup_mode="verify",
+    )
+    batch = spark.createDataFrame(
+        [(10, "zulu " + _BASE20, 1),
+         (11, "fresh standalone words nothing shared here at all", 1)],
+        _SCHEMA,
+    )
+    txn = {"app_id": "ing", "batch_id": 1}
+    real_merge = fps.merge_upsert
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before fingerprint merge")
+
+    fps.merge_upsert = boom
+    with pytest.raises(RuntimeError, match="crash"):
+        corpus_ingest(corpus, fps, batch, txn=txn,
+                      near_dup_mode="verify")
+    fps.merge_upsert = real_merge
+    r = corpus_ingest(corpus, fps, batch, txn=txn,
+                      near_dup_mode="verify")
+    assert r["near_dups_verified"] == 1
+    got = sorted(x["doc_id"] for x in corpus.read().collect())
+    assert got == [1, 11]
+    assert fps.last_committed_batch("ing") == 1
