@@ -2571,10 +2571,16 @@ class TxTable:
         Row counts subtract deletion-vector positions (merge-on-read
         deletes are already excluded) and come back None for a
         partition containing any file without footer row counts
-        (exact-or-refuse). Partition VALUES are returned in the log's
-        scalar encoding (dates as epoch-days, the pruning currency);
-        entries missing a value for some partition column (adopted
-        string-nulls, pre-partition files) list it as NULL."""
+        (exact-or-refuse); ``n_bytes`` (physical file bytes — the
+        skew-detection column a 100 TB operator reads this listing
+        for) follows the same exact-or-refuse rule. Partition VALUES
+        are returned in the log's scalar encoding (dates as
+        epoch-days, the pruning currency); entries missing a value
+        for some partition column (adopted string-nulls,
+        pre-partition files) list it as NULL. Rows come back in
+        deterministic ascending partition-value order (NULLs last,
+        compared in the scalar domain — so numeric partitions sort
+        numerically, not as strings)."""
         pby = list(self.meta_at(version).get("partition_by") or ())
         if not pby:
             raise ValueError(
@@ -2585,16 +2591,21 @@ class TxTable:
         for e in live_map.values():
             part = e.get("part") or {}
             key = tuple(part.get(c) for c in pby)
-            slot = agg.setdefault(key, [0, 0])
+            slot = agg.setdefault(key, [0, 0, 0])
             slot[0] += 1
             rows = (e.get("stats") or {}).get("rows")
             if slot[1] is not None and rows is not None:
                 slot[1] += rows - len(dvs.get(e["path"], ()))
             else:
                 slot[1] = None
+            b = e.get("bytes")
+            if slot[2] is not None and b is not None:
+                slot[2] += b
+            else:
+                slot[2] = None
         out = [
-            (*k, n_files, n_rows)
-            for k, (n_files, n_rows) in sorted(
+            (*k, n_files, n_rows, n_bytes)
+            for k, (n_files, n_rows, n_bytes) in sorted(
                 agg.items(),
                 key=lambda kv: tuple(
                     (v is None, v) for v in kv[0]
@@ -2613,7 +2624,7 @@ class TxTable:
                 + r[len(pby):]
                 for r in out
             ],
-            f"{fields}, n_files long, n_rows long",
+            f"{fields}, n_files long, n_rows long, n_bytes long",
         )
         return rows_df
 

@@ -339,13 +339,23 @@ def test_show_partitions_log_only(spark, tmp_path):
     t = _mkp(spark, tmp_path, "t", partition_by=("region",))
     t.append(_frame(spark, 30))
     t.delete_where("k = 0", mode="merge_on_read")  # one eu row via DV
+    listed = t.show_partitions().collect()
     rows = {
-        r["region"]: (r["n_files"], r["n_rows"])
-        for r in t.show_partitions().collect()
+        r["region"]: (r["n_files"], r["n_rows"], r["n_bytes"])
+        for r in listed
     }
     assert set(rows) == {"eu", "us", "ap"}
     assert rows["eu"][1] == 9 and rows["us"][1] == 10  # DV subtracted
-    assert all(n_f == 2 for n_f, _ in rows.values())
+    assert all(n_f == 2 for n_f, _, _ in rows.values())
+    # n_bytes: exact physical bytes per partition (skew detection) —
+    # positive, and summing to the live files' total
+    _, live, _, _ = t._replay()
+    assert all(b > 0 for _, _, b in rows.values())
+    assert sum(b for _, _, b in rows.values()) == sum(
+        e["bytes"] for e in live.values()
+    )
+    # deterministic ordering: ascending partition values
+    assert [r["region"] for r in listed] == ["ap", "eu", "us"]
     # SQL surface + int-typed partition values come back as scalars
     t2 = _mkp(spark, tmp_path, "t2", partition_by=("day",))
     t2.append(spark.createDataFrame(
