@@ -44,6 +44,31 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     warmup = round(time.perf_counter() - t0, 3)
 
+    def calibration() -> float:
+        """Fixed-cost host sentinel: a data-independent program (pure
+        whole-stage-codegen sum + one tiny fixed shuffle) timed
+        min-of-5. Identical bytes every round, so when the HOST is
+        slow (the multi-second stall windows PLANS.md documents) this
+        number inflates with it — per-query walls divide by the
+        round-over-round calibration ratio to separate plan
+        regressions from host noise (normalization rule in
+        PLANS.md §Round 10)."""
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr(
+                "sum(id * 2 + 1)"
+            ).collect()
+            spark.range(100_000).selectExpr(
+                "id % 97 AS g", "id"
+            ).groupBy("g").count().write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 4)
+
+    calibration_wall = calibration()
+
     # Three passes per query: this host shows multi-second stall windows
     # (95% idle, not CPU-steal) that can inflate a single run 2-10x and
     # occasionally span two back-to-back runs (see PLANS.md), so the
@@ -73,6 +98,10 @@ def main() -> None:
         cold[name] = runs[0]
         timings[name] = min(runs)
 
+    # second sentinel reading after the sweep: a drifting host shows a
+    # start/end spread; a clean one shows two near-identical numbers
+    calibration_end = calibration()
+
     total = round(sum(timings.values()), 3)
     # Split the headline: lakehouse ACID gates run a CONSTANT-size
     # commit program at every SF (they verify transaction semantics,
@@ -92,6 +121,8 @@ def main() -> None:
                 "queries": timings,
                 "cold_runs": cold,
                 "warmup": warmup,
+                "calibration_wall": calibration_wall,
+                "calibration_wall_end": calibration_end,
                 "sf": sf,
             }
         )
@@ -111,6 +142,8 @@ def main() -> None:
                 "n_scan_queries": scan_n,
                 "acid_gate_subtotal": gates_total,
                 "n_acid_gates": len(gate_names),
+                "calibration_wall": calibration_wall,
+                "calibration_wall_end": calibration_end,
             }
         )
     )
