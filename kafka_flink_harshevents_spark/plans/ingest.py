@@ -111,6 +111,96 @@ def _shingle_arr(text_col: str):
     )
 
 
+def _bucketed_store_hits(
+    fingerprints: TxTable, parts: DataFrame
+) -> DataFrame:
+    """Prototype STORAGE-PARTITIONED semi-join: which ``parts`` rows
+    hit the store, computed WITHOUT shuffling a single store row
+    through Spark. The store is hash-bucketed on its key (kind, fp) —
+    the join key — so co-location is free: the batch side
+    repartitions by the SAME bucket function (one batch-sized
+    exchange, exactly what the shuffle path also pays), and each
+    group's task reads ONLY its bucket's store files executor-side
+    (Arrow parquet, key columns only, deletion vectors applied) for
+    an in-memory membership probe. The store-side Exchange the
+    default path pays (store-row-count-sized, the trade documented in
+    the module docstring) disappears from the plan entirely — the
+    store never enters a Spark scan.
+
+    This is the upgrade path the module docstring names: blocked from
+    being AUTOMATIC because the Python DataSource cannot declare its
+    bucketing to Catalyst, so the co-location is hand-held here
+    behind ``corpus_ingest(store_join="bucketed")``. Requires a
+    NON-attributed store (bucket key must equal the join key).
+    Returns the hit subset of ``parts`` (same schema)."""
+    import os
+
+    meta = fingerprints.meta
+    if list(meta["key_cols"]) != ["kind", "fp"]:
+        raise ValueError(
+            "bucketed store join needs the store bucketed on the join "
+            f"key (kind, fp) — this store is keyed {meta['key_cols']}"
+        )
+    n = int(meta["n_buckets"])
+    _, live_map, _, dvs = fingerprints._replay()
+    by_bucket: dict[int, list[tuple[str, list[int]]]] = {}
+    for e in live_map.values():
+        p = e["path"]
+        ap = p if os.path.isabs(p) else os.path.join(
+            fingerprints.table_dir, p
+        )
+        by_bucket.setdefault(int(e["bucket"]), []).append(
+            (ap, sorted(dvs.get(p, ())))
+        )
+    spark = parts.sparkSession
+    bc = spark.sparkContext.broadcast(by_bucket)
+    out_schema = parts.schema
+
+    def probe(key, pdf):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        chunks = []
+        for path, dv in bc.value.get(int(key[0]), ()):
+            t = pq.read_table(path, columns=["kind", "fp"])
+            if dv:
+                mask = np.ones(t.num_rows, dtype=bool)
+                mask[dv] = False
+                t = t.filter(pa.array(mask))
+            chunks.append(t)
+        if not chunks:
+            return pdf.iloc[0:0].drop(columns=["_sb"])
+        # pure-Arrow membership (C++ hash set over one concatenated
+        # key, zero per-row Python objects) — the probe must stay
+        # C-speed or it gives back what the eliminated Exchange saved
+        import pyarrow.compute as pc
+
+        store = pa.concat_tables(chunks)
+        store_key = pc.binary_join_element_wise(
+            pc.cast(store.column("kind"), pa.string()),
+            store.column("fp"),
+            "|",
+        )
+        batch_key = pc.binary_join_element_wise(
+            pc.cast(pa.Array.from_pandas(pdf["kind"]), pa.string()),
+            pa.Array.from_pandas(pdf["fp"]),
+            "|",
+        )
+        hit = pc.is_in(
+            batch_key, value_set=store_key.combine_chunks()
+        ).to_numpy(zero_copy_only=False)
+        return pdf[hit].drop(columns=["_sb"])
+
+    return (
+        parts.withColumn(
+            "_sb", F.pmod(F.xxhash64("kind", "fp"), F.lit(n))
+        )
+        .groupBy("_sb")
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
 def corpus_ingest(
     corpus: TxTable,
     fingerprints: TxTable,
@@ -118,6 +208,7 @@ def corpus_ingest(
     txn: dict | None = None,
     min_quality: float | None = None,
     near_dup_mode: str = "advisory",
+    store_join: str = "shuffle",
 ) -> dict:
     """Ingest one batch of documents exactly-once. ``new_docs`` is a
     DataFrame carrying at least ``(doc_id, text)`` plus the corpus
@@ -152,6 +243,14 @@ def corpus_ingest(
       the point-lookups prune files), and the Jaccard is a per-pair
       array intersect — never all-pairs.
 
+    ``store_join`` — how the presence checks reach the store:
+    ``"shuffle"`` (default) is the plain left-semi join (store ships
+    its key column — see the module docstring's trade note);
+    ``"bucketed"`` is the storage-partitioned prototype
+    (:func:`_bucketed_store_hits`): zero store rows enter a Spark
+    plan, each task probes its own bucket's files. Identical
+    verdicts, parity-tested.
+
     Returns ``{"docs_in", "exact_dups", "span_dups", "near_dups",
     "near_dups_verified", "low_quality", "kept", "corpus_version",
     "fingerprint_version", "replayed"}`` — near_dups stays the
@@ -168,6 +267,18 @@ def corpus_ingest(
         raise ValueError(
             f"corpus_ingest: near_dup_mode {near_dup_mode!r} — "
             "expected 'advisory' or 'verify'"
+        )
+    if store_join not in ("shuffle", "bucketed"):
+        raise ValueError(
+            f"corpus_ingest: store_join {store_join!r} — expected "
+            "'shuffle' or 'bucketed'"
+        )
+    if store_join == "bucketed" and near_dup_mode == "verify":
+        raise ValueError(
+            "corpus_ingest: store_join='bucketed' needs the store "
+            "bucketed on (kind, fp), but verify mode needs an "
+            "attributed store keyed (kind, fp, doc) — the two are "
+            "mutually exclusive"
         )
     attributed = "doc" in (fingerprints.meta.get("key_cols") or ())
     if near_dup_mode == "verify" and not attributed:
@@ -206,8 +317,14 @@ def corpus_ingest(
         # virgin store (no schema recorded yet) — first-ever batch
         store = spark.createDataFrame([], store_cols)
     # keys-only semi-join per kind: which docs hit the store, and how
+    if store_join == "bucketed":
+        matched = _bucketed_store_hits(fingerprints, parts)
+    else:
+        matched = parts.join(
+            store.select("kind", "fp"), ["kind", "fp"], "left_semi"
+        )
     hits = (
-        parts.join(store.select("kind", "fp"), ["kind", "fp"], "left_semi")
+        matched
         .groupBy("doc_id")
         .agg(
             F.max((F.col("kind") == 0).cast("long")).alias("x_exact"),

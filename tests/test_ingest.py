@@ -324,3 +324,72 @@ def test_verify_mode_crash_replay(spark, tmp_path):
     got = sorted(x["doc_id"] for x in corpus.read().collect())
     assert got == [1, 11]
     assert fps.last_committed_batch("ing") == 1
+
+
+def test_bucketed_store_join_parity(spark, tmp_path):
+    """store_join='bucketed' (the storage-partitioned prototype) must
+    produce verdicts identical to the shuffle path, with ZERO store
+    rows entering the Spark plan (no parquet scan on the store side),
+    and must honor store deletion vectors."""
+    from kafka_flink_harshevents_spark.plans.ingest import (
+        _bucketed_store_hits,
+    )
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        doc_fingerprints,
+    )
+
+    hist = spark.createDataFrame(_HIST, _SCHEMA)
+    batch = spark.createDataFrame(
+        [
+            (10, _HIST[0][1], 1),                       # exact dup
+            (11, "the quick brown fox jumps over the lazy "
+                 "entirely novel tail of words here", 1),  # span dup
+            (12, "nothing in common with anything stored here", 1),
+        ],
+        _SCHEMA,
+    )
+    results = {}
+    for mode in ("shuffle", "bucketed"):
+        corpus, fps = _tables(spark, tmp_path / mode)
+        corpus_ingest(corpus, fps, hist, store_join=mode)
+        r = corpus_ingest(corpus, fps, batch, store_join=mode)
+        results[mode] = {
+            k: r[k] for k in
+            ("docs_in", "exact_dups", "span_dups", "near_dups", "kept")
+        }
+        results[mode]["rows"] = sorted(
+            x["doc_id"] for x in corpus.read().collect()
+        )
+    assert results["shuffle"] == results["bucketed"]
+
+    # plan shape: the bucketed probe never scans the store via Spark
+    corpus, fps = _tables(spark, tmp_path / "plan")
+    corpus_ingest(corpus, fps, hist)
+    parts = doc_fingerprints(
+        batch.select("doc_id", "text").withColumn("is_seed", F.lit(0))
+    ).select("doc_id", "kind", "fp")
+    plan = _bucketed_store_hits(fps, parts)._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()
+    assert "FlatMapGroupsInPandas" in plan
+
+    # deletion vectors honored: delete the exact-hash row for doc 1's
+    # text, the bucketed probe must stop matching it
+    fp0 = fps.read().filter(F.col("kind") == 0).collect()
+    import hashlib
+
+    target = hashlib.md5(_HIST[0][1].encode()).hexdigest()
+    assert any(r["fp"] == target for r in fp0)
+    fps.delete_where(f"kind = 0 AND fp = '{target}'",
+                     mode="merge_on_read")
+    hit = _bucketed_store_hits(
+        fps, parts.filter(F.col("kind") == 0)
+    ).collect()
+    assert all(r["fp"] != target for r in hit)
+
+    # refusals: attributed store / verify-mode combination
+    corpus_a, fps_a = _tables_attr(spark, tmp_path / "attr")
+    with pytest.raises(ValueError, match="keyed"):
+        _bucketed_store_hits(fps_a, parts)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        corpus_ingest(corpus_a, fps_a, batch, near_dup_mode="verify",
+                      store_join="bucketed")

@@ -7280,3 +7280,104 @@ def test_add_columns_metadata_only(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got2) == [1, 1, 2, 3]  # data commits only (update rewrote k=1)
+
+
+# vacuum × checkpoint interplay program: merges build history, updates
+# rewrite files (creating vacuum-reclaimable dead ones), checkpoints
+# move the replay floor, vacuums reclaim under varying retention. The
+# composition is what a long-lived production table actually runs.
+_vc_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(st.integers(0, 9), min_size=1, max_size=4,
+                     unique=True),
+        ),
+        st.tuples(st.just("update"), st.integers(0, 9)),
+        st.tuples(st.just("checkpoint"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.integers(1, 4)),
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+@given(ops=_vc_ops)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_vacuum_checkpoint_interplay_property(
+    spark, tmp_path_factory, ops
+):
+    """Property: any interleaving of merges, file-rewriting updates,
+    log checkpoints, and vacuums (varying retention) keeps (a) the
+    latest snapshot equal to the model after EVERY op — including
+    through a FRESH handle, so the state survives the checkpoint
+    replay floor moving; (b) every RETAINED version time-travelable
+    to its recorded model state after every vacuum (vacuum may never
+    reclaim a file a retained snapshot references); (c) vacuum's
+    reclaim list disjoint from the files the latest checkpoint calls
+    live."""
+    tmp = tmp_path_factory.mktemp("txvc")
+    t = TxTable.create(
+        spark, str(tmp / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, checkpoint_interval=None,
+    )
+    model: dict[str, tuple[int, int]] = {}
+    history: dict[int, dict] = {}
+    ver = 0
+    for kind, arg in ops:
+        if kind == "merge":
+            rows = []
+            for ki in arg:
+                ver += 1
+                rows.append((f"k{ki}", ki * 1000 + ver, ver))
+                model[f"k{ki}"] = (ki * 1000 + ver, ver)
+            v = t.merge_upsert(
+                spark.createDataFrame(rows, "k string, v long, ver long")
+            )
+            history[v] = dict(model)
+        elif kind == "update" and model:
+            key = f"k{arg}"
+            if key in model:
+                ver += 1
+                t.update_where(
+                    f"k = '{key}'", {"v": str(arg * 1000 + ver)}
+                )
+                model[key] = (arg * 1000 + ver, model[key][1])
+                history[t.latest_version()] = dict(model)
+        elif kind == "checkpoint":
+            t.checkpoint()
+        elif kind == "vacuum":
+            # (c): nothing the reclaim would delete is live at HEAD
+            from kafka_flink_harshevents_spark.sources.txlog import (
+                _latest_checkpoint,
+            )
+
+            would = set(t.vacuum(retain_versions=arg, dry_run=True))
+            chk = _latest_checkpoint(
+                t.table_dir, t.latest_version()
+            )
+            if chk is not None:
+                assert not (
+                    would & {e["path"] for e in chk["live"]}
+                )
+            t.vacuum(retain_versions=arg)
+            kept = set(
+                __import__(
+                    "kafka_flink_harshevents_spark.sources.txlog",
+                    fromlist=["_list_versions"],
+                )._list_versions(t.table_dir)[-arg:]
+            )
+            # (b): every retained committed snapshot still reads
+            for hv, snap in history.items():
+                if hv in kept:
+                    assert _rows(t, version=hv) == snap
+        if model:
+            assert _rows(t) == model
+            # (a): a fresh handle (no cached state) agrees
+            assert _rows(TxTable(spark, t.table_dir)) == model
+    for hv in sorted(history)[-1:]:
+        assert _rows(t, version=hv) == history[hv]
