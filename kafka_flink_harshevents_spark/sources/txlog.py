@@ -2628,6 +2628,56 @@ class TxTable:
         )
         return rows_df
 
+    def detail(self) -> DataFrame:
+        """``DESCRIBE DETAIL`` — the one-row table profile, answered
+        from the COMMIT LOG alone (zero data files opened): Delta's
+        statement shape with this engine's metadata. ``num_rows`` and
+        ``size_bytes`` are exact-or-NULL (the show_partitions rule):
+        a live entry missing footer rows / physical bytes nulls the
+        aggregate rather than guessing. Timestamps are the in-commit
+        stamps (created = v1, last_modified = head)."""
+        v = self.latest_version()
+        _, live, _, dvs = self._replay()
+        meta = self.meta
+        n_rows: int | None = 0
+        size: int | None = 0
+        for e in live.values():
+            r = (e.get("stats") or {}).get("rows")
+            if n_rows is not None and r is not None:
+                n_rows += r - len(dvs.get(e["path"], ()))
+            else:
+                n_rows = None
+            b = e.get("bytes")
+            if size is not None and b is not None:
+                size += b
+            else:
+                size = None
+        created = _read_record(self.table_dir, 1).get("ts")
+        modified = _read_record(self.table_dir, v).get("ts")
+        row = (
+            "txlog",
+            self.table_dir,
+            float(created) if created is not None else None,
+            float(modified) if modified is not None else None,
+            list(meta.get("partition_by") or ()),
+            list(meta["key_cols"]),
+            meta["order_col"],
+            int(meta["n_buckets"]),
+            bool(meta.get("cdf")),
+            len(live),
+            size,
+            n_rows,
+            v,
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "format string, location string, created_at double, "
+            "last_modified double, partition_columns array<string>, "
+            "key_cols array<string>, order_col string, "
+            "n_buckets int, cdf boolean, num_files long, "
+            "size_bytes long, num_rows long, version long",
+        )
+
     def metadata_aggregate(
         self, columns: tuple[str, ...] = (), version: int | None = None
     ) -> dict:

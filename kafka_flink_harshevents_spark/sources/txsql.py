@@ -680,6 +680,12 @@ _TT_REF = re.compile(
     r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\d+(?:\.\d+)?))?"
 )
 
+_TC_REF = re.compile(
+    r"(?is)(?P<kw>\bFROM\b|\bJOIN\b)\s+table_changes\s*\(\s*"
+    r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*,\s*(?P<s>\d+)\s*"
+    r"(?:,\s*(?P<e>\d+)\s*)?\)"
+)
+
 
 def _parse_select(
     spark: SparkSession, stmt: str, tables: dict | None
@@ -692,9 +698,39 @@ def _parse_select(
     temp view, and hands the rewritten statement to ``spark.sql``.
     Targets Spark can already resolve (temp views, catalog tables)
     pass through untouched; an AS OF clause on an unresolvable name
-    is refused rather than silently dropped."""
+    is refused rather than silently dropped.
+
+    ``FROM table_changes(<t>, <start> [, <end>])`` — Delta's CDF read
+    TVF — resolves to the batch change-feed DataSource over the
+    version range (one plan however long the range; the cdf_replay
+    gate's IVM-consumer shape)."""
     spans = _literal_spans(stmt)
     counter = [0]
+
+    def sub_tc(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        t = _target_table(spark, m.group("t"), tables)
+        from kafka_flink_harshevents_spark.sources.txstream import (
+            TxLogStreamSource,
+        )
+
+        spark.dataSource.register(TxLogStreamSource)
+        reader = (
+            spark.read.format("txlog")
+            .option("tabledir", t.table_dir)
+            .option("readchangefeed", "true")
+            .option("startingversion", m.group("s"))
+        )
+        if m.group("e"):
+            reader = reader.option("endingversion", m.group("e"))
+        counter[0] += 1
+        view = f"__txsql_tc_{counter[0]}"
+        reader.load().createOrReplaceTempView(view)
+        return f"{m.group('kw')} {view}"
+
+    stmt = _TC_REF.sub(sub_tc, stmt)
+    spans = _literal_spans(stmt)
 
     def sub(m: re.Match) -> str:
         if any(a <= m.start() < b for a, b in spans):
@@ -918,19 +954,32 @@ def txsql(
             force=str(co.get("force", "false")).lower() == "true",
         )
 
+    if two in ("DESCRIBE DETAIL", "DESC DETAIL"):
+        m = re.match(
+            r"(?is)^DESC(?:RIBE)?\s+DETAIL\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed DESCRIBE DETAIL")
+        return _target_table(spark, m.group("t"), tables).detail()
+
     if head == "RESTORE":
         m = re.match(
             r"(?is)^RESTORE\s+(?:TABLE\s+)?(?P<t>'[^']*'|`[^`]+`|\w+)\s+"
-            r"TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*$",
+            r"TO\s+(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\d+(?:\.\d+)?))\s*$",
             stmt,
         )
         if not m:
             raise ValueError(
                 "txsql: malformed RESTORE — RESTORE [TABLE] <t> TO "
-                "VERSION AS OF <n>"
+                "VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'"
             )
-        return _target_table(spark, m.group("t"), tables).restore(
-            int(m.group("v"))
+        t = _target_table(spark, m.group("t"), tables)
+        if m.group("v"):
+            return t.restore(int(m.group("v")))
+        return t.restore(
+            t.version_at_timestamp(_parse_tt_timestamp(m.group("ts")))
         )
 
     if head == "OPTIMIZE":
@@ -977,7 +1026,7 @@ def txsql(
         f"txsql: unsupported statement {head!r} — supported: MERGE "
         "INTO, INSERT INTO, UPDATE, DELETE FROM, COPY INTO, RESTORE, "
         "OPTIMIZE [WHERE], VACUUM, SHOW PARTITIONS, DESCRIBE HISTORY, "
-        "CREATE TABLE ... USING txlog, ALTER TABLE, SELECT ... "
-        "[VERSION|TIMESTAMP AS OF] (SELECT over non-txlog relations "
-        "belongs to spark.sql)"
+        "CREATE TABLE ... USING txlog, ALTER TABLE, DESCRIBE DETAIL, "
+        "SELECT ... [VERSION|TIMESTAMP AS OF] / table_changes(t, a, b) "
+        "(SELECT over non-txlog relations belongs to spark.sql)"
     )

@@ -514,3 +514,87 @@ def test_time_travel_select(spark, tmp_path):
         tables={"t": t},
     ).collect()[0]
     assert r["n"] == 10 and "99" in r["lit"]
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: one-row log-only profile — exact file/row/byte
+    counts, partition + key metadata, commit timestamps."""
+    t = _mk(spark, tmp_path, "t")
+    t.delete_where("k = 0", mode="merge_on_read")  # DV: rows adjust
+    d = txsql(spark, "DESCRIBE DETAIL t", tables={"t": t}).collect()[0]
+    assert d["format"] == "txlog" and d["location"] == t.table_dir
+    assert d["num_rows"] == 9 and d["num_files"] >= 1
+    assert d["size_bytes"] > 0 and d["version"] == t.latest_version()
+    assert d["key_cols"] == ["k"] and d["order_col"] == "ver"
+    assert d["created_at"] <= d["last_modified"]
+    assert d["partition_columns"] == [] and d["cdf"] is False
+
+
+def test_restore_timestamp_as_of(spark, tmp_path):
+    """RESTORE ... TO TIMESTAMP AS OF resolves through
+    version_at_timestamp — parity with the version form."""
+    from kafka_flink_harshevents_spark.sources.txlog import _read_record
+
+    t = _mk(spark, tmp_path, "t")
+    v1 = t.latest_version()
+    ts1 = _read_record(t.table_dir, v1)["ts"]
+    t.update_where("true", {"v": "0"})
+    assert {r["v"] for r in t.read().collect()} == {0}
+    txsql(spark, f"RESTORE TABLE t TO TIMESTAMP AS OF {ts1}",
+          tables={"t": t})
+    assert _state(t) == {k: (k * 10, 1) for k in range(10)}
+
+
+def test_table_changes_tvf(spark, tmp_path):
+    """SELECT ... FROM table_changes(t, start[, end]) serves the batch
+    change feed in one plan — parity with the DataSource read the
+    cdf_replay gate uses."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(k, k * 10, 1) for k in range(5)], "k long, v long, ver long"))
+    v_append = t.latest_version()
+    t.update_where("k = 1", {"v": "99", "ver": "2"})
+    t.delete_where("k = 4")
+    rows = txsql(
+        spark,
+        f"SELECT k, _change_type, _commit_version "
+        f"FROM table_changes(t, {v_append + 1}) ORDER BY "
+        "_commit_version, _change_type, k",
+        tables={"t": t},
+    ).collect()
+    kinds = {(r["k"], r["_change_type"]) for r in rows}
+    # update_where materializes as delete+insert in this engine's
+    # feed (file-rewrite convention — same rows the cdf_replay gate
+    # consumes); the delete commit emits a plain delete
+    assert (1, "delete") in kinds and (1, "insert") in kinds
+    assert (4, "delete") in kinds
+    # parity with the direct DataSource read the gate uses
+    direct = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", str(v_append + 1))
+        .load()
+        .select("k", "_change_type", "_commit_version")
+        .collect()
+    )
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, rows))
+    # bounded range: only the update commit (delete + re-insert)
+    bounded = txsql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes(t, {v_append + 1}, "
+        f"{v_append + 1})",
+        tables={"t": t},
+    ).collect()[0]["n"]
+    assert bounded == 2
+    # aggregation over the feed plans through Catalyst
+    agg = txsql(
+        spark,
+        f"SELECT _change_type, count(*) AS n "
+        f"FROM table_changes(t, {v_append + 1}) GROUP BY _change_type",
+        tables={"t": t},
+    ).collect()
+    assert {r["_change_type"] for r in agg} == {"delete", "insert"}
