@@ -1218,9 +1218,59 @@ def q_txlog_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_changes_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVM consumer written ENTIRELY in SQL: reconstruct the
+    table's final state from the v0 snapshot plus
+    ``table_changes(t, v0+1)`` — the Delta CDF read TVF — in one
+    statement (snapshot ∪ feed, latest record per key wins,
+    insert/postimage outranks delete within a commit). The same
+    downstream-materialized-view contract as ``q_txlog_cdf_replay``
+    (same oracle), but the feed consumption, ranking, and survivorship
+    run through the txsql SELECT front-end + Catalyst rather than the
+    DataFrame API — so the TVF rewrite, the change-feed DataSource
+    serving path, and the SQL planning of the replay are all on the
+    hash together. Queued for the r11 driver window (pytest-oracled
+    this round, the show_partitions/optimize_where convention)."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    t, v0 = _build_mutated_table(spark, sf_dir, cdf=True)
+    t.read(version=v0).createOrReplaceTempView("__tvf_snap0")
+    return txsql(
+        spark,
+        f"""
+        WITH feed AS (
+            SELECT k, st, amount_c, ver,
+                   _commit_version AS seq,
+                   CASE WHEN _change_type IN
+                        ('insert', 'update_postimage')
+                        THEN 1 ELSE 0 END AS alive
+            FROM table_changes(tt, {v0 + 1})
+        ),
+        base AS (
+            SELECT k, st, amount_c, ver,
+                   CAST(0 AS LONG) AS seq, 1 AS alive
+            FROM __tvf_snap0
+        ),
+        uni AS (
+            SELECT * FROM base UNION ALL SELECT * FROM feed
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY k ORDER BY seq DESC, alive DESC
+            ) AS rn
+            FROM uni
+        )
+        SELECT k, st, amount_c, ver
+        FROM ranked WHERE rn = 1 AND alive = 1
+        """,
+        tables={"tt": t},
+    )
+
+
 QUERIES = {
     "q_txlog_partitioned": q_txlog_partitioned,
     "q_txlog_time_travel_sql": q_txlog_time_travel_sql,
+    "q_txlog_changes_tvf": q_txlog_changes_tvf,
     "q_txlog_sql_merge": q_txlog_sql_merge,
     "q_txlog_show_partitions": q_txlog_show_partitions,
     "q_txlog_optimize_where": q_txlog_optimize_where,
@@ -1564,6 +1614,18 @@ ORACLES = {
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 13 = 0
     """,
     "q_txlog_cdf_replay": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                        THEN 100 ELSE 0 END AS amount_c,
+               CAST(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                         THEN 2 ELSE 1 END AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    # the TVF replay reconstructs the same final state via SQL
+    "q_txlog_changes_tvf": f"""
         SELECT o_orderkey AS k,
                o_orderstatus AS st,
                CAST(ROUND(o_totalprice * 100) AS BIGINT)
