@@ -231,11 +231,17 @@ def _target_table(
 
 
 def _source_frame(
-    spark: SparkSession, token: str, sources: dict | None
+    spark: SparkSession,
+    token: str,
+    sources: dict | None,
+    tables: dict | None = None,
 ) -> DataFrame:
     token = token.strip()
     if token.startswith("("):
-        return spark.sql(token[1:-1])
+        # inner SELECTs route through the same resolver as top-level
+        # SELECT, so MERGE USING (SELECT ... FROM t VERSION AS OF n)
+        # and friends time-travel like everything else
+        return _parse_select(spark, token[1:-1], tables)
     name = token.strip("`")
     if sources and name in sources:
         return sources[name]
@@ -302,7 +308,7 @@ def _parse_merge(
             "ON ... WHEN ..."
         )
     t = _target_table(spark, m.group("target"), tables)
-    src = _source_frame(spark, m.group("source"), sources)
+    src = _source_frame(spark, m.group("source"), sources, tables)
     ta = m.group("ta") or "t"
     sa = m.group("sa") or "s"
     if ta.lower() == sa.lower():
@@ -817,9 +823,9 @@ def txsql(
             # work exactly as spark.sql would evaluate them
             df = spark.sql(f"SELECT * FROM ({srctok}) ")
         elif srctok.upper().startswith("SELECT"):
-            df = spark.sql(srctok)
+            df = _parse_select(spark, srctok, tables)
         else:
-            df = _source_frame(spark, srctok, sources)
+            df = _source_frame(spark, srctok, sources, tables)
         _, _, schema_json = t._snapshot()
         if schema_json is not None and (is_values or m.group("cols")):
             import json as _json

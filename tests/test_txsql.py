@@ -598,3 +598,32 @@ def test_table_changes_tvf(spark, tmp_path):
         tables={"t": t},
     ).collect()
     assert {r["_change_type"] for r in agg} == {"delete", "insert"}
+
+
+def test_time_travel_inside_insert_and_merge_sources(spark, tmp_path):
+    """AS OF clauses resolve inside INSERT's SELECT and MERGE's
+    USING (SELECT ...) — inner SELECTs route through the same
+    resolver as top-level SELECT."""
+    t = _mk(spark, tmp_path, "t")
+    v1 = t.latest_version()
+    t.update_where("true", {"v": "0", "ver": "2"})
+    dst = TxTable.create(
+        spark, str(tmp_path / "dst"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    txsql(
+        spark,
+        f"INSERT INTO dst SELECT k, v, ver FROM t VERSION AS OF {v1}",
+        tables={"t": t, "dst": dst},
+    )
+    assert _state(dst) == {k: (k * 10, 1) for k in range(10)}
+    # MERGE USING a time-traveled subquery restores old values
+    txsql(
+        spark,
+        f"MERGE INTO t USING (SELECT k, v, ver FROM t "
+        f"VERSION AS OF {v1} WHERE k < 3) AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, ver = 3",
+        tables={"t": t},
+    )
+    st = _state(t)
+    assert st[1] == (10, 3) and st[5] == (0, 2)
