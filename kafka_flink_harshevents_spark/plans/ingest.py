@@ -345,11 +345,11 @@ def corpus_ingest(
         try:
             stored_txt = corpus.read().select(
                 F.col("doc_id").alias("_sdoc"),
-                _shingle_arr("text").alias("_ssh"),
+                F.col("text").alias("_stext"),
             )
         except ValueError:  # virgin corpus — nothing to collide with
             stored_txt = spark.createDataFrame(
-                [], "_sdoc long, _ssh array<string>"
+                [], "_sdoc long, _stext string"
             )
         nsh = new_docs.select(
             "doc_id", _shingle_arr("text").alias("_nsh")
@@ -361,7 +361,14 @@ def corpus_ingest(
             - inter
         )
         verified = (
+            # join candidates to RAW stored text first, shingle only
+            # the survivors: the shingle transform is the expensive
+            # per-row stage and must run ∝ candidates, not ∝ corpus
+            # (the 8× scale probe caught the projected-before-join
+            # version computing shingles for every history doc)
             cand.join(stored_txt, "_sdoc")
+            .withColumn("_ssh", _shingle_arr("_stext"))
+            .drop("_stext")
             .join(nsh, "doc_id")
             # ratio form, the doc_minhash_lsh_pairs convention — keeps
             # the boundary arithmetic identical to the batch twin (and
