@@ -486,13 +486,33 @@ def _parse_create(
         r"\((?P<cols>.*)\)\s*USING\s+txlog\s*(?P<rest>.*)$",
         stmt,
     )
+    ctas_sel = None
+    if not m:
+        # CTAS form: no column list, the SELECT supplies the schema
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<t>'[^']*'|`[^`]+`|\w+)\s+USING\s+txlog\s*"
+            r"(?P<rest>.*)$",
+            stmt,
+        )
+        if m:
+            tail = m.group("rest")
+            as_at = _Scanner.find_kw(tail, "AS")
+            sel = tail[as_at + 2:].strip() if as_at >= 0 else ""
+            if as_at < 0 or not re.match(r"(?is)^(SELECT|WITH)\b", sel):
+                m = None
+            else:
+                ctas_sel = sel
+                rest_override = tail[:as_at]
     if not m:
         raise ValueError(
             "txsql: malformed CREATE TABLE — expected CREATE TABLE "
             "<t> (col TYPE, ...) USING txlog [LOCATION '<dir>'] "
-            "[PARTITIONED BY (...)] [TBLPROPERTIES (...)]"
+            "[PARTITIONED BY (...)] [TBLPROPERTIES (...)], or the "
+            "CTAS form CREATE TABLE <t> USING txlog [...] AS SELECT "
+            "..."
         )
-    rest = m.group("rest")
+    rest = rest_override if ctas_sel is not None else m.group("rest")
     loc = re.search(r"(?is)LOCATION\s+'([^']*)'", rest)
     pby = re.search(r"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)", rest)
     props_m = re.search(r"(?is)TBLPROPERTIES\s*\((.*)\)", rest)
@@ -514,16 +534,19 @@ def _parse_create(
         _list_versions,
     )
 
-    if _list_versions(table_dir) and not m.group("ine"):
+    if _list_versions(table_dir):
         # Delta's rule: CREATE TABLE on an existing table refuses
         # unless IF NOT EXISTS (which returns it untouched — a
         # create's metadata is immutable, so re-declaring differently
-        # would silently be ignored)
-        raise ValueError(
-            f"txsql CREATE TABLE: {table_dir!r} already holds a "
-            "transaction log — use CREATE TABLE IF NOT EXISTS to "
-            "open it"
-        )
+        # would silently be ignored; a CTAS's AS SELECT is NOT
+        # re-applied either)
+        if not m.group("ine"):
+            raise ValueError(
+                f"txsql CREATE TABLE: {table_dir!r} already holds a "
+                "transaction log — use CREATE TABLE IF NOT EXISTS to "
+                "open it"
+            )
+        return TxTable(spark, table_dir)
     if "key_cols" not in props or "order_col" not in props:
         raise ValueError(
             "txsql CREATE TABLE: TBLPROPERTIES must carry "
@@ -533,7 +556,9 @@ def _parse_create(
     schema_parts = []
     gen_cols: dict[str, str] = {}
     ident: dict[str, dict] = {}
-    for item in _Scanner.split_top(m.group("cols")):
+    for item in _Scanner.split_top(
+        "" if ctas_sel is not None else m.group("cols")
+    ):
         cm = _COLSPEC.match(item)
         if not cm:
             raise ValueError(
@@ -574,6 +599,13 @@ def _parse_create(
             if c.strip()
         ),
     )
+    if ctas_sel is not None:
+        # CTAS: the SELECT supplies schema AND first data batch, one
+        # ordinary append (IF NOT EXISTS on an existing table opened
+        # it above — Delta's rule: the AS SELECT is NOT re-applied)
+        if t.latest_version() == 1:
+            t.append(_parse_select(spark, ctas_sel, tables))
+        return t
     # record the declared schema (managed columns are computed at
     # write, never declared into the empty frame's schema)
     managed = set(gen_cols) | set(ident) | {"_row_id"}
@@ -959,6 +991,36 @@ def txsql(
             ),
             force=str(co.get("force", "false")).lower() == "true",
         )
+
+    if two == "TRUNCATE TABLE" or head == "TRUNCATE":
+        m = re.match(
+            r"(?is)^TRUNCATE\s+(?:TABLE\s+)?(?P<t>'[^']*'|`[^`]+`|\w+)\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed TRUNCATE TABLE")
+        # Delta's TRUNCATE: delete every row, keep schema/history —
+        # exactly DELETE FROM t (time travel to pre-truncate versions
+        # still works; VACUUM reclaims the files later)
+        return _target_table(spark, m.group("t"), tables).delete_where(
+            "true"
+        )
+
+    if two == "SHOW TBLPROPERTIES":
+        m = re.match(
+            r"(?is)^SHOW\s+TBLPROPERTIES\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed SHOW TBLPROPERTIES")
+        t = _target_table(spark, m.group("t"), tables)
+        import json as _json
+
+        rows = sorted(
+            (k, v if isinstance(v, str) else _json.dumps(v))
+            for k, v in t.meta.items()
+        )
+        return spark.createDataFrame(rows, "key string, value string")
 
     if two in ("DESCRIBE DETAIL", "DESC DETAIL"):
         m = re.match(

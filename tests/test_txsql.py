@@ -187,7 +187,7 @@ def test_copy_into_restore_optimize_vacuum(spark, tmp_path):
 
 def test_unsupported_and_unknown(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported"):
-        txsql(spark, "TRUNCATE TABLE t")
+        txsql(spark, "GRANT SELECT ON t TO someone")
     with pytest.raises(ValueError, match="unknown table"):
         txsql(spark, "DELETE FROM nope")
     # plain SELECT without txlog targets degrades to spark.sql
@@ -627,3 +627,43 @@ def test_time_travel_inside_insert_and_merge_sources(spark, tmp_path):
     )
     st = _state(t)
     assert st[1] == (10, 3) and st[5] == (0, 2)
+
+
+def test_ctas_truncate_show_tblproperties(spark, tmp_path):
+    """CTAS (schema + first batch from the SELECT, IF NOT EXISTS
+    opens without re-applying), TRUNCATE TABLE (≡ DELETE FROM, time
+    travel intact), SHOW TBLPROPERTIES (the recorded meta)."""
+    src = _mk(spark, tmp_path, "src")
+    v1 = src.latest_version()
+    src.update_where("true", {"v": "0", "ver": "2"})
+    # CTAS over a time-traveled SELECT
+    ddl = (
+        f"CREATE TABLE {{ine}}'{tmp_path}/ct' USING txlog "
+        "PARTITIONED BY (par) "
+        "TBLPROPERTIES ('key_cols'='k', 'order_col'='ver', "
+        "'n_buckets'='2') "
+        f"AS SELECT k, v, ver, k % 2 AS par FROM src "
+        f"VERSION AS OF {v1}"
+    )
+    t = txsql(spark, ddl.format(ine=""), tables={"src": src})
+    assert _state(t) == {k: (k * 10, 1) for k in range(10)}
+    assert t.meta["partition_by"] == ["par"]
+    # plain re-CREATE refuses; IF NOT EXISTS opens, AS SELECT not
+    # re-applied (the table keeps its 10 rows, not 20)
+    with pytest.raises(ValueError, match="already holds"):
+        txsql(spark, ddl.format(ine=""), tables={"src": src})
+    t2 = txsql(spark, ddl.format(ine="IF NOT EXISTS "),
+               tables={"src": src})
+    assert t2.read().count() == 10
+    # SHOW TBLPROPERTIES returns the recorded meta
+    props = {
+        r["key"]: r["value"]
+        for r in txsql(spark, f"SHOW TBLPROPERTIES '{tmp_path}/ct'")
+        .collect()
+    }
+    assert props["order_col"] == "ver" and "key_cols" in props
+    # TRUNCATE: all rows gone, history intact
+    v_pre = t.latest_version()
+    _, n = txsql(spark, f"TRUNCATE TABLE '{tmp_path}/ct'")
+    assert n == 10 and t.read().count() == 0
+    assert t.read(version=v_pre).count() == 10  # time travel survives
