@@ -720,8 +720,9 @@ _TT_REF = re.compile(
 
 _TC_REF = re.compile(
     r"(?is)(?P<kw>\bFROM\b|\bJOIN\b)\s+table_changes\s*\(\s*"
-    r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*,\s*(?P<s>\d+)\s*"
-    r"(?:,\s*(?P<e>\d+)\s*)?\)"
+    r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*,\s*"
+    r"(?P<s>\d+|'[^']*')\s*"
+    r"(?:,\s*(?P<e>\d+|'[^']*')\s*)?\)"
 )
 
 
@@ -758,10 +759,24 @@ def _parse_select(
             spark.read.format("txlog")
             .option("tabledir", t.table_dir)
             .option("readchangefeed", "true")
-            .option("startingversion", m.group("s"))
         )
-        if m.group("e"):
-            reader = reader.option("endingversion", m.group("e"))
+        s = m.group("s")
+        if s.startswith("'"):
+            # timestamp range start: first commit at/after the stamp
+            # (the reader's own startingtimestamp semantics)
+            reader = reader.option(
+                "startingtimestamp", str(_parse_tt_timestamp(s))
+            )
+        else:
+            reader = reader.option("startingversion", s)
+        e = m.group("e")
+        if e:
+            if e.startswith("'"):
+                # inclusive end: newest commit at/before the stamp
+                e = str(
+                    t.version_at_timestamp(_parse_tt_timestamp(e))
+                )
+            reader = reader.option("endingversion", e)
         counter[0] += 1
         view = f"__txsql_tc_{counter[0]}"
         reader.load().createOrReplaceTempView(view)
@@ -829,7 +844,70 @@ def txsql(
         return _parse_select(spark, stmt, tables)
 
     if head == "CREATE":
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<d>'[^']*'|`[^`]+`|\w+)\s+SHALLOW\s+CLONE\s+"
+            r"(?P<s>'[^']*'|`[^`]+`|\w+)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+            r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\d+(?:\.\d+)?))?"
+            r"(?:\s+LOCATION\s+'(?P<loc>[^']*)')?\s*$",
+            stmt,
+        )
+        if m:
+            src = _target_table(spark, m.group("s"), tables)
+            dtok = m.group("d").strip()
+            if dtok.startswith("'"):
+                dest = dtok[1:-1]
+            elif m.group("loc"):
+                dest = m.group("loc")
+            elif tables and dtok.strip("`") in tables:
+                v = tables[dtok.strip("`")]
+                dest = v if isinstance(v, str) else v.table_dir
+            else:
+                raise ValueError(
+                    "txsql SHALLOW CLONE: no destination directory — "
+                    "quote the target path, add LOCATION '...', or "
+                    "pass tables={name: dir}"
+                )
+            ver = int(m.group("v")) if m.group("v") else None
+            if m.group("ts"):
+                ver = src.version_at_timestamp(
+                    _parse_tt_timestamp(m.group("ts"))
+                )
+            return src.clone_to(dest, version=ver)
         return _parse_create(spark, stmt, tables)
+
+    if head in ("DESCRIBE", "DESC") and two not in (
+        "DESCRIBE HISTORY", "DESC HISTORY", "DESCRIBE DETAIL",
+        "DESC DETAIL",
+    ):
+        m = re.match(
+            r"(?is)^DESC(?:RIBE)?\s+(?:TABLE\s+)?"
+            r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError("txsql: malformed DESCRIBE TABLE")
+        t = _target_table(spark, m.group("t"), tables)
+        import json as _json
+
+        from pyspark.sql.types import StructType as _St
+
+        _, _, schema_json = t._snapshot()
+        cols = []
+        if schema_json is not None:
+            tgt = _St.fromJson(_json.loads(schema_json))
+            cols = [
+                (f.name, f.dataType.simpleString())
+                for f in tgt.fields if f.name != "_bucket"
+            ]
+        pby = list(t.meta.get("partition_by") or ())
+        if pby:
+            cols.append(("# Partition Information", ""))
+            cols.extend((c, "") for c in pby)
+        return spark.createDataFrame(
+            cols, "col_name string, data_type string"
+        )
 
     if head == "ALTER":
         return _parse_alter(spark, stmt, tables)

@@ -667,3 +667,53 @@ def test_ctas_truncate_show_tblproperties(spark, tmp_path):
     _, n = txsql(spark, f"TRUNCATE TABLE '{tmp_path}/ct'")
     assert n == 10 and t.read().count() == 0
     assert t.read(version=v_pre).count() == 10  # time travel survives
+
+
+def test_shallow_clone_describe_and_tvf_timestamps(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE [AS OF], DESCRIBE TABLE, and
+    timestamp arguments to table_changes()."""
+    from kafka_flink_harshevents_spark.sources.txlog import _read_record
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(k, k * 10, 1) for k in range(10)], "k long, v long, ver long"))
+    v1 = t.latest_version()
+    ts1 = _read_record(t.table_dir, v1)["ts"]
+    t.update_where("k < 5", {"v": "0", "ver": "2"})
+    ts2 = _read_record(t.table_dir, t.latest_version())["ts"]
+
+    # SHALLOW CLONE at the v1 snapshot: zero-copy, old values
+    c = txsql(
+        spark,
+        f"CREATE TABLE '{tmp_path}/c' SHALLOW CLONE t "
+        f"VERSION AS OF {v1}",
+        tables={"t": t},
+    )
+    assert _state(c) == {k: (k * 10, 1) for k in range(10)}
+    # clone is independently writable; source untouched
+    c.delete_where("k = 0")
+    assert 0 in _state(t) or _state(t)[0][0] == 0  # source still has k=0
+    # DESCRIBE TABLE lists the user schema + partition section absent
+    cols = {r["col_name"]: r["data_type"]
+            for r in txsql(spark, "DESCRIBE TABLE t",
+                           tables={"t": t}).collect()}
+    assert cols == {"k": "bigint", "v": "bigint", "ver": "bigint"}
+    # table_changes with timestamp args: everything after the append's
+    # stamp = the update's delete+insert pairs
+    n = txsql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes(t, '{ts1 + 1e-4}')",
+        tables={"t": t},
+    ).collect()[0]["n"]
+    assert n == 10  # 5 deletes + 5 inserts
+    # string end bound inclusive at the update's stamp
+    n2 = txsql(
+        spark,
+        f"SELECT count(*) AS n FROM "
+        f"table_changes(t, {v1 + 1}, '{ts2}')",
+        tables={"t": t},
+    ).collect()[0]["n"]
+    assert n2 == 10
