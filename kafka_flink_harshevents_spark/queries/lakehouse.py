@@ -1267,10 +1267,40 @@ def q_txlog_changes_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL gate: run the standard 3-commit mutation
+    program, then profile the table FROM THE LOG ALONE
+    (``TxTable.detail`` via the SQL statement). The one-row contract:
+    the exact DV-adjusted row count (oracle-stated from ``orders``),
+    the commit count (create + append + merge + delete = version 4),
+    the format tag, and the layout-dependent facts (files, bytes,
+    timestamp ordering) as booleans — the zorder-gate convention.
+    Queued for the r11 driver window."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    t, _ = _build_mutated_table(spark, sf_dir)
+    d = txsql(spark, "DESCRIBE DETAIL t", tables={"t": t}).collect()[0]
+    row = (
+        int(d["num_rows"]),
+        int(d["version"]),
+        d["format"],
+        int(d["num_files"] > 0),
+        int(d["size_bytes"] > 0),
+        int(d["created_at"] <= d["last_modified"]),
+        int(len(d["partition_columns"]) == 0),
+    )
+    return spark.createDataFrame(
+        [row],
+        "num_rows long, version long, format string, has_files long, "
+        "has_bytes long, ts_ordered long, unpartitioned long",
+    )
+
+
 QUERIES = {
     "q_txlog_partitioned": q_txlog_partitioned,
     "q_txlog_time_travel_sql": q_txlog_time_travel_sql,
     "q_txlog_changes_tvf": q_txlog_changes_tvf,
+    "q_txlog_detail": q_txlog_detail,
     "q_txlog_sql_merge": q_txlog_sql_merge,
     "q_txlog_show_partitions": q_txlog_show_partitions,
     "q_txlog_optimize_where": q_txlog_optimize_where,
@@ -1621,6 +1651,19 @@ ORACLES = {
                         THEN 100 ELSE 0 END AS amount_c,
                CAST(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
                          THEN 2 ELSE 1 END AS BIGINT) AS ver
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
+    """,
+    # detail: exact rows after append+merge+delete; 4 commits; the
+    # layout-dependent facts gate as booleans
+    "q_txlog_detail": f"""
+        SELECT CAST(count(*) AS BIGINT) AS num_rows,
+               CAST(4 AS BIGINT) AS version,
+               'txlog' AS format,
+               CAST(1 AS BIGINT) AS has_files,
+               CAST(1 AS BIGINT) AS has_bytes,
+               CAST(1 AS BIGINT) AS ts_ordered,
+               CAST(1 AS BIGINT) AS unpartitioned
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 7 <> 0
     """,
