@@ -755,6 +755,12 @@ def _parse_select(
         )
 
         spark.dataSource.register(TxLogStreamSource)
+        # the Python-DataSource pushdown conf is session state the
+        # caller's session may lack (the r05 datasource-read crash
+        # class) — (re)establish it with the registration
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
         reader = (
             spark.read.format("txlog")
             .option("tabledir", t.table_dir)

@@ -7315,10 +7315,12 @@ def test_vacuum_checkpoint_interplay_property(
     log checkpoints, and vacuums (varying retention) keeps (a) the
     latest snapshot equal to the model after EVERY op — including
     through a FRESH handle, so the state survives the checkpoint
-    replay floor moving; (b) every RETAINED version time-travelable
-    to its recorded model state after every vacuum (vacuum may never
-    reclaim a file a retained snapshot references); (c) vacuum's
-    reclaim list disjoint from the files the latest checkpoint calls
+    replay floor moving; (b) every version retained by EVERY vacuum
+    so far still time-travelable to its recorded model state
+    (retention is not retroactive: a later, wider vacuum cannot
+    resurrect files an earlier, stricter one legitimately reclaimed —
+    those versions leave the checkable set); (c) vacuum's reclaim
+    list disjoint from the files the latest checkpoint calls
     live."""
     tmp = tmp_path_factory.mktemp("txvc")
     t = TxTable.create(
@@ -7327,6 +7329,7 @@ def test_vacuum_checkpoint_interplay_property(
     )
     model: dict[str, tuple[int, int]] = {}
     history: dict[int, dict] = {}
+    dead_versions: set[int] = set()  # fell outside some vacuum's cut
     ver = 0
     for kind, arg in ops:
         if kind == "merge":
@@ -7365,15 +7368,15 @@ def test_vacuum_checkpoint_interplay_property(
                     would & {e["path"] for e in chk["live"]}
                 )
             t.vacuum(retain_versions=arg)
-            kept = set(
-                __import__(
-                    "kafka_flink_harshevents_spark.sources.txlog",
-                    fromlist=["_list_versions"],
-                )._list_versions(t.table_dir)[-arg:]
-            )
-            # (b): every retained committed snapshot still reads
+            all_vs = __import__(
+                "kafka_flink_harshevents_spark.sources.txlog",
+                fromlist=["_list_versions"],
+            )._list_versions(t.table_dir)
+            kept = set(all_vs[-arg:])
+            dead_versions |= set(all_vs) - kept
+            # (b): every always-retained committed snapshot still reads
             for hv, snap in history.items():
-                if hv in kept:
+                if hv in kept and hv not in dead_versions:
                     assert _rows(t, version=hv) == snap
         if model:
             assert _rows(t) == model
