@@ -7384,3 +7384,62 @@ def test_vacuum_checkpoint_interplay_property(
             assert _rows(TxTable(spark, t.table_dir)) == model
     for hv in sorted(history)[-1:]:
         assert _rows(t, version=hv) == history[hv]
+
+
+def test_concurrent_copy_into_and_checkpoints(spark, tmp_path):
+    """Concurrent copied-set maintenance: two threads interleave
+    copy_into (disjoint landing files) with explicit checkpoints —
+    enough checkpoints to cross the fold threshold under race. The
+    segment-publication invariants (create-if-absent names, fold
+    deletes inputs only after winning) must keep the union exact:
+    every file ever ingested stays in the skip set, every re-copy is
+    a no-op, and no file double-ingests."""
+    import threading
+
+    from pyspark import InheritableThread
+
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        _copied_segments,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    land = tmp_path / "landing"
+    errs: list = []
+    files: dict[int, list[str]] = {0: [], 1: []}
+    n_each = 7  # 14 checkpoints total — crosses _COPIED_FOLD_EVERY
+
+    def run(i: int) -> None:
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(  # noqa: E501
+                spark._jsparkSession
+            )
+            for j in range(n_each):
+                f = _land(
+                    spark, land, f"t{i}-{j}",
+                    [(i * 1000 + j, j, 1)],
+                )
+                _, n = t.copy_into(f, max_retries=40)
+                assert n == 1, (i, j, n)
+                files[i].append(os.path.abspath(f))
+                t.checkpoint()
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    th = [InheritableThread(target=run, args=(i,)) for i in (0, 1)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    everything = set(files[0]) | set(files[1])
+    assert everything <= t.copied_files()
+    # no double ingestion: exactly one row per landed file
+    assert t.read().count() == 2 * n_each
+    # every re-copy skips
+    for f in sorted(everything):
+        assert t.copy_into(f)[1] == 0
+    # segments stay bounded and cover the whole set after re-reads
+    segs = _copied_segments(t.table_dir)
+    assert segs, "checkpoints must have produced segments"
+    t2 = TxTable(spark, t.table_dir)  # fresh handle, no cached state
+    assert everything <= t2.copied_files()
