@@ -779,10 +779,12 @@ def _parse_select(
         if e:
             if e.startswith("'"):
                 # inclusive end: newest commit at/before the stamp
-                e = str(
-                    t.version_at_timestamp(_parse_tt_timestamp(e))
+                # (the reader's own endingtimestamp semantics)
+                reader = reader.option(
+                    "endingtimestamp", str(_parse_tt_timestamp(e))
                 )
-            reader = reader.option("endingversion", e)
+            else:
+                reader = reader.option("endingversion", e)
         counter[0] += 1
         view = f"__txsql_tc_{counter[0]}"
         reader.load().createOrReplaceTempView(view)

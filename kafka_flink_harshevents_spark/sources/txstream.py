@@ -518,11 +518,13 @@ class TxLogStreamSource(DataSource):
     ``test_available_now_drains_one_capped_batch_per_run`` — an
     engine upgrade changing the call pattern fails that test).
 
-    Batch-only: ``version`` (time travel, default latest);
-    in change-feed mode ``startingversion``/``endingversion`` bound the
-    INCLUSIVE commit range (Delta's batch CDF contract); ``skipreport``
-    (path) writes the file-skipping decision as JSON for
-    observability/tests."""
+    Batch-only: ``version`` / ``timestamp`` (time travel, default
+    latest); in change-feed mode ``startingversion``/``endingversion``
+    (or ``startingtimestamp``/``endingtimestamp`` — start resolves to
+    the first commit at/after the stamp, end to the newest at/before
+    it) bound the INCLUSIVE commit range (Delta's batch CDF contract);
+    ``skipreport`` (path) writes the file-skipping decision as JSON
+    for observability/tests."""
 
     @classmethod
     def name(cls) -> str:
@@ -786,6 +788,17 @@ class TxLogBatchReader(DataSourceReader):
             if options.get("endingversion")
             else None
         )
+        if options.get("endingtimestamp") is not None:
+            # inclusive CDF range end: newest commit at/before the
+            # stamp (Delta's endingTimestamp rule — the symmetric twin
+            # of startingtimestamp's first-at-or-after)
+            from kafka_flink_harshevents_spark.sources.txlog import (
+                TxTable,
+            )
+
+            self.ending_version = TxTable(
+                None, self.table_dir
+            ).version_at_timestamp(float(options["endingtimestamp"]))
         self.skip_report = options.get("skipreport")
         self.columns = tuple(
             f.name

@@ -717,3 +717,15 @@ def test_shallow_clone_describe_and_tvf_timestamps(spark, tmp_path):
         tables={"t": t},
     ).collect()[0]["n"]
     assert n2 == 10
+    # the reader's own endingtimestamp option (what the TVF passes):
+    # bounding at the APPEND's stamp excludes the update entirely
+    n3 = (
+        spark.read.format("txlog")
+        .option("tabledir", t.table_dir)
+        .option("readchangefeed", "true")
+        .option("startingversion", "1")
+        .option("endingtimestamp", str(ts1))
+        .load()
+        .count()
+    )
+    assert n3 == 10  # the 10 appended inserts, nothing later
