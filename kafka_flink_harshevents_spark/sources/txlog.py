@@ -450,14 +450,19 @@ def _part_may_match(
     return True
 
 
-# extensions that unambiguously mark a DATA file — the wrong-
-# file_format signal for copy_into's directory walk. Doc/metadata
-# strays (README, manifest.json, schema.yaml) must NOT hard-fail an
-# otherwise idle landing zone, so json/xml-ish files with well-known
-# metadata basenames are excluded too.
-_DATA_EXTS = frozenset(
-    ("csv", "tsv", "json", "jsonl", "ndjson", "parquet", "orc",
-     "avro", "txt", "xml")
+# copy_into's directory-walk stray policy: doc/metadata strays
+# (README, manifest.json, schema.yaml, ops notes) must NOT hard-fail
+# an otherwise idle landing zone, but a zone full of DATA files the
+# requested format cannot read IS a mis-specified file_format and
+# must fail loudly — including formats this engine doesn't load
+# (.arrow/.feather/.pb): a silent (version, 0) would mask those
+# forever. So the quiet set is an explicit BENIGN allowlist
+# (doc/config extensions, extension-less files, well-known metadata
+# basenames, in-flight upload suffixes); everything else counts as
+# foreign data.
+_BENIGN_EXTS = frozenset(
+    ("md", "rst", "log", "yaml", "yml", "html", "htm", "ini", "cfg",
+     "conf", "toml", "lock", "tmp", "crc", "part", "partial")
 )
 _STRAY_BASENAMES = frozenset(
     ("manifest", "readme", "metadata", "schema", "notes", "changelog",
@@ -476,7 +481,7 @@ def _is_foreign_data_file(name: str) -> bool:
             base = base[: -len(c)]
             break
     stem, dot, ext = base.rpartition(".")
-    if not dot or ext not in _DATA_EXTS:
+    if not dot or ext in _BENIGN_EXTS:
         return False
     return stem.rpartition("/")[2] not in _STRAY_BASENAMES
 
@@ -1413,8 +1418,13 @@ class TxTable:
                     "copied_files", ()
                 ):
                     delta.add(e["path"])
-        if not delta and segs:
-            return  # nothing new — this checkpoint costs O(0)
+        # ALWAYS advance the floor, even on an empty delta: a segment
+        # is ~100 bytes, and a frozen floor would make this scan — and
+        # every copied_files() read — re-walk all records since the
+        # last copy event forever (O(total commits) per checkpoint on
+        # a table that copied once and then only appended). With the
+        # floor tracking the checkpoint cadence, both scans stay
+        # O(checkpoint interval).
         if len(segs) + 1 >= _COPIED_FOLD_EVERY:
             # fold: one base segment with the full union ≤ v (a pure
             # function of the log, so any winner's bytes are right)

@@ -676,6 +676,54 @@ def _parse_alter(
     )
 
 
+def _cte_names(stmt: str) -> set[str]:
+    """Lower-cased names the statement's own WITH clause defines —
+    a CTE shadows a same-named txlog table (spark.sql's precedence),
+    so the target resolver must leave those references alone."""
+    m = re.match(r"(?is)^\s*WITH\s+", stmt)
+    if not m:
+        return set()
+    names: set[str] = set()
+    i = m.end()
+    while True:
+        im = _IDENT_AT.match(stmt, i)
+        if not im:
+            break
+        names.add((im.group(1) or im.group(2)).lower())
+        # skip optional (cols), the AS keyword, and the CTE body
+        j = _Scanner.find_kw(stmt, "AS", im.end())
+        if j < 0:
+            break
+        k = stmt.find("(", j)
+        if k < 0:
+            break
+        depth, q = 0, None
+        while k < len(stmt):
+            ch = stmt[k]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in ("'", "`"):
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        # another CTE follows iff the next top-level token is a comma
+        k += 1
+        while k < len(stmt) and stmt[k] in " \t\r\n":
+            k += 1
+        if k >= len(stmt) or stmt[k] != ",":
+            break
+        i = k + 1
+        while i < len(stmt) and stmt[i] in " \t\r\n":
+            i += 1
+    return names
+
+
 def _literal_spans(s: str) -> list[tuple[int, int]]:
     """[start, end) spans of single-quoted string literals."""
     spans, i = [], 0
@@ -743,8 +791,21 @@ def _parse_select(
     TVF — resolves to the batch change-feed DataSource over the
     version range (one plan however long the range; the cdf_replay
     gate's IVM-consumer shape)."""
+    import uuid as _uuid
+
     spans = _literal_spans(stmt)
-    counter = [0]
+    ctes = _cte_names(stmt)
+    views: list[str] = []
+
+    def _fresh_view(df: DataFrame, prefix: str) -> str:
+        # unique per call (concurrent txsql SELECTs share one
+        # session's temp-view namespace) and dropped after planning —
+        # spark.sql resolves eagerly, so the returned DataFrame keeps
+        # its plan after the view goes away
+        name = f"__txsql_{prefix}_{_uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(name)
+        views.append(name)
+        return name
 
     def sub_tc(m: re.Match) -> str:
         if any(a <= m.start() < b for a, b in spans):
@@ -785,10 +846,7 @@ def _parse_select(
                 )
             else:
                 reader = reader.option("endingversion", e)
-        counter[0] += 1
-        view = f"__txsql_tc_{counter[0]}"
-        reader.load().createOrReplaceTempView(view)
-        return f"{m.group('kw')} {view}"
+        return f"{m.group('kw')} {_fresh_view(reader.load(), 'tc')}"
 
     stmt = _TC_REF.sub(sub_tc, stmt)
     spans = _literal_spans(stmt)
@@ -797,6 +855,8 @@ def _parse_select(
         if any(a <= m.start() < b for a, b in spans):
             return m.group(0)  # inside a string literal — data
         tok = m.group("t").strip()
+        if not tok.startswith("'") and tok.strip("`").lower() in ctes:
+            return m.group(0)  # the statement's own CTE shadows
         known = tok.startswith("'") or (
             tables and tok.strip("`") in tables
         )
@@ -815,12 +875,16 @@ def _parse_select(
             df = t.read(timestamp=_parse_tt_timestamp(m.group("ts")))
         else:
             df = t.read()
-        counter[0] += 1
-        view = f"__txsql_tt_{counter[0]}"
-        df.createOrReplaceTempView(view)
-        return f"{m.group('kw')} {view}"
+        return f"{m.group('kw')} {_fresh_view(df, 'tt')}"
 
-    return spark.sql(_TT_REF.sub(sub, stmt))
+    try:
+        return spark.sql(_TT_REF.sub(sub, stmt))
+    finally:
+        for v in views:
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
 
 
 def _parse_options(body: str) -> dict:
@@ -853,7 +917,7 @@ def txsql(
 
     if head == "CREATE":
         m = re.match(
-            r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?is)^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
             r"(?P<d>'[^']*'|`[^`]+`|\w+)\s+SHALLOW\s+CLONE\s+"
             r"(?P<s>'[^']*'|`[^`]+`|\w+)"
             r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
@@ -877,6 +941,21 @@ def txsql(
                     "quote the target path, add LOCATION '...', or "
                     "pass tables={name: dir}"
                 )
+            from kafka_flink_harshevents_spark.sources.txlog import (
+                _list_versions,
+            )
+
+            if _list_versions(dest):
+                # the CREATE TABLE exists-rule, clone flavor: refuse
+                # unless IF NOT EXISTS, which opens the existing table
+                # without re-cloning
+                if not m.group("ine"):
+                    raise ValueError(
+                        f"txsql SHALLOW CLONE: {dest!r} already holds "
+                        "a transaction log — use CREATE TABLE IF NOT "
+                        "EXISTS to open it"
+                    )
+                return TxTable(spark, dest)
             ver = int(m.group("v")) if m.group("v") else None
             if m.group("ts"):
                 ver = src.version_at_timestamp(

@@ -789,6 +789,11 @@ class TxLogBatchReader(DataSourceReader):
             else None
         )
         if options.get("endingtimestamp") is not None:
+            if options.get("endingversion") is not None:
+                raise ValueError(
+                    "txlog batch read: pass endingversion OR "
+                    "endingtimestamp, not both"
+                )
             # inclusive CDF range end: newest commit at/before the
             # stamp (Delta's endingTimestamp rule — the symmetric twin
             # of startingtimestamp's first-at-or-after)

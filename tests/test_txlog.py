@@ -6798,7 +6798,12 @@ def test_checkpoint_copied_set_segments_and_legacy_migration(
     t.checkpoint()  # migrates the embedded set into the first segment
     segs = _copied_segments(t.table_dir)
     assert segs and f1 in json.load(open(segs[-1][1]))["paths"]
-    assert json.load(open(segs[-1][1]))["base_version"] == 0 or True
+    # the migrated segment is SELF-SUFFICIENT: even with the legacy
+    # checkpoint's embedded field gone, the set survives
+    d2 = json.load(open(chk))
+    d2.pop("copied", None)
+    json.dump(d2, open(chk, "w"))
+    assert f1 in t.copied_files()
     assert t.copy_into(f1)[1] == 0
     # legacy checkpoint WITHOUT 'copied' and no segments: replay from
     # the records alone still finds every marker
@@ -7443,3 +7448,49 @@ def test_concurrent_copy_into_and_checkpoints(spark, tmp_path):
     assert segs, "checkpoints must have produced segments"
     t2 = TxTable(spark, t.table_dir)  # fresh handle, no cached state
     assert everything <= t2.copied_files()
+
+
+def test_copy_into_unknown_extension_still_raises(spark, tmp_path):
+    """Review r10: a landing zone of data files in a format this
+    engine does not even load (.arrow) must still fail loudly under a
+    wrong file_format — the benign-allowlist policy, not a known-
+    data-extension list, gates the raise."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    land = tmp_path / "arrowzone"
+    land.mkdir()
+    (land / "part-0001.arrow").write_bytes(b"ARROW1")
+    with pytest.raises(FileNotFoundError, match="another format"):
+        t.copy_into(str(land))
+    # benign docs/config stay quiet
+    for nm in ("README.md", "run.log", "job.yaml", "upload.tmp"):
+        (land / nm).unlink(missing_ok=True)
+    quiet = tmp_path / "quiet"
+    quiet.mkdir()
+    (quiet / "README.md").write_text("docs")
+    (quiet / "job.yaml").write_text("cfg: 1")
+    (quiet / "upload.tmp").write_text("inflight")
+    assert t.copy_into(str(quiet))[1] == 0
+
+
+def test_copied_floor_advances_without_new_copies(spark, tmp_path):
+    """Review r10: after one copy_into, a long run of ordinary
+    commits + checkpoints must keep advancing the copied-set floor —
+    a frozen floor re-reads every record since the copy event on
+    every checkpoint and copied_files() call."""
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        _copied_segments,
+    )
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    land = tmp_path / "landing"
+    f1 = _land(spark, land, "a", [(1, 1, 1)])
+    t.copy_into(f1)
+    t.checkpoint()
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(100 + i, i, 1)], "k long, v long, ver long"))
+        t.checkpoint()
+    segs = _copied_segments(t.table_dir)
+    assert segs[-1][0] == t.latest_version()  # floor tracks HEAD
+    assert f1 in t.copied_files()
+    assert t.copy_into(f1)[1] == 0

@@ -729,3 +729,69 @@ def test_shallow_clone_describe_and_tvf_timestamps(spark, tmp_path):
         .count()
     )
     assert n3 == 10  # the 10 appended inserts, nothing later
+
+
+def test_cte_shadows_txlog_table(spark, tmp_path):
+    """A statement's own CTE shadows a same-named txlog table
+    (spark.sql's precedence) — the resolver must leave CTE
+    references alone (review r10)."""
+    t = _mk(spark, tmp_path, "t")
+    rows = txsql(
+        spark,
+        "WITH t AS (SELECT 42 AS k), u AS (SELECT k + 1 AS k FROM t) "
+        "SELECT t.k, u.k AS k2 FROM t JOIN u ON u.k = t.k + 1",
+        tables={"t": t},
+    ).collect()
+    assert len(rows) == 1 and rows[0]["k"] == 42  # CTE, not the table
+    # non-shadowed references still resolve to the table
+    n = txsql(
+        spark,
+        "WITH c AS (SELECT 1 AS one) SELECT count(*) AS n FROM t",
+        tables={"t": t},
+    ).collect()[0]["n"]
+    assert n == 10
+
+
+def test_select_temp_views_cleaned_up(spark, tmp_path):
+    """The resolver's temp views are uniquely named and dropped after
+    planning — no catalog leak, and the returned frame stays
+    executable (review r10)."""
+    t = _mk(spark, tmp_path, "t")
+    before = {v.name for v in spark.catalog.listTables()}
+    df = txsql(spark, "SELECT count(*) AS n FROM t", tables={"t": t})
+    after = {v.name for v in spark.catalog.listTables()}
+    assert not {v for v in after - before if v.startswith("__txsql_")}
+    assert df.collect()[0]["n"] == 10  # plan survives the view drop
+
+
+def test_shallow_clone_if_not_exists(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    ddl = (
+        f"CREATE TABLE {{ine}}'{tmp_path}/c' SHALLOW CLONE t"
+    )
+    c = txsql(spark, ddl.format(ine=""), tables={"t": t})
+    assert c.read().count() == 10
+    with pytest.raises(ValueError, match="already holds"):
+        txsql(spark, ddl.format(ine=""), tables={"t": t})
+    c2 = txsql(spark, ddl.format(ine="IF NOT EXISTS "),
+               tables={"t": t})
+    assert c2.read().count() == 10  # opened, not re-cloned
+
+
+def test_cdf_end_bound_conflict_refused(spark, tmp_path):
+    from kafka_flink_harshevents_spark.sources.txstream import (
+        TxLogStreamSource,
+    )
+
+    spark.dataSource.register(TxLogStreamSource)
+    t = _mk(spark, tmp_path, "t")
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("txlog")
+            .option("tabledir", t.table_dir)
+            .option("readchangefeed", "true")
+            .option("endingversion", "2")
+            .option("endingtimestamp", "9999999999")
+            .load()
+            .count()
+        )
