@@ -63,6 +63,12 @@ __all__ = [
     "corpus_ingest_sink",
 ]
 
+# verify mode: max colliding stored-doc ids shipped driver-side as an
+# IN-set for the file-pruned stored-text fetch; one batch colliding
+# with more stored docs than this falls back to the join-against-scan
+# plan (the IN-set itself would be the new bottleneck past here)
+_VERIFY_PRUNE_MAX = 100_000
+
 
 def create_fingerprint_table(
     spark: SparkSession,
@@ -238,10 +244,14 @@ def corpus_ingest(
       an ATTRIBUTED store (``create_fingerprint_table(attributed=
       True)``): candidate fetch needs the stored doc's identity.
       Scale shape: the candidate join is band-equi (pairs ∝
-      collisions), the text fetch touches only colliding stored docs
-      (create the corpus with ``bloom_cols=("doc_id",)`` at scale so
-      the point-lookups prune files), and the Jaccard is a per-pair
-      array intersect — never all-pairs.
+      collisions), the stored-text fetch is a FILE-PRUNED
+      ``corpus.read(isin={"doc_id": candidates})`` — min/max stats +
+      blooms skip every corpus file holding no colliding doc, so files
+      opened ∝ candidates, not ∝ corpus (create the corpus with
+      ``bloom_cols=("doc_id",)`` so the skip survives interleaved
+      ids; above ``_VERIFY_PRUNE_MAX`` candidates it falls back to
+      the scan+join plan) — and the Jaccard is a per-pair array
+      intersect, never all-pairs.
 
     ``store_join`` — how the presence checks reach the store:
     ``"shuffle"`` (default) is the plain left-semi join (store ships
@@ -335,19 +345,45 @@ def corpus_ingest(
     verified = None
     if near_dup_mode == "verify":
         # band-equi candidates (new doc, stored doc) — pairs ∝
-        # collisions; then exact Jaccard on both texts' shingle sets
+        # collisions; then exact Jaccard on both texts' shingle sets.
+        # Pinned eagerly: the candidate-id collect below and the
+        # verify join both read the one materialization (otherwise the
+        # batch would be fingerprinted twice).
         cand = (
             parts.filter(F.col("kind") == 2)
             .join(store.filter(F.col("kind") == 2), ["kind", "fp"])
             .select("doc_id", F.col("doc").alias("_sdoc"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
+        # candidate-pruned stored-text fetch: colliding stored-doc ids
+        # are bounded by band collisions (batch-scale, not corpus-
+        # scale), so collect them — limit-bounded — and let read(isin=)
+        # skip corpus files whose min/max range + bloom prove they hold
+        # none of them. Files opened ∝ candidates; the full-column
+        # corpus scan only returns as the documented fallback when one
+        # batch collides with >_VERIFY_PRUNE_MAX stored docs (at that
+        # point an IN-set stops being the right plan shape). Create the
+        # corpus with bloom_cols=("doc_id",) so the skip holds even
+        # when doc_ids interleave across files.
+        cand_ids = [
+            r[0]
+            for r in cand.select("_sdoc").distinct()
+            .limit(_VERIFY_PRUNE_MAX + 1).collect()
+        ]
         try:
-            stored_txt = corpus.read().select(
+            if not cand_ids:
+                raise ValueError("no candidates")  # caught just below
+            kw = (
+                {"isin": {"doc_id": cand_ids}}
+                if len(cand_ids) <= _VERIFY_PRUNE_MAX
+                else {}
+            )
+            stored_txt = corpus.read(**kw).select(
                 F.col("doc_id").alias("_sdoc"),
                 F.col("text").alias("_stext"),
             )
-        except ValueError:  # virgin corpus — nothing to collide with
+        except ValueError:  # virgin corpus / zero collisions
             stored_txt = spark.createDataFrame(
                 [], "_sdoc long, _stext string"
             )

@@ -1706,6 +1706,10 @@ def doc_ingest_verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=("doc_id",),
         order_col="ver",
         n_buckets=2,
+        # exercises the candidate-pruned stored-text fetch: verify
+        # mode reads back colliding docs via read(isin=) and the
+        # bloom makes the file skip hold under interleaved doc_ids
+        bloom_cols=("doc_id",),
     )
     fps = create_fingerprint_table(
         spark, tempfile.mkdtemp(prefix="ingv-f-"), n_buckets=2,

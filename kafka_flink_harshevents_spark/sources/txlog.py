@@ -284,6 +284,43 @@ def _file_may_match_eq(entry: dict, eq: dict) -> bool:
     return True
 
 
+def _file_may_match_isin(entry: dict, isin: dict) -> bool:
+    """Multi-value point-lookup skip test (``col IN (v1..vn)`` — the
+    candidate-pruned read shape, e.g. corpus_ingest verify mode's
+    stored-text fetch): a file survives only if AT LEAST ONE value
+    passes the single-value test — inside the recorded [min, max] AND
+    admitted by the per-file bloom when one is indexed. An empty value
+    list matches nothing (SQL ``IN ()`` semantics). Missing stats /
+    bloom keep the file, like everywhere in the skip stack; the
+    row-level ``isin`` re-application in ``read`` keeps the result
+    exact regardless."""
+    cols = (entry.get("stats") or {}).get("cols") or {}
+    blooms = entry.get("bloom") or {}
+    for col, values in isin.items():
+        s = cols.get(col)
+        alive = []
+        for v in values:
+            c = _stat_scalar(v)
+            if s and c is not None:
+                mn, mx = s[0], s[1]
+                try:
+                    if mx is not None and mx < c:
+                        continue
+                    if mn is not None and mn > c:
+                        continue
+                except TypeError:
+                    pass  # incomparable bound/stat types — keep value
+            alive.append(v)
+        if not alive:
+            return False
+        b = blooms.get(col)
+        if b is not None and not any(
+            _bloom_may_contain(b, v) for v in alive
+        ):
+            return False
+    return True
+
+
 def _file_may_match(entry: dict, prune: dict) -> bool:
     """Conservative skip test: False ONLY when the file's recorded
     [min, max] for some pruned column provably misses [lo, hi]. Missing
@@ -404,7 +441,10 @@ def _infer_part_type(tokens) -> str:
 
 
 def _part_may_match(
-    entry: dict, prune: dict | None = None, eq: dict | None = None
+    entry: dict,
+    prune: dict | None = None,
+    eq: dict | None = None,
+    isin: dict | None = None,
 ) -> bool:
     """EXACT partition skip test over an add-entry's recorded ``part``
     values. Unlike the min/max stats test this is an invariant, not an
@@ -446,6 +486,32 @@ def _part_may_match(
             if v != c:
                 return False
         elif type(v) is type(c) and v != c:
+            return False
+    for col, values in (isin or {}).items():
+        if col not in part:
+            continue
+        v = part[col]
+        if v is None:
+            return False  # NULL partition: IN matches nothing
+        if not values:
+            return False  # IN () matches nothing
+        # skip ONLY if every value is provably unequal; an
+        # unencodable or type-mismatched value keeps the file
+        # conservatively, exactly the eq rule above per-value
+        excluded_all = True
+        for val in values:
+            c = _stat_scalar(val)
+            if c is None:
+                excluded_all = False
+                break
+            if isinstance(v, (int, float)) and isinstance(c, (int, float)):
+                if v == c:
+                    excluded_all = False
+                    break
+            elif type(v) is not type(c) or v == c:
+                excluded_all = False
+                break
+        if excluded_all:
             return False
     return True
 
@@ -2290,6 +2356,7 @@ class TxTable:
         prune: dict[str, tuple] | None = None,
         eq: dict | None = None,
         timestamp: float | None = None,
+        isin: dict | None = None,
     ) -> DataFrame:
         """Snapshot read (time travel with ``version=``). Consistent by
         construction: the file list comes from the log, never from a
@@ -2311,7 +2378,17 @@ class TxTable:
         bloom bitmaps (tables created with ``bloom_cols``), then
         re-applied row-level — exact whatever the bloom's
         false-positive rate, since a false positive only opens a file
-        whose rows the equality filter then drops."""
+        whose rows the equality filter then drops.
+
+        ``isin`` is the MULTI-VALUE point lookup: ``col → collection``
+        of lookup values, semantically ``col IN (...)``. A file is
+        opened only if at least one value survives its min/max range
+        AND its bloom — so a candidate-driven fetch (the corpus_ingest
+        verify-mode stored-text read) opens files ∝ candidates, not ∝
+        table. Row-level ``isin`` is re-applied, so exactness does not
+        depend on the skip. Keep the value list driver-bounded (it
+        travels in the plan as an IN-set); above ~10^5 values a join
+        is the right tool instead."""
         if timestamp is not None:
             if version is not None:
                 raise ValueError(
@@ -2336,6 +2413,13 @@ class TxTable:
                 e for e in live
                 if _file_may_match_eq(e, em) and _part_may_match(e, eq=em)
             ]
+        if isin:
+            im = _map_stat_keys(isin, mapping)
+            live = [
+                e for e in live
+                if _file_may_match_isin(e, im)
+                and _part_may_match(e, isin=im)
+            ]
         if not live:
             if schema_json is None:
                 raise ValueError("empty table with no recorded schema")
@@ -2352,6 +2436,12 @@ class TxTable:
         if eq:
             for col, v in eq.items():
                 df = df.filter(F.col(col) == F.lit(v))
+        if isin:
+            for col, values in isin.items():
+                vals = list(values)
+                df = df.filter(
+                    F.col(col).isin(vals) if vals else F.lit(False)
+                )
         return df
 
     def _open_files(
@@ -2535,23 +2625,28 @@ class TxTable:
         prune: dict[str, tuple],
         version: int | None = None,
         eq: dict | None = None,
+        isin: dict | None = None,
     ) -> dict:
         """Observability for the skip decision: how many live files the
         snapshot has, how many a pruned read would open, and how many
         rows the log says were skipped (None when a skipped file
         predates stats collection). ``eq`` adds the bloom/point-lookup
-        test exactly as ``read(eq=...)`` applies it."""
+        test exactly as ``read(eq=...)`` applies it; ``isin`` the
+        multi-value form exactly as ``read(isin=...)``."""
 
         mapping = self.meta_at(version).get("column_mapping") or {}
         prune = _map_stat_keys(prune, mapping)
         eq = _map_stat_keys(eq, mapping) if eq else None
+        isin = _map_stat_keys(isin, mapping) if isin else None
 
         def keep(e: dict) -> bool:
             if not _file_may_match(e, prune):
                 return False
-            if not _part_may_match(e, prune=prune, eq=eq):
+            if not _part_may_match(e, prune=prune, eq=eq, isin=isin):
                 return False
-            return not eq or _file_may_match_eq(e, eq)
+            if eq and not _file_may_match_eq(e, eq):
+                return False
+            return not isin or _file_may_match_isin(e, isin)
 
         _, live_map, _, dvs = self._replay(version)
         live = list(live_map.values())

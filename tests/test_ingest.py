@@ -393,3 +393,90 @@ def test_bucketed_store_join_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         corpus_ingest(corpus_a, fps_a, batch, near_dup_mode="verify",
                       store_join="bucketed")
+
+
+def test_verify_mode_stored_text_fetch_is_candidate_pruned(
+    spark, tmp_path
+):
+    """Verify mode's stored-text fetch must be the FILE-PRUNED
+    ``read(isin={"doc_id": candidates})`` — files opened ∝ band
+    collisions, never a full corpus text scan — and must not touch
+    the corpus at all when a batch produces zero collisions."""
+    from kafka_flink_harshevents_spark.streaming.dedup import (
+        doc_fingerprints,
+    )
+
+    corpus = TxTable.create(
+        spark, str(tmp_path / "corpus"), key_cols=("doc_id",),
+        order_col="ver", n_buckets=2, bloom_cols=("doc_id",),
+    )
+    fps = create_fingerprint_table(
+        spark, str(tmp_path / "fps"), n_buckets=2, attributed=True
+    )
+    # seed in FOUR waves so the corpus spans several files; wave 0
+    # carries the collision target, the rest are unique-word filler
+    waves = [[(1, _BASE20, 1)]] + [
+        [
+            (w * 100 + i,
+             " ".join(f"w{w}x{i}y{j}" for j in range(12)), 1)
+            for i in range(5)
+        ]
+        for w in range(1, 4)
+    ]
+    for rows in waves:
+        df = spark.createDataFrame(rows, _SCHEMA)
+        corpus.append(df)
+        fps.append(
+            doc_fingerprints(
+                df.select("doc_id", "text")
+                .withColumn("is_seed", F.lit(0))
+            )
+            .select("kind", "fp", F.col("doc_id").alias("doc"))
+            .distinct()
+            .withColumn("ver", F.lit(1).cast("long"))
+        )
+    files_total = corpus.prune_report({})["files_total"]
+    assert files_total >= 4
+
+    calls = []
+    real_read = corpus.read
+
+    def spy(*a, **k):
+        calls.append(k)
+        return real_read(*a, **k)
+
+    corpus.read = spy
+    # one near-dup (collides with doc 1 only) + one fresh doc
+    r = corpus_ingest(
+        corpus, fps,
+        spark.createDataFrame(
+            [(500, "zulu " + _BASE20, 1),
+             (501, "fresh standalone vocabulary nothing shared", 1)],
+            _SCHEMA,
+        ),
+        near_dup_mode="verify",
+    )
+    corpus.read = real_read
+    assert r["near_dups_verified"] == 1 and r["kept"] == 1
+    fetches = [k for k in calls if "isin" in k]
+    assert len(fetches) == 1
+    assert list(fetches[0]["isin"]["doc_id"]) == [1]
+    # the skip is real: the candidate set opens a strict file subset
+    rep = corpus.prune_report({}, isin=fetches[0]["isin"])
+    assert rep["files_read"] < rep["files_total"]
+    assert rep["files_read"] >= 1
+
+    # zero collisions → the corpus text column is never read
+    calls.clear()
+    corpus.read = spy
+    r2 = corpus_ingest(
+        corpus, fps,
+        spark.createDataFrame(
+            [(600, "entirely novel tokens appearing nowhere", 1)],
+            _SCHEMA,
+        ),
+        near_dup_mode="verify",
+    )
+    corpus.read = real_read
+    assert r2["kept"] == 1 and r2["near_dups"] == 0
+    assert calls == []

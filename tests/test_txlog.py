@@ -2325,6 +2325,64 @@ def test_bloom_unsupported_types_and_unindexed_cols_keep_files(spark, tmp_path):
     assert [(r["k"],) for r in got] == [(10,)]
 
 
+def test_isin_multivalue_point_lookup(spark, tmp_path):
+    """`read(isin=...)` — the candidate-pruned fetch shape: exact rows
+    for a value SET, files opened only where min/max+bloom admit at
+    least one value."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4, bloom_cols=("k", "tag"),
+    )
+    # interleaved keys per wave → overlapping min/max everywhere, so
+    # observed skipping is the bloom's (the eq test's construction)
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", i * 10, 1) for i in range(0, 200, 2)],
+        "k long, tag string, v long, ver long",
+    ))
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", i * 10, 1) for i in range(1, 200, 2)],
+        "k long, tag string, v long, ver long",
+    ))
+    got = t.read(isin={"k": [42, 43, 999]}).collect()
+    assert sorted((r["k"], r["v"]) for r in got) == [(42, 420), (43, 430)]
+    # string-typed, single-file set: bloom skip must engage
+    rep = t.prune_report({}, isin={"tag": ["tag42"]})
+    assert rep["files_total"] == 8 and rep["files_read"] <= 3
+    # absent values only → zero files, empty exact result
+    rep = t.prune_report({}, isin={"tag": ["nope-a", "nope-b"]})
+    assert rep["files_read"] == 0
+    assert t.read(isin={"tag": ["nope-a", "nope-b"]}).count() == 0
+    # empty list = SQL IN (): matches nothing, opens nothing
+    rep = t.prune_report({}, isin={"k": []})
+    assert rep["files_read"] == 0
+    assert t.read(isin={"k": []}).count() == 0
+    # composes with prune; row-level re-application keeps it exact
+    got = t.read(prune={"v": (0, 500)}, isin={"k": [10, 60, 199]}).collect()
+    assert sorted(r["k"] for r in got) == [10]
+    # after compact each key set maps to its buckets' files only
+    t.compact()
+    rep = t.prune_report({}, isin={"k": [42]})
+    assert rep["files_total"] == 4 and rep["files_read"] == 1
+
+
+def test_isin_partitioned_skips_partitions(spark, tmp_path):
+    """isin over a partition column skips whole partitions exactly
+    (the partition-value test is an invariant, not an estimate)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, partition_by=("grp",),
+    )
+    t.append(spark.createDataFrame(
+        [(i, i % 5, 1) for i in range(100)],
+        "k long, grp long, ver long",
+    ))
+    rep = t.prune_report({}, isin={"grp": [1, 3]})
+    assert rep["files_read"] < rep["files_total"]
+    got = t.read(isin={"grp": [1, 3]})
+    assert got.count() == 40
+    assert sorted(r["grp"] for r in got.select("grp").distinct().collect()) == [1, 3]
+
+
 def _register_txlog(spark):
     from kafka_flink_harshevents_spark.sources.txstream import (
         TxLogStreamSource,
