@@ -542,12 +542,20 @@ def _is_foreign_data_file(name: str) -> bool:
     the caller's ``file_format`` is wrong — rather than a doc/metadata
     stray a landing zone legitimately carries."""
     base = name.lower()
+    compressed = False
     for c in (".gz", ".bz2", ".zst", ".snappy", ".lz4", ".deflate"):
         if base.endswith(c):
             base = base[: -len(c)]
+            compressed = True
             break
     stem, dot, ext = base.rpartition(".")
-    if not dot or ext in _BENIGN_EXTS:
+    if not dot:
+        # extension-less: benign stray — UNLESS a compression suffix
+        # was stripped (``data.gz``): a bare compressed file is data
+        # of some format this read can't parse, and silently skipping
+        # it would no-op a whole mis-specified landing zone
+        return compressed and base.rpartition("/")[2] not in _STRAY_BASENAMES
+    if ext in _BENIGN_EXTS:
         return False
     return stem.rpartition("/")[2] not in _STRAY_BASENAMES
 
@@ -1494,7 +1502,19 @@ class TxTable:
         if len(segs) + 1 >= _COPIED_FOLD_EVERY:
             # fold: one base segment with the full union ≤ v (a pure
             # function of the log, so any winner's bytes are right)
-            _, base_union = _copied_base(self.table_dir, v)
+            bfloor, base_union = _copied_base(self.table_dir, v)
+            if segs and bfloor == 0 and not base_union:
+                # fold inputs vanished: a concurrent fold at a HIGHER
+                # version w consumed every segment ≤ v between our
+                # listing and this read (its base segment sits at w,
+                # above our target). A base-0 segment built from this
+                # empty floor would falsely claim full (0, v] coverage
+                # and hand readers targeting [v, w) an incomplete skip
+                # set — publish the ordinary delta against the floor we
+                # listed instead; history stays covered by the higher
+                # fold.
+                _copied_write_segment(self.table_dir, v, floor, delta)
+                return
             if _copied_write_segment(
                 self.table_dir, v, 0, base_union | delta
             ):

@@ -146,7 +146,9 @@ def _rewrite_refs(expr: str, aliases: dict[str, str]) -> str:
         if ch == "'":  # string literal — copy verbatim
             j = i + 1
             while j < n and expr[j] != "'":
-                j += 1
+                # backslash-escaped quote: part of the literal, not
+                # its terminator (Spark accepts both '' and \')
+                j += 2 if expr[j] == "\\" else 1
             out.append(expr[i:j + 1])
             i = j + 1
             prev = "'"
@@ -725,17 +727,87 @@ def _cte_names(stmt: str) -> set[str]:
 
 
 def _literal_spans(s: str) -> list[tuple[int, int]]:
-    """[start, end) spans of single-quoted string literals."""
+    """[start, end) spans of single-quoted string literals. Skips the
+    character after a backslash — Spark also accepts
+    backslash-escaped quotes (``'it\\'s'``), and treating the escaped
+    quote as a terminator would desync every downstream rewrite."""
     spans, i = [], 0
     while i < len(s):
         if s[i] == "'":
             j = i + 1
             while j < len(s) and s[j] != "'":
-                j += 1
+                j += 2 if s[j] == "\\" else 1
             spans.append((i, j + 1))
             i = j + 1
         else:
             i += 1
+    return spans
+
+
+# Words that legitimately precede a '(' WITHOUT making it a function
+# call — the paren after them is grouping, a subquery, or list syntax.
+_NONFN_KEYWORDS = frozenset((
+    "select", "from", "join", "where", "on", "and", "or", "not", "in",
+    "exists", "union", "all", "any", "some", "as", "by", "values",
+    "when", "then", "else", "case", "end", "between", "like", "over",
+    "distinct", "having", "using", "intersect", "except", "lateral",
+))
+
+
+def _fn_arg_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end) spans where the INNERMOST enclosing paren frame is
+    a FUNCTION CALL's argument list — there ``FROM`` is expression
+    syntax (``extract(YEAR FROM ts)``, ``trim(BOTH 'x' FROM s)``),
+    never a table reference, so the time-travel rewriter must not
+    touch it. A paren opened after a bare SQL keyword (``FROM (``,
+    ``IN (``) is grouping/subquery — unmasked — and a subquery nested
+    INSIDE a call argument (``coalesce((SELECT ... FROM t), 0)``)
+    unmasks its own innermost frame, so its table refs still
+    rewrite."""
+    spans: list[tuple[int, int]] = []
+    stack: list[bool] = []
+    cur: int | None = None  # start of the active masked segment
+    i, q, n = 0, None, len(s)
+    while i < n:
+        ch = s[i]
+        if q:
+            if q == "'" and ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in ("'", "`"):
+            q = ch
+        elif ch == "(":
+            j = i - 1
+            while j >= 0 and s[j] in " \t\r\n":
+                j -= 1
+            is_fn = False
+            if j >= 0 and (s[j].isalnum() or s[j] in "_`"):
+                k = j
+                while k >= 0 and (s[k].isalnum() or s[k] in "_.`"):
+                    k -= 1
+                word = s[k + 1:j + 1].strip("`").lower()
+                is_fn = word not in _NONFN_KEYWORDS
+            if cur is not None:
+                spans.append((cur, i))
+                cur = None
+            stack.append(is_fn)
+            if is_fn:
+                cur = i + 1
+        elif ch == ")":
+            if cur is not None:
+                spans.append((cur, i))
+                cur = None
+            if stack:
+                stack.pop()
+            if stack and stack[-1]:
+                cur = i + 1
+        i += 1
+    if cur is not None:  # unclosed call — conservative: stay masked
+        spans.append((cur, n))
     return spans
 
 
@@ -793,7 +865,7 @@ def _parse_select(
     gate's IVM-consumer shape)."""
     import uuid as _uuid
 
-    spans = _literal_spans(stmt)
+    spans = _literal_spans(stmt) + _fn_arg_spans(stmt)
     ctes = _cte_names(stmt)
     views: list[str] = []
 
@@ -849,7 +921,7 @@ def _parse_select(
         return f"{m.group('kw')} {_fresh_view(reader.load(), 'tc')}"
 
     stmt = _TC_REF.sub(sub_tc, stmt)
-    spans = _literal_spans(stmt)
+    spans = _literal_spans(stmt) + _fn_arg_spans(stmt)
 
     def sub(m: re.Match) -> str:
         if any(a <= m.start() < b for a, b in spans):

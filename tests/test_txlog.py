@@ -7552,3 +7552,67 @@ def test_copied_floor_advances_without_new_copies(spark, tmp_path):
     assert segs[-1][0] == t.latest_version()  # floor tracks HEAD
     assert f1 in t.copied_files()
     assert t.copy_into(f1)[1] == 0
+
+
+def test_foreign_data_file_bare_compression_suffix():
+    """copy_into stray policy: an extension-less COMPRESSED file
+    (data.gz) is foreign data — a zone full of them must raise the
+    wrong-file_format error, not silently no-op (regression: the
+    compression suffix was stripped first, leaving no dot, and the
+    file classified benign)."""
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        _is_foreign_data_file,
+    )
+
+    assert _is_foreign_data_file("zone/data.gz")
+    assert _is_foreign_data_file("dump.zst")
+    # stray-basename and uncompressed extension-less stay benign
+    assert not _is_foreign_data_file("zone/readme.gz")
+    assert not _is_foreign_data_file("zone/data")
+    assert not _is_foreign_data_file("zone/notes.md")
+    # the pre-existing compressed-data classification is unchanged
+    assert _is_foreign_data_file("zone/x.csv.gz")
+
+
+def test_copied_fold_vanished_inputs_falls_back_to_delta(
+    spark, tmp_path, monkeypatch
+):
+    """A fold whose inputs vanished under a CONCURRENT fold at a
+    higher version must not publish a base-0 segment missing all
+    history — it falls back to a plain delta against the floor it
+    listed (regression: an in-flight copied_files() reader in the gap
+    could see an incomplete skip set and copy_into could re-ingest)."""
+    import kafka_flink_harshevents_spark.sources.txlog as txmod
+    from kafka_flink_harshevents_spark.sources.txlog import (
+        _COPIED_FOLD_EVERY,
+        _copied_segments,
+    )
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, checkpoint_interval=None,
+    )
+    land = tmp_path / "landing"
+    files = []
+    for i in range(_COPIED_FOLD_EVERY - 1):
+        f = _land(spark, land, f"f{i}", [(i, i, 1)])
+        t.copy_into(f)
+        t.checkpoint()
+        files.append(os.path.abspath(f))
+    # the next checkpoint would fold; simulate every listed input
+    # vanishing between the listing and the base read
+    monkeypatch.setattr(txmod, "_copied_base", lambda d, v: (0, set()))
+    f = _land(spark, land, "last", [(99, 99, 1)])
+    t.copy_into(f)
+    t.checkpoint()
+    monkeypatch.undo()
+    files.append(os.path.abspath(f))
+    segs = _copied_segments(t.table_dir)
+    bodies = [json.load(open(p)) for _, p in segs]
+    newest = max(bodies, key=lambda b: b["version"])
+    assert newest["base_version"] != 0  # delta, not a false full fold
+    # nothing was deleted or lost: the union stays complete and every
+    # ingested file keeps skipping
+    assert set(files) <= t.copied_files()
+    for f in files:
+        assert t.copy_into(f)[1] == 0

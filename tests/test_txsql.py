@@ -795,3 +795,59 @@ def test_cdf_end_bound_conflict_refused(spark, tmp_path):
             .load()
             .count()
         )
+
+
+def test_fn_call_from_is_not_a_table_ref(spark, tmp_path):
+    """``extract(YEAR FROM col)`` / ``trim(... FROM col)``: FROM inside
+    a function-call argument list is expression syntax — the
+    time-travel rewriter must leave it alone even when the operand
+    name collides with a tables= key (regression: the column ref was
+    replaced with a temp-view name and analysis failed)."""
+    import datetime
+
+    t = TxTable.create(
+        spark, str(tmp_path / "tt"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    t.append(spark.createDataFrame(
+        [(1, datetime.datetime(2021, 3, 4, 5, 6, 7), " pad ", 1)],
+        "k long, ts timestamp, s string, ver long",
+    ))
+    got = txsql(
+        spark,
+        "SELECT extract(YEAR FROM ts) AS y, "
+        "trim(BOTH ' ' FROM s) AS s2 FROM ts",
+        tables={"ts": t, "s": t},
+    ).collect()[0]
+    assert got["y"] == 2021 and got["s2"] == "pad"
+    # a subquery nested INSIDE a call argument still rewrites its refs
+    got = txsql(
+        spark,
+        "SELECT coalesce((SELECT max(k) FROM ts), -1) AS m",
+        tables={"ts": t},
+    ).collect()[0]
+    assert got["m"] == 1
+
+
+def test_backslash_escaped_quote_in_literal(spark, tmp_path):
+    """Backslash-escaped quotes inside string literals must not desync
+    the literal scanner: table-like text inside the literal stays
+    data, refs after it still resolve, and MERGE alias rewriting
+    honors the same escape."""
+    from kafka_flink_harshevents_spark.sources.txsql import (
+        _literal_spans,
+        _rewrite_refs,
+    )
+
+    t = _mk(spark, tmp_path, "t")
+    got = txsql(
+        spark,
+        "SELECT 'it\\'s FROM t' AS lit, count(*) AS n FROM t",
+        tables={"t": t},
+    ).collect()[0]
+    assert got["lit"] == "it's FROM t" and got["n"] == 10
+    # scanner unit: the escaped quote does not terminate the literal
+    spans = _literal_spans("'a\\'b' x FROM t")
+    assert spans == [(0, 6)]
+    out = _rewrite_refs("concat('a\\'s a.x ', a.x)", {"a": "engine"})
+    assert out == "concat('a\\'s a.x ', engine.x)"
