@@ -597,9 +597,13 @@ def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     version 2) by predicate — rows outside the slice must carry
     forward byte-identically (including same-file neighbors rewritten
     as survivors), and the replaced slice must hold EXACTLY the new
-    rows. The oracle states both halves from ``orders``, so slice
-    ownership, survivor rewriting, and the predicate guard are all
-    driver-checked."""
+    rows. Driven through the SQL form (``INSERT INTO t REPLACE WHERE
+    <pred> <source>`` — Delta's documented spelling), so the gate
+    checks the parser AND the rewrite. The oracle states both halves
+    from ``orders``, so slice ownership, survivor rewriting, and the
+    predicate guard are all driver-checked."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
     base = _base_frame(spark, sf_dir)
     t = TxTable.create(
         spark,
@@ -609,14 +613,18 @@ def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=2,
     )
     t.append(base)
-    t.replace_where(
-        base.filter(F.col("k") % 3 == 0).select(
-            "k",
-            "st",
-            (F.col("amount_c") + 500).alias("amount_c"),
-            F.lit(2).cast("long").alias("ver"),
-        ),
-        "k % 3 = 0",
+    txsql(
+        spark,
+        "INSERT INTO t REPLACE WHERE k % 3 = 0 newslice",
+        tables={"t": t},
+        sources={
+            "newslice": base.filter(F.col("k") % 3 == 0).select(
+                "k",
+                "st",
+                (F.col("amount_c") + 500).alias("amount_c"),
+                F.lit(2).cast("long").alias("ver"),
+            )
+        },
     )
     return t.read().select("k", "st", "amount_c", "ver")
 

@@ -1,8 +1,9 @@
 """SQL front-end for the lakehouse DML+DDL surface — a thin PARSER
-that maps the Delta-documented statement grammar (CREATE TABLE ...
-USING txlog / ALTER TABLE / MERGE INTO / INSERT INTO / UPDATE /
-DELETE / COPY INTO / RESTORE / OPTIMIZE [WHERE] / VACUUM / SHOW
-PARTITIONS / DESCRIBE HISTORY / SELECT ... VERSION|TIMESTAMP AS OF)
+that maps the Delta-documented statement grammar (CREATE [OR REPLACE]
+TABLE ... USING txlog / ALTER TABLE / MERGE INTO / INSERT INTO
+[REPLACE WHERE] / INSERT OVERWRITE / UPDATE / DELETE / COPY INTO /
+RESTORE / OPTIMIZE [WHERE] / VACUUM [DRY RUN] / SHOW PARTITIONS /
+DESCRIBE HISTORY / SELECT ... VERSION|TIMESTAMP AS OF)
 onto the existing
 :class:`~kafka_flink_harshevents_spark.sources.txlog.TxTable` methods.
 Zero new semantics: every statement form is parity-tested against the
@@ -483,7 +484,8 @@ def _parse_create(
     empty schema-bearing append, so streams and landing ingestion can
     start before the first data batch. Returns the TxTable."""
     m = re.match(
-        r"(?is)^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+        r"(?is)^CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
         r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*"
         r"\((?P<cols>.*)\)\s*USING\s+txlog\s*(?P<rest>.*)$",
         stmt,
@@ -492,7 +494,8 @@ def _parse_create(
     if not m:
         # CTAS form: no column list, the SELECT supplies the schema
         m = re.match(
-            r"(?is)^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?is)^CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+"
+            r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
             r"(?P<t>'[^']*'|`[^`]+`|\w+)\s+USING\s+txlog\s*"
             r"(?P<rest>.*)$",
             stmt,
@@ -536,7 +539,13 @@ def _parse_create(
         _list_versions,
     )
 
-    if _list_versions(table_dir):
+    if m.group("orr") and m.group("ine"):
+        raise ValueError(
+            "txsql CREATE TABLE: OR REPLACE and IF NOT EXISTS are "
+            "mutually exclusive"
+        )
+    existing = bool(_list_versions(table_dir))
+    if existing and not m.group("orr"):
         # Delta's rule: CREATE TABLE on an existing table refuses
         # unless IF NOT EXISTS (which returns it untouched — a
         # create's metadata is immutable, so re-declaring differently
@@ -546,10 +555,11 @@ def _parse_create(
             raise ValueError(
                 f"txsql CREATE TABLE: {table_dir!r} already holds a "
                 "transaction log — use CREATE TABLE IF NOT EXISTS to "
-                "open it"
+                "open it, or CREATE OR REPLACE TABLE to replace its "
+                "contents"
             )
         return TxTable(spark, table_dir)
-    if "key_cols" not in props or "order_col" not in props:
+    if not existing and ("key_cols" not in props or "order_col" not in props):
         raise ValueError(
             "txsql CREATE TABLE: TBLPROPERTIES must carry "
             "'key_cols'='k1[,k2]' and 'order_col'='ver' — this "
@@ -576,6 +586,69 @@ def _parse_create(
                 "step": int(cm.group("step") or 1),
                 "always": cm.group("gen_kind").upper() == "ALWAYS",
             }
+    if existing:
+        # CREATE OR REPLACE on a live log: replace the CONTENTS,
+        # keep the log — history and time travel to pre-replace
+        # versions survive, exactly Delta's rule. The keyed-table
+        # contract (key_cols/order_col) and managed-column rules
+        # (generated/identity) are immutable meta — a replace that
+        # re-declares them differently is refused rather than
+        # silently ignored. The CTAS form replaces in ONE atomic
+        # predicate-scoped rewrite; the declared-columns form
+        # truncates and evolves the schema additively (dropping a
+        # column stays ALTER TABLE DROP COLUMN's job).
+        t = TxTable(spark, table_dir)
+        meta = t.meta
+        if "key_cols" in props:
+            want = [
+                c.strip() for c in props["key_cols"].split(",")
+                if c.strip()
+            ]
+            if want != list(meta["key_cols"]):
+                raise ValueError(
+                    "txsql CREATE OR REPLACE: key_cols are immutable "
+                    f"— table is keyed {list(meta['key_cols'])}, "
+                    f"declared {want}"
+                )
+        if props.get("order_col", meta["order_col"]) != meta["order_col"]:
+            raise ValueError(
+                "txsql CREATE OR REPLACE: order_col is immutable — "
+                f"table orders by {meta['order_col']!r}"
+            )
+        if gen_cols and gen_cols != (meta.get("generated_cols") or {}):
+            raise ValueError(
+                "txsql CREATE OR REPLACE: generated columns are "
+                "immutable table meta — re-declare them identically "
+                "or omit them"
+            )
+        cur_ident = {
+            k: v for k, v in (meta.get("identity_cols") or {}).items()
+            if k != "_row_id"
+        }
+        if ident and {
+            k: {kk: v[kk] for kk in ("start", "step", "always")}
+            for k, v in cur_ident.items()
+        } != ident:
+            raise ValueError(
+                "txsql CREATE OR REPLACE: identity columns are "
+                "immutable table meta — re-declare them identically "
+                "or omit them"
+            )
+        if ctas_sel is not None:
+            t.replace_where(_parse_select(spark, ctas_sel, tables), "true")
+            return t
+        t.delete_where("true")
+        managed = set(gen_cols) | set(ident) | {"_row_id"}
+        decl = ", ".join(
+            p for p in schema_parts
+            if p.split("`")[1] not in managed
+        )
+        if decl:
+            # additive evolution: newly declared columns join the
+            # schema; pre-existing columns stay declared (dropping is
+            # ALTER TABLE DROP COLUMN's job, stated above)
+            t.append(spark.createDataFrame([], decl), merge_schema=True)
+        return t
     t = TxTable.create(
         spark,
         table_dir,
@@ -1074,15 +1147,34 @@ def txsql(
     if head == "MERGE":
         return _parse_merge(spark, stmt, tables, sources)
 
-    if two == "INSERT INTO":
+    if two in ("INSERT INTO", "INSERT OVERWRITE"):
+        overwrite = two == "INSERT OVERWRITE"
         m = re.match(
-            r"(?is)^INSERT\s+INTO\s+(?P<t>'[^']*'|`[^`]+`|\w+)\s*"
+            r"(?is)^INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+            r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*"
             r"(?:\((?!\s*SELECT\b)(?P<cols>[^()]*)\)\s*)?"
+            # Delta's predicate-scoped overwrite form: INSERT INTO t
+            # REPLACE WHERE <pred> SELECT ... — the predicate runs to
+            # the first top-level source keyword (the lookahead), so
+            # IN-lists and parenthesized sub-predicates stay inside it
+            r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+"
+            r"(?=VALUES\s*\(|SELECT\b|\(\s*SELECT\b|[\w.]+\s*$))?"
             r"(?P<src>VALUES\s*\(.*\)|\(.*\)|SELECT\s+.*|[\w.]+)\s*$",
             stmt,
         )
         if not m:
-            raise ValueError("txsql: malformed INSERT INTO")
+            raise ValueError(
+                "txsql: malformed INSERT — INSERT INTO <t> [(cols)] "
+                "[REPLACE WHERE <pred>] <VALUES|SELECT|source>, or "
+                "INSERT OVERWRITE [TABLE] <t> [(cols)] "
+                "<VALUES|SELECT|source>"
+            )
+        if overwrite and m.group("rw"):
+            raise ValueError(
+                "txsql INSERT: REPLACE WHERE belongs to the INSERT "
+                "INTO form — INSERT OVERWRITE already replaces the "
+                "whole table"
+            )
         t = _target_table(spark, m.group("t"), tables)
         srctok = m.group("src").strip()
         is_values = bool(re.match(r"(?is)^VALUES", srctok))
@@ -1162,6 +1254,13 @@ def txsql(
                     df = df.withColumn(
                         f.name, df[f.name].cast(f.dataType)
                     )
+        if overwrite:
+            # full-table overwrite as ONE atomic predicate-scoped
+            # rewrite — history and time travel to pre-overwrite
+            # versions survive (Delta's INSERT OVERWRITE on the log)
+            return t.replace_where(df, "true")
+        if m.group("rw"):
+            return t.replace_where(df, m.group("rw").strip())
         return t.append(df)
 
     if two == "SHOW PARTITIONS":

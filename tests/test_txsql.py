@@ -851,3 +851,118 @@ def test_backslash_escaped_quote_in_literal(spark, tmp_path):
     assert spans == [(0, 6)]
     out = _rewrite_refs("concat('a\\'s a.x ', a.x)", {"a": "engine"})
     assert out == "concat('a\\'s a.x ', engine.x)"
+
+
+def test_insert_overwrite_and_replace_where(spark, tmp_path):
+    """INSERT OVERWRITE (whole-table atomic replace) and INSERT INTO
+    ... REPLACE WHERE (Delta's predicate-scoped overwrite spelling):
+    parity with replace_where, slice-ownership guard included, and
+    time travel to pre-overwrite versions survives."""
+    t = _mk(spark, tmp_path, "t")
+    v1 = t.latest_version()
+    # predicate-scoped: re-derive the even slice from a SELECT source
+    txsql(
+        spark,
+        "INSERT INTO t REPLACE WHERE k % 2 = 0 "
+        "SELECT k, k * 100 AS v, CAST(2 AS bigint) AS ver "
+        "FROM t WHERE k % 2 = 0",
+        tables={"t": t},
+    )
+    st = _state(t)
+    assert st == {
+        k: ((k * 100, 2) if k % 2 == 0 else (k * 10, 1))
+        for k in range(10)
+    }
+    # library parity on the same program
+    t2 = _mk(spark, tmp_path, "t2")
+    t2.replace_where(
+        t2.read().filter("k % 2 = 0").selectExpr(
+            "k", "k * 100 AS v", "CAST(2 AS bigint) AS ver"
+        ),
+        "k % 2 = 0",
+    )
+    assert _state(t2) == st
+    # out-of-slice rows refused (the ownership guard, via SQL)
+    with pytest.raises(ValueError):
+        txsql(
+            spark,
+            "INSERT INTO t REPLACE WHERE k > 100 VALUES (1, 1, 3)",
+            tables={"t": t},
+        )
+    # full overwrite: one atomic commit, history intact
+    txsql(
+        spark,
+        "INSERT OVERWRITE t VALUES (100, 1, CAST(3 AS bigint))",
+        tables={"t": t},
+    )
+    assert _state(t) == {100: (1, 3)}
+    assert t.read(version=v1).count() == 10  # time travel survives
+    # OVERWRITE + REPLACE WHERE is contradictory
+    with pytest.raises(ValueError, match="REPLACE WHERE"):
+        txsql(
+            spark,
+            "INSERT OVERWRITE t REPLACE WHERE k = 1 VALUES (1, 1, 1)",
+            tables={"t": t},
+        )
+    # named DataFrame source through the REPLACE WHERE form
+    txsql(
+        spark,
+        "INSERT INTO t REPLACE WHERE k = 100 newrows",
+        tables={"t": t},
+        sources={
+            "newrows": spark.createDataFrame(
+                [(100, 7, 4)], "k long, v long, ver long"
+            )
+        },
+    )
+    assert _state(t) == {100: (7, 4)}
+
+
+def test_create_or_replace_table(spark, tmp_path):
+    """CREATE OR REPLACE TABLE: replaces CONTENTS on the same log
+    (history + time travel survive), refuses to mutate immutable meta
+    (key_cols/order_col/generated/identity), CTAS form is one atomic
+    rewrite, column-list form truncates and evolves additively."""
+    t = _mk(spark, tmp_path, "t")
+    d = t.table_dir
+    v1 = t.latest_version()
+    t2 = txsql(
+        spark,
+        f"CREATE OR REPLACE TABLE '{d}' USING txlog AS "
+        "SELECT CAST(50 AS bigint) AS k, CAST(5 AS bigint) AS v, "
+        "CAST(9 AS bigint) AS ver",
+    )
+    assert _state(t2) == {50: (5, 9)}
+    assert t2.read(version=v1).count() == 10  # pre-replace snapshot
+    # immutable meta refused
+    with pytest.raises(ValueError, match="immutable"):
+        txsql(
+            spark,
+            f"CREATE OR REPLACE TABLE '{d}' USING txlog "
+            "TBLPROPERTIES ('key_cols'='v', 'order_col'='ver') "
+            "AS SELECT 1 AS v",
+        )
+    # column-list form: empty contents, schema evolves additively
+    t3 = txsql(
+        spark,
+        f"CREATE OR REPLACE TABLE '{d}' "
+        "(k BIGINT, v BIGINT, extra STRING, ver BIGINT) USING txlog",
+    )
+    assert t3.read().count() == 0
+    assert "extra" in t3.read().columns
+    # OR REPLACE ∧ IF NOT EXISTS is contradictory
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        txsql(
+            spark,
+            f"CREATE OR REPLACE TABLE IF NOT EXISTS '{d}' "
+            "(k BIGINT, ver BIGINT) USING txlog",
+        )
+    # OR REPLACE on a fresh directory degrades to a plain create
+    nd = str(tmp_path / "fresh")
+    t4 = txsql(
+        spark,
+        f"CREATE OR REPLACE TABLE '{nd}' (k BIGINT, v BIGINT, "
+        "ver BIGINT) USING txlog TBLPROPERTIES "
+        "('key_cols'='k', 'order_col'='ver')",
+    )
+    assert t4.latest_version() >= 1 and t4.read().count() == 0
