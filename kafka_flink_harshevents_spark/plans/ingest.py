@@ -69,6 +69,25 @@ __all__ = [
 # plan (the IN-set itself would be the new bottleneck past here)
 _VERIFY_PRUNE_MAX = 100_000
 
+# store_join="auto" crossover: pick the storage-partitioned probe once
+# the store's live bytes pass this floor. NOT a local-wall measurement
+# — tools/probe_bucketed_store.py shows the local JVM semi-join wins
+# at every locally-testable size (an in-process Exchange is nearly
+# free) — this is the cost-model point where the term the bucketed
+# path eliminates (the store key column shipped through a CLUSTER
+# network exchange every batch) dominates its fixed Arrow round-trip
+# overhead; decision table in PLANS.md §Round 11.
+_BUCKETED_AUTO_MIN_STORE_BYTES = 256 * 1024 * 1024
+
+
+def _store_live_bytes(t: TxTable) -> int:
+    """Live physical bytes of a table, answered from the commit log
+    alone (every add-entry records its file size) — the
+    metadata_aggregate discipline: O(live files) driver-side, zero
+    data files opened."""
+    _, live_map, _, _ = t._replay()
+    return sum(int(e.get("bytes") or 0) for e in live_map.values())
+
 
 def create_fingerprint_table(
     spark: SparkSession,
@@ -214,7 +233,7 @@ def corpus_ingest(
     txn: dict | None = None,
     min_quality: float | None = None,
     near_dup_mode: str = "advisory",
-    store_join: str = "shuffle",
+    store_join: str = "auto",
 ) -> dict:
     """Ingest one batch of documents exactly-once. ``new_docs`` is a
     DataFrame carrying at least ``(doc_id, text)`` plus the corpus
@@ -254,12 +273,17 @@ def corpus_ingest(
       intersect, never all-pairs.
 
     ``store_join`` — how the presence checks reach the store:
-    ``"shuffle"`` (default) is the plain left-semi join (store ships
-    its key column — see the module docstring's trade note);
-    ``"bucketed"`` is the storage-partitioned prototype
-    (:func:`_bucketed_store_hits`): zero store rows enter a Spark
-    plan, each task probes its own bucket's files. Identical
-    verdicts, parity-tested.
+    ``"shuffle"`` is the plain left-semi join (store ships its key
+    column — see the module docstring's trade note); ``"bucketed"``
+    is the storage-partitioned path (:func:`_bucketed_store_hits`):
+    zero store rows enter a Spark plan, each task probes its own
+    bucket's files. Identical verdicts, parity-tested. ``"auto"``
+    (default) picks bucketed once the store is bucketed on the join
+    key AND its live bytes (from the commit log) pass
+    ``_BUCKETED_AUTO_MIN_STORE_BYTES`` — the cost-model point where
+    the store-sized network exchange the bucketed path eliminates
+    outweighs its fixed Arrow overhead (PLANS.md decision table);
+    below the floor, or on an attributed store, auto is shuffle.
 
     Returns ``{"docs_in", "exact_dups", "span_dups", "near_dups",
     "near_dups_verified", "low_quality", "kept", "corpus_version",
@@ -278,10 +302,10 @@ def corpus_ingest(
             f"corpus_ingest: near_dup_mode {near_dup_mode!r} — "
             "expected 'advisory' or 'verify'"
         )
-    if store_join not in ("shuffle", "bucketed"):
+    if store_join not in ("auto", "shuffle", "bucketed"):
         raise ValueError(
             f"corpus_ingest: store_join {store_join!r} — expected "
-            "'shuffle' or 'bucketed'"
+            "'auto', 'shuffle' or 'bucketed'"
         )
     if store_join == "bucketed" and near_dup_mode == "verify":
         raise ValueError(
@@ -291,6 +315,22 @@ def corpus_ingest(
             "mutually exclusive"
         )
     attributed = "doc" in (fingerprints.meta.get("key_cols") or ())
+    if store_join == "auto":
+        # eligible (store bucketed on the join key) AND past the
+        # cost-model floor → storage-partitioned probe; otherwise the
+        # plain semi-join. An attributed / verify-mode store resolves
+        # to shuffle without raising — auto never refuses.
+        store_join = (
+            "bucketed"
+            if (
+                not attributed
+                and list(fingerprints.meta.get("key_cols") or ())
+                == ["kind", "fp"]
+                and _store_live_bytes(fingerprints)
+                >= _BUCKETED_AUTO_MIN_STORE_BYTES
+            )
+            else "shuffle"
+        )
     if near_dup_mode == "verify" and not attributed:
         raise ValueError(
             "corpus_ingest: near_dup_mode='verify' needs an attributed "

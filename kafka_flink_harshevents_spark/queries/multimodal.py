@@ -148,17 +148,7 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     row would confirm vacuously (VERDICT r03 item 6)."""
     from kafka_flink_harshevents_spark.operators.pigeonhole import pigeonhole_pairs
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sentinel = (
-        docs.filter(F.length("text") >= AHASH_BITS)
-        .orderBy("doc_id")
-        .limit(1)
-        .select(
-            (F.col("doc_id") + F.lit(PHASH_SENTINEL_OFFSET)).alias("doc_id"),
-            "text",
-        )
-    )
-    fps = ahash_media(media_from_documents(docs.unionByName(sentinel)))
+    fps = ahash_media(media_from_documents(_media_universe(spark, sf_dir)))
     return pigeonhole_pairs(
         fps,
         id_col="doc_id",
@@ -169,9 +159,148 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the pHash sentinel twin — the id universe every
+    dedup-closure entry (pairs / clusters / report) is defined over,
+    so the three stay mutually consistent at every scale factor."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sentinel = (
+        docs.filter(F.length("text") >= AHASH_BITS)
+        .orderBy("doc_id")
+        .limit(1)
+        .select(
+            (F.col("doc_id") + F.lit(PHASH_SENTINEL_OFFSET)).alias("doc_id"),
+            "text",
+        )
+    )
+    return docs.unionByName(sentinel)
+
+
+def mm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the pHash near-dup media pair graph —
+    the canonical-cluster END state the document dedup path has
+    (``doc_neardup_clusters``), closed over the binary media column:
+    every media item mapped to its cluster's canonical id (min doc_id
+    in the component; singletons map to themselves).
+
+    Reuses ``operators/graph.py::min_label_components`` (three
+    size-guarded paths, pointer jumping), so every loop table is ∝ the
+    near-dup pair graph, not the corpus — the media-universe table is
+    touched exactly once, at the final left join. The sentinel twin
+    guarantees ≥1 non-trivial cluster at every SF (the vacuous-empty
+    rule mm_phash_pairs documents)."""
+    from kafka_flink_harshevents_spark.operators.graph import (
+        min_label_components,
+    )
+
+    pairs = mm_phash_pairs(spark, sf_dir).select("da", "db")
+    labels = min_label_components(pairs, "da", "db").select(
+        F.col("node").alias("nid"), F.col("component").alias("cid")
+    )
+    return (
+        _media_universe(spark, sf_dir)
+        .select("doc_id")
+        # no broadcast hint: labels ∝ media-with-near-dups, unbounded
+        # at corpus scale — AQE converts to broadcast when small
+        .join(labels, F.col("doc_id") == F.col("nid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("cid", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def mm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-dedup observability: the one-row summary a multimodal
+    corpus run publishes — total items, byte-distinct items, exact-dup
+    items, pHash near-dup pairs/members/clusters, clean survivors
+    (exact-canonical ∧ cluster-canonical) and the retention ratio —
+    the same END state ``doc_dedup_report`` gives the text path.
+
+    The exact-dup identity is ``md5(format || '|' || payload)`` —
+    format + payload determine the media bytes 1:1 by construction
+    (``multimodal.media.media_from_documents``), and the string form
+    keeps the oracle exact (DuckDB's md5 is VARCHAR-only). One
+    evaluation of the pair graph feeds both the pair count and the
+    labeling (localCheckpoint, the doc report's convention); the
+    counts combine through 1-row broadcast joins — constant work."""
+    from kafka_flink_harshevents_spark.operators.graph import (
+        min_label_components,
+    )
+
+    uni = _media_universe(spark, sf_dir)
+    d = uni.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.when(F.col("doc_id") % 3 == 0, "png")
+                .when(F.col("doc_id") % 3 == 1, "jpeg")
+                .otherwise("wav"),
+                "text",
+            )
+        ).alias("h"),
+    )
+    pairs = (
+        mm_phash_pairs(spark, sf_dir).select("da", "db").localCheckpoint()
+    )
+    labels = min_label_components(pairs, "da", "db").select(
+        F.col("node").alias("nid"), F.col("component").alias("cid")
+    )
+    cl = d.select("doc_id").join(
+        labels, F.col("doc_id") == F.col("nid"), "left"
+    ).select("doc_id", F.coalesce("cid", "doc_id").alias("cluster_id"))
+    ex = d.groupBy("h").agg(F.min("doc_id").alias("canon"))
+    clean = (
+        d.join(ex, "h")
+        .filter(F.col("doc_id") == F.col("canon"))
+        .join(cl, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.count_distinct("h").cast("long").alias("n_unique_media"),
+    )
+    n_pairs = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_pairs")
+    )
+    members = cl.filter(F.col("doc_id") != F.col("cluster_id"))
+    mem_stats = members.agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_member_items"),
+        F.count_distinct("cluster_id").cast("long").alias(
+            "n_neardup_clusters"
+        ),
+    )
+    n_clean = clean.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clean_media")
+    )
+    return (
+        tot.join(F.broadcast(n_pairs))
+        .join(F.broadcast(mem_stats))
+        .join(F.broadcast(n_clean))
+        .select(
+            "n_media",
+            "n_unique_media",
+            (F.col("n_media") - F.col("n_unique_media")).alias(
+                "n_exact_dup_media"
+            ),
+            "n_neardup_pairs",
+            "n_neardup_member_items",
+            "n_neardup_clusters",
+            "n_clean_media",
+            F.when(
+                F.col("n_media") > 0,
+                F.round(F.col("n_clean_media") / F.col("n_media"), 4),
+            ).alias("retention"),
+        )
+    )
+
+
 QUERIES = {
     "mm_media_stats": mm_media_stats,
     "mm_phash_pairs": mm_phash_pairs,
+    "mm_neardup_clusters": mm_neardup_clusters,
+    "mm_dedup_report": mm_dedup_report,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample_counts": mm_frame_sample_counts,
     "mm_pack_shards": mm_pack_shards,
@@ -191,9 +320,11 @@ _MEDIA_SQL = """
     FROM documents
 """
 
-ORACLES = {
-    "mm_phash_pairs": f"""
-        WITH m AS (
+# Shared pHash CTE chain: muni (the docs ∪ sentinel universe) → pairs
+# (da, db, hamming) — reused verbatim by the pairs / clusters / report
+# oracles so the three stay definitionally consistent.
+_PHASH_CTES = f"""
+        muni AS (
             SELECT doc_id, text FROM documents
             UNION ALL
             SELECT doc_id + {PHASH_SENTINEL_OFFSET} AS doc_id, text
@@ -205,7 +336,7 @@ ORACLES = {
             SELECT doc_id,
                    list_transform(range(1, length(text) + 1),
                                   i -> ord(substr(text, i, 1))) AS px
-            FROM m
+            FROM muni
         ),
         s AS (
             SELECT doc_id, px, len(px) AS n,
@@ -235,9 +366,74 @@ ORACLES = {
             FROM blocks a
             JOIN blocks b ON a.bi = b.bi AND a.bv = b.bv
                          AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT da, db,
+                   CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
         )
-        SELECT da, db, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
+"""
+
+# Recursive closure over the pair graph (the doc-path oracle shape):
+# reach seeded from the full universe so singletons label themselves.
+_PHASH_CLUSTER_CTES = f"""{_PHASH_CTES},
+        edges AS (
+            SELECT da AS s, db AS d FROM pairs
+            UNION
+            SELECT db AS s, da AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT doc_id AS s, doc_id AS d FROM muni
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        clusters AS (
+            SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+        )
+"""
+
+ORACLES = {
+    "mm_phash_pairs": f"""
+        WITH {_PHASH_CTES}
+        SELECT da, db, hamming FROM pairs
+    """,
+    "mm_neardup_clusters": f"""
+        WITH RECURSIVE {_PHASH_CLUSTER_CTES}
+        SELECT doc_id, cluster_id FROM clusters
+    """,
+    "mm_dedup_report": f"""
+        WITH RECURSIVE {_PHASH_CLUSTER_CTES},
+        d AS (
+            SELECT doc_id,
+                   md5(concat(
+                       CASE doc_id % 3 WHEN 0 THEN 'png'
+                            WHEN 1 THEN 'jpeg' ELSE 'wav' END,
+                       '|', text)) AS h
+            FROM muni
+        ),
+        ex AS (SELECT h, min(doc_id) AS canon FROM d GROUP BY 1),
+        members AS (SELECT doc_id, cluster_id FROM clusters
+                    WHERE doc_id <> cluster_id),
+        clean AS (
+            SELECT d.doc_id
+            FROM d
+            JOIN ex USING (h)
+            JOIN clusters c ON d.doc_id = c.doc_id
+            WHERE d.doc_id = ex.canon AND d.doc_id = c.cluster_id
+        )
+        SELECT (SELECT count(*) FROM d) AS n_media,
+               (SELECT count(DISTINCT h) FROM d) AS n_unique_media,
+               (SELECT count(*) FROM d)
+                 - (SELECT count(DISTINCT h) FROM d) AS n_exact_dup_media,
+               (SELECT count(*) FROM pairs) AS n_neardup_pairs,
+               (SELECT count(*) FROM members) AS n_neardup_member_items,
+               (SELECT count(DISTINCT cluster_id) FROM members)
+                   AS n_neardup_clusters,
+               (SELECT count(*) FROM clean) AS n_clean_media,
+               CASE WHEN (SELECT count(*) FROM d) > 0
+                    THEN round((SELECT count(*) FROM clean) * 1.0
+                               / (SELECT count(*) FROM d), 4)
+               END AS retention
     """,
     "mm_pack_shards": f"""
         WITH m AS ({_MEDIA_SQL}),

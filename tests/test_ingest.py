@@ -480,3 +480,107 @@ def test_verify_mode_stored_text_fetch_is_candidate_pruned(
     corpus.read = real_read
     assert r2["kept"] == 1 and r2["near_dups"] == 0
     assert calls == []
+
+
+def test_streaming_verify_ingest_kill_and_restart(spark, tmp_path):
+    """Verify mode through the STREAMING sink: a micro-batch rejects
+    the Jaccard-confirmed near-dup, a crash between the corpus append
+    and the fingerprint merge replays over the same checkpoint to
+    exactly-once, and a further restart is a no-op."""
+    corpus, fps = _tables_attr(spark, tmp_path)
+    corpus_ingest(
+        corpus, fps, spark.createDataFrame([(1, _BASE20, 1)], _SCHEMA),
+        txn={"app_id": "seed", "batch_id": 0}, near_dup_mode="verify",
+    )
+    land = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    spark.createDataFrame(
+        [(10, "zulu " + _BASE20, 1),
+         (11, "fresh standalone words nothing shared here at all", 1)],
+        _SCHEMA,
+    ).write.parquet(land)
+
+    def run():
+        q = (
+            spark.readStream.schema(_SCHEMA).parquet(land)
+            .writeStream.foreachBatch(
+                corpus_ingest_sink(
+                    corpus, fps, "sv", near_dup_mode="verify"
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    real = fps.merge_upsert
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before fingerprint merge")
+
+    fps.merge_upsert = boom
+    with pytest.raises(Exception, match="crash"):
+        run()
+    fps.merge_upsert = real
+    # restart over the same checkpoint: the same batch_id resumes the
+    # half-landed batch (corpus commit skipped, merge runs)
+    run()
+    got = sorted(x["doc_id"] for x in corpus.read().collect())
+    assert got == [1, 11]  # 10 was verified near-dup → rejected
+    assert fps.read().filter(F.col("doc") == 10).count() == 0
+    assert fps.read().filter(F.col("doc") == 11).count() > 0
+    v = corpus.latest_version()
+    fv = fps.latest_version()
+    run()  # nothing new: no commit on either table
+    assert corpus.latest_version() == v
+    assert fps.latest_version() == fv
+
+
+def test_store_join_auto_selection(spark, tmp_path, monkeypatch):
+    """store_join='auto' (the default): bucketed once the store is
+    join-key-bucketed AND past the size floor; shuffle below it, and
+    always shuffle for attributed / verify-mode stores (auto never
+    raises). Verdict parity holds on whichever path it picks."""
+    import kafka_flink_harshevents_spark.plans.ingest as ing
+
+    hist = spark.createDataFrame(_HIST, _SCHEMA)
+    batch = spark.createDataFrame(
+        [(10, _HIST[0][1], 1),
+         (12, "nothing in common with anything stored here", 1)],
+        _SCHEMA,
+    )
+    picked = []
+    real = ing._bucketed_store_hits
+
+    def spy(fps, parts):
+        picked.append("bucketed")
+        return real(fps, parts)
+
+    monkeypatch.setattr(ing, "_bucketed_store_hits", spy)
+
+    # floor = 0 → every auto call on an eligible store goes bucketed
+    monkeypatch.setattr(ing, "_BUCKETED_AUTO_MIN_STORE_BYTES", 0)
+    corpus, fps = _tables(spark, tmp_path / "low")
+    corpus_ingest(corpus, fps, hist)
+    r = corpus_ingest(corpus, fps, batch)
+    assert picked and r["exact_dups"] == 1 and r["kept"] == 1
+
+    # huge floor → auto resolves to shuffle
+    picked.clear()
+    monkeypatch.setattr(
+        ing, "_BUCKETED_AUTO_MIN_STORE_BYTES", 1 << 60
+    )
+    corpus2, fps2 = _tables(spark, tmp_path / "high")
+    corpus_ingest(corpus2, fps2, hist)
+    r2 = corpus_ingest(corpus2, fps2, batch)
+    assert not picked
+    assert {k: r2[k] for k in ("exact_dups", "span_dups", "kept")} \
+        == {k: r[k] for k in ("exact_dups", "span_dups", "kept")}
+
+    # attributed store + verify mode under auto: shuffle, no refusal
+    monkeypatch.setattr(ing, "_BUCKETED_AUTO_MIN_STORE_BYTES", 0)
+    corpus3, fps3 = _tables_attr(spark, tmp_path / "attr")
+    corpus_ingest(corpus3, fps3, hist, near_dup_mode="verify")
+    r3 = corpus_ingest(corpus3, fps3, batch, near_dup_mode="verify")
+    assert not picked and r3["exact_dups"] == 1

@@ -155,3 +155,50 @@ def test_phash_pairs_nonvacuous_on_corpus(spark):
     rows = mm_phash_pairs(spark, SF_DIR).collect()
     assert rows, "sentinel twin missing — phash pairs vacuously empty"
     assert any(r["db"] >= PHASH_SENTINEL_OFFSET and r["hamming"] == 0 for r in rows)
+
+
+def test_neardup_clusters_and_report_on_handbuilt_media(spark, tmp_path):
+    """The cross-modal dedup closure on hand-built media: the exact
+    twin + 1-char edit form ONE cluster under the canonical min id,
+    unrelated media are singletons, and the one-row report counts all
+    of it (members, clusters, exact dups via byte identity, survivors,
+    retention)."""
+    from kafka_flink_harshevents_spark.queries.multimodal import (
+        PHASH_SENTINEL_OFFSET,
+        mm_dedup_report,
+        mm_neardup_clusters,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        * 10
+    ).strip()
+    rows = [
+        (3, base),
+        (6, base),        # exact byte duplicate (same format lane)
+        (9, "T" + base[1:]),  # near-dup: 1-char edit
+        (12, "Z" * len(base)),  # unrelated
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    cl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in mm_neardup_clusters(spark, str(tmp_path)).collect()
+    }
+    sent = 3 + PHASH_SENTINEL_OFFSET
+    # universe = 4 docs + sentinel; {3, 6, 9, sentinel} one component
+    assert set(cl) == {3, 6, 9, 12, sent}
+    assert cl[3] == cl[6] == cl[9] == cl[sent] == 3
+    assert cl[12] == 12  # singleton labels itself
+    rep = mm_dedup_report(spark, str(tmp_path)).collect()[0]
+    assert rep["n_media"] == 5
+    # byte identity: 3 and 6 share format+payload; the sentinel is a
+    # different format lane, so 1 exact dup
+    assert rep["n_exact_dup_media"] == 1
+    assert rep["n_neardup_member_items"] == 3   # 6, 9, sentinel
+    assert rep["n_neardup_clusters"] == 1
+    # survivors: 3 (canonical on both axes) and 12 — 9 and 6 fall to
+    # the cluster rule, the sentinel to both
+    assert rep["n_clean_media"] == 2
+    assert rep["retention"] == 0.4
