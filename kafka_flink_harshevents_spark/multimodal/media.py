@@ -32,16 +32,25 @@ MEDIA_META = T.StructType(
 )
 
 
+def media_format_col():
+    """The format-routing expression (``doc_id % 3`` → png/jpeg/wav) —
+    the ONE definition of which lane a doc's media lands in, shared by
+    the construction below and every consumer that needs the format
+    without carrying the binary column (e.g. ``mm_dedup_report``'s
+    byte-identity key)."""
+    return (
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("wav")
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Manufacture a deterministic binary media column from the
     ``documents`` table (the container has no real media), JVM-side:
     magic header by ``doc_id % 3`` + the UTF-8 payload of ``text``.
     Metadata dims derive from payload length so they're SQL-checkable."""
-    fmt = (
-        F.when(F.col("doc_id") % 3 == 0, "png")
-        .when(F.col("doc_id") % 3 == 1, "jpeg")
-        .otherwise("wav")
-    )
+    fmt = media_format_col()
     magic = (
         F.when(F.col("doc_id") % 3 == 0, F.lit(_MAGIC["png"]))
         .when(F.col("doc_id") % 3 == 1, F.lit(_MAGIC["jpeg"]))

@@ -315,22 +315,6 @@ def corpus_ingest(
             "mutually exclusive"
         )
     attributed = "doc" in (fingerprints.meta.get("key_cols") or ())
-    if store_join == "auto":
-        # eligible (store bucketed on the join key) AND past the
-        # cost-model floor → storage-partitioned probe; otherwise the
-        # plain semi-join. An attributed / verify-mode store resolves
-        # to shuffle without raising — auto never refuses.
-        store_join = (
-            "bucketed"
-            if (
-                not attributed
-                and list(fingerprints.meta.get("key_cols") or ())
-                == ["kind", "fp"]
-                and _store_live_bytes(fingerprints)
-                >= _BUCKETED_AUTO_MIN_STORE_BYTES
-            )
-            else "shuffle"
-        )
     if near_dup_mode == "verify" and not attributed:
         raise ValueError(
             "corpus_ingest: near_dup_mode='verify' needs an attributed "
@@ -350,6 +334,26 @@ def corpus_ingest(
             "fingerprint_version": fingerprints.latest_version(),
             "replayed": True,
         }
+
+    if store_join == "auto":
+        # resolved AFTER the replayed early-return above: a no-op
+        # replay must not pay the store's commit-log replay that
+        # _store_live_bytes performs. Eligible (store bucketed on the
+        # join key) AND past the cost-model floor → storage-
+        # partitioned probe; otherwise the plain semi-join. An
+        # attributed / verify-mode store resolves to shuffle without
+        # raising — auto never refuses.
+        store_join = (
+            "bucketed"
+            if (
+                not attributed
+                and list(fingerprints.meta.get("key_cols") or ())
+                == ["kind", "fp"]
+                and _store_live_bytes(fingerprints)
+                >= _BUCKETED_AUTO_MIN_STORE_BYTES
+            )
+            else "shuffle"
+        )
 
     parts = doc_fingerprints(
         new_docs.select("doc_id", "text").withColumn(

@@ -228,18 +228,14 @@ def mm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_label_components,
     )
 
+    from kafka_flink_harshevents_spark.multimodal.media import (
+        media_format_col,
+    )
+
     uni = _media_universe(spark, sf_dir)
     d = uni.select(
         "doc_id",
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.when(F.col("doc_id") % 3 == 0, "png")
-                .when(F.col("doc_id") % 3 == 1, "jpeg")
-                .otherwise("wav"),
-                "text",
-            )
-        ).alias("h"),
+        F.md5(F.concat_ws("|", media_format_col(), "text")).alias("h"),
     )
     pairs = (
         mm_phash_pairs(spark, sf_dir).select("da", "db").localCheckpoint()

@@ -634,20 +634,67 @@ def _parse_create(
                 "immutable table meta — re-declare them identically "
                 "or omit them"
             )
+        # the REST of the table contract is immutable too — refuse a
+        # differing re-declaration rather than silently dropping it
+        immut = {
+            "n_buckets": int(meta["n_buckets"]),
+            "cdf": bool(meta.get("cdf")),
+            "row_tracking": bool(meta.get("row_tracking")),
+            "bloom_cols": sorted(meta.get("bloom_cols") or ()),
+        }
+        declared = {}
+        if "n_buckets" in props:
+            declared["n_buckets"] = int(props["n_buckets"])
+        for flag in ("cdf", "row_tracking"):
+            if flag in props:
+                declared[flag] = str(props[flag]).lower() == "true"
+        if "bloom_cols" in props:
+            declared["bloom_cols"] = sorted(
+                c.strip()
+                for c in props["bloom_cols"].split(",")
+                if c.strip()
+            )
+        for k2, v2 in declared.items():
+            if v2 != immut[k2]:
+                raise ValueError(
+                    f"txsql CREATE OR REPLACE: {k2} is immutable "
+                    f"table meta — table has {immut[k2]!r}, declared "
+                    f"{v2!r}; re-declare identically or omit it"
+                )
+        if pby:
+            want_pby = [
+                c.strip().strip("`")
+                for c in pby.group(1).split(",")
+                if c.strip()
+            ]
+            if want_pby != list(meta.get("partition_by") or ()):
+                raise ValueError(
+                    "txsql CREATE OR REPLACE: the partition layout is "
+                    "immutable table meta — table is partitioned by "
+                    f"{list(meta.get('partition_by') or ())}, declared "
+                    f"{want_pby}"
+                )
         if ctas_sel is not None:
             t.replace_where(_parse_select(spark, ctas_sel, tables), "true")
             return t
-        t.delete_where("true")
         managed = set(gen_cols) | set(ident) | {"_row_id"}
         decl = ", ".join(
             p for p in schema_parts
             if p.split("`")[1] not in managed
         )
+        # schema evolution FIRST, truncate second: the evolving append
+        # is where an incompatible declaration fails (type change,
+        # resurrected column), and it must fail BEFORE any data is
+        # deleted — a failed statement leaves the table intact with at
+        # most the schema already widened. (The declared-columns form
+        # is two commits by construction; the CTAS form above is the
+        # one-commit atomic replace.)
         if decl:
             # additive evolution: newly declared columns join the
             # schema; pre-existing columns stay declared (dropping is
             # ALTER TABLE DROP COLUMN's job, stated above)
             t.append(spark.createDataFrame([], decl), merge_schema=True)
+        t.delete_where("true")
         return t
     t = TxTable.create(
         spark,
@@ -844,14 +891,16 @@ def _fn_arg_spans(s: str) -> list[tuple[int, int]]:
     while i < n:
         ch = s[i]
         if q:
-            if q == "'" and ch == "\\":
+            if q in "'\"" and ch == "\\":
                 i += 2
                 continue
             if ch == q:
                 q = None
             i += 1
             continue
-        if ch in ("'", "`"):
+        # double quotes are string literals in default Spark SQL — a
+        # paren inside one must not open a phantom frame
+        if ch in ("'", "`", '"'):
             q = ch
         elif ch == "(":
             j = i - 1
@@ -1153,13 +1202,7 @@ def txsql(
             r"(?is)^INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
             r"(?P<t>'[^']*'|`[^`]+`|\w+)\s*"
             r"(?:\((?!\s*SELECT\b)(?P<cols>[^()]*)\)\s*)?"
-            # Delta's predicate-scoped overwrite form: INSERT INTO t
-            # REPLACE WHERE <pred> SELECT ... — the predicate runs to
-            # the first top-level source keyword (the lookahead), so
-            # IN-lists and parenthesized sub-predicates stay inside it
-            r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+"
-            r"(?=VALUES\s*\(|SELECT\b|\(\s*SELECT\b|[\w.]+\s*$))?"
-            r"(?P<src>VALUES\s*\(.*\)|\(.*\)|SELECT\s+.*|[\w.]+)\s*$",
+            r"(?P<rest>\S.*)$",
             stmt,
         )
         if not m:
@@ -1169,14 +1212,58 @@ def txsql(
                 "INSERT OVERWRITE [TABLE] <t> [(cols)] "
                 "<VALUES|SELECT|source>"
             )
-        if overwrite and m.group("rw"):
+        rest = m.group("rest").strip()
+        rw = None
+        rwm = re.match(r"(?is)^REPLACE\s+WHERE\s+(?P<tail>.+)$", rest)
+        if rwm:
+            # Delta's predicate-scoped overwrite form. The predicate
+            # runs to the first TOP-LEVEL source keyword — find_kw is
+            # quote- and paren-aware, so 'VALUES (' inside a string
+            # literal or a subquery's SELECT never splits it.
+            if overwrite:
+                raise ValueError(
+                    "txsql INSERT: REPLACE WHERE belongs to the "
+                    "INSERT INTO form — INSERT OVERWRITE already "
+                    "replaces the whole table"
+                )
+            tail = rwm.group("tail")
+            cuts = [
+                p
+                for p in (
+                    _Scanner.find_kw(tail, "VALUES"),
+                    _Scanner.find_kw(tail, "SELECT"),
+                )
+                if p >= 0
+            ]
+            if cuts:
+                cut = min(cuts)
+                rw, rest = tail[:cut].strip(), tail[cut:].strip()
+            else:
+                nm = re.match(
+                    r"(?is)^(?P<rw>.*\S)\s+(?P<src>[\w.]+)\s*$", tail
+                )
+                if not nm:
+                    raise ValueError(
+                        "txsql INSERT REPLACE WHERE: no source after "
+                        "the predicate — expected VALUES (...), "
+                        "SELECT ..., or a named source"
+                    )
+                rw, rest = nm.group("rw").strip(), nm.group("src")
+            if not rw:
+                raise ValueError(
+                    "txsql INSERT REPLACE WHERE: empty predicate"
+                )
+        if not re.match(
+            r"(?is)^(VALUES\s*\(.*\)|\(.*\)|SELECT\s+.*|[\w.]+)\s*$",
+            rest,
+            re.DOTALL,
+        ):
             raise ValueError(
-                "txsql INSERT: REPLACE WHERE belongs to the INSERT "
-                "INTO form — INSERT OVERWRITE already replaces the "
-                "whole table"
+                f"txsql INSERT: malformed source {rest!r} — expected "
+                "VALUES (...), SELECT ..., or a named source"
             )
         t = _target_table(spark, m.group("t"), tables)
-        srctok = m.group("src").strip()
+        srctok = rest
         is_values = bool(re.match(r"(?is)^VALUES", srctok))
         if is_values:
             # typed through the table's recorded schema: VALUES rows
@@ -1259,8 +1346,8 @@ def txsql(
             # rewrite — history and time travel to pre-overwrite
             # versions survive (Delta's INSERT OVERWRITE on the log)
             return t.replace_where(df, "true")
-        if m.group("rw"):
-            return t.replace_where(df, m.group("rw").strip())
+        if rw:
+            return t.replace_where(df, rw)
         return t.append(df)
 
     if two == "SHOW PARTITIONS":

@@ -584,3 +584,26 @@ def test_store_join_auto_selection(spark, tmp_path, monkeypatch):
     corpus_ingest(corpus3, fps3, hist, near_dup_mode="verify")
     r3 = corpus_ingest(corpus3, fps3, batch, near_dup_mode="verify")
     assert not picked and r3["exact_dups"] == 1
+
+
+def test_auto_resolution_skipped_on_replayed_batch(
+    spark, tmp_path, monkeypatch
+):
+    """A replayed (already-committed) batch returns before the auto
+    store-join resolution — it must not pay the store's commit-log
+    replay in _store_live_bytes."""
+    import kafka_flink_harshevents_spark.plans.ingest as ing
+
+    corpus, fps = _tables(spark, tmp_path)
+    txn = {"app_id": "auto-replay", "batch_id": 1}
+    corpus_ingest(corpus, fps, spark.createDataFrame(_HIST, _SCHEMA),
+                  txn=txn)
+    calls = []
+    real = ing._store_live_bytes
+    monkeypatch.setattr(
+        ing, "_store_live_bytes",
+        lambda t: calls.append(1) or real(t),
+    )
+    r = corpus_ingest(corpus, fps, spark.createDataFrame(_HIST, _SCHEMA),
+                      txn=txn)
+    assert r["replayed"] and calls == []

@@ -966,3 +966,70 @@ def test_create_or_replace_table(spark, tmp_path):
         "('key_cols'='k', 'order_col'='ver')",
     )
     assert t4.latest_version() >= 1 and t4.read().count() == 0
+
+
+def test_double_quoted_literals_do_not_mask_rewrites(spark, tmp_path):
+    """Double quotes are string literals in default Spark SQL: an
+    unbalanced paren inside one must not open a phantom function
+    frame that hides later table refs from the rewriter."""
+    t = _mk(spark, tmp_path, "t")
+    got = txsql(
+        spark,
+        'SELECT "x(" AS a, count(*) AS n FROM t',
+        tables={"t": t},
+    ).collect()[0]
+    assert got["a"] == "x(" and got["n"] == 10
+
+
+def test_replace_where_predicate_literal_safe(spark, tmp_path):
+    """A REPLACE WHERE predicate containing 'VALUES (' or 'SELECT'
+    inside a string literal must not split the statement at the wrong
+    point — the source cut is the quote-aware top-level scanner's."""
+    t = _mk(spark, tmp_path, "t")
+    txsql(
+        spark,
+        "INSERT INTO t REPLACE WHERE k = 1 AND 'VALUES (' = 'VALUES (' "
+        "VALUES (1, 99, CAST(2 AS bigint))",
+        tables={"t": t},
+    )
+    st = _state(t)
+    assert st[1] == (99, 2)
+    assert st[2] == (20, 1)  # untouched neighbor
+    # a subquery SELECT inside the predicate stays in the predicate
+    txsql(
+        spark,
+        "INSERT INTO t REPLACE WHERE k IN (SELECT 2) "
+        "VALUES (2, 77, CAST(3 AS bigint))",
+        tables={"t": t},
+    )
+    assert _state(t)[2] == (77, 3)
+
+
+def test_create_or_replace_fails_before_truncating(spark, tmp_path):
+    """A CREATE OR REPLACE whose declared columns cannot apply
+    (incompatible type change) must fail WITHOUT deleting the data,
+    and every immutable property re-declared differently is refused —
+    none is silently dropped."""
+    t = _mk(spark, tmp_path, "t")
+    d = t.table_dir
+    with pytest.raises(ValueError):
+        txsql(
+            spark,
+            f"CREATE OR REPLACE TABLE '{d}' "
+            "(k STRING, v BIGINT, ver BIGINT) USING txlog",
+        )
+    assert t.read().count() == 10  # intact: the failure preceded data loss
+    for decl, msg in (
+        ("TBLPROPERTIES ('n_buckets'='8')", "n_buckets"),
+        ("TBLPROPERTIES ('cdf'='true')", "cdf"),
+        ("TBLPROPERTIES ('row_tracking'='true')", "row_tracking"),
+        ("TBLPROPERTIES ('bloom_cols'='k')", "bloom_cols"),
+        ("PARTITIONED BY (v)", "partition"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            txsql(
+                spark,
+                f"CREATE OR REPLACE TABLE '{d}' "
+                f"(k BIGINT, v BIGINT, ver BIGINT) USING txlog {decl}",
+            )
+    assert t.read().count() == 10

@@ -27,9 +27,14 @@ SKIP = {"calibration_wall", "calibration_wall_end", "warmup_wall"}
 def _cal(d: dict) -> float:
     """One calibration number per run: mean of start and end sentinel
     (each min-of-5), so a run whose host degraded mid-sweep is
-    represented by its average state."""
-    qs = d["queries"]
-    vals = [qs[k] for k in ("calibration_wall", "calibration_wall_end") if k in qs]
+    represented by its average state. The sentinels live at the top
+    level of bench.py's detail line (beside "queries")."""
+    src = d if "calibration_wall" in d else d.get("queries", {})
+    vals = [
+        src[k]
+        for k in ("calibration_wall", "calibration_wall_end")
+        if k in src
+    ]
     if not vals:
         raise SystemExit("bench json lacks calibration_wall — rerun bench.py")
     return sum(vals) / len(vals)
