@@ -590,6 +590,47 @@ def q_txlog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("k", "st", "amount_c", "ver")
 
 
+def q_txlog_where_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE SKIPPING through the SQL read path: a single-table
+    ``txsql`` SELECT whose WHERE carries literal conjuncts (an IN
+    list on the bloom-indexed key + a range) must (a) return exactly
+    the predicate's rows and (b) provably open fewer files than the
+    snapshot holds — the resolver maps the conjuncts onto
+    ``read(isin=/prune=)``, so the native scan is pruned by the
+    commit log's min/max + blooms (``txsql.py::
+    _single_ref_skip_filters``). Two interleaved-key appends make
+    min/max overlap everywhere, so observed skipping is the bloom's.
+    The skip proof rides as a constant column computed from
+    ``prune_report`` with the SAME kwargs; the oracle states the rows
+    and proof from ``orders``."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txws-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=4,
+        bloom_cols=("k",),
+    )
+    t.append(base.filter(F.col("k") % 2 == 0))
+    t.append(base.filter(F.col("k") % 2 == 1))
+    df = txsql(
+        spark,
+        "SELECT k, st, amount_c, ver FROM t "
+        "WHERE k IN (3, 700, 1042) AND amount_c > 0",
+        tables={"t": t},
+    )
+    rep = t.prune_report(
+        {"amount_c": (0, None)}, isin={"k": [3, 700, 1042]}
+    )
+    skipped = int(rep["files_read"] < rep["files_total"])
+    return df.withColumn(
+        "skip_proved", F.lit(skipped).cast("long")
+    )
+
+
 def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT OVERWRITE with a replaceWhere predicate on the hash:
     append the base,
@@ -1316,6 +1357,7 @@ QUERIES = {
     "q_txlog_compact_binpack": q_txlog_compact_binpack,
     "q_txlog_rename_column": q_txlog_rename_column,
     "q_txlog_type_widening": q_txlog_type_widening,
+    "q_txlog_where_skip": q_txlog_where_skip,
     "q_txlog_replace_where": q_txlog_replace_where,
     "q_txlog_merge_into": q_txlog_merge_into,
     "q_txlog_merge_clauses": q_txlog_merge_clauses,
@@ -1602,6 +1644,17 @@ ORACLES = {
                CAST(2 AS BIGINT) AS ver
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP} AND o_orderkey % 13 = 0
+    """,
+    "q_txlog_where_skip": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(1 AS BIGINT) AS ver,
+               CAST(1 AS BIGINT) AS skip_proved
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+          AND o_orderkey IN (3, 700, 1042)
+          AND ROUND(o_totalprice * 100) > 0
     """,
     "q_txlog_replace_where": f"""
         SELECT o_orderkey AS k,

@@ -968,6 +968,206 @@ _TC_REF = re.compile(
 )
 
 
+_SKIP_LIT = r"(?:-?\d+(?:\.\d+)?|'(?:[^'\\]|''|\\.)*')"
+_SKIP_CMP = re.compile(
+    rf"(?is)^\s*(?:(?P<q>[A-Za-z_]\w*)\s*\.\s*)?`?(?P<col>\w+)`?\s*"
+    rf"(?P<op><=|>=|=|<|>)\s*(?P<lit>{_SKIP_LIT})\s*$"
+)
+_SKIP_IN = re.compile(
+    rf"(?is)^\s*(?:(?P<q>[A-Za-z_]\w*)\s*\.\s*)?`?(?P<col>\w+)`?\s+IN\s*\("
+    rf"(?P<items>\s*{_SKIP_LIT}(?:\s*,\s*{_SKIP_LIT})*\s*)\)\s*$"
+)
+_CLAUSE_KWS = (
+    "GROUP BY", "HAVING", "ORDER BY", "LIMIT", "WINDOW", "QUALIFY",
+    "DISTRIBUTE BY", "SORT BY", "CLUSTER BY",
+)
+
+
+def _skip_lit_val(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1].replace("\\'", "'").replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def _depth_at(s: str, pos: int) -> int:
+    """Paren depth at ``pos`` — quote-aware (single/double/backtick,
+    backslash escapes in string literals)."""
+    depth, q, i = 0, None, 0
+    while i < pos:
+        ch = s[i]
+        if q:
+            if q in "'\"" and ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", "`", '"'):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return depth
+
+
+def _top_comma_between(s: str, a: int, b: int) -> bool:
+    """Any top-level comma in s[a:b)? (a comma-join partner after the
+    single FROM ref would add a second relation scope)."""
+    depth, q, i = 0, None, a
+    while i < b:
+        ch = s[i]
+        if q:
+            if q in "'\"" and ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", "`", '"'):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return True
+        i += 1
+    return False
+
+
+def _single_ref_skip_filters(
+    spark: SparkSession,
+    stmt: str,
+    spans: list,
+    ctes: set,
+    tables: dict | None,
+) -> tuple:
+    """FILE SKIPPING for the SQL read path: when the statement is the
+    canonical single-table SELECT shape, map its top-level WHERE's
+    literal conjuncts onto ``TxTable.read``'s skip kwargs so the
+    NATIVE parquet scan opens only files the commit-log stats/blooms
+    admit — ``SELECT ... FROM t WHERE k = 5`` costs O(matching files),
+    not O(table), exactly like ``read(eq=...)`` (at 100 TB this is the
+    pruned-scan discipline the library path already has).
+
+    Sound by restriction — extraction happens ONLY when attribution
+    is provable, and anything else extracts nothing (the statement
+    still runs, just unpruned):
+
+    - no WITH / JOIN / UNION / INTERSECT / EXCEPT anywhere top-level,
+      exactly ONE top-level FROM, whose ref is the statement's single
+      resolvable txlog ref, no comma-join partner before the WHERE;
+    - exactly one top-level WHERE, after the ref; no top-level OR;
+    - conjuncts of the shape ``[alias.]col (=|<|<=|>|>=) literal`` or
+      ``[alias.]col IN (literals)`` with the column in the table's
+      schema — expressions, subqueries, and column-to-column
+      comparisons are left alone.
+
+    Exact by composition: ``read``'s kwargs re-apply row-level as
+    supersets of the statement's own WHERE conjuncts, which Catalyst
+    applies in full afterwards. Returns ``(ref_span, kwargs)`` or
+    ``(None, {})``."""
+    if re.match(r"(?is)^\s*WITH\b", stmt):
+        return None, {}
+    for kw in ("JOIN", "UNION", "INTERSECT", "EXCEPT"):
+        if _Scanner.find_kw(stmt, kw) >= 0:
+            return None, {}
+    refs = []
+    for m in _TT_REF.finditer(stmt):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        tok = m.group("t").strip()
+        if not tok.startswith("'") and tok.strip("`").lower() in ctes:
+            continue
+        if tok.startswith("'") or (tables and tok.strip("`") in tables):
+            refs.append(m)
+    if len(refs) != 1:
+        return None, {}
+    m = refs[0]
+    if m.group("kw").upper() != "FROM" or _depth_at(stmt, m.start()) != 0:
+        return None, {}
+    f1 = _Scanner.find_kw(stmt, "FROM")
+    if f1 < 0 or _Scanner.find_kw(stmt, "FROM", f1 + 1) >= 0:
+        return None, {}
+    w = _Scanner.find_kw(stmt, "WHERE")
+    if w < 0 or w < m.end() or _Scanner.find_kw(stmt, "WHERE", w + 1) >= 0:
+        return None, {}
+    if _top_comma_between(stmt, m.end(), w):
+        return None, {}
+    alias = None
+    am = re.match(r"(?is)\s+(?:AS\s+)?([A-Za-z_]\w*)", stmt[m.end():w])
+    if am:
+        alias = am.group(1).lower()
+    end = len(stmt)
+    for kw in _CLAUSE_KWS:
+        p = _Scanner.find_kw(stmt, kw, w)
+        if p >= 0:
+            end = min(end, p)
+    pred = stmt[w + 5:end]
+    if _Scanner.find_kw(pred, "OR") >= 0:
+        return None, {}
+    t = _target_table(spark, m.group("t"), tables)
+    _, _, schema_json = t._snapshot()
+    if schema_json is None:
+        return None, {}
+    import json as _json
+
+    cols = {f["name"].lower() for f in _json.loads(schema_json)["fields"]}
+    quals = {m.group("t").strip().strip("`").lower()}
+    if alias:
+        quals.add(alias)
+    eq: dict = {}
+    isin: dict = {}
+    prune: dict = {}
+    conjuncts, start = [], 0
+    while True:
+        p = _Scanner.find_kw(pred, "AND", start)
+        if p < 0:
+            conjuncts.append(pred[start:])
+            break
+        conjuncts.append(pred[start:p])
+        start = p + 3
+    for c in conjuncts:
+        try:
+            cm = _SKIP_CMP.match(c)
+            im = None if cm else _SKIP_IN.match(c)
+            mm = cm or im
+            if not mm:
+                continue
+            qual = (mm.group("q") or "").lower()
+            col = mm.group("col")
+            if (qual and qual not in quals) or col.lower() not in cols:
+                continue
+            if cm:
+                v = _skip_lit_val(cm.group("lit"))
+                op = cm.group("op")
+                if op == "=":
+                    eq[col] = v
+                else:
+                    lo, hi = prune.get(col, (None, None))
+                    if op in (">", ">="):
+                        lo = v if lo is None else max(lo, v)
+                    else:
+                        hi = v if hi is None else min(hi, v)
+                    prune[col] = (lo, hi)
+            else:
+                isin[col] = [
+                    _skip_lit_val(x)
+                    for x in re.findall(_SKIP_LIT, mm.group("items"))
+                ]
+        except (TypeError, ValueError):
+            continue  # mixed/incomparable literal types — skip conjunct
+    out = {}
+    if eq:
+        out["eq"] = eq
+    if isin:
+        out["isin"] = isin
+    if prune:
+        out["prune"] = prune
+    return (m.span(), out) if out else (None, {})
+
+
 def _parse_select(
     spark: SparkSession, stmt: str, tables: dict | None
 ) -> DataFrame:
@@ -1044,6 +1244,12 @@ def _parse_select(
 
     stmt = _TC_REF.sub(sub_tc, stmt)
     spans = _literal_spans(stmt) + _fn_arg_spans(stmt)
+    # file skipping for the canonical single-table shape: the WHERE's
+    # literal conjuncts reach the commit log's stats/blooms, so the
+    # native scan opens only matching files (see the helper's rules)
+    skip_span, skip_kwargs = _single_ref_skip_filters(
+        spark, stmt, spans, ctes, tables
+    )
 
     def sub(m: re.Match) -> str:
         if any(a <= m.start() < b for a, b in spans):
@@ -1063,12 +1269,15 @@ def _parse_select(
                 )
             return m.group(0)
         t = _target_table(spark, tok, tables)
+        kw = skip_kwargs if m.span() == skip_span else {}
         if m.group("v"):
-            df = t.read(version=int(m.group("v")))
+            df = t.read(version=int(m.group("v")), **kw)
         elif m.group("ts"):
-            df = t.read(timestamp=_parse_tt_timestamp(m.group("ts")))
+            df = t.read(
+                timestamp=_parse_tt_timestamp(m.group("ts")), **kw
+            )
         else:
-            df = t.read()
+            df = t.read(**kw)
         return f"{m.group('kw')} {_fresh_view(df, 'tt')}"
 
     try:

@@ -1033,3 +1033,92 @@ def test_create_or_replace_fails_before_truncating(spark, tmp_path):
                 f"(k BIGINT, v BIGINT, ver BIGINT) USING txlog {decl}",
             )
     assert t.read().count() == 10
+
+
+def test_select_where_file_skipping(spark, tmp_path, monkeypatch):
+    """The SQL read path gets the library's file skipping: a
+    single-table SELECT's literal WHERE conjuncts reach read()'s
+    stats/bloom kwargs (eq / IN / ranges, bare or alias-qualified,
+    composing with AS OF), results stay exact, and the skip is real
+    (prune_report opens a strict file subset)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4, bloom_cols=("tag",),
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", i * 10, 1) for i in range(0, 200, 2)],
+        "k long, tag string, v long, ver long",
+    ))
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", i * 10, 1) for i in range(1, 200, 2)],
+        "k long, tag string, v long, ver long",
+    ))
+    v1 = t.latest_version()
+
+    calls = []
+    real = TxTable.read
+
+    def spy(self, *a, **k):
+        calls.append(k)
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(TxTable, "read", spy)
+
+    def run(sql, **kw):
+        calls.clear()
+        return txsql(spark, sql, tables={"t": t}, **kw)
+
+    # bloom point lookup through SQL
+    got = run("SELECT k, v FROM t WHERE tag = 'tag42'").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(42, 420)]
+    assert calls and calls[0].get("eq") == {"tag": "tag42"}
+    rep = t.prune_report({}, eq={"tag": "tag42"})
+    assert rep["files_read"] < rep["files_total"]
+
+    # ranges merge; extra non-literal conjuncts stay Catalyst's
+    got = run(
+        "SELECT count(*) AS n FROM t "
+        "WHERE k >= 10 AND k < 20 AND v % 2 = 0"
+    ).collect()[0]
+    assert got["n"] == 10
+    assert calls[0].get("prune") == {"k": (10, 20)}
+
+    # IN list + alias qualification
+    got = run(
+        "SELECT sum(v) AS s FROM t a WHERE a.k IN (1, 2, 999)"
+    ).collect()[0]
+    assert got["s"] == 30
+    assert calls[0].get("isin") == {"k": [1, 2, 999]}
+
+    # composes with time travel
+    got = run(
+        f"SELECT k FROM t VERSION AS OF {v1} WHERE k = 7"
+    ).collect()
+    assert [r["k"] for r in got] == [7]
+    assert calls[0].get("eq") == {"k": 7}
+
+    # NO extraction where attribution is not provable — results exact
+    for sql, expect in (
+        # CTE renames k: outer WHERE must not prune the inner scan
+        ("WITH c AS (SELECT k + 1 AS k FROM t) "
+         "SELECT count(*) AS n FROM c WHERE k = 5", 1),
+        # top-level OR
+        ("SELECT count(*) AS n FROM t WHERE k = 5 OR k = 7", 2),
+        # self-join
+        ("SELECT count(*) AS n FROM t a JOIN t b ON a.k = b.k "
+         "WHERE a.k = 5", 1),
+    ):
+        got = run(sql).collect()[0]
+        assert got["n"] == expect, sql
+        assert all(
+            not (c.get("eq") or c.get("prune") or c.get("isin"))
+            for c in calls
+        ), sql
+
+    # a subquery conjunct is left alone, literal conjunct still prunes
+    got = run(
+        "SELECT count(*) AS n FROM t "
+        "WHERE k IN (SELECT 5) AND tag = 'tag5'"
+    ).collect()[0]
+    assert got["n"] == 1
+    assert calls[0].get("eq") == {"tag": "tag5"} and "isin" not in calls[0]
