@@ -1036,98 +1036,40 @@ def _top_comma_between(s: str, a: int, b: int) -> bool:
     return False
 
 
-def _single_ref_skip_filters(
-    spark: SparkSession,
-    stmt: str,
-    spans: list,
-    ctes: set,
-    tables: dict | None,
-) -> tuple:
-    """FILE SKIPPING for the SQL read path: when the statement is the
-    canonical single-table SELECT shape, map its top-level WHERE's
-    literal conjuncts onto ``TxTable.read``'s skip kwargs so the
-    NATIVE parquet scan opens only files the commit-log stats/blooms
-    admit — ``SELECT ... FROM t WHERE k = 5`` costs O(matching files),
-    not O(table), exactly like ``read(eq=...)`` (at 100 TB this is the
-    pruned-scan discipline the library path already has).
+# words that can follow a table ref without being its alias
+_ALIAS_BLOCK = frozenset((
+    "join", "left", "right", "full", "inner", "cross", "outer", "semi",
+    "anti", "on", "where", "group", "order", "limit", "having",
+    "natural", "using", "lateral", "tablesample", "union", "intersect",
+    "except", "version", "timestamp", "window", "qualify",
+))
 
-    Sound by restriction — extraction happens ONLY when attribution
-    is provable, and anything else extracts nothing (the statement
-    still runs, just unpruned):
 
-    - no WITH / JOIN / UNION / INTERSECT / EXCEPT anywhere top-level,
-      exactly ONE top-level FROM, whose ref is the statement's single
-      resolvable txlog ref, no comma-join partner before the WHERE;
-    - exactly one top-level WHERE, after the ref; no top-level OR;
-    - conjuncts of the shape ``[alias.]col (=|<|<=|>|>=) literal`` or
-      ``[alias.]col IN (literals)`` with the column in the table's
-      schema — expressions, subqueries, and column-to-column
-      comparisons are left alone.
-
-    Exact by composition: ``read``'s kwargs re-apply row-level as
-    supersets of the statement's own WHERE conjuncts, which Catalyst
-    applies in full afterwards. Returns ``(ref_span, kwargs)`` or
-    ``(None, {})``."""
-    if re.match(r"(?is)^\s*WITH\b", stmt):
-        return None, {}
-    for kw in ("JOIN", "UNION", "INTERSECT", "EXCEPT"):
-        if _Scanner.find_kw(stmt, kw) >= 0:
-            return None, {}
-    refs = []
-    for m in _TT_REF.finditer(stmt):
-        if any(a <= m.start() < b for a, b in spans):
-            continue
-        tok = m.group("t").strip()
-        if not tok.startswith("'") and tok.strip("`").lower() in ctes:
-            continue
-        if tok.startswith("'") or (tables and tok.strip("`") in tables):
-            refs.append(m)
-    if len(refs) != 1:
-        return None, {}
-    m = refs[0]
-    if m.group("kw").upper() != "FROM" or _depth_at(stmt, m.start()) != 0:
-        return None, {}
-    f1 = _Scanner.find_kw(stmt, "FROM")
-    if f1 < 0 or _Scanner.find_kw(stmt, "FROM", f1 + 1) >= 0:
-        return None, {}
-    w = _Scanner.find_kw(stmt, "WHERE")
-    if w < 0 or w < m.end() or _Scanner.find_kw(stmt, "WHERE", w + 1) >= 0:
-        return None, {}
-    if _top_comma_between(stmt, m.end(), w):
-        return None, {}
-    alias = None
-    am = re.match(r"(?is)\s+(?:AS\s+)?([A-Za-z_]\w*)", stmt[m.end():w])
-    if am:
-        alias = am.group(1).lower()
-    end = len(stmt)
-    for kw in _CLAUSE_KWS:
-        p = _Scanner.find_kw(stmt, kw, w)
-        if p >= 0:
-            end = min(end, p)
-    pred = stmt[w + 5:end]
+def _split_conjuncts(pred: str) -> list[str]:
+    """Top-level AND split (quote/paren/CASE-aware via find_kw);
+    empty when a top-level OR makes conjunct attribution unsound."""
     if _Scanner.find_kw(pred, "OR") >= 0:
-        return None, {}
-    t = _target_table(spark, m.group("t"), tables)
-    _, _, schema_json = t._snapshot()
-    if schema_json is None:
-        return None, {}
-    import json as _json
-
-    cols = {f["name"].lower() for f in _json.loads(schema_json)["fields"]}
-    quals = {m.group("t").strip().strip("`").lower()}
-    if alias:
-        quals.add(alias)
-    eq: dict = {}
-    isin: dict = {}
-    prune: dict = {}
-    conjuncts, start = [], 0
+        return []
+    out, start = [], 0
     while True:
         p = _Scanner.find_kw(pred, "AND", start)
         if p < 0:
-            conjuncts.append(pred[start:])
-            break
-        conjuncts.append(pred[start:p])
+            out.append(pred[start:])
+            return out
+        out.append(pred[start:p])
         start = p + 3
+
+
+def _conjunct_filters(
+    conjuncts: list, cols: set, quals: set, bare_ok: bool
+) -> dict:
+    """Fold literal conjuncts (``[qual.]col op literal`` /
+    ``[qual.]col IN (literals)``) attributable via ``quals`` (or bare,
+    when ``bare_ok``) into ``TxTable.read``-shaped skip kwargs.
+    Non-matching / non-attributable conjuncts extract nothing."""
+    eq: dict = {}
+    isin: dict = {}
+    prune: dict = {}
     for c in conjuncts:
         try:
             cm = _SKIP_CMP.match(c)
@@ -1137,7 +1079,12 @@ def _single_ref_skip_filters(
                 continue
             qual = (mm.group("q") or "").lower()
             col = mm.group("col")
-            if (qual and qual not in quals) or col.lower() not in cols:
+            if qual:
+                if qual not in quals:
+                    continue
+            elif not bare_ok:
+                continue
+            if col.lower() not in cols:
                 continue
             if cm:
                 v = _skip_lit_val(cm.group("lit"))
@@ -1165,7 +1112,183 @@ def _single_ref_skip_filters(
         out["isin"] = isin
     if prune:
         out["prune"] = prune
-    return (m.span(), out) if out else (None, {})
+    return out
+
+
+def _table_cols(spark, tok: str, tables: dict | None) -> set | None:
+    t = _target_table(spark, tok, tables)
+    _, _, schema_json = t._snapshot()
+    if schema_json is None:
+        return None
+    import json as _json
+
+    return {f["name"].lower() for f in _json.loads(schema_json)["fields"]}
+
+
+def _skip_filters_by_ref(
+    spark: SparkSession,
+    stmt: str,
+    spans: list,
+    ctes: set,
+    tables: dict | None,
+) -> dict:
+    """FILE SKIPPING for the SQL read path: map the statement's
+    top-level WHERE's literal conjuncts onto ``TxTable.read``'s skip
+    kwargs per txlog ref, so the NATIVE parquet scan opens only files
+    the commit-log stats/blooms admit — ``SELECT ... FROM t WHERE
+    k = 5`` costs O(matching files), not O(table), exactly like
+    ``read(eq=...)`` (at 100 TB this is the pruned-scan discipline the
+    library path already has). Works for joins too: an
+    ALIAS-QUALIFIED conjunct attributes to its ref (``FROM t a JOIN s
+    b ... WHERE a.k = 5`` prunes t's files); pre-filtering one side by
+    a WHERE conjunct is sound under every join type because Catalyst
+    still applies the full WHERE to the joined result.
+
+    Sound by restriction — extraction happens ONLY when attribution
+    is provable, and anything else extracts nothing (the statement
+    still runs, just unpruned):
+
+    - no WITH / UNION / INTERSECT / EXCEPT; exactly one top-level
+      WHERE, after every ref; no top-level OR;
+    - refs considered are the statement's resolvable txlog refs at
+      paren depth 0; a qualifier (alias, else the bare table name)
+      attributes only if it names exactly one ref;
+    - BARE conjuncts attribute only in the canonical single-table
+      shape (one resolvable ref, no JOIN, one top-level FROM, no
+      comma-join partner before the WHERE);
+    - conjuncts of the shape ``[q.]col (=|<|<=|>|>=) literal`` or
+      ``[q.]col IN (literals)`` with the column in the ref's schema —
+      expressions, subqueries, and column-to-column comparisons are
+      left alone.
+
+    Exact by composition: ``read``'s kwargs re-apply row-level as
+    supersets of the statement's own WHERE conjuncts, which Catalyst
+    applies in full afterwards. Returns ``{ref_span: kwargs}``."""
+    if re.match(r"(?is)^\s*WITH\b", stmt):
+        return {}
+    for kw in ("UNION", "INTERSECT", "EXCEPT"):
+        if _Scanner.find_kw(stmt, kw) >= 0:
+            return {}
+    refs = []
+    for m in _TT_REF.finditer(stmt):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        tok = m.group("t").strip()
+        if not tok.startswith("'") and tok.strip("`").lower() in ctes:
+            continue
+        if tok.startswith("'") or (tables and tok.strip("`") in tables):
+            if _depth_at(stmt, m.start()) == 0:
+                refs.append(m)
+    if not refs:
+        return {}
+    w = _Scanner.find_kw(stmt, "WHERE")
+    if (
+        w < 0
+        or w < max(m.end() for m in refs)
+        or _Scanner.find_kw(stmt, "WHERE", w + 1) >= 0
+    ):
+        return {}
+    end = len(stmt)
+    for kw in _CLAUSE_KWS:
+        p = _Scanner.find_kw(stmt, kw, w)
+        if p >= 0:
+            end = min(end, p)
+    conjuncts = _split_conjuncts(stmt[w + 5:end])
+    if not conjuncts:
+        return {}
+    # qualifier → ref: the alias when present, else the bare name;
+    # a qualifier naming two refs attributes to neither
+    qual_refs: dict[str, list] = {}
+    aliases: dict[int, str | None] = {}
+    for i, m in enumerate(refs):
+        nxt = stmt[m.end():w]
+        am = re.match(r"(?is)\s+(?:AS\s+)?([A-Za-z_]\w*)", nxt)
+        alias = am.group(1).lower() if am else None
+        if alias in _ALIAS_BLOCK:
+            alias = None
+        aliases[i] = alias
+        tok = m.group("t").strip()
+        key = alias if alias else (
+            None if tok.startswith("'") else tok.strip("`").lower()
+        )
+        if key:
+            qual_refs.setdefault(key, []).append(i)
+    qual_to_ref = {
+        k: v[0] for k, v in qual_refs.items() if len(v) == 1
+    }
+    bare_ok = (
+        len(refs) == 1
+        and _Scanner.find_kw(stmt, "JOIN") < 0
+        and refs[0].group("kw").upper() == "FROM"
+        and not _top_comma_between(stmt, refs[0].end(), w)
+    )
+    if bare_ok:
+        f1 = _Scanner.find_kw(stmt, "FROM")
+        bare_ok = f1 >= 0 and _Scanner.find_kw(stmt, "FROM", f1 + 1) < 0
+    out: dict = {}
+    for i, m in enumerate(refs):
+        cols = _table_cols(spark, m.group("t"), tables)
+        if cols is None:
+            continue
+        quals = {
+            k for k, ri in qual_to_ref.items() if ri == i
+        }
+        kw = _conjunct_filters(
+            conjuncts, cols, quals, bare_ok and i == 0
+        )
+        if kw:
+            out[m.span()] = kw
+    return out
+
+
+def _dml_prune(
+    spark: SparkSession,
+    tok: str,
+    tables: dict | None,
+    predicate: str | None,
+) -> dict | None:
+    """Log-level file skipping for DML: an UPDATE/DELETE/replaceWhere
+    predicate binds to its one table by construction, so its literal
+    conjuncts fold into the RANGES-ONLY ``prune`` dict the mutation
+    methods accept (equality → the degenerate [v, v] range, IN → the
+    [min, max] envelope) — the find-phase then skips whole files the
+    commit-log stats prove unmatchable, on top of the parquet
+    row-group pushdown it already does. Pure skip: the predicate
+    itself still decides matches row-level, so this is exact."""
+    if not predicate:
+        return None
+    conjuncts = _split_conjuncts(predicate)
+    if not conjuncts:
+        return None
+    cols = _table_cols(spark, tok, tables)
+    if cols is None:
+        return None
+    tok = tok.strip()
+    name = None if tok.startswith("'") else tok.strip("`").lower()
+    kw = _conjunct_filters(
+        conjuncts, cols, {name} if name else set(), True
+    )
+    prune = dict(kw.get("prune") or {})
+    for col, v in (kw.get("eq") or {}).items():
+        lo, hi = prune.get(col, (None, None))
+        try:
+            lo = v if lo is None else max(lo, v)
+            hi = v if hi is None else min(hi, v)
+        except TypeError:
+            continue
+        prune[col] = (lo, hi)
+    for col, vals in (kw.get("isin") or {}).items():
+        if not vals:
+            continue
+        try:
+            vlo, vhi = min(vals), max(vals)
+            lo, hi = prune.get(col, (None, None))
+            lo = vlo if lo is None else max(lo, vlo)
+            hi = vhi if hi is None else min(hi, vhi)
+        except TypeError:
+            continue
+        prune[col] = (lo, hi)
+    return prune or None
 
 
 def _parse_select(
@@ -1244,12 +1367,10 @@ def _parse_select(
 
     stmt = _TC_REF.sub(sub_tc, stmt)
     spans = _literal_spans(stmt) + _fn_arg_spans(stmt)
-    # file skipping for the canonical single-table shape: the WHERE's
-    # literal conjuncts reach the commit log's stats/blooms, so the
-    # native scan opens only matching files (see the helper's rules)
-    skip_span, skip_kwargs = _single_ref_skip_filters(
-        spark, stmt, spans, ctes, tables
-    )
+    # file skipping: the WHERE's literal conjuncts reach the commit
+    # log's stats/blooms per ref, so the native scan opens only
+    # matching files (see the helper's attribution rules)
+    skip_by_span = _skip_filters_by_ref(spark, stmt, spans, ctes, tables)
 
     def sub(m: re.Match) -> str:
         if any(a <= m.start() < b for a, b in spans):
@@ -1269,7 +1390,7 @@ def _parse_select(
                 )
             return m.group(0)
         t = _target_table(spark, tok, tables)
-        kw = skip_kwargs if m.span() == skip_span else {}
+        kw = skip_by_span.get(m.span(), {})
         if m.group("v"):
             df = t.read(version=int(m.group("v")), **kw)
         elif m.group("ts"):
@@ -1556,7 +1677,10 @@ def txsql(
             # versions survive (Delta's INSERT OVERWRITE on the log)
             return t.replace_where(df, "true")
         if rw:
-            return t.replace_where(df, rw)
+            return t.replace_where(
+                df, rw,
+                prune=_dml_prune(spark, m.group("t"), tables, rw),
+            )
         return t.append(df)
 
     if two == "SHOW PARTITIONS":
@@ -1589,7 +1713,11 @@ def txsql(
         assignments = _parse_set(m.group("set"), {})
         if assignments is None:
             raise ValueError("txsql UPDATE: SET * is not meaningful")
-        return t.update_where(m.group("w") or "true", assignments)
+        return t.update_where(
+            m.group("w") or "true",
+            assignments,
+            prune=_dml_prune(spark, m.group("t"), tables, m.group("w")),
+        )
 
     if two == "DELETE FROM":
         m = re.match(
@@ -1600,7 +1728,10 @@ def txsql(
         if not m:
             raise ValueError("txsql: malformed DELETE FROM")
         t = _target_table(spark, m.group("t"), tables)
-        return t.delete_where(m.group("w") or "true")
+        return t.delete_where(
+            m.group("w") or "true",
+            prune=_dml_prune(spark, m.group("t"), tables, m.group("w")),
+        )
 
     if two == "COPY INTO":
         m = re.match(

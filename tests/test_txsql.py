@@ -1097,6 +1097,16 @@ def test_select_where_file_skipping(spark, tmp_path, monkeypatch):
     assert [r["k"] for r in got] == [7]
     assert calls[0].get("eq") == {"k": 7}
 
+    # JOINs: an alias-qualified conjunct prunes ITS side only
+    got = run(
+        "SELECT count(*) AS n FROM t a JOIN t b ON a.k = b.k "
+        "WHERE a.k = 5"
+    ).collect()[0]
+    assert got["n"] == 1
+    assert sorted(
+        (c.get("eq") or {} for c in calls[:2]), key=len
+    ) == [{}, {"k": 5}]
+
     # NO extraction where attribution is not provable — results exact
     for sql, expect in (
         # CTE renames k: outer WHERE must not prune the inner scan
@@ -1104,9 +1114,9 @@ def test_select_where_file_skipping(spark, tmp_path, monkeypatch):
          "SELECT count(*) AS n FROM c WHERE k = 5", 1),
         # top-level OR
         ("SELECT count(*) AS n FROM t WHERE k = 5 OR k = 7", 2),
-        # self-join
-        ("SELECT count(*) AS n FROM t a JOIN t b ON a.k = b.k "
-         "WHERE a.k = 5", 1),
+        # bare conjunct in a join: not attributable
+        ("SELECT count(*) AS n FROM t a JOIN (SELECT 5 AS kk) s "
+         "ON a.k = s.kk WHERE v = 50", 1),
     ):
         got = run(sql).collect()[0]
         assert got["n"] == expect, sql
@@ -1122,3 +1132,42 @@ def test_select_where_file_skipping(spark, tmp_path, monkeypatch):
     ).collect()[0]
     assert got["n"] == 1
     assert calls[0].get("eq") == {"tag": "tag5"} and "isin" not in calls[0]
+
+
+def test_dml_predicate_file_pruning(spark, tmp_path, monkeypatch):
+    """DML predicates fold into the mutation methods' ranges-only
+    prune dict (equality → [v,v], IN → [min,max] envelope, ranges
+    merged) — attribution is trivial (one table) and results are
+    unchanged."""
+    t = _mk(spark, tmp_path, "t")
+    seen = {}
+    real_del = TxTable.delete_where
+    real_upd = TxTable.update_where
+
+    def spy_del(self, pred, prune=None, **k):
+        seen["delete"] = prune
+        return real_del(self, pred, prune=prune, **k)
+
+    def spy_upd(self, pred, assignments, prune=None, **k):
+        seen["update"] = prune
+        return real_upd(self, pred, assignments, prune=prune, **k)
+
+    monkeypatch.setattr(TxTable, "delete_where", spy_del)
+    monkeypatch.setattr(TxTable, "update_where", spy_upd)
+
+    txsql(spark, "UPDATE t SET v = v + 1 WHERE k IN (1, 3)",
+          tables={"t": t})
+    assert seen["update"] == {"k": (1, 3)}
+    st = _state(t)
+    assert st[1] == (11, 1) and st[3] == (31, 1) and st[2] == (20, 1)
+
+    txsql(spark, "DELETE FROM t WHERE k > 5 AND v = 90",
+          tables={"t": t})
+    assert seen["delete"] == {"k": (5, None), "v": (90, 90)}
+    assert 9 not in _state(t) and 8 in _state(t)
+
+    # OR predicate: no prune, correct result
+    txsql(spark, "DELETE FROM t WHERE k = 0 OR k = 8", tables={"t": t})
+    assert seen["delete"] is None
+    st = _state(t)
+    assert 0 not in st and 8 not in st and 7 in st
