@@ -1581,6 +1581,64 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INGEST_MIN_QUALITY = 0.5  # corpus_ingest gate: quality-routing floor
+# Batch sentinels: ids far outside the corpus range; the low-quality
+# text scores ~0.09-0.39 under the shared battery — below the floor
+# at any stopword interpretation
+INGEST_SENTINEL_OFF = 1_000_000_000
+INGEST_SENTINEL_MIN_WORDS = 30
+INGEST_LOWQ_TEXT = "a a a a"
+
+
+def _ingest_frames(spark: SparkSession, sf_dir: str):
+    """(hist, batch) for the two corpus-ingest gates: the
+    deterministic half-corpus subset split 90/10, plus THREE batch
+    SENTINELS derived from the first long history doc — an exact
+    copy, a one-word-prepended near-dup (every span chunk shifts, so
+    it is a pure band-collision candidate whose exact Jaccard ≈
+    (S)/(S+1) clears ``LSH_VERIFY_THRESHOLD``), and a constant
+    low-quality doc. Without them, several gate columns (exact_dups,
+    near_dups_verified, low_quality) are ZERO on the organic corpus
+    at small SFs and the driver row confirms them vacuously — the
+    ``mm_phash_pairs`` sentinel rule (VERDICT r03 item 6) applied to
+    the ingest contract. The oracle derives the same three rows in
+    SQL, so every count stays hash-checked."""
+    d = spread(load(spark, sf_dir, "documents")).filter(
+        _md5_unit(F.col("doc_id"), "ing|") < 0.5
+    )
+    u = _md5_unit(F.col("doc_id"), "batch|")
+    ver = F.lit(1).cast("long").alias("ver")
+    hist = d.filter(u >= BATCH_FRACTION).select("doc_id", "text", ver)
+    seed = (
+        hist.filter(
+            F.size(F.split("text", " ")) >= INGEST_SENTINEL_MIN_WORDS
+        )
+        .orderBy("doc_id")
+        .limit(1)
+        .select("doc_id", "text")
+    )
+    off = INGEST_SENTINEL_OFF
+    sent = (
+        seed.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        .unionByName(
+            seed.select(
+                (F.col("doc_id") + 2 * off).alias("doc_id"),
+                F.concat(F.lit("zulu "), "text").alias("text"),
+            )
+        )
+        .unionByName(
+            seed.select(
+                (F.col("doc_id") + 3 * off).alias("doc_id"),
+                F.lit(INGEST_LOWQ_TEXT).alias("text"),
+            )
+        )
+        .select("doc_id", "text", ver)
+    )
+    batch = (
+        d.filter(u < BATCH_FRACTION)
+        .select("doc_id", "text", ver)
+        .unionByName(sent)
+    )
+    return hist, batch
 
 
 def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,18 +1662,12 @@ def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_flink_harshevents_spark.sources.txlog import TxTable
 
-    # deterministic half-corpus subset: the gate runs TWO full ingest
-    # programs (seed + batch) with two commits each — the transaction
-    # semantics it checks are size-invariant (the k≤2000 lakehouse
-    # convention), so the subset halves the banding/span projection
-    # wall without weakening any count in the contract
-    d = spread(load(spark, sf_dir, "documents")).filter(
-        _md5_unit(F.col("doc_id"), "ing|") < 0.5
-    )
-    u = _md5_unit(F.col("doc_id"), "batch|")
-    ver = F.lit(1).cast("long").alias("ver")
-    hist = d.filter(u >= BATCH_FRACTION).select("doc_id", "text", ver)
-    batch = d.filter(u < BATCH_FRACTION).select("doc_id", "text", ver)
+    # deterministic half-corpus subset (90/10 split) + the three
+    # batch sentinels — see _ingest_frames: the gate runs TWO full
+    # ingest programs (seed + batch) with two commits each; the
+    # transaction semantics it checks are size-invariant (the k≤2000
+    # lakehouse convention)
+    hist, batch = _ingest_frames(spark, sf_dir)
     corpus = TxTable.create(
         spark,
         tempfile.mkdtemp(prefix="ing-c-"),
@@ -1689,17 +1741,12 @@ def doc_ingest_verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprints,
     )
 
-    # the SAME deterministic half-corpus subset as the dedup gate —
-    # so this gate is literally that batch re-ingested under the
-    # verify keep rule, and the near_dups_verified column is the
-    # subset of its near_dups that exact Jaccard confirms
-    d = spread(load(spark, sf_dir, "documents")).filter(
-        _md5_unit(F.col("doc_id"), "ing|") < 0.5
-    )
-    u = _md5_unit(F.col("doc_id"), "batch|")
-    ver = F.lit(1).cast("long").alias("ver")
-    hist = d.filter(u >= BATCH_FRACTION).select("doc_id", "text", ver)
-    batch = d.filter(u < BATCH_FRACTION).select("doc_id", "text", ver)
+    # the SAME deterministic subset + sentinels as the dedup gate
+    # (_ingest_frames) — so this gate is literally that batch
+    # re-ingested under the verify keep rule, and near_dups_verified
+    # is the subset of its near_dups that exact Jaccard confirms
+    # (≥1 at every SF via the prepended-word sentinel)
+    hist, batch = _ingest_frames(spark, sf_dir)
     corpus = TxTable.create(
         spark,
         tempfile.mkdtemp(prefix="ingv-c-"),
@@ -3635,11 +3682,10 @@ def _ingest_gate_sql(
         "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}))"
     )
     # the shared shingle CTEs read `documents` directly — rebind the
-    # name to the gate's deterministic corpus subset first
+    # name to `d`, the gate's subset ∪ sentinels (defined first in
+    # the WITH chain), so candidate/Jaccard CTEs see the sentinels
     shingles = _SQL_SHINGLES.replace(
-        "FROM documents",
-        "FROM (SELECT * FROM documents "
-        f"WHERE {_md5_unit_sql('doc_id', salt)} < {frac})",
+        "FROM documents", "FROM (SELECT doc_id, text FROM d)"
     )
     ndv_cte = f""",
         cand AS (
@@ -3678,10 +3724,32 @@ def _ingest_gate_sql(
         else ""
     )
     return f"""
-        WITH d AS (
+        WITH d0 AS (
             SELECT doc_id, text, {_md5_unit_sql("doc_id", "batch|")} AS u
             FROM documents
             WHERE {_md5_unit_sql("doc_id", salt)} < {frac}
+        ),
+        seed AS (
+            SELECT doc_id, text FROM d0
+            WHERE u >= {BATCH_FRACTION}
+              AND len(string_split(text, ' '))
+                  >= {INGEST_SENTINEL_MIN_WORDS}
+            ORDER BY doc_id LIMIT 1
+        ),
+        d AS (
+            SELECT doc_id, text, u FROM d0
+            UNION ALL
+            SELECT doc_id + {INGEST_SENTINEL_OFF} AS doc_id, text,
+                   0.0 AS u
+            FROM seed
+            UNION ALL
+            SELECT doc_id + {2 * INGEST_SENTINEL_OFF} AS doc_id,
+                   'zulu ' || text, 0.0 AS u
+            FROM seed
+            UNION ALL
+            SELECT doc_id + {3 * INGEST_SENTINEL_OFF} AS doc_id,
+                   '{INGEST_LOWQ_TEXT}', 0.0 AS u
+            FROM seed
         ),
         b AS (SELECT doc_id, text FROM d WHERE u < {BATCH_FRACTION}),
         h AS (SELECT doc_id, text FROM d WHERE u >= {BATCH_FRACTION}),
