@@ -977,6 +977,10 @@ _SKIP_IN = re.compile(
     rf"(?is)^\s*(?:(?P<q>[A-Za-z_]\w*)\s*\.\s*)?`?(?P<col>\w+)`?\s+IN\s*\("
     rf"(?P<items>\s*{_SKIP_LIT}(?:\s*,\s*{_SKIP_LIT})*\s*)\)\s*$"
 )
+_SKIP_BETWEEN = re.compile(
+    rf"(?is)^\s*(?:(?P<q>[A-Za-z_]\w*)\s*\.\s*)?`?(?P<col>\w+)`?\s+"
+    rf"BETWEEN\s+(?P<lo>{_SKIP_LIT})\s+AND\s+(?P<hi>{_SKIP_LIT})\s*$"
+)
 _CLAUSE_KWS = (
     "GROUP BY", "HAVING", "ORDER BY", "LIMIT", "WINDOW", "QUALIFY",
     "DISTRIBUTE BY", "SORT BY", "CLUSTER BY",
@@ -1047,34 +1051,77 @@ _ALIAS_BLOCK = frozenset((
 
 def _split_conjuncts(pred: str) -> list[str]:
     """Top-level AND split (quote/paren/CASE-aware via find_kw);
-    empty when a top-level OR makes conjunct attribution unsound."""
+    empty when a top-level OR makes conjunct attribution unsound.
+    The AND that closes a ``BETWEEN lo AND hi`` belongs to the
+    BETWEEN, not the conjunction — each top-level BETWEEN consumes
+    the next top-level AND instead of splitting on it."""
     if _Scanner.find_kw(pred, "OR") >= 0:
         return []
-    out, start = [], 0
+    out, start, scan, pending = [], 0, 0, 0
     while True:
-        p = _Scanner.find_kw(pred, "AND", start)
+        p = _Scanner.find_kw(pred, "AND", scan)
         if p < 0:
             out.append(pred[start:])
             return out
+        b = scan
+        while True:
+            b = _Scanner.find_kw(pred, "BETWEEN", b)
+            if b < 0 or b >= p:
+                break
+            pending += 1
+            b += 7
+        if pending:
+            pending -= 1
+            scan = p + 3
+            continue
         out.append(pred[start:p])
-        start = p + 3
+        start = scan = p + 3
+
+
+def _coerce_lit(v, styp: str):
+    """Literal → the COLUMN's declared type, or None when the pair is
+    not safely extractable. SQL coerces a mismatched comparison
+    (``bigint_col = '8'`` matches 8), but the file-skip stack compares
+    raw values — a string probed against an integer bloom/min-max
+    would WRONGLY skip — so extraction only happens when the literal
+    already lives in the column's type family."""
+    if styp in ("byte", "short", "integer", "long"):
+        return v if isinstance(v, int) and not isinstance(v, bool) else None
+    if styp in ("float", "double"):
+        return float(v) if isinstance(v, (int, float)) else None
+    if styp == "string":
+        return v if isinstance(v, str) else None
+    return None  # decimal/date/timestamp/bool/complex: never extract
 
 
 def _conjunct_filters(
-    conjuncts: list, cols: set, quals: set, bare_ok: bool
+    conjuncts: list, cols: dict, quals: set, bare_ok: bool
 ) -> dict:
     """Fold literal conjuncts (``[qual.]col op literal`` /
     ``[qual.]col IN (literals)``) attributable via ``quals`` (or bare,
     when ``bare_ok``) into ``TxTable.read``-shaped skip kwargs.
+    ``cols`` maps lower-cased column name → declared type; literals
+    that don't coerce to the column's type (see ``_coerce_lit``) drop
+    the WHOLE conjunct (a partial IN-list would under-approximate).
     Non-matching / non-attributable conjuncts extract nothing."""
     eq: dict = {}
     isin: dict = {}
     prune: dict = {}
+
+    def _fold_range(col, lo=None, hi=None):
+        clo, chi = prune.get(col, (None, None))
+        if lo is not None:
+            clo = lo if clo is None else max(clo, lo)
+        if hi is not None:
+            chi = hi if chi is None else min(chi, hi)
+        prune[col] = (clo, chi)
+
     for c in conjuncts:
         try:
             cm = _SKIP_CMP.match(c)
-            im = None if cm else _SKIP_IN.match(c)
-            mm = cm or im
+            bm = None if cm else _SKIP_BETWEEN.match(c)
+            im = None if cm or bm else _SKIP_IN.match(c)
+            mm = cm or bm or im
             if not mm:
                 continue
             qual = (mm.group("q") or "").lower()
@@ -1084,25 +1131,34 @@ def _conjunct_filters(
                     continue
             elif not bare_ok:
                 continue
-            if col.lower() not in cols:
+            styp = cols.get(col.lower())
+            if styp is None:
                 continue
             if cm:
-                v = _skip_lit_val(cm.group("lit"))
+                v = _coerce_lit(_skip_lit_val(cm.group("lit")), styp)
+                if v is None:
+                    continue
                 op = cm.group("op")
                 if op == "=":
                     eq[col] = v
+                elif op in (">", ">="):
+                    _fold_range(col, lo=v)
                 else:
-                    lo, hi = prune.get(col, (None, None))
-                    if op in (">", ">="):
-                        lo = v if lo is None else max(lo, v)
-                    else:
-                        hi = v if hi is None else min(hi, v)
-                    prune[col] = (lo, hi)
+                    _fold_range(col, hi=v)
+            elif bm:
+                lo = _coerce_lit(_skip_lit_val(bm.group("lo")), styp)
+                hi = _coerce_lit(_skip_lit_val(bm.group("hi")), styp)
+                if lo is None or hi is None:
+                    continue
+                _fold_range(col, lo=lo, hi=hi)
             else:
-                isin[col] = [
-                    _skip_lit_val(x)
+                vals = [
+                    _coerce_lit(_skip_lit_val(x), styp)
                     for x in re.findall(_SKIP_LIT, mm.group("items"))
                 ]
+                if any(v is None for v in vals):
+                    continue  # partial list would under-approximate
+                isin[col] = vals
         except (TypeError, ValueError):
             continue  # mixed/incomparable literal types — skip conjunct
     out = {}
@@ -1115,14 +1171,44 @@ def _conjunct_filters(
     return out
 
 
-def _table_cols(spark, tok: str, tables: dict | None) -> set | None:
+def _table_cols(spark, tok: str, tables: dict | None) -> dict | None:
+    """Lower-cased column name → declared simple-type name (complex
+    types map to ``"complex"``, which ``_coerce_lit`` never extracts)."""
     t = _target_table(spark, tok, tables)
     _, _, schema_json = t._snapshot()
     if schema_json is None:
         return None
     import json as _json
 
-    return {f["name"].lower() for f in _json.loads(schema_json)["fields"]}
+    return {
+        f["name"].lower(): (
+            f["type"] if isinstance(f["type"], str) else "complex"
+        )
+        for f in _json.loads(schema_json)["fields"]
+    }
+
+
+def _txlog_refs(
+    stmt: str,
+    spans: list,
+    ctes: set,
+    tables: dict | None,
+    top_level: bool = False,
+) -> list:
+    """The statement's RESOLVABLE txlog refs (quoted path or
+    tables-mapped name; literal/fn-arg spans and CTE-shadowed names
+    excluded), optionally restricted to paren depth 0."""
+    refs = []
+    for m in _TT_REF.finditer(stmt):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        tok = m.group("t").strip()
+        if not tok.startswith("'") and tok.strip("`").lower() in ctes:
+            continue
+        if tok.startswith("'") or (tables and tok.strip("`") in tables):
+            if not top_level or _depth_at(stmt, m.start()) == 0:
+                refs.append(m)
+    return refs
 
 
 def _skip_filters_by_ref(
@@ -1169,16 +1255,7 @@ def _skip_filters_by_ref(
     for kw in ("UNION", "INTERSECT", "EXCEPT"):
         if _Scanner.find_kw(stmt, kw) >= 0:
             return {}
-    refs = []
-    for m in _TT_REF.finditer(stmt):
-        if any(a <= m.start() < b for a, b in spans):
-            continue
-        tok = m.group("t").strip()
-        if not tok.startswith("'") and tok.strip("`").lower() in ctes:
-            continue
-        if tok.startswith("'") or (tables and tok.strip("`") in tables):
-            if _depth_at(stmt, m.start()) == 0:
-                refs.append(m)
+    refs = _txlog_refs(stmt, spans, ctes, tables, top_level=True)
     if not refs:
         return {}
     w = _Scanner.find_kw(stmt, "WHERE")
@@ -1421,6 +1498,82 @@ def _parse_options(body: str) -> dict:
     return out
 
 
+def _explain_skipping(
+    spark: SparkSession, inner: str, tables: dict | None
+) -> DataFrame:
+    """``EXPLAIN SKIPPING <SELECT|UPDATE|DELETE ...>`` — the
+    observability half of the file-skipping surface: WITHOUT running
+    the statement, report per txlog ref how many live files the
+    snapshot holds, how many the statement's extracted WHERE filters
+    would actually open, and which filters were extracted (empty =
+    the statement runs unpruned — the cue to rewrite the predicate
+    into the literal-conjunct shapes the skipper understands). Counts
+    come from ``prune_report``, i.e. the exact skip decision
+    ``read``/the DML find-phase will make."""
+    import json as _json
+
+    inner = inner.strip().rstrip(";")
+    h = inner.split(None, 1)[0].upper() if inner.split() else ""
+    rows = []
+    if h in ("SELECT", "WITH"):
+        spans = _literal_spans(inner) + _fn_arg_spans(inner)
+        ctes = _cte_names(inner)
+        sk = _skip_filters_by_ref(spark, inner, spans, ctes, tables)
+        for m in _txlog_refs(inner, spans, ctes, tables):
+            t = _target_table(spark, m.group("t"), tables)
+            version = int(m.group("v")) if m.group("v") else None
+            if m.group("ts"):
+                version = t.version_at_timestamp(
+                    _parse_tt_timestamp(m.group("ts"))
+                )
+            kw = sk.get(m.span(), {})
+            rep = t.prune_report(
+                kw.get("prune") or {},
+                version=version,
+                eq=kw.get("eq"),
+                isin=kw.get("isin"),
+            )
+            rows.append((
+                m.group("t").strip().strip("`"),
+                version,
+                rep["files_total"], rep["files_read"],
+                rep["files_skipped"], rep["rows_skipped"],
+                _json.dumps(kw, default=str, sort_keys=True),
+            ))
+    elif h in ("UPDATE", "DELETE"):
+        m = re.match(
+            r"(?is)^(?:UPDATE\s+|DELETE\s+FROM\s+)"
+            r"(?P<t>'[^']*'|`[^`]+`|\w+)"
+            r"(?:\s+SET\s+.*?)?(?:\s+WHERE\s+(?P<w>.*))?$",
+            inner,
+        )
+        if not m:
+            raise ValueError(
+                "txsql EXPLAIN SKIPPING: malformed UPDATE/DELETE"
+            )
+        t = _target_table(spark, m.group("t"), tables)
+        prune = _dml_prune(spark, m.group("t"), tables, m.group("w"))
+        rep = t.prune_report(prune or {})
+        rows.append((
+            m.group("t").strip().strip("`"), None,
+            rep["files_total"], rep["files_read"],
+            rep["files_skipped"], rep["rows_skipped"],
+            _json.dumps({"prune": prune} if prune else {},
+                        default=str, sort_keys=True),
+        ))
+    else:
+        raise ValueError(
+            "txsql EXPLAIN SKIPPING: expected a SELECT, UPDATE or "
+            f"DELETE statement, got {h!r}"
+        )
+    return spark.createDataFrame(
+        rows,
+        "table string, version long, files_total long, "
+        "files_read long, files_skipped long, rows_skipped long, "
+        "filters string",
+    )
+
+
 def txsql(
     spark: SparkSession,
     sql: str,
@@ -1438,6 +1591,9 @@ def txsql(
 
     if head in ("SELECT", "WITH"):
         return _parse_select(spark, stmt, tables)
+
+    if two == "EXPLAIN SKIPPING":
+        return _explain_skipping(spark, stmt.split(None, 2)[2], tables)
 
     if head == "CREATE":
         m = re.match(

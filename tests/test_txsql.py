@@ -1133,6 +1133,35 @@ def test_select_where_file_skipping(spark, tmp_path, monkeypatch):
     assert got["n"] == 1
     assert calls[0].get("eq") == {"tag": "tag5"} and "isin" not in calls[0]
 
+    # BETWEEN folds into a range; its AND doesn't split the conjunct
+    got = run(
+        "SELECT count(*) AS n FROM t "
+        "WHERE k BETWEEN 10 AND 20 AND v >= 0"
+    ).collect()[0]
+    assert got["n"] == 11
+    assert calls[0].get("prune") == {"k": (10, 20), "v": (0, None)}
+    # NOT BETWEEN: conjunct dropped (no wrong range), result exact
+    got = run(
+        "SELECT count(*) AS n FROM t WHERE k NOT BETWEEN 10 AND 197"
+    ).collect()[0]
+    assert got["n"] == 12
+    assert not calls[0].get("prune")
+
+    # type-mismatched literals never reach the skip stack: SQL
+    # coerces ('42' matches bigint 42) but blooms/min-max compare raw
+    # values, so extraction would WRONGLY skip — conjunct dropped,
+    # result exact via Catalyst
+    got = run("SELECT count(*) AS n FROM t WHERE k = '42'").collect()[0]
+    assert got["n"] == 1
+    assert not any(
+        c.get("eq") or c.get("prune") or c.get("isin") for c in calls
+    )
+    got = run(
+        "SELECT count(*) AS n FROM t WHERE k IN (1, '2')"
+    ).collect()[0]
+    assert got["n"] == 2
+    assert all("isin" not in c for c in calls)
+
 
 def test_dml_predicate_file_pruning(spark, tmp_path, monkeypatch):
     """DML predicates fold into the mutation methods' ranges-only
@@ -1171,3 +1200,49 @@ def test_dml_predicate_file_pruning(spark, tmp_path, monkeypatch):
     assert seen["delete"] is None
     st = _state(t)
     assert 0 not in st and 8 not in st and 7 in st
+
+
+def test_explain_skipping(spark, tmp_path):
+    """EXPLAIN SKIPPING reports the exact skip decision per ref
+    without running the statement — pruned SELECT, unprunable SELECT
+    (empty filters, full file count), DML predicate, and AS OF."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=4, bloom_cols=("tag",),
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", i * 10, 1) for i in range(0, 100, 2)],
+        "k long, tag string, v long, ver long",
+    ))
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i}", i * 10, 1) for i in range(1, 100, 2)],
+        "k long, tag string, v long, ver long",
+    ))
+    r = txsql(
+        spark,
+        "EXPLAIN SKIPPING SELECT * FROM t WHERE tag = 'tag42'",
+        tables={"t": t},
+    ).collect()[0]
+    assert r["table"] == "t" and r["files_total"] == 8
+    assert r["files_read"] < r["files_total"]
+    assert '"tag": "tag42"' in r["filters"]
+    # unprunable: OR — full scan, empty filters
+    r = txsql(
+        spark,
+        "EXPLAIN SKIPPING SELECT * FROM t WHERE k = 1 OR k = 2",
+        tables={"t": t},
+    ).collect()[0]
+    assert r["files_read"] == r["files_total"] and r["filters"] == "{}"
+    # DML
+    r = txsql(
+        spark,
+        "EXPLAIN SKIPPING DELETE FROM t WHERE k >= 90",
+        tables={"t": t},
+    ).collect()[0]
+    assert r["files_read"] <= r["files_total"]
+    assert '"k"' in r["filters"]
+    # statement was NOT executed
+    assert t.read().count() == 100
+    with pytest.raises(ValueError, match="EXPLAIN SKIPPING"):
+        txsql(spark, "EXPLAIN SKIPPING MERGE INTO t USING s ON 1=1",
+              tables={"t": t})
