@@ -631,6 +631,90 @@ def q_txlog_where_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_explain_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXPLAIN SKIPPING`` observability gate: append the base in a
+    LOW wave (k ≤ 1000) then a HIGH wave (k > 1000), so every file's
+    key range lies wholly on one side — the skip decision for a
+    range/BETWEEN probe is then EXACT by construction at any SF
+    (4 buckets × 2 waves = 8 files; a low-range SELECT must open
+    exactly the 4 low files, a high-range DELETE exactly the 4 high
+    files, and an unprunable ``k % 2 = 0`` all 8 with empty filters).
+    ``rows_skipped`` is the commit log's row count of the skipped
+    wave, which the oracle restates straight from ``orders`` — so the
+    gate pins the report's counts AND the extracted-filter strings
+    (incl. the BETWEEN → range fold) without executing a statement."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txes-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=4,
+    )
+    t.append(base.filter(F.col("k") <= 1000))
+    t.append(base.filter(F.col("k") > 1000))
+
+    def ex(label: str, stmt: str) -> DataFrame:
+        return txsql(
+            spark, f"EXPLAIN SKIPPING {stmt}", tables={"t": t}
+        ).select(
+            F.lit(label).alias("stmt"),
+            "files_total", "files_read", "rows_skipped", "filters",
+        )
+
+    return (
+        ex("range_low", "SELECT k, amount_c FROM t WHERE k <= 1000")
+        .unionAll(ex(
+            "unprunable", "SELECT k FROM t WHERE k % 2 = 0"
+        ))
+        .unionAll(ex(
+            "dml_between",
+            "DELETE FROM t WHERE k BETWEEN 1001 AND 2000",
+        ))
+    )
+
+
+def q_txlog_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE write-amplification gate: low/high append waves (8 files,
+    4 buckets × 2) then a 3-key matched-only merge inside the LOW
+    range — the file-level find-phase (``txlog.py::_merge_hit_files``)
+    must carry all 4 high files forward untouched (their key [min,max]
+    provably misses every source key) and rewrite at most 3 low files
+    (the source keys' buckets). The proof rides as a constant column;
+    the data half (updated keys +1000 cents at ver 2, everything else
+    byte-identical) is restated from ``orders`` by the oracle."""
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txmp-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=4,
+    )
+    t.append(base.filter(F.col("k") <= 1000))
+    t.append(base.filter(F.col("k") > 1000))
+    _, before, _ = t._snapshot()
+    high = {e["path"] for e in before if e["stats"]["cols"]["k"][0] > 1000}
+    t.merge_into(
+        base.filter(F.col("k").isin(5, 105, 205)).select(
+            "k", "st",
+            (F.col("amount_c") + 1000).alias("amount_c"),
+            F.lit(2).cast("long").alias("ver"),
+        ),
+        when_matched="update",
+        when_not_matched=None,
+    )
+    _, after, _ = t._snapshot()
+    carried = {e["path"] for e in before} & {e["path"] for e in after}
+    proved = int(high <= carried and len(before) - len(carried) <= 3)
+    return t.read().select(
+        "k", "st", "amount_c", "ver",
+        F.lit(proved).cast("long").alias("prune_proved"),
+    )
+
+
 def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT OVERWRITE with a replaceWhere predicate on the hash:
     append the base,
@@ -1358,6 +1442,8 @@ QUERIES = {
     "q_txlog_rename_column": q_txlog_rename_column,
     "q_txlog_type_widening": q_txlog_type_widening,
     "q_txlog_where_skip": q_txlog_where_skip,
+    "q_txlog_explain_skip": q_txlog_explain_skip,
+    "q_txlog_merge_prune": q_txlog_merge_prune,
     "q_txlog_replace_where": q_txlog_replace_where,
     "q_txlog_merge_into": q_txlog_merge_into,
     "q_txlog_merge_clauses": q_txlog_merge_clauses,
@@ -1655,6 +1741,38 @@ ORACLES = {
         WHERE o_orderkey <= {_KEY_CAP}
           AND o_orderkey IN (3, 700, 1042)
           AND ROUND(o_totalprice * 100) > 0
+    """,
+    "q_txlog_explain_skip": f"""
+        SELECT 'range_low' AS stmt,
+               CAST(8 AS BIGINT) AS files_total,
+               CAST(4 AS BIGINT) AS files_read,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderkey > 1000 AND o_orderkey <= {_KEY_CAP})
+                 AS rows_skipped,
+               '{{"prune": {{"k": [null, 1000]}}}}' AS filters
+        UNION ALL
+        SELECT 'unprunable',
+               CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+               CAST(0 AS BIGINT), '{{}}'
+        UNION ALL
+        SELECT 'dml_between',
+               CAST(8 AS BIGINT), CAST(4 AS BIGINT),
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderkey <= 1000),
+               '{{"prune": {{"k": [1001, 2000]}}}}'
+    """,
+    "q_txlog_merge_prune": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey IN (5, 105, 205)
+                        THEN 1000 ELSE 0 END
+                 AS amount_c,
+               CAST(CASE WHEN o_orderkey IN (5, 105, 205)
+                         THEN 2 ELSE 1 END AS BIGINT) AS ver,
+               CAST(1 AS BIGINT) AS prune_proved
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
     """,
     "q_txlog_replace_where": f"""
         SELECT o_orderkey AS k,

@@ -3380,6 +3380,75 @@ class TxTable:
         ] + [f for f in user_fields if f.name not in old_by_name]
         return StructType(widened).json()
 
+    _MERGE_PRUNE_MAX_KEYS = 100_000
+
+    def _merge_hit_files(
+        self, live: list, src_b: DataFrame, key_cols: list
+    ) -> list:
+        """The files a merge must rewrite — Delta's two-phase merge
+        find-phase, at FILE granularity: of the source's touched
+        buckets, only files that MAY contain a source key — by the
+        commit log's per-file key [min, max] probed against the
+        source's PER-BUCKET key envelope, and per-value blooms when
+        the key columns are bloom-indexed — are rewritten; the rest
+        keep their rows by staying live, untouched. Write
+        amplification is then ∝ files with matches, not bucket size —
+        on a 100 TB table a 10-key merge rewrites a handful of files
+        instead of whole buckets. Exactness: a pruned file provably
+        contains NO source key, so its rows could only have carried
+        through the rewrite byte-identically (matched keys' duplicate
+        rows always sit in candidate files by definition).
+        Consolidation of blind-append duplicate rows for keys the
+        source does NOT touch follows pruning granularity, exactly as
+        it always has (untouched BUCKETS were never consolidated
+        either); the next merge/compact touching those keys
+        consolidates them.
+
+        Cost: ONE aggregate job over the source — the same job that
+        used to compute only the touched-bucket set now also carries
+        the per-bucket key envelopes and distinct-key count; the
+        per-value bloom probe additionally collects the distinct key
+        tuples only when there are ≤ ``_MERGE_PRUNE_MAX_KEYS`` of
+        them (driver-bounded) AND the envelope left >1 candidate.
+        Bucket ``-1`` (unadopted/converted) files are ALWAYS hit:
+        every keyed write re-adopts them into real buckets, and
+        pruning must not stall that migration."""
+        aggs = []
+        for k in key_cols:
+            aggs += [F.min(k).alias(f"_lo_{k}"),
+                     F.max(k).alias(f"_hi_{k}")]
+        aggs.append(
+            F.count_distinct(*[F.col(k) for k in key_cols])
+            .alias("_nk")
+        )
+        stats = src_b.groupBy("_bucket").agg(*aggs).collect()
+        env = {r["_bucket"]: r for r in stats}
+        mapping = self.meta.get("column_mapping") or {}
+        always = [e for e in live if e["bucket"] == -1]
+        cand = []
+        for e in live:
+            r = env.get(e["bucket"])
+            if r is None:
+                continue
+            pm = _map_stat_keys(
+                {k: (r[f"_lo_{k}"], r[f"_hi_{k}"]) for k in key_cols},
+                mapping,
+            )
+            if _file_may_match(e, pm) and _part_may_match(e, prune=pm):
+                cand.append(e)
+        n_keys = sum(r["_nk"] for r in stats)
+        if len(cand) > 1 and 0 < n_keys <= self._MERGE_PRUNE_MAX_KEYS:
+            rows = src_b.select(*key_cols).distinct().collect()
+            im = _map_stat_keys(
+                {k: [r[k] for r in rows] for k in key_cols}, mapping
+            )
+            cand = [
+                e for e in cand
+                if _file_may_match_isin(e, im)
+                and _part_may_match(e, isin=im)
+            ]
+        return cand + always
+
     def merge_upsert(
         self,
         df: DataFrame,
@@ -3419,14 +3488,7 @@ class TxTable:
             incoming = self._with_bucket(df)
             base_v, live_map, snap_schema, dvs = self._replay()
             live = list(live_map.values())
-            touched = [
-                r["_bucket"]
-                for r in incoming.select("_bucket").distinct().collect()
-            ]
-            hit = [
-                e for e in live
-                if e["bucket"] in set(touched) or e["bucket"] == -1
-            ]
+            hit = self._merge_hit_files(live, incoming, m["key_cols"])
             # validate/widen BEFORE staging — a schema mismatch must not
             # write orphan files first
             schema_rec = self._schema_union_json(
@@ -3886,14 +3948,7 @@ class TxTable:
             if when_not_matched_by_source:
                 hit = live
             else:
-                touched = {
-                    r["_bucket"]
-                    for r in src_b.select("_bucket").distinct().collect()
-                }
-                hit = [
-                    e for e in live
-                    if e["bucket"] in touched or e["bucket"] == -1
-                ]
+                hit = self._merge_hit_files(live, src_b, key_cols)
             s_m = src_b.drop("_bucket").withColumn("_s", F.lit(1))
             if hit:
                 t_m = self._open_files(

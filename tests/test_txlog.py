@@ -7616,3 +7616,104 @@ def test_copied_fold_vanished_inputs_falls_back_to_delta(
     assert set(files) <= t.copied_files()
     for f in files:
         assert t.copy_into(f)[1] == 0
+
+
+def test_merge_rewrites_only_candidate_files(spark, tmp_path):
+    """FILE-level merge pruning within a touched bucket: files whose
+    recorded key [min, max] provably misses every source key carry
+    forward unrewritten (same relative paths) — write amplification
+    ∝ files with matches, not bucket size. Both merge paths."""
+    t = _mk(spark, tmp_path, n_buckets=1)  # one bucket holds all files
+    for lo in (0, 100, 200):  # 3 appends → 3 files, disjoint k ranges
+        t.append(spark.createDataFrame(
+            [(f"{k:04d}", k, 1) for k in range(lo, lo + 50)],
+            "k string, v long, ver long",
+        ))
+    _, live_before, _ = t._snapshot()
+    assert len(live_before) == 3
+    # merge_upsert touching only the middle file's range
+    t.merge_upsert(spark.createDataFrame(
+        [("0110", -1, 2), ("0149", -2, 2)], "k string, v long, ver long"
+    ))
+    _, live_after, _ = t._snapshot()
+    before = {e["path"] for e in live_before}
+    after = {e["path"] for e in live_after}
+    assert len(before - after) == 1  # exactly ONE file rewritten
+    rows = _rows(t)
+    assert rows["0110"] == (-1, 2) and rows["0149"] == (-2, 2)
+    assert rows["0000"] == (0, 1) and rows["0249"] == (249, 1)
+    assert len(rows) == 150
+    # merge_into: update + insert, still one candidate file
+    _, live_before, _ = t._snapshot()
+    t.merge_into(
+        spark.createDataFrame(
+            [("0205", -5, 3), ("0300", 300, 3)],
+            "k string, v long, ver long",
+        ),
+        when_matched="update",
+        when_not_matched="insert",
+    )
+    _, live_after, _ = t._snapshot()
+    before = {e["path"] for e in live_before}
+    after = {e["path"] for e in live_after}
+    assert len(before - after) == 1
+    rows = _rows(t)
+    assert rows["0205"] == (-5, 3) and rows["0300"] == (300, 3)
+    assert rows["0110"] == (-1, 2) and len(rows) == 151
+    # a source OUTSIDE every file's range rewrites NOTHING
+    _, live_before, _ = t._snapshot()
+    t.merge_into(
+        spark.createDataFrame([("0500", 500, 4)],
+                              "k string, v long, ver long"),
+        when_matched="update",
+        when_not_matched="insert",
+    )
+    _, live_after, _ = t._snapshot()
+    assert {e["path"] for e in live_before} <= {
+        e["path"] for e in live_after
+    }
+    assert _rows(t)["0500"] == (500, 4)
+
+
+def test_merge_prune_bloom_and_by_source_full_scan(spark, tmp_path):
+    """Interleaved key ranges (min/max everywhere-overlapping) still
+    prune via the per-file key bloom; a by-source clause scans the
+    whole table (any row may be unmatched) and must NOT prune."""
+    t = TxTable.create(
+        spark, str(tmp_path / "tb"), key_cols=("k",), order_col="ver",
+        n_buckets=1, bloom_cols=("k",),
+    )
+    t.append(spark.createDataFrame(
+        [(f"{k:04d}", k, 1) for k in range(0, 300, 2)],
+        "k string, v long, ver long",
+    ))
+    t.append(spark.createDataFrame(
+        [(f"{k:04d}", k, 1) for k in range(1, 300, 2)],
+        "k string, v long, ver long",
+    ))
+    _, live_before, _ = t._snapshot()
+    assert len(live_before) == 2  # both span [0000, 0299]
+    t.merge_upsert(spark.createDataFrame(
+        [("0100", -1, 2)], "k string, v long, ver long"
+    ))
+    _, live_after, _ = t._snapshot()
+    rewritten = {e["path"] for e in live_before} - {
+        e["path"] for e in live_after
+    }
+    assert len(rewritten) == 1  # bloom excluded the odd-keys file
+    assert _rows(t)["0100"] == (-1, 2) and _rows(t)["0101"] == (101, 1)
+    # by-source clause: every live file rewrites (full-table scope)
+    _, live_before, _ = t._snapshot()
+    t.merge_into(
+        spark.createDataFrame([("0100", -2, 3)],
+                              "k string, v long, ver long"),
+        when_matched="update",
+        when_not_matched="insert",
+        when_not_matched_by_source="delete",
+        by_source_condition="t.k = '0299'",
+    )
+    _, live_after, _ = t._snapshot()
+    assert not ({e["path"] for e in live_before}
+                & {e["path"] for e in live_after})
+    rows = _rows(t)
+    assert rows["0100"] == (-2, 3) and "0299" not in rows

@@ -1246,3 +1246,102 @@ def test_explain_skipping(spark, tmp_path):
     with pytest.raises(ValueError, match="EXPLAIN SKIPPING"):
         txsql(spark, "EXPLAIN SKIPPING MERGE INTO t USING s ON 1=1",
               tables={"t": t})
+
+
+# -- property: WHERE extraction is ALWAYS sound ----------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def _skip_table(spark, tmp_path_factory):
+    """One bloom-indexed, multi-file table shared by every example;
+    the full snapshot registered unpruned as the in-Spark oracle."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path_factory.mktemp("skipfuzz") / "t"),
+        key_cols=("k",), order_col="ver", n_buckets=4,
+        bloom_cols=("tag",),
+    )
+    rows = [(k, f"tag{k % 17}", float(k) * 1.5 - 20.0, 1)
+            for k in range(-10, 150)]
+    for lo in range(0, len(rows), 40):  # 4 waves → 16 files
+        t.append(spark.createDataFrame(
+            rows[lo:lo + 40], "k long, tag string, v double, ver long"
+        ))
+    t.read().createOrReplaceTempView("skipfuzz_full")
+    return t
+
+
+_num = st.integers(min_value=-15, max_value=160)
+_k_lit = st.one_of(
+    _num.map(str),
+    _num.map(lambda n: f"'{n}'"),          # type-mismatch: string vs long
+    st.floats(-15, 160, allow_nan=False).map(lambda f: f"{f:.2f}"),
+)
+_tag_lit = st.one_of(
+    st.integers(0, 20).map(lambda n: f"'tag{n}'"),
+    # no bare-number literal: ANSI-mode Spark ERRORS casting 'tagN'
+    # to bigint, so `tag = 42` is a runtime error on both sides, not
+    # a soundness case
+    st.sampled_from(["'it''s'", "'x'"]),
+)
+_v_lit = st.floats(-40, 250, allow_nan=False).map(lambda f: f"{f:.3f}")
+_cmp_op = st.sampled_from(["=", "<", "<=", ">", ">="])
+
+
+def _col_atoms(col, lit):
+    qual = st.sampled_from(["", "a."])
+    return st.one_of(
+        st.tuples(qual, _cmp_op, lit).map(
+            lambda t: f"{t[0]}{col} {t[1]} {t[2]}"
+        ),
+        st.tuples(qual, st.lists(lit, min_size=1, max_size=4)).map(
+            lambda t: f"{t[0]}{col} IN ({', '.join(t[1])})"
+        ),
+        st.tuples(qual, lit, lit, st.booleans()).map(
+            lambda t:
+            f"{t[0]}{col} "
+            f"{'NOT ' if t[3] else ''}BETWEEN {t[1]} AND {t[2]}"
+        ),
+    )
+
+
+_atom = st.one_of(
+    _col_atoms("k", _k_lit),
+    _col_atoms("tag", _tag_lit),
+    _col_atoms("v", _v_lit),
+    st.sampled_from([           # never-extractable shapes
+        "k % 2 = 0", "k + 1 = 5", "abs(v) < 40",
+        "tag LIKE 'tag1%'", "v IS NOT NULL",
+        "k IN (SELECT 5)", "length(tag) = 4",
+    ]),
+)
+_pred = st.one_of(
+    st.lists(_atom, min_size=1, max_size=3).map(" AND ".join),
+    st.tuples(_atom, _atom).map(lambda t: f"{t[0]} OR {t[1]}"),
+)
+
+
+@given(_pred)
+@settings(
+    max_examples=40, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_where_extraction_sound_fuzz(spark, _skip_table, pred):
+    """For ARBITRARY predicates from the grammar above — extractable,
+    partially extractable, type-mismatched, OR'd, NOT BETWEEN,
+    function-wrapped — the pruned SQL read returns exactly the rows
+    the same predicate selects on the unpruned snapshot. File
+    skipping must never change results, only the files opened."""
+    sql = f"SELECT k, tag, v FROM t a WHERE {pred}"
+    got = sorted(
+        map(tuple, txsql(spark, sql, tables={"t": _skip_table})
+            .collect())
+    )
+    want = sorted(
+        map(tuple, spark.sql(
+            f"SELECT k, tag, v FROM skipfuzz_full a WHERE {pred}"
+        ).collect())
+    )
+    assert got == want, pred
