@@ -1499,9 +1499,12 @@ def _parse_options(body: str) -> dict:
 
 
 def _explain_skipping(
-    spark: SparkSession, inner: str, tables: dict | None
+    spark: SparkSession,
+    inner: str,
+    tables: dict | None,
+    sources: dict | None = None,
 ) -> DataFrame:
-    """``EXPLAIN SKIPPING <SELECT|UPDATE|DELETE ...>`` — the
+    """``EXPLAIN SKIPPING <SELECT|UPDATE|DELETE|MERGE ...>`` — the
     observability half of the file-skipping surface: WITHOUT running
     the statement, report per txlog ref how many live files the
     snapshot holds, how many the statement's extracted WHERE filters
@@ -1509,12 +1512,62 @@ def _explain_skipping(
     the statement runs unpruned — the cue to rewrite the predicate
     into the literal-conjunct shapes the skipper understands). Counts
     come from ``prune_report``, i.e. the exact skip decision
-    ``read``/the DML find-phase will make."""
+    ``read``/the DML find-phase will make. For MERGE the report is
+    the merge FIND-PHASE itself (``TxTable._merge_hit_files``):
+    files_read = the files the merge would rewrite given this source
+    (full table when a BY SOURCE clause forces the whole-table
+    scope); the merge is NOT committed."""
     import json as _json
 
     inner = inner.strip().rstrip(";")
     h = inner.split(None, 1)[0].upper() if inner.split() else ""
     rows = []
+    if h == "MERGE":
+        m = _MERGE_HEAD.match(inner)
+        if not m:
+            raise ValueError(
+                "txsql EXPLAIN SKIPPING: malformed MERGE INTO"
+            )
+        t = _target_table(spark, m.group("target"), tables)
+        src = _source_frame(spark, m.group("source"), sources, tables)
+        _, live_map, _, dvs = t._replay()
+        live = list(live_map.values())
+        full_scan = (
+            _Scanner.find_kw(inner, "NOT MATCHED BY SOURCE") >= 0
+        )
+        if full_scan:
+            hit_paths = {e["path"] for e in live}
+        else:
+            hit = t._merge_hit_files(
+                live, t._with_bucket(src), t.meta["key_cols"]
+            )
+            hit_paths = {e["path"] for e in hit}
+        skipped = [e for e in live if e["path"] not in hit_paths]
+        srows = [
+            None
+            if e.get("stats", {}).get("rows") is None
+            else e["stats"]["rows"] - len(dvs.get(e["path"], ()))
+            for e in skipped
+        ]
+        return spark.createDataFrame(
+            [(
+                m.group("target").strip().strip("`"), None,
+                len(live), len(hit_paths), len(skipped),
+                None if any(r is None for r in srows) else sum(srows),
+                _json.dumps(
+                    {
+                        "merge_find_phase": {
+                            "key_cols": list(t.meta["key_cols"]),
+                            "by_source_full_scan": full_scan,
+                        }
+                    },
+                    sort_keys=True,
+                ),
+            )],
+            "table string, version long, files_total long, "
+            "files_read long, files_skipped long, rows_skipped long, "
+            "filters string",
+        )
     if h in ("SELECT", "WITH"):
         spans = _literal_spans(inner) + _fn_arg_spans(inner)
         ctes = _cte_names(inner)
@@ -1593,7 +1646,9 @@ def txsql(
         return _parse_select(spark, stmt, tables)
 
     if two == "EXPLAIN SKIPPING":
-        return _explain_skipping(spark, stmt.split(None, 2)[2], tables)
+        return _explain_skipping(
+            spark, stmt.split(None, 2)[2], tables, sources
+        )
 
     if head == "CREATE":
         m = re.match(

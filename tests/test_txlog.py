@@ -7717,3 +7717,58 @@ def test_merge_prune_bloom_and_by_source_full_scan(spark, tmp_path):
                 & {e["path"] for e in live_after})
     rows = _rows(t)
     assert rows["0100"] == (-2, 3) and "0299" not in rows
+
+
+def test_merge_prune_latest_wins_fuzz(spark, tmp_path):
+    """Randomized program of blind appends (duplicate keys allowed)
+    and merges: whatever the file-level find-phase prunes, the keyed
+    contract must hold — every key's LATEST row (max order_col) is
+    exactly the model's, and no key appears or vanishes. Runs a
+    deterministic pseudo-random program long enough to mix pruned,
+    unpruned, and empty-candidate merges across buckets."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    t = TxTable.create(
+        spark, str(tmp_path / "fz"), key_cols=("k",), order_col="ord",
+        n_buckets=2, bloom_cols=("k",),
+    )
+    model: dict[int, tuple[int, int]] = {}
+    order = 0
+    for step in range(14):
+        order += 1
+        kind = rng.choice(["append", "merge", "merge", "merge_into"])
+        if kind == "append":
+            keys = rng.sample(range(200), rng.randint(1, 12))
+            rows = [(k, k * 1000 + step, order) for k in keys]
+            t.append(spark.createDataFrame(
+                rows, "k long, v long, ord long"
+            ))
+            for k, v, o in rows:
+                if k not in model or model[k][1] <= o:
+                    model[k] = (v, o)
+        else:
+            lo = rng.choice([0, 50, 120, 180])
+            keys = rng.sample(range(lo, min(lo + 40, 200)),
+                              rng.randint(1, 6))
+            rows = [(k, -(k + step), order) for k in keys]
+            src = spark.createDataFrame(rows, "k long, v long, ord long")
+            if kind == "merge":
+                t.merge_upsert(src)
+            else:
+                t.merge_into(
+                    src, when_matched="update", when_not_matched="insert"
+                )
+            for k, v, o in rows:
+                if k not in model or model[k][1] <= o:
+                    model[k] = (v, o)
+    from pyspark.sql import functions as FF
+    got = {
+        r["k"]: (r["v"], r["ord"])
+        for r in t.read()
+        .groupBy("k")
+        .agg(FF.max_by(FF.struct("v", "ord"), "ord").alias("s"))
+        .select("k", "s.v", "s.ord")
+        .collect()
+    }
+    assert got == model

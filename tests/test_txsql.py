@@ -1243,9 +1243,30 @@ def test_explain_skipping(spark, tmp_path):
     assert '"k"' in r["filters"]
     # statement was NOT executed
     assert t.read().count() == 100
+    # MERGE: reports the find-phase (files the merge would rewrite)
+    src = spark.createDataFrame(
+        [(42, "zz", 0, 9)], "k long, tag string, v long, ver long"
+    )
+    r = txsql(
+        spark,
+        "EXPLAIN SKIPPING MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tables={"t": t}, sources={"s": src},
+    ).collect()[0]
+    assert r["files_total"] == 8 and r["files_read"] < 8
+    assert '"key_cols": ["k"]' in r["filters"]
+    assert t.read().count() == 100  # not committed
+    # a BY SOURCE clause forces the whole-table scope
+    r = txsql(
+        spark,
+        "EXPLAIN SKIPPING MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        tables={"t": t}, sources={"s": src},
+    ).collect()[0]
+    assert r["files_read"] == r["files_total"] == 8
     with pytest.raises(ValueError, match="EXPLAIN SKIPPING"):
-        txsql(spark, "EXPLAIN SKIPPING MERGE INTO t USING s ON 1=1",
-              tables={"t": t})
+        txsql(spark, "EXPLAIN SKIPPING VACUUM t", tables={"t": t})
 
 
 # -- property: WHERE extraction is ALWAYS sound ----------------------------
