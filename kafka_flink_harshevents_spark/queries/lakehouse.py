@@ -715,6 +715,42 @@ def q_txlog_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txlog_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-compaction gate, driven entirely through SQL: SET
+    TBLPROPERTIES (auto_compact_files = 4) then four quarter-appends —
+    each append adds one small file per bucket, so after the fourth
+    every bucket holds 4 fragments and the WRITE PATH itself must run
+    the size-aware compaction (`txlog.py::_after_data_commit`):
+    history gains a compact op and the live layout collapses back to
+    one file per bucket. The proof (compact fired AND ≤4 live files)
+    rides as a constant column; the data half — all rows intact,
+    byte-identical — is restated from ``orders`` by the oracle."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    base = _base_frame(spark, sf_dir)
+    t = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="txac-"),
+        key_cols=("k",),
+        order_col="ver",
+        n_buckets=4,
+    )
+    txsql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES (auto_compact_files = 4)",
+        tables={"t": t},
+    )
+    for r in range(4):
+        t.append(base.filter(F.col("k") % 4 == r))
+    _, live, _ = t._snapshot()
+    ops = [row["op"] for row in t.history().collect()]
+    proved = int("compact" in ops and len(live) <= 4)
+    return t.read().select(
+        "k", "st", "amount_c", "ver",
+        F.lit(proved).cast("long").alias("compact_proved"),
+    )
+
+
 def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT OVERWRITE with a replaceWhere predicate on the hash:
     append the base,
@@ -1444,6 +1480,7 @@ QUERIES = {
     "q_txlog_where_skip": q_txlog_where_skip,
     "q_txlog_explain_skip": q_txlog_explain_skip,
     "q_txlog_merge_prune": q_txlog_merge_prune,
+    "q_txlog_auto_compact": q_txlog_auto_compact,
     "q_txlog_replace_where": q_txlog_replace_where,
     "q_txlog_merge_into": q_txlog_merge_into,
     "q_txlog_merge_clauses": q_txlog_merge_clauses,
@@ -1771,6 +1808,15 @@ ORACLES = {
                CAST(CASE WHEN o_orderkey IN (5, 105, 205)
                          THEN 2 ELSE 1 END AS BIGINT) AS ver,
                CAST(1 AS BIGINT) AS prune_proved
+        FROM orders
+        WHERE o_orderkey <= {_KEY_CAP}
+    """,
+    "q_txlog_auto_compact": f"""
+        SELECT o_orderkey AS k,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(1 AS BIGINT) AS ver,
+               CAST(1 AS BIGINT) AS compact_proved
         FROM orders
         WHERE o_orderkey <= {_KEY_CAP}
     """,

@@ -1346,7 +1346,111 @@ class TxTable:
             rec = _read_record(self.table_dir, v)
             if "meta_update" in rec:
                 m.update(rec["meta_update"])
+            for k in rec.get("meta_unset") or ():
+                m.pop(k, None)
         return m
+
+    # properties the engine interprets structurally — never settable
+    # through the free-form property surface
+    _RESERVED_PROPS = frozenset((
+        "key_cols", "order_col", "n_buckets", "cdf", "bloom_cols",
+        "generated_cols", "checkpoint_interval", "identity_cols",
+        "identity_next", "row_tracking", "partition_by",
+        "column_mapping", "dropped_cols", "constraints",
+    ))
+
+    def set_properties(self, props: dict, max_retries: int = 5) -> int:
+        """``ALTER TABLE ... SET TBLPROPERTIES`` — a metadata-only
+        commit patching the table meta (``meta_update`` replay, the
+        rebucket mechanism). Structural keys are refused: properties
+        must never mutate what the engine derives the layout from.
+        Engine-interpreted free properties today:
+        ``auto_compact_files`` (int — see ``_after_data_commit``) and
+        ``auto_compact_target_bytes``."""
+        bad = set(props) & self._RESERVED_PROPS
+        if bad:
+            raise ValueError(
+                f"set_properties: {sorted(bad)} are structural — use "
+                "the dedicated DDL (rebucket/add_constraint/...)"
+            )
+        last: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            v = self.latest_version()
+            try:
+                self._commit(v + 1, {
+                    "version": v + 1,
+                    "op": "set_properties",
+                    "add": [], "remove": [],
+                    "meta_update": dict(props),
+                    "note": f"set {sorted(props)}",
+                })
+                return v + 1
+            except ConcurrentWriteError as exc:
+                last = exc
+        raise last  # type: ignore[misc]
+
+    def unset_properties(self, names, max_retries: int = 5) -> int:
+        """``ALTER TABLE ... UNSET TBLPROPERTIES`` — removes free
+        properties from the merged meta (``meta_unset`` replay);
+        structural keys refused like :meth:`set_properties`."""
+        names = list(names)
+        bad = set(names) & self._RESERVED_PROPS
+        if bad:
+            raise ValueError(
+                f"unset_properties: {sorted(bad)} are structural"
+            )
+        last: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            v = self.latest_version()
+            try:
+                self._commit(v + 1, {
+                    "version": v + 1,
+                    "op": "unset_properties",
+                    "add": [], "remove": [],
+                    "meta_unset": names,
+                    "note": f"unset {sorted(names)}",
+                })
+                return v + 1
+            except ConcurrentWriteError as exc:
+                last = exc
+        raise last  # type: ignore[misc]
+
+    def _after_data_commit(self, version: int) -> int:
+        """Post-commit hook on the high-frequency write paths (append
+        / merge_upsert / merge_into): Delta autoCompact. When the
+        table property ``auto_compact_files`` is set and some
+        bucket's live file count has reached it, run a size-aware
+        partial compaction (``compact(target_bytes=...)`` — rewrite
+        cost ∝ fragmented bytes only) as a separate, best-effort
+        follow-up commit. The DATA commit's success is already
+        durable; losing the compaction race to a concurrent writer
+        just defers the cleanup to the next write. Without the
+        property (the default) this is a dict lookup and nothing
+        else — the small-file problem stays an explicit OPTIMIZE
+        call, exactly as before."""
+        m = self.meta
+        n = m.get("auto_compact_files")
+        if n:
+            tb = int(
+                m.get("auto_compact_target_bytes") or (128 << 20)
+            )
+            try:
+                _, live_map, _, _ = self._replay()
+                # count only files SMALLER than the target (the ones
+                # compaction would touch) — a bucket of already-
+                # compact files must not re-trigger no-op attempts on
+                # every subsequent write
+                counts: dict = {}
+                for e in live_map.values():
+                    if not e.get("bytes") or int(e["bytes"]) < tb:
+                        counts[e["bucket"]] = (
+                            counts.get(e["bucket"], 0) + 1
+                        )
+                if counts and max(counts.values()) >= int(n):
+                    self.compact(target_bytes=tb)
+            except ConcurrentWriteError:
+                pass  # advisory: next write retries the cleanup
+        return version
 
     def _commit(self, version: int, record: dict) -> None:
         """The ONE post-create commit path: the atomic log link plus
@@ -3578,7 +3682,7 @@ class TxTable:
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
                 self._commit(base_v + 1, record)
-                return base_v + 1
+                return self._after_data_commit(base_v + 1)
             except ConcurrentWriteError as exc:
                 # lost the race: our staged files stay orphaned (vacuum
                 # reclaims them); recompute against the winner's snapshot
@@ -4117,7 +4221,7 @@ class TxTable:
                 record["cdf_files"] = self._stage_cdf(base_v + 1, record)
             try:
                 self._commit(base_v + 1, record)
-                return base_v + 1
+                return self._after_data_commit(base_v + 1)
             except ConcurrentWriteError as exc:
                 last_err = exc
                 continue
@@ -4468,7 +4572,7 @@ class TxTable:
                 record.update(_record_extra)
             try:
                 self._commit(v + 1, record)
-                return v + 1
+                return self._after_data_commit(v + 1)
             except ConcurrentWriteError as exc:
                 last_err = exc
                 continue

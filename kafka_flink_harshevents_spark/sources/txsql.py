@@ -721,6 +721,22 @@ def _parse_create(
             if c.strip()
         ),
     )
+    # FREE properties declared at CREATE (anything the create call
+    # didn't consume structurally, e.g. auto_compact_files, owner)
+    # land as the first post-create commit — one statement, both
+    # halves of the Delta TBLPROPERTIES surface
+    free = {
+        k: v for k, v in props.items()
+        if k not in (
+            "key_cols", "order_col", "n_buckets", "cdf", "bloom_cols",
+            "checkpoint_interval", "row_tracking",
+        )
+    }
+    if free:
+        t.set_properties({
+            k: int(v) if re.fullmatch(r"-?\d+", str(v)) else v
+            for k, v in free.items()
+        })
     if ctas_sel is not None:
         # CTAS: the SELECT supplies schema AND first data batch, one
         # ordinary append (IF NOT EXISTS on an existing table opened
@@ -791,10 +807,41 @@ def _parse_alter(
     )
     if am:
         return t.rename_column(am.group(1), am.group(2))
+    am = re.match(
+        r"(?is)^SET\s+TBLPROPERTIES\s*\((?P<b>.*)\)\s*$", act
+    )
+    if am:
+        props: dict = {}
+        for item in _Scanner.split_top(am.group("b")):
+            pm = re.match(
+                r"(?is)^\s*'?([\w.]+)'?\s*=\s*"
+                r"(?:'([^']*)'|(-?\d+))\s*$",
+                item,
+            )
+            if not pm:
+                raise ValueError(
+                    f"txsql SET TBLPROPERTIES: malformed pair {item!r}"
+                )
+            props[pm.group(1)] = (
+                pm.group(2) if pm.group(2) is not None
+                else int(pm.group(3))
+            )
+        return t.set_properties(props)
+    am = re.match(
+        r"(?is)^UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?"
+        r"\((?P<b>.*)\)\s*$",
+        act,
+    )
+    if am:
+        return t.unset_properties(
+            c.strip().strip("'`")
+            for c in _Scanner.split_top(am.group("b"))
+        )
     raise ValueError(
         f"txsql ALTER TABLE: unsupported action {act!r} — supported: "
         "ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT, "
-        "ADD COLUMN(S), DROP COLUMN(S), RENAME COLUMN a TO b"
+        "ADD COLUMN(S), DROP COLUMN(S), RENAME COLUMN a TO b, "
+        "SET TBLPROPERTIES (...), UNSET TBLPROPERTIES (...)"
     )
 
 

@@ -7772,3 +7772,53 @@ def test_merge_prune_latest_wins_fuzz(spark, tmp_path):
         .collect()
     }
     assert got == model
+
+
+def test_set_unset_properties_and_auto_compact(spark, tmp_path):
+    """Free table properties are metadata-only commits replayed over
+    the create record (SET patches, UNSET removes, structural keys
+    refused, time travel sees the pre-SET meta); the engine-
+    interpreted `auto_compact_files` triggers a size-aware partial
+    compaction after a data commit once some bucket's live file
+    count reaches it — and stops after UNSET."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2,
+    )
+    v_pre = t.set_properties({"owner": "pipeline", "pii": "none"})
+    assert t.meta["owner"] == "pipeline"
+    assert t.meta_at(v_pre - 1).get("owner") is None  # time travel
+    t.unset_properties(["pii"])
+    assert "pii" not in t.meta and t.meta["owner"] == "pipeline"
+    with pytest.raises(ValueError, match="structural"):
+        t.set_properties({"n_buckets": 64})
+    with pytest.raises(ValueError, match="structural"):
+        t.unset_properties(["key_cols"])
+
+    # auto-compact: 4 small appends cross the threshold → the write
+    # path itself compacts (history gains a compact op, live file
+    # count collapses, rows intact)
+    t.set_properties({"auto_compact_files": 4})
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            [(i * 10 + j, j, 1) for j in range(5)],
+            "k long, v long, ver long",
+        ))
+    _, live, _ = t._snapshot()
+    per_bucket: dict = {}
+    for e in live:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert max(per_bucket.values()) < 4  # compaction fired
+    ops = [r["op"] for r in t.history().collect()]
+    assert "compact" in ops
+    assert t.read().count() == 20
+    # UNSET stops it: pile up small files freely again
+    t.unset_properties(["auto_compact_files"])
+    for i in range(4, 10):
+        t.append(spark.createDataFrame(
+            [(i * 10 + j, j, 1) for j in range(5)],
+            "k long, v long, ver long",
+        ))
+    n_compacts = [r["op"] for r in t.history().collect()].count("compact")
+    assert n_compacts == ops.count("compact")  # no new compaction
+    assert t.read().count() == 50

@@ -1366,3 +1366,68 @@ def test_where_extraction_sound_fuzz(spark, _skip_table, pred):
         ).collect())
     )
     assert got == want, pred
+
+
+def test_alter_tblproperties_parity(spark, tmp_path):
+    """ALTER TABLE SET/UNSET TBLPROPERTIES — parser → the metadata
+    methods; SHOW TBLPROPERTIES reflects the merged meta; structural
+    keys refused through SQL too; auto-compact drivable end-to-end
+    from SQL alone."""
+    t = _mk(spark, tmp_path, "t")
+    txsql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ("
+        "'owner' = 'ingest', auto_compact_files = 3)",
+        tables={"t": t},
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in txsql(spark, "SHOW TBLPROPERTIES t",
+                       tables={"t": t}).collect()
+    }
+    assert props["owner"] == "ingest"
+    assert props["auto_compact_files"] == "3"
+    # SQL-driven appends hit the threshold → auto-compaction
+    for i in range(3):
+        txsql(
+            spark,
+            f"INSERT INTO t VALUES ({100 + i}, {i}, 1)",
+            tables={"t": t},
+        )
+    ops = [r["op"] for r in t.history().collect()]
+    assert "compact" in ops
+    assert t.read().count() == 13
+    txsql(spark, "ALTER TABLE t UNSET TBLPROPERTIES ('owner')",
+          tables={"t": t})
+    props = {
+        r["key"]: r["value"]
+        for r in txsql(spark, "SHOW TBLPROPERTIES t",
+                       tables={"t": t}).collect()
+    }
+    assert "owner" not in props
+    with pytest.raises(ValueError, match="structural"):
+        txsql(spark,
+              "ALTER TABLE t SET TBLPROPERTIES ('key_cols' = 'x')",
+              tables={"t": t})
+
+
+def test_create_table_free_tblproperties(spark, tmp_path):
+    """Free TBLPROPERTIES at CREATE (beyond the structural keys the
+    create call consumes) land in the table meta — one statement
+    declares schema, keying, AND behavior like auto_compact_files."""
+    t = txsql(
+        spark,
+        "CREATE TABLE t (k BIGINT, v BIGINT, ver BIGINT) USING txlog "
+        f"LOCATION '{tmp_path / 'ct'}' TBLPROPERTIES ("
+        "'key_cols' = 'k', 'order_col' = 'ver', 'n_buckets' = '2', "
+        "'owner' = 'etl', 'auto_compact_files' = '3')",
+    )
+    assert t.meta["owner"] == "etl"
+    assert t.meta["auto_compact_files"] == 3  # int-coerced
+    assert t.meta["n_buckets"] == 2  # structural: consumed by create
+    for i in range(3):  # same key → same bucket → 3 small files
+        t.append(spark.createDataFrame(
+            [(0, i, 1 + i)], "k long, v long, ver long"
+        ))
+    assert "compact" in [r["op"] for r in t.history().collect()]
+    assert t.read().count() == 3
