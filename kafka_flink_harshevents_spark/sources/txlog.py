@@ -1384,6 +1384,7 @@ class TxTable:
                     "meta_update": dict(props),
                     "note": f"set {sorted(props)}",
                 })
+                self._auto_compact_cfg = None
                 return v + 1
             except ConcurrentWriteError as exc:
                 last = exc
@@ -1410,6 +1411,7 @@ class TxTable:
                     "meta_unset": names,
                     "note": f"unset {sorted(names)}",
                 })
+                self._auto_compact_cfg = None
                 return v + 1
             except ConcurrentWriteError as exc:
                 last = exc
@@ -1424,16 +1426,27 @@ class TxTable:
         cost ∝ fragmented bytes only) as a separate, best-effort
         follow-up commit. The DATA commit's success is already
         durable; losing the compaction race to a concurrent writer
-        just defers the cleanup to the next write. Without the
-        property (the default) this is a dict lookup and nothing
-        else — the small-file problem stays an explicit OPTIMIZE
-        call, exactly as before."""
-        m = self.meta
-        n = m.get("auto_compact_files")
-        if n:
-            tb = int(
-                m.get("auto_compact_target_bytes") or (128 << 20)
+        just defers the cleanup to the next write. The config is
+        CACHED PER HANDLE like ``_ckpt_iv`` (a meta replay per data
+        commit would tax every write ~7% on commit-dense programs);
+        set/unset_properties on this handle invalidate it, another
+        handle's change is seen by handles opened after it — the
+        advisory-cleanup contract tolerates that staleness. Without
+        the property (the default) the hook is one cached-attribute
+        check and nothing else — the small-file problem stays an
+        explicit OPTIMIZE call, exactly as before."""
+        cfg = getattr(self, "_auto_compact_cfg", None)
+        if cfg is None:
+            m = self.meta
+            cfg = (
+                int(m.get("auto_compact_files") or 0),
+                int(
+                    m.get("auto_compact_target_bytes") or (128 << 20)
+                ),
             )
+            self._auto_compact_cfg = cfg
+        n, tb = cfg
+        if n:
             try:
                 _, live_map, _, _ = self._replay()
                 # count only files SMALLER than the target (the ones
@@ -3541,7 +3554,13 @@ class TxTable:
             if _file_may_match(e, pm) and _part_may_match(e, prune=pm):
                 cand.append(e)
         n_keys = sum(r["_nk"] for r in stats)
-        if len(cand) > 1 and 0 < n_keys <= self._MERGE_PRUNE_MAX_KEYS:
+        # the per-value probe costs one extra collect job per merge;
+        # below a handful of candidate files the envelope has already
+        # captured ~all the win, and on commit-dense programs (ingest
+        # pipelines) the extra job's scheduling wall dominates what
+        # pruning 2-3 more small files saves — so probe only when the
+        # candidate set is big enough to pay for it
+        if len(cand) > 4 and 0 < n_keys <= self._MERGE_PRUNE_MAX_KEYS:
             rows = src_b.select(*key_cols).distinct().collect()
             im = _map_stat_keys(
                 {k: [r[k] for r in rows] for k in key_cols}, mapping

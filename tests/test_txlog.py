@@ -7677,31 +7677,30 @@ def test_merge_rewrites_only_candidate_files(spark, tmp_path):
 
 def test_merge_prune_bloom_and_by_source_full_scan(spark, tmp_path):
     """Interleaved key ranges (min/max everywhere-overlapping) still
-    prune via the per-file key bloom; a by-source clause scans the
-    whole table (any row may be unmatched) and must NOT prune."""
+    prune via the per-file key bloom — the per-value probe engages
+    above the small-candidate-set floor (>4 files) where it pays for
+    its extra job; a by-source clause scans the whole table (any row
+    may be unmatched) and must NOT prune."""
     t = TxTable.create(
         spark, str(tmp_path / "tb"), key_cols=("k",), order_col="ver",
         n_buckets=1, bloom_cols=("k",),
     )
-    t.append(spark.createDataFrame(
-        [(f"{k:04d}", k, 1) for k in range(0, 300, 2)],
-        "k string, v long, ver long",
-    ))
-    t.append(spark.createDataFrame(
-        [(f"{k:04d}", k, 1) for k in range(1, 300, 2)],
-        "k string, v long, ver long",
-    ))
+    for r in range(6):  # 6 stripes, every file spans [0000, 0299]
+        t.append(spark.createDataFrame(
+            [(f"{k:04d}", k, 1) for k in range(r, 300, 6)],
+            "k string, v long, ver long",
+        ))
     _, live_before, _ = t._snapshot()
-    assert len(live_before) == 2  # both span [0000, 0299]
+    assert len(live_before) == 6
     t.merge_upsert(spark.createDataFrame(
-        [("0100", -1, 2)], "k string, v long, ver long"
+        [("0102", -1, 2)], "k string, v long, ver long"
     ))
     _, live_after, _ = t._snapshot()
     rewritten = {e["path"] for e in live_before} - {
         e["path"] for e in live_after
     }
-    assert len(rewritten) == 1  # bloom excluded the odd-keys file
-    assert _rows(t)["0100"] == (-1, 2) and _rows(t)["0101"] == (101, 1)
+    assert len(rewritten) == 1  # bloom excluded the other 5 stripes
+    assert _rows(t)["0102"] == (-1, 2) and _rows(t)["0101"] == (101, 1)
     # by-source clause: every live file rewrites (full-table scope)
     _, live_before, _ = t._snapshot()
     t.merge_into(
