@@ -7821,3 +7821,32 @@ def test_set_unset_properties_and_auto_compact(spark, tmp_path):
     n_compacts = [r["op"] for r in t.history().collect()].count("compact")
     assert n_compacts == ops.count("compact")  # no new compaction
     assert t.read().count() == 50
+
+
+def test_upsert_sink_with_auto_compact_replay(spark, tmp_path):
+    """Streaming × autoCompact: the foreachBatch transactional MERGE
+    triggers the write-path compaction once a bucket's small files
+    reach the property threshold, the compact commit (no txn marker)
+    does NOT disturb last_committed_batch, and checkpoint-recovery
+    replays stay no-ops across the interleaved layout commit."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.set_properties({"auto_compact_files": 3})
+    sink = t.upsert_sink(app_id="stream1")
+    for b in range(5):  # each merge adds one small file to the bucket
+        sink(
+            spark.createDataFrame(
+                [(f"k{b}", b, b + 1)], "k string, v long, ver long"
+            ),
+            b,
+        )
+    ops = [r["op"] for r in t.history().collect()]
+    assert "compact" in ops  # the sink's own writes self-cleaned
+    assert t.last_committed_batch("stream1") == 4  # marker survives
+    v_after = t.latest_version()
+    # crash-recovery replay of the last batch: still a no-op
+    sink(
+        spark.createDataFrame([("k4", 4, 5)], "k string, v long, ver long"),
+        4,
+    )
+    assert t.latest_version() == v_after
+    assert _rows(t) == {f"k{b}": (b, b + 1) for b in range(5)}
