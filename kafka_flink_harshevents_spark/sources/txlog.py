@@ -905,9 +905,44 @@ class TxTable:
     #: ``row_tracking=True`` table, allocated like an IDENTITY column
     _ROW_ID = "_row_id"
 
+    #: protocol versions THIS engine implements (the Delta
+    #: reader/writer-version mechanism): a table whose recorded
+    #: ``protocol`` demands more must be REFUSED, not misread — the
+    #: forward-compatibility contract that lets a future engine add
+    #: log features (new DV encodings, new stat shapes) without old
+    #: engines silently corrupting or misreading tables that use them
+    READER_VERSION = 1
+    WRITER_VERSION = 1
+
     def __init__(self, spark: SparkSession, table_dir: str):
         self.spark = spark
         self.table_dir = table_dir
+
+    def _check_protocol(self, action: str) -> None:
+        """Refuse reads/writes the table's recorded protocol says this
+        engine is too old for. One meta read per handle (cached);
+        tables without a protocol record default to (1, 1)."""
+        p = getattr(self, "_proto", None)
+        if p is None:
+            rec = self.meta.get("protocol") or {}
+            p = (
+                int(rec.get("min_reader", 1)),
+                int(rec.get("min_writer", 1)),
+            )
+            self._proto = p
+        need = p[0] if action == "read" else p[1]
+        have = (
+            self.READER_VERSION if action == "read"
+            else self.WRITER_VERSION
+        )
+        if need > have:
+            raise ValueError(
+                f"table at {self.table_dir} requires {action}er "
+                f"protocol version {need}, this engine implements "
+                f"{have} — upgrade the engine (refusing is the "
+                "protocol contract; proceeding could misread or "
+                "corrupt the log)"
+            )
 
     # -- bootstrap ---------------------------------------------------
 
@@ -1356,8 +1391,98 @@ class TxTable:
         "key_cols", "order_col", "n_buckets", "cdf", "bloom_cols",
         "generated_cols", "checkpoint_interval", "identity_cols",
         "identity_next", "row_tracking", "partition_by",
-        "column_mapping", "dropped_cols", "constraints",
+        "column_mapping", "dropped_cols", "constraints", "protocol",
     ))
+
+    def fsck(self, dry_run: bool = False, max_retries: int = 5):
+        """Delta's ``FSCK REPAIR TABLE``: drop log references to live
+        data files that are MISSING from storage (deleted out of band
+        — a misfired cleanup job, a lost volume). Until repaired,
+        every scan that touches a vanished file fails; after, the
+        table serves the surviving rows. Returns the missing
+        table-relative (or adopted absolute) paths; ``dry_run=True``
+        only reports. The repair is a pure-removal commit, so history
+        and time travel to pre-repair versions still reference the
+        lost files (and fail if read — the honest answer); its change
+        feed is EMPTY by definition, since the removed rows are
+        unrecoverable (`_changes_for` special-cases the op)."""
+        for _ in range(max_retries):
+            base_v, live_map, _, _ = self._replay()
+            missing = sorted(
+                p for p, e in live_map.items()
+                if not os.path.exists(
+                    e["path"]
+                    if os.path.isabs(e["path"])
+                    else os.path.join(self.table_dir, e["path"])
+                )
+            )
+            if dry_run or not missing:
+                return missing
+            try:
+                self._commit(base_v + 1, {
+                    "version": base_v + 1,
+                    "op": "fsck",
+                    "add": [],
+                    "remove": missing,
+                    "note": f"fsck dropped {len(missing)} missing",
+                })
+                return missing
+            except ConcurrentWriteError as exc:
+                last = exc
+        raise last
+
+    def upgrade_protocol(
+        self,
+        min_reader: int | None = None,
+        min_writer: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Delta's ``upgradeTableProtocol``: RAISE the table's
+        required reader/writer versions (a one-way door — downgrades
+        are refused, since an older engine may already have been
+        fenced out and data written under the new rules). The engine
+        performing the upgrade must itself satisfy the new bound."""
+        cur = self.meta.get("protocol") or {}
+        new = {
+            "min_reader": int(
+                min_reader
+                if min_reader is not None
+                else cur.get("min_reader", 1)
+            ),
+            "min_writer": int(
+                min_writer
+                if min_writer is not None
+                else cur.get("min_writer", 1)
+            ),
+        }
+        if (new["min_reader"] < int(cur.get("min_reader", 1))
+                or new["min_writer"] < int(cur.get("min_writer", 1))):
+            raise ValueError(
+                "upgrade_protocol: protocol versions can only go up"
+            )
+        if (new["min_reader"] > self.READER_VERSION
+                or new["min_writer"] > self.WRITER_VERSION):
+            raise ValueError(
+                "upgrade_protocol: this engine implements "
+                f"({self.READER_VERSION}, {self.WRITER_VERSION}) and "
+                "cannot require more than it supports"
+            )
+        last: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            v = self.latest_version()
+            try:
+                self._commit(v + 1, {
+                    "version": v + 1,
+                    "op": "upgrade_protocol",
+                    "add": [], "remove": [],
+                    "meta_update": {"protocol": new},
+                    "note": f"protocol -> {new}",
+                })
+                self._proto = None
+                return v + 1
+            except ConcurrentWriteError as exc:
+                last = exc
+        raise last  # type: ignore[misc]
 
     def set_properties(self, props: dict, max_retries: int = 5) -> int:
         """``ALTER TABLE ... SET TBLPROPERTIES`` — a metadata-only
@@ -1471,6 +1596,7 @@ class TxTable:
         the committed write — the checkpoint is DERIVED data (a pure
         function of the version); losing one costs replay time until
         the next interval commit retries, nothing else."""
+        self._check_protocol("write")
         _atomic_commit(self.table_dir, version, record)
         # the interval is create-time-immutable (never in a
         # meta_update patch), so one meta read per handle suffices —
@@ -2526,6 +2652,7 @@ class TxTable:
         depend on the skip. Keep the value list driver-bounded (it
         travels in the plan as an IN-set); above ~10^5 values a join
         is the right tool instead."""
+        self._check_protocol("read")
         if timestamp is not None:
             if version is not None:
                 raise ValueError(
@@ -6169,6 +6296,17 @@ class TxTable:
         if rec.get("remove"):
             _, prev_live, _, pre_dvs = self._replay(version - 1)
         post = read_files(list(rec["add"]))
+        if rec["op"] == "fsck":
+            # the removed files are GONE from storage — their rows are
+            # unrecoverable, so the repair's feed is empty by contract
+            # (emitting deletes would require reading the lost data)
+            schema_json = rec.get("schema_json") or self._snapshot()[2]
+            empty = self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+            return empty.withColumn(
+                "_change_type", F.lit("delete")
+            ).limit(0)
         if post is None and rec["op"] not in ("create", "compact") and rec["remove"]:
             # pure-removal rewrite: a whole-file DELETE, or a RESTORE
             # rolling back appends — every pre-image row is a delete

@@ -2,8 +2,10 @@
 that maps the Delta-documented statement grammar (CREATE [OR REPLACE]
 TABLE ... USING txlog / ALTER TABLE / MERGE INTO / INSERT INTO
 [REPLACE WHERE] / INSERT OVERWRITE / UPDATE / DELETE / COPY INTO /
-RESTORE / OPTIMIZE [WHERE] / VACUUM [DRY RUN] / SHOW PARTITIONS /
-DESCRIBE HISTORY / SELECT ... VERSION|TIMESTAMP AS OF)
+RESTORE / OPTIMIZE [WHERE] / VACUUM [DRY RUN] / FSCK REPAIR TABLE
+[DRY RUN] / SHOW PARTITIONS / DESCRIBE HISTORY / ALTER TABLE
+SET|UNSET TBLPROPERTIES / EXPLAIN SKIPPING <stmt> /
+SELECT ... VERSION|TIMESTAMP AS OF)
 onto the existing
 :class:`~kafka_flink_harshevents_spark.sources.txlog.TxTable` methods.
 Zero new semantics: every statement form is parity-tested against the
@@ -2110,6 +2112,21 @@ def txsql(
             ),
             dry_run=bool(m.group("dry")),
         )
+
+    if head == "FSCK":
+        m = re.match(
+            r"(?is)^FSCK\s+REPAIR\s+TABLE\s+"
+            r"(?P<t>'[^']*'|`[^`]+`|\w+)"
+            r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+            stmt,
+        )
+        if not m:
+            raise ValueError(
+                "txsql: malformed FSCK — expected "
+                "FSCK REPAIR TABLE <t> [DRY RUN]"
+            )
+        t = _target_table(spark, m.group("t"), tables)
+        return t.fsck(dry_run=bool(m.group("dry")))
 
     raise ValueError(
         f"txsql: unsupported statement {head!r} — supported: MERGE "

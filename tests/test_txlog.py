@@ -7850,3 +7850,76 @@ def test_upsert_sink_with_auto_compact_replay(spark, tmp_path):
     )
     assert t.latest_version() == v_after
     assert _rows(t) == {f"k{b}": (b, b + 1) for b in range(5)}
+
+
+def test_fsck_repair_missing_files(spark, tmp_path):
+    """FSCK REPAIR: an out-of-band-deleted data file breaks scans;
+    dry run reports it without committing, repair drops the reference
+    in a pure-removal commit, surviving rows read fine, and the
+    repair's change feed is empty (the lost rows are unrecoverable)."""
+    from kafka_flink_harshevents_spark.sources.txsql import txsql
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=1, cdf=True,
+    )
+    t.append(spark.createDataFrame(
+        [(k, k, 1) for k in range(10)], "k long, v long, ver long"
+    ))
+    t.append(spark.createDataFrame(
+        [(k, k, 1) for k in range(10, 20)], "k long, v long, ver long"
+    ))
+    _, live, _ = t._snapshot()
+    victim = sorted(e["path"] for e in live)[0]
+    os.remove(os.path.join(t.table_dir, victim))
+    with pytest.raises(Exception):
+        t.read().count()  # vanished file breaks the scan
+    missing = txsql(spark, "FSCK REPAIR TABLE t DRY RUN",
+                    tables={"t": t})
+    assert missing == [victim]
+    assert t.latest_version() == 3  # dry run committed nothing
+    repaired = txsql(spark, "FSCK REPAIR TABLE t", tables={"t": t})
+    assert repaired == [victim]
+    assert t.read().count() == 10  # survivors readable
+    v = t.latest_version()
+    assert t.table_changes(v).count() == 0  # empty feed by contract
+    assert t.fsck() == []  # clean table: no-op, no commit
+    assert t.latest_version() == v
+
+
+def test_protocol_guard_and_upgrade(spark, tmp_path):
+    """Protocol versioning: tables default to (1,1) and open fine; a
+    recorded requirement above what this engine implements refuses
+    reads/writes with a clear error; upgrades are one-way and capped
+    at the engine's own versions; 'protocol' is not settable via the
+    free-property surface."""
+    t = _mk(spark, tmp_path)
+    t.merge_upsert(spark.createDataFrame(
+        [("a", 1, 1)], "k string, v long, ver long"
+    ))
+    assert t.read().count() == 1  # default protocol reads fine
+    with pytest.raises(ValueError, match="only go up|cannot require"):
+        t.upgrade_protocol(min_reader=2)  # engine implements 1
+    with pytest.raises(ValueError, match="structural"):
+        t.set_properties({"protocol": {"min_reader": 9}})
+    # simulate a future engine's table: raw meta_update commit
+    v = t.latest_version()
+    _atomic_commit(t.table_dir, v + 1, {
+        "version": v + 1, "op": "upgrade_protocol",
+        "add": [], "remove": [],
+        "meta_update": {"protocol": {"min_reader": 9, "min_writer": 9}},
+    })
+    t2 = TxTable(spark, t.table_dir)  # fresh handle, fresh cache
+    with pytest.raises(ValueError, match="protocol version 9"):
+        t2.read()
+    with pytest.raises(ValueError, match="protocol version 9"):
+        t2.append(spark.createDataFrame(
+            [("b", 2, 2)], "k string, v long, ver long"
+        ))
+    # one-way door: an upgrade below current is refused even by a
+    # hypothetical capable engine
+    t3 = TxTable(spark, t.table_dir)
+    t3.READER_VERSION = t3.WRITER_VERSION = 9  # instance override
+    assert t3.read().count() == 1
+    with pytest.raises(ValueError, match="only go up"):
+        t3.upgrade_protocol(min_reader=1, min_writer=1)
