@@ -355,11 +355,21 @@ def corpus_ingest(
             else "shuffle"
         )
 
-    parts = doc_fingerprints(
-        new_docs.select("doc_id", "text").withColumn(
-            "is_seed", F.lit(0)
+    # Pinned ONCE: the store semi-join, the verify candidate join, and
+    # the accepted-doc fingerprint merge below all read this one
+    # materialization. Unpinned, the full fingerprint projection (the
+    # per-row MinHash band fold — the batch's most expensive stage)
+    # re-evaluates once per consumer: 2× in advisory mode, 3× in
+    # verify mode. The frame is batch-sized (parts ∝ batch rows).
+    parts = (
+        doc_fingerprints(
+            new_docs.select("doc_id", "text").withColumn(
+                "is_seed", F.lit(0)
+            )
         )
-    ).select("doc_id", "kind", "fp")
+        .select("doc_id", "kind", "fp")
+        .localCheckpoint(eager=True)
+    )
     store_cols = "kind long, fp string" + (
         ", doc long" if attributed else ""
     )
@@ -528,11 +538,14 @@ def corpus_ingest(
         sel = ["kind", "fp"] + (
             [F.col("doc_id").alias("doc")] if attributed else []
         )
+        # accepted docs' fingerprints are exactly the pinned batch
+        # parts restricted to accepted doc_ids (doc_fingerprints is a
+        # deterministic per-row projection of text) — a semi-join
+        # against the checkpoint instead of re-fingerprinting the
+        # accepted texts from scratch
         new_fps = (
-            doc_fingerprints(
-                accepted.select("doc_id", "text").withColumn(
-                    "is_seed", F.lit(0)
-                )
+            parts.join(
+                accepted.select("doc_id"), "doc_id", "left_semi"
             )
             .select(*sel)
             .distinct()

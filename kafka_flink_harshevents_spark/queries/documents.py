@@ -588,6 +588,11 @@ def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR_ITERS = 5  # fixed PageRank iterations (unrolled in the oracle)
 PR_SCALE = 1_000_000_000  # nano-unit integer probability mass
+# ≤ this many symmetric edges → PageRank runs the SAME integer
+# fixed-point loop vectorized on the driver (bounded Arrow collect,
+# the graph.py CC_DRIVER_MAX_EDGES rule) instead of ~3 scheduled jobs
+# per iteration; identical ranks by integer exactness.
+PR_DRIVER_MAX_EDGES = 500_000
 
 
 def doc_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,6 +620,45 @@ def doc_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is needed.
     """
     pairs = doc_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    # Size-guarded driver path (the graph.py union-find rule): the
+    # fixed-point arithmetic is INTEGER-exact — (85·pr) div (100·deg)
+    # per edge, summed, + base — so a vectorized numpy loop over a
+    # bounded Arrow collect returns bit-identical ranks while the
+    # distributed loop costs ~3 scheduled jobs per iteration of pure
+    # scheduler wall on a small pair graph. Above the guard the
+    # per-round join+agg loop below runs unchanged (pair graphs at
+    # 100 TB are far past any driver bound). Equality pinned by
+    # test_pagerank_driver_path_matches_distributed.
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= PR_DRIVER_MAX_EDGES:
+        import numpy as np
+
+        pdf = pairs.toPandas()
+        out_schema = "node long, pr_nano long, n_iters long"
+        if n_pairs == 0:
+            return spark.createDataFrame([], out_schema)
+        da = pdf["da"].to_numpy(np.int64)
+        db = pdf["db"].to_numpy(np.int64)
+        src = np.concatenate([da, db])
+        dst = np.concatenate([db, da])
+        node_ids, src_idx = np.unique(src, return_inverse=True)
+        n = len(node_ids)
+        dst_idx = np.searchsorted(node_ids, dst)
+        deg = np.bincount(src_idx, minlength=n).astype(np.int64)
+        pr = np.full(n, PR_SCALE // n, dtype=np.int64)
+        b = (15 * PR_SCALE) // (100 * n)
+        for _ in range(PR_ITERS):
+            contrib = (85 * pr[src_idx]) // (100 * deg[src_idx])
+            inflow = np.zeros(n, dtype=np.int64)
+            np.add.at(inflow, dst_idx, contrib)
+            pr = b + inflow
+        return spark.createDataFrame(
+            [
+                (int(node_ids[i]), int(pr[i]), PR_ITERS)
+                for i in range(n)
+            ],
+            out_schema,
+        )
     edges = pairs.select(
         F.col("da").alias("s"), F.col("db").alias("d")
     ).unionByName(
@@ -1638,7 +1682,12 @@ def _ingest_frames(spark: SparkSession, sf_dir: str):
         .select("doc_id", "text", ver)
         .unionByName(sent)
     )
-    return hist, batch
+    # pin the batch once: its lineage embeds the sentinel seed's
+    # global orderBy/limit subtree THREE times (one per sentinel), and
+    # downstream each evaluation of the batch (fingerprint pin,
+    # verdict join) would re-run all of them — one bounded
+    # materialization, every consumer reads it
+    return hist, batch.localCheckpoint(eager=True)
 
 
 def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,8 +1735,12 @@ def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprints,
     )
 
-    corpus.append(hist)
-    fps.append(
+    # the two seed appends hit DISJOINT tables with no ordering
+    # contract between them — overlap the independent jobs (guide
+    # §2.6) so the second append's stages back-fill the first's tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    seed_fps = (
         doc_fingerprints(
             hist.select("doc_id", "text").withColumn("is_seed", F.lit(0))
         )
@@ -1695,6 +1748,10 @@ def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("ver", F.lit(1).cast("long"))
     )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(corpus.append, hist)
+        fb = pool.submit(fps.append, seed_fps)
+        fa.result(), fb.result()
     txn = {"app_id": "ingest", "batch_id": 1}
     res = corpus_ingest(
         corpus, fps, batch, txn=txn, min_quality=INGEST_MIN_QUALITY
@@ -1764,8 +1821,10 @@ def doc_ingest_verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # seed by direct append (the documented replay pattern), with doc
     # attribution — verify mode's candidate fetch needs it
-    corpus.append(hist)
-    fps.append(
+    # overlap the two independent seed appends — the dedup gate's rule
+    from concurrent.futures import ThreadPoolExecutor
+
+    seed_fps = (
         doc_fingerprints(
             hist.select("doc_id", "text").withColumn("is_seed", F.lit(0))
         )
@@ -1773,6 +1832,10 @@ def doc_ingest_verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("ver", F.lit(1).cast("long"))
     )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(corpus.append, hist)
+        fb = pool.submit(fps.append, seed_fps)
+        fa.result(), fb.result()
     txn = {"app_id": "ingest-v", "batch_id": 1}
     res = corpus_ingest(
         corpus, fps, batch, txn=txn, min_quality=INGEST_MIN_QUALITY,
@@ -2686,6 +2749,12 @@ def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_TRAIN_MERGES = 8
+# ≤ this many distinct words → the merge loop runs driver-side on a
+# bounded Arrow collect (the graph.py driver-union-find rule): the
+# whole sequential-argmax loop costs 3 scheduled jobs instead of
+# ~2 × merges. The cap keeps the collect ≤ a few MB AND the
+# pure-Python loop ≤ ~1 s (8 rounds × 64k words × ~7 symbols).
+BPE_DRIVER_MAX_VOCAB = 65_536
 BPE_TRAIN_SAMPLE = 0.25  # tokenizers train on a corpus sample
 
 
@@ -2762,27 +2831,49 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train_merges(spark: SparkSession, sf_dir: str):
-    """The distributed merge loop behind `doc_bpe_train`: returns the
+    """The merge loop behind `doc_bpe_train`: returns the
     (step, left, right, merged, pair_count) list and the vocab stats
     row. Exposed so `test_bpe_train_matches_reference` can pin every
     merge — not just the gate row — against the pure-Python
-    implementation."""
-    vocab = _bpe_vocab(spark, sf_dir).select(
+    implementation.
+
+    TWO size-guarded paths, the `operators/graph.py` discipline: BPE's
+    merge selection is a sequential argmax (round N+1's counts depend
+    on round N's merge — Sennrich's algorithm), so the distributed
+    loop costs BPE_TRAIN_MERGES × (one vocabulary agg + one 1-row
+    collect + one checkpoint) of pure scheduler wall when the
+    vocabulary is small. Below ``BPE_DRIVER_MAX_VOCAB`` distinct words
+    the (word, cnt) table is a bounded Arrow collect (≤ a few MB) and
+    the SAME pinned pure-Python loop (`_bpe_reference` — the exactness
+    reference the distributed loop is tested against) runs the merges
+    in one go: ~18 scheduled jobs become 3. Above the guard, the
+    distributed loop is the right tool (per-round aggs scale out; a
+    driver loop over millions of words would not) and runs unchanged.
+    Both paths produce identical merge lists — the same tie-break
+    (count desc, left asc, right asc; Python and UTF8String string
+    order agree code-point-wise) pinned by
+    `test_bpe_train_matches_reference` and `test_bpe_small_vocab_path_
+    matches_distributed`."""
+    vocab_wc = _bpe_vocab(spark, sf_dir).localCheckpoint()
+    stats = vocab_wc.agg(
+        F.count(F.lit(1)).alias("vocab_words"),
+        F.sum("cnt").alias("corpus_tokens"),
+    ).collect()[0]
+    if int(stats["vocab_words"] or 0) <= BPE_DRIVER_MAX_VOCAB:
+        pdf = vocab_wc.toPandas()
+        merges = _bpe_reference(
+            dict(zip(pdf["word"], (int(c) for c in pdf["cnt"]))),
+            BPE_TRAIN_MERGES,
+        )
+        return merges, stats
+    vocab = vocab_wc.select(
         F.expr(
             "concat(transform(sequence(1, length(word)),"
             " i -> substring(word, i, 1)), array('</w>'))"
         ).alias("syms"),
         "cnt",
     )
-    # Checkpoint FIRST, then derive stats from the checkpointed frame:
-    # computing stats off the raw `vocab` lineage would run the
-    # corpus-sized word-count aggregation twice (once for the stats
-    # collect, once for the eager checkpoint).
     cur = vocab.localCheckpoint()
-    stats = cur.agg(
-        F.count(F.lit(1)).alias("vocab_words"),
-        F.sum("cnt").alias("corpus_tokens"),
-    ).collect()[0]
     # The loop table is vocabulary-sized, not corpus-sized: size its
     # partitioning to the actual row count (~100k symbol rows per task)
     # so 16 jobs over a toy vocab don't pay 32 empty-task schedules per

@@ -910,6 +910,12 @@ KMEANS_ITERS = 5
 
 
 KMEANS_SCALE = 10**9  # fixed-point quantization: 9 fractional digits
+# ≤ this many vectors → the Lloyd loop runs on one bounded Arrow
+# collect (≤ 64 MB of float64 at d=64) with the identical quantized
+# kernel — int64 partial sums are associative, so the driver totals
+# equal any distributed grouping bit-for-bit; above it, one
+# mapInPandas pass per round (the scale path).
+KMEANS_DRIVER_MAX_VECS = 131_072
 
 
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,6 +961,57 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows instead of re-planning scan+cast, and n_total rides along
     e = e.localCheckpoint(eager=True)
     n_total = e.count()
+    if 0 < n_total <= KMEANS_DRIVER_MAX_VECS:  # empty → distributed (trivial)
+        # Size-guarded driver path (the graph.py / BPE rule): the
+        # per-row quantization is iteration-independent and the
+        # per-cluster reductions are INT64 sums (associative — any
+        # grouping of rows gives the same totals), so one bounded
+        # Arrow collect + the same numpy kernel returns bit-identical
+        # centroids/inertia while skipping one scheduled job per Lloyd
+        # round. Above the guard (≤ ~64 MB of float64 at d=64), the
+        # distributed per-round mapInPandas pass below is the scale
+        # path and runs unchanged. Parity pinned by
+        # test_kmeans_driver_path_matches_distributed.
+        pdf = e.toPandas().sort_values("vec_id")
+        x = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        cents = x[:KMEANS_K].copy()
+        xq = (np.sign(x) * np.floor(np.abs(x) * KMEANS_SCALE + 0.5)).astype(
+            np.int64
+        )
+        inertia = []
+        n_assigned = 0
+        for it in range(KMEANS_ITERS):
+            d2_all = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            ks = d2_all.argmin(1)
+            d2 = d2_all[np.arange(len(x)), ks]
+            d2q = np.floor(d2 * KMEANS_SCALE + 0.5).astype(np.int64)
+            inertia.append(float(Decimal(int(d2q.sum())).scaleb(-9)))
+            n_assigned = int(len(x))
+            if it < KMEANS_ITERS - 1:
+                new = cents.copy()
+                for k in range(min(KMEANS_K, len(cents))):
+                    m = ks == k
+                    if m.any():
+                        sq = xq[m].sum(0)
+                        new[k] = (
+                            np.array(
+                                [float(Decimal(int(v)).scaleb(-9)) for v in sq]
+                            )
+                            / int(m.sum())
+                        )
+                cents = new
+        return spark.createDataFrame(
+            [
+                (
+                    KMEANS_K,
+                    int(n_total),
+                    bool(n_assigned == n_total),
+                    bool(inertia[-1] <= inertia[0]),
+                )
+            ],
+            "k long, n_vectors long, full_coverage boolean, "
+            "inertia_decreased boolean",
+        )
     init = e.orderBy("vec_id").limit(KMEANS_K).collect()
     cents = np.array([r["emb"] for r in init], dtype=np.float64)
 

@@ -468,8 +468,24 @@ def q_txlog_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="ver",
         n_buckets=2,
     )
-    for m in range(8):  # eight small appends → fragmentation
-        t.append(base.filter(F.col("k") % 8 == m))
+    # eight small appends → fragmentation. The appends are blind
+    # inserts of DISJOINT slices with no ordering contract, so they
+    # overlap as concurrent jobs (guide §2.6); optimistic concurrency
+    # serializes the version claims (staged files are position-
+    # independent — a lost race retries the commit, not the write),
+    # and the final multiset/file layout is order-independent.
+    # max_retries covers the worst case of 7 lost races.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(
+            pool.map(
+                lambda m: t.append(
+                    base.filter(F.col("k") % 8 == m), max_retries=16
+                ),
+                range(8),
+            )
+        )
     t.delete_where("k % 7 = 0", mode="merge_on_read")
     _, live_before, _ = t._snapshot()
     sizes_before = [int(e["bytes"]) for e in live_before]
@@ -1306,8 +1322,12 @@ def q_txlog_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=2,
         partition_by=("st",),
     )
-    for _ in range(3):
-        t.append(base)
+    # three identical blind appends — no ordering contract; overlap
+    # them (the q_txlog_compact_binpack convention, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda _: t.append(base, max_retries=16), range(3)))
     t.delete_where("st = 'O' AND k % 11 = 0", mode="merge_on_read")
     _, live0, _, dvs0 = t._replay()
 

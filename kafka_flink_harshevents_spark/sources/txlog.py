@@ -5514,10 +5514,17 @@ class TxTable:
                         last_err = exc
                         continue
                 # too many positions for a vector — rewrite instead
-            hit_files = {
-                r["_file"]
-                for r in matches.select("_file").distinct().collect()
-            }
+            # ONE aggregate over the find-scan yields both the touched
+            # file set AND the delete count (its per-file sum) — the
+            # previous distinct-files job + separate count() re-scanned
+            # the candidate/touched files twice more for the same facts
+            per_file = (
+                matches.groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            hit_files = {r["_file"] for r in per_file}
+            n_del = sum(int(r["_n"]) for r in per_file)
             touched = [
                 e for e in cand if _path_sfx(e["path"]) in hit_files
             ]
@@ -5526,7 +5533,6 @@ class TxTable:
             t_scan = self._open_files(
                 touched, schema_json, dvs
             )
-            n_del = t_scan.filter(predicate).count()
             # recompute _bucket from the keys (the recorded schema is
             # user-facing; same hash → same bucket as the original file).
             # Survivors are rows where the predicate is NOT TRUE — the
@@ -5536,7 +5542,10 @@ class TxTable:
             survivors = self._with_bucket(
                 t_scan.filter(f"NOT (({predicate}) <=> TRUE)")
             )
-            added = self._stage(survivors) if not survivors.isEmpty() else []
+            # no isEmpty() probe: staging an all-deleted frame writes
+            # no part files (dynamic partitionBy) and returns [] — the
+            # probe cost one extra scan of the touched files per delete
+            added = self._stage(survivors)
             record = {
                 "version": base_v + 1,
                 "op": "delete",
@@ -5684,12 +5693,15 @@ class TxTable:
                         touched, schema_json, dvs
                     )
                     # survivors: predicate NOT TRUE (null-safe — an
-                    # unknown predicate never replaces, SQL semantics)
+                    # unknown predicate never replaces, SQL semantics).
+                    # No isEmpty() probe (the delete_where rule): an
+                    # all-replaced slice stages no part files and
+                    # contributes [] — the probe cost a full extra
+                    # scan of the touched files per replace
                     survivors = self._with_bucket(
                         t_scan.filter(f"NOT (({predicate}) <=> TRUE)")
                     )
-                    if not survivors.isEmpty():
-                        added = self._stage(survivors) + added
+                    added = self._stage(survivors) + added
             schema_rec = self._schema_union_json(
                 df, schema_json, False, "replace_where"
             )
@@ -5885,13 +5897,17 @@ class TxTable:
                         last_err = exc
                         continue
                 # too many positions for a vector — rewrite instead
-            hit_files = {
-                r["_file"]
-                for r in scan.filter(predicate)
-                .select("_file")
-                .distinct()
+            # ONE aggregate yields the touched files AND the update
+            # count (its per-file sum) — the delete_where fusion; the
+            # separate count() re-scanned the touched files
+            per_file = (
+                scan.filter(predicate)
+                .groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("_n"))
                 .collect()
-            }
+            )
+            hit_files = {r["_file"] for r in per_file}
+            n_upd = sum(int(r["_n"]) for r in per_file)
             touched = [
                 e for e in cand if _path_sfx(e["path"]) in hit_files
             ]
@@ -5900,7 +5916,6 @@ class TxTable:
             t_scan = self._open_files(
                 touched, schema_json, dvs
             )
-            n_upd = t_scan.filter(predicate).count()
             match = F.expr(predicate)
             # the predicate and the SET expressions both evaluate on
             # the PRE-update row (one projection); the matched-row

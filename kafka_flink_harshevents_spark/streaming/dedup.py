@@ -68,9 +68,23 @@ def _minhash_band_fps() -> F.Column:
     batch pipeline, where such docs never reach the signature agg).
 
     Everything folds over the row's own shingle ARRAY (array_distinct /
-    array_min / transform), so it runs inside a streaming projection
+    aggregate / transform), so it runs inside a streaming projection
     with no aggregation state — the store, not the projection, is the
     stateful part.
+
+    Evaluation shape: lambda-bound single-pass fold. Higher-order
+    functions are interpreted (no codegen subexpression elimination),
+    so the naive spelling — one ``array_min(transform(transform(sh,
+    md5), substring))`` per permutation — re-evaluates the shingle
+    array ~PERMS times and every per-shingle md5 twice (once per hex
+    half). Binding the word array once via ``transform(array(split(..
+    )), ws -> ..)[0]``, the shingle array once as ``aggregate``'s
+    input, and each seeded md5 once per shingle via an inner bind
+    makes the row cost exactly: 1 split + 1 shingle build +
+    (PERMS/2) md5 per shingle + PERMS ``least`` folds — identical
+    band strings (``least`` over hex halves IS ``array_min`` of the
+    per-half transform; ``'g'`` sorts after every hex digit, and
+    size ≥ 2 guarantees ≥ 1 shingle replaces it).
     """
     from kafka_flink_harshevents_spark.queries.documents import (
         LSH_BANDS,
@@ -78,24 +92,27 @@ def _minhash_band_fps() -> F.Column:
         MINHASH_PERMS,
     )
 
-    sh = (
-        "array_distinct(transform(sequence(0, size(split(text, ' ')) - 2), "
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])))"
+    n_half = MINHASH_PERMS // 2
+    hs = ", ".join(f"md5(concat('{i}|', s))" for i in range(n_half))
+    upd = ", ".join(
+        f"least(acc[{j}], substring(hs[{j // 2}], {1 + 16 * (j % 2)}, 16))"
+        for j in range(MINHASH_PERMS)
     )
-    mins = []
-    for i in range(MINHASH_PERMS // 2):
-        hashed = f"transform({sh}, s -> md5(concat('{i}|', s)))"
-        mins.append(f"array_min(transform({hashed}, h -> substring(h, 1, 16)))")
-        mins.append(f"array_min(transform({hashed}, h -> substring(h, 17, 16)))")
     bands = ", ".join(
         f"concat('{b}|', md5(concat("
-        + ", ".join(mins[b * LSH_ROWS + r] for r in range(LSH_ROWS))
+        + ", ".join(f"acc[{b * LSH_ROWS + r}]" for r in range(LSH_ROWS))
         + ")))"
         for b in range(LSH_BANDS)
     )
     return F.expr(
-        f"CASE WHEN size(split(text, ' ')) >= 2 THEN array({bands}) "
-        f"ELSE array() END"
+        "transform(array(split(text, ' ')), ws -> "
+        "CASE WHEN size(ws) >= 2 THEN aggregate("
+        "array_distinct(transform(sequence(0, size(ws) - 2), "
+        "i -> concat(ws[i], ' ', ws[i + 1]))), "
+        f"array_repeat('g', {MINHASH_PERMS}), "
+        f"(acc, s) -> transform(array(array({hs})), hs -> array({upd}))[0], "
+        f"acc -> array({bands})) "
+        "ELSE array() END)[0]"
     )
 
 

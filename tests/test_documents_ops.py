@@ -265,6 +265,42 @@ def test_bpe_train_matches_reference(spark):
     assert stats["vocab_words"] == len(vocab)
 
 
+def test_pagerank_driver_path_matches_distributed(spark, monkeypatch):
+    """The size-guarded driver PageRank (vectorized numpy over a
+    bounded Arrow collect) must return bit-identical nano-unit ranks
+    to the distributed join+agg loop — integer fixed-point arithmetic
+    is order-independent, so the guard changes cost only. Forced by
+    zeroing the guard."""
+    from kafka_flink_harshevents_spark.queries import documents as D
+
+    fast = sorted(
+        tuple(r) for r in D.doc_neardup_pagerank(spark, SF_DIR).collect()
+    )
+    monkeypatch.setattr(D, "PR_DRIVER_MAX_EDGES", -1)
+    dist = sorted(
+        tuple(r) for r in D.doc_neardup_pagerank(spark, SF_DIR).collect()
+    )
+    assert fast == dist
+    assert len(fast) > 0
+
+
+def test_bpe_small_vocab_path_matches_distributed(spark, monkeypatch):
+    """The size-guarded driver path (vocab ≤ BPE_DRIVER_MAX_VOCAB runs
+    the pinned pure-Python loop on a bounded Arrow collect) must return
+    the exact merge list and stats of the distributed per-round loop on
+    the same corpus — forced here by zeroing the guard."""
+    from kafka_flink_harshevents_spark.queries import documents as D
+
+    fast, fast_stats = D._bpe_train_merges(spark, SF_DIR)
+    monkeypatch.setattr(D, "BPE_DRIVER_MAX_VOCAB", 0)
+    dist, dist_stats = D._bpe_train_merges(spark, SF_DIR)
+    assert fast == dist
+    assert len(fast) == D.BPE_TRAIN_MERGES
+    assert (fast_stats["vocab_words"], fast_stats["corpus_tokens"]) == (
+        dist_stats["vocab_words"], dist_stats["corpus_tokens"]
+    )
+
+
 def test_delete_propagation_closure(spark):
     """Deletion must be closed over exact content copies: recompute the
     request set and hash classes independently (pandas) and check the

@@ -566,6 +566,20 @@ def test_kmeans_deterministic_and_monotone(spark):
     assert KMEANS_ITERS >= 2
 
 
+def test_kmeans_driver_path_matches_distributed(spark, monkeypatch):
+    """The size-guarded driver Lloyd loop (bounded Arrow collect, same
+    quantized kernel) must emit the identical gate row to the
+    distributed per-round mapInPandas path — int64 partial sums are
+    associative, so any row grouping gives the same totals. Forced by
+    zeroing the guard."""
+    from kafka_flink_harshevents_spark.queries import embeddings as E
+
+    fast = [tuple(r) for r in E.emb_kmeans(spark, SF_DIR).collect()]
+    monkeypatch.setattr(E, "KMEANS_DRIVER_MAX_VECS", 0)
+    dist = [tuple(r) for r in E.emb_kmeans(spark, SF_DIR).collect()]
+    assert fast == dist
+
+
 def test_pca_matches_driver_local(spark):
     """emb_pca's distributed partial-Gram pipeline must agree with a
     single-process numpy PCA on the same vectors: identical eigenvalue
