@@ -1652,42 +1652,42 @@ def _ingest_frames(spark: SparkSession, sf_dir: str):
     u = _md5_unit(F.col("doc_id"), "batch|")
     ver = F.lit(1).cast("long").alias("ver")
     hist = d.filter(u >= BATCH_FRACTION).select("doc_id", "text", ver)
-    seed = (
+    # one bounded TakeOrdered collect for the seed doc; the three
+    # sentinels become LITERAL rows. The declarative spelling embedded
+    # the seed's global orderBy/limit subtree three times (once per
+    # sentinel union branch), and every downstream evaluation of the
+    # batch re-ran all of them — a 1-row collect + local rows is the
+    # same data with zero recurring subtrees.
+    seed_rows = (
         hist.filter(
             F.size(F.split("text", " ")) >= INGEST_SENTINEL_MIN_WORDS
         )
         .orderBy("doc_id")
         .limit(1)
         .select("doc_id", "text")
+        .collect()
     )
     off = INGEST_SENTINEL_OFF
-    sent = (
-        seed.select((F.col("doc_id") + off).alias("doc_id"), "text")
-        .unionByName(
-            seed.select(
-                (F.col("doc_id") + 2 * off).alias("doc_id"),
-                F.concat(F.lit("zulu "), "text").alias("text"),
-            )
-        )
-        .unionByName(
-            seed.select(
-                (F.col("doc_id") + 3 * off).alias("doc_id"),
-                F.lit(INGEST_LOWQ_TEXT).alias("text"),
-            )
-        )
-        .select("doc_id", "text", ver)
+    sent_rows = []
+    if seed_rows:
+        r = seed_rows[0]
+        sent_rows = [
+            (int(r["doc_id"]) + off, r["text"], 1),
+            (int(r["doc_id"]) + 2 * off, "zulu " + r["text"], 1),
+            (int(r["doc_id"]) + 3 * off, INGEST_LOWQ_TEXT, 1),
+        ]
+    sent = spark.createDataFrame(
+        sent_rows, "doc_id long, text string, ver long"
     )
     batch = (
         d.filter(u < BATCH_FRACTION)
         .select("doc_id", "text", ver)
         .unionByName(sent)
+        # pin once: the fingerprint pin, the verdict join and (verify
+        # mode) the shingle side all read this one materialization
+        .localCheckpoint(eager=True)
     )
-    # pin the batch once: its lineage embeds the sentinel seed's
-    # global orderBy/limit subtree THREE times (one per sentinel), and
-    # downstream each evaluation of the batch (fingerprint pin,
-    # verdict join) would re-run all of them — one bounded
-    # materialization, every consumer reads it
-    return hist, batch.localCheckpoint(eager=True)
+    return hist, batch
 
 
 def doc_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
