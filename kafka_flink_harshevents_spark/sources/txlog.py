@@ -3242,6 +3242,7 @@ class TxTable:
         max_rows_per_file: int | None = None,
         bin_col: str | None = None,
         bin_to_bucket: dict[int, int] | None = None,
+        pre_bucketed: bool = False,
     ) -> list[dict]:
         """Write `df` (already carrying ``_bucket``) as invisible data
         files; return add-entries [{path, bucket}...].
@@ -3255,7 +3256,16 @@ class TxTable:
         out one file per BIN id instead of per bucket (the size-aware
         compaction path packs several small same-bucket files into one
         output), with the add-entry's bucket resolved through the
-        map — each bin must hold rows of exactly one bucket."""
+        map — each bin must hold rows of exactly one bucket.
+
+        ``pre_bucketed=True``: the caller guarantees ``df`` is already
+        hash-partitioned by ``_bucket`` (each bucket's rows live in
+        exactly one partition — e.g. the merge paths' single bucket
+        exchange, which any window keyed ``(_bucket, ...)`` preserves),
+        so the ``repartition("_pb")`` here is skipped — the file
+        layout (one file per partition-tuple per bucket) is identical,
+        one exchange cheaper. Incompatible with ``bin_col`` (bins are
+        a different grouping)."""
         meta = self.meta
         staged = f"_staged-{uuid.uuid4().hex}"
         out = os.path.join(self.table_dir, staged)
@@ -3300,9 +3310,16 @@ class TxTable:
         # columns and inserts its own (non-stable) sort when they are
         # not — which would scramble the data ordering this sort
         # establishes
-        w = w.repartition("_pb").sortWithinPartitions(
-            *hp_cols, "_pb", *(order_cols or meta["key_cols"])
-        )
+        if pre_bucketed and not bin_col:
+            # caller-guaranteed: df is already hash-partitioned by
+            # _bucket, so the exchange is pure cost — sort in place
+            w = w.sortWithinPartitions(
+                *hp_cols, "_pb", *(order_cols or meta["key_cols"])
+            )
+        else:
+            w = w.repartition("_pb").sortWithinPartitions(
+                *hp_cols, "_pb", *(order_cols or meta["key_cols"])
+            )
         # synthetic layout columns (z-value, bin id) must not land in
         # the files: the projection after the sort is exchange-free,
         # so the within-partition order survives the drop
@@ -3766,6 +3783,22 @@ class TxTable:
                 merged = ex_flag(incoming, 0)
             from pyspark.sql import Window
 
+            # ONE exchange for the whole merge (guide §2.4): hash-
+            # repartition by _bucket once, and prepend _bucket to every
+            # window's partition keys below. The groups are IDENTICAL
+            # to partitionBy(key_cols) alone — _bucket is a pure
+            # function of the keys (pmod(xxhash64(keys), n_buckets)) —
+            # so no row's window result changes; but clustered-by-
+            # (_bucket, keys) is satisfied by hashpartitioning(_bucket),
+            # so both windows ride THIS exchange, and _stage reuses it
+            # via pre_bucketed=True instead of repartitioning by _pb
+            # again. Was: exchange(keys) for the windows + exchange(_pb)
+            # in _stage (+ a third by _bucket in _fill_identity on
+            # identity tables — its localCheckpoint erases partitioning
+            # info, so that one re-adds only when NULL ids need fills).
+            merged = merged.repartition("_bucket")
+            bkeys = ["_bucket", *m["key_cols"]]
+
             # IDENTITY / row tracking: the winner for an EXISTING key
             # is an update — it INHERITS the key's current id, and the
             # EXISTING side's value takes precedence over any explicit
@@ -3783,7 +3816,7 @@ class TxTable:
             # window below — one exchange.
             idc = [c for c in idc0 if c in merged.columns]
             if idc:
-                kw = Window.partitionBy(*m["key_cols"])
+                kw = Window.partitionBy(*bkeys)
                 for c in idc:
                     merged = merged.withColumn(
                         f"_ih_{c}",
@@ -3797,7 +3830,7 @@ class TxTable:
                             ),
                         ).over(kw),
                     )
-            w = Window.partitionBy(*m["key_cols"]).orderBy(
+            w = Window.partitionBy(*bkeys).orderBy(
                 F.col(m["order_col"]).desc()
             )
             latest = (
@@ -3812,7 +3845,7 @@ class TxTable:
             if idc0:
                 latest = latest.drop("_ex")
             latest, id_upd = self._fill_identity(latest, m)
-            added = self._stage(latest)
+            added = self._stage(latest, pre_bucketed=True)
             record = {
                 "version": base_v + 1,
                 "op": "merge",
@@ -4559,6 +4592,14 @@ class TxTable:
                 merged = inc
             from pyspark.sql import Window
 
+            # ONE exchange for the whole CDC apply (guide §2.4, the
+            # merge_upsert convention): repartition by _bucket once;
+            # the windows below prepend _bucket to their partition
+            # keys — identical groups (_bucket is a pure function of
+            # the keys), so no row's window result changes — and
+            # _stage reuses this exchange via pre_bucketed=True.
+            merged = merged.repartition("_bucket")
+            bkeys = ["_bucket", *m["key_cols"]]
             data_cols = [
                 c for c in merged.columns
                 if c not in ("_op", "_src", "_bucket")
@@ -4573,7 +4614,7 @@ class TxTable:
             # tie-break.
             idc = [c for c in self._identity_specs(m) if c in merged.columns]
             if idc:
-                kw = Window.partitionBy(*m["key_cols"])
+                kw = Window.partitionBy(*bkeys)
                 for c in idc:
                     # inherit from the LATEST-WINS existing row (see
                     # merge_upsert): existing duplicates for one key
@@ -4590,7 +4631,7 @@ class TxTable:
                             ),
                         ).over(kw),
                     )
-            w = Window.partitionBy(*m["key_cols"]).orderBy(
+            w = Window.partitionBy(*bkeys).orderBy(
                 F.col(m["order_col"]).desc(),
                 F.col("_src").desc(),
                 # deterministic tie-breaks (see docstring): delete
@@ -4613,7 +4654,9 @@ class TxTable:
                     c, F.coalesce(F.col(f"_ih_{c}"), F.col(c))
                 ).drop(f"_ih_{c}")
             latest, id_upd = self._fill_identity(latest, m)
-            added = self._stage(latest)  # _bucket travels in `latest`
+            # _bucket travels in `latest`; partitioning rides the
+            # single bucket exchange above
+            added = self._stage(latest, pre_bucketed=True)
             record = {
                 "version": base_v + 1,
                 "op": "merge",

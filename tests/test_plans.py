@@ -338,3 +338,51 @@ def test_catalog_wide_no_unpartitioned_windows(spark):
         if empty_part_windows(plan):
             offenders.append(name)
     assert not offenders, f"unpartitioned Window in: {offenders}"
+
+
+def test_merge_upsert_stages_through_one_exchange(spark, tmp_path):
+    """merge_upsert's whole pipeline — latest-wins window, identity
+    inheritance, and the bucket-partitioned stage write — rides ONE
+    hash exchange (round-12 collapse): the windows partition by
+    (_bucket, keys) — identical groups, since _bucket is a pure
+    function of the keys — so hashpartitioning(_bucket) satisfies
+    them, and _stage(pre_bucketed=True) skips its repartition. The
+    staged plan is captured from the real write via a writer hook."""
+    import pyspark.sql.readwriter as rw
+
+    from kafka_flink_harshevents_spark.sources.txlog import TxTable
+
+    captured: list[str] = []
+    orig = rw.DataFrameWriter.parquet
+
+    def hook(self, path, **kw):
+        captured.append(
+            self._df._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(self, path, **kw)
+
+    rw.DataFrameWriter.parquet = hook
+    try:
+        t = TxTable.create(
+            spark, str(tmp_path / "t"), key_cols=["k"],
+            order_col="ver", n_buckets=4,
+        )
+        t.append(spark.createDataFrame(
+            [(k, k * 10, 1) for k in range(200)],
+            "k long, v long, ver long",
+        ))
+        captured.clear()
+        t.merge_upsert(spark.createDataFrame(
+            [(k, k * 100, 2) for k in range(100)],
+            "k long, v long, ver long",
+        ))
+    finally:
+        rw.DataFrameWriter.parquet = orig
+    assert len(captured) == 1
+    plan = captured[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # both windows present and keyed by (_bucket, keys)
+    assert plan.count("Window [") == 1  # no identity cols -> one window
+    # survivors: latest ver per key
+    rows = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert rows[0] == (0, 2) and rows[150] == (1500, 1)
