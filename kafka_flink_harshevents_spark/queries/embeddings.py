@@ -980,10 +980,29 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inertia = []
         n_assigned = 0
+
+        def assign(vecs, cents):
+            # Chunked nearest-centroid pass: the one-shot broadcast
+            # difference materializes n×k×d float64 — ~540 MB at the
+            # guard max (131,072 × 8 × 64 × 8 B) — a driver-OOM hazard
+            # exactly at the boundary. Row chunks keep the transient
+            # at chunk×k×d = 16,384 × 8 × 64 × 8 B = 64 MB peak, with
+            # per-row arithmetic IDENTICAL to the unchunked spelling
+            # (each row's distances are computed independently).
+            ks = np.empty(len(vecs), dtype=np.int64)
+            d2 = np.empty(len(vecs), dtype=np.float64)
+            step = 16_384
+            for i in range(0, len(vecs), step):
+                blk = (
+                    (vecs[i:i + step, None, :] - cents[None, :, :]) ** 2
+                ).sum(-1)
+                bk = blk.argmin(1)
+                ks[i:i + step] = bk
+                d2[i:i + step] = blk[np.arange(len(blk)), bk]
+            return ks, d2
+
         for it in range(KMEANS_ITERS):
-            d2_all = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            ks = d2_all.argmin(1)
-            d2 = d2_all[np.arange(len(x)), ks]
+            ks, d2 = assign(x, cents)
             d2q = np.floor(d2 * KMEANS_SCALE + 0.5).astype(np.int64)
             inertia.append(float(Decimal(int(d2q.sum())).scaleb(-9)))
             n_assigned = int(len(x))
