@@ -191,6 +191,13 @@ _BLOOM_MIN_BITS = 1 << 10
 _BLOOM_MAX_BITS = 1 << 15
 _BLOOM_BITS_PER_KEY = 12
 _BLOOM_MAX_K = 8
+# ≤ this many staged bytes per commit → the per-file bloom bitmaps are
+# built from one driver-side pyarrow read of the just-written files
+# (zero scheduled jobs) instead of the distributed scan job; above it
+# the distributed path runs unchanged (the size-guarded driver-path
+# rule — bpe/pagerank/kmeans). Identical bitmaps either way:
+# _bloom_build dedups and hashes the same native values.
+_BLOOM_DRIVER_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _bloom_key_bytes(v) -> bytes | None:
@@ -3417,7 +3424,38 @@ class TxTable:
         repartition by file), and the driver collects one ≤4 KiB bitmap
         row per (file, column) — O(files added this commit), the same
         order as the add-entries themselves. Hashing runs Arrow-batched
-        in executors, never driver-side."""
+        in executors, never driver-side — EXCEPT below
+        ``_BLOOM_DRIVER_MAX_BYTES`` of staged bytes, where one bounded
+        pyarrow read replaces the whole scheduled job (the commit-dense
+        programs — ingest pipelines, the bloom-tabled gates — pay that
+        job once per commit, and at bench scale it is pure scheduling
+        wall)."""
+        paths = glob.glob(
+            os.path.join(out_dir, "**", "*.parquet"), recursive=True
+        )
+        if (
+            sum(os.path.getsize(p) for p in paths)
+            <= _BLOOM_DRIVER_MAX_BYTES
+        ):
+            import pyarrow.parquet as pq
+
+            out: dict[str, dict[str, dict]] = {}
+            for p in paths:
+                # the 3-component key IS the table-relative path (the
+                # same array_join(slice(split(file_path), -3, 3)) the
+                # distributed branch computes)
+                rel = "/".join(p.split(os.sep)[-3:])
+                tbl = pq.read_table(p, columns=list(bloom_cols))
+                for c in bloom_cols:
+                    vals = [
+                        v
+                        for v in tbl.column(c).to_pylist()
+                        if v is not None
+                    ]
+                    b = _bloom_build(vals)
+                    if b is not None:
+                        out.setdefault(rel, {})[c] = b
+            return out
         rel_of = F.array_join(
             F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3), "/"
         )

@@ -7923,3 +7923,33 @@ def test_protocol_guard_and_upgrade(spark, tmp_path):
     assert t3.read().count() == 1
     with pytest.raises(ValueError, match="only go up"):
         t3.upgrade_protocol(min_reader=1, min_writer=1)
+
+def test_stage_blooms_driver_path_matches_distributed(spark, tmp_path):
+    """The size-guarded driver path for staged-file bloom bitmaps
+    (one bounded pyarrow read below _BLOOM_DRIVER_MAX_BYTES, round
+    12) must produce bit-identical bitmaps to the distributed scan
+    job it replaces: same files, same columns, same m/k/b64."""
+    from kafka_flink_harshevents_spark.sources import txlog as tx
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), key_cols=("k",), order_col="ver",
+        n_buckets=2, bloom_cols=("k", "tag"),
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"tag{i % 7}", i * 10, 1) for i in range(200)]
+        + [(1000, None, 0, 1)],
+        "k long, tag string, v long, ver long",
+    ))
+    _, live, _, _ = t._replay()
+    staged_dir = {e["path"].split("/", 1)[0] for e in live.values()}
+    assert len(staged_dir) == 1
+    out_dir = str(tmp_path / "t" / staged_dir.pop())
+    driver = t._stage_blooms(out_dir, ("k", "tag"))
+    assert driver  # the guard took the driver path at this size
+    old = tx._BLOOM_DRIVER_MAX_BYTES
+    tx._BLOOM_DRIVER_MAX_BYTES = 0  # force the distributed job
+    try:
+        dist = t._stage_blooms(out_dir, ("k", "tag"))
+    finally:
+        tx._BLOOM_DRIVER_MAX_BYTES = old
+    assert driver == dist
