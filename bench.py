@@ -53,21 +53,41 @@ def main() -> None:
         round-over-round calibration ratio to separate plan
         regressions from host noise (normalization rule in
         PLANS.md §Round 10)."""
-        runs = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            spark.range(50_000_000).selectExpr(
-                "sum(id * 2 + 1)"
-            ).collect()
-            spark.range(100_000).selectExpr(
-                "id % 97 AS g", "id"
-            ).groupBy("g").count().write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        return round(min(runs), 4)
+        return round(
+            min(_one_calibration_run() for _ in range(5)), 4
+        )
 
+    def _one_calibration_run() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr(
+            "sum(id * 2 + 1)"
+        ).collect()
+        spark.range(100_000).selectExpr(
+            "id % 97 AS g", "id"
+        ).groupBy("g").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    # Quiet-window gate (round-12 defense): this host shows multi-
+    # second stall windows that can swallow a whole sweep (round 11's
+    # driver run calibrated 0.59 vs the 0.33 quiet floor and read as a
+    # uniform fake 0.67x regression). The sentinel is data-independent,
+    # so a start reading far above the recorded quiet floor means the
+    # HOST is stalled — wait briefly and re-measure (bounded: the
+    # driver's window is finite) instead of timing a sweep that can
+    # only produce noise. CAL_FLOOR is the minimum start calibration
+    # observed across committed sweeps on this hardware — at full
+    # cores and at the driver's low-core scaling run (the sentinel's
+    # 50M-row sum parallelizes, so fewer cores raise the quiet floor).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
+    CAL_FLOOR = 0.33 if cpus >= 16 else 0.43
+    calibration_attempts = 1
     calibration_wall = calibration()
+    while calibration_wall > 1.25 * CAL_FLOOR and calibration_attempts < 6:
+        time.sleep(20)
+        calibration_attempts += 1
+        calibration_wall = calibration()
 
     # Three passes per query: this host shows multi-second stall windows
     # (95% idle, not CPU-steal) that can inflate a single run 2-10x and
@@ -76,7 +96,22 @@ def main() -> None:
     # the first-pass wall is kept alongside for cold-cost visibility.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name, fn in all_queries().items():
+    # mid-sweep sentinel samples (cheap: one ~0.3 s reading every 40
+    # entries) — post-hoc evidence of WHICH part of a sweep a host
+    # stall hit, so per-query round-over-round comparisons can discard
+    # readings from stalled segments instead of raw-diffing them
+    calibration_samples: list[float] = []
+    for qi, (name, fn) in enumerate(all_queries().items()):
+        if qi and qi % 40 == 0:
+            calibration_samples.append(
+                round(
+                    min(
+                        _one_calibration_run()
+                        for _ in range(2)
+                    ),
+                    4,
+                )
+            )
         runs = []
         for _ in range(3):
             # queries that cache guard-bounded intermediates must not get
@@ -123,6 +158,9 @@ def main() -> None:
                 "warmup": warmup,
                 "calibration_wall": calibration_wall,
                 "calibration_wall_end": calibration_end,
+                "calibration_floor": CAL_FLOOR,
+                "calibration_attempts": calibration_attempts,
+                "calibration_samples": calibration_samples,
                 "sf": sf,
             }
         )
@@ -144,6 +182,9 @@ def main() -> None:
                 "n_acid_gates": len(gate_names),
                 "calibration_wall": calibration_wall,
                 "calibration_wall_end": calibration_end,
+                "calibration_floor": CAL_FLOOR,
+                "calibration_attempts": calibration_attempts,
+                "calibration_samples": calibration_samples,
             }
         )
     )
