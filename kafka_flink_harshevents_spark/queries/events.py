@@ -601,7 +601,19 @@ def ev_percentile_last1000(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "value", ts_millis("ts").alias("tms")
     )
-    recent = e.orderBy(F.col("tms").desc(), F.col("event_id").desc()).limit(1000).drop("tms")
+    # pin the 1000-row buffer ONCE: the exact-rank operator references
+    # its input three times (min/max pass, bucket-count pass, final
+    # ranked pass), and each reference would re-run the TakeOrdered
+    # subtree — a full scan of events per pass at any scale. The
+    # buffer is structurally bounded (LIMIT 1000) and deterministic
+    # (total-order tie-break), so an eager localCheckpoint turns three
+    # table scans into one (guide §1.2: compute things once).
+    recent = (
+        e.orderBy(F.col("tms").desc(), F.col("event_id").desc())
+        .limit(1000)
+        .drop("tms")
+        .localCheckpoint(eager=True)
+    )
     return _percentile_picks(with_exact_rank(recent, "value", "event_id"))
 
 
