@@ -179,6 +179,12 @@ def _partition_batches(partition: "_FilePartition", schema: StructType):
 
     if partition is None:  # zero-partition plan (everything skipped
         return iter(())  # or an empty change-feed range)
+    if isinstance(partition, _FileGroup):
+        import itertools
+
+        return itertools.chain.from_iterable(
+            _partition_batches(p, schema) for p in partition.parts
+        )
     target = to_arrow_schema(schema)
     table = pq.read_table(partition.path)
     if partition.dv:  # merge-on-read / cloned deletion vectors
@@ -211,15 +217,26 @@ def _partition_batches(partition: "_FilePartition", schema: StructType):
     return iter(out.to_batches())
 
 
+_SCHEMA_MEMO: dict[tuple, StructType] = {}
+
+
 def _table_schema(table_dir: str, cdf: bool = False) -> StructType:
     """Latest recorded table schema (log-authoritative), minus the
     internal ``_bucket`` layout column, plus the commit-version stamp
     (and, in change-feed mode, the ``_change_type`` column).
     Checkpoint-aware via ``_replay_log`` — stream planning calls this,
-    so it must not walk a 10⁵-commit log."""
+    so it must not walk a 10⁵-commit log. Memoized on
+    (table_dir, latest version, cdf): the log is append-only and a
+    commit's schema record immutable, so the key can never serve a
+    stale schema — repeated plans over the same snapshot (the reused
+    planning worker) skip the replay entirely."""
     from pyspark.sql.types import StringType
 
     versions = _list_versions(table_dir)
+    key = (table_dir, versions[-1] if versions else None, cdf)
+    hit = _SCHEMA_MEMO.get(key)
+    if hit is not None:
+        return hit
     schema_json = (
         _replay_log(table_dir, versions[-1])[2] if versions else None
     )
@@ -232,7 +249,13 @@ def _table_schema(table_dir: str, cdf: bool = False) -> StructType:
     fields = [f for f in base.fields if f.name != "_bucket"]
     if cdf:
         fields = fields + [StructField(CHANGE_COL, StringType(), False)]
-    return StructType(fields + [StructField(VERSION_COL, LongType(), False)])
+    out = StructType(
+        fields + [StructField(VERSION_COL, LongType(), False)]
+    )
+    if len(_SCHEMA_MEMO) > 256:  # bound a long-lived planning worker
+        _SCHEMA_MEMO.clear()
+    _SCHEMA_MEMO[key] = out
+    return out
 
 
 def _column_mapping(table_dir: str) -> tuple[tuple[str, str], ...]:
@@ -275,6 +298,7 @@ class _FilePartition(InputPartition):
         ctype: str | None = None,
         dv: tuple[int, ...] = (),
         mapping: tuple[tuple[str, str], ...] = (),
+        nbytes: int | None = None,
     ):
         self.path = path
         self.version = version
@@ -289,6 +313,56 @@ class _FilePartition(InputPartition):
         # column-mapping pairs (logical, physical) for renamed columns
         # — tuple-of-pairs so the partition stays picklable/hashable
         self.mapping = mapping
+        # recorded physical size (add-entry `bytes` / `cdf_bytes`) —
+        # consumed by _pack_partitions; None = unknown (legacy entry)
+        self.nbytes = nbytes
+
+
+class _FileGroup(InputPartition):
+    """Several small files served by ONE task. A Python-DataSource
+    partition costs a scheduled task + a worker round-trip each, so a
+    commit-dense range of tiny files (the ACID gates, any CDF replay)
+    was task-scheduling-bound. Files pack CONSECUTIVELY up to
+    ``_PACK_MAX_BYTES`` (each charged ``_PACK_OPEN_COST``, Spark's own
+    maxPartitionBytes/openCostInBytes packing rule), so row content
+    AND global row order are identical to the unpacked plan — the
+    group's files are read in exactly the order their one-per-file
+    partitions held."""
+
+    def __init__(self, parts: tuple):
+        self.parts = parts
+
+
+_PACK_MAX_BYTES = 128 * 1024 * 1024
+_PACK_OPEN_COST = 4 * 1024 * 1024
+
+
+def _pack_partitions(parts: list) -> list:
+    """Pack per-file partitions into ≤128 MB groups (consecutive
+    files only — preserves version grouping and global row order).
+    Unknown sizes fall back to one driver-side stat; a missing file
+    (foreign filesystem) packs alone."""
+    groups: list[list] = []
+    cur: list = []
+    cum = 0
+    for p in parts:
+        sz = p.nbytes
+        if sz is None:
+            try:
+                sz = os.path.getsize(p.path)
+            except OSError:
+                sz = _PACK_MAX_BYTES
+        eff = int(sz) + _PACK_OPEN_COST
+        if cur and cum + eff > _PACK_MAX_BYTES:
+            groups.append(cur)
+            cur, cum = [], 0
+        cur.append(p)
+        cum += eff
+    if cur:
+        groups.append(cur)
+    return [
+        g[0] if len(g) == 1 else _FileGroup(tuple(g)) for g in groups
+    ]
 
 
 def _is_add_only(rec: dict) -> bool:
@@ -351,13 +425,16 @@ def _change_partitions(
                         v, columns, ctype="insert",
                         dv=tuple(sorted(dvf.get(entry["path"], ()))),
                         mapping=mapping,
+                        nbytes=entry.get("bytes"),
                     ))
             elif rec.get("cdf_files"):
+                cb = rec.get("cdf_bytes") or {}
                 for p in rec["cdf_files"]:
                     parts.append(_FilePartition(
                         os.path.join(table_dir, p),
                         v, columns, ctype=_CTYPE_FROM_FILE,
                         mapping=mapping,
+                        nbytes=cb.get(p),
                     ))
             elif op in ("create", "compact") or not (
                 rec.get("add") or rec.get("remove") or rec.get("dv")
@@ -422,9 +499,13 @@ def _change_partitions(
                         (rec.get("dv_full") or {}).get(entry["path"], ())
                     )),
                     mapping=mapping,
+                    nbytes=entry.get("bytes"),
                 )
             )
-    return parts
+    # pack small consecutive files into shared tasks (identical rows
+    # AND order — see _FileGroup); whole commits stay whole because
+    # packing never reorders, so offset semantics are untouched
+    return _pack_partitions(parts)
 
 
 def _served_sizes(
@@ -906,7 +987,7 @@ class TxLogBatchReader(DataSourceReader):
                     },
                     f,
                 )
-        return [
+        return _pack_partitions([
             _FilePartition(
                 os.path.join(self.table_dir, e["path"]),
                 target,  # batch rows are stamped with the SNAPSHOT
@@ -915,9 +996,10 @@ class TxLogBatchReader(DataSourceReader):
                 self.columns,
                 dv=tuple(sorted(dvs.get(e["path"], ()))),
                 mapping=self._cmap,
+                nbytes=e.get("bytes"),
             )
             for e in kept
-        ]
+        ])
 
     def read(self, partition: _FilePartition) -> Iterator:
         # Executor-side, like the stream reader — Arrow RecordBatches
