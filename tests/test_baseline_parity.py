@@ -17,6 +17,7 @@ REF_LATENCIES = "/root/reference/latencies.json"
 @pytest.mark.skipif(
     not os.path.exists(REF_LATENCIES), reason="reference checkout not present"
 )
+@pytest.mark.slow
 def test_baseline_latency_stats(spark):
     from kafka_flink_harshevents_spark.sources.files import read_latency_log
 

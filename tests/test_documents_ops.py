@@ -10,6 +10,8 @@ synthetic corpus can't exercise by itself:
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -284,6 +286,7 @@ def test_pagerank_driver_path_matches_distributed(spark, monkeypatch):
     assert len(fast) > 0
 
 
+@pytest.mark.slow
 def test_bpe_small_vocab_path_matches_distributed(spark, monkeypatch):
     """The size-guarded driver path (vocab ≤ BPE_DRIVER_MAX_VOCAB runs
     the pinned pure-Python loop on a bounded Arrow collect) must return

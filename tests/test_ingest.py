@@ -240,6 +240,7 @@ def test_verify_mode_rejects_verified_near_dups(spark, tmp_path):
     assert r2["kept"] == 2
 
 
+@pytest.mark.slow
 def test_verify_mode_band_collision_below_threshold_kept(spark, tmp_path):
     """A band collision whose exact Jaccard falls BELOW the threshold
     is advisory-only even in verify mode — verification must confirm,
@@ -294,6 +295,7 @@ def test_verify_mode_requires_attributed_store(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_verify_mode_crash_replay(spark, tmp_path):
     """Exactly-once holds in verify mode: crash between the two
     commits, replay the txn, end state equals the clean run."""
@@ -326,6 +328,7 @@ def test_verify_mode_crash_replay(spark, tmp_path):
     assert fps.last_committed_batch("ing") == 1
 
 
+@pytest.mark.slow
 def test_bucketed_store_join_parity(spark, tmp_path):
     """store_join='bucketed' (the storage-partitioned prototype) must
     produce verdicts identical to the shuffle path, with ZERO store
@@ -395,6 +398,7 @@ def test_bucketed_store_join_parity(spark, tmp_path):
                       store_join="bucketed")
 
 
+@pytest.mark.slow
 def test_verify_mode_stored_text_fetch_is_candidate_pruned(
     spark, tmp_path
 ):
@@ -537,6 +541,7 @@ def test_streaming_verify_ingest_kill_and_restart(spark, tmp_path):
     assert fps.latest_version() == fv
 
 
+@pytest.mark.slow
 def test_store_join_auto_selection(spark, tmp_path, monkeypatch):
     """store_join='auto' (the default): bucketed once the store is
     join-key-bucketed AND past the size floor; shuffle below it, and

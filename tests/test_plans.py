@@ -5,6 +5,8 @@ executed plans so a future refactor can't silently regress them."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_DIR
 
 
@@ -296,6 +298,7 @@ def test_cbo_column_stats_drive_selectivity(spark, tmp_path):
         _restore_confs(spark, old)
 
 
+@pytest.mark.slow
 def test_catalog_wide_no_cartesian_products(spark):
     """Global invariant, swept over EVERY catalog entry: no
     CartesianProduct anywhere — every pair-finding operator must key its
@@ -312,6 +315,7 @@ def test_catalog_wide_no_cartesian_products(spark):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
+@pytest.mark.slow
 def test_catalog_wide_no_unpartitioned_windows(spark):
     """Global invariant, swept over EVERY catalog entry: no Window
     with an EMPTY partition spec — Spark moves all rows into ONE

@@ -8,6 +8,8 @@ example count) so JVM round-trips stay tolerable.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -58,6 +60,7 @@ _payload = st.fixed_dictionaries(
 
 @given(st.lists(_payload, max_size=12))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_derive_path_invariants(spark, payloads):
     """For ANY payload batch: every emitted violation's type is in the
     allowlist; event timestamp follows the coalesce rule (element ts when
@@ -388,6 +391,7 @@ _doubles = st.lists(
 
 @given(_doubles, st.integers(min_value=1, max_value=7))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_det_helpers_cross_engine_and_partitioning(spark, xs, parts):
     """The det_sum/det_avg/det_total trees (hi/lo long quantization,
     decimal recombination) must produce BIT-IDENTICAL emitted values

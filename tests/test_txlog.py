@@ -403,6 +403,7 @@ _ops = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_txlog_model_property(spark, tmp_path_factory, ops):
     """Model-based property: any sequence of merges (random key
     subsets, strictly increasing versions) and compactions keeps (a)
@@ -461,6 +462,7 @@ _evo_ops = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_schema_evolution_model_property(spark, tmp_path_factory, ops):
     """Model-based property over the SCHEMA-EVOLUTION surface: any
     interleaving of merges, column renames (column mapping), column
@@ -573,6 +575,7 @@ _conc_programs = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_concurrent_data_ops_serialize_property(
     spark, tmp_path_factory, programs
 ):
@@ -1698,6 +1701,7 @@ def test_append_race_never_narrows_schema(spark, tmp_path):
     assert "extra2" in rec_fields
 
 
+@pytest.mark.slow
 def test_stream_ignorechanges_resumes_past_dv_and_compact(spark, tmp_path):
     """The ignorechanges resume path across deletion vectors: a DV
     commit streams nothing (no new files), later appends keep flowing,
@@ -3410,6 +3414,7 @@ _new_ops = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_txlog_model_property_new_ops(spark, tmp_path_factory, ops, target):
     """Model-based property over the ROUND-5 write surface: any
     interleaving of CDC batches (upserts + retractions), merge-on-read
@@ -3761,6 +3766,7 @@ def test_apply_cdc_equal_order_ties_deterministic(spark, tmp_path):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(st.data())
+@pytest.mark.slow
 def test_bucket_batch_property_matches_scalar_twin(data):
     """Property: the vectorized numpy bucket assignment equals the
     scalar twin (whose JVM parity is pinned separately) for ANY mix of
@@ -3897,6 +3903,7 @@ def test_datasource_concurrent_writes_both_commit(spark, tmp_path):
     assert all(got[k] == k * 2 for k in (0, 499, 500, 999))
 
 
+@pytest.mark.slow
 def test_stream_maxfilespertrigger_paces_batches(spark, tmp_path):
     """`maxfilespertrigger` bounds each micro-batch to whole commits
     whose file count fits the cap: six 2-file appends with a cap of 2
@@ -3966,6 +3973,7 @@ def test_stream_maxfilespertrigger_paces_batches(spark, tmp_path):
     assert not (new_rows & all_rows)  # nothing re-served
 
 
+@pytest.mark.slow
 def test_available_now_drains_one_capped_batch_per_run(spark, tmp_path):
     """PINNED ENGINE CONTRACT (the pacing caveat in txstream.py): a
     ``Trigger.AvailableNow`` run of a PACED txlog stream drains exactly
@@ -4173,6 +4181,7 @@ def test_stream_pacing_counts_served_files_per_mode(spark, tmp_path):
     ],
 )
 @given(st.data())
+@pytest.mark.slow
 def test_stream_pacing_property(spark, tmp_path_factory, data):
     """Model-based pacing property: for ANY commit history (appends of
     varying width, optional merges) and ANY cap, repeatedly calling
@@ -6175,6 +6184,7 @@ _id_programs = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_identity_never_reuses_ids_under_concurrency(
     spark, tmp_path_factory, programs
 ):
@@ -7210,6 +7220,7 @@ def test_copy_into_wrong_format_directory_raises(spark, tmp_path):
     assert n == 1
 
 
+@pytest.mark.slow
 def test_drain_available_fully_drains_paced_backlog(spark, tmp_path):
     """drain_available is the API form of the pinned single-batch
     caveat: a 3-commit backlog behind maxfilespertrigger=2 needs three
@@ -7371,6 +7382,7 @@ _vc_ops = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_vacuum_checkpoint_interplay_property(
     spark, tmp_path_factory, ops
 ):
@@ -7718,6 +7730,7 @@ def test_merge_prune_bloom_and_by_source_full_scan(spark, tmp_path):
     assert rows["0100"] == (-2, 3) and "0299" not in rows
 
 
+@pytest.mark.slow
 def test_merge_prune_latest_wins_fuzz(spark, tmp_path):
     """Randomized program of blind appends (duplicate keys allowed)
     and merges: whatever the file-level find-phase prunes, the keyed

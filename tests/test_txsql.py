@@ -1349,6 +1349,7 @@ _pred = st.one_of(
     max_examples=40, deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow
 def test_where_extraction_sound_fuzz(spark, _skip_table, pred):
     """For ARBITRARY predicates from the grammar above — extractable,
     partially extractable, type-mismatched, OR'd, NOT BETWEEN,
