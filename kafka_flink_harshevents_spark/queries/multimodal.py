@@ -162,16 +162,27 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _media_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ the pHash sentinel twin — the id universe every
     dedup-closure entry (pairs / clusters / report) is defined over,
-    so the three stay mutually consistent at every scale factor."""
+    so the three stay mutually consistent at every scale factor.
+
+    The twin is materialized with ONE bounded TakeOrdered collect and
+    unioned back as a LITERAL row (the `_ingest_frames` convention):
+    the declarative spelling embedded the global orderBy/limit subtree
+    in the union, and every downstream action of every consumer
+    (`mm_dedup_report` evaluates the universe from several aggregation
+    branches) re-ran a full scan + sort just to rebuild this one row."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sentinel = (
+    seed = (
         docs.filter(F.length("text") >= AHASH_BITS)
         .orderBy("doc_id")
         .limit(1)
-        .select(
-            (F.col("doc_id") + F.lit(PHASH_SENTINEL_OFFSET)).alias("doc_id"),
-            "text",
-        )
+        .collect()
+    )
+    sentinel = spark.createDataFrame(
+        [
+            (int(r["doc_id"]) + PHASH_SENTINEL_OFFSET, r["text"])
+            for r in seed
+        ],
+        "doc_id long, text string",
     )
     return docs.unionByName(sentinel)
 
@@ -222,8 +233,9 @@ def mm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``multimodal.media.media_from_documents``), and the string form
     keeps the oracle exact (DuckDB's md5 is VARCHAR-only). One
     evaluation of the pair graph feeds both the pair count and the
-    labeling (localCheckpoint, the doc report's convention); the
-    counts combine through 1-row broadcast joins — constant work."""
+    labeling (localCheckpoint, the doc report's convention); all
+    per-item counts come from ONE enriched corpus pass, plus a 1-row
+    broadcast join for the pair count — constant combine work."""
     from kafka_flink_harshevents_spark.operators.graph import (
         min_label_components,
     )
@@ -243,37 +255,43 @@ def mm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = min_label_components(pairs, "da", "db").select(
         F.col("node").alias("nid"), F.col("component").alias("cid")
     )
-    cl = d.select("doc_id").join(
-        labels, F.col("doc_id") == F.col("nid"), "left"
-    ).select("doc_id", F.coalesce("cid", "doc_id").alias("cluster_id"))
-    ex = d.groupBy("h").agg(F.min("doc_id").alias("canon"))
-    clean = (
-        d.join(ex, "h")
-        .filter(F.col("doc_id") == F.col("canon"))
-        .join(cl, "doc_id")
-        .filter(F.col("doc_id") == F.col("cluster_id"))
-    )
-    tot = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n_media"),
-        F.count_distinct("h").cast("long").alias("n_unique_media"),
+    # ONE enriched corpus pass (guide §1.2/§2.4): the exact-dup
+    # canonical rides a window over h (the same exchange the old
+    # groupBy+join-back pair paid twice), the cluster id rides the
+    # label join (∝ near-dup graph; AQE broadcasts it when small), and
+    # every per-item report count folds into a single aggregate —
+    # replacing four aggregation branches (tot / mem_stats / n_clean /
+    # the clean join chain) that each re-derived d from a fresh scan.
+    member = F.col("doc_id") != F.col("cluster_id")
+    clean = (F.col("doc_id") == F.col("canon")) & ~member
+    stats = (
+        d.withColumn("canon", F.min("doc_id").over(Window.partitionBy("h")))
+        .join(labels, F.col("doc_id") == F.col("nid"), "left")
+        .select(
+            "doc_id",
+            "h",
+            "canon",
+            F.coalesce("cid", "doc_id").alias("cluster_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.count_distinct("h").cast("long").alias("n_unique_media"),
+            F.count(F.when(member, True)).cast("long").alias(
+                "n_neardup_member_items"
+            ),
+            F.count_distinct(F.when(member, F.col("cluster_id")))
+            .cast("long")
+            .alias("n_neardup_clusters"),
+            F.count(F.when(clean, True)).cast("long").alias(
+                "n_clean_media"
+            ),
+        )
     )
     n_pairs = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_neardup_pairs")
     )
-    members = cl.filter(F.col("doc_id") != F.col("cluster_id"))
-    mem_stats = members.agg(
-        F.count(F.lit(1)).cast("long").alias("n_neardup_member_items"),
-        F.count_distinct("cluster_id").cast("long").alias(
-            "n_neardup_clusters"
-        ),
-    )
-    n_clean = clean.agg(
-        F.count(F.lit(1)).cast("long").alias("n_clean_media")
-    )
     return (
-        tot.join(F.broadcast(n_pairs))
-        .join(F.broadcast(mem_stats))
-        .join(F.broadcast(n_clean))
+        stats.join(F.broadcast(n_pairs))
         .select(
             "n_media",
             "n_unique_media",
