@@ -757,14 +757,22 @@ def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition reuses ONE evaluation of each stage: the LSH pair
     graph is localCheckpoint-ed and feeds both the pair count and the
-    connected-components labeling; the exact-dedup aggregate, cluster
-    labels and quality scores then combine through 1-row aggregates
-    cross-joined at the end (all broadcast, constant work).
+    connected-components labeling; every per-doc count then folds into
+    ONE enriched corpus pass — the exact-dup canonical rides a window
+    over text_hash, the cluster id rides the (near-dup-graph-sized)
+    label join, and the quality bucket is a pure projection of the
+    same rows (`quality_columns`), so the quality join disappears —
+    plus a 1-row broadcast join for the pair count (guide §1.2/§2.4;
+    the previous spelling ran four aggregation branches that each
+    re-derived the corpus projection from a fresh scan).
     """
     from kafka_flink_harshevents_spark.operators.graph import min_label_components
 
+    _, bucket = quality_columns()
     d = spread(load(spark, sf_dir, "documents")).select(
-        "doc_id", F.md5("text").alias("text_hash")
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        bucket.alias("quality_bucket"),
     )
     pairs = (
         doc_minhash_lsh_pairs(spark, sf_dir).select("da", "db").localCheckpoint()
@@ -772,41 +780,40 @@ def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = min_label_components(pairs, "da", "db").select(
         F.col("node").alias("nid"), F.col("component").alias("cid")
     )
-    cl = d.select("doc_id").join(
-        labels, F.col("doc_id") == F.col("nid"), "left"
-    ).select(
-        "doc_id", F.coalesce("cid", "doc_id").alias("cluster_id")
-    )
-    ex = (
-        d.groupBy("text_hash")
-        .agg(F.min("doc_id").alias("canonical_doc_id"))
-    )
-    q = doc_quality_score(spark, sf_dir).select("doc_id", "quality_bucket")
+    member = F.col("doc_id") != F.col("cluster_id")
     clean = (
-        d.join(ex, "text_hash")
-        .filter(F.col("doc_id") == F.col("canonical_doc_id"))
-        .join(cl, "doc_id")
-        .filter(F.col("doc_id") == F.col("cluster_id"))
-        .join(q, "doc_id")
-        .filter(F.col("quality_bucket") != "low")
+        (F.col("doc_id") == F.col("canonical_doc_id"))
+        & ~member
+        & (F.col("quality_bucket") != "low")
     )
-    tot = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count_distinct("text_hash").cast("long").alias("n_unique_texts"),
+    stats = (
+        d.withColumn(
+            "canonical_doc_id",
+            F.min("doc_id").over(Window.partitionBy("text_hash")),
+        )
+        .join(labels, F.col("doc_id") == F.col("nid"), "left")
+        .select(
+            "doc_id",
+            "text_hash",
+            "canonical_doc_id",
+            "quality_bucket",
+            F.coalesce("cid", "doc_id").alias("cluster_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("text_hash").cast("long").alias("n_unique_texts"),
+            F.count(F.when(member, True)).cast("long").alias(
+                "n_neardup_member_docs"
+            ),
+            F.count_distinct(F.when(member, F.col("cluster_id")))
+            .cast("long")
+            .alias("n_neardup_clusters"),
+            F.count(F.when(clean, True)).cast("long").alias("n_clean_docs"),
+        )
     )
     n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
-    members = cl.filter(F.col("doc_id") != F.col("cluster_id"))
-    # one pass over members for both counts (two separate aggregates
-    # would re-evaluate the cluster-label join twice)
-    mem_stats = members.agg(
-        F.count(F.lit(1)).cast("long").alias("n_neardup_member_docs"),
-        F.count_distinct("cluster_id").cast("long").alias("n_neardup_clusters"),
-    )
-    n_clean = clean.agg(F.count(F.lit(1)).cast("long").alias("n_clean_docs"))
     return (
-        tot.join(F.broadcast(n_pairs))
-        .join(F.broadcast(mem_stats))
-        .join(F.broadcast(n_clean))
+        stats.join(F.broadcast(n_pairs))
         .select(
             "n_docs",
             "n_unique_texts",
