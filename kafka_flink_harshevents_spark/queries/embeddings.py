@@ -584,6 +584,42 @@ def _pq_train_codebooks(e: DataFrame) -> list[list[list[float]]]:
     return cents
 
 
+def _collect_queries(q: DataFrame):
+    """Collect the (bounded: vec_id < N_QUERY_VECS) query vectors once
+    and rebuild them as a literal local relation. The declarative
+    spelling embedded the pruned query-scan subtree in every consumer
+    (probe stage, ADC lookup build, re-rank join), and each consumer's
+    evaluation re-ran the scan + normalize; N_QUERY_VECS rows of
+    doubles collect exactly (same IEEE bits), so downstream arithmetic
+    is unchanged."""
+    rows = q.collect()
+    local = q.sparkSession.createDataFrame(
+        [(int(r["qid"]), list(r["qemb"])) for r in rows],
+        "qid long, qemb array<double>",
+    )
+    return rows, local
+
+
+def _adc_lookup_table(spark: SparkSession, q_rows, cents) -> DataFrame:
+    """Per-query ADC lookup tables ||q_sub − cent||² for every (m, k),
+    computed on the driver from the collected queries and the (already
+    collected) codebooks — PQ_M·PQ_K rows per query. The Python fold
+    (acc = acc + (x−y)·(x−y), left to right) is the bit-exact twin of
+    the F.aggregate/zip_with spelling it replaces, so qd2 doubles are
+    identical and the downstream ADC sums/rankings cannot move."""
+    rows = []
+    for r in q_rows:
+        qid, qemb = int(r["qid"]), list(r["qemb"])
+        for m in range(PQ_M):
+            qsv = qemb[m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM]
+            for k in range(PQ_K):
+                acc = 0.0
+                for x, y in zip(qsv, cents[m][k]):
+                    acc = acc + (x - y) * (x - y)
+                rows.append((qid, m, k, acc))
+    return spark.createDataFrame(rows, "qid long, m int, k int, qd2 double")
+
+
 def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank (the FAISS
     IndexPQ + refine pipeline): train M per-subspace codebooks, encode
@@ -643,25 +679,15 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min_by("k", F.struct("d2", "k")).alias("k"))
     )
 
-    # per-query ADC lookup tables: ||q_sub - cent||² for every (m, k)
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    # per-query ADC lookup tables: ||q_sub - cent||² for every (m, k) —
+    # queries collected once, tables computed driver-side (bit-exact
+    # fold twin), so neither subtree re-scans the corpus
+    q_rows, q = _collect_queries(
+        e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
     )
-    qsub = q.select(
-        "qid",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}), "
-                f"m -> slice(qemb, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}))"
-            )
-        ).alias("m", "qsv"),
-    )
-    qd2 = F.aggregate(
-        F.zip_with("qsv", "cent", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    qtab = qsub.join(F.broadcast(cdf), "m").select("qid", "m", "k", qd2.alias("qd2"))
+    qtab = _adc_lookup_table(spark, q_rows, cents)
 
     adc = (
         codes.join(F.broadcast(qtab), ["m", "k"])
@@ -765,8 +791,10 @@ def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cemb")
         )
     )
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    q_rows, q = _collect_queries(
+        e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
     )
     csim = F.round(
         _dot("qemb", "cemb") / (_norm("qemb") * _norm("cemb")), 6
@@ -786,9 +814,14 @@ def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "label")
     )
 
-    # PQ encode the corpus (1 byte/subspace), once
+    # PQ encode the corpus (1 byte/subspace), once — the label rides
+    # the encode aggregate (constant per vec_id, so max() is exact),
+    # which lets the probed-list restriction join codes directly and
+    # drops BOTH the second corpus scan that rebuilt (vec_id, label)
+    # and the vec_id shuffle join that married it back to the codes
     sub = e.select(
         "vec_id",
+        "label",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {PQ_M - 1}), "
@@ -803,39 +836,21 @@ def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = (
         sub.join(F.broadcast(cdf), "m")
-        .select("vec_id", "m", "k", d2.alias("d2"))
+        .select("vec_id", "label", "m", "k", d2.alias("d2"))
         .groupBy("vec_id", "m")
-        .agg(F.min_by("k", F.struct("d2", "k")).alias("k"))
+        .agg(
+            F.min_by("k", F.struct("d2", "k")).alias("k"),
+            F.max("label").alias("label"),
+        )
     )
 
-    # ADC restricted to the probed lists: candidate (qid, vec_id)
-    # pairs come from the label equi-join — each query's scan touches
-    # ~nprobe/nlists of the code stream, the IVF win
-    cand_ids = (
-        e.select("vec_id", "label")
-        .join(F.broadcast(probe), "label")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
-    )
-    qsub = q.select(
-        "qid",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}), "
-                f"m -> slice(qemb, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}))"
-            )
-        ).alias("m", "qsv"),
-    )
-    qd2 = F.aggregate(
-        F.zip_with("qsv", "cent", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    qtab = qsub.join(F.broadcast(cdf), "m").select(
-        "qid", "m", "k", qd2.alias("qd2")
-    )
+    # ADC restricted to the probed lists: candidates come from the
+    # label equi-join against the (tiny) probe table — each query's
+    # scan touches ~nprobe/nlists of the code stream, the IVF win
+    qtab = _adc_lookup_table(spark, q_rows, cents)
     adc = (
-        codes.join(cand_ids, "vec_id")
+        codes.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("qid"))
         .join(F.broadcast(qtab), ["qid", "m", "k"])
         .groupBy("qid", "vec_id")
         .agg(F.sum("qd2").alias("adc_d2"))
