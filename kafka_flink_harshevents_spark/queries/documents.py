@@ -493,7 +493,11 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band, band_hash): shuffle width ∝ colliding docs only.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)  # _shingles spreads — CPU-heavy per-row stage
+    # the CPU-heavy shingle stream feeds the signature pipeline AND the
+    # verify stage's grouped arrays — pin it once (the
+    # doc_ngram_jaccard_pairs convention; a cluster deployment swaps in
+    # persist(DISK_ONLY) at the same line for the corpus-sized frame)
+    sh = _shingles(docs).localCheckpoint()
     sigs = _minhash_sigs(sh)
 
     band_structs = [
@@ -531,11 +535,13 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Verify candidates with a per-pair linear merge on collected shingle
-    # arrays — no re-explode, no second wide shuffle.
+    # arrays — no re-explode, no second wide shuffle. Pinned: the ca/cb
+    # sides join on different keys (da vs db), two exchanges of the same
+    # child that would otherwise each re-group the shingle stream.
     full = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("sset"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint()
     inter = F.size(F.array_intersect(F.col("ca.sset"), F.col("cb.sset"))).cast("long")
     jac = inter / (F.col("ca.n") + F.col("cb.n") - inter)
     return (
@@ -1172,24 +1178,28 @@ def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical ∩ quality floor. Survivors carry their quality score and
     cluster id, so downstream sampling can weight by either.
 
-    Plan shape: three joins on doc_id/text_hash; the exact-dedup side is
-    an aggregate of the same scan, the cluster side is the converged
-    label table. Every predicate is engine-checkable — the whole
-    composite hash-matches a single DuckDB statement."""
-    # raw load, NOT spread: this md5 subtree must stay byte-identical to
-    # doc_exact_dedup's so the scan is read once (ReusedExchange)
+    Plan shape: ONE corpus projection carries the content hash AND the
+    quality battery (both pure per-row functions of text — the separate
+    quality scan + doc_id join this replaces moved the whole corpus
+    through an extra exchange); the exact-dedup canonical is a window
+    over text_hash (one exchange, vs aggregate + join-back re-shuffling
+    the same scan twice); the cluster side joins the converged label
+    table. Every predicate is engine-checkable — the whole composite
+    hash-matches a single DuckDB statement."""
+    score, bucket = quality_columns()
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("text_hash")
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.round(score, 4).alias("quality_score"),
+        bucket.alias("quality_bucket"),
     )
-    ex = doc_exact_dedup(spark, sf_dir).select("text_hash", "canonical_doc_id")
-    q = doc_quality_score(spark, sf_dir)
+    canon = F.min("doc_id").over(Window.partitionBy("text_hash"))
     cl = doc_neardup_clusters(spark, sf_dir)
     return (
-        d.join(ex, "text_hash")
+        d.withColumn("canonical_doc_id", canon)
         .filter(F.col("doc_id") == F.col("canonical_doc_id"))
         .join(cl, "doc_id")
         .filter(F.col("doc_id") == F.col("cluster_id"))
-        .join(q, "doc_id")
         .filter(F.col("quality_bucket") != "low")
         .select("doc_id", "quality_score", "quality_bucket", "cluster_id")
     )
