@@ -493,11 +493,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band, band_hash): shuffle width ∝ colliding docs only.
     """
     docs = load(spark, sf_dir, "documents")
-    # the CPU-heavy shingle stream feeds the signature pipeline AND the
-    # verify stage's grouped arrays — pin it once (the
-    # doc_ngram_jaccard_pairs convention; a cluster deployment swaps in
-    # persist(DISK_ONLY) at the same line for the corpus-sized frame)
-    sh = _shingles(docs).localCheckpoint()
+    sh = _shingles(docs)  # _shingles spreads — CPU-heavy per-row stage
     sigs = _minhash_sigs(sh)
 
     band_structs = [
@@ -535,13 +531,15 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Verify candidates with a per-pair linear merge on collected shingle
-    # arrays — no re-explode, no second wide shuffle. Pinned: the ca/cb
-    # sides join on different keys (da vs db), two exchanges of the same
-    # child that would otherwise each re-group the shingle stream.
+    # arrays — no re-explode, no second wide shuffle. (Eagerly pinning
+    # this frame and the shingle stream was tried in round 12 and
+    # reverted: two full-catalog sweeps timed the pinned spelling
+    # ~1.6× the lazy one on this entry — construction-time
+    # materialization serializes what the lazy DAG overlaps.)
     full = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("sset"),
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint()
+    )
     inter = F.size(F.array_intersect(F.col("ca.sset"), F.col("cb.sset"))).cast("long")
     jac = inter / (F.col("ca.n") + F.col("cb.n") - inter)
     return (
